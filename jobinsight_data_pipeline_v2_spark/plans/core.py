@@ -1,0 +1,819 @@
+"""Core relational operators (SURVEY.md §2.2-§2.7) over the testdata star schema.
+
+The reference's analytic surface (DuckDB views over a job-postings star
+schema) is re-expressed here over the driver's TPC-H-ish tables so the
+DuckDB oracle can hash-check every operator: joins J1-J13, aggregations
+A1-A13, windows W1-W5, sorts/limits O1-O5, set-ops U1-U4.
+
+Numeric determinism: double aggregation is order-dependent, so every
+SUM/AVG over a double column is computed on DECIMAL(20,2) (exact,
+associative) and cast back to double; averages are the exact decimal
+sum divided by the count in double space. Spark and DuckDB then produce
+bit-identical values, which the driver's value-hash requires.
+
+Every LIMIT-k is preceded by a total order (tie-broken by a unique
+key), otherwise which rows survive the limit is nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# deterministic numeric helpers (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def dec_sum(col: str):
+    """Exact SUM over doubles: decimal accumulate, double result."""
+    return F.sum(F.col(col).cast("decimal(20,2)")).cast("double")
+
+
+def dec_avg(col: str):
+    """Exact-sum average: decimal sum / count, divided in double space."""
+    return dec_sum(col) / F.count(F.col(col))
+
+
+# DuckDB-side equivalents (keep in lockstep with the two helpers above)
+def _sql_sum(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(20,2))) AS DOUBLE)"
+
+
+def _sql_avg(col: str) -> str:
+    return f"({_sql_sum(col)} / COUNT({col}))"
+
+
+# ---------------------------------------------------------------------------
+# A1 — monthly rollup with conditional distinct counts
+# (reference: vw_monthly_stats, sql/views/base_views.sql:63-74)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monthly_stats",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m')                    AS order_month,
+           COUNT(DISTINCT o_custkey)                         AS n_customers,
+           COUNT(*)                                          AS n_orders,
+           {_sql_sum('o_totalprice')}                        AS total_revenue,
+           {_sql_avg('o_totalprice')}                        AS avg_order_value,
+           COUNT(DISTINCT CASE WHEN o_orderstatus = 'F'
+                               THEN o_custkey END)           AS n_customers_finished
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month stats: distinct counts + exact sums + conditional distinct.
+
+    Mirrors the reference's vw_monthly_stats (base_views.sql:63-74):
+    COUNT(DISTINCT job_sk), ROUND(AVG(salary)), COUNT(DISTINCT CASE
+    WHEN verified ...). Partial aggregation (map-side combine) + one
+    shuffle on the group key; no join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_revenue"),
+        dec_avg("o_totalprice").alias("avg_order_value"),
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("n_customers_finished"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 + J1 + O2/O4 — top-N entities through a dim-join chain
+# (reference: vw_top_companies, base_views.sql:82-96; joins J1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_customers",
+    f"""
+    SELECT c.c_custkey                  AS c_custkey,
+           c.c_name                     AS c_name,
+           n.n_name                     AS nation,
+           r.r_name                     AS region,
+           COUNT(DISTINCT o.o_orderkey) AS order_count,
+           {_sql_sum('o.o_totalprice')} AS total_spend,
+           MAX(o.o_orderdate)           AS last_order_date
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2, 3, 4
+    ORDER BY order_count DESC, total_spend DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by order count through a 3-dim broadcast chain.
+
+    The reference resolves fact→dim with python dict caches
+    (src/etl/warehouse/cache.py:13-36) — here that is literally a
+    broadcast hash join (SURVEY X1): dims ship to every executor, the
+    fact table never shuffles for the join; only the final groupBy
+    exchanges on the (already co-located) customer key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            dec_sum("o_totalprice").alias("total_spend"),
+            F.max("o_orderdate").alias("last_order_date"),
+        )
+        .orderBy(F.desc("order_count"), F.desc("total_spend"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 + J2 — rollup through a snowflaked location chain with left joins
+# (reference: vw_jobs_by_location / location_stats, business_views.sql:188-203)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "region_rollup",
+    f"""
+    SELECT r.r_name                       AS region,
+           n.n_name                       AS nation,
+           COUNT(DISTINCT c.c_custkey)    AS n_customers,
+           COUNT(o.o_orderkey)            AS n_orders,
+           {_sql_sum('o.o_totalprice')}   AS total_revenue,
+           COUNT(DISTINCT CASE WHEN o.o_orderpriority = '1-URGENT'
+                               THEN o.o_orderkey END) AS n_urgent
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region/nation rollup keeping order-less customers (left join J2).
+
+    Mirrors the reference's aggregating views that LEFT JOIN the
+    location bridge so jobs without locations still count
+    (base_views.sql:145-146). COUNT(col) vs COUNT(*) semantics (nulls
+    from the left join excluded) must match the oracle exactly.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(orders, orders.o_custkey == customer.c_custkey, "left")
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.count("o_orderkey").alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_revenue"),
+        F.countDistinct(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_orderkey"))
+        ).alias("n_urgent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — deterministic string aggregation
+# (reference: STRING_AGG(DISTINCT l.city, ', '), base_views.sql:137)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_agg_segments",
+    """
+    SELECT n.n_name AS nation,
+           string_agg(DISTINCT c.c_mktsegment, ', ' ORDER BY c.c_mktsegment)
+               AS segments,
+           COUNT(DISTINCT c.c_mktsegment) AS n_segments
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def string_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING_AGG(DISTINCT …) as sort_array(collect_set) + array_join.
+
+    The reference's STRING_AGG order is unspecified in DuckDB; we
+    canonicalize by sorting the distinct set (SURVEY A4) so output is
+    deterministic and hash-stable on any cluster.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ", ").alias(
+                "segments"
+            ),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 + O3 — CASE bucketing histogram with custom bucket order
+# (reference: vw_salary_distribution, business_views.sql:127-154)
+# ---------------------------------------------------------------------------
+
+_BUCKETS = [
+    (0, "Under 1K", 0.0, 1000.0),
+    (1, "1K-5K", 1000.0, 5000.0),
+    (2, "5K-10K", 5000.0, 10000.0),
+    (3, "10K-50K", 10000.0, 50000.0),
+    (4, "50K-100K", 50000.0, 100000.0),
+    (5, "100K-200K", 100000.0, 200000.0),
+    (6, "200K+", 200000.0, None),
+]
+
+
+def _bucket_case_sql() -> str:
+    arms = []
+    for idx, label, lo, hi in _BUCKETS:
+        cond = f"o_totalprice >= {lo}" + (f" AND o_totalprice < {hi}" if hi else "")
+        arms.append(f"WHEN {cond} THEN {idx}")
+    return "CASE " + " ".join(arms) + " ELSE -1 END"
+
+
+@register(
+    "price_histogram",
+    f"""
+    WITH bucketed AS (
+        SELECT *, {_bucket_case_sql()} AS bucket_idx FROM orders
+    )
+    SELECT bucket_idx,
+           CASE bucket_idx {' '.join(f"WHEN {i} THEN '{lbl}'" for i, lbl, _, _ in _BUCKETS)}
+                ELSE 'Unknown' END AS price_range,
+           COUNT(*)                    AS order_count,
+           {_sql_avg('o_totalprice')}  AS avg_price
+    FROM bucketed
+    GROUP BY 1, 2
+    ORDER BY bucket_idx
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-range CASE histogram with an index column driving the sort.
+
+    Mirrors vw_salary_distribution's labeled CASE buckets + custom
+    CASE-expression ORDER BY (SURVEY A5/O3): the sort key is a bucket
+    index column, not the label string.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket_idx = F.lit(-1)
+    label = F.lit("Unknown")
+    # build the when-ladder from the shared bucket table (innermost last)
+    expr_idx = None
+    expr_lbl = None
+    for idx, lbl, lo, hi in _BUCKETS:
+        cond = F.col("o_totalprice") >= lo
+        if hi is not None:
+            cond = cond & (F.col("o_totalprice") < hi)
+        expr_idx = (
+            F.when(cond, idx) if expr_idx is None else expr_idx.when(cond, idx)
+        )
+        expr_lbl = (
+            F.when(cond, lbl) if expr_lbl is None else expr_lbl.when(cond, lbl)
+        )
+    bucket_idx = expr_idx.otherwise(-1)
+    label = expr_lbl.otherwise("Unknown")
+    return (
+        orders.withColumn("bucket_idx", bucket_idx)
+        .withColumn("price_range", label)
+        .groupBy("bucket_idx", "price_range")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dec_avg("o_totalprice").alias("avg_price"),
+        )
+        .orderBy("bucket_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — daily summary with conditional distinct
+# (reference: vw_daily_summary, business_views.sql:232-244)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_summary",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           COUNT(*)                    AS n_orders,
+           COUNT(DISTINCT o_custkey)   AS n_customers,
+           {_sql_sum('o_totalprice')}  AS revenue,
+           {_sql_avg('o_totalprice')}  AS avg_price,
+           COUNT(DISTINCT CASE WHEN o_totalprice > 100000
+                               THEN o_custkey END) AS n_big_spenders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day counts/sums incl. COUNT(DISTINCT CASE WHEN …) (SURVEY A6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dec_sum("o_totalprice").alias("revenue"),
+        dec_avg("o_totalprice").alias("avg_price"),
+        F.countDistinct(
+            F.when(F.col("o_totalprice") > 100000, F.col("o_custkey"))
+        ).alias("n_big_spenders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 + J13 — explode/UNNEST + top-k
+# (reference: vw_skills_demand, business_views.sql:252-266: UNNEST(skills))
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_part_words",
+    f"""
+    WITH words AS (
+        SELECT l.l_orderkey, l.l_extendedprice,
+               unnest(string_split(p.p_type, ' ')) AS word
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT word,
+           COUNT(*)                       AS word_count,
+           {_sql_avg('l_extendedprice')}  AS avg_price
+    FROM words
+    WHERE word IS NOT NULL AND word != ''
+    GROUP BY word
+    ORDER BY word_count DESC, word
+    LIMIT 50
+    """,
+)
+def top_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(split(…)) + filter + group + top-50 — the skills-demand shape.
+
+    Reference: FROM fact ⋈ dim, UNNEST(CAST(skills AS VARCHAR[])) then
+    GROUP BY skill ORDER BY count LIMIT 50 (SURVEY A7/J13/P6). The
+    explode is a narrow op (no shuffle); only the final groupBy
+    exchanges, on the word key.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    words = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .withColumn("word", F.explode(F.split(F.col("p_type"), " ")))
+        .filter((F.col("word").isNotNull()) & (F.col("word") != ""))
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("word_count"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+        )
+        .orderBy(F.desc("word_count"), "word")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/U2 — anti join (new-rows / NOT IN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the reference's `LEFT JOIN … WHERE id IS NULL`
+    new-rows pattern (src/etl/staging/pipeline.py:27-31, SURVEY J3) and
+    DuckDB's NOT IN orphan cleanup (facts/bridge.py:42-51, J4)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# J9 — semi join (batched IN-list fetch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_with_sales",
+    """
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+                  AND l.l_quantity >= 30)
+    """,
+)
+def parts_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — the reference's hand-rolled `WHERE job_id IN
+    (?,…)` batch fetch (dimensions/job.py:33-39, SURVEY J9/X2). The
+    quantity filter is pushed below the join build side."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    return part.join(
+        lineitem, part.p_partkey == lineitem.l_partkey, "left_semi"
+    ).select("p_partkey", "p_name", "p_brand", "p_retailprice")
+
+
+# ---------------------------------------------------------------------------
+# J6 — referential-integrity probe
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ri_orphan_counts",
+    """
+    SELECT 'lineitem_without_order' AS probe,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS orphans
+    UNION ALL
+    SELECT 'order_without_customer' AS probe,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS orphans
+    ORDER BY probe
+    """,
+)
+def ri_orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-integrity orphan counts via anti joins (dags/dwh_dag.py:125-135,
+    SURVEY J6) — two probes unioned into one tiny report frame."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li_orphans = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .withColumn("probe", F.lit("lineitem_without_order"))
+    )
+    ord_orphans = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .withColumn("probe", F.lit("order_without_customer"))
+    )
+    return li_orphans.unionByName(ord_orphans).select("probe", "orphans").orderBy(
+        "probe"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7/S6 — merge with changed-row classification (upsert counts)
+# ---------------------------------------------------------------------------
+
+_SPLIT_DATE = "1998-01-01"
+
+
+@register(
+    "upsert_classify",
+    f"""
+    WITH old AS (
+        SELECT o_custkey, COUNT(*) AS cnt, {_sql_sum('o_totalprice')} AS total
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_SPLIT_DATE}'
+        GROUP BY 1
+    ),
+    new AS (
+        SELECT o_custkey, COUNT(*) AS cnt, {_sql_sum('o_totalprice')} AS total
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_SPLIT_DATE}'
+        GROUP BY 1
+    )
+    SELECT CASE WHEN old.o_custkey IS NULL THEN 'inserted'
+                WHEN new.o_custkey IS NULL THEN 'deleted'
+                WHEN old.cnt IS NOT DISTINCT FROM new.cnt
+                 AND old.total IS NOT DISTINCT FROM new.total THEN 'unchanged'
+                ELSE 'updated' END AS change_type,
+           COUNT(*) AS n_keys
+    FROM old FULL OUTER JOIN new ON old.o_custkey = new.o_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based MERGE classification: full-outer join + null-safe compare.
+
+    The reference classifies upserts row-at-a-time with `INSERT … ON
+    CONFLICT DO UPDATE … WHERE IS DISTINCT FROM` + RETURNING xmax
+    (src/storage/postgres.py:34-113, SURVEY S6/J7). Set-based: join the
+    old and new snapshots on the key, classify each key with
+    eqNullSafe, aggregate the counts — one shuffle, zero per-row
+    round-trips.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(_SPLIT_DATE).cast("timestamp_ntz")
+
+    def snap(pred):
+        return (
+            orders.filter(pred)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("o_totalprice").alias("total"))
+        )
+
+    old = snap(F.col("o_orderdate") < split).alias("old")
+    new = snap(F.col("o_orderdate") >= split).alias("new")
+    joined = old.join(new, F.col("old.o_custkey") == F.col("new.o_custkey"), "full")
+    change = (
+        F.when(F.col("old.o_custkey").isNull(), "inserted")
+        .when(F.col("new.o_custkey").isNull(), "deleted")
+        .when(
+            F.col("old.cnt").eqNullSafe(F.col("new.cnt"))
+            & F.col("old.total").eqNullSafe(F.col("new.total")),
+            "unchanged",
+        )
+        .otherwise("updated")
+    )
+    return (
+        joined.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W3 — latest-record-per-key window (SCD2 "is_current" / carry-forward)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number window: latest record per business key (SURVEY W1/W3).
+
+    This is the engine's SCD2 `is_current` definition and the
+    generalized carry-forward scan ("latest fact per job before today",
+    facts/daily.py:122-181) — one shuffle on the partition key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2/A8 — keep-first dedup window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_first_lineitem",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, {_sql_sum('l_extendedprice')} AS price
+    FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                           l_extendedprice, l_quantity, l_shipdate) AS rn
+        FROM lineitem
+    )
+    WHERE rn = 1
+    GROUP BY 1, 2, 3
+    """,
+)
+def dedup_first_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-min-row dedup via window (SURVEY W2/A8/J10): the reference's
+    `GROUP BY job_sk,date_id HAVING COUNT(*)>1` + MIN(fact_id) victim
+    delete (daily.py:250-286) collapses to one row_number filter."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_quantity", "l_shipdate"
+    )
+    return (
+        lineitem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("l_orderkey", "l_linenumber", "l_partkey")
+        .agg(dec_sum("l_extendedprice").alias("price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2-P6 + F10 + O1 — parameterized snapshot filters / ranges / ilike
+# (reference: vw_expiring_soon, business_views.sql:106-119)
+# ---------------------------------------------------------------------------
+
+_AS_OF = "1998-06-01"
+
+
+@register(
+    "orders_window_filter",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           date_diff('day', TIMESTAMP '{_AS_OF}', o_orderdate) AS days_out
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_AS_OF}'
+      AND o_orderdate <  TIMESTAMP '{_AS_OF}' + INTERVAL 30 DAY
+      AND o_orderpriority ILIKE '%urgent%'
+    ORDER BY o_orderdate, o_orderkey
+    """,
+)
+def orders_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-parameterized range + ILIKE + datediff (SURVEY P2/P4/P5/F10).
+
+    Every reference view hardcodes CURRENT_DATE (business_views.sql:30
+    etc.); the engine threads an explicit as_of so results are
+    deterministic and re-runnable. Filters push down to the parquet
+    scan (row-group skipping on o_orderdate min/max).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    as_of = F.lit(_AS_OF).cast("timestamp_ntz")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= as_of)
+            & (F.col("o_orderdate") < as_of + F.expr("INTERVAL 30 DAY"))
+            & F.col("o_orderpriority").ilike("%urgent%")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit(_AS_OF).cast("date")).alias(
+                "days_out"
+            ),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — data-driven date dimension (DimDate)
+# (reference: dimensions/date.py:15-77, dwh_schema.sql:102-114)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_dimension",
+    """
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS mn,
+               CAST(MAX(o_orderdate) AS DATE) AS mx
+        FROM orders
+    ),
+    days AS (
+        SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS date_id
+        FROM bounds
+    )
+    SELECT strftime(date_id, '%Y-%m-%d')      AS date_id,
+           day(date_id)                          AS day,
+           month(date_id)                        AS month,
+           quarter(date_id)                      AS quarter,
+           year(date_id)                         AS year,
+           CAST(weekofyear(date_id) AS INTEGER)  AS week_of_year,
+           CAST(isodow(date_id) AS INTEGER)      AS day_of_week,
+           dayname(date_id)                      AS weekday_name,
+           isodow(date_id) >= 6                  AS is_weekend,
+           strftime(date_id, '%Y-%m')            AS year_month,
+           'Q' || CAST(quarter(date_id) AS VARCHAR) AS quarter_name
+    FROM days
+    """,
+)
+def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven DimDate: sequence(min,max) + explode + date parts.
+
+    The reference generates DimDate procedurally from the observed date
+    range (dimensions/date.py:15-77). Spark-first: a single
+    sequence+explode (no driver loop), with the exact attribute set of
+    dwh_schema.sql:102-114 (ISO day-of-week, weekday name, weekend
+    flag, 'yyyy-MM', 'Qn').
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("mn"),
+        F.max(F.col("o_orderdate").cast("date")).alias("mx"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("date_id")
+    )
+    return days.select(
+        F.date_format("date_id", "yyyy-MM-dd").alias("date_id"),
+        F.dayofmonth("date_id").alias("day"),
+        F.month("date_id").alias("month"),
+        F.quarter("date_id").alias("quarter"),
+        F.year("date_id").alias("year"),
+        F.weekofyear("date_id").alias("week_of_year"),
+        (F.weekday("date_id") + 1).alias("day_of_week"),
+        F.date_format("date_id", "EEEE").alias("weekday_name"),
+        ((F.weekday("date_id") + 1) >= 6).alias("is_weekend"),
+        F.date_format("date_id", "yyyy-MM").alias("year_month"),
+        F.concat(F.lit("Q"), F.quarter("date_id").cast("string")).alias("quarter_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — status pivot (monitoring rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "status_pivot_by_month",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+           {_sql_avg('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def status_pivot_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via SUM(CASE WHEN …) — the Grafana per-task
+    success/fail bars (SURVEY A11). A real `.pivot()` would need two
+    passes to discover values; the fixed-arm form is one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def arm(status):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
+
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        arm("F").alias("n_finished"),
+        arm("O").alias("n_open"),
+        arm("P").alias("n_pending"),
+        dec_avg("o_totalprice").alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 + O4 — top-3 months
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top3_months",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*)                       AS fact_count,
+           COUNT(DISTINCT o_custkey)      AS unique_customers,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days
+    FROM orders
+    GROUP BY 1
+    ORDER BY fact_count DESC, order_month
+    LIMIT 3
+    """,
+)
+def top3_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DWH stats: per-month counts, ORDER BY DESC LIMIT 3
+    (dags/dwh_dag.py:182-201, SURVEY A12/O4) — Catalyst turns the
+    sort+limit into TakeOrderedAndProject (no full sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("fact_count"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+        )
+        .orderBy(F.desc("fact_count"), "order_month")
+        .limit(3)
+    )

@@ -1,0 +1,249 @@
+"""Event-stream operators over the ``events`` table (batch form).
+
+The reference is strictly daily batch (SURVEY §2.9) — its daily
+snapshot + carry-forward is a 1-day tumbling window in disguise. Here
+that family is made explicit over the driver's ``events`` table:
+tumbling-window aggregation, gap sessionization, SCD2-style change
+tracking from a change stream, JSON property extraction, and the
+carry-forward union itself. Each has an exact DuckDB oracle; the
+Structured Streaming incremental forms of the same computations live in
+``streaming/`` (same logical plan, readStream source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load_events
+from . import register
+from .core import dec_sum, _sql_sum
+
+# ---------------------------------------------------------------------------
+# tumbling window aggregation (streaming windowed agg, batch form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*)               AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {_sql_sum('value')}    AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window agg — the batch twin of the Structured
+    Streaming `window(ts, '1 hour')` + watermark job in streaming/.
+    date_trunc keys the window identically in both engines."""
+    events = load_events(spark, sf_dir)
+    return events.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dec_sum("value").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap sessionization (lag + cumulative sum of boundaries)
+# ---------------------------------------------------------------------------
+
+_GAP_SECONDS = 1800
+
+
+@register(
+    "sessionize",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL {_GAP_SECONDS} SECOND
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           COUNT(*) AS n_events, {_sql_sum('value')} AS session_value
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization: lag → boundary flag → running sum.
+
+    The classic batch sessionizer (streaming twin:
+    applyInPandasWithState / session_window). Both windows shuffle once
+    on user_id; the running sum reuses the same partitioning so no
+    second exchange.
+    """
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # interval arithmetic on the ntz wall clock is microsecond-exact in
+    # both engines; epoch()/unix_timestamp() would truncate or go
+    # fractional and disagree on boundary gaps
+    flagged = events.withColumn(
+        "is_new",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts") > prev_ts + F.expr(f"INTERVAL {_GAP_SECONDS} SECOND")),
+            1,
+        ).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_idx", F.sum("is_new").over(w2))
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 from a change stream (effective/expiry via lead)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_history",
+    """
+    SELECT user_id,
+           event_type  AS attr_value,
+           CAST(ts AS TIMESTAMP) AS effective_ts,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS TIMESTAMP) AS expiry_ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       AS is_current
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) > 0
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history from a change stream: effective/expiry via lead.
+
+    The reference maintains SCD2 with per-row expire+insert inside
+    transactions (dimensions/job.py:56-90); set-based, the whole
+    history is one window pass: expiry_ts = lead(effective_ts),
+    is_current = expiry IS NULL (SURVEY W1). One shuffle on the
+    business key.
+    """
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("effective_ts"),
+        F.lead("ts").over(w).alias("expiry_ts"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (semi-structured column, SURVEY §1.1 JSONB)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           COUNT(*)                                          AS n
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-once JSON extraction: the reference carries `skills JSONB`
+    (raw_schema.sql:17); the engine parses JSON to typed columns at the
+    edge and never re-parses (SURVEY F13). get_json_object here; the
+    warehouse path uses from_json with an explicit schema."""
+    events = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(k).alias("k_sum"),
+            F.max(k).alias("k_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# carry-forward union (the reference's daily snapshot semantics)
+# ---------------------------------------------------------------------------
+
+_DAY = "2024-01-03"
+_PREV_DAY = "2024-01-02"
+
+
+@register(
+    "carry_forward_day",
+    f"""
+    WITH yday AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '{_PREV_DAY}'
+    ),
+    today AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '{_DAY}'
+    )
+    SELECT user_id, value, FALSE AS carried FROM today WHERE rn = 1
+    UNION ALL
+    SELECT y.user_id, y.value, TRUE AS carried
+    FROM yday y
+    WHERE y.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM today t WHERE t.user_id = y.user_id)
+    """,
+)
+def carry_forward_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure Periodic Snapshot carry-forward, set-based (SURVEY U1/P3/W3).
+
+    The reference loops over yesterday's facts inserting any job not
+    seen today (facts/daily.py:122-181). Here: latest-per-key window on
+    both days, anti-join yesterday against today, union — fresh rows
+    win by construction, zero per-row work.
+    """
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def day_snapshot(day: str) -> DataFrame:
+        return (
+            events.filter(F.col("ts").cast("date") == F.lit(day).cast("date"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value")
+        )
+
+    today = day_snapshot(_DAY)
+    yday = day_snapshot(_PREV_DAY)
+    carried = yday.join(today, "user_id", "left_anti").withColumn(
+        "carried", F.lit(True)
+    )
+    return today.withColumn("carried", F.lit(False)).unionByName(carried)

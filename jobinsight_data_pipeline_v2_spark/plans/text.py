@@ -1,0 +1,454 @@
+"""Text-analysis and deduplication operators over ``documents``.
+
+Net-new capability beyond the reference (SURVEY §7.2 phase 6): the
+operators a large-scale training-data pipeline needs — exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH candidate generation, language-ID,
+quality scoring, token statistics, fingerprinting.
+
+Oracle-compatibility choices:
+- All hashing is md5 (identical lowercase hex in Spark and DuckDB);
+  engine-native hash functions (murmur3 vs DuckDB's hash) would never
+  match. The production-scale variants in operators/dedup.py use
+  xxhash64 — cheaper — and are property-tested instead.
+- All ratios are exact integer counts divided in double space →
+  bit-identical across engines.
+- Tokenization is a plain split on single spaces: the documents corpus
+  is single-space word soup, and both engines agree on the semantics.
+
+Scale design (100 TB): every query below is a pipeline of narrow ops +
+one or two shuffles on high-cardinality keys (shingle, band key, token)
+— no driver-side loops, no collect. The Jaccard candidate join caps
+shingle document-frequency (stop-shingle removal) so a hot shingle
+cannot produce a quadratic pair explosion; MinHash banding bounds
+candidate generation the standard way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+# shared tokenization: single-space split, drop empties
+_TOKENS = "filter(split(text, ' '), t -> t != '')"
+_SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t != '')"
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+# ---------------------------------------------------------------------------
+# token statistics + quality scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_quality",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars, {_SQL_TOKENS} AS tokens FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, lang, n_chars,
+               len(tokens) AS n_tokens,
+               len(list_distinct(tokens)) AS n_distinct,
+               len(list_filter(tokens, t -> t IN {_STOP_SQL})) AS n_stop
+        FROM toks
+    )
+    SELECT doc_id, lang, n_chars, n_tokens, n_distinct,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens     AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / n_tokens    AS avg_token_len,
+           (CAST(n_distinct AS DOUBLE) / n_tokens) *
+               (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
+    FROM stats
+    WHERE n_tokens > 0
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, type-token ratio,
+    stopword ratio, avg token length, composite score.
+
+    Pure higher-order array functions (filter/array_distinct/size) —
+    JVM-side, whole-stage-codegen'd, zero Python. Narrow plan: no
+    shuffle at all; scales linearly with document count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn("tokens", F.expr(_TOKENS))
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    stats = toks.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+        F.size(F.expr(f"filter(tokens, t -> t IN ({stop_arr}))")).alias("n_stop"),
+    )
+    return stats.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (
+            (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+            * (F.lit(1.0) - F.col("n_stop").cast("double") / F.col("n_tokens"))
+        ).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic + accuracy against the labeled lang column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "langid_eval",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter({_SQL_TOKENS}, t -> t IN {_STOP_SQL})) AS n_stop,
+               len({_SQL_TOKENS}) AS n_tokens
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN n_tokens > 0
+                         AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
+                    THEN 'en' ELSE 'other' END AS predicted
+        FROM scored
+    )
+    SELECT lang, predicted, COUNT(*) AS n_docs
+    FROM pred
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic, evaluated as a confusion
+    matrix against the labeled ``lang`` column. The heuristic (English
+    function-word density ≥ 5%) is the classic cheap LID first pass of
+    a training-data pipeline; confusion counts are exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    scored = docs.select(
+        "lang",
+        F.size(F.expr(f"filter({_TOKENS}, t -> t IN ({stop_arr}))")).alias("n_stop"),
+        F.size(F.expr(_TOKENS)).alias("n_tokens"),
+    )
+    pred = scored.select(
+        "lang",
+        F.when(
+            (F.col("n_tokens") > 0)
+            & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.05),
+            "en",
+        )
+        .otherwise("other")
+        .alias("predicted"),
+    )
+    return (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup via normalized fingerprint (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           MIN(doc_id)  AS keeper_doc_id,
+           COUNT(*)     AS n_copies
+    FROM fp
+    GROUP BY 1
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize (lowercase, collapse whitespace) → md5
+    fingerprint → group, keep min doc_id (SURVEY north-star: exact
+    dedup as hash-groupBy). One shuffle on the 128-bit fingerprint —
+    uniformly distributed, so no skew at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).cast("binary")
+        ).alias("fingerprint"),
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (shingle join with stop-shingle cap)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_N = 4  # word 4-grams
+_MAX_SHINGLE_DF = 40  # drop shingles present in more docs (stop-shingles)
+_JACCARD_MIN = 0.5
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               list_aggregate(tokens[i : i + {_SHINGLE_N} - 1], 'string_agg', ' ')
+                   AS shingle
+        FROM toks, UNNEST(generate_series(1, len(tokens) - {_SHINGLE_N} + 1)) AS t(i)
+    ),
+    doc_sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY 1
+    ),
+    rare AS (
+        SELECT shingle FROM shingles GROUP BY 1
+        HAVING COUNT(*) <= {_MAX_SHINGLE_DF}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a
+        JOIN rare r ON a.shingle = r.shingle
+        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           CAST(p.n_common AS DOUBLE)
+               / (sa.n_shingles + sb.n_shingles - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+    JOIN doc_sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.n_common AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - p.n_common) >= {_JACCARD_MIN}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-4-gram Jaccard ≥ 0.5.
+
+    Pipeline: shingle (narrow explode) → distinct per doc → drop
+    stop-shingles with document frequency > {_MAX_SHINGLE_DF} (caps the
+    worst-case pair fan-out of a hot shingle — without this, one
+    shingle shared by k docs emits k² pairs and a head shingle at corpus
+    scale is a guaranteed straggler) → self-join on shingle → count
+    common → Jaccard from per-doc shingle-set sizes. Intersection
+    counting over rare shingles only is the exact filtered semantics in
+    both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("tokens"))
+    n = _SHINGLE_N
+    shingles = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(tokens) - {n} + 1, 0)), "
+                    f"i -> array_join(slice(tokens, i, {n}), ' '))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    doc_sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    rare = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    a = shingles.join(rare, "shingle").alias("a")
+    b = shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = doc_sizes.alias("sa")
+    sb = doc_sizes.alias("sb")
+    jac = (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= _JACCARD_MIN)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs (md5-based, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 12
+_BAND_SIZE = 3  # → 4 bands
+
+
+@register(
+    "minhash_lsh_candidates",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               list_aggregate(tokens[i : i + {_SHINGLE_N} - 1], 'string_agg', ' ')
+                   AS shingle
+        FROM toks, UNNEST(generate_series(1, len(tokens) - {_SHINGLE_N} + 1)) AS t(i)
+    ),
+    sigs AS (
+        SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+        FROM shingles, UNNEST(generate_series(0, {_N_HASHES - 1})) AS s(seed)
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, seed // {_BAND_SIZE} AS band,
+               md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+        FROM sigs
+        GROUP BY 1, 2
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(DISTINCT a.band) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures ({_N_HASHES} hashes) + LSH banding (bands of
+    {_BAND_SIZE}) → candidate near-dup pairs.
+
+    shingle → per-(doc, seed) min of md5(seed|shingle) → band key =
+    md5 of the band's signature slice → docs sharing a band key are
+    candidates. This is the linear-time scale path for near-dup at
+    100 TB: cost is O(docs × shingles × hashes) + banded join on
+    uniformly-hashed keys, never O(docs²). md5 keeps the oracle
+    bit-identical; the production operator (operators/dedup.py) swaps
+    in xxhash64 for ~4× cheaper signatures.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("tokens"))
+    n = _SHINGLE_N
+    shingles = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(tokens) - {n} + 1, 0)), "
+                    f"i -> array_join(slice(tokens, i, {n}), ' '))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    seeded = shingles.withColumn(
+        "seed", F.explode(F.expr(f"sequence(0, {_N_HASHES - 1})"))
+    )
+    sigs = seeded.groupBy("doc_id", "seed").agg(
+        F.min(
+            F.md5(
+                F.concat(
+                    F.col("seed").cast("string"), F.lit("|"), F.col("shingle")
+                ).cast("binary")
+            )
+        ).alias("minhash")
+    )
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / _BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda s: s["minhash"],
+                    ),
+                    "|",
+                ).cast("binary")
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("a.band").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token histogram (corpus-level token counting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_histogram",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    )
+    SELECT token,
+           COUNT(*)                 AS n_occurrences,
+           COUNT(DISTINCT doc_id)   AS doc_frequency
+    FROM toks
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token counting: explode → count + document frequency →
+    top-100. The vocabulary-statistics primitive behind BPE corpus
+    prep; one shuffle on the token key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_frequency"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(100)
+    )

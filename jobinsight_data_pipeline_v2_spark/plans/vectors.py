@@ -1,0 +1,235 @@
+"""Embedding similarity operators over ``embeddings`` (+ multimodal plumbing).
+
+Net-new capability (SURVEY §7.2 phase 6): approximate-nearest-neighbor
+search and embedding-cosine near-dup over an ``array<float>`` column,
+plus the binary-column plumbing for multimodal data.
+
+Float determinism: both engines must produce bit-identical similarity
+values for the driver's value-hash. Summing floats is order-dependent,
+so we quantize: each component is rounded to an integer at 1e6 scale;
+dot products and norms are then sums of integers whose magnitudes stay
+far below 2^53 (64 dims × (1e6)² ≈ 6.4e13), i.e. exact in either
+integer or double accumulation, in any order. The final cosine is a
+single double division of identical operands → identical bits.
+
+Scale design: top-k against a query vector is a narrow map + global
+TakeOrdered (no shuffle of the corpus). All-pairs cosine is quadratic
+by definition — it is the documented small-corpus baseline; the scale
+path (LSH bucketing, operators/similarity.py) makes candidate
+generation linear and is property-tested against this baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+_Q = 1_000_000  # quantization scale
+
+# Spark-side quantized int vector
+_QVEC = f"transform(embedding, x -> cast(round(cast(x as double) * {_Q}.0) as bigint))"
+# DuckDB-side
+_SQL_QVEC = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_Q}.0) AS BIGINT))"
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Exact integer dot product via zip_with + aggregate (JVM-side)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+_QUERY_VEC_ID = 0
+_TOP_K = 10
+
+_E_QVEC = _SQL_QVEC.replace("embedding", "e.embedding")
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH q AS (
+        SELECT {_SQL_QVEC} AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               CAST({_sql_dot(_E_QVEC, 'q.qv')} AS DOUBLE)
+                   / (sqrt(CAST({_sql_dot(_E_QVEC, _E_QVEC)} AS DOUBLE))
+                      * sqrt(CAST({_sql_dot('q.qv', 'q.qv')} AS DOUBLE))) AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.vec_id != {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, cosine_sim
+    FROM scored
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT {_TOP_K}
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{_TOP_K} against one query vector.
+
+    The query vector rides along as a broadcast cross join (never
+    collected to a Python literal); scoring is a narrow zip_with fold
+    inside codegen; ORDER BY + LIMIT becomes TakeOrderedAndProject —
+    the corpus is scanned once and never shuffled, which is exactly the
+    shape you want per-query at 100 TB (then batched for many queries
+    via the same join).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.expr(_QVEC).alias("qv"))
+    )
+    corpus = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).withColumn(
+        "ev", F.expr(_QVEC)
+    )
+    scored = corpus.crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        "label",
+        (
+            _dot("ev", "qv").cast("double")
+            / (
+                F.sqrt(_dot("ev", "ev").cast("double"))
+                * F.sqrt(_dot("qv", "qv").cast("double"))
+            )
+        ).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), "vec_id").limit(_TOP_K)
+
+
+_NEAR_DUP_MIN = 0.95
+
+
+@register(
+    "embedding_near_dups",
+    f"""
+    WITH qe AS (
+        SELECT vec_id, label, {_SQL_QVEC} AS qv,
+               sqrt(CAST({_sql_dot(_SQL_QVEC, _SQL_QVEC)} AS DOUBLE)) AS norm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label  AS label_a, b.label AS label_b,
+           CAST({_sql_dot('a.qv', 'b.qv')} AS DOUBLE) / (a.norm * b.norm) AS cosine_sim
+    FROM qe a JOIN qe b ON a.vec_id < b.vec_id
+    WHERE CAST({_sql_dot('a.qv', 'b.qv')} AS DOUBLE) / (a.norm * b.norm)
+              >= {_NEAR_DUP_MIN}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ {_NEAR_DUP_MIN}).
+
+    The exact quadratic baseline for embedding dedup: norms are
+    precomputed once per vector (narrow), then an inequality self-join
+    scores each ordered pair. operators/similarity.py provides the
+    LSH-bucketed variant whose candidate set is validated against this
+    output in tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = emb.select(
+        "vec_id",
+        "label",
+        F.expr(_QVEC).alias("qv"),
+        F.sqrt(_dot(_QVEC, _QVEC).cast("double")).alias("norm"),
+    )
+    a = qe.alias("a")
+    b = qe.alias("b")
+    sim = _dot("a.qv", "b.qv").cast("double") / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= _NEAR_DUP_MIN)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# centroid per label — the IVF coarse-quantizer build step
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_centroids",
+    f"""
+    WITH vecs AS (
+        SELECT label, {_SQL_QVEC} AS qv FROM embeddings
+    ),
+    comps AS (
+        SELECT label, CAST(i AS INTEGER) AS dim_idx, qv[i] AS component
+        FROM vecs, UNNEST(generate_series(1, len(qv))) AS t(i)
+    )
+    SELECT label, dim_idx,
+           CAST(CAST(SUM(component) AS BIGINT) AS DOUBLE) / COUNT(*) AS centroid_component,
+           COUNT(*) AS n_vectors
+    FROM comps
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in unpivoted (label, dim) form — the k-means
+    "update centroids" step of an IVF index build, done as one
+    explode + groupBy. Components are quantized ints so sums are exact;
+    the mean is one double division."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label",
+        F.posexplode(F.expr(_QVEC)).alias("pos", "component"),
+    ).select("label", (F.col("pos") + 1).alias("dim_idx"), "component")
+    return (
+        comps.groupBy("label", "dim_idx")
+        .agg(
+            (F.sum("component").cast("double") / F.count(F.lit(1))).alias(
+                "centroid_component"
+            ),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary-column plumbing (schema + hashing over bytes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text)               AS content_sha256,
+           source                     AS media_source
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: payload as ``binary`` + typed
+    metadata, content-addressed by sha256 (SURVEY north-star:
+    multimodal columns). Here the documents' UTF-8 bytes stand in for
+    image/audio payloads; decode/feature-extraction runs as Arrow-
+    batched mapInPandas in operators/multimodal.py (stubbed decode,
+    real plumbing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+        F.col("source").alias("media_source"),
+    ).orderBy("doc_id")

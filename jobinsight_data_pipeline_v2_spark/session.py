@@ -1,0 +1,68 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The engine targets large multi-executor clusters; locally we run
+``local[N]``. All tuning is expressed as plain Spark confs so the same
+code runs unchanged on a 1000-executor cluster — only ``master`` and
+memory sizing change.
+
+Key choices (see SURVEY.md §4):
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic broadcast decisions replace hand tuning.
+- Arrow on: any pandas interop (the few Pandas-UDF operators) moves
+  columnar batches, never pickled rows.
+- ``spark.sql.legacy.parquet.nanosAsLong``: the driver's ``events``
+  table carries parquet TIMESTAMP(NANOS) which Spark 4 otherwise
+  refuses to read; we read nanos as long and reconstruct a
+  timestamp_ntz (see tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "jobinsight-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable engine confs to a session we didn't build.
+
+    The correctness driver constructs its own SparkSession and hands it
+    to ``__spark_entry__`` — make sure the confs our loaders rely on are
+    present there too.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")

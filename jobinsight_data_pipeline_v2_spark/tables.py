@@ -1,0 +1,69 @@
+"""Loaders for the driver's synthetic testdata tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file each under
+``{sf_dir}/{name}.parquet``.
+
+The ``events`` table needs special care: it is written with parquet
+TIMESTAMP(NANOS) which Spark 4 cannot map to a Catalyst type. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as a
+long of nanoseconds since the epoch; we reconstruct a ``timestamp_ntz``
+wall-clock identical to what DuckDB sees (nanos truncated to micros),
+independent of the session time zone:
+
+    convert_timezone(current_timezone(), 'UTC',
+                     cast(timestamp_micros(ts div 1000) as timestamp_ntz))
+
+``cast(instant as timestamp_ntz)`` renders the instant in the session
+zone; converting that wall-clock from the session zone back to UTC
+yields the UTC wall-clock — i.e. exactly the naive timestamp stored in
+the file — for any session zone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension-sized tables: always safe (and right) to broadcast in joins.
+SMALL_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+_EVENTS_TS_EXPR = (
+    "convert_timezone(current_timezone(), 'UTC', "
+    "cast(timestamp_micros(ts div 1000) as timestamp_ntz))"
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame with clean types."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as timestamp_ntz (micros), matching DuckDB."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes)["ts"] in ("bigint", "long"):
+        raw = raw.withColumn("ts", F.expr(_EVENTS_TS_EXPR))
+    return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
