@@ -1,0 +1,182 @@
+"""Layered parquet storage for the warehouse (SURVEY §7.1 storage rule).
+
+The catalog over parquet IS the database — the reference's
+download/upload of a single DuckDB file (minio.py:146-221, SURVEY S11)
+disappears. Layout:
+
+    {root}/raw/ingest_date=YYYY-MM-DD/
+    {root}/staging/ingest_date=YYYY-MM-DD/
+    {root}/warehouse/dim_job/            (full snapshot per write)
+    {root}/warehouse/dim_company/
+    {root}/warehouse/dim_location/
+    {root}/warehouse/dim_date/
+    {root}/warehouse/fact_job_posting_daily/load_month=YYYY-MM/
+    {root}/warehouse/fact_job_location_bridge/
+
+Two design rules that matter at 100 TB:
+
+1. **Materialize between daily builds.** A day's build references the
+   previous snapshot many times (SCD2 splits it into current/history;
+   the fact build reads it for carry-forward, max-id, and orphan
+   cleanup). Chaining days as one lazy lineage duplicates the whole
+   prior plan at every reference — plan size grows exponentially with
+   days and OOMs the driver long before data size matters. Each daily
+   build therefore READS the prior snapshot from parquet and WRITES the
+   new one; lineage length is O(1) per day. (The reference gets the
+   same property from its database file.)
+
+2. **Touch one fact partition per day.** Daily facts all land in
+   load_month = month(as_of); with dynamic partition overwrite the
+   build rewrites exactly that partition and never the history months.
+   Dimensions are dimension-sized and rewritten as whole snapshots.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import (
+    DIM_COMPANY,
+    DIM_JOB,
+    FACT_JOB_LOCATION_BRIDGE,
+    FACT_JOB_POSTING_DAILY,
+)
+from .warehouse import WarehouseDay, empty_dim_location
+
+
+class WarehouseStorage:
+    """Parquet-backed warehouse state."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # --- paths ---
+    def _p(self, table: str) -> str:
+        return f"{self.root}/warehouse/{table}"
+
+    def _exists(self, table: str) -> bool:
+        path = self._p(table)
+        if path.startswith(("s3a://", "s3://", "gs://", "abfss://")):
+            try:
+                self.spark.read.parquet(path)
+                return True
+            except Exception:
+                return False
+        return os.path.exists(path)
+
+    # --- read ---
+    def load(self) -> WarehouseDay | None:
+        """Load the current snapshot; None if never written."""
+        if not self._exists("dim_job"):
+            return None
+        sp = self.spark
+        return WarehouseDay(
+            dim_job=sp.read.schema(DIM_JOB).parquet(self._p("dim_job")),
+            dim_company=sp.read.schema(DIM_COMPANY).parquet(self._p("dim_company")),
+            dim_location=sp.read.parquet(self._p("dim_location")),
+            dim_date=sp.read.parquet(self._p("dim_date")),
+            fact=sp.read.schema(FACT_JOB_POSTING_DAILY).parquet(
+                self._p("fact_job_posting_daily")
+            ),
+            bridge=sp.read.schema(FACT_JOB_LOCATION_BRIDGE).parquet(
+                self._p("fact_job_location_bridge")
+            ),
+        )
+
+    # --- write ---
+    def write_day(self, w: WarehouseDay, as_of: date) -> None:
+        """Persist one day's build.
+
+        Dimensions + bridge: full snapshot rewrite (dimension-sized).
+        Fact: only the load_month(as_of) partition is overwritten —
+        history months stay untouched on disk (X4/X7).
+        """
+        month = as_of.strftime("%Y-%m")
+        # Two-phase commit: every new table's plan READS the previous
+        # snapshot files (SCD2 splits, carry-forward, orphan cleanup,
+        # and cross-table joins like fact→dim). Phase 1 writes ALL new
+        # states to __tmp dirs while every old file still exists; only
+        # then does phase 2 swap them in. Swapping one table before
+        # writing the next would yank files out from under a captured
+        # scan and fail with FILE_NOT_EXIST. (Table formats with
+        # snapshot isolation — Iceberg/Delta — solve this natively; on
+        # plain parquet the tmp+swap is the equivalent commit protocol.)
+        swaps: list[tuple[str, str]] = []
+        for name, df in (
+            ("dim_job", w.dim_job),
+            ("dim_company", w.dim_company),
+            ("dim_location", w.dim_location),
+            ("dim_date", w.dim_date),
+            ("fact_job_location_bridge", w.bridge),
+        ):
+            tmp = self._p(name) + "__tmp"
+            df.write.mode("overwrite").parquet(tmp)
+            swaps.append((tmp, self._p(name)))
+        # Fact: only the load_month(as_of) partition is rewritten;
+        # history months stay untouched on disk (X4/X7).
+        fact_path = self._p("fact_job_posting_daily")
+        if self._exists("fact_job_posting_daily"):
+            tmp = f"{fact_path}__tmp_{month}"
+            (
+                w.fact.filter(F.col("load_month") == month)
+                .drop("load_month")  # encoded in the partition dir name
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            swaps.append((tmp, f"{fact_path}/load_month={month}"))
+        else:
+            tmp = fact_path + "__tmp"
+            w.fact.write.mode("overwrite").partitionBy("load_month").parquet(tmp)
+            swaps.append((tmp, fact_path))
+        for tmp, final in swaps:
+            self._swap(tmp, final)
+
+    def _swap(self, tmp: str, final: str) -> None:
+        import shutil
+
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    # --- staging layer ---
+    def write_staging(self, staging: DataFrame, as_of: date) -> None:
+        (
+            staging.withColumn("ingest_date", F.lit(as_of.isoformat()))
+            .write.mode("overwrite")
+            .partitionBy("ingest_date")
+            .parquet(f"{self.root}/staging")
+        )
+
+    def read_staging(self, as_of: date) -> DataFrame:
+        """Day-filtered staging read — partition pruning does the work
+        (the reference's `WHERE DATE(crawled_at)=?`, SURVEY S4/X3)."""
+        return self.spark.read.parquet(f"{self.root}/staging").filter(
+            F.col("ingest_date") == as_of.isoformat()
+        )
+
+
+def run_daily_build(
+    spark: SparkSession,
+    storage: WarehouseStorage,
+    raw: DataFrame,
+    as_of: date,
+    crawled_at,
+) -> WarehouseDay:
+    """End-to-end daily pipeline: staging transform → warehouse build →
+    persist → reload (so the caller gets parquet-backed frames with O(1)
+    lineage, safe to chain into the next day)."""
+    from .warehouse import build_warehouse_day, staging_transform
+
+    staging = staging_transform(raw, crawled_at)
+    prev = storage.load()
+    w = build_warehouse_day(spark, staging, prev, as_of, crawled_at)
+    storage.write_day(w, as_of)
+    loaded = storage.load()
+    assert loaded is not None
+    return loaded

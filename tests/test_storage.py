@@ -1,0 +1,78 @@
+"""Storage-backed multi-day pipeline: O(1) lineage per day, partition
+layout, empty-day carry-forward, month-partition isolation."""
+
+from __future__ import annotations
+
+import os
+from datetime import date, datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_v2_spark.schemas import RAW_JOBS
+from jobinsight_data_pipeline_v2_spark.storage import WarehouseStorage, run_daily_build
+
+
+def _raw(spark, day, rows):
+    data = [
+        (
+            jid, title, f"u/{jid}", comp, f"cu/{comp}", sal, skills, loc, dl,
+            False, None, None, None, datetime(day.year, day.month, day.day, 6),
+        )
+        for (jid, title, comp, sal, skills, loc, dl) in rows
+    ]
+    return spark.createDataFrame(data, RAW_JOBS)
+
+
+def test_storage_backed_daily_builds(spark, tmp_path):
+    storage = WarehouseStorage(spark, str(tmp_path))
+    d1 = date(2026, 1, 30)  # spans a month boundary on day 3
+
+    # day 1: two jobs
+    w1 = run_daily_build(
+        spark,
+        storage,
+        _raw(spark, d1, [
+            ("j1", "Dev A", "alpha", "10 triệu", ["Python"], "Hà Nội", "10"),
+            ("j2", "Dev B", "beta", "Thỏa thuận", ["SQL"], "Huế", "4"),
+        ]),
+        d1,
+        datetime(2026, 1, 30, 7),
+    )
+    assert w1.fact.count() == 2
+    # day 2: EMPTY staging (pure carry-forward) — the case that OOMs if
+    # lineage isn't cut between days
+    d2 = d1 + timedelta(days=1)
+    w2 = run_daily_build(
+        spark, storage, spark.createDataFrame([], RAW_JOBS), d2, datetime(2026, 1, 31, 7)
+    )
+    day2 = w2.fact.filter(F.col("date_id") == d2)
+    assert day2.count() == 2  # both carried
+    # day 3 (Feb 1): month boundary; January partition must not be rewritten
+    jan_dir = os.path.join(
+        str(tmp_path), "warehouse", "fact_job_posting_daily", "load_month=2026-01"
+    )
+    jan_mtime = max(
+        os.path.getmtime(os.path.join(jan_dir, f)) for f in os.listdir(jan_dir)
+    )
+    d3 = d2 + timedelta(days=1)
+    w3 = run_daily_build(
+        spark,
+        storage,
+        _raw(spark, d3, [("j3", "Dev C", "gamma", "Từ 20 triệu", ["Go"], "Đà Nẵng", "9")]),
+        d3,
+        datetime(2026, 2, 1, 7),
+    )
+    assert sorted(
+        r["load_month"] for r in w3.fact.select("load_month").distinct().collect()
+    ) == ["2026-01", "2026-02"]
+    jan_mtime_after = max(
+        os.path.getmtime(os.path.join(jan_dir, f)) for f in os.listdir(jan_dir)
+    )
+    assert jan_mtime_after == jan_mtime, "January partition was rewritten"
+    # day-3 snapshot: j1, j2 carried into Feb + j3 fresh
+    assert w3.fact.filter(F.col("date_id") == d3).count() == 3
+    # dims survived round-trips
+    assert w3.dim_job.filter("is_current").count() == 3
+    assert {r["city"] for r in w3.dim_location.collect()} >= {
+        "Hà Nội", "Huế", "Đà Nẵng (mới)", "Unknown"
+    }
