@@ -1,0 +1,251 @@
+"""Production-scale deduplication operators (training-data pipeline).
+
+The oracle-checked md5 variants live in plans/text.py; these are the
+throughput versions built on xxhash64 (one 64-bit JVM hash vs md5's
+128-bit hex-string round-trip — ~4× cheaper per shingle) plus SimHash,
+which needs bit arithmetic the oracle SQL can't express cleanly.
+
+All operators are linear-time candidate generators: cost is
+O(docs × shingles × hashes) plus joins on uniformly-hashed keys.
+Nothing here is O(docs²); at 100 TB the only quadratic step anywhere in
+the engine is the deliberately-small per-bucket verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a ``tokens`` array column (whitespace split, empties out)."""
+    return df.withColumn(
+        "tokens", F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
+    )
+
+
+def shingle(df: DataFrame, id_col: str, n: int = 4) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams per document.
+
+    Narrow explode — no shuffle until the caller aggregates.
+    """
+    return (
+        df.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(tokens) - {n} + 1, 0)), "
+                    f"i -> array_join(slice(tokens, i, {n}), ' '))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """(id, seed, minhash) — xxhash64-based MinHash signature matrix.
+
+    xxhash64(shingle, seed) is a JVM intrinsic inside codegen; the
+    groupBy(id, seed) min is one shuffle with full map-side combine.
+    """
+    seeded = shingles.withColumn(
+        "seed", F.explode(F.expr(f"sequence(0, {num_hashes - 1})"))
+    )
+    return seeded.groupBy(id_col, "seed").agg(
+        F.min(F.xxhash64("shingle", "seed")).alias("minhash")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, band_size: int = 8
+) -> DataFrame:
+    """(id_a, id_b, n_shared_bands) — banding join over signature slices.
+
+    Band key = xxhash64 of the band's ordered minhash slice; documents
+    sharing any band key are candidate near-dups. Join keys are
+    uniformly distributed hashes → no skew at any corpus size.
+    """
+    bands = (
+        signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.countDistinct("a.band").alias("n_shared_bands"))
+    )
+
+
+def exact_jaccard(
+    shingles: DataFrame, candidates: DataFrame, id_col: str
+) -> DataFrame:
+    """Verify candidate pairs with exact Jaccard over shingle sets.
+
+    Only candidate pairs are verified (LSH bounded that set) — the
+    verification join is proportional to candidates, not corpus².
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    common = (
+        candidates.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(
+            sb,
+            (F.col("id_b") == F.col(f"sb.{id_col}"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        common.join(za, F.col("id_a") == F.col(f"za.{id_col}"))
+        .join(zb, F.col("id_b") == F.col(f"zb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("za.n") + F.col("zb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 4,
+    num_hashes: int = 64,
+    band_size: int = 8,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-dup clusters: keep-min representative per pair
+    component (greedy union via keeper = min id over confirmed pairs).
+
+    Returns (id, keeper_id) for every document that should be DROPPED.
+    """
+    sh = shingle(tokenize(docs, text_col), id_col, shingle_n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, band_size)
+    verified = exact_jaccard(sh, cand, id_col).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    # one greedy pass: a doc is dropped in favor of its smallest dup partner
+    return (
+        verified.groupBy(F.col("id_b").alias(id_col))
+        .agg(F.min("id_a").alias("keeper_id"))
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over token multiset.
+
+    Per token: h = xxhash64(token); each of the 64 bit positions votes
+    +count when the bit is set, −count otherwise; the sign vector forms
+    the fingerprint. Implemented as explode(tokens) → explode(bits) →
+    groupBy — all JVM-side integer arithmetic (shiftright/bitwise-and),
+    no UDF. Near-dups differ in ≤ k bits (hamming distance).
+    """
+    toks = (
+        docs.select(id_col, F.explode("tokens").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.xxhash64("token"))
+    )
+    bits = toks.select(
+        id_col,
+        "cnt",
+        "h",
+        F.explode(F.expr("sequence(0, 63)")).alias("pos"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(h >> pos) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
+    )
+    return (
+        bits.groupBy(id_col, "pos")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, F.expr("shiftleft(1L, pos)")).otherwise(F.lit(0)))
+        .groupBy(id_col)
+        .agg(F.sum("bit").alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into
+    (max_hamming + 1) bands — any pair within the distance budget must
+    agree exactly on at least one band. Join per band on the band
+    value, then verify with bit_count(xor). Candidate generation stays
+    linear in corpus size; more bands (higher budget) → smaller bands →
+    more candidates, the standard recall/cost dial.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands  # last band absorbs the remainder bits
+    banded = hashes.select(
+        id_col,
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.when(
+            F.col("band") < n_bands - 1,
+            F.expr(
+                f"shiftrightunsigned(simhash, band * {width}) "
+                f"& {(1 << width) - 1}"
+            ),
+        ).otherwise(F.expr(f"shiftrightunsigned(simhash, band * {width})")),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.expr("bit_count(sh_a ^ sh_b)")
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,90 @@
+"""Set-based merge/upsert operators (SURVEY S6/S7/J7).
+
+The reference upserts row-at-a-time over a network round-trip per row
+(`INSERT … ON CONFLICT DO UPDATE WHERE IS DISTINCT FROM` + RETURNING
+xmax classification, src/storage/postgres.py:34-113). On immutable
+columnar storage the same semantics are one full-outer join + null-safe
+change predicate + snapshot rewrite — N round-trips become one shuffle
+on the key (or zero with broadcast when the batch is small).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    update_cols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """MERGE with per-key counts → (merged, counts_df).
+
+    Matches postgres.bulk_upsert semantics: new keys inserted; existing
+    keys updated only when any update_col IS DISTINCT FROM the incoming
+    value (only those columns change; other columns keep old values);
+    unchanged rows untouched. counts_df has one row:
+    (inserted, updated, unchanged).
+    """
+    ex = existing.alias("ex")
+    inc = incoming.alias("inc")
+    joined = inc.join(ex, F.col(f"inc.{key}") == F.col(f"ex.{key}"), "left")
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"ex.{c}").eqNullSafe(F.col(f"inc.{c}")) for c in update_cols],
+    )
+    is_new = F.col(f"ex.{key}").isNull()
+
+    inserted = joined.filter(is_new).select("inc.*")
+    updated = joined.filter(~is_new & changed).select(
+        F.col(f"inc.{key}").alias(key),
+        *[F.col(f"inc.{c}").alias(c) for c in update_cols],
+        *[
+            F.col(f"ex.{c}").alias(c)
+            for c in existing.columns
+            if c != key and c not in update_cols
+        ],
+    ).select(existing.columns)
+    touched_keys = joined.filter(is_new | changed).select(
+        F.col(f"inc.{key}").alias(key)
+    )
+    untouched = existing.join(touched_keys, key, "left_anti")
+
+    merged = untouched.unionByName(updated).unionByName(
+        inserted.select(existing.columns)
+    )
+    counts = joined.agg(
+        F.sum(is_new.cast("int")).alias("inserted"),
+        F.sum((~is_new & changed).cast("int")).alias("updated"),
+        F.sum((~is_new & ~changed).cast("int")).alias("unchanged"),
+    )
+    return merged, counts
+
+
+def insert_if_absent(existing: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """S7 — `ON CONFLICT DO NOTHING`: append only unseen keys
+    (staging/pipeline.py:44-63 → one left_anti join)."""
+    fresh = incoming.join(existing.select(key), key, "left_anti")
+    return existing.unionByName(fresh.select(existing.columns))
+
+
+def archive_split(df: DataFrame, cutoff_ts) -> tuple[DataFrame, DataFrame]:
+    """S5/S8 — age-based archive split: (kept, archived).
+
+    Reference: archive.py:32-38 selects `crawled_at < NOW() - n days`;
+    the archived side is written partitioned year/month (S8). Pure
+    filters — pushed to the parquet scan.
+    """
+    cutoff = F.lit(cutoff_ts).cast("timestamp")
+    archived = df.filter(F.col("crawled_at") < cutoff).withColumns(
+        {
+            "year": F.year("crawled_at"),
+            "month": F.month("crawled_at"),
+        }
+    )
+    kept = df.filter((F.col("crawled_at") >= cutoff) | F.col("crawled_at").isNull())
+    return kept, archived

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (ANN).
+
+Brute-force cosine top-k is the exactness baseline (plans/vectors.py,
+oracle-checked). This module adds the scale paths:
+
+- random-hyperplane LSH bucketing: candidate generation linear in
+  corpus size; recall tunable via (n_planes, n_tables);
+- IVF-style coarse quantization against provided/learned centroids:
+  probe only the closest nprobe cells.
+
+Everything is expressed with higher-order array functions (zip_with /
+aggregate folds) — JVM codegen, no Python per row. The "random"
+hyperplanes are deterministic: plane components are derived from
+xxhash64(table, plane, dim) mapped to [-1, 1), so the index is
+reproducible across runs/clusters with no driver-side RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("__norm", F.sqrt(_dot(vec_col, vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k per query vector (brute force, batched).
+
+    query: (query_id, embedding). One broadcast of the query batch, one
+    corpus scan, per-query TakeOrdered via window — the canonical
+    many-queries-at-once shape.
+    """
+    q = query.select(
+        F.col("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        with_norm(corpus, vec_col)
+        .crossJoin(F.broadcast(with_norm(q, "__qv").withColumnRenamed("__norm", "__qnorm")))
+        .withColumn(
+            "cosine_sim",
+            _dot(vec_col, "__qv") / (F.col("__norm") * F.col("__qnorm")),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select("query_id", id_col, "cosine_sim", F.col("__rank").alias("rank"))
+    )
+
+
+def _plane_component(table: str, plane: str, dim: str) -> str:
+    """Deterministic pseudo-random plane component in [-1, 1)."""
+    return (
+        f"cast(pmod(xxhash64({table}, {plane}, {dim}), 2000000) as double) "
+        f"/ 1000000.0 - 1.0"
+    )
+
+
+def lsh_bucket(
+    df: DataFrame,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append (table, bucket) rows: sign-pattern of `n_planes` random
+    hyperplane projections per table.
+
+    Output has n_tables rows per input row. Bucket = bit-packed signs.
+    Cost: O(rows × tables × planes × dim) multiply-adds in codegen.
+    """
+    return (
+        df.withColumn("table", F.explode(F.expr(f"sequence(0, {n_tables - 1})")))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"""
+                aggregate(
+                  sequence(0, {n_planes - 1}),
+                  0L,
+                  (acc, p) -> acc + if(
+                    aggregate(
+                      zip_with(
+                        {vec_col},
+                        transform(sequence(0, size({vec_col}) - 1),
+                                  d -> {_plane_component('table', 'p', 'd')}),
+                        (x, w) -> cast(x as double) * w),
+                      0D, (a, v) -> a + v) > 0D,
+                    shiftleft(1L, p), 0L)
+                )
+                """
+            ),
+        )
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: only corpus rows sharing an LSH bucket with
+    the query (in any table) are scored.
+
+    Tuning: a neighbor at angle θ agrees with one random hyperplane
+    with probability p = 1 − θ/π, with a whole table with p^n_planes,
+    and is a candidate with recall ≈ 1 − (1 − p^n_planes)^n_tables.
+    Raise n_planes to shrink buckets (fewer candidates per query),
+    raise n_tables to buy recall back. The defaults (4, 16) give ~0.9
+    recall at cosine ≈ 0.3 (θ≈72°); corpora whose true neighbors are
+    closer can afford far more planes.
+    """
+    cb = lsh_bucket(corpus, n_planes, n_tables, vec_col)
+    qb = lsh_bucket(
+        query.select("query_id", F.col(vec_col).alias("__qv")), n_planes, n_tables, "__qv"
+    )
+    cands = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .select(id_col, vec_col, "query_id", "__qv")
+        .distinct()
+    )
+    scored = cands.withColumn(
+        "cosine_sim",
+        _dot(vec_col, "__qv")
+        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("__qv", "__qv"))),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select("query_id", id_col, "cosine_sim", F.col("__rank").alias("rank"))
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF cell).
+
+    centroids: (cell_id, centroid array). Broadcast + argmin over
+    cosine — the coarse-quantizer half of an IVF index; search then
+    probes only matching cells.
+    """
+    c = F.broadcast(centroids.select("cell_id", F.col("centroid")))
+    joined = df.crossJoin(c).withColumn(
+        "sim",
+        _dot(vec_col, "centroid")
+        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("centroid", "centroid"))),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), "cell_id")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "centroid")
+        .withColumnRenamed("sim", "cell_sim")
+    )

@@ -1,0 +1,111 @@
+"""Structured Streaming jobs over the events schema.
+
+The reference has no streaming (SURVEY §2.9) — its daily snapshot +
+carry-forward is a 1-day tumbling window executed by cron. This module
+is the net-new streaming surface: the SAME logical computations as
+plans/events.py, expressed incrementally with readStream + watermarks,
+so each query has a batch twin whose results define correctness (tested
+by running the streaming query over a file source and comparing to the
+batch plan on the same data).
+
+All transformations are source-agnostic: they take the events DataFrame
+(batch or streaming — Spark's unified API) and return the transformed
+frame; only the caller decides read/readStream and the sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampNTZType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def hourly_windowed_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1-hour tumbling window per event_type with late-data watermark.
+
+    Streaming twin of plans/events.events_hourly. The watermark bounds
+    state: windows older than max(event time) − 2h are finalized and
+    evicted, so state size is O(active windows), not O(stream length).
+    """
+    # watermarks require TimestampType; ntz event time is cast once
+    # (session-tz interpretation — identical for the batch twin)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap sessionization with the built-in session_window — state-backed
+    incremental sessions, the streaming twin of plans/events.sessionize."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of events parquet drops (one file per micro-batch
+    in tests; swap for kafka/kinesis readers in production — the
+    transformations above are source-agnostic)."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(source_dir)
+
+
+def run_stream_to_memory(
+    spark: SparkSession, df: DataFrame, name: str, mode: str = "append"
+):
+    """Drive a streaming frame into an in-memory table (test sink);
+    returns the StreamingQuery (caller awaits/stops)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,223 @@
+"""Tests for merge, quality, dedup, similarity, and multimodal operators."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_v2_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    shingle,
+    simhash64,
+    simhash_near_pairs,
+    tokenize,
+)
+from jobinsight_data_pipeline_v2_spark.operators.merge import (
+    archive_split,
+    insert_if_absent,
+    upsert,
+)
+from jobinsight_data_pipeline_v2_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    media_exact_dedup,
+)
+from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+from jobinsight_data_pipeline_v2_spark.quality import (
+    ValidationHardFailError,
+    business_rule_violations,
+    crawl_validation,
+    evaluate_gate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- merge (S6/S7) --------------------------------------------------------
+
+
+def test_upsert_counts_and_semantics(spark):
+    existing = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], "k string, v int, other string"
+    )
+    incoming = spark.createDataFrame(
+        [("a", 1), ("b", 99), ("c", 3)], "k string, v int"
+    )
+    merged, counts = upsert(existing, incoming.withColumn("other", F.lit("new")), "k", ["v"])
+    got = {r["k"]: (r["v"], r["other"]) for r in merged.collect()}
+    # a unchanged; b updated (v only — other kept); c inserted
+    assert got == {"a": (1, "x"), "b": (99, "y"), "c": (3, "new")}
+    c = counts.collect()[0]
+    assert (c["inserted"], c["updated"], c["unchanged"]) == (1, 1, 1)
+
+
+def test_insert_if_absent(spark):
+    existing = spark.createDataFrame([("a", 1)], "k string, v int")
+    incoming = spark.createDataFrame([("a", 9), ("b", 2)], "k string, v int")
+    out = {r["k"]: r["v"] for r in insert_if_absent(existing, incoming, "k").collect()}
+    assert out == {"a": 1, "b": 2}  # conflict ignored, absent appended
+
+
+def test_archive_split(spark):
+    df = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1)), (2, datetime(2026, 3, 1)), (3, None)],
+        "id int, crawled_at timestamp",
+    )
+    kept, archived = archive_split(df, datetime(2026, 2, 1))
+    assert {r["id"] for r in kept.collect()} == {2, 3}
+    arch = archived.collect()
+    assert [(r["id"], r["year"], r["month"]) for r in arch] == [(1, 2026, 1)]
+
+
+# --- quality --------------------------------------------------------------
+
+
+def test_crawl_validation_and_gate(spark):
+    rows = [
+        ("123", "Valid Title", "Comp"),
+        ("124", "Another", "Comp"),
+        ("abc", "Bad id", "Comp"),       # non-digit id
+        (None, "No id", "Comp"),
+        ("125", "", "Comp"),             # blank title
+        ("123", "Dup id", "Comp"),       # duplicate
+    ]
+    df = spark.createDataFrame(rows, "job_id string, title string, company_name string")
+    res = crawl_validation(df)
+    assert res["total_jobs"] == 6 and res["unique_jobs"] == 4
+    assert res["valid_jobs"] == 3  # 123, 124, dup-123
+    assert res["field_missing_rates"]["job_id"] == pytest.approx(2 / 6)
+    with pytest.raises(ValidationHardFailError):
+        evaluate_gate(res)  # below min_job_count=50
+
+
+def test_business_rules(spark):
+    as_of = date(2026, 1, 15)
+    rows = [
+        # salary max < min → invalid
+        ("1", "Long enough title", "Company A", "Hà Nội", 50.0, 10.0, datetime(2026, 2, 1)),
+        # deadline past
+        ("2", "Another fine title", "Company B", "HCM", None, None, datetime(2026, 1, 1)),
+        # title too short + location invalid
+        ("3", "abc", "Company C", "n/a", None, None, None),
+        # healthy
+        ("4", "Perfectly fine title", "Company D", "Đà Nẵng", 10.0, 20.0, datetime(2026, 2, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "job_id string, title string, company_name string, location string, "
+        "salary_min double, salary_max double, due_date timestamp",
+    )
+    res = business_rule_violations(df, as_of)
+    v = res["violations"]
+    assert v["salary_invalid"] == 1
+    assert v["deadline_past"] == 1
+    assert v["title_too_short"] == 1
+    assert v["location_invalid"] == 1
+    assert res["status"] == "unhealthy"
+
+
+# --- dedup: production (xxhash64) vs corpus -------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    # plant two exact near-dup pairs: copy of doc with tiny edit
+    clones = (
+        base.limit(2)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    return base.unionByName(clones)
+
+
+def test_minhash_dedup_finds_planted_dups(spark, docs):
+    dropped = minhash_dedup(docs, jaccard_threshold=0.6).collect()
+    dropped_ids = {r["doc_id"] for r in dropped}
+    assert {100000 + 0, 100000 + 1} & dropped_ids or len(dropped_ids) >= 2
+    # keepers must be smaller ids than dropped docs
+    assert all(r["keeper_id"] < r["doc_id"] for r in dropped)
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark, docs):
+    """Every pair with jaccard ≥ .8 must surface as an LSH candidate
+    (recall check of the banding scheme at these parameters)."""
+    sh = shingle(tokenize(docs), "doc_id", 4)
+    sig = minhash_signatures(sh, "doc_id", 64)
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sig, "doc_id", band_size=8).collect()
+    }
+    # brute-force truth over the small corpus
+    a = sh.alias("a"); b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    za = sizes.alias("za"); zb = sizes.alias("zb")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in common.join(za, F.col("id_a") == F.col("za.doc_id"))
+        .join(zb, F.col("id_b") == F.col("zb.doc_id"))
+        .withColumn("j", F.col("n_common") / (F.col("za.n") + F.col("zb.n") - F.col("n_common")))
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert truth, "fixture should contain at least the planted near-dups"
+    assert truth <= cands
+
+
+def test_simhash_near_pairs(spark, docs):
+    hashes = simhash64(tokenize(docs))
+    pairs = simhash_near_pairs(hashes, max_hamming=10).collect()
+    planted = {(0, 100000), (1, 100001)}
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert planted <= got
+    assert all(r["hamming"] <= 10 for r in pairs)
+
+
+# --- similarity: LSH recall vs brute force --------------------------------
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, queries, k=10)
+    approx = lsh_topk(emb, queries, k=10, n_planes=4, n_tables=16)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # theory at cosine≈0.3 neighbors: ≈1-(1-0.6^4)^16 ≈ 0.89
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+# --- multimodal -----------------------------------------------------------
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    media = documents_as_media(docs)
+    # plant an exact duplicate payload
+    dup = media.limit(1).withColumn("media_id", F.lit(999999).cast("long"))
+    media = media.unionByName(dup)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 51
+    assert all(len(r["content_sha256"]) == 64 for r in rows)
+    assert all(r["features"] is not None and len(r["features"]) == 8 for r in rows)
+    # features are normalized histograms → sum to ~1
+    assert abs(sum(rows[0]["features"]) - 1.0) < 1e-5
+    dups = media_exact_dedup(feats).filter(F.col("n_copies") > 1).collect()
+    assert len(dups) == 1 and dups[0]["n_copies"] == 2

@@ -1,0 +1,67 @@
+"""Structured Streaming: incremental results must equal the batch twin."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_v2_spark.streaming.events import (
+    hourly_windowed_agg,
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+)
+from jobinsight_data_pipeline_v2_spark.tables import load_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stage_stream_files(spark, tmp_path, n_files=3):
+    """Split events into n parquet drops (micro-batch per file)."""
+    ev = load_events(spark, SF)
+    src = os.path.join(str(tmp_path), "stream_src")
+    ev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(n_files))).repartition(
+        "__b"
+    ).write.partitionBy("__b").parquet(src)
+    # flatten partition dirs into plain files-in-dir for the file source
+    flat = os.path.join(str(tmp_path), "flat")
+    os.makedirs(flat)
+    i = 0
+    for root, _, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(root, f), os.path.join(flat, f"drop_{i}.parquet"))
+                i += 1
+    return flat, ev
+
+
+def test_streaming_hourly_equals_batch(spark, tmp_path):
+    flat, ev = _stage_stream_files(spark, tmp_path)
+    stream = read_events_stream(spark, flat).drop("__b")
+    # append mode would hold back windows younger than the watermark
+    # horizon at end-of-stream; complete mode emits the full state
+    q = run_stream_to_memory(spark, hourly_windowed_agg(stream), "hourly_test", mode="complete")
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT window_start, event_type, n_events, total_value FROM hourly_test"
+    )
+    expected = hourly_windowed_agg(ev)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+
+
+def test_streaming_sessionize_runs(spark, tmp_path):
+    flat, ev = _stage_stream_files(spark, tmp_path)
+    stream = read_events_stream(spark, flat).drop("__b")
+    q = run_stream_to_memory(spark, sessionize_stream(stream), "sess_test", mode="complete")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_test")
+    # session_window semantics differ from the batch lag-based twin only
+    # in boundary bookkeeping; assert structure + volume sanity here
+    assert got.count() > 0
+    assert got.filter(F.col("session_start") > F.col("session_end")).count() == 0
+    per_user = got.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    ev_per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    sym = per_user.exceptAll(ev_per_user).count()
+    assert sym == 0  # every event lands in exactly one session
