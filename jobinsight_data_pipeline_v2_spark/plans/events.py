@@ -247,3 +247,33 @@ def carry_forward_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "carried", F.lit(True)
     )
     return today.withColumn("carried", F.lit(False)).unionByName(carried)
+
+
+# ---------------------------------------------------------------------------
+# S5/O5 — age-predicate archive scan
+# ---------------------------------------------------------------------------
+
+_ARCHIVE_CUTOFF = "2024-01-08"
+
+
+@register(
+    "archive_age_scan",
+    f"""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    WHERE ts < TIMESTAMP '{_ARCHIVE_CUTOFF}'
+    ORDER BY ts, event_id
+    """,
+)
+def archive_age_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive selection: `crawled_at < cutoff ORDER BY crawled_at`
+    (src/storage/archive.py:32-38, SURVEY S5/O5). The age predicate
+    pushes to the parquet scan (row-group min/max skipping); the sort
+    only shapes the archive file layout."""
+    events = load_events(spark, sf_dir)
+    cutoff = F.lit(_ARCHIVE_CUTOFF).cast("timestamp_ntz")
+    return (
+        events.filter(F.col("ts") < cutoff)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )

@@ -452,3 +452,23 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs — rows-only check (bit arithmetic is not
+# reasonably expressible in portable oracle SQL; semantics are instead
+# property-tested in tests/test_operators.py against planted near-dups)
+# ---------------------------------------------------------------------------
+
+
+@register("simhash_near_dups", None)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (hamming ≤ 3) over documents —
+    the production operator from operators/dedup.py (xxhash64-based,
+    pigeonhole-banded). Deterministic output, verified by the driver as
+    rows-only."""
+    from ..operators.dedup import simhash64, simhash_near_pairs, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(simhash64(tokenize(docs)), max_hamming=3)
+    return pairs.orderBy("id_a", "id_b")

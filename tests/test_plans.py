@@ -1,0 +1,66 @@
+"""Physical-plan assertions (SURVEY §4): the optimizations the engine
+relies on at 100 TB must actually appear in the executed plans —
+pushdown reaching the parquet scan, dims joined via broadcast (fact
+never shuffles for dims), column pruning, and top-k via
+TakeOrderedAndProject. A regression here is a scale bug even when
+results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jobinsight_data_pipeline_v2_spark.plans import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = load_all()[name][0](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = _plan(spark, "orders_window_filter")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    # both range bounds must reach the parquet reader (row-group skipping)
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    assert "LessThan(o_orderdate" in pushed
+
+
+def test_dim_joins_are_broadcast(spark):
+    p = _plan(spark, "top_customers")
+    assert p.count("BroadcastHashJoin") >= 3, "dims must broadcast, not shuffle"
+    assert "SortMergeJoin" not in p
+
+
+def test_column_pruning(spark):
+    p = _plan(spark, "monthly_stats")
+    schema_line = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderpriority" not in schema_line, "unused column not pruned"
+    assert "o_orderkey" not in schema_line
+
+
+def test_topk_is_take_ordered(spark):
+    for q in ("top_part_words", "top3_months"):
+        assert "TakeOrderedAndProject" in _plan(spark, q), q
+
+
+def test_anti_semi_joins_stay_joins(spark):
+    # NOT IN / IN-list semantics must compile to anti/semi joins,
+    # never to per-row subquery execution
+    assert "LeftAnti" in _plan(spark, "customers_without_orders")
+    assert "LeftSemi" in _plan(spark, "parts_with_sales")
+
+
+@pytest.mark.parametrize("name", ["events_hourly", "sessionize"])
+def test_events_single_exchange_per_key(spark, name):
+    """Sessionize's two windows share the user_id partitioning: exactly
+    one shuffle on user_id, not one per window function."""
+    p = _plan(spark, name)
+    n_exchanges = sum(
+        1 for l in p.splitlines() if l.strip().startswith("(")
+        and "Exchange" in l and "hashpartitioning" in l
+    )
+    assert n_exchanges <= 2, f"{name}: too many exchanges\n{p}"
