@@ -152,7 +152,11 @@ def minhash_dedup(
 
     Returns (id, keeper_id) for every document that should be DROPPED.
     """
-    sh = shingle(tokenize(docs, text_col), id_col, shingle_n)
+    # shingles feed both signature building and exact verification —
+    # materialize once (see plans/text._materialize rationale)
+    sh = shingle(tokenize(docs, text_col), id_col, shingle_n).localCheckpoint(
+        eager=False
+    )
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, band_size)
     verified = exact_jaccard(sh, cand, id_col).filter(

