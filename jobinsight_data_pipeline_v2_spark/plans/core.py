@@ -817,3 +817,76 @@ def top3_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fact_count"), "order_month")
         .limit(3)
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / grouping sets — beyond-reference breadth (SURVEY §2.4 notes
+# the reference has none; built-ins cover them, proven here)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)                         AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER)
+               AS grouping_level
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals: (status, priority) → (status) → ().
+
+    grouping_level disambiguates genuine 'ALL' strings from rollup
+    subtotal rows — the standard GROUPING() trick, identical in both
+    engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("revenue"),
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("int")
+        .alias("grouping_level"),
+    ).select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "revenue",
+        "grouping_level",
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles — distribution statistics (net-new breadth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_percentiles",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.9)  AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group. Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation definition;
+    at 100 TB swap in approx_percentile (t-digest) — same API shape,
+    bounded memory."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )

@@ -277,3 +277,61 @@ def archive_age_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("ts", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding (hopping) window — streaming-family operator, batch form
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sliding_window",
+    f"""
+    WITH offsets AS (
+        SELECT unnest(generate_series(0, 1)) AS off
+    ),
+    grid AS (
+        -- snap each event to the 30-minute wall-clock grid (:00 / :30)
+        SELECT event_type, value, ts,
+               date_trunc('hour', ts)
+                 + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                        ELSE INTERVAL 0 MINUTE END AS slot
+        FROM events
+    ),
+    assigned AS (
+        SELECT g.event_type, g.value, g.ts,
+               g.slot - (o.off * INTERVAL 30 MINUTE) AS win_candidate
+        FROM grid g, offsets o
+    )
+    SELECT CAST(win_candidate AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_sql_sum('value')} AS total_value
+    FROM assigned
+    WHERE ts >= win_candidate AND ts < win_candidate + INTERVAL 60 MINUTE
+      AND win_candidate >= TIMESTAMP '2024-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2
+    windows) — Spark's window(ts, '1 hour', '30 minutes') semantics,
+    reproduced in the oracle via an explode-over-offsets rewrite.
+    Streaming twin: the same F.window call under readStream."""
+    events = load_events(spark, sf_dir)
+    win = F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes")
+    out = (
+        events.groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .filter(F.col("window_start") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+    )
+    return out
