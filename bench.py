@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "scd2_user_history",
     "events_json_props",
     "carry_forward_day",
+    "events_sliding_window",
+    "archive_age_scan",
+    "rollup_status_priority",
+    "price_percentiles",
     # training-data ops
     "doc_quality",
     "exact_dedup",
