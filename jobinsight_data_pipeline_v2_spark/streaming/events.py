@@ -90,11 +90,17 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source stream of events parquet drops (one file per micro-batch
-    in tests; swap for kafka/kinesis readers in production — the
-    transformations above are source-agnostic)."""
-    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(source_dir)
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events parquet drops (swap for kafka/kinesis
+    readers in production — the transformations above are
+    source-agnostic). ``max_files_per_trigger=1`` makes each file its
+    own micro-batch, which tests use to exercise cross-batch state."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
 
 
 def run_stream_to_memory(
@@ -108,4 +114,80 @@ def run_stream_to_memory(
         .outputMode(mode)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-user running stats with threshold alerts
+# (applyInPandasWithState — the escape hatch for stateful semantics the
+# built-in windows can't express)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: E402
+
+_RUNNING_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+        StructField("max_value", DoubleType(), True),
+        StructField("alert", StringType(), True),
+    ]
+)
+
+_STATE_SCHEMA = "n LONG, total DOUBLE, mx DOUBLE"
+
+
+def running_user_stats(events: DataFrame, alert_total: float = 1000.0) -> DataFrame:
+    """Per-user running aggregate with alert emission — a genuinely
+    custom stateful operator (emit-on-change + threshold alerts), which
+    neither window() nor session_window() expresses.
+
+    State per user: (event count, running total, running max), carried
+    across micro-batches by applyInPandasWithState; each batch emits
+    the user's updated stats and an alert marker when the running total
+    first crosses ``alert_total``. Arrow-batched per group — state size
+    is 3 scalars per user, O(users) total.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n, total, mx = state.get
+            prev_alerted = total >= alert_total
+        else:
+            n, total, mx = 0, 0.0, float("-inf")
+            prev_alerted = False
+        for pdf in pdfs:
+            vals = pdf["value"].astype(float)
+            n += int(len(pdf))
+            total += float(vals.sum())
+            mx = max(mx, float(vals.max()))
+        state.update((n, total, mx))
+        alert = (
+            "TOTAL_THRESHOLD_CROSSED"
+            if (not prev_alerted and total >= alert_total)
+            else None
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+                "alert": [alert],
+            }
+        )
+
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_RUNNING_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -65,3 +65,42 @@ def test_streaming_sessionize_runs(spark, tmp_path):
     ev_per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     sym = per_user.exceptAll(ev_per_user).count()
     assert sym == 0  # every event lands in exactly one session
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches and the
+    final running totals equal the batch aggregate."""
+    from jobinsight_data_pipeline_v2_spark.streaming.events import (
+        running_user_stats,
+    )
+
+    flat, ev = _stage_stream_files(spark, tmp_path)
+    stream = read_events_stream(spark, flat, max_files_per_trigger=1).drop("__b")
+    q = run_stream_to_memory(
+        spark, running_user_stats(stream, alert_total=500.0), "run_stats"
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM run_stats")
+    # multiple emissions per user (one per micro-batch touching it)
+    assert out.count() > out.select("user_id").distinct().count()
+    # last emission per user must equal the batch ground truth
+    from pyspark.sql.window import Window
+
+    last = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", "n_events", "total_value")
+    )
+    truth = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    joined = last.join(truth.withColumnRenamed("n_events", "n_true"), "user_id")
+    assert joined.filter(F.col("n_events") != F.col("n_true")).count() == 0
+    # alert fires at most once per user
+    alerts = out.filter(F.col("alert").isNotNull()).groupBy("user_id").count()
+    assert alerts.filter("count > 1").count() == 0
