@@ -5,8 +5,11 @@ Runs the engine's representative query set on local[$SPARK_GRAFT_CPUS]
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is fully executed (results drained via count on a
-write-free action) — not just planned. The set covers every operator
+Each query is fully executed — drained through the ``noop`` write
+format, which consumes every column and every row of the final plan,
+so projections, window functions, and presentation sorts cannot be
+optimized away the way they are under a bare ``count()``. The set
+covers every operator
 family but excludes the deliberately-quadratic all-pairs baseline
 (embedding_near_dups), which is a correctness oracle, not a
 performance path.
@@ -58,6 +61,16 @@ BENCH_QUERIES = [
 ]
 
 
+def drain(df) -> None:
+    """Fully execute ``df``.
+
+    ``count()`` alone lets Catalyst prune unused projections and drop
+    sorts under the aggregate; the noop datasource write executes the
+    complete plan (all columns, all rows, ordering included).
+    """
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -68,8 +81,11 @@ def main() -> None:
     # Warmup pass: pays one-time JVM/codegen/JIT compilation per plan so
     # the measured pass reflects steady-state executor throughput (what
     # scales with data volume), not constant driver-side compile cost.
+    row_counts: dict[str, int] = {}
     for name in BENCH_QUERIES:
-        registry[name][0](spark, sf_dir).count()
+        df = registry[name][0](spark, sf_dir)
+        drain(df)
+        row_counts[name] = df.count()
 
     # Best-of-two measured passes: a single shared local JVM has GC /
     # listener noise that can triple a sub-second query; the min is the
@@ -79,11 +95,13 @@ def main() -> None:
         for name in BENCH_QUERIES:
             fn, _ = registry[name]
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            drain(fn(spark, sf_dir))
             dt = time.time() - t0
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
-            print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+            print(
+                f"# {name}: {dt:.2f}s ({row_counts[name]} rows)", file=sys.stderr
+            )
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = sum(timings.values())
 

@@ -137,6 +137,58 @@ def exact_jaccard(
     )
 
 
+def component_min_labels(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """(id, label) — connected-component labels over an undirected pair
+    graph, label = the component's minimum id.
+
+    Min-label propagation to a fixpoint: each round every node takes
+    the min of its own label and its neighbours' labels. Rounds needed
+    = graph diameter; near-dup clusters are shallow (a chain A~B~C
+    converges in 2), and the pair set is LSH-bounded — tiny relative to
+    the corpus — so the per-round shuffle is cheap. ``localCheckpoint``
+    per round keeps lineage flat (iterative joins otherwise stack
+    exponentially-deep plans).
+    """
+    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nmin"))
+        .select("id", F.least("id", "nmin").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce("nlabel", labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -147,10 +199,13 @@ def minhash_dedup(
     band_size: int = 8,
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
-    """End-to-end near-dup clusters: keep-min representative per pair
-    component (greedy union via keeper = min id over confirmed pairs).
+    """End-to-end near-dup drop set: keep the minimum id of each
+    connected component of confirmed near-dup pairs.
 
-    Returns (id, keeper_id) for every document that should be DROPPED.
+    Returns (id, keeper_id) for every document that should be DROPPED;
+    ``keeper_id`` is the component representative (its minimum id),
+    which is always itself kept — a chain A~B, B~C resolves both B and
+    C to keeper A, never to a dropped document.
     """
     # shingles feed both signature building and exact verification —
     # materialize once (see plans/text._materialize rationale)
@@ -162,10 +217,9 @@ def minhash_dedup(
     verified = exact_jaccard(sh, cand, id_col).filter(
         F.col("jaccard") >= jaccard_threshold
     )
-    # one greedy pass: a doc is dropped in favor of its smallest dup partner
-    return (
-        verified.groupBy(F.col("id_b").alias(id_col))
-        .agg(F.min("id_a").alias("keeper_id"))
+    labels = component_min_labels(verified)
+    return labels.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias(id_col), F.col("label").alias("keeper_id")
     )
 
 

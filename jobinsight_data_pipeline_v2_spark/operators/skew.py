@@ -17,31 +17,74 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+from typing import Callable
+
+# Phase-2 combiners a caller may name per output column. Every entry
+# must satisfy merge(merge(a, b), c) == agg(a ∪ b ∪ c) over partials —
+# the standard algebraic-aggregate decomposition.
+MERGE_FNS: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "bit_or": lambda c: F.expr(f"bit_or({c})"),
+    "bit_and": lambda c: F.expr(f"bit_and({c})"),
+}
+
+_SALTABLE_JOINS = ("inner", "left", "leftouter", "left_outer", "left_semi",
+                   "leftsemi", "left_anti", "leftanti")
+
+
+def _row_salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt in [0, n_salts).
+
+    xxhash64 over every column — unlike ``F.rand``, the salt survives
+    task retries and AQE repartitioning unchanged (rand re-draws when a
+    partition is recomputed, which silently reshuffles rows across
+    salts mid-job). Exact full-row duplicates share a salt; that only
+    matters if one identical row repeats ~billions of times.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
     aggs: dict[str, Column],
     n_salts: int = 16,
+    merge: dict[str, str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys.
 
-    Phase 1 groups on (keys + random salt) — the hot key's rows spread
-    over n_salts reducers; phase 2 re-aggregates the partials on the
-    true keys (tiny input: n_salts rows per key).
+    Phase 1 groups on (keys + deterministic row salt) — the hot key's
+    rows spread over n_salts reducers; phase 2 re-aggregates the
+    partials on the true keys (tiny input: n_salts rows per key).
 
     ``aggs`` maps output column name → phase-1 aggregate expression.
-    Phase 2 combines partials: counts/sums re-SUM. (Only decomposable
-    aggregates belong here — avg must be expressed as sum+count by the
-    caller, the standard algebraic-aggregate discipline.)
+    ``merge`` names the phase-2 combiner per column (one of
+    ``MERGE_FNS``; default ``"sum"``, correct for sum/count partials).
+    Non-decomposable aggregates (avg, countDistinct, percentile) do NOT
+    belong here — express avg as sum+count, distinct via a pre-distinct
+    or HLL. Unknown merge names raise rather than silently mis-combine.
     """
-    salted = df.withColumn(
-        "__salt", (F.rand(seed=42) * n_salts).cast("int")
-    )
+    merge = merge or {}
+    unknown = {m for m in merge.values() if m not in MERGE_FNS}
+    if unknown:
+        raise ValueError(
+            f"salted_agg: unknown merge fns {sorted(unknown)}; "
+            f"allowed: {sorted(MERGE_FNS)}"
+        )
+    stray = set(merge) - set(aggs)
+    if stray:
+        raise ValueError(f"salted_agg: merge names not in aggs: {sorted(stray)}")
+    salted = df.withColumn("__salt", _row_salt(df, n_salts))
     partial = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )
     return partial.groupBy(*keys).agg(
-        *[F.sum(name).alias(name) for name in aggs]
+        *[
+            MERGE_FNS[merge.get(name, "sum")](name).alias(name)
+            for name in aggs
+        ]
     )
 
 
@@ -54,13 +97,22 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: salt the skewed side, replicate the other.
 
-    skewed gets a random salt in [0, n_salts); small is exploded
-    n_salts× so every (key, salt) pair finds its partner. Use when the
-    small side is too big to broadcast but the skewed side has hot keys
-    that would stall a plain shuffle join. Replication factor n_salts
-    is the cost dial.
+    skewed gets a deterministic row salt in [0, n_salts); small is
+    exploded n_salts× so every (key, salt) pair finds its partner. Use
+    when the small side is too big to broadcast but the skewed side has
+    hot keys that would stall a plain shuffle join. Replication factor
+    n_salts is the cost dial.
+
+    Only joins that preserve the *skewed* side's multiplicity are
+    legal: right/full would emit each unmatched replicated small-side
+    row n_salts times, so ``how`` is validated.
     """
-    salted = skewed.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    if how not in _SALTABLE_JOINS:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            f"small-side rows n_salts times; allowed: inner/left/semi/anti"
+        )
+    salted = skewed.withColumn("__salt", _row_salt(skewed, n_salts))
     replicated = small.withColumn(
         "__salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})"))
     )

@@ -40,6 +40,7 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -66,3 +67,7 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Pin the session zone: ntz→timestamp casts (sliding windows,
+    # streaming twins) must not depend on the host JVM's default zone —
+    # a :45-offset zone would misalign the 30-minute wall-clock grid.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -33,7 +33,6 @@ Two design rules that matter at 100 TB:
 
 from __future__ import annotations
 
-import os
 from datetime import date
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,15 +59,18 @@ class WarehouseStorage:
     def _p(self, table: str) -> str:
         return f"{self.root}/warehouse/{table}"
 
+    def _fs_path(self, path: str):
+        """(Hadoop FileSystem, Path) for any scheme Spark can read —
+        local, s3a://, gs://, abfss:// all resolve through the same API,
+        so existence checks and the commit swap work uniformly."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        hconf = self.spark._jsc.hadoopConfiguration()
+        return jpath.getFileSystem(hconf), jpath
+
     def _exists(self, table: str) -> bool:
-        path = self._p(table)
-        if path.startswith(("s3a://", "s3://", "gs://", "abfss://")):
-            try:
-                self.spark.read.parquet(path)
-                return True
-            except Exception:
-                return False
-        return os.path.exists(path)
+        fs, p = self._fs_path(self._p(table))
+        return fs.exists(p)
 
     # --- read ---
     def load(self) -> WarehouseDay | None:
@@ -138,11 +140,22 @@ class WarehouseStorage:
             self._swap(tmp, final)
 
     def _swap(self, tmp: str, final: str) -> None:
-        import shutil
+        """Commit one table: delete the old state, rename tmp into place.
 
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+        Hadoop FileSystem rename/delete — correct on local paths AND
+        object-store roots (where a rename is a copy, slower but still
+        a valid commit; snapshot-isolated table formats would replace
+        this protocol entirely).
+        """
+        fs, final_p = self._fs_path(final)
+        _, tmp_p = self._fs_path(tmp)
+        if fs.exists(final_p):
+            fs.delete(final_p, True)
+        parent = final_p.getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        if not fs.rename(tmp_p, final_p):
+            raise IOError(f"swap failed: rename {tmp} -> {final}")
 
     # --- staging layer ---
     def write_staging(self, staging: DataFrame, as_of: date) -> None:
