@@ -14,7 +14,11 @@ and the new snapshot is their union. Surrogate keys for inserts are
 ``row_number() over (order by bk) + max(existing sk)`` — the window is
 a single narrow pass over only the *insert* rows (dimension-batch
 sized, not corpus sized), which is the standard replacement for the
-reference's NEXTVAL sequences (SURVEY X6).
+reference's NEXTVAL sequences (SURVEY X6). Escape hatch if a
+dimension's daily insert batch ever outgrows one task: switch the sk
+to a deterministic key ``xxhash64(bk, effective_date)`` the way the
+fact/bridge ids already work (warehouse.build_fact_day) — the ordinal
+property is not semantic anywhere in the engine.
 
 Invariant (asserted in tests): exactly one is_current row per key.
 """

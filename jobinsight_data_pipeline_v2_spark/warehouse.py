@@ -155,7 +155,12 @@ def build_dim_company(dim_prev: DataFrame, staging: DataFrame, as_of) -> DataFra
 def build_dim_location(dim_prev: DataFrame, staging: DataFrame) -> DataFrame:
     """DimLocation SCD1 insert-if-absent (location.py:90-133):
     distinct parsed (city,country) pairs, new ones appended with fresh
-    SKs; sentinel (-1,'Unknown','Unknown') always present."""
+    SKs; sentinel (-1,'Unknown','Unknown') always present.
+
+    The row_number window spans only the NEW pairs of one day —
+    city×country is bounded, so this stays tiny at any corpus size
+    (same escape hatch as scd2_merge if that ever changes).
+    """
     pairs = (
         staging.select(F.explode(parse_location(F.col("location"))).alias("p"))
         .select(F.col("p.city").alias("city"), F.col("p.country").alias("country"))
@@ -305,15 +310,21 @@ def build_fact_day(
     )
     fresh = fresh.withColumn("__prev_fact_id", F.lit(None).cast("long"))
 
-    # --- surrogate fact ids: carried first (reference insert order) ---
-    max_fact = fact_prev_clean.agg(F.coalesce(F.max("fact_id"), F.lit(0)).alias("m"))
-    w = Window.orderBy(F.desc("__carried"), "job_sk")
-    today = (
-        carried.unionByName(fresh)
-        .withColumn("__rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(max_fact))
-        .withColumn("fact_id", (F.col("m") + F.col("__rn")).cast("long"))
-        .drop("__rn", "m")
+    # --- surrogate fact ids: deterministic grain encoding (W4/X6) ---
+    # The fact grain (job_sk, date_id) is unique by construction, so
+    # the id is a pure function of the grain: job_sk in the high 45
+    # bits, days-since-epoch in the low 18 (collision-free through
+    # year 2687 and 3.5e13 job keys). Replaces the global
+    # row_number() window — a single-partition Exchange that funnels
+    # every fact row through one task at 100 TB — and the max(fact_id)
+    # scan. Bonus: re-running a day reproduces identical ids, so
+    # idempotency holds without reading the previous state at all.
+    today = carried.unionByName(fresh).withColumn(
+        "fact_id",
+        (
+            F.shiftleft(F.col("job_sk"), 18)
+            + F.datediff(F.col("date_id"), F.lit("1970-01-01").cast("date"))
+        ).cast("long"),
     )
 
     fact_cols = [
@@ -362,19 +373,16 @@ def build_fact_day(
     surviving_prev = bridge_prev.join(
         fact_prev_clean.select("fact_id"), "fact_id", "left_semi"
     )
-    max_bridge = surviving_prev.agg(
-        F.coalesce(F.max("bridge_id"), F.lit(0)).alias("m")
-    )
-    wb = Window.orderBy("fact_id", "location_sk")
-    new_bridges = (
-        fresh_bridges.unionByName(carried_bridges)
-        .withColumn("__rn", F.row_number().over(wb))
-        .crossJoin(F.broadcast(max_bridge))
-        .select(
-            (F.col("m") + F.col("__rn")).cast("long").alias("bridge_id"),
-            "fact_id",
-            "location_sk",
-        )
+    # bridge_id: deterministic hash of the unique bridge grain
+    # (fact_id, location_sk). Nothing joins on bridge_id — it is a
+    # pure PK column — so a 64-bit birthday collision (noticeable only
+    # past ~2^32 bridge rows) would not corrupt any relationship; the
+    # relational key stays (fact_id, location_sk). This replaces the
+    # second global row_number() window + max(bridge_id) scan.
+    new_bridges = fresh_bridges.unionByName(carried_bridges).select(
+        F.xxhash64("fact_id", "location_sk").alias("bridge_id"),
+        "fact_id",
+        "location_sk",
     )
     bridge_next = surviving_prev.select("bridge_id", "fact_id", "location_sk").unionByName(
         new_bridges

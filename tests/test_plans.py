@@ -54,6 +54,49 @@ def test_anti_semi_joins_stay_joins(spark):
     assert "LeftSemi" in _plan(spark, "parts_with_sales")
 
 
+def test_fact_build_no_single_partition_exchange(spark):
+    """W4 at scale: surrogate-id assignment must never funnel the
+    fact-sized data through one task. Ids are deterministic grain
+    encodings (no global row_number window), so neither the fact nor
+    the bridge plan may contain a SinglePartition shuffle. (Dimension
+    builds keep their insert-batch-sized global windows by design —
+    this test bypasses them by passing dims in directly.)"""
+    from datetime import date, datetime
+
+    from jobinsight_data_pipeline_v2_spark.schemas import (
+        DIM_COMPANY,
+        DIM_JOB,
+        FACT_JOB_LOCATION_BRIDGE,
+        FACT_JOB_POSTING_DAILY,
+        RAW_JOBS,
+    )
+    from jobinsight_data_pipeline_v2_spark.warehouse import (
+        build_fact_day,
+        empty_dim_location,
+        staging_transform,
+    )
+
+    as_of = date(2026, 1, 10)
+    ts = datetime(2026, 1, 10, 7, 0, 0)
+    staging = staging_transform(spark.createDataFrame([], RAW_JOBS), ts)
+    fact, bridge = build_fact_day(
+        spark.createDataFrame([], FACT_JOB_POSTING_DAILY),
+        spark.createDataFrame([], FACT_JOB_LOCATION_BRIDGE),
+        staging,
+        spark.createDataFrame([], DIM_JOB),
+        spark.createDataFrame([], DIM_COMPANY),
+        empty_dim_location(spark),
+        as_of,
+        ts,
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for name, df in (("fact", fact), ("bridge", bridge)):
+        p = df._jdf.queryExecution().explainString(mode)
+        assert "Exchange SinglePartition" not in p, f"{name} plan:\n{p}"
+
+
 @pytest.mark.parametrize("name", ["events_hourly", "sessionize"])
 def test_events_single_exchange_per_key(spark, name):
     """Sessionize's two windows share the user_id partitioning: exactly
