@@ -472,20 +472,173 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup pairs — rows-only check (bit arithmetic is not
-# reasonably expressible in portable oracle SQL; semantics are instead
-# property-tested in tests/test_operators.py against planted near-dups)
+# SimHash near-dup pairs (md5-based, oracle-checked)
 # ---------------------------------------------------------------------------
+#
+# Same pigeonhole-banding semantics as the production operator
+# (operators/dedup.py simhash64 + simhash_near_pairs: 64-bit
+# fingerprint, hamming ≤ 3 → 4 bands of 16 bits), with the token hash
+# swapped from xxhash64 (JVM intrinsic, no DuckDB equivalent) to md5 —
+# the first 16 hex chars parsed as two 32-bit halves, so every bit
+# operation stays in non-negative BIGINT range in both engines. The
+# fingerprint is likewise carried as (fp_hi, fp_lo) 32-bit halves:
+# hamming = bit_count(xor(lo)) + bit_count(xor(hi)).
+
+_SIMHASH_MAX_HAMMING = 3  # → 4 bands of 16 bits
 
 
-@register("simhash_near_dups", None)
+@register(
+    "simhash_near_dups",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    tok_counts AS (
+        SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+    ),
+    hashed AS (
+        SELECT doc_id, cnt,
+               ('0x' || substring(md5(token), 1, 8))::BIGINT AS hi,
+               ('0x' || substring(md5(token), 9, 8))::BIGINT AS lo
+        FROM tok_counts
+    ),
+    bits AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN (CASE WHEN pos < 32 THEN (lo >> pos) & 1
+                              ELSE (hi >> (pos - 32)) & 1 END) = 1
+                        THEN cnt ELSE -cnt END) AS s
+        FROM hashed, UNNEST(generate_series(0, 63)) AS t(pos)
+        GROUP BY 1, 2
+    ),
+    fps AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 AND pos < 32
+                             THEN (1::BIGINT << pos) ELSE 0 END) AS BIGINT) AS fp_lo,
+               CAST(SUM(CASE WHEN s > 0 AND pos >= 32
+                             THEN (1::BIGINT << (pos - 32)) ELSE 0 END) AS BIGINT) AS fp_hi
+        FROM bits GROUP BY 1
+    ),
+    banded AS (
+        SELECT doc_id, fp_lo, fp_hi, band,
+               CASE WHEN band = 0 THEN fp_lo & 65535
+                    WHEN band = 1 THEN (fp_lo >> 16) & 65535
+                    WHEN band = 2 THEN fp_hi & 65535
+                    ELSE (fp_hi >> 16) & 65535 END AS band_val
+        FROM fps, UNNEST(generate_series(0, 3)) AS t(band)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.fp_lo AS la, a.fp_hi AS ha, b.fp_lo AS lb, b.fp_hi AS hb
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT)
+               AS hamming
+    FROM pairs
+    WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+              <= {_SIMHASH_MAX_HAMMING}
+    ORDER BY 1, 2
+    """,
+)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs (hamming ≤ 3) over documents —
-    the production operator from operators/dedup.py (xxhash64-based,
-    pigeonhole-banded). Deterministic output, verified by the driver as
-    rows-only."""
-    from ..operators.dedup import simhash64, simhash_near_pairs, tokenize
+    """64-bit SimHash near-dup pairs (hamming ≤ 3) over documents.
 
+    explode(tokens) → per-(doc, token) counts → 64 bit-position votes
+    (+cnt when the token hash's bit is set, −cnt otherwise) → sign
+    vector = fingerprint → pigeonhole banding (4 bands of 16 bits: any
+    pair within hamming 3 must agree on ≥1 band) → verify with
+    bit_count(xor). All JVM-side integer arithmetic; candidate
+    generation is linear in corpus size. The production twin
+    (operators/dedup.py, xxhash64 single-call hashing) is ~4× cheaper
+    and property-tested against planted near-dups.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_near_pairs(simhash64(tokenize(docs)), max_hamming=3)
-    return pairs.orderBy("id_a", "id_b")
+    tok_counts = (
+        docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    md5 = F.md5(F.col("token").cast("binary"))
+    hashed = tok_counts.select(
+        "doc_id",
+        "cnt",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    # One aggregation with 64 vote-sum columns instead of exploding 64
+    # bit-position rows per token: the shuffle stays at docs×tokens
+    # rows (map-side combined down to one row per doc), not 64× that.
+    def _bit(p: int) -> str:
+        return f"(lo >> {p}) & 1" if p < 32 else f"(hi >> {p - 32}) & 1"
+
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(_bit(p)) == 1, F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            ).alias(f"s{p}")
+            for p in range(64)
+        ]
+    )
+    fps = sums.select(
+        "doc_id",
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN s{p} > 0 THEN CAST({1 << p} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+                for p in range(32)
+            )
+        ).alias("fp_lo"),
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN s{p + 32} > 0 THEN CAST({1 << p} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+                for p in range(32)
+            )
+        ).alias("fp_hi"),
+    )
+    banded = fps.select(
+        "doc_id",
+        "fp_lo",
+        "fp_hi",
+        F.explode(F.expr("sequence(0, 3)")).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            "CASE WHEN band = 0 THEN fp_lo & 65535 "
+            "WHEN band = 1 THEN (fp_lo >> 16) & 65535 "
+            "WHEN band = 2 THEN fp_hi & 65535 "
+            "ELSE (fp_hi >> 16) & 65535 END"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.fp_lo").alias("la"),
+            F.col("a.fp_hi").alias("ha"),
+            F.col("b.fp_lo").alias("lb"),
+            F.col("b.fp_hi").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.expr("bit_count(la ^ lb) + bit_count(ha ^ hb)").cast("long"),
+        )
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
