@@ -325,9 +325,37 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH candidate pairs (md5-based, oracle-checkable)
 # ---------------------------------------------------------------------------
+#
+# ONE md5 per shingle; the 12 signature functions are affine remixes
+# (a_i·h + b_i) mod p of that single hash — ~12× fewer md5 evaluations
+# than hashing (seed, shingle) per seed, identical arithmetic in
+# DuckDB. h is the md5's first 8 hex chars (32-bit), a_i,b_i < 2^31,
+# p prime > 2^32, so a_i·h + b_i peaks at ~9.21e18 < 2^63-1: every
+# intermediate stays in signed-BIGINT range in both engines.
 
 _N_HASHES = 12
 _BAND_SIZE = 3  # → 4 bands
+_MINHASH_P = 4294967311  # smallest prime > 2^32
+# fixed (a, b) pairs (seeded draw, committed as literals — no runtime RNG)
+_MINHASH_COEFFS = [
+    (2128164061, 797605564), (596987483, 1944694864),
+    (116450323, 582439801), (430979122, 468068949),
+    (1406942088, 1848070633), (1172698796, 805278811),
+    (2143289124, 1337851497), (252657890, 856063681),
+    (1696544698, 461793307), (794664036, 1716958479),
+    (527406851, 213165048), (1903391910, 175932789),
+]
+
+_SQL_SIG_COLS = ",\n               ".join(
+    f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS m{i}"
+    for i, (a, b) in enumerate(_MINHASH_COEFFS)
+)
+_SQL_BAND_KEYS = "\n                    ".join(
+    f"WHEN {band} THEN md5(m{band * _BAND_SIZE}::VARCHAR || '|' || "
+    f"m{band * _BAND_SIZE + 1}::VARCHAR || '|' || "
+    f"m{band * _BAND_SIZE + 2}::VARCHAR)"
+    for band in range(_N_HASHES // _BAND_SIZE)
+)
 
 
 @register(
@@ -342,16 +370,22 @@ _BAND_SIZE = 3  # → 4 bands
                    AS shingle
         FROM toks, UNNEST(generate_series(1, len(tokens) - {_SHINGLE_N} + 1)) AS t(i)
     ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h
+        FROM shingles
+    ),
     sigs AS (
-        SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
-        FROM shingles, UNNEST(generate_series(0, {_N_HASHES - 1})) AS s(seed)
-        GROUP BY 1, 2
+        SELECT doc_id,
+               {_SQL_SIG_COLS}
+        FROM hashed
+        GROUP BY 1
     ),
     bands AS (
-        SELECT doc_id, seed // {_BAND_SIZE} AS band,
-               md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
-        FROM sigs
-        GROUP BY 1, 2
+        SELECT doc_id, band,
+               CASE band
+                    {_SQL_BAND_KEYS}
+               END AS band_key
+        FROM sigs, UNNEST(generate_series(0, {_N_HASHES // _BAND_SIZE - 1})) AS t(band)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(DISTINCT a.band) AS n_shared_bands
@@ -363,62 +397,78 @@ _BAND_SIZE = 3  # → 4 bands
     """,
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures ({_N_HASHES} hashes) + LSH banding (bands of
-    {_BAND_SIZE}) → candidate near-dup pairs.
+    """MinHash signatures ({_N_HASHES} affine hashes over one md5 per
+    shingle) + LSH banding (bands of {_BAND_SIZE}) → candidate
+    near-dup pairs.
 
-    shingle → per-(doc, seed) min of md5(seed|shingle) → band key =
-    md5 of the band's signature slice → docs sharing a band key are
-    candidates. This is the linear-time scale path for near-dup at
-    100 TB: cost is O(docs × shingles × hashes) + banded join on
-    uniformly-hashed keys, never O(docs²). md5 keeps the oracle
-    bit-identical; the production operator (operators/dedup.py) swaps
-    in xxhash64 for ~4× cheaper signatures.
+    shingle → h = md5(shingle)[0:8] as 32-bit int → 12 signature mins
+    in ONE groupBy(doc_id) with 12 min-aggregate columns (map-side
+    combined; no seed explode, no per-seed shuffle) → band key = md5
+    of the band's signature triple → docs sharing a band key are
+    candidates. Linear-time scale path for near-dup at 100 TB: cost is
+    O(docs × shingles) hashing + a banded join on uniformly-hashed
+    keys, never O(docs²). md5 keeps the oracle bit-identical; the
+    production operator (operators/dedup.py) uses xxhash64.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.expr(_TOKENS).alias("tokens"))
     n = _SHINGLE_N
-    shingles = (
-        toks.select(
-            "doc_id",
-            F.explode(
+    # Entirely narrow signature build: per-doc distinct shingles as an
+    # array (array_distinct — no global DISTINCT shuffle), one md5 per
+    # shingle into a hash array, then each signature is an array_min
+    # over a cheap affine remix of that array. First shuffle in the
+    # whole plan is the band self-join.
+    hashed = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, greatest(size(tokens) - {n} + 1, 0)), "
                     f"i -> array_join(slice(tokens, i, {n}), ' '))"
                 )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    shingles = _materialize(shingles)
-    seeded = shingles.withColumn(
-        "seed", F.explode(F.expr(f"sequence(0, {_N_HASHES - 1})"))
-    )
-    sigs = seeded.groupBy("doc_id", "seed").agg(
-        F.min(
-            F.md5(
-                F.concat(
-                    F.col("seed").cast("string"), F.lit("|"), F.col("shingle")
-                ).cast("binary")
             )
-        ).alias("minhash")
+        ).alias("shingle"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
-    bands = (
-        sigs.withColumn("band", (F.col("seed") / _BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"],
-                    ),
-                    "|",
-                ).cast("binary")
-            ).alias("band_key")
-        )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({a} * h + {b}) % {_MINHASH_P}")).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MINHASH_COEFFS)
+        ]
     )
+    band_key_exprs = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"m{band * _BAND_SIZE + j}").cast("string")
+                    for j in range(_BAND_SIZE)
+                ],
+            ).cast("binary")
+        ).alias(f"bk{band}")
+        for band in range(_N_HASHES // _BAND_SIZE)
+    ]
+    bands = sigs.select("doc_id", *band_key_exprs).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.col(f"bk{band}").alias("band_key"),
+                    )
+                    for band in range(_N_HASHES // _BAND_SIZE)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    # both self-join sides consume `bands` — materialize the narrow
+    # hash chain once (4 small rows per doc) instead of twice
+    bands = _materialize(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
