@@ -587,20 +587,30 @@ def upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """row_number window: latest record per business key (SURVEY W1/W3).
+    """Latest record per business key (SURVEY W1/W3) — the engine's
+    SCD2 `is_current` definition and the generalized carry-forward
+    scan ("latest fact per job before today", facts/daily.py:122-181).
 
-    This is the engine's SCD2 `is_current` definition and the
-    generalized carry-forward scan ("latest fact per job before today",
-    facts/daily.py:122-181) — one shuffle on the partition key.
+    Implemented as max(struct(o_orderdate, o_orderkey, payload...))
+    instead of a row_number window: the leading struct fields are the
+    window's ORDER BY keys (o_orderkey is unique, so the payload never
+    participates in comparison), selecting exactly the rn=1 row but as
+    a hash aggregate with map-side combine — no per-partition sort
+    (same rewrite as dedup_first_lineitem, measured 2.6× there). The
+    oracle keeps the window formulation; both yield the identical row.
     """
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    latest = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.struct("o_orderdate", "o_orderkey", "o_totalprice", "o_orderstatus")
+        ).alias("m")
     )
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+    return latest.select(
+        "o_custkey",
+        F.col("m.o_orderkey").alias("o_orderkey"),
+        F.col("m.o_orderdate").alias("o_orderdate"),
+        F.col("m.o_totalprice").alias("o_totalprice"),
+        F.col("m.o_orderstatus").alias("o_orderstatus"),
     )
 
 
