@@ -335,3 +335,58 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("window_start") >= F.lit("2024-01-01").cast("timestamp_ntz"))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# monitoring health rollup (vw_etl_health shape, monitoring_schema.sql:58-69)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "etl_health_rollup",
+    f"""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    recent AS (
+        SELECT e.* FROM events e, anchor a
+        WHERE e.ts >= a.mx - INTERVAL 7 DAY
+    )
+    SELECT event_type AS task_id,
+           COUNT(*) AS total_runs,
+           CAST(SUM(CASE WHEN value < 400 THEN 1 ELSE 0 END) AS BIGINT)
+               AS success_runs,
+           ({_sql_sum('value')} / COUNT(value)) AS avg_duration_sec,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_run
+    FROM recent
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def etl_health_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's monitoring vw_etl_health rollup shape
+    (monitoring_schema.sql:58-69; Grafana pipeline-health.json), on the
+    driver's events table: 7-day recency window anchored at MAX(ts)
+    (never the wall clock), per-task totals / success counts / average
+    duration / last-run.
+
+    The live-warehouse twin is quality/monitoring.vw_etl_health over
+    the persisted etl_metrics store; this gate entry pins the rollup's
+    semantics against the oracle. One broadcast of the 1-row anchor,
+    one grouped aggregation with map-side combine.
+    """
+    ev = load_events(spark, sf_dir)
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    recent = ev.crossJoin(F.broadcast(anchor)).filter(
+        F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAY")
+    )
+    return (
+        recent.groupBy(F.col("event_type").alias("task_id"))
+        .agg(
+            F.count(F.lit(1)).alias("total_runs"),
+            F.sum((F.col("value") < 400).cast("long")).alias("success_runs"),
+            (dec_sum("value") / F.count(F.col("value"))).alias(
+                "avg_duration_sec"
+            ),
+            F.max("ts").alias("last_run"),
+        )
+        .orderBy("task_id")
+    )

@@ -1,0 +1,197 @@
+"""Monitoring store + health views vs the REFERENCE's own view SQL.
+
+Drives run_day over several days with a MetricsStore attached, then
+runs the reference's vw_etl_health / vw_quality_health SQL
+(sql/schemas/monitoring_schema.sql:58-80, CURRENT_DATE parameterized)
+and the Grafana panel rollups in DuckDB against the persisted metric
+tables; results must match this engine's view DataFrames.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime, timedelta
+
+import duckdb
+import pytest
+
+from jobinsight_data_pipeline_v2_spark.pipelines import run_day
+from jobinsight_data_pipeline_v2_spark.quality import (
+    QualityGateConfig,
+    ValidationHardFailError,
+)
+from jobinsight_data_pipeline_v2_spark.quality.monitoring import (
+    MetricsStore,
+    gate_status_distribution,
+    pipeline_success_rate,
+    recent_runs,
+    task_success_failure,
+    vw_etl_health,
+    vw_quality_health,
+)
+from jobinsight_data_pipeline_v2_spark.schemas import RAW_JOBS
+from jobinsight_data_pipeline_v2_spark.storage import WarehouseStorage
+
+D1 = date(2026, 3, 2)
+
+
+def _raw(spark, day, n=60):
+    rows = [
+        (
+            str(3000 + i), f"Data Engineer Level {i}", f"u/{i}",
+            f"công ty tnhh số {i % 5}", f"cu/{i % 5}",
+            "20 - 35 triệu" if i % 3 else "Thỏa thuận",
+            ["Python", "Spark"], "Hà Nội" if i % 2 else "Đà Nẵng", "10",
+            bool(i % 3 == 0), None, None, None,
+            datetime(day.year, day.month, day.day, 6),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, RAW_JOBS)
+
+
+@pytest.fixture(scope="module")
+def metrics_run(spark, tmp_path_factory):
+    """3 good days + 1 hard-failed day, metrics persisted throughout."""
+    root = str(tmp_path_factory.mktemp("mon"))
+    storage = WarehouseStorage(spark, root)
+    store = MetricsStore(spark, root)
+    for i in range(3):
+        day = D1 + timedelta(days=i)
+        run_day(
+            spark, storage, _raw(spark, day), day,
+            datetime(day.year, day.month, day.day, 7), metrics=store,
+        )
+    bad_day = D1 + timedelta(days=3)
+    with pytest.raises(ValidationHardFailError):
+        run_day(
+            spark, storage, _raw(spark, bad_day, n=5), bad_day,
+            datetime(bad_day.year, bad_day.month, bad_day.day, 7),
+            gate_config=QualityGateConfig(min_job_count=50),
+            metrics=store,
+        )
+    return store, bad_day
+
+
+def _duck(store):
+    con = duckdb.connect()
+    con.register("etl_metrics", store.etl_metrics().toPandas())
+    con.register("quality_metrics", store.quality_metrics().toPandas())
+    return con
+
+
+def _rows(df_pandas, cols):
+    out = []
+    for _, r in df_pandas.iterrows():
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def test_store_contents(metrics_run):
+    store, _ = metrics_run
+    etl = store.etl_metrics()
+    # 3 successful days × (ingest + build) + 1 failed ingest
+    assert etl.filter("status = 'success'").count() == 6
+    assert etl.filter("status = 'failed'").count() == 1
+    q = store.quality_metrics()
+    # 3 days × (crawl + staging + business_rules) + 1 failed crawl
+    assert q.count() == 10
+    assert set(
+        r["validation_type"] for r in q.select("validation_type").distinct().collect()
+    ) == {"crawl", "staging", "business_rules"}
+
+
+def test_vw_etl_health_matches_reference_sql(metrics_run):
+    store, as_of = metrics_run
+    con = _duck(store)
+    oracle = con.sql(
+        f"""
+        SELECT dag_id, task_id,
+               COUNT(*) AS total_runs,
+               CAST(SUM(CASE WHEN status = 'success' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS success_runs,
+               ROUND(AVG(duration_seconds), 2) AS avg_duration_sec,
+               ROUND(AVG(rows_out), 0) AS avg_rows_out,
+               MAX(started_at) AS last_run
+        FROM etl_metrics
+        WHERE started_at >= DATE '{as_of}' - INTERVAL 7 DAY
+        GROUP BY dag_id, task_id
+        """
+    ).fetchdf()
+    mine = vw_etl_health(store.etl_metrics(), as_of).toPandas()
+    cols = sorted(oracle.columns)
+    assert sorted(mine.columns) == cols
+    assert _rows(mine, cols) == _rows(oracle, cols)
+
+
+def test_vw_quality_health_matches_reference_sql(metrics_run):
+    store, as_of = metrics_run
+    con = _duck(store)
+    oracle = con.sql(
+        f"""
+        SELECT validation_type,
+               COUNT(*) AS total_checks,
+               CAST(SUM(CASE WHEN gate_status IN ('success', 'healthy')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+               ROUND(AVG(valid_rate), 4) AS avg_valid_rate,
+               MAX(run_timestamp) AS last_check
+        FROM quality_metrics
+        WHERE run_timestamp >= DATE '{as_of}' - INTERVAL 7 DAY
+        GROUP BY validation_type
+        """
+    ).fetchdf()
+    mine = vw_quality_health(store.quality_metrics(), as_of).toPandas()
+    cols = sorted(oracle.columns)
+    assert sorted(mine.columns) == cols
+    assert _rows(mine, cols) == _rows(oracle, cols)
+
+
+def test_grafana_rollups_match_duckdb(metrics_run):
+    store, as_of = metrics_run
+    con = _duck(store)
+    # pipeline success rate stat
+    rate = pipeline_success_rate(store.etl_metrics(), as_of).collect()[0][
+        "success_rate"
+    ]
+    want = con.sql(
+        f"""
+        SELECT ROUND(SUM(CASE WHEN status = 'success' THEN 1 ELSE 0 END)
+                     / COUNT(*) * 100, 1) AS r
+        FROM etl_metrics WHERE started_at >= DATE '{as_of}' - INTERVAL 7 DAY
+        """
+    ).fetchone()[0]
+    assert rate == pytest.approx(want)
+    # task success/failure bars
+    bars = {
+        r["task_id"]: (r["success"], r["failed"])
+        for r in task_success_failure(store.etl_metrics(), as_of).collect()
+    }
+    assert bars["ingest"] == (3, 1)
+    assert bars["build_warehouse"] == (3, 0)
+    # gate status pie
+    pie = {
+        r["gate_status"]: r["count"]
+        for r in gate_status_distribution(store.quality_metrics(), as_of).collect()
+    }
+    assert pie.get("failed") == 1
+    assert sum(pie.values()) == 10
+    # recent-runs table is newest-first and bounded
+    runs = recent_runs(store.etl_metrics(), limit=5).collect()
+    assert len(runs) == 5
+    assert runs[0]["started_at"] >= runs[-1]["started_at"]
+
+
+def test_monitoring_views_registered(spark, metrics_run):
+    store, as_of = metrics_run
+    from jobinsight_data_pipeline_v2_spark.quality.monitoring import (
+        register_monitoring_views,
+    )
+
+    register_monitoring_views(spark, store, as_of)
+    n = spark.sql("SELECT SUM(total_runs) AS n FROM vw_etl_health").collect()[0]["n"]
+    assert n == 7
