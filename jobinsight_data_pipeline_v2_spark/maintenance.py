@@ -1,0 +1,149 @@
+"""Retention lifecycle: policy-driven sweep + archive restore.
+
+The reference runs maintenance_dag.py daily (cleanup_raw_html,
+cleanup_pg_backups, cleanup_dwh_backups) and archive_dag.py weekly
+(raw_jobs 30-day HOT → MinIO parquet archive), per the policy table in
+docs/governance/retention_policies.md:22-31. Here the whole lifecycle
+is one entry point over the parquet catalog:
+
+    retention_sweep(spark, root, as_of)          # enforce all policies
+    restore_from_archive(spark, root, layer, d)  # the recovery path
+
+Scale design: layers are partitioned by ``ingest_date=``, so retention
+is *partition management* — expired data is dropped or moved a whole
+directory at a time, and the retained data is NEVER read or rewritten.
+At 100 TB that is the difference between an O(expired) metadata
+operation and an O(everything) table rewrite. Archived partitions land
+under ``archive/{layer}/year=/month=`` (the reference's bucket layout)
+via a write-then-delete two-phase move, so a crash mid-sweep leaves
+duplicates in the archive (idempotent to re-sweep), never data loss.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RetentionPolicy:
+    """One row of the reference's retention policy table."""
+
+    layer: str  # subdirectory under the warehouse root
+    retention_days: int
+    action: str  # 'delete' | 'archive'
+
+
+# docs/governance/retention_policies.md:22-31 — staging is permanent by
+# design (the DWH keeps full SCD2 history) and therefore has no policy.
+DEFAULT_POLICIES = (
+    RetentionPolicy("html", 15, "delete"),      # RETENTION_HTML_DAYS
+    RetentionPolicy("raw", 30, "archive"),      # raw_jobs 30-day HOT
+    RetentionPolicy("backups", 7, "delete"),    # pg/dwh backup windows
+)
+
+
+def _fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _list_date_partitions(spark: SparkSession, layer_path: str) -> list[str]:
+    """ingest_date values present as partition directories, sorted."""
+    fs, p = _fs(spark, layer_path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("ingest_date="):
+            out.append(name.split("=", 1)[1])
+    return sorted(out)
+
+
+def retention_sweep(
+    spark: SparkSession,
+    root: str,
+    as_of: date,
+    policies: tuple[RetentionPolicy, ...] = DEFAULT_POLICIES,
+) -> dict[str, dict]:
+    """Enforce every retention policy; returns a per-layer report.
+
+    For each policy, partitions with ``ingest_date < as_of -
+    retention_days`` are either deleted outright or moved into the
+    archive layer (read once, appended under year=/month=, source dir
+    deleted). Retained partitions are untouched — no read, no rewrite.
+    """
+    root = root.rstrip("/")
+    report: dict[str, dict] = {}
+    for pol in policies:
+        if pol.action not in ("delete", "archive"):
+            raise ValueError(f"unknown retention action {pol.action!r}")
+        layer_path = f"{root}/{pol.layer}"
+        cutoff = as_of - timedelta(days=pol.retention_days)
+        parts = _list_date_partitions(spark, layer_path)
+        expired = [d for d in parts if date.fromisoformat(d) < cutoff]
+        if pol.action == "archive" and expired:
+            frames = []
+            for d in expired:
+                day = date.fromisoformat(d)
+                frames.append(
+                    spark.read.parquet(f"{layer_path}/ingest_date={d}")
+                    .withColumn("ingest_date", F.lit(d))
+                    .withColumn("year", F.lit(day.year))
+                    .withColumn("month", F.lit(day.month))
+                )
+            archived = frames[0]
+            for f in frames[1:]:
+                archived = archived.unionByName(f)
+            # phase 1: append to the archive (reference bucket layout)
+            archived.write.mode("append").partitionBy("year", "month").parquet(
+                f"{root}/archive/{pol.layer}"
+            )
+        # phase 2: drop expired partition directories
+        fs, _ = _fs(spark, layer_path)
+        for d in expired:
+            _, dp = _fs(spark, f"{layer_path}/ingest_date={d}")
+            fs.delete(dp, True)
+        report[pol.layer] = {
+            "action": pol.action,
+            "cutoff": cutoff.isoformat(),
+            "kept_partitions": len(parts) - len(expired),
+            "swept_partitions": len(expired),
+        }
+    return report
+
+
+def load_archive(spark: SparkSession, root: str, layer: str) -> DataFrame | None:
+    """The archive side of a layer (None if nothing archived yet)."""
+    path = f"{root.rstrip('/')}/archive/{layer}"
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(path)
+
+
+def restore_from_archive(
+    spark: SparkSession, root: str, layer: str, dates: list[date]
+) -> int:
+    """Recovery path (reference restore_from_archive): copy the given
+    ingest dates back from the archive into live partitions. Returns
+    the number of rows restored."""
+    archive = load_archive(spark, root, layer)
+    if archive is None:
+        return 0
+    wanted = [d.isoformat() for d in dates]
+    subset = archive.filter(F.col("ingest_date").isin(wanted))
+    n = subset.count()
+    if n:
+        (
+            subset.drop("year", "month")
+            .write.mode("overwrite")
+            .partitionBy("ingest_date")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{root.rstrip('/')}/{layer}")
+        )
+    return n

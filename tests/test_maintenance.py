@@ -1,0 +1,93 @@
+"""Retention sweep over a multi-day layered store with mixed policies."""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_v2_spark.maintenance import (
+    RetentionPolicy,
+    load_archive,
+    restore_from_archive,
+    retention_sweep,
+)
+
+AS_OF = date(2026, 4, 20)
+POLICIES = (
+    RetentionPolicy("html", 15, "delete"),
+    RetentionPolicy("raw", 30, "archive"),
+)
+
+
+def _write_layer(spark, root, layer, days_ago_list, rows_per_day=10):
+    for days_ago in days_ago_list:
+        d = AS_OF - timedelta(days=days_ago)
+        df = spark.range(rows_per_day).select(
+            F.col("id"),
+            F.lit(f"{layer}-{d.isoformat()}").alias("payload"),
+        )
+        df.write.mode("overwrite").parquet(
+            f"{root}/{layer}/ingest_date={d.isoformat()}"
+        )
+
+
+@pytest.fixture()
+def layered_root(spark, tmp_path):
+    root = str(tmp_path)
+    # html: 3 fresh (≤15d), 2 expired
+    _write_layer(spark, root, "html", [1, 10, 14, 16, 40])
+    # raw: 2 fresh (≤30d), 3 expired spanning two months
+    _write_layer(spark, root, "raw", [5, 29, 31, 45, 75])
+    return root
+
+
+def test_sweep_mixed_policies(spark, layered_root):
+    report = retention_sweep(spark, layered_root, AS_OF, POLICIES)
+    assert report["html"] == {
+        "action": "delete", "cutoff": (AS_OF - timedelta(days=15)).isoformat(),
+        "kept_partitions": 3, "swept_partitions": 2,
+    }
+    assert report["raw"]["kept_partitions"] == 2
+    assert report["raw"]["swept_partitions"] == 3
+    # live layers hold only retained rows
+    html = spark.read.parquet(f"{layered_root}/html")
+    assert html.count() == 30
+    raw = spark.read.parquet(f"{layered_root}/raw")
+    assert raw.count() == 20
+    # html expired is gone for good; raw expired moved to the archive
+    assert load_archive(spark, layered_root, "html") is None
+    arch = load_archive(spark, layered_root, "raw")
+    assert arch.count() == 30
+    # archive carries the reference's year=/month= layout
+    months = {
+        (r["year"], r["month"])
+        for r in arch.select("year", "month").distinct().collect()
+    }
+    assert len(months) == 2
+
+
+def test_sweep_is_idempotent(spark, layered_root):
+    retention_sweep(spark, layered_root, AS_OF, POLICIES)
+    report2 = retention_sweep(spark, layered_root, AS_OF, POLICIES)
+    assert report2["html"]["swept_partitions"] == 0
+    assert report2["raw"]["swept_partitions"] == 0
+    assert load_archive(spark, layered_root, "raw").count() == 30
+
+
+def test_restore_from_archive(spark, layered_root):
+    retention_sweep(spark, layered_root, AS_OF, POLICIES)
+    lost_day = AS_OF - timedelta(days=45)
+    n = restore_from_archive(spark, layered_root, "raw", [lost_day])
+    assert n == 10
+    back = spark.read.parquet(f"{layered_root}/raw").filter(
+        F.col("ingest_date") == lost_day.isoformat()
+    )
+    assert back.count() == 10
+    # dynamic partition overwrite: the retained live partitions survive
+    assert spark.read.parquet(f"{layered_root}/raw").count() == 30
+    # restoring an unknown date is a no-op
+    assert restore_from_archive(
+        spark, layered_root, "raw", [AS_OF - timedelta(days=999)]
+    ) == 0
