@@ -183,3 +183,70 @@ def ivf_assign(
         .drop("__rn", "centroid")
         .withColumnRenamed("sim", "cell_sim")
     )
+
+
+def ivf_probe_cells(
+    query: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    vec_col: str = "__qv",
+) -> DataFrame:
+    """(query_id, cell_id, query vector): the ``nprobe`` closest cells
+    per query vector — the probe-list half of IVF search."""
+    c = F.broadcast(centroids.select("cell_id", "centroid"))
+    joined = query.crossJoin(c).withColumn(
+        "__csim",
+        _dot(vec_col, "centroid")
+        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("centroid", "centroid"))),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("__csim"), "cell_id")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell_id", vec_col)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """End-to-end IVF search: coarse-quantize the corpus, probe the
+    ``nprobe`` closest cells per query, exact-score only those cells'
+    members, top-k per query.
+
+    Cost per query ≈ corpus_size × nprobe / n_cells exact scorings
+    instead of corpus_size — the standard IVF recall/cost dial
+    (nprobe = n_cells degrades gracefully to exact brute force, which
+    is how the oracle gate pins this operator's semantics). The cell
+    join is an equi-join on cell_id: at scale, pre-partitioning the
+    assigned corpus by cell_id makes each probe touch only its cells'
+    partitions.
+    """
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    probes = ivf_probe_cells(
+        query.select("query_id", F.col(vec_col).alias("__qv")),
+        centroids,
+        nprobe,
+    )
+    cands = assigned.join(F.broadcast(probes), "cell_id")
+    scored = cands.withColumn(
+        "cosine_sim",
+        _dot(vec_col, "__qv")
+        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("__qv", "__qv"))),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select("query_id", id_col, "cosine_sim", F.col("__rank").alias("rank"))
+    )

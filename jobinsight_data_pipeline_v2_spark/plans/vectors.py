@@ -203,6 +203,81 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF end-to-end search, gated at nprobe = all cells (degrades to the
+# exact brute force, so the oracle is the plain top-k SQL — the
+# approximate nprobe<cells path is recall-tested in tests against this)
+# ---------------------------------------------------------------------------
+
+_IVF_QUERY_VEC = 1
+_IVF_K = 10
+
+
+@register(
+    "ivf_topk",
+    f"""
+    WITH q AS (
+        SELECT {_SQL_QVEC} AS qv FROM embeddings WHERE vec_id = {_IVF_QUERY_VEC}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               CAST({_sql_dot(_E_QVEC, 'q.qv')} AS DOUBLE)
+                   / (sqrt(CAST({_sql_dot(_E_QVEC, _E_QVEC)} AS DOUBLE))
+                      * sqrt(CAST({_sql_dot('q.qv', 'q.qv')} AS DOUBLE))) AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.vec_id != {_IVF_QUERY_VEC}
+    )
+    SELECT vec_id, label, cosine_sim,
+           CAST(row_number() OVER (ORDER BY cosine_sim DESC, vec_id)
+                AS INTEGER) AS rank
+    FROM scored
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT {_IVF_K}
+    """,
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search end-to-end (operators/similarity.ivf_topk): per-label
+    centroids as the coarse quantizer, probe list per query, exact
+    scoring of probed cells only, top-{_IVF_K}.
+
+    Gated with nprobe ≥ n_cells, where IVF degrades to exact brute
+    force — the oracle is therefore the plain exact top-k SQL and pins
+    the whole assign→probe→score→rank pipeline bit-exactly. The
+    approximate configuration (nprobe < cells) is recall-tested
+    against cosine_topk in tests/test_operators.py.
+    """
+    from ..operators.similarity import ivf_topk as ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", "label", F.expr(_QVEC).alias("embedding"))
+    cents = (
+        qe.select("label", F.posexplode("embedding").alias("pos", "c"))
+        .groupBy("label", "pos")
+        .agg((F.sum("c").cast("double") / F.count(F.lit(1))).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell_id"), "centroid")
+    )
+    corpus = qe.filter(F.col("vec_id") != _IVF_QUERY_VEC)
+    query = qe.filter(F.col("vec_id") == _IVF_QUERY_VEC).select(
+        F.lit(_IVF_QUERY_VEC).alias("query_id"), "embedding"
+    )
+    out = ivf_search(
+        corpus, cents, query, k=_IVF_K, nprobe=1_000_000  # ≥ n_cells → exact
+    )
+    labels = emb.select("vec_id", "label")
+    return (
+        labels.join(F.broadcast(out), "vec_id")
+        .select("vec_id", "label", "cosine_sim", "rank")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal binary-column plumbing (schema + hashing over bytes)
 # ---------------------------------------------------------------------------
 

@@ -28,6 +28,7 @@ from jobinsight_data_pipeline_v2_spark.operators.multimodal import (
 )
 from jobinsight_data_pipeline_v2_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
     lsh_topk,
 )
 from jobinsight_data_pipeline_v2_spark.quality import (
@@ -201,6 +202,48 @@ def test_lsh_topk_recall(spark):
     recall = len(ex & ap) / len(ex)
     # theory at cosine≈0.3 neighbors: ≈1-(1-0.6^4)^16 ≈ 0.89
     assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def _label_centroids_df(emb):
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "c"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("c").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell_id"), "centroid")
+    )
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = _label_centroids_df(emb).localCheckpoint()
+    n_cells = cents.count()
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, queries, k=10)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    # nprobe = all cells degrades to exact brute force — identical set
+    full = ivf_topk(emb, cents, queries, k=10, nprobe=n_cells)
+    assert {(r["query_id"], r["vec_id"]) for r in full.collect()} == ex
+    # The synthetic embeddings are near-random, so label cells carry
+    # little neighbor structure and recall grows ~linearly with nprobe
+    # (on clustered real data the curve saturates much earlier). Assert
+    # the dial's contract: monotone recall, ≥0.9 near the top.
+    def _recall(nprobe):
+        ap = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(emb, cents, queries, k=10, nprobe=nprobe).collect()
+        }
+        return len(ex & ap) / len(ex)
+
+    lo, mid, hi = _recall(2), _recall(n_cells // 2), _recall(n_cells - 1)
+    assert lo <= mid <= hi, f"recall not monotone in nprobe: {lo} {mid} {hi}"
+    assert hi >= 0.9, f"IVF recall too low at nprobe={n_cells - 1}: {hi}"
 
 
 # --- multimodal -----------------------------------------------------------
