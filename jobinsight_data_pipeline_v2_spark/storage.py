@@ -48,11 +48,36 @@ from .warehouse import WarehouseDay, empty_dim_location
 
 
 class WarehouseStorage:
-    """Parquet-backed warehouse state."""
+    """Parquet-backed warehouse state.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``bucketed=True`` additionally maintains catalog twins of the fact
+    and bridge tables bucketed (and bucket-sorted) by ``fact_id`` —
+    the engine's only big×big join key. The plain parquet snapshot
+    stays the committed source of truth (the two-phase swap protocol
+    is unchanged); the bucketed twins are refreshed from it after each
+    commit, paying the fact_id shuffle once at write time so every
+    subsequent fact⋈bridge join reads co-located buckets with zero
+    Exchange (asserted in tests/test_storage.py). ``load()`` then
+    serves fact/bridge from the catalog twins.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bucketed: bool = False,
+        n_buckets: int = 32,
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
+        self.bucketed = bucketed
+        self.n_buckets = n_buckets
+        # catalog names are session-global — scope them to this root
+        import hashlib
+
+        tok = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        self._fact_tbl = f"wh_{tok}_fact_bkt"
+        self._bridge_tbl = f"wh_{tok}_bridge_bkt"
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # --- paths ---
@@ -78,17 +103,23 @@ class WarehouseStorage:
         if not self._exists("dim_job"):
             return None
         sp = self.spark
+        if self.bucketed and sp.catalog.tableExists(self._fact_tbl):
+            fact = sp.table(self._fact_tbl)
+            bridge = sp.table(self._bridge_tbl)
+        else:
+            fact = sp.read.schema(FACT_JOB_POSTING_DAILY).parquet(
+                self._p("fact_job_posting_daily")
+            )
+            bridge = sp.read.schema(FACT_JOB_LOCATION_BRIDGE).parquet(
+                self._p("fact_job_location_bridge")
+            )
         return WarehouseDay(
             dim_job=sp.read.schema(DIM_JOB).parquet(self._p("dim_job")),
             dim_company=sp.read.schema(DIM_COMPANY).parquet(self._p("dim_company")),
             dim_location=sp.read.parquet(self._p("dim_location")),
             dim_date=sp.read.parquet(self._p("dim_date")),
-            fact=sp.read.schema(FACT_JOB_POSTING_DAILY).parquet(
-                self._p("fact_job_posting_daily")
-            ),
-            bridge=sp.read.schema(FACT_JOB_LOCATION_BRIDGE).parquet(
-                self._p("fact_job_location_bridge")
-            ),
+            fact=fact,
+            bridge=bridge,
         )
 
     # --- write ---
@@ -138,6 +169,29 @@ class WarehouseStorage:
             swaps.append((tmp, fact_path))
         for tmp, final in swaps:
             self._swap(tmp, final)
+        if self.bucketed:
+            self._refresh_bucketed()
+
+    def _refresh_bucketed(self) -> None:
+        """Rebuild the bucketed fact/bridge catalog twins from the
+        just-committed parquet snapshot. Runs after the swap phase, so
+        no in-flight plan still references the twins' old files."""
+        from .operators.bucketing import write_bucketed
+
+        sp = self.spark
+        fact = sp.read.schema(FACT_JOB_POSTING_DAILY).parquet(
+            self._p("fact_job_posting_daily")
+        )
+        bridge = sp.read.schema(FACT_JOB_LOCATION_BRIDGE).parquet(
+            self._p("fact_job_location_bridge")
+        )
+        for name, df, tbl in (
+            ("fact_bucketed", fact, self._fact_tbl),
+            ("bridge_bucketed", bridge, self._bridge_tbl),
+        ):
+            write_bucketed(
+                df, tbl, "fact_id", self.n_buckets, path=self._p(name)
+            )
 
     def _swap(self, tmp: str, final: str) -> None:
         """Commit one table: delete the old state, rename tmp into place.

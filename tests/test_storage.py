@@ -76,3 +76,43 @@ def test_storage_backed_daily_builds(spark, tmp_path):
     assert {r["city"] for r in w3.dim_location.collect()} >= {
         "Hà Nội", "Huế", "Đà Nẵng (mới)", "Unknown"
     }
+
+
+def test_bucketed_storage_colocated_fact_bridge_join(spark, tmp_path):
+    """bucketed=True: fact and bridge load as same-bucketed catalog
+    twins, so their fact_id join plans with zero Exchange."""
+    storage = WarehouseStorage(spark, str(tmp_path), bucketed=True, n_buckets=4)
+    d1 = date(2026, 6, 1)
+    run_daily_build(
+        spark, storage,
+        _raw(spark, d1, [
+            ("j1", "Dev A", "alpha", "10 triệu", ["Python"], "Hà Nội", "10"),
+            ("j2", "Dev B", "beta", "Thỏa thuận", ["SQL"], "Huế & Hà Nội", "4"),
+        ]),
+        d1, datetime(2026, 6, 1, 7),
+    )
+    d2 = d1 + timedelta(days=1)
+    w = run_daily_build(
+        spark, storage,
+        _raw(spark, d2, [("j3", "Dev C", "gamma", "Từ 20 triệu", ["Go"], "Đà Nẵng", "9")]),
+        d2, datetime(2026, 6, 2, 7),
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = w.fact.join(w.bridge, "fact_id")
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode)
+        assert "Exchange" not in plan, f"fact⋈bridge still shuffles:\n{plan}"
+        # identical results vs the plain parquet snapshot
+        plain_storage = WarehouseStorage(spark, str(tmp_path), bucketed=False)
+        pw = plain_storage.load()
+        plain = pw.fact.join(pw.bridge, "fact_id")
+        assert joined.count() == plain.count() > 0
+        sym = joined.exceptAll(plain).count() + plain.exceptAll(joined).count()
+        assert sym == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS {storage._fact_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {storage._bridge_tbl}")
