@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "minhash_lsh_candidates",
     "cosine_topk",
     "label_centroids",
+    # round 2 additions
+    "ivf_topk",  # gate config: nprobe=all (exact); upper bound of IVF cost
+    "etl_health_rollup",
 ]
 
 
