@@ -116,6 +116,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # methodology note: since round 2 queries drain through
+                # the noop sink (full plan: sorts, windows, every
+                # column). Round-1 numbers used count(), which let
+                # Catalyst prune work — not directly comparable.
+                "drain": "noop-full-plan",
             }
         )
     )

@@ -71,22 +71,33 @@ def _sql_avg(col: str) -> str:
 def monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-month stats: distinct counts + exact sums + conditional distinct.
 
-    Mirrors the reference's vw_monthly_stats (base_views.sql:63-74):
-    COUNT(DISTINCT job_sk), ROUND(AVG(salary)), COUNT(DISTINCT CASE
-    WHEN verified ...). Partial aggregation (map-side combine) + one
-    shuffle on the group key; no join.
+    Mirrors the reference's vw_monthly_stats (base_views.sql:63-74).
+    Written as a TWO-LEVEL aggregation instead of mixed distinct
+    aggregates: pre-aggregate per (month, custkey), then roll months
+    up. Mixed COUNT(DISTINCT a) + COUNT(DISTINCT CASE…) compile to an
+    Expand that multiplies every input row by the number of distinct
+    aggregates before the shuffle; the two-level form shuffles each
+    (month, custkey) combination once (map-side combined) and turns
+    both distincts into plain counts — strictly less shuffle volume at
+    any scale. Decimal partial sums re-sum exactly, so the oracle
+    (single-level SQL) hash-matches bit-for-bit.
     """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    per_cust = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        "o_custkey",
     ).agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
-        dec_sum("o_totalprice").alias("total_revenue"),
-        dec_avg("o_totalprice").alias("avg_order_value"),
-        F.countDistinct(
-            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
-        ).alias("n_customers_finished"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("rev"),
+        F.count("o_totalprice").alias("cntp"),
+        F.max(F.col("o_orderstatus") == "F").alias("has_f"),
+    )
+    return per_cust.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cnt").alias("n_orders"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+        (F.sum("rev").cast("double") / F.sum("cntp")).alias("avg_order_value"),
+        F.sum(F.col("has_f").cast("long")).alias("n_customers_finished"),
     )
 
 
@@ -186,25 +197,37 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     location bridge so jobs without locations still count
     (base_views.sql:145-146). COUNT(col) vs COUNT(*) semantics (nulls
     from the left join excluded) must match the oracle exactly.
+
+    Pre-aggregates orders per custkey BEFORE the customer join (the
+    top_customers trick): the fact table is shuffled once on its own
+    key with map-side combine, the join becomes dimension-sized, and
+    both distinct aggregates disappear (c_custkey is unique in
+    customer; o_orderkey is unique in orders — the unchanged
+    single-level oracle would catch any violation of either).
     """
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("rev"),
+        F.sum(
+            (F.col("o_orderpriority") == "1-URGENT").cast("long")
+        ).alias("urgent"),
+    )
     joined = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .join(per_cust, "c_custkey", "left")
     )
     return joined.groupBy(
         F.col("r_name").alias("region"), F.col("n_name").alias("nation")
     ).agg(
-        F.countDistinct("c_custkey").alias("n_customers"),
-        F.count("o_orderkey").alias("n_orders"),
-        dec_sum("o_totalprice").alias("total_revenue"),
-        F.countDistinct(
-            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_orderkey"))
-        ).alias("n_urgent"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.coalesce("cnt", F.lit(0))).alias("n_orders"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+        F.sum(F.coalesce("urgent", F.lit(0))).alias("n_urgent"),
     )
 
 
@@ -345,18 +368,28 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-day counts/sums incl. COUNT(DISTINCT CASE WHEN …) (SURVEY A6)."""
+    """Per-day counts/sums incl. COUNT(DISTINCT CASE WHEN …) (SURVEY A6).
+
+    Same two-level rewrite as monthly_stats: pre-aggregate per
+    (date, custkey) — no Expand, both distincts become plain counts,
+    decimal partials re-sum exactly against the single-level oracle.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+    per_cust = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_custkey",
     ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.countDistinct("o_custkey").alias("n_customers"),
-        dec_sum("o_totalprice").alias("revenue"),
-        dec_avg("o_totalprice").alias("avg_price"),
-        F.countDistinct(
-            F.when(F.col("o_totalprice") > 100000, F.col("o_custkey"))
-        ).alias("n_big_spenders"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("rev"),
+        F.count("o_totalprice").alias("cntp"),
+        F.max(F.col("o_totalprice") > 100000).alias("big"),
+    )
+    return per_cust.groupBy("order_date").agg(
+        F.sum("cnt").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").cast("double").alias("revenue"),
+        (F.sum("rev").cast("double") / F.sum("cntp")).alias("avg_price"),
+        F.sum(F.col("big").cast("long")).alias("n_big_spenders"),
     )
 
 
