@@ -174,14 +174,27 @@ def ivf_assign(
         _dot(vec_col, "centroid")
         / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("centroid", "centroid"))),
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), "cell_id")
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "centroid")
-        .withColumnRenamed("sim", "cell_sim")
+    # argmin as min(struct(-sim, cell_id, payload)): lexicographic
+    # struct-min picks highest sim, then lowest cell_id — the same row
+    # a row_number window would keep, but as a hash aggregate with
+    # map-side combine (no per-partition sort; the dedup_first
+    # rewrite). Negating sim instead of cell_id keeps cell ids free to
+    # be strings.
+    other = [col for col in df.columns if col != id_col]
+    best = joined.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("sim")).alias("__negsim"),
+                F.col("cell_id"),
+                *[F.col(col) for col in other],
+            )
+        ).alias("m")
+    )
+    return best.select(
+        id_col,
+        *[F.col(f"m.{col}").alias(col) for col in other],
+        F.col("m.cell_id").alias("cell_id"),
+        (-F.col("m.__negsim")).alias("cell_sim"),
     )
 
 

@@ -273,20 +273,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.expr(_TOKENS).alias("tokens"))
     n = _SHINGLE_N
-    shingles = (
+    # per-doc distinct shingle ARRAYS (array_distinct, narrow — no
+    # global DISTINCT shuffle); doc sizes become a narrow size() too
+    sh_arr = _materialize(
         toks.select(
             "doc_id",
-            F.explode(
+            F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, greatest(size(tokens) - {n} + 1, 0)), "
                     f"i -> array_join(slice(tokens, i, {n}), ' '))"
                 )
-            ).alias("shingle"),
+            ).alias("shingles"),
         )
-        .distinct()
     )
-    shingles = _materialize(shingles)
-    doc_sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    doc_sizes = sh_arr.select(
+        "doc_id", F.size("shingles").alias("n_shingles")
+    )
+    shingles = sh_arr.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
     rare = (
         shingles.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

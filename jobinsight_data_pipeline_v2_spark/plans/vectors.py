@@ -261,6 +261,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
         .select(F.col("label").alias("cell_id"), "centroid")
+        # consumed by both ivf_assign and ivf_probe_cells — materialize
+        # the explode+groupBy build once (cells × dims is tiny)
+        .localCheckpoint(eager=False)
     )
     corpus = qe.filter(F.col("vec_id") != _IVF_QUERY_VEC)
     query = qe.filter(F.col("vec_id") == _IVF_QUERY_VEC).select(
