@@ -697,3 +697,191 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing document fingerprints (rolling-hash k-gram minima)
+# ---------------------------------------------------------------------------
+#
+# The classic document-fingerprinting scheme (Schleimer/Wilkerson/
+# Aiken winnowing, SIGMOD'03): hash every token k-gram, slide a window
+# of w consecutive hashes, keep each window's minimum — a deterministic
+# ~2/(w+1) sample of the k-gram hashes that guarantees any shared run
+# of length >= k + w - 1 tokens contributes a shared fingerprint.
+# Entirely narrow per document (arrays + folds); the only shuffle is
+# the fingerprint join. Guard note: Spark's sequence(1, 0) counts DOWN
+# ([1,0]) while DuckDB's generate_series(1, 0) is empty — short docs
+# must be guarded with if() on the Spark side.
+
+_WIN_K = 3  # token k-grams
+_WIN_W = 4  # winnowing window (selects ~2/(w+1) of hashes)
+_WIN_MIN_SHARED = 2  # candidate pairs share at least this many prints
+
+
+@register(
+    "winnow_fingerprint_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ),
+    karr AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(tokens) - {_WIN_K} + 1),
+                   i -> ('0x' || substring(md5(
+                           list_aggregate(tokens[i : i + {_WIN_K} - 1],
+                                          'string_agg', ' ')), 1, 8))::BIGINT
+               ) AS hs
+        FROM toks
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(hs) - {_WIN_W} + 1),
+                   j -> list_min(hs[j : j + {_WIN_W} - 1])
+               )) AS prints
+        FROM karr
+    ),
+    exploded AS (
+        SELECT doc_id, unnest(prints) AS fp FROM fps
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared
+    FROM exploded a
+    JOIN exploded b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+    ORDER BY 1, 2
+    """,
+)
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints → candidate pairs sharing ≥{_WIN_MIN_SHARED}.
+
+    k-gram hash array and window minima are higher-order array folds —
+    zero shuffle until the fingerprint self-join, whose key (a 32-bit
+    md5 prefix) is uniformly distributed. Fingerprint density is the
+    w dial: storage ~2/(w+1) of k-gram count per document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("tokens"))
+    k, w = _WIN_K, _WIN_W
+    karr = toks.select(
+        "doc_id",
+        F.expr(
+            f"""
+            if(size(tokens) >= {k},
+               transform(sequence(1, size(tokens) - {k} + 1),
+                         i -> cast(conv(substring(md5(cast(
+                                  array_join(slice(tokens, i, {k}), ' ')
+                              as binary)), 1, 8), 16, 10) as bigint)),
+               cast(array() as array<bigint>))
+            """
+        ).alias("hs"),
+    )
+    fps = karr.select(
+        "doc_id",
+        F.expr(
+            f"""
+            if(size(hs) >= {w},
+               array_distinct(transform(sequence(1, size(hs) - {w} + 1),
+                              j -> array_min(slice(hs, j, {w})))),
+               cast(array() as array<bigint>))
+            """
+        ).alias("prints"),
+    )
+    exploded = _materialize(
+        fps.select("doc_id", F.explode("prints").alias("fp"))
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style regex pre-tokenizer statistics
+# ---------------------------------------------------------------------------
+#
+# token_histogram counts whitespace tokens; BPE corpus prep
+# pre-tokenizes with a regex that splits letter runs, digit runs, and
+# punctuation runs (the GPT-2 pre-tokenizer shape, simplified to the
+# subset whose semantics are identical in Java regex and RE2: literal
+# char-class ranges, no unicode property classes). À-ỹ covers the
+# precomposed Vietnamese range.
+
+_PRETOK_RE = r"[A-Za-zÀ-ỹ]+|[0-9]+|[^A-Za-z0-9À-ỹ\s]+"
+
+
+@register(
+    "regex_token_stats",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '{_PRETOK_RE}')) AS tok
+        FROM documents
+    ),
+    classed AS (
+        SELECT doc_id, tok,
+               CASE WHEN regexp_full_match(tok, '[0-9]+') THEN 'digits'
+                    WHEN regexp_full_match(tok, '[A-Za-zÀ-ỹ]+') THEN 'letters'
+                    ELSE 'punct' END AS token_class
+        FROM toks
+    )
+    SELECT token_class,
+           COUNT(*)                            AS n_tokens,
+           COUNT(DISTINCT tok)                 AS n_distinct,
+           COUNT(DISTINCT doc_id)              AS n_docs,
+           CAST(SUM(len(tok)) AS BIGINT)       AS total_chars,
+           CAST(SUM(len(tok)) AS BIGINT) / COUNT(*) AS avg_token_len
+    FROM classed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics under a BPE-style regex pre-tokenizer:
+    letter/digit/punctuation run classes with counts, vocabulary size,
+    document frequency, and mean token length.
+
+    regexp_extract_all is a narrow codegen'd op; one shuffle on the
+    (class, token) space for the distincts. The char-class-only regex
+    subset keeps Java regex (Spark) and RE2 (DuckDB) bit-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # NB: the pattern goes in as a lit() Column — inside a SQL string
+    # literal Spark would eat the backslash of \s
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(_PRETOK_RE), F.lit(0))
+        ).alias("tok"),
+    )
+    classed = toks.withColumn(
+        "token_class",
+        F.when(F.col("tok").rlike("^[0-9]+$"), "digits")
+        .when(F.col("tok").rlike("^[A-Za-zÀ-ỹ]+$"), "letters")
+        .otherwise("punct"),
+    )
+    return (
+        classed.groupBy("token_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.length("tok")).alias("total_chars"),
+            (
+                F.sum(F.length("tok")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_token_len"),
+        )
+        .orderBy("token_class")
+    )
