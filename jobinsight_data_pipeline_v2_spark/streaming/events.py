@@ -191,3 +191,47 @@ def running_user_stats(events: DataFrame, alert_total: float = 1000.0) -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def health_rollup_stream(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    fail_threshold: float = 400.0,
+) -> DataFrame:
+    """Windowed task-health rollup — the streaming twin of the
+    monitoring vw_etl_health shape (plans/events.etl_health_rollup):
+    per (window, task) run counts, success counts, exact duration sum,
+    and last-run timestamp, maintained incrementally.
+
+    The batch view's 7-day recency anchor doesn't stream (it re-reads
+    history); the streaming form is the standard tumbling-window
+    decomposition — dashboards sum the last 7 windows. Watermark
+    bounds state to active windows.
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            F.col("event_type").alias("task_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_runs"),
+            F.sum((F.col("value") < fail_threshold).cast("long")).alias(
+                "success_runs"
+            ),
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias(
+                "total_duration"
+            ),
+            F.max("ts").alias("last_run"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "task_id",
+            "total_runs",
+            "success_runs",
+            "total_duration",
+            "last_run",
+        )
+    )

@@ -104,3 +104,27 @@ def test_stateful_running_stats(spark, tmp_path):
     # alert fires at most once per user
     alerts = out.filter(F.col("alert").isNotNull()).groupBy("user_id").count()
     assert alerts.filter("count > 1").count() == 0
+
+
+def test_streaming_health_rollup_equals_batch(spark, tmp_path):
+    from jobinsight_data_pipeline_v2_spark.streaming.events import (
+        health_rollup_stream,
+    )
+
+    flat, ev = _stage_stream_files(spark, tmp_path)
+    stream = read_events_stream(spark, flat).drop("__b")
+    q = run_stream_to_memory(
+        spark, health_rollup_stream(stream), "health_test", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT window_start, task_id, total_runs, success_runs, "
+        "total_duration, last_run FROM health_test"
+    )
+    expected = health_rollup_stream(ev)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    # every event is a run in exactly one window
+    assert (
+        got.agg(F.sum("total_runs")).collect()[0][0] == ev.count()
+    )
