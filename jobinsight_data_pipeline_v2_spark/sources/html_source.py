@@ -376,3 +376,51 @@ def html_pages_to_raw_jobs(pages: DataFrame, crawled_at) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.mapInPandas(gen, schema=RAW_JOBS)
+
+
+# --- HTML blob layer (S12: page capture sink/source) ------------------------
+#
+# The reference backs up every crawled page to MinIO `jobinsight-raw`
+# for parse debugging, retained 15 days (retention_policies.md:40-58).
+# Here the capture layer is parquet binary blobs under
+# {root}/html/ingest_date=YYYY-MM-DD — the exact layer the default
+# RetentionPolicy("html", 15, "delete") in maintenance.py sweeps —
+# content-addressed with sha256 like every other binary payload in the
+# engine (operators/multimodal.py).
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def write_html_blobs(pages: DataFrame, root: str, as_of) -> None:
+    """Persist captured pages (columns: page_url, html string|binary)
+    as content-addressed binary blobs for one ingest date."""
+    payload = (
+        F.col("html").cast("binary")
+        if dict(pages.dtypes)["html"] == "string"
+        else F.col("html")
+    )
+    (
+        pages.select(
+            "page_url",
+            payload.alias("payload"),
+            F.sha2(payload, 256).alias("content_sha256"),
+            F.length(payload).alias("n_bytes"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{root.rstrip('/')}/html/ingest_date={as_of.isoformat()}")
+    )
+
+
+def read_html_blobs(spark: SparkSession, root: str, as_of) -> DataFrame:
+    """One day's captured pages (the parse-debugging source)."""
+    return spark.read.parquet(
+        f"{root.rstrip('/')}/html/ingest_date={as_of.isoformat()}"
+    )
+
+
+def blobs_to_raw_jobs(blobs: DataFrame, crawled_at) -> DataFrame:
+    """Captured blobs → RAW_JOBS rows (payload bytes → parser edge)."""
+    return html_pages_to_raw_jobs(
+        blobs.select(F.col("payload").alias("html")), crawled_at
+    )

@@ -140,3 +140,48 @@ def test_html_pages_feed_ingest_day(spark, tmp_path):
     assert float(got["7001"]["salary_min"]) == 25_000_000.0
     assert float(got["7001"]["salary_max"]) == 40_000_000.0
     assert got["7002"]["salary_type"] == "negotiable"
+
+
+def test_html_blob_layer_roundtrip_and_retention(spark, tmp_path):
+    from datetime import timedelta
+
+    from jobinsight_data_pipeline_v2_spark.maintenance import (
+        RetentionPolicy,
+        retention_sweep,
+    )
+    from jobinsight_data_pipeline_v2_spark.sources.html_source import (
+        blobs_to_raw_jobs,
+        read_html_blobs,
+        write_html_blobs,
+    )
+
+    root = str(tmp_path)
+    day = date(2026, 5, 4)
+    crawled = datetime(2026, 5, 4, 6, 0, 0)
+    pages = spark.createDataFrame(
+        [("https://x/1", PAGE_PRIMARY), ("https://x/2", PAGE_FALLBACK)],
+        "page_url string, html string",
+    )
+    write_html_blobs(pages, root, day)
+    # a stale capture partition beyond the 15-day policy
+    write_html_blobs(pages.limit(1), root, day - timedelta(days=20))
+
+    blobs = read_html_blobs(spark, root, day)
+    assert blobs.count() == 2
+    row = blobs.collect()[0]
+    assert len(row["content_sha256"]) == 64
+    assert row["n_bytes"] == len(row["payload"])
+    # blobs parse identically to the in-memory strings
+    from_blobs = {r["job_id"] for r in blobs_to_raw_jobs(blobs, crawled).collect()}
+    assert from_blobs == {"7001", "7002", "7003"}
+    # the default html retention policy sweeps the stale partition
+    report = retention_sweep(
+        spark, root, day, (RetentionPolicy("html", 15, "delete"),)
+    )
+    assert report["html"] == {
+        "action": "delete",
+        "cutoff": (day - timedelta(days=15)).isoformat(),
+        "kept_partitions": 1,
+        "swept_partitions": 1,
+    }
+    assert read_html_blobs(spark, root, day).count() == 2
