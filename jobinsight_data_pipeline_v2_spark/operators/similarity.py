@@ -167,12 +167,21 @@ def ivf_assign(
     centroids: (cell_id, centroid array). Broadcast + argmin over
     cosine — the coarse-quantizer half of an IVF index; search then
     probes only matching cells.
+
+    Norms are hoisted out of the cross join: dot(v, v) is constant per
+    row, so it is computed once per vector / once per centroid instead
+    of once per (vector, cell) pair — higher-order-function lambdas run
+    interpreted (outside whole-stage codegen), so every avoided
+    evaluation is real time. The output carries the row norm as
+    ``__norm`` so downstream scoring (ivf_topk) can reuse it.
     """
-    c = F.broadcast(centroids.select("cell_id", F.col("centroid")))
-    joined = df.crossJoin(c).withColumn(
-        "sim",
-        _dot(vec_col, "centroid")
-        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("centroid", "centroid"))),
+    c = F.broadcast(
+        centroids.select("cell_id", "centroid").withColumn(
+            "__cnorm", F.sqrt(_dot("centroid", "centroid"))
+        )
+    )
+    joined = with_norm(df, vec_col).crossJoin(c).withColumn(
+        "sim", _dot(vec_col, "centroid") / (F.col("__norm") * F.col("__cnorm"))
     )
     # argmin as min(struct(-sim, cell_id, payload)): lexicographic
     # struct-min picks highest sim, then lowest cell_id — the same row
@@ -180,7 +189,7 @@ def ivf_assign(
     # map-side combine (no per-partition sort; the dedup_first
     # rewrite). Negating sim instead of cell_id keeps cell ids free to
     # be strings.
-    other = [col for col in df.columns if col != id_col]
+    other = [col for col in df.columns if col != id_col] + ["__norm"]
     best = joined.groupBy(id_col).agg(
         F.min(
             F.struct(
@@ -204,13 +213,18 @@ def ivf_probe_cells(
     nprobe: int,
     vec_col: str = "__qv",
 ) -> DataFrame:
-    """(query_id, cell_id, query vector): the ``nprobe`` closest cells
-    per query vector — the probe-list half of IVF search."""
-    c = F.broadcast(centroids.select("cell_id", "centroid"))
-    joined = query.crossJoin(c).withColumn(
+    """(query_id, cell_id, query vector, query norm): the ``nprobe``
+    closest cells per query vector — the probe-list half of IVF search.
+    Norms hoisted out of the cross join (see ivf_assign)."""
+    c = F.broadcast(
+        centroids.select("cell_id", "centroid").withColumn(
+            "__cnorm", F.sqrt(_dot("centroid", "centroid"))
+        )
+    )
+    q = query.withColumn("__qnorm", F.sqrt(_dot(vec_col, vec_col)))
+    joined = q.crossJoin(c).withColumn(
         "__csim",
-        _dot(vec_col, "centroid")
-        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("centroid", "centroid"))),
+        _dot(vec_col, "centroid") / (F.col("__qnorm") * F.col("__cnorm")),
     )
     from pyspark.sql.window import Window
 
@@ -218,7 +232,7 @@ def ivf_probe_cells(
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "cell_id", vec_col)
+        .select("query_id", "cell_id", vec_col, "__qnorm")
     )
 
 
@@ -250,10 +264,11 @@ def ivf_topk(
         nprobe,
     )
     cands = assigned.join(F.broadcast(probes), "cell_id")
+    # __norm carried from ivf_assign, __qnorm from ivf_probe_cells —
+    # only the cross dot product is evaluated per candidate pair.
     scored = cands.withColumn(
         "cosine_sim",
-        _dot(vec_col, "__qv")
-        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("__qv", "__qv"))),
+        _dot(vec_col, "__qv") / (F.col("__norm") * F.col("__qnorm")),
     )
     from pyspark.sql.window import Window
 
