@@ -144,10 +144,20 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is semantics-preserving, hashes a long instead of 4 strings, and
     # shrinks the join input from |orders| to |customers| (1.6× at
     # sf0.1; the gap widens with fact size).
-    pre = orders.groupBy("o_custkey").agg(
-        F.countDistinct("o_orderkey").alias("order_count"),
-        dec_sum("o_totalprice").alias("total_spend"),
-        F.max("o_orderdate").alias("last_order_date"),
+    #
+    # COUNT(DISTINCT) as a two-level aggregate: mixing a distinct with
+    # plain aggs in one groupBy plans an Expand that doubles every row
+    # through the shuffle. Grouping on (custkey, orderkey) first makes
+    # the distinct a plain count, and decimal partial sums re-sum
+    # exactly.
+    lvl1 = orders.groupBy("o_custkey", "o_orderkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("__ts"),
+        F.max("o_orderdate").alias("__md"),
+    )
+    pre = lvl1.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum("__ts").cast("double").alias("total_spend"),
+        F.max("__md").alias("last_order_date"),
     )
     return (
         pre.join(F.broadcast(customer), pre.o_custkey == customer.c_custkey)

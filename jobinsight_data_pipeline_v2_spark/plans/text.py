@@ -274,14 +274,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.expr(_TOKENS).alias("tokens"))
     n = _SHINGLE_N
     # per-doc distinct shingle ARRAYS (array_distinct, narrow — no
-    # global DISTINCT shuffle); doc sizes become a narrow size() too
+    # global DISTINCT shuffle); doc sizes become a narrow size() too.
+    # The transform() lambda only slices token refs — the string join
+    # runs post-explode in a codegen'd top-level projection, keeping
+    # string allocation out of the interpreted lambda (CLAUDE.md rule
+    # 10). Distinct-on-token-arrays equals distinct-on-joined-strings
+    # because tokens cannot contain the ' ' separator.
     sh_arr = _materialize(
         toks.select(
             "doc_id",
             F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, greatest(size(tokens) - {n} + 1, 0)), "
-                    f"i -> array_join(slice(tokens, i, {n}), ' '))"
+                    f"i -> slice(tokens, i, {n}))"
                 )
             ).alias("shingles"),
         )
@@ -290,8 +295,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("shingles").alias("n_shingles")
     )
     shingles = sh_arr.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+        "doc_id", F.explode("shingles").alias("tri")
+    ).select("doc_id", F.array_join("tri", " ").alias("shingle"))
     rare = (
         shingles.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -418,26 +423,36 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.expr(_TOKENS).alias("tokens"))
     n = _SHINGLE_N
-    # Entirely narrow signature build: per-doc distinct shingles as an
-    # array (array_distinct — no global DISTINCT shuffle), one md5 per
-    # shingle into a hash array, then each signature is an array_min
-    # over a cheap affine remix of that array. First shuffle in the
-    # whole plan is the band self-join.
-    hashed = toks.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(tokens) - {n} + 1, 0)), "
-                    f"i -> array_join(slice(tokens, i, {n}), ' '))"
-                )
-            )
-        ).alias("shingle"),
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
+    # Entirely narrow signature build, arranged so the only lambda in
+    # the hot path is the position sequence: positions explode first,
+    # then shingle assembly (slice + array_join) and hashing run as
+    # top-level projections inside whole-stage codegen — building the
+    # shingle strings inside a transform() lambda evaluates them
+    # interpreted (CLAUDE.md rule 10) and was the profile floor here.
+    # No distinct pass: the signatures are MIN aggregates, which
+    # duplicate shingles cannot change (the oracle's DISTINCT CTE is
+    # equivalent for the same reason). First shuffle in the whole plan
+    # is the band self-join.
+    hashed = (
+        toks.select(
+            "doc_id",
+            "tokens",
+            F.explode(
+                F.expr(f"sequence(1, greatest(size(tokens) - {n} + 1, 0))")
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.col("tokens"), F.col("i"), n), " ").alias(
+                "shingle"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
     )
     sigs = hashed.groupBy("doc_id").agg(
         *[
