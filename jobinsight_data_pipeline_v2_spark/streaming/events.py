@@ -90,6 +90,28 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state — the streaming twin of
+    the batch exact-dedup (SURVEY U4 / plans/text.exact_dedup's
+    hash-groupBy shape).
+
+    dropDuplicatesWithinWatermark keeps a key's fingerprint only until
+    the watermark passes its event time, so state is O(keys per
+    watermark horizon), not O(stream length) — the difference between
+    a dedup that survives a month of 100 TB/day and one that OOMs on
+    day two. Duplicates arriving later than the horizon are dropped as
+    late data, which for a dedup is the same observable outcome.
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def read_events_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

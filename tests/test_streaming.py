@@ -106,6 +106,69 @@ def test_stateful_running_stats(spark, tmp_path):
     assert alerts.filter("count > 1").count() == 0
 
 
+def test_streaming_dedup_equals_distinct(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a stream where every event
+    appears twice (the duplicate in a later micro-batch) must emit the
+    distinct set, exactly once each."""
+    from jobinsight_data_pipeline_v2_spark.streaming.events import dedup_stream
+
+    ev = load_events(spark, SF)
+    flat = os.path.join(str(tmp_path), "flat")
+    os.makedirs(flat)
+    # drop 0: the events; drop 1: the same events again (full dup rows)
+    ev.coalesce(1).write.parquet(os.path.join(str(tmp_path), "d0"))
+    ev.coalesce(1).write.parquet(os.path.join(str(tmp_path), "d1"))
+    i = 0
+    for d in ("d0", "d1"):
+        for root, _, files in os.walk(os.path.join(str(tmp_path), d)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(root, f), os.path.join(flat, f"drop_{i}.parquet")
+                    )
+                    i += 1
+    stream = read_events_stream(spark, flat, max_files_per_trigger=1)
+    q = run_stream_to_memory(spark, dedup_stream(stream), "dedup_test")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_test")
+    assert got.count() == ev.count()  # each event exactly once
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_keyed_latest_sink_equals_batch(spark, tmp_path):
+    """foreachBatch newest-wins MERGE sink: after the stream drains, the
+    table equals the batch latest-per-key over all drops, independent of
+    micro-batch boundaries (drops are keyed by event_id mod, NOT time-
+    ordered — a last-batch-wins sink would fail this)."""
+    from jobinsight_data_pipeline_v2_spark.streaming.sinks import (
+        KeyedLatestSink,
+        latest_per_key,
+    )
+
+    flat, ev = _stage_stream_files(spark, tmp_path)
+    stream = read_events_stream(spark, flat, max_files_per_trigger=1).drop("__b")
+    sink = KeyedLatestSink(
+        os.path.join(str(tmp_path), "current_state"),
+        key="user_id",
+        order_cols=["ts", "event_id"],
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sink.read(spark)
+    expected = latest_per_key(ev, "user_id", ["ts", "event_id"])
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    # replay idempotency: re-merging any batch changes nothing
+    sink(ev.limit(50), batch_id=999)
+    again = sink.read(spark)
+    assert again.exceptAll(expected).count() + expected.exceptAll(again).count() == 0
+
+
 def test_streaming_health_rollup_equals_batch(spark, tmp_path):
     from jobinsight_data_pipeline_v2_spark.streaming.events import (
         health_rollup_stream,
