@@ -1,0 +1,308 @@
+"""Dataset-assembly operators: deterministic splits, stratified
+sampling, TF-IDF term ranking, embedding quantization.
+
+Net-new capability beyond the reference (training-data pipeline
+surface, SURVEY §7.2 phase 6 family): once a corpus is cleaned and
+deduplicated, a training pipeline still has to (a) carve train/val/test
+splits that are stable under reprocessing, (b) downsample strata to a
+budget, (c) rank terms for vocabulary/quality work, and (d) quantize
+embeddings for cheap storage/ANN. Each is expressed as a declarative
+DataFrame plan with a DuckDB oracle.
+
+Oracle-compatibility choices (CLAUDE.md rules):
+- All hashing is md5 over the decimal string of the id — identical
+  hex in both engines; the first 8 hex chars parsed as a 32-bit int
+  give a uniform bucket key.
+- SUMs over ints are cast to BIGINT on the DuckDB side (HUGEINT trap).
+- The only float ops are single divisions of exactly-representable
+  integers (tf/df) or IEEE double chains identical in both engines
+  (quantization); division happens last.
+
+Scale design (100 TB):
+- ``hash_split``: pure narrow map (hash of the row key) + one
+  aggregation — split membership is a function of the row, not of a
+  global sort or RNG state, so it is stable under retries, re-runs,
+  and incremental appends. This is the property a reprocessing-safe
+  split MUST have; `rand()`-based splits churn membership every run.
+- ``stratified_sample``: per-stratum top-N by hash order. The window
+  partitions on the stratum key; with few strata (5 langs here) the
+  sort parallelism equals the stratum count, which is fine when caps
+  are small (each partition sorts only its stratum). For huge strata,
+  raise parallelism by pre-filtering on the hash prefix (only rows
+  with bucket < ~2·cap/stratum_size survive to the sort) — noted
+  inline.
+- ``tfidf_top_terms``: two hash aggregations on high-cardinality keys
+  ((doc, term) then term) + a window partitioned by doc_id (millions
+  of partitions — scales). The document-frequency side is
+  vocabulary-sized and broadcast.
+- ``embed_quantize``: zero-shuffle narrow map over vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# deterministic hash split (train/val/test)
+# ---------------------------------------------------------------------------
+
+_TRAIN_PCT = 80
+_VAL_PCT = 10  # test = remainder
+
+# 32-bit int from the first 8 md5 hex chars of the id's decimal string
+_SQL_BUCKET = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+)
+
+
+def _bucket(col: str, mod: int) -> F.Column:
+    """Uniform [0, mod) bucket from md5 of the column's decimal string."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
+@register(
+    "hash_split",
+    f"""
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               CASE WHEN {_SQL_BUCKET} < {_TRAIN_PCT} THEN 'train'
+                    WHEN {_SQL_BUCKET} < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {_TRAIN_PCT}/{_VAL_PCT}/{100 - _TRAIN_PCT - _VAL_PCT}
+    train/val/test split audit: per (lang, split) doc counts + volume.
+
+    Membership = md5(doc_id) bucket — a pure function of the row.
+    Re-running the pipeline, retrying a task, or appending new docs
+    never moves an existing doc across splits (the failure mode of
+    rand()-based splits). Plan: narrow map + one aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket("doc_id", 100)
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            F.when(b < _TRAIN_PCT, "train")
+            .when(b < _TRAIN_PCT + _VAL_PCT, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified sample (per-stratum deterministic cap)
+# ---------------------------------------------------------------------------
+
+_STRATUM_CAP = 30
+
+
+@register(
+    "stratified_sample",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, rn, doc_id, n_chars
+    FROM ranked
+    WHERE rn <= {_STRATUM_CAP}
+    ORDER BY lang, rn
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted stratified sample: at most {_STRATUM_CAP} docs per
+    language, chosen by md5-hash order (deterministic, uniform, and
+    stable under reprocessing — same properties as hash_split).
+
+    The window sorts each stratum independently. With huge strata the
+    sort input should first be cut by the hash prefix (keep only
+    bucket < ~2·cap — a narrow filter that drops ~all rows before the
+    shuffle); at this corpus size the direct window is the simpler
+    exact plan. Ordering by (md5, doc_id) gives a total order (rule:
+    every row_number needs one).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(order_key, F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= _STRATUM_CAP)
+        .select("lang", "rn", "doc_id", "n_chars")
+        .orderBy("lang", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP_K = 3
+# tokenization shared with plans/text.py (single-space word soup)
+_TOKENS = "filter(split(text, ' '), t -> t != '')"
+_SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t != '')"
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    scored AS (
+        SELECT t.doc_id, t.token, t.tf, d.df,
+               CAST(t.tf AS DOUBLE) / d.df AS score,
+               row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.token
+               ) AS rn
+        FROM tf t JOIN df d USING (token)
+    )
+    SELECT doc_id, rn, token, tf, df, score
+    FROM scored
+    WHERE rn <= {_TFIDF_TOP_K}
+    ORDER BY doc_id, rn
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_TOP_K} most distinctive terms per document by
+    tf·(N/df) — ranked via the monotone-equivalent tf/df, an exact
+    single division of small ints (bit-identical in both engines;
+    log-idf would rank identically but make the emitted score depend
+    on libm).
+
+    Plan: explode → tf agg on (doc, term) → df agg on term (both
+    map-side combined) → broadcast the vocabulary-sized df table back
+    onto tf → per-doc window (doc_id partitions ≫ cores at scale).
+    Ties broken by term asc → total order per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            "token",
+            "tf",
+            "df",
+            score.alias("score"),
+        )
+        .filter(F.col("rn") <= _TFIDF_TOP_K)
+        .orderBy("doc_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization (int8-style, per-vector affine)
+# ---------------------------------------------------------------------------
+
+_Q_LEVELS = 254  # values land in [0, 254] → centered to [-127, 127]
+
+
+@register(
+    "embed_quantize",
+    f"""
+    WITH spans AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+               list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mx
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, mn, mx,
+               list_transform(
+                   v,
+                   x -> CAST(least(floor((x - mn) * {_Q_LEVELS}.0
+                                         / (mx - mn)), {_Q_LEVELS}.0)
+                             AS BIGINT) - 127
+               ) AS qv
+        FROM spans
+        WHERE mx > mn
+    )
+    SELECT vec_id, label,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8 quantization audit: q = clamp(floor(
+    (x−min)·{_Q_LEVELS}/(max−min))) − 127, emitting the per-vector
+    checksum/min/max of the quantized codes.
+
+    The double chain (sub, mul, div, floor) is the same IEEE sequence
+    in both engines → bit-identical codes. Constant-span vectors are
+    excluded (undefined scale). Plan: zero-shuffle narrow map; the
+    quantization lambda is cheap arithmetic only (heavy hashing in
+    HOF lambdas would drop out of codegen — CLAUDE.md rule 10; none
+    here).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = "transform(embedding, x -> cast(x as double))"
+    spans = emb.select(
+        "vec_id",
+        "label",
+        F.expr(v).alias("v"),
+        F.array_min(F.expr(v)).alias("mn"),
+        F.array_max(F.expr(v)).alias("mx"),
+    ).filter(F.col("mx") > F.col("mn"))
+    qv = (
+        f"transform(v, x -> cast(least(floor((x - mn) * {_Q_LEVELS}.0"
+        f" / (mx - mn)), {_Q_LEVELS}.0) as bigint) - 127)"
+    )
+    q = spans.select("vec_id", "label", F.expr(qv).alias("qv"))
+    return q.select(
+        "vec_id",
+        "label",
+        F.expr("aggregate(qv, 0L, (acc, x) -> acc + x)").alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    ).orderBy("vec_id")

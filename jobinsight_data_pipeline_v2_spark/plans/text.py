@@ -900,3 +900,106 @@ def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup connected components (cluster resolution over the Jaccard graph)
+# ---------------------------------------------------------------------------
+#
+# Candidate pairs are only half of near-dedup: a chain A~B, B~C must
+# collapse to ONE keeper (A), not two overlapping pairs. This gate
+# resolves the ngram_jaccard_pairs edge set into connected components
+# by min-label propagation (operators/dedup.component_min_labels) and
+# checks it against a DuckDB recursive-CTE transitive closure.
+
+
+@register(
+    "near_dup_components",
+    f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               list_aggregate(tokens[i : i + {_SHINGLE_N} - 1], 'string_agg', ' ')
+                   AS shingle
+        FROM toks, UNNEST(generate_series(1, len(tokens) - {_SHINGLE_N} + 1)) AS t(i)
+    ),
+    doc_sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY 1
+    ),
+    rare AS (
+        SELECT shingle FROM shingles GROUP BY 1
+        HAVING COUNT(*) <= {_MAX_SHINGLE_DF}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a
+        JOIN rare r ON a.shingle = r.shingle
+        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+        JOIN doc_sizes sb ON p.doc_b = sb.doc_id
+        WHERE CAST(p.n_common AS DOUBLE)
+                  / (sa.n_shingles + sb.n_shingles - p.n_common) >= {_JACCARD_MIN}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jac
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jac
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS id FROM edges
+    ),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    labels AS (
+        SELECT id, MIN(r) AS component FROM reach GROUP BY 1
+    )
+    SELECT l.id AS doc_id, l.component, (l.id = l.component) AS is_keeper,
+           c.n_members
+    FROM labels l
+    JOIN (SELECT component, COUNT(*) AS n_members FROM labels GROUP BY 1) c
+      USING (component)
+    ORDER BY 1
+    """,
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the Jaccard near-dup graph: every doc in
+    any qualifying pair gets its component's min doc_id as label, a
+    keeper flag, and the component size.
+
+    Spark side: iterative min-label propagation to a fixpoint
+    (operators/dedup.component_min_labels) — per round one join +
+    aggregation over the EDGE SET only (LSH/DF-capped, tiny vs the
+    corpus), rounds = cluster diameter (near-dup clusters are shallow).
+    This is the documented sanctioned driver-loop case (iterative
+    algorithm; the loop runs O(diameter) times, data never collects).
+    The oracle is a DuckDB recursive-CTE transitive closure — exact
+    same fixpoint, declaratively.
+    """
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    )
+    from ..operators.dedup import component_min_labels
+
+    labels = component_min_labels(edges)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("component"),
+            (F.col("id") == F.col("label")).alias("is_keeper"),
+            "n_members",
+        )
+        .orderBy("doc_id")
+    )

@@ -107,3 +107,64 @@ def test_events_single_exchange_per_key(spark, name):
         and "Exchange" in l and "hashpartitioning" in l
     )
     assert n_exchanges <= 2, f"{name}: too many exchanges\n{p}"
+
+
+def test_hash_split_is_narrow_plus_one_agg(spark):
+    """Split membership must be a pure row function: no window, no
+    join, no rand — one hash-aggregate pair over a narrow map is the
+    whole plan (stability under reprocessing depends on this)."""
+    p = _plan(spark, "hash_split")
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "rand" not in p.lower()
+    assert p.count("HashAggregate") <= 4  # partial+final (+AQE variants)
+
+
+def test_tfidf_df_side_broadcasts(spark):
+    """The vocabulary-sized document-frequency table must broadcast
+    back onto tf — shuffling the corpus-sized tf side on token twice
+    would double the dominant shuffle."""
+    p = _plan(spark, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_embed_quantize_zero_shuffle(spark):
+    """Quantization is per-row; any Exchange in this plan is a bug."""
+    p = _plan(spark, "embed_quantize")
+    # the only allowed exchange is the final presentation sort's range
+    # partitioning; quantization itself must not shuffle
+    tree = [l for l in p.splitlines() if "Exchange (" in l]
+    assert len(tree) <= 1
+    assert "hashpartitioning" not in p
+
+
+def test_stratified_sample_total_order(spark):
+    """Per-stratum row_number must ride a total order (md5, doc_id) —
+    ties would make the sample nondeterministic across retries."""
+    df = load_all()["stratified_sample"][0](spark, SF)
+    rows = df.collect()
+    again = df.collect()
+    assert rows == again
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.rn)
+    for lang, rns in by_lang.items():
+        assert rns == sorted(rns) and len(set(rns)) == len(rns), lang
+
+
+def test_near_dup_components_chain_collapses(spark):
+    """A~B, B~C with no A~C edge must still land all three docs in ONE
+    component labelled min(id) — the per-pair keeper bug the fixpoint
+    exists to prevent."""
+    from pyspark.sql import Row
+
+    from jobinsight_data_pipeline_v2_spark.operators.dedup import (
+        component_min_labels,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)]
+    )
+    got = {r.id: r.label for r in component_min_labels(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
