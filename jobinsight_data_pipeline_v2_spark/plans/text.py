@@ -221,6 +221,45 @@ _SHINGLE_N = 4  # word 4-grams
 _MAX_SHINGLE_DF = 40  # drop shingles present in more docs (stop-shingles)
 _JACCARD_MIN = 0.5
 
+# Overlapping word-4-grams in ONE regex pass: the scanner consumes the
+# separator before each token start (^ or a space) and captures the
+# next 4 tokens in a zero-width lookahead, so matches can overlap.
+# ~2× faster than explode(positions) → slice → array_join (measured at
+# sf0.1: 0.41s vs 0.79s for the hash subtree) because no per-position
+# token array is materialized. Equivalence with the token-slice form
+# holds for single-space-separated text — exactly this corpus's
+# declared tokenization (split on ' ', see _TOKENS); the
+# production-scale operator (operators/dedup.shingle) keeps the
+# general token-array form.
+_SHINGLE_RE = r"(?:^| )(?=((?:\S+ ){" + str(_SHINGLE_N - 1) + r"}\S+))"
+
+
+def _shingle_strings(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) with duplicates, one row per 4-gram position.
+
+    The pattern rides in as a lit() Column — inside a SQL string
+    literal Spark would eat the backslashes (CLAUDE.md rule 4).
+    """
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1))
+        ).alias("shingle"),
+    )
+
+
+# 60-bit shingle key from the md5 prefix: join/distinct on an 8-byte
+# long instead of a ~30-byte string (cheaper shuffle + comparisons).
+# 15 hex chars keep conv()'s unsigned decimal inside signed-long range;
+# collision odds at 60 bits are ~n²/2^61 — negligible for any realistic
+# shingle count per job, and the DuckDB oracle (which keeps string
+# keys) would surface one instantly as a hash mismatch.
+def _shingle_key(col: str) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    )
+
 
 @register(
     "ngram_jaccard_pairs",
@@ -271,23 +310,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.expr(_TOKENS).alias("tokens"))
-    n = _SHINGLE_N
-    # per-doc distinct shingle ARRAYS (array_distinct, narrow — no
-    # global DISTINCT shuffle); doc sizes become a narrow size() too.
-    # The transform() lambda only slices token refs — the string join
-    # runs post-explode in a codegen'd top-level projection, keeping
-    # string allocation out of the interpreted lambda (CLAUDE.md rule
-    # 10). Distinct-on-token-arrays equals distinct-on-joined-strings
-    # because tokens cannot contain the ' ' separator.
+    # Per-doc DISTINCT shingle arrays stay narrow (array_distinct — no
+    # global DISTINCT shuffle); shingle extraction is the one-pass
+    # regex scan (_SHINGLE_RE). All downstream grouping/joining runs
+    # on the 60-bit md5-prefix key (_shingle_key): the self-join
+    # shuffles 8-byte longs, not shingle strings. Distinct-on-strings
+    # equals distinct-on-keys absent 60-bit collisions (see
+    # _shingle_key note).
     sh_arr = _materialize(
-        toks.select(
+        docs.select(
             "doc_id",
             F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(tokens) - {n} + 1, 0)), "
-                    f"i -> slice(tokens, i, {n}))"
-                )
+                F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1))
             ).alias("shingles"),
         )
     )
@@ -295,20 +329,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("shingles").alias("n_shingles")
     )
     shingles = sh_arr.select(
-        "doc_id", F.explode("shingles").alias("tri")
-    ).select("doc_id", F.array_join("tri", " ").alias("shingle"))
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", _shingle_key("shingle").alias("sk"))
     rare = (
-        shingles.groupBy("shingle")
+        shingles.groupBy("sk")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("shingle")
+        .select("sk")
     )
-    a = shingles.join(rare, "shingle").alias("a")
+    a = shingles.join(rare, "sk").alias("a")
     b = shingles.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sk") == F.col("b.sk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -421,38 +455,21 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     production operator (operators/dedup.py) uses xxhash64.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.expr(_TOKENS).alias("tokens"))
-    n = _SHINGLE_N
-    # Entirely narrow signature build, arranged so the only lambda in
-    # the hot path is the position sequence: positions explode first,
-    # then shingle assembly (slice + array_join) and hashing run as
-    # top-level projections inside whole-stage codegen — building the
-    # shingle strings inside a transform() lambda evaluates them
-    # interpreted (CLAUDE.md rule 10) and was the profile floor here.
+    # Entirely narrow signature build: shingles come from the one-pass
+    # regex scan (_SHINGLE_RE — no token arrays, no slice/array_join;
+    # shingle assembly was the measured floor of this query), then
+    # hashing runs as a top-level projection inside whole-stage
+    # codegen (hashing in a transform() lambda would evaluate
+    # interpreted — CLAUDE.md rule 10).
     # No distinct pass: the signatures are MIN aggregates, which
     # duplicate shingles cannot change (the oracle's DISTINCT CTE is
     # equivalent for the same reason). First shuffle in the whole plan
     # is the band self-join.
-    hashed = (
-        toks.select(
-            "doc_id",
-            "tokens",
-            F.explode(
-                F.expr(f"sequence(1, greatest(size(tokens) - {n} + 1, 0))")
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            F.array_join(F.slice(F.col("tokens"), F.col("i"), n), " ").alias(
-                "shingle"
-            ),
-        )
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
-            .cast("long")
-            .alias("h"),
-        )
+    hashed = _shingle_strings(docs).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
     sigs = hashed.groupBy("doc_id").agg(
         *[
