@@ -17,6 +17,7 @@ performance path.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -56,8 +57,14 @@ BENCH_QUERIES = [
     "token_histogram",
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates",
+    "simhash_near_dups",
+    "winnow_fingerprint_pairs",
     "cosine_topk",
     "label_centroids",
+    "hash_split",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "embed_quantize",
     # round 2 additions
     "ivf_topk",  # gate config: nprobe=all (exact); upper bound of IVF cost
     "etl_health_rollup",
@@ -89,14 +96,22 @@ def main() -> None:
         df = registry[name][0](spark, sf_dir)
         drain(df)
         row_counts[name] = df.count()
+        del df
+        gc.collect()  # release localCheckpoint RDDs before the next query
 
     # Best-of-two measured passes: a single shared local JVM has GC /
     # listener noise that can triple a sub-second query; the min is the
     # stable steady-state signal.
+    # Checkpointed subtrees from one query must not linger into the
+    # next measurement: dropping the Python refs + gc lets Spark's
+    # ContextCleaner free executor storage promptly (measured: without
+    # this, checkpoint-heavy text queries read 2-3× slower late in the
+    # run than standalone).
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in BENCH_QUERIES:
             fn, _ = registry[name]
+            gc.collect()
             t0 = time.time()
             drain(fn(spark, sf_dir))
             dt = time.time() - t0

@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, spread
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -216,7 +216,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto tf → per-doc window (doc_id partitions ≫ cores at scale).
     Ties broken by term asc → total order per doc.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))

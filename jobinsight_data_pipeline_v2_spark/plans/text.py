@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, spread
 from . import register
 
 # shared tokenization: single-space split, drop empties
@@ -90,7 +90,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side, whole-stage-codegen'd, zero Python. Narrow plan: no
     shuffle at all; scales linearly with document count.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.withColumn("tokens", F.expr(_TOKENS))
     stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
     stats = toks.select(
@@ -151,7 +151,7 @@ def langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix against the labeled ``lang`` column. The heuristic (English
     function-word density ≥ 5%) is the classic cheap LID first pass of
     a training-data pipeline; confusion counts are exact integers."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
     scored = docs.select(
         "lang",
@@ -200,7 +200,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint → group, keep min doc_id (SURVEY north-star: exact
     dedup as hash-groupBy). One shuffle on the 128-bit fingerprint —
     uniformly distributed, so no skew at any scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     fp = docs.select(
         "doc_id",
         F.md5(
@@ -309,7 +309,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting over rare shingles only is the exact filtered semantics in
     both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # Per-doc DISTINCT shingle arrays stay narrow (array_distinct — no
     # global DISTINCT shuffle); shingle extraction is the one-pass
     # regex scan (_SHINGLE_RE). All downstream grouping/joining runs
@@ -454,7 +454,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, never O(docs²). md5 keeps the oracle bit-identical; the
     production operator (operators/dedup.py) uses xxhash64.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # Entirely narrow signature build: shingles come from the one-pass
     # regex scan (_SHINGLE_RE — no token arrays, no slice/array_join;
     # shingle assembly was the measured floor of this query), then
@@ -545,7 +545,7 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token counting: explode → count + document frequency →
     top-100. The vocabulary-statistics primitive behind BPE corpus
     prep; one shuffle on the token key."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
     return (
         toks.groupBy("token")
@@ -641,31 +641,29 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py, xxhash64 single-call hashing) is ~4× cheaper
     and property-tested against planted near-dups.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok_counts = (
-        docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # Vote per token OCCURRENCE (±1), not per distinct (doc, token)
+    # with ±cnt: the sums are identical, and skipping the pre-count
+    # drops a full docs×tokens shuffle — the only shuffle left is the
+    # per-doc vote aggregation, map-side combined to one row per doc.
     md5 = F.md5(F.col("token").cast("binary"))
-    hashed = tok_counts.select(
+    hashed = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("token")
+    ).select(
         "doc_id",
-        "cnt",
         F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("hi"),
         F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("lo"),
     )
     # One aggregation with 64 vote-sum columns instead of exploding 64
-    # bit-position rows per token: the shuffle stays at docs×tokens
-    # rows (map-side combined down to one row per doc), not 64× that.
+    # bit-position rows per token: the shuffle stays at one combined
+    # row per (partition, doc), not 64× the token count.
     def _bit(p: int) -> str:
         return f"(lo >> {p}) & 1" if p < 32 else f"(hi >> {p - 32}) & 1"
 
     sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.expr(_bit(p)) == 1, F.col("cnt")).otherwise(
-                    -F.col("cnt")
-                )
+                F.when(F.expr(_bit(p)) == 1, F.lit(1)).otherwise(F.lit(-1))
             ).alias(f"s{p}")
             for p in range(64)
         ]
@@ -687,19 +685,24 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp_hi"),
     )
-    banded = fps.select(
-        "doc_id",
-        "fp_lo",
-        "fp_hi",
-        F.explode(F.expr("sequence(0, 3)")).alias("band"),
-    ).withColumn(
-        "band_val",
-        F.expr(
-            "CASE WHEN band = 0 THEN fp_lo & 65535 "
-            "WHEN band = 1 THEN (fp_lo >> 16) & 65535 "
-            "WHEN band = 2 THEN fp_hi & 65535 "
-            "ELSE (fp_hi >> 16) & 65535 END"
-        ),
+    banded = _materialize(
+        fps.select(
+            "doc_id",
+            "fp_lo",
+            "fp_hi",
+            F.explode(F.expr("sequence(0, 3)")).alias("band"),
+        ).withColumn(
+            "band_val",
+            F.expr(
+                "CASE WHEN band = 0 THEN fp_lo & 65535 "
+                "WHEN band = 1 THEN (fp_lo >> 16) & 65535 "
+                "WHEN band = 2 THEN fp_hi & 65535 "
+                "ELSE (fp_hi >> 16) & 65535 END"
+            ),
+        )
+        # both self-join sides consume this subtree — materialize the
+        # whole vote/fingerprint pipeline once (rule: exchange reuse
+        # does not fire across differently-shaped consumers)
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -748,6 +751,9 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_K = 3  # token k-grams
 _WIN_W = 4  # winnowing window (selects ~2/(w+1) of hashes)
 _WIN_MIN_SHARED = 2  # candidate pairs share at least this many prints
+_WIN_MAX_FP_DF = 40  # drop fingerprints present in more docs
+# one-pass overlapping k-gram extraction (same device as _SHINGLE_RE)
+_WIN_KGRAM_RE = r"(?:^| )(?=((?:\S+ ){" + str(_WIN_K - 1) + r"}\S+))"
 
 
 @register(
@@ -776,10 +782,15 @@ _WIN_MIN_SHARED = 2  # candidate pairs share at least this many prints
     ),
     exploded AS (
         SELECT doc_id, unnest(prints) AS fp FROM fps
+    ),
+    rare AS (
+        SELECT fp FROM exploded GROUP BY 1
+        HAVING COUNT(*) <= {_WIN_MAX_FP_DF}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(*) AS n_shared
     FROM exploded a
+    JOIN rare r ON a.fp = r.fp
     JOIN exploded b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING COUNT(*) >= {_WIN_MIN_SHARED}
@@ -789,26 +800,40 @@ _WIN_MIN_SHARED = 2  # candidate pairs share at least this many prints
 def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints → candidate pairs sharing ≥{_WIN_MIN_SHARED}.
 
-    k-gram hash array and window minima are higher-order array folds —
-    zero shuffle until the fingerprint self-join, whose key (a 32-bit
-    md5 prefix) is uniformly distributed. Fingerprint density is the
-    w dial: storage ~2/(w+1) of k-gram count per document.
+    Two scale devices beyond the textbook scheme:
+
+    - k-gram hashing runs in WHOLE-STAGE CODEGEN: k-grams come from the
+      one-pass regex scan (posexplode keeps the position), md5 is a
+      top-level projection, and the ordered hash array is rebuilt with
+      one uniform groupBy(doc_id). The previous form hashed inside a
+      transform() lambda — interpreted, ~minutes at sf0.1 on the
+      single-split documents file (CLAUDE.md rule 10).
+    - stop-fingerprint cap (document frequency ≤ {_WIN_MAX_FP_DF}):
+      winnowing's min-selection is biased toward globally SMALL hash
+      values, so the smallest k-gram hashes become fingerprints of
+      nearly every doc containing them — a hot fingerprint shared by
+      d docs emits d² candidate pairs (measured: join never finished
+      at sf0.1). Ubiquitous fingerprints carry no discriminative
+      signal; dropping them is the same device as the Jaccard query's
+      stop-shingle cap, mirrored exactly in the oracle.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.expr(_TOKENS).alias("tokens"))
+    docs = spread(load_table(spark, sf_dir, "documents"))
     k, w = _WIN_K, _WIN_W
-    karr = toks.select(
+    kh = docs.select(
         "doc_id",
-        F.expr(
-            f"""
-            if(size(tokens) >= {k},
-               transform(sequence(1, size(tokens) - {k} + 1),
-                         i -> cast(conv(substring(md5(cast(
-                                  array_join(slice(tokens, i, {k}), ' ')
-                              as binary)), 1, 8), 16, 10) as bigint)),
-               cast(array() as array<bigint>))
-            """
-        ).alias("hs"),
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit(_WIN_KGRAM_RE), F.lit(1))
+        ).alias("pos", "kg"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("kg").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    karr = kh.groupBy("doc_id").agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, h))), s -> s.h)")
+        .alias("hs")
     )
     fps = karr.select(
         "doc_id",
@@ -824,7 +849,13 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = _materialize(
         fps.select("doc_id", F.explode("prints").alias("fp"))
     )
-    a = exploded.alias("a")
+    rare = (
+        exploded.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _WIN_MAX_FP_DF)
+        .select("fp")
+    )
+    a = exploded.join(rare, "fp").alias("a")
     b = exploded.alias("b")
     return (
         a.join(
@@ -889,7 +920,7 @@ def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (class, token) space for the distincts. The char-class-only regex
     subset keeps Java regex (Spark) and RE2 (DuckDB) bit-identical.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # NB: the pattern goes in as a lit() Column — inside a SQL string
     # literal Spark would eat the backslash of \s
     toks = docs.select(

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, spread
 from . import register
 
 _Q = 1_000_000  # quantization scale
@@ -82,7 +82,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape you want per-query at 100 TB (then batched for many queries
     via the same join).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     qv = (
         emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select(F.expr(_QVEC).alias("qv"))
@@ -133,7 +133,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed variant whose candidate set is validated against this
     output in tests.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     qe = emb.select(
         "vec_id",
         "label",
@@ -185,7 +185,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "update centroids" step of an IVF index build, done as one
     explode + groupBy. Components are quantized ints so sums are exact;
     the mean is one double division."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     comps = emb.select(
         "label",
         F.posexplode(F.expr(_QVEC)).alias("pos", "component"),
@@ -247,7 +247,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import ivf_topk as ivf_search
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     qe = emb.select("vec_id", "label", F.expr(_QVEC).alias("embedding"))
     cents = (
         qe.select("label", F.posexplode("embedding").alias("pos", "c"))
@@ -303,7 +303,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     image/audio payloads; decode/feature-extraction runs as Arrow-
     batched mapInPandas in operators/multimodal.py (stubbed decode,
     real plumbing)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     payload = F.encode("text", "UTF-8")
     return docs.select(
         "doc_id",

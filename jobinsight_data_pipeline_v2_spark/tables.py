@@ -54,6 +54,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin a skinny input across all cores — ONLY when the scan
+    produced fewer splits than the session's parallelism.
+
+    The local testdata tables are single-row-group parquet files, so
+    Spark hands the scan ONE input partition and every narrow stage
+    downstream — including CPU-heavy hashing over documents — runs on
+    a single core of 32 (measured ~8× on the MinHash signature build).
+    On a real cluster the input arrives in many splits and this is a
+    no-op (guarded by the partition count), so the exchange exists
+    only where it buys core-count parallelism. Use it on inputs whose
+    downstream per-row work is heavy (hashing, regex, vector folds);
+    plain scan→aggregate plans don't earn back the shuffle.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as timestamp_ntz (micros), matching DuckDB."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
