@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     # round 2 additions
     "ivf_topk",  # gate config: nprobe=all (exact); upper bound of IVF cost
     "etl_health_rollup",
+    "pii_scrub",
+    "repetition_stats",
+    "decontaminate",
 ]
 
 

@@ -33,6 +33,6 @@ def register(name: str, oracle: str | None):
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
     """Import every plan module so its @register calls run."""
-    from . import core, events, sampling, text, vectors  # noqa: F401
+    from . import core, curation, events, sampling, text, vectors  # noqa: F401
 
     return REGISTRY

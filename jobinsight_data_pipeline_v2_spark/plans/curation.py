@@ -1,0 +1,337 @@
+"""Corpus-curation operators: PII scrubbing, repetition quality,
+benchmark decontamination.
+
+Net-new capability beyond the reference (training-data pipeline
+surface): before a corpus reaches a trainer, a curation pass must
+(a) detect and redact PII spans, (b) score documents for degenerate
+repetition (the Gopher-style "fraction of duplicate n-grams" family),
+and (c) drop documents that leak evaluation benchmarks (n-gram
+overlap decontamination). Each is a declarative DataFrame plan with a
+DuckDB oracle.
+
+Inputs are the driver's own tables only: PII runs over deterministic
+profile strings derived from ``customer`` (whose ``c_phone`` is a real
+phone-shaped column); repetition and decontamination run over
+``documents``. The pseudo-benchmark is the deterministic slice
+``doc_id % 97 = 0`` — at sf0.01 it overlaps the corpus via the planted
+near-duplicates, so the operator's hit path is exercised, not just its
+zero path.
+
+Oracle-compatibility choices (CLAUDE.md rules):
+- regex patterns restrict to character classes + bounded repetition —
+  the subset where Java regex (Spark) and RE2 (DuckDB) agree; Spark
+  patterns ride in as ``F.lit`` columns (rule 4: SQL string literals
+  eat backslashes).
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all default.
+- all outputs are exact integers (counts, char deltas, int-division
+  buckets) — no float hash hazards; SUMs cast to BIGINT (HUGEINT trap).
+
+Scale design (100 TB):
+- ``pii_scrub``: pure narrow map (regex count + replace) + one
+  aggregation on a 5-value key — zero pre-agg shuffle, linear scan,
+  whole-stage codegen end to end.
+- ``repetition_stats``: shuffles are (doc, gram) → doc → bucket, each
+  strictly smaller than the last; gram keys are per-doc so no global
+  hot key exists. Map-side combine collapses the explode before any
+  exchange.
+- ``decontaminate``: the benchmark n-gram set is benchmark-sized
+  (thousands of docs), so it broadcasts; the corpus side is touched
+  once, linearly, with no corpus×corpus join anywhere. This is the
+  shape that survives a 100-TB corpus: cost is corpus-linear + one
+  tiny broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table, spread
+from . import register
+from .text import _SHINGLE_RE, _SQL_TOKENS
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction over customer-derived profile text
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9.#]+@[a-z0-9.]+\.[a-z]{2,}"
+_PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+# TPC-H-style phone synthesized deterministically from the keys (the
+# testdata customer table carries no c_phone): country code 10+nation,
+# then three custkey-derived groups. Engine-shared SQL — lpad / % /
+# || / CAST(... AS STRING) behave identically in Spark and DuckDB.
+_PHONE_SQL = (
+    "CAST(10 + c_nationkey AS STRING)"
+    " || '-' || lpad(CAST((c_custkey * 7) % 1000 AS STRING), 3, '0')"
+    " || '-' || lpad(CAST((c_custkey * 13) % 1000 AS STRING), 3, '0')"
+    " || '-' || lpad(CAST((c_custkey * 31) % 10000 AS STRING), 4, '0')"
+)
+
+# Deterministic profile text: every row carries a phone; an email
+# appears for custkey % 3 != 0 and a second phone mention for
+# custkey % 5 = 0 — so per-segment detection counts vary, not just
+# row counts.
+_PROFILE_SQL = (
+    "c_name"
+    " || CASE WHEN c_custkey % 3 != 0 THEN ' <' || lower(c_name) || '@'"
+    " || lower(c_mktsegment) || '.example.com>' ELSE '' END"
+    f" || ' tel ' || {_PHONE_SQL}"
+    f" || CASE WHEN c_custkey % 5 = 0 THEN ' alt ' || {_PHONE_SQL}"
+    " ELSE '' END || ' acct ' || c_mktsegment"
+)
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH profiles AS (
+        SELECT c_mktsegment AS segment, {_PROFILE_SQL} AS profile
+        FROM customer
+    ),
+    scrubbed AS (
+        SELECT segment,
+               profile,
+               len(regexp_extract_all(profile, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(profile, '{_PHONE_RE}')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(profile, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+        FROM profiles
+    )
+    SELECT segment,
+           COUNT(*) AS n_profiles,
+           CAST(SUM(n_emails) AS BIGINT) AS emails_found,
+           CAST(SUM(n_phones) AS BIGINT) AS phones_found,
+           CAST(SUM(length(profile) - length(redacted)) AS BIGINT)
+               AS removed_chars,
+           CAST(SUM(length(redacted)) AS BIGINT) AS redacted_chars
+    FROM scrubbed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact: emails and phone numbers per segment.
+
+    The curation primitive every released corpus needs: find PII spans
+    (here the two patterns with an exact cross-engine subset — email,
+    dashed phone), count them, and measure the redaction delta. The
+    whole pass is a narrow projection (regex count + nested
+    regexp_replace) feeding one tiny aggregation — no shuffle before
+    the 5-group agg, whole-stage codegen throughout, linear at any
+    corpus size.
+    """
+    cust = spread(load_table(spark, sf_dir, "customer"))
+    prof = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(_PROFILE_SQL).alias("profile"),
+    )
+    scrubbed = prof.select(
+        "segment",
+        "profile",
+        F.size(
+            F.regexp_extract_all("profile", F.lit(_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all("profile", F.lit(_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("profile", F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+            F.lit(_PHONE_RE),
+            F.lit("[PHONE]"),
+        ).alias("redacted"),
+    )
+    return (
+        scrubbed.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_profiles"),
+            F.sum("n_emails").cast("long").alias("emails_found"),
+            F.sum("n_phones").cast("long").alias("phones_found"),
+            F.sum(F.length("profile") - F.length("redacted"))
+            .cast("long")
+            .alias("removed_chars"),
+            F.sum(F.length("redacted")).cast("long").alias("redacted_chars"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality: duplicate-2-gram fraction histogram
+# ---------------------------------------------------------------------------
+
+_REP_GRAM_RE = r"(?:^| )(?=(\S+ \S+))"  # overlapping word 2-grams
+
+
+@register(
+    "repetition_stats",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_aggregate(tokens[i : i + 1], 'string_agg', ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(tokens) - 1)) AS t(i)
+    ),
+    cnts AS (
+        SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS dup_cnt
+        FROM cnts GROUP BY 1
+    )
+    SELECT CAST(LEAST(9, (10 * dup_cnt) // total) AS BIGINT) AS dup_decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(top_cnt) AS BIGINT) AS sum_top,
+           CAST(SUM(dup_cnt) AS BIGINT) AS sum_dup,
+           CAST(SUM(total) AS BIGINT) AS sum_total
+    FROM per_doc
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-2-gram repetition histogram (Gopher quality family).
+
+    Per doc: total 2-grams, the hottest 2-gram's count, and the count
+    of occurrences belonging to repeated 2-grams; docs bucket into
+    deciles of duplicate fraction via INTEGER division (``div`` /
+    ``//`` — exact in both engines, no float boundary hazard). The
+    corpus-scale repetition filter ("drop docs whose text loops")
+    reads its threshold straight off this histogram.
+
+    Shuffle ladder: (doc, gram) → doc → decile, each orders of
+    magnitude smaller than the last; gram keys never leave their doc
+    so there is no global hot key, and the explode is map-side
+    combined before the first exchange.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(_REP_GRAM_RE), F.lit(1))
+        ).alias("g"),
+    )
+    cnts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = cnts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.max("cnt").cast("long").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_cnt"),
+    )
+    return (
+        per_doc.select(
+            F.least(F.lit(9).cast("long"), F.expr("(10 * dup_cnt) div total"))
+            .cast("long")
+            .alias("dup_decile"),
+            "top_cnt",
+            "dup_cnt",
+            "total",
+        )
+        .groupBy("dup_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("top_cnt").cast("long").alias("sum_top"),
+            F.sum("dup_cnt").cast("long").alias("sum_dup"),
+            F.sum("total").cast("long").alias("sum_total"),
+        )
+        .orderBy("dup_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: 4-gram overlap vs a held-out benchmark set
+# ---------------------------------------------------------------------------
+
+_BENCH_MOD = 97  # pseudo-benchmark: doc_id % 97 = 0
+
+
+@register(
+    "decontaminate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               list_aggregate(tokens[i : i + 3], 'string_agg', ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(tokens) - 3)) AS t(i)
+    ),
+    bench AS (SELECT doc_id, g FROM grams WHERE doc_id % {_BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % {_BENCH_MOD} != 0),
+    hits AS (
+        SELECT b.doc_id,
+               COUNT(DISTINCT c.doc_id) AS n_contaminated,
+               COUNT(*) AS n_gram_hits
+        FROM bench b JOIN corpus c ON b.g = c.g
+        GROUP BY 1
+    )
+    SELECT d.doc_id AS bench_doc_id,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           COALESCE(h.n_gram_hits, 0) AS n_gram_hits
+    FROM (SELECT DISTINCT doc_id FROM documents
+          WHERE doc_id % {_BENCH_MOD} = 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    ORDER BY 1
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing word-4-grams with
+    a held-out benchmark slice (``doc_id % {_BENCH_MOD} = 0``).
+
+    Per benchmark doc: how many corpus docs share at least one 4-gram
+    (the standard n-gram-overlap contamination test) and how many
+    (bench-gram, corpus-doc) hits there are; zero rows are kept via
+    the left join so every benchmark doc reports. The planted
+    near-duplicates in ``documents`` make the hit path real at sf0.01.
+
+    Scale shape: the benchmark side is benchmark-sized, so its
+    distinct 4-gram set BROADCASTS; the corpus is scanned once,
+    linearly — there is no corpus-sized shuffle and no corpus×corpus
+    join, which is what keeps decontamination viable against a 100-TB
+    corpus (contrast with joining corpus grams against themselves).
+    Per-doc gram dedup is ``array_distinct`` inside the row (narrow),
+    not a global DISTINCT.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1))
+            )
+        ).alias("g"),
+    )
+    is_bench = (F.col("doc_id") % _BENCH_MOD) == 0
+    bench = grams.filter(is_bench)
+    corpus = grams.filter(~is_bench)
+    hits = (
+        corpus.join(
+            F.broadcast(bench.withColumnRenamed("doc_id", "bench_id")), "g"
+        )
+        .groupBy("bench_id")
+        .agg(
+            F.count_distinct("doc_id").alias("n_contaminated"),
+            F.count(F.lit(1)).alias("n_gram_hits"),
+        )
+    )
+    bench_ids = (
+        docs.filter(is_bench).select("doc_id").distinct()
+    )
+    return (
+        bench_ids.join(hits, bench_ids.doc_id == hits.bench_id, "left")
+        .select(
+            F.col("doc_id").alias("bench_doc_id"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce("n_gram_hits", F.lit(0)).alias("n_gram_hits"),
+        )
+        .orderBy("bench_doc_id")
+    )
