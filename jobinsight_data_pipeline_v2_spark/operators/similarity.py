@@ -156,6 +156,44 @@ def lsh_topk(
     )
 
 
+def _cells_index(centroids: DataFrame) -> DataFrame:
+    """Collapse the centroid table into a ONE-ROW broadcast index:
+    ``__cells`` = array<struct<cell_id, centroid, cnorm>>.
+
+    An IVF coarse quantizer is small by construction (hundreds to
+    thousands of cells); shipping it as one array-valued row lets
+    assignment and probing run as NARROW per-row projections — the
+    corpus is never shuffled and never row-expanded ×n_cells, which is
+    exactly how a quantizer index behaves on a real cluster (resident
+    on every executor, scanned per vector). collect_list order is
+    nondeterministic, but every consumer reduces over the array with
+    an order-independent argmin/sort, so results are stable.
+    """
+    return F.broadcast(
+        centroids.select(
+            F.struct(
+                F.col("cell_id"),
+                F.col("centroid"),
+                F.sqrt(_dot("centroid", "centroid")).alias("cnorm"),
+            ).alias("c")
+        ).agg(F.collect_list("c").alias("__cells"))
+    )
+
+
+def _best_cell(vec_col: str, norm_col: str) -> F.Column:
+    """struct(negsim, cell_id) of the nearest cell — array_min over the
+    broadcast index (min negsim = max sim, ties → smallest cell_id,
+    the same row the old window/min-struct formulations kept)."""
+    dot = _DOT.format(a=vec_col, b="c.centroid")
+    return F.expr(
+        f"""
+        array_min(transform(__cells, c -> struct(
+            -({dot}) / ({norm_col} * c.cnorm) AS negsim,
+            c.cell_id AS cell_id)))
+        """
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -164,46 +202,24 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF cell).
 
-    centroids: (cell_id, centroid array). Broadcast + argmin over
-    cosine — the coarse-quantizer half of an IVF index; search then
-    probes only matching cells.
-
-    Norms are hoisted out of the cross join: dot(v, v) is constant per
-    row, so it is computed once per vector / once per centroid instead
-    of once per (vector, cell) pair — higher-order-function lambdas run
-    interpreted (outside whole-stage codegen), so every avoided
-    evaluation is real time. The output carries the row norm as
-    ``__norm`` so downstream scoring (ivf_topk) can reuse it.
+    centroids: (cell_id, centroid array). The centroid set rides in as
+    a one-row broadcast array (_cells_index); assignment is then a
+    narrow argmin projection per corpus row — no shuffle, no ×n_cells
+    row expansion (the previous cross-join + min(struct) aggregate
+    paid both). The output carries the row norm as ``__norm`` so
+    downstream scoring (ivf_topk) can reuse it.
     """
-    c = F.broadcast(
-        centroids.select("cell_id", "centroid").withColumn(
-            "__cnorm", F.sqrt(_dot("centroid", "centroid"))
-        )
+    best = (
+        with_norm(df, vec_col)
+        .crossJoin(_cells_index(centroids))
+        .withColumn("__best", _best_cell(vec_col, "__norm"))
     )
-    joined = with_norm(df, vec_col).crossJoin(c).withColumn(
-        "sim", _dot(vec_col, "centroid") / (F.col("__norm") * F.col("__cnorm"))
-    )
-    # argmin as min(struct(-sim, cell_id, payload)): lexicographic
-    # struct-min picks highest sim, then lowest cell_id — the same row
-    # a row_number window would keep, but as a hash aggregate with
-    # map-side combine (no per-partition sort; the dedup_first
-    # rewrite). Negating sim instead of cell_id keeps cell ids free to
-    # be strings.
     other = [col for col in df.columns if col != id_col] + ["__norm"]
-    best = joined.groupBy(id_col).agg(
-        F.min(
-            F.struct(
-                (-F.col("sim")).alias("__negsim"),
-                F.col("cell_id"),
-                *[F.col(col) for col in other],
-            )
-        ).alias("m")
-    )
     return best.select(
         id_col,
-        *[F.col(f"m.{col}").alias(col) for col in other],
-        F.col("m.cell_id").alias("cell_id"),
-        (-F.col("m.__negsim")).alias("cell_sim"),
+        *other,
+        F.col("__best.cell_id").alias("cell_id"),
+        (-F.col("__best.negsim")).alias("cell_sim"),
     )
 
 
@@ -215,23 +231,35 @@ def ivf_probe_cells(
 ) -> DataFrame:
     """(query_id, cell_id, query vector, query norm): the ``nprobe``
     closest cells per query vector — the probe-list half of IVF search.
-    Norms hoisted out of the cross join (see ivf_assign)."""
-    c = F.broadcast(
-        centroids.select("cell_id", "centroid").withColumn(
-            "__cnorm", F.sqrt(_dot("centroid", "centroid"))
-        )
-    )
-    q = query.withColumn("__qnorm", F.sqrt(_dot(vec_col, vec_col)))
-    joined = q.crossJoin(c).withColumn(
-        "__csim",
-        _dot(vec_col, "centroid") / (F.col("__qnorm") * F.col("__cnorm")),
-    )
-    from pyspark.sql.window import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("__csim"), "cell_id")
+    One narrow projection per query row: sort the broadcast cell array
+    by (sim desc, cell_id), slice ``nprobe``, explode. array_sort on
+    struct(negsim, cell_id) reproduces the previous window ordering
+    exactly; slice past the array end returns the whole array, so
+    nprobe ≥ n_cells degrades to probing everything (the exactness
+    gate configuration).
+    """
+    dot = _DOT.format(a=vec_col, b="c.centroid")
+    q = query.withColumn("__qnorm", F.sqrt(_dot(vec_col, vec_col)))
     return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= nprobe)
+        q.crossJoin(_cells_index(centroids))
+        .select(
+            "query_id",
+            vec_col,
+            "__qnorm",
+            F.explode(
+                F.expr(
+                    f"""
+                    transform(
+                      slice(array_sort(transform(__cells, c -> struct(
+                                -({dot}) / (__qnorm * c.cnorm) AS negsim,
+                                c.cell_id AS cell_id))),
+                            1, {int(nprobe)}),
+                      s -> s.cell_id)
+                    """
+                )
+            ).alias("cell_id"),
+        )
         .select("query_id", "cell_id", vec_col, "__qnorm")
     )
 

@@ -162,6 +162,28 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _centroid_sums(vecs: DataFrame, vec_col: str) -> DataFrame:
+    """(label, n, sums): per-label vector count + elementwise bigint
+    sums, in ONE label-keyed aggregation.
+
+    collect_list + zip_with fold instead of posexplode + groupBy: the
+    shuffle moves one array per row, not one row per (row, dim), and
+    there is a single exchange. The fold is a cheap-arithmetic HOF
+    (CLAUDE.md rule 10 — no hashing inside the lambda). Empty-acc seed
+    avoids needing the dimension as a literal.
+    """
+    return vecs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(
+            F.collect_list(vec_col),
+            F.expr("cast(array() as array<bigint>)"),
+            lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
+                F.zip_with(acc, v, lambda a, b: a + b)
+            ),
+        ).alias("sums"),
+    )
+
+
 @register(
     "label_centroids",
     f"""
@@ -186,17 +208,18 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + groupBy. Components are quantized ints so sums are exact;
     the mean is one double division."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    comps = emb.select(
-        "label",
-        F.posexplode(F.expr(_QVEC)).alias("pos", "component"),
-    ).select("label", (F.col("pos") + 1).alias("dim_idx"), "component")
+    # One shuffle on label (2k rows), elementwise bigint fold, THEN
+    # unpivot the 64 dims: the previous posexplode-first form shuffled
+    # rows×dims (128k at sf0.1) through two aggregations. Sums of
+    # quantized ints via zip_with are exact in any order.
+    sums = _centroid_sums(emb.select("label", F.expr(_QVEC).alias("qv")), "qv")
     return (
-        comps.groupBy("label", "dim_idx")
-        .agg(
-            (F.sum("component").cast("double") / F.count(F.lit(1))).alias(
-                "centroid_component"
-            ),
-            F.count(F.lit(1)).alias("n_vectors"),
+        sums.select("label", "n", F.posexplode("sums").alias("pos", "s"))
+        .select(
+            "label",
+            (F.col("pos") + 1).alias("dim_idx"),
+            (F.col("s").cast("double") / F.col("n")).alias("centroid_component"),
+            F.col("n").alias("n_vectors"),
         )
         .orderBy("label", "dim_idx")
     )
@@ -250,19 +273,15 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     qe = emb.select("vec_id", "label", F.expr(_QVEC).alias("embedding"))
     cents = (
-        qe.select("label", F.posexplode("embedding").alias("pos", "c"))
-        .groupBy("label", "pos")
-        .agg((F.sum("c").cast("double") / F.count(F.lit(1))).alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("centroid")
+        _centroid_sums(qe.select("label", "embedding"), "embedding")
+        .select(
+            F.col("label").alias("cell_id"),
+            F.expr("transform(sums, s -> cast(s as double) / n)").alias(
+                "centroid"
+            ),
         )
-        .select(F.col("label").alias("cell_id"), "centroid")
         # consumed by both ivf_assign and ivf_probe_cells — materialize
-        # the explode+groupBy build once (cells × dims is tiny)
+        # the single-shuffle build once (cells × dims is tiny)
         .localCheckpoint(eager=False)
     )
     corpus = qe.filter(F.col("vec_id") != _IVF_QUERY_VEC)
