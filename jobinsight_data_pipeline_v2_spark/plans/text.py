@@ -41,6 +41,37 @@ _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
 
 
+def _cooccur_pairs(
+    df: DataFrame, key: str, id_col: str = "doc_id", max_df: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b): one row per shared key per ordered id pair.
+
+    Replaces the rare-filter + self-join tail (4 exchanges: df agg,
+    rare join, self-join shuffle of the b side, pair agg) with ONE
+    groupBy(key): collect the key's sorted id list, enforce the
+    document-frequency cap on its size (the same stop-key semantics),
+    and emit i<j combinations in-row. The combination fan-out is
+    bounded by max_df (≤ 40 ids → ≤ 780 pairs per key), so the
+    in-row expansion is exactly as skew-safe as the capped join it
+    replaces — and the ids arrive sorted, so doc_a < doc_b for free.
+    Callers still aggregate the emitted pairs (count per pair).
+    """
+    g = df.groupBy(key).agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    ).filter(F.size("ids") >= 2)
+    if max_df is not None:
+        g = g.filter(F.size("ids") <= max_df)
+    return g.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ids) - 2), i -> "
+                "transform(sequence(i + 1, size(ids) - 1), j -> "
+                "struct(ids[i] AS doc_a, ids[j] AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Materialize a multi-consumer subtree once (localCheckpoint).
 
@@ -331,21 +362,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = sh_arr.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).select("doc_id", _shingle_key("shingle").alias("sk"))
-    rare = (
-        shingles.groupBy("sk")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("sk")
-    )
-    a = shingles.join(rare, "sk").alias("a")
-    b = shingles.alias("b")
+    # stop-shingle cap + pair generation fused into one grouped pass
+    # (_cooccur_pairs): a shingle's doc list IS its document frequency,
+    # so the ≤ {_MAX_SHINGLE_DF} filter and the a⋈b self-join collapse
+    # into collect + in-row combinations.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.sk") == F.col("b.sk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _cooccur_pairs(shingles, "sk", max_df=_MAX_SHINGLE_DF)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = doc_sizes.alias("sa")
@@ -856,26 +879,13 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("prints"),
     )
-    exploded = _materialize(
-        fps.select("doc_id", F.explode("prints").alias("fp"))
-    )
-    rare = (
-        exploded.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _WIN_MAX_FP_DF)
-        .select("fp")
-    )
-    a = exploded.join(rare, "fp").alias("a")
-    b = exploded.alias("b")
+    exploded = fps.select("doc_id", F.explode("prints").alias("fp"))
+    # stop-fingerprint cap + self-join fused into one grouped pass
+    # (see _cooccur_pairs) — with a single consumer left, the explode
+    # subtree no longer needs a checkpoint.
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        _cooccur_pairs(exploded, "fp", max_df=_WIN_MAX_FP_DF)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
