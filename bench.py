@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "pii_scrub",
     "repetition_stats",
     "decontaminate",
+    # round 3 additions
+    "sequence_pack",
+    "chunk_documents",
 ]
 
 

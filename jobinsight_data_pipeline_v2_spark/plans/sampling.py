@@ -314,3 +314,155 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk into fixed-capacity training rows)
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512  # tokens per training sequence
+_PACK_SHARDS = 8  # independent packing streams
+
+_SQL_NTOK = f"len({{tokens}})"
+
+
+@register(
+    "sequence_pack",
+    f"""
+    WITH sized AS (
+        SELECT doc_id,
+               doc_id % {_PACK_SHARDS} AS shard,
+               CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    offsets AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS BIGINT) AS start_offset
+        FROM sized
+    )
+    SELECT shard,
+           start_offset // {_PACK_CAPACITY} AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM offsets
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out as a
+    token stream (doc_id order) and each doc is assigned to the
+    {_PACK_CAPACITY}-token training sequence its first token lands in
+    — the standard packing pass between a curated corpus and a
+    trainer, reported per pack (doc count, token fill, doc range).
+
+    Scale shape: packing is SHARDED (doc_id % {_PACK_SHARDS} here;
+    thousands of shards at fleet scale) so every prefix sum runs in an
+    independent window partition — there is no global single-partition
+    window (the W4 anti-pattern), and shards pack embarrassingly in
+    parallel exactly like per-worker packing streams in a real
+    trainer-feed job. Assignment is a pure function of (doc_id,
+    n_tokens) ordering, so reruns and retries are stable.
+    """
+    from .text import _TOKENS
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.expr(_TOKENS)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = sized.withColumn(
+        "start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return (
+        offsets.groupBy(
+            "shard",
+            (F.col("start_offset") / _PACK_CAPACITY).cast("long").alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-size token chunking with stride (context-window preparation)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tokens
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               tokens[s : s + {_CHUNK_TOKENS} - 1] AS chunk
+        FROM toks, UNNEST(generate_series(1, len(tokens), {_CHUNK_STRIDE})) AS t(s)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(list_aggregate(chunk, 'string_agg', ' ')) AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document becomes overlapping
+    {_CHUNK_TOKENS}-token chunks at stride {_CHUNK_STRIDE} (the
+    sliding-window prep for long-document training / retrieval
+    indexing), emitting per-chunk token counts and an md5 content hash.
+
+    Entirely NARROW: chunk starts come from a stride sequence, slices
+    never leave the row, and the md5 runs as a top-level projection on
+    the exploded chunk string (codegen — rule 10). No shuffle at all
+    except the presentation sort; linear in corpus size.
+    """
+    from .text import _TOKENS
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("tokens")).filter(
+        F.size("tokens") > 0
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"sequence(1, size(tokens), {_CHUNK_STRIDE})")
+        ).alias("chunk_idx", "s"),
+        F.col("tokens"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr(f"slice(tokens, s, {_CHUNK_TOKENS})").alias("chunk"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ").cast("binary")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

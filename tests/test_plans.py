@@ -168,3 +168,29 @@ def test_near_dup_components_chain_collapses(spark):
     )
     got = {r.id: r.label for r in component_min_labels(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_sequence_pack_sharded_window(spark):
+    """Packing prefix sums must run inside shard partitions — a global
+    (unpartitioned) window funnels every doc through one task at scale
+    (the W4 anti-pattern the fact build already outlawed)."""
+    p = _plan(spark, "sequence_pack")
+    assert "Exchange SinglePartition" not in p
+    assert "Window" in p
+    # the window's partition spec carries the shard key
+    window_lines = [l for l in p.splitlines() if "partitionBy" in l.lower() or "windowspecdefinition" in l.lower()]
+    assert any("shard" in l for l in window_lines), p
+
+
+def test_chunk_documents_narrow(spark):
+    """Chunking never shuffles except the presentation sort: chunk
+    starts, slices, and hashes all stay inside the row's task."""
+    p = _plan(spark, "chunk_documents")
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    n_hash_exchanges = sum(
+        1
+        for l in p.splitlines()
+        if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_exchanges == 0, p
