@@ -328,17 +328,23 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a global DISTINCT.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1))
-            )
-        ).alias("g"),
-    )
     is_bench = (F.col("doc_id") % _BENCH_MOD) == 0
-    bench = grams.filter(is_bench)
-    corpus = grams.filter(~is_bench)
+
+    def _grams(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1))
+                )
+            ).alias("g"),
+        )
+
+    # Membership filters run BEFORE shingling: the id predicate pushes
+    # to the scan, so the benchmark side regexes only its own slice
+    # instead of filtering a full-corpus gram stream per consumer.
+    bench = _grams(docs.filter(is_bench))
+    corpus = _grams(docs.filter(~is_bench))
     hits = (
         corpus.join(
             F.broadcast(bench.withColumnRenamed("doc_id", "bench_id")), "g"

@@ -47,28 +47,63 @@ _EVENTS_TS_EXPR = (
 )
 
 
+def _source_bytes(path: str) -> int | None:
+    """Total bytes under a local parquet path (file or directory);
+    None when the path isn't locally stat-able (object stores)."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            total = 0
+            for root, _, files in os.walk(path):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return total
+    except OSError:
+        return None
+    return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame with clean types."""
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = load_events(spark, sf_dir) if name == "events" else spark.read.parquet(path)
+    # Cheap split-count hint for spread() — avoids a driver-side
+    # plan→RDD conversion (~0.15s per query) just to learn the scan
+    # produced one split.
+    df._spread_src_bytes = _source_bytes(path)  # type: ignore[attr-defined]
+    return df
+
+
+# FileSourceScanExec's default split target; splits ≈ ceil(size / this).
+_MAX_PARTITION_BYTES = 128 << 20
 
 
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin a skinny input across all cores — ONLY when the scan
-    produced fewer splits than the session's parallelism.
+    produces fewer splits than the session's parallelism.
 
     The local testdata tables are single-row-group parquet files, so
     Spark hands the scan ONE input partition and every narrow stage
     downstream — including CPU-heavy hashing over documents — runs on
     a single core of 32 (measured ~8× on the MinHash signature build).
     On a real cluster the input arrives in many splits and this is a
-    no-op (guarded by the partition count), so the exchange exists
-    only where it buys core-count parallelism. Use it on inputs whose
-    downstream per-row work is heavy (hashing, regex, vector folds);
-    plain scan→aggregate plans don't earn back the shuffle.
+    no-op, so the exchange exists only where it buys core-count
+    parallelism. Use it on inputs whose downstream per-row work is
+    heavy (hashing, regex, vector folds); plain scan→aggregate plans
+    don't earn back the shuffle.
+
+    The split count is estimated from the source size when load_table
+    attached one (stat is free; converting the plan to an RDD to count
+    partitions costs ~0.15s of driver latency per query), falling back
+    to the exact RDD partition count otherwise.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    src = getattr(df, "_spread_src_bytes", None)
+    if src is not None:
+        est_splits = max(1, -(-src // _MAX_PARTITION_BYTES))
+        return df.repartition(n) if est_splits < n else df
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
