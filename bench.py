@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     # round 3 additions
     "sequence_pack",
     "chunk_documents",
+    "asof_join_purchases",
 ]
 
 

@@ -390,3 +390,91 @@ def etl_health_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("task_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (point-in-time join) — the classic operator Spark lacks
+# natively; expressed Spark-first as union + carry-forward window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_purchases",
+    """
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           v.event_id AS view_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY purchase_id
+    """,
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each purchase matched to the same
+    user's most recent view at-or-before the purchase instant.
+
+    Spark has no ASOF JOIN operator; the naive formulation (range
+    self-join + per-row max) explodes to every (purchase, earlier
+    view) pair before pruning. The scale-correct shape is a MERGE: tag
+    and union both streams, then one user-partitioned window carries
+    the last view forward (`last(..., ignoreNulls)` over rows
+    unbounded-preceding). One shuffle on user_id, per-user sort only —
+    linear in events, no pair blow-up, skew bounded by the hottest
+    user. Ties (view at the purchase's exact timestamp) match — views
+    sort before purchases at equal ts, mirroring ASOF's ``>=``; views
+    sharing (user, ts) are pre-deduped to the max event_id so both
+    engines pick the same row. The oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN, so the whole window formulation is pinned against a real
+    as-of implementation. Timestamps emit as epoch micros (bigint) —
+    exact in both engines (TIMESTAMP_NS render trap).
+    """
+    events = load_events(spark, sf_dir)
+    base = events.select("event_id", "user_id", "ts", "event_type")
+    views = (
+        base.filter(F.col("event_type") == "view")
+        # keep-max dedup as a hash aggregate (map-side combined, no
+        # per-partition sort — the dedup_first rewrite)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("event_id", "user_id", "ts", F.lit(0).alias("tag"))
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("tag")
+    )
+    merged = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "__last_view",
+        F.last(
+            F.when(F.col("tag") == 0, F.struct("ts", "event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        carried.filter(F.col("tag") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            us("ts").alias("purchase_us"),
+            F.col("__last_view.event_id").alias("view_id"),
+            (us("ts") - F.unix_micros(F.col("__last_view.ts").cast("timestamp"))).alias(
+                "gap_us"
+            ),
+        )
+        .orderBy("purchase_id")
+    )

@@ -257,3 +257,96 @@ def health_rollup_stream(
             "last_run",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming as-of join: purchases matched to the latest prior view,
+# state = per-user view frontier (the streaming twin of
+# plans/events.asof_join_purchases)
+# ---------------------------------------------------------------------------
+
+_ASOF_SCHEMA = StructType(
+    [
+        StructField("purchase_id", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("purchase_us", LongType(), True),
+        StructField("view_id", LongType(), True),
+        StructField("gap_us", LongType(), True),
+    ]
+)
+
+_ASOF_STATE = "view_us LONG, view_id LONG"
+
+
+def asof_stream(events: DataFrame) -> DataFrame:
+    """Streaming as-of join: each purchase emits the same user's most
+    recent view at-or-before it.
+
+    Per user the state is just the view FRONTIER (latest view's
+    timestamp + id — two scalars, O(users) total state, never a
+    buffer of history). Each micro-batch seeds the frontier into the
+    batch's view set and matches purchases with a vectorized
+    ``pandas.merge_asof`` (backward search, exact matches allowed —
+    the same ``ts >= view_ts`` tie rule as the batch twin; views
+    sorted by (ts, id) so equal-timestamp views resolve to the max
+    id). Assumes per-key time-ordered arrival across micro-batches
+    (the guarantee a user-keyed Kafka partition provides); within a
+    batch, ordering is enforced by the sort.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        v_us, v_id = state.get if state.exists else (None, None)
+        batches = [pdf for pdf in pdfs]
+        pdf = pd.concat(batches, ignore_index=True)
+        views = pdf[pdf["event_type"] == "view"][["us", "event_id"]]
+        if v_us is not None:
+            views = pd.concat(
+                [pd.DataFrame({"us": [v_us], "event_id": [v_id]}), views],
+                ignore_index=True,
+            )
+        views = views.sort_values(["us", "event_id"]).rename(
+            columns={"event_id": "view_id", "us": "view_us"}
+        )
+        purchases = (
+            pdf[pdf["event_type"] == "purchase"][["us", "event_id"]]
+            .sort_values(["us", "event_id"])
+            .rename(columns={"event_id": "purchase_id"})
+        )
+        if len(views):
+            last = views.iloc[-1]
+            state.update((int(last["view_us"]), int(last["view_id"])))
+        if not len(purchases):
+            return
+        matched = pd.merge_asof(
+            purchases,
+            views,
+            left_on="us",
+            right_on="view_us",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        yield pd.DataFrame(
+            {
+                "purchase_id": matched["purchase_id"].astype("int64"),
+                "user_id": user_id,
+                "purchase_us": matched["us"].astype("int64"),
+                "view_id": matched["view_id"].astype("Int64"),
+                "gap_us": (matched["us"] - matched["view_us"]).astype("Int64"),
+            }
+        )
+
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("us", F.unix_micros("ts"))
+        .select("user_id", "event_id", "event_type", "us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_ASOF_SCHEMA,
+            stateStructType=_ASOF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

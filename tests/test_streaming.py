@@ -191,3 +191,45 @@ def test_streaming_health_rollup_equals_batch(spark, tmp_path):
     assert (
         got.agg(F.sum("total_runs")).collect()[0][0] == ev.count()
     )
+
+
+def test_streaming_asof_equals_batch(spark, tmp_path):
+    """Stateful streaming as-of join: with per-key time-ordered drops
+    (the Kafka-partition guarantee it documents), the union of emitted
+    matches must equal the batch as-of gate exactly."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.events import asof_stream
+
+    ev = load_events(spark, SF)
+    # three time-ordered drops: rank by ts, cut into thirds
+    src = os.path.join(str(tmp_path), "asof_flat")
+    os.makedirs(src)
+    rows = ev.count()
+    per = rows // 3 + 1
+    from pyspark.sql.window import Window as W
+
+    ranked = ev.withColumn(
+        "__rk", F.row_number().over(W.orderBy("ts", "event_id"))
+    ).withColumn("__b", ((F.col("__rk") - 1) / per).cast("int"))
+    for b in range(3):
+        part = ranked.filter(F.col("__b") == b).drop("__rk", "__b")
+        d = os.path.join(str(tmp_path), f"asof_d{b}")
+        part.coalesce(1).write.parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, f"drop_{b}.parquet")
+                    os.rename(os.path.join(root, f), dst)
+                    t = time.time() + b  # strictly increasing mtimes
+                    os.utime(dst, (t, t))
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = run_stream_to_memory(spark, asof_stream(stream), "asof_test")
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT purchase_id, user_id, purchase_us, view_id, gap_us FROM asof_test"
+    )
+    expected = load_all()["asof_join_purchases"][0](spark, SF)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
