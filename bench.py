@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "sequence_pack",
     "chunk_documents",
     "asof_join_purchases",
+    "range_join_windows",
 ]
 
 

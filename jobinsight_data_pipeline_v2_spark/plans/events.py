@@ -478,3 +478,135 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# range (interval-containment) join via grid bucketing — the second
+# classic operator Spark lacks natively (with as-of above)
+# ---------------------------------------------------------------------------
+
+_RJ_FIRST_DAY = "2024-01-01"
+_RJ_LAST_DAY = "2024-01-30"
+# two daily maintenance windows, minute offsets from midnight (chosen
+# off the hour grid so containment is a real residual predicate)
+_RJ_SLOTS = ((0, 90, 225), (1, 795, 960))
+_US_PER_MIN = 60_000_000
+_US_PER_HOUR = 3_600_000_000
+
+_SQL_RJ_SLOTS = ", ".join(f"({s}, {a}, {b})" for s, a, b in _RJ_SLOTS)
+
+
+@register(
+    "range_join_windows",
+    f"""
+    WITH days AS (
+        SELECT CAST(d AS DATE) AS day
+        FROM UNNEST(generate_series(DATE '{_RJ_FIRST_DAY}',
+                                    DATE '{_RJ_LAST_DAY}',
+                                    INTERVAL 1 DAY)) AS t(d)
+    ),
+    wins AS (
+        SELECT CAST(date_diff('day', DATE '{_RJ_FIRST_DAY}', day) * 2 + s.slot
+                    AS BIGINT) AS window_id,
+               epoch_us(CAST(day AS TIMESTAMP))
+                   + CAST(s.start_min AS BIGINT) * {_US_PER_MIN} AS start_us,
+               epoch_us(CAST(day AS TIMESTAMP))
+                   + CAST(s.end_min AS BIGINT) * {_US_PER_MIN} AS end_us
+        FROM days, (VALUES {_SQL_RJ_SLOTS}) AS s(slot, start_min, end_min)
+    ),
+    ev AS (SELECT epoch_us(ts) AS us, user_id, value FROM events)
+    SELECT w.window_id,
+           CAST(w.start_us AS BIGINT) AS start_us,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           {_sql_sum('e.value')} AS total_value
+    FROM wins w JOIN ev e ON e.us >= w.start_us AND e.us < w.end_us
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events contained in maintenance-window intervals,
+    aggregated per window.
+
+    A naive interval join is a cross product with a residual filter —
+    O(events × windows) comparisons that no equi-join machinery helps
+    with. The scale shape is GRID BUCKETING: quantize time into hour
+    cells, explode each interval to the cells it overlaps (intervals
+    are short, so a handful of rows each), and equi-join events to
+    window-cells on the cell key with the containment predicate left
+    as a residual. The comparison count drops from events × windows to
+    events × windows-per-cell (~1 here), the join is broadcast (the
+    window side stays interval-table-sized), and the event stream is
+    touched once — the same plan Databricks' range-join hints build.
+    Distinct users via a two-level aggregate (no Expand); an event
+    matches at most one window, so the pre-aggregation is exact.
+    """
+    events = load_events(spark, sf_dir)
+    day = F.explode(
+        F.expr(
+            f"sequence(to_date('{_RJ_FIRST_DAY}'), to_date('{_RJ_LAST_DAY}'))"
+        )
+    ).alias("day")
+    slots = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("slot"),
+                    F.lit(a).alias("start_min"),
+                    F.lit(b).alias("end_min"),
+                )
+                for s, a, b in _RJ_SLOTS
+            ]
+        )
+    ).alias("s")
+    midnight_us = F.unix_micros(F.col("day").cast("timestamp"))
+    wins = (
+        spark.range(1)
+        .select(day)
+        .select("day", slots)
+        .select(
+            (
+                F.datediff("day", F.lit(_RJ_FIRST_DAY).cast("date")) * 2
+                + F.col("s.slot")
+            )
+            .cast("long")
+            .alias("window_id"),
+            (
+                midnight_us + F.col("s.start_min").cast("long") * _US_PER_MIN
+            ).alias("start_us"),
+            (
+                midnight_us + F.col("s.end_min").cast("long") * _US_PER_MIN
+            ).alias("end_us"),
+        )
+    )
+    win_cells = wins.withColumn(
+        "cell",
+        F.explode(
+            F.expr(
+                f"sequence(start_us div {_US_PER_HOUR}, "
+                f"(end_us - 1) div {_US_PER_HOUR})"
+            )
+        ),
+    )
+    ev = events.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "user_id",
+        "value",
+    ).withColumn("cell", F.expr(f"us div {_US_PER_HOUR}"))
+    joined = ev.join(F.broadcast(win_cells), "cell").filter(
+        (F.col("us") >= F.col("start_us")) & (F.col("us") < F.col("end_us"))
+    )
+    lvl1 = joined.groupBy("window_id", "start_us", "user_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("value").cast("decimal(20,2)")).alias("v"),
+    )
+    return (
+        lvl1.groupBy("window_id", "start_us")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .orderBy("window_id")
+    )
