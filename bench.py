@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "asof_join_purchases",
     "range_join_windows",
+    "hourly_to_daily_rollup",
 ]
 
 

@@ -610,3 +610,62 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# continuous-aggregate rollup: the daily tier derives from the HOURLY
+# pre-aggregate, never from raw events (hypertable rollup family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_to_daily_rollup",
+    f"""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(20,2))) AS v
+        FROM events
+        GROUP BY 1
+    )
+    SELECT strftime(CAST(date_trunc('day', h) AS DATE), '%Y-%m-%d') AS day,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS peak_hour_events,
+           COUNT(*) AS active_hours,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM hourly
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def hourly_to_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: daily stats computed FROM the
+    hourly aggregate (sums of sums, max of hourly counts, active-hour
+    counts), not from raw events — the timeseries-db "hypertable
+    rollup" pattern. At 100 TB the hourly tier is what's persisted
+    (events:hours is a ~10⁴× reduction); every coarser tier reads it,
+    so a day's rollup touches 24 rows instead of millions. Decimal
+    partial sums re-sum exactly, so the two-level total is
+    bit-identical to a single-level one. Distinct-user counts don't
+    re-aggregate and are deliberately absent — at scale that column
+    is an HLL sketch merge (operators/skew.py drop-ins).
+    """
+    events = load_events(spark, sf_dir)
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,2)")).alias("v"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("peak_hour_events"),
+            F.count(F.lit(1)).alias("active_hours"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .orderBy("day")
+    )
