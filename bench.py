@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "asof_join_purchases",
     "range_join_windows",
     "hourly_to_daily_rollup",
+    "cosine_topk_batch",
 ]
 
 

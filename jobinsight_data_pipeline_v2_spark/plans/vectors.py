@@ -330,3 +330,86 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(payload, 256).alias("content_sha256"),
         F.col("source").alias("media_source"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# batched exact top-k: many query vectors in one corpus scan (the
+# serving shape of operators/similarity.cosine_topk)
+# ---------------------------------------------------------------------------
+
+_BATCH_QUERY_MOD = 401  # query batch: vec_id % 401 = 0 (~5 queries at sf0.1)
+_BATCH_K = 5
+
+
+@register(
+    "cosine_topk_batch",
+    f"""
+    WITH qe AS (
+        SELECT vec_id, {_SQL_QVEC} AS qv,
+               sqrt(CAST({_sql_dot(_SQL_QVEC, _SQL_QVEC)} AS DOUBLE)) AS norm
+        FROM embeddings
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, qv AS q, norm AS qnorm FROM qe
+        WHERE vec_id % {_BATCH_QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST({_sql_dot('c.qv', 'q.q')} AS DOUBLE) / (c.norm * q.qnorm)
+                   AS cosine_sim
+        FROM qe c, queries q
+        WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cosine_sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {_BATCH_K}
+    ORDER BY query_id, rank
+    """,
+)
+def cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{_BATCH_K} for a BATCH of query vectors in one corpus
+    scan — the shape ANN serving actually runs (queries arrive in
+    batches, the corpus is read once per batch, never per query).
+
+    The query batch broadcasts (queries ≪ corpus); scoring is a
+    narrow fold per (corpus row, query); per-query top-k is a window
+    over query_id partitions — parallelism = batch size at scale.
+    Pins operators/similarity.cosine_topk (the property-tested
+    operator) against an exact oracle, including its tie rule
+    (cosine desc, vec_id asc).
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import cosine_topk as batch_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qe = emb.select("vec_id", F.expr(_QVEC).alias("embedding"))
+    queries = qe.filter(F.col("vec_id") % _BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = batch_topk(
+        qe.alias("corpus"), queries, k=_BATCH_K + 1  # self rides along; drop below
+    )
+    # the query vector itself scores cosine 1.0 in its own result list;
+    # exclude it and re-rank (the oracle excludes it in the WHERE)
+    return (
+        out.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine_sim"), "vec_id"
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _BATCH_K)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
