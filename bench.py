@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "range_join_windows",
     "hourly_to_daily_rollup",
     "cosine_topk_batch",
+    "salted_returnflag_rollup",
 ]
 
 

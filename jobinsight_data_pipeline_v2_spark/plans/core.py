@@ -961,3 +961,62 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
         F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# salted two-phase aggregation, oracle-gated (X-series skew device run
+# against a plain GROUP BY oracle — same answer, hot key spread over
+# n_salts reducers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_returnflag_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {_sql_sum('l_quantity')} AS sum_qty,
+           {_sql_sum('l_extendedprice')} AS sum_price,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def salted_returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary rollup on (returnflag, linestatus) — a 4-ish-key
+    aggregation where EVERY key is hot (each holds ~a quarter of the
+    fact table), computed through operators/skew.salted_agg: phase 1
+    groups on (keys + deterministic row salt) so each hot key spreads
+    over 16 reducers, phase 2 merges the n_salts partials per key.
+
+    AQE cannot split an aggregation key, so this is the device for
+    hot-group rollups at 100 TB. The oracle is the plain GROUP BY —
+    gate-proving the two-phase decomposition returns the identical
+    answer (decimal partials re-sum exactly; max re-maxes).
+    """
+    from ..operators.skew import salted_agg
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        lineitem.select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+        ),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n_rows": F.count(F.lit(1)),
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(20,2)")),
+            "sum_price": F.sum(F.col("l_extendedprice").cast("decimal(20,2)")),
+            "max_qty": F.max(F.col("l_quantity").cast("double")),
+        },
+        n_salts=16,
+        merge={"max_qty": "max"},
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "max_qty",
+    ).orderBy("l_returnflag", "l_linestatus")
