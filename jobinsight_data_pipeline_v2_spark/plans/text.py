@@ -478,27 +478,33 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     production operator (operators/dedup.py) uses xxhash64.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # Entirely narrow signature build: shingles come from the one-pass
-    # regex scan (_SHINGLE_RE — no token arrays, no slice/array_join;
-    # shingle assembly was the measured floor of this query), then
-    # hashing runs as a top-level projection inside whole-stage
-    # codegen (hashing in a transform() lambda would evaluate
-    # interpreted — CLAUDE.md rule 10).
-    # No distinct pass: the signatures are MIN aggregates, which
-    # duplicate shingles cannot change (the oracle's DISTINCT CTE is
-    # equivalent for the same reason). First shuffle in the whole plan
-    # is the band self-join.
-    hashed = _shingle_strings(docs).select(
+    # ZERO-SHUFFLE signature build: shingles come from the one-pass
+    # regex scan (_SHINGLE_RE) and stay an in-row array; each
+    # signature is array_min over the affine remix of the per-shingle
+    # hash — no explode, no doc-keyed aggregation, nothing exchanges
+    # until the band self-join. The in-lambda md5 runs interpreted,
+    # but one hash per shingle in-row beats the explode + groupBy(doc)
+    # round trip it replaces (see winnow_fingerprint_pairs note).
+    # Duplicate shingles cannot change a MIN, so no distinct pass
+    # (the oracle's DISTINCT CTE is equivalent for the same reason);
+    # shingle-less docs are dropped to match the oracle's empty CTE.
+    hs = docs.select(
         "doc_id",
-        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    sigs = hashed.groupBy("doc_id").agg(
+        F.transform(
+            F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1)),
+            lambda sh: F.conv(
+                F.substring(F.md5(sh.cast("binary")), 1, 8), 16, 10
+            ).cast("long"),
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    sigs = hs.select(
+        "doc_id",
         *[
-            F.min(F.expr(f"({a} * h + {b}) % {_MINHASH_P}")).alias(f"m{i}")
+            F.expr(
+                f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {_MINHASH_P}L))"
+            ).alias(f"m{i}")
             for i, (a, b) in enumerate(_MINHASH_COEFFS)
-        ]
+        ],
     )
     band_key_exprs = [
         F.md5(
@@ -852,22 +858,27 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     k, w = _WIN_K, _WIN_W
-    kh = docs.select(
+    # The ordered hash array is built IN-ROW: regexp_extract_all
+    # already yields k-grams in document order, and md5 inside the
+    # transform lambda — though interpreted, not codegen'd — measures
+    # 0.27s at sf0.1 vs 0.73s for the explode → codegen-hash →
+    # collect_list+sort_array round trip it replaces (the shuffle and
+    # array rebuild cost more than interpretation; rule 10's "minutes"
+    # figure was the old O(n²) token-slice assembly, not hashing).
+    # MUST materialize before the sliding-min consumer: the fps
+    # expression references hs once per window position (slice), and
+    # projection collapse would inline the md5-transform into every
+    # reference — measured 30s (O(positions × k-grams) re-hashing)
+    # without the boundary, 1.2s with it.
+    karr = docs.select(
         "doc_id",
-        F.posexplode(
-            F.regexp_extract_all("text", F.lit(_WIN_KGRAM_RE), F.lit(1))
-        ).alias("pos", "kg"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.conv(F.substring(F.md5(F.col("kg").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    karr = kh.groupBy("doc_id").agg(
-        F.expr("transform(sort_array(collect_list(struct(pos, h))), s -> s.h)")
-        .alias("hs")
-    )
+        F.transform(
+            F.regexp_extract_all("text", F.lit(_WIN_KGRAM_RE), F.lit(1)),
+            lambda kg: F.conv(
+                F.substring(F.md5(kg.cast("binary")), 1, 8), 16, 10
+            ).cast("long"),
+        ).alias("hs"),
+    ).localCheckpoint(eager=False)
     fps = karr.select(
         "doc_id",
         F.expr(
