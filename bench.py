@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "hourly_to_daily_rollup",
     "cosine_topk_batch",
     "salted_returnflag_rollup",
+    "mixture_sample",
 ]
 
 

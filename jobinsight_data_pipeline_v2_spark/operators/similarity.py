@@ -306,3 +306,73 @@ def ivf_topk(
         .filter(F.col("__rank") <= k)
         .select("query_id", id_col, "cosine_sim", F.col("__rank").alias("rank"))
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    max_iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(cell_id, centroid, n_members): Lloyd's k-means over integer-
+    quantized vectors — the LEARNED coarse quantizer for an IVF index
+    (ivf_assign's label-derived centroids are the shortcut; this is
+    how the cells are built when no labels exist).
+
+    Spark-first shape per iteration: assignment is the broadcast-index
+    narrow argmin (ivf_assign — no corpus shuffle), the update step is
+    ONE k-keyed aggregation folding vectors elementwise. The driver
+    loop runs O(iterations) times (the sanctioned iterative-algorithm
+    case, like dedup.component_min_labels); data never collects and
+    each round's centroid table is localCheckpointed to keep lineage
+    flat. Seeds are the k vectors with the smallest xxhash64(id) —
+    deterministic across runs, no RNG state. Empty cells drop out
+    (standard Lloyd's degeneracy); ids are re-densified at the end so
+    cell_id ∈ [0, cells).
+    """
+    from pyspark.sql.window import Window
+
+    vecs = df.select(id_col, vec_col).localCheckpoint(eager=False)
+    # k-row seed table: the window spans k rows only, not the corpus
+    cents = (
+        vecs.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("centroid"))
+        .select(
+            F.row_number().over(Window.orderBy("__sid")).alias("cell_id"),
+            "centroid",
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        assigned = ivf_assign(vecs, cents, vec_col, id_col)
+        new_cents = (
+            assigned.groupBy("cell_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.aggregate(
+                    F.collect_list(vec_col),
+                    F.expr("cast(array() as array<bigint>)"),
+                    lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
+                        F.zip_with(acc, v, lambda a, b: a + b)
+                    ),
+                ).alias("sums"),
+            )
+            .select(
+                "cell_id",
+                F.expr(
+                    "transform(sums, s -> cast(round(cast(s as double) / n_members) as bigint))"
+                ).alias("centroid"),
+                "n_members",
+            )
+            .localCheckpoint()
+        )
+        cents = new_cents.select("cell_id", "centroid")
+    return new_cents.select(
+        (
+            F.row_number().over(Window.orderBy("cell_id")) - 1
+        ).alias("cell_id"),
+        "centroid",
+        "n_members",
+    )

@@ -466,3 +466,69 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture-weighted sampling (per-source curriculum rates)
+# ---------------------------------------------------------------------------
+
+# deterministic per-source keep-rate in permille: src0 950‰ … src19 95‰
+_MIX_RATE_SQL = "950 - CAST(substring(source, 4) AS INTEGER) * 45"
+
+
+@register(
+    "mixture_sample",
+    f"""
+    WITH rated AS (
+        SELECT source, n_chars,
+               {_MIX_RATE_SQL} AS rate_permille,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000 AS bucket
+        FROM documents
+    )
+    SELECT source,
+           CAST(MAX(rate_permille) AS BIGINT) AS rate_permille,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate_permille THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < rate_permille THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM rated
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted downsampling: each source keeps a configured
+    fraction of its documents (the curriculum/mixture-reweighting pass
+    that turns raw source proportions into a training mixture).
+
+    Membership = md5(doc_id) bucket vs the source's keep-rate — the
+    same reprocessing-stable device as hash_split: appending documents
+    or re-running never flips kept↔dropped for existing rows, and a
+    source's rate can be raised later such that the new kept-set is a
+    SUPERSET of the old one (buckets below the old rate stay kept).
+    Plan: narrow map + one aggregation on the source key; rates here
+    derive from the source id — in production they arrive as a
+    broadcast config table joined on source.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    rated = docs.select(
+        "source",
+        "n_chars",
+        F.expr(_MIX_RATE_SQL).alias("rate_permille"),
+        _bucket("doc_id", 1000).alias("bucket"),
+    )
+    kept = F.col("bucket") < F.col("rate_permille")
+    return (
+        rated.groupBy("source")
+        .agg(
+            F.max("rate_permille").cast("long").alias("rate_permille"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -264,3 +264,43 @@ def test_multimodal_pipeline(spark):
     assert abs(sum(rows[0]["features"]) - 1.0) < 1e-5
     dups = media_exact_dedup(feats).filter(F.col("n_copies") > 1).collect()
     assert len(dups) == 1 and dups[0]["n_copies"] == 2
+
+
+def test_kmeans_centroids_learned_quantizer(spark):
+    """Lloyd's k-means: deterministic, members conserved, and the
+    learned quantizer's inertia improves on (or matches) the 1-iter
+    seed assignment."""
+    from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+        _dot,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("embedding"),
+    )
+    n = emb.count()
+    k = 6
+    c5 = kmeans_centroids(emb, k=k, max_iters=5).localCheckpoint()
+    # determinism: a second run is identical
+    c5b = kmeans_centroids(emb, k=k, max_iters=5)
+    assert c5.exceptAll(c5b).count() == 0 and c5b.exceptAll(c5).count() == 0
+    rows = c5.collect()
+    assert 1 <= len(rows) <= k
+    assert sorted(r["cell_id"] for r in rows) == list(range(len(rows)))
+    assert sum(r["n_members"] for r in rows) == n
+    dim = len(emb.first()["embedding"])
+    assert all(len(r["centroid"]) == dim for r in rows)
+
+    def inertia(cents):
+        assigned = ivf_assign(emb, cents.select("cell_id", "centroid"))
+        return (
+            assigned.agg(F.sum(F.lit(1.0) - F.col("cell_sim")).alias("s"))
+            .first()["s"]
+        )
+
+    c1 = kmeans_centroids(emb, k=k, max_iters=1).localCheckpoint()
+    assert inertia(c5) <= inertia(c1) + 1e-9
