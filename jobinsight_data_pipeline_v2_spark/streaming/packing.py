@@ -1,0 +1,70 @@
+"""Streaming sequence packing: the incremental twin of
+plans/sampling.sequence_pack.
+
+Batch packing assigns each document to the fixed-capacity training
+sequence its first token lands in, via sharded prefix sums. Streaming,
+the prefix sum becomes PER-SHARD STATE: one running token total per
+shard carried across micro-batches (two scalars of state per shard —
+never a buffer of documents). Same ordered-arrival assumption as
+asof_stream: documents reach a shard in doc_id order (the guarantee a
+doc_id-keyed Kafka partition provides); within a batch the sort
+enforces it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+_PACK_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType(), True),
+        StructField("doc_id", LongType(), True),
+        StructField("n_tokens", LongType(), True),
+        StructField("pack_id", LongType(), True),
+    ]
+)
+
+_PACK_STATE = "cum LONG"
+
+
+def pack_stream(
+    docs: DataFrame, capacity: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """(shard, doc_id, n_tokens, pack_id): streaming concat-and-chunk
+    assignment. ``docs`` needs (doc_id, text); token counts are
+    computed narrowly before the stateful operator so the pandas
+    function only does integer bookkeeping."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        (shard,) = key
+        (cum,) = state.get if state.exists else (0,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, n_tokens in zip(pdf["doc_id"], pdf["n_tokens"]):
+                out.append((shard, int(doc_id), int(n_tokens), cum // capacity))
+                cum += int(n_tokens)
+        state.update((cum,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["shard", "doc_id", "n_tokens", "pack_id"]
+            )
+
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(F.expr("filter(split(text, ' '), t -> t != '')"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return sized.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=_PACK_OUT_SCHEMA,
+        stateStructType=_PACK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

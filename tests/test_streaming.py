@@ -233,3 +233,58 @@ def test_streaming_asof_equals_batch(spark, tmp_path):
     expected = load_all()["asof_join_purchases"][0](spark, SF)
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0
+
+
+def test_streaming_pack_equals_batch(spark, tmp_path):
+    """Stateful streaming packing: per-shard running offsets across
+    doc_id-ordered micro-batches reproduce the batch sequence_pack
+    assignment exactly."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        _PACK_CAPACITY,
+        _PACK_SHARDS,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.packing import pack_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    src = os.path.join(str(tmp_path), "pack_flat")
+    os.makedirs(src)
+    rows = docs.count()
+    per = rows // 3 + 1
+    for b in range(3):
+        part = docs.filter(
+            (F.col("doc_id") >= b * per) & (F.col("doc_id") < (b + 1) * per)
+        )
+        d = os.path.join(str(tmp_path), f"pack_d{b}")
+        part.coalesce(1).write.parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, f"drop_{b}.parquet")
+                    os.rename(os.path.join(root, f), dst)
+                    t = time.time() + b
+                    os.utime(dst, (t, t))
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = run_stream_to_memory(
+        spark,
+        pack_stream(stream, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS),
+        "pack_test",
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM pack_test")
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+    expected = load_all()["sequence_pack"][0](spark, SF)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
