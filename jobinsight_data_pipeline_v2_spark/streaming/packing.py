@@ -68,3 +68,41 @@ def pack_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-static join: streaming corpus vs static benchmark gram set
+# (the incremental form of plans/curation.decontaminate's corpus side)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_stream(
+    docs: DataFrame, bench_grams: DataFrame, shingle_re: str
+) -> DataFrame:
+    """(doc_id, n_gram_hits, n_bench_docs): per streaming corpus doc,
+    its 4-gram overlap with a STATIC benchmark gram table.
+
+    Structured Streaming's stream-static join: the benchmark side is a
+    plain (static) DataFrame that broadcasts into every micro-batch —
+    no streaming state at all, because the static side carries the
+    whole join context. This is the online form of corpus
+    decontamination: documents are checked as they arrive, the
+    benchmark set updates only between restarts. bench_grams:
+    (bench_id, g) distinct grams per benchmark doc.
+    """
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all("text", F.lit(shingle_re), F.lit(1))
+            )
+        ).alias("g"),
+    )
+    return (
+        grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gram_hits"),
+            F.approx_count_distinct("bench_id").alias("n_bench_docs_approx"),
+        )
+    )

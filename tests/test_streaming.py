@@ -288,3 +288,56 @@ def test_streaming_pack_equals_batch(spark, tmp_path):
     expected = load_all()["sequence_pack"][0](spark, SF)
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0
+
+
+def test_streaming_decontaminate_stream_static(spark, tmp_path):
+    """Stream-static join: a streaming corpus checked against a static
+    benchmark gram table gives the same per-doc hit counts as the batch
+    form (stateless — the static side carries all join context)."""
+    from jobinsight_data_pipeline_v2_spark.plans.text import _SHINGLE_RE
+    from jobinsight_data_pipeline_v2_spark.streaming.packing import (
+        decontaminate_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    is_bench = (F.col("doc_id") % 97) == 0
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1))
+                )
+            ).alias("g"),
+        )
+        .localCheckpoint()
+    )
+    corpus = docs.filter(~is_bench)
+    src = os.path.join(str(tmp_path), "dec_flat")
+    os.makedirs(src)
+    for b in range(2):
+        part = corpus.filter(F.pmod("doc_id", F.lit(2)) == b)
+        d = os.path.join(str(tmp_path), f"dec_d{b}")
+        part.coalesce(1).write.parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(root, f), os.path.join(src, f"drop_{b}.parquet")
+                    )
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = run_stream_to_memory(
+        spark,
+        decontaminate_stream(stream, bench_grams, _SHINGLE_RE),
+        "dec_test",
+        mode="complete",
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dec_test")
+    expected = decontaminate_stream(corpus, bench_grams, _SHINGLE_RE)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() > 0  # planted near-dups make the hit path real
