@@ -138,3 +138,64 @@ def decode_stub(payload: bytes) -> list[float]:
         "extract_features. The Spark plumbing (schema, Arrow batching, "
         "hashing, dedup) is real and tested with the deterministic fake."
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("frame", BinaryType(), True),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 4,
+    frame_bytes: int = 256,
+    fps: int = 25,
+    split_fn: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """video payloads → one row per SAMPLED frame (every ``every_n``-th).
+
+    The frame-sampling shape of a video pipeline: a 1→N row fan-out
+    inside mapInPandas, Arrow-batched both ways, with frame timestamps
+    derived from the frame index (ts_ms = idx·1000/fps). The demuxer is
+    stubbed (``split_fn=None`` chops the payload into fixed
+    ``frame_bytes`` slices — deterministic, reassemblable); swap in a
+    real one (pyav: container→decode→frame bytes) via ``split_fn``
+    without touching the Spark contract. Downstream, each frame row
+    feeds extract_features / media_exact_dedup unchanged.
+    """
+
+    def split(payload: bytes, size: int) -> list[bytes]:
+        return [payload[i : i + size] for i in range(0, len(payload), size)]
+
+    demux = split_fn or split
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, frames, sizes = [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                for idx, frame in enumerate(demux(raw, frame_bytes)):
+                    if idx % every_n:
+                        continue
+                    ids.append(int(media_id))
+                    idxs.append(idx)
+                    tss.append(idx * 1000 // fps)
+                    frames.append(frame)
+                    sizes.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame": frames,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

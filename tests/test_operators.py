@@ -304,3 +304,40 @@ def test_kmeans_centroids_learned_quantizer(spark):
 
     c1 = kmeans_centroids(emb, k=k, max_iters=1).localCheckpoint()
     assert inertia(c5) <= inertia(c1) + 1e-9
+
+
+def test_sample_frames_fanout(spark):
+    """Frame sampling: deterministic 1→N fan-out, every_n-th frame
+    kept, frames reassemble to a byte-subset of the payload."""
+    from jobinsight_data_pipeline_v2_spark.operators.multimodal import (
+        documents_as_media,
+        media_exact_dedup,
+        extract_features,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    media = documents_as_media(docs, kind="video")
+    frames = sample_frames(media, every_n=3, frame_bytes=64).localCheckpoint()
+    rows = frames.collect()
+    assert rows, "no frames sampled"
+    assert all(r["frame_idx"] % 3 == 0 for r in rows)
+    assert all(r["ts_ms"] == r["frame_idx"] * 1000 // 25 for r in rows)
+    # per-media frame count = ceil(ceil(bytes/64) / 3)
+    sizes = {r["media_id"]: r["n_bytes"] for r in media.select(
+        "media_id", F.length("payload").alias("n_bytes")).collect()}
+    per = {}
+    for r in rows:
+        per[r["media_id"]] = per.get(r["media_id"], 0) + 1
+    for mid, n in per.items():
+        total_frames = -(-sizes[mid] // 64)
+        assert n == -(-total_frames // 3)
+    # frame rows feed the downstream media operators unchanged
+    feats = extract_features(
+        frames.select(
+            F.col("media_id") * 10000 + F.col("frame_idx"),
+            F.lit("video"), F.col("frame"), F.lit("raw"), F.lit("test"))
+        .toDF("media_id", "kind", "payload", "mime", "source")
+    )
+    assert feats.count() == len(rows)
+    assert media_exact_dedup(feats).count() >= 1
