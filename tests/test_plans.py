@@ -194,3 +194,25 @@ def test_chunk_documents_narrow(spark):
         if "Exchange hashpartitioning" in l
     )
     assert n_hash_exchanges == 0, p
+
+
+def test_asof_join_is_merge_shaped(spark):
+    """The as-of join must be the union + carry-forward merge — no join
+    operator at all, no pair blow-up, at most the dedup and window
+    exchanges on the entity key."""
+    p = _plan(spark, "asof_join_purchases")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
+    n_hash = sum(1 for l in p.splitlines() if "Exchange hashpartitioning" in l)
+    assert n_hash <= 2, f"asof join shuffles too much\n{p}"
+
+
+def test_range_join_grid_broadcasts(spark):
+    """The interval side must broadcast (window-cell table) — a
+    SortMergeJoin or nested-loop here means the grid bucketing
+    degenerated to a corpus shuffle or a cross product."""
+    p = _plan(spark, "range_join_windows")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
