@@ -955,11 +955,24 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB swap in approx_percentile (t-digest) — same API shape,
     bounded memory."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
-        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    # one percentile aggregate with an array argument: a single sorted
+    # buffer per group serves all three quantiles (three separate
+    # percentile() calls each maintain their own)
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))"
+            ).alias("ps"),
+        )
+        .select(
+            "status",
+            "n",
+            F.col("ps")[0].alias("p50"),
+            F.col("ps")[1].alias("p90"),
+            F.col("ps")[2].alias("p99"),
+        )
     )
 
 
