@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "cosine_topk_batch",
     "salted_returnflag_rollup",
     "mixture_sample",
+    "curation_funnel",
 ]
 
 

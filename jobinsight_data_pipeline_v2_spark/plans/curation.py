@@ -367,3 +367,142 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bench_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# curation funnel: the composed keep/drop decision with per-stage counts
+# ---------------------------------------------------------------------------
+
+_FUNNEL_MIN_TOKENS = 20
+_FUNNEL_MAX_TOKENS = 1000
+_FUNNEL_MIN_STOP = 0.05  # stopword-density language gate
+_FUNNEL_MAX_DUP = 0.5  # duplicate-2-gram fraction gate
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+_SQL_TOKS = "list_filter(string_split(text, ' '), t -> t != '')"
+
+
+@register(
+    "curation_funnel",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars, {_SQL_TOKS} AS tokens FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_aggregate(tokens[i : i + 1], 'string_agg', ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(tokens) - 1)) AS t(i)
+    ),
+    dup AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                   / SUM(cnt) AS dup_frac
+        FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    staged AS (
+        SELECT t.lang, t.n_chars,
+               len(t.tokens) BETWEEN {_FUNNEL_MIN_TOKENS} AND {_FUNNEL_MAX_TOKENS}
+                   AS ok_len,
+               len(t.tokens) > 0 AND
+               CAST(len(list_filter(t.tokens, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                   / len(t.tokens) >= {_FUNNEL_MIN_STOP} AS ok_lang,
+               COALESCE(d.dup_frac, 0) < {_FUNNEL_MAX_DUP} AS ok_rep
+        FROM toks t LEFT JOIN dup d USING (doc_id)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN ok_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+           CAST(SUM(CASE WHEN ok_len AND ok_lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_lang,
+           CAST(SUM(CASE WHEN ok_len AND ok_lang AND ok_rep THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept,
+           CAST(SUM(CASE WHEN ok_len AND ok_lang AND ok_rep THEN n_chars
+                    ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM staged
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation decision: length gate → language gate
+    (stopword density) → repetition gate (duplicate-2-gram fraction),
+    with per-stage survivor counts and kept volume per language — the
+    funnel report every corpus-curation run publishes.
+
+    All three gates evaluate in ONE narrow pass over each document
+    (token stats are higher-order array functions; the duplicate
+    fraction is the in-row sorted run-length fold from
+    repetition_stats), then a 5-group aggregation. No joins, no
+    per-stage re-scans — the scan cost is paid once no matter how many
+    gates compose, which is what keeps a 10-gate funnel viable at
+    100 TB.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    sorted_grams = F.sort_array(
+        F.regexp_extract_all("text", F.lit(_REP_GRAM_RE), F.lit(1))
+    )
+    dup_fold = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("dup"),
+        ),
+        lambda a, g: F.struct(
+            g.alias("prev"),
+            F.when(g.eqNullSafe(a.prev), a.run + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(g.eqNullSafe(a.prev), a.dup)
+            .otherwise(a.dup + F.when(a.run > 1, a.run).otherwise(F.lit(0)))
+            .alias("dup"),
+        ),
+        lambda a: a.dup + F.when(a.run > 1, a.run).otherwise(F.lit(0)),
+    )
+    staged = docs.select(
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.expr(f"filter(filter(split(text, ' '), t -> t != ''), x -> x IN ({stop_arr}))")).alias("n_stop"),
+        F.size(sorted_grams).alias("n_grams"),
+        dup_fold.alias("n_dup"),
+    ).select(
+        "lang",
+        "n_chars",
+        F.col("n_tokens").between(_FUNNEL_MIN_TOKENS, _FUNNEL_MAX_TOKENS).alias(
+            "ok_len"
+        ),
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                F.col("n_stop").cast("double") / F.col("n_tokens")
+                >= _FUNNEL_MIN_STOP
+            )
+        ).alias("ok_lang"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_dup").cast("double") / F.col("n_grams") < _FUNNEL_MAX_DUP,
+        )
+        .otherwise(F.lit(True))
+        .alias("ok_rep"),
+    )
+    kept = F.col("ok_len") & F.col("ok_lang") & F.col("ok_rep")
+    return (
+        staged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok_len").cast("int")).cast("long").alias("pass_len"),
+            F.sum((F.col("ok_len") & F.col("ok_lang")).cast("int"))
+            .cast("long")
+            .alias("pass_lang"),
+            F.sum(kept.cast("int")).cast("long").alias("kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
