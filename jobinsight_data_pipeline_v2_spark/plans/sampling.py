@@ -323,9 +323,6 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_CAPACITY = 512  # tokens per training sequence
 _PACK_SHARDS = 8  # independent packing streams
 
-_SQL_NTOK = f"len({{tokens}})"
-
-
 @register(
     "sequence_pack",
     f"""
