@@ -10,15 +10,11 @@ set-based pass over (prev dimension snapshot ⋈ incoming batch):
   inserts            = new keys + changed keys          (effective=as_of)
   history            = prior non-current rows, untouched
 
-and the new snapshot is their union. Surrogate keys for inserts are
-``row_number() over (order by bk) + max(existing sk)`` — the window is
-a single narrow pass over only the *insert* rows (dimension-batch
-sized, not corpus sized), which is the standard replacement for the
-reference's NEXTVAL sequences (SURVEY X6). Escape hatch if a
-dimension's daily insert batch ever outgrows one task: switch the sk
-to a deterministic key ``xxhash64(bk, effective_date)`` the way the
-fact/bridge ids already work (warehouse.build_fact_day) — the ordinal
-property is not semantic anywhere in the engine.
+and the new snapshot is their union. Surrogate keys for inserts come
+from :func:`assign_batch_sks` — a bucket-strided scheme that replaces
+the reference's NEXTVAL sequences (SURVEY X6) without ever funneling
+the batch through one task (the W4 rule the fact/bridge builds already
+follow).
 
 Invariant (asserted in tests): exactly one is_current row per key.
 """
@@ -30,6 +26,58 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+#: parallelism of insert-batch id assignment; also the stride of the
+#: id sequence (gaps per batch are bounded by this x bucket imbalance).
+ID_BUCKETS = 64
+
+
+def assign_batch_sks(
+    batch: DataFrame,
+    bk_cols: list[str],
+    max_sk: DataFrame,
+    sk: str,
+    *,
+    buckets: int = ID_BUCKETS,
+) -> DataFrame:
+    """Deterministic, fully parallel surrogate ids for an insert batch.
+
+    ``sk = max_existing + (rn_b - 1) * B + b + 1`` where
+    ``b = pmod(xxhash64(*bk), B)`` and ``rn_b`` is the row_number
+    within bucket ``b`` ordered by the business key. Unique (bucket x
+    stride never collides), deterministic across retries (hash bucket
+    + total order within bucket), and monotone above every existing
+    id. Ids are *strided*, not contiguous — a batch of n rows may
+    advance the sequence by up to ``n + B x imbalance`` — which is
+    fine: nothing in the engine depends on the ordinal property, only
+    on uniqueness and stability.
+
+    Scale: the old form (``row_number() over (order by bk)``) was a
+    SinglePartition window — a 100x backfill day with millions of new
+    business keys funnels through one task. This window partitions by
+    the hash bucket, so id assignment spreads across ``B`` tasks and
+    the dimension-build plans contain no ``Exchange SinglePartition``
+    (plan-asserted in tests/test_plans.py).
+    """
+    w = Window.partitionBy("__b").orderBy(*bk_cols)
+    return (
+        batch.withColumn(
+            "__b", F.pmod(F.xxhash64(*bk_cols), F.lit(buckets)).cast("long")
+        )
+        .withColumn("__rn", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(max_sk))
+        .withColumn(
+            sk,
+            (
+                F.col("m")
+                + (F.col("__rn") - 1) * buckets
+                + F.col("__b")
+                + 1
+            ).cast("long"),
+        )
+        .drop("__b", "__rn", "m")
+    )
 
 
 def _null_eq_str(a: Column, b: Column) -> Column:
@@ -94,15 +142,11 @@ def scd2_merge(
     max_sk = current.unionByName(history).agg(
         F.coalesce(F.max(sk), F.lit(0)).alias("m")
     )
-    w = Window.orderBy(bk)
     inserts = (
-        to_insert.withColumn("__rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(max_sk))
-        .withColumn(sk, (F.col("m") + F.col("__rn")).cast("long"))
+        assign_batch_sks(to_insert, [bk], max_sk, sk)
         .withColumn("effective_date", as_of_col)
         .withColumn("expiry_date", F.lit(None).cast("date"))
         .withColumn("is_current", F.lit(True))
-        .drop("__rn", "m")
     )
     cols = dim_prev.columns
     return (

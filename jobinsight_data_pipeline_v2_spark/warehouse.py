@@ -31,7 +31,7 @@ from .functions.timeparse import (
     posted_time_from_last_update,
     time_remaining,
 )
-from .operators.scd2 import scd2_merge
+from .operators.scd2 import assign_batch_sks, scd2_merge
 from .schemas import UNKNOWN_LOCATION_SK
 
 # ---------------------------------------------------------------------------
@@ -157,9 +157,10 @@ def build_dim_location(dim_prev: DataFrame, staging: DataFrame) -> DataFrame:
     distinct parsed (city,country) pairs, new ones appended with fresh
     SKs; sentinel (-1,'Unknown','Unknown') always present.
 
-    The row_number window spans only the NEW pairs of one day —
-    city×country is bounded, so this stays tiny at any corpus size
-    (same escape hatch as scd2_merge if that ever changes).
+    Ids come from assign_batch_sks (bucket-strided, parallel) — the
+    same no-SinglePartition rule as the fact/bridge builds, so even a
+    degenerate day whose location batch is huge never funnels through
+    one task.
     """
     pairs = (
         staging.select(F.explode(parse_location(F.col("location"))).alias("p"))
@@ -168,16 +169,9 @@ def build_dim_location(dim_prev: DataFrame, staging: DataFrame) -> DataFrame:
     )
     new_pairs = pairs.join(dim_prev, ["city", "country"], "left_anti")
     max_sk = dim_prev.agg(F.coalesce(F.max("location_sk"), F.lit(0)).alias("m"))
-    w = Window.orderBy("city", "country")
-    inserts = (
-        new_pairs.withColumn("__rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(max_sk))
-        .select(
-            (F.col("m") + F.col("__rn")).cast("long").alias("location_sk"),
-            "city",
-            "country",
-        )
-    )
+    inserts = assign_batch_sks(
+        new_pairs, ["city", "country"], max_sk, "location_sk"
+    ).select("location_sk", "city", "country")
     return dim_prev.unionByName(inserts)
 
 
