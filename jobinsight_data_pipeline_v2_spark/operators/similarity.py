@@ -321,15 +321,21 @@ def kmeans_centroids(
     how the cells are built when no labels exist).
 
     Spark-first shape per iteration: assignment is the broadcast-index
-    narrow argmin (ivf_assign — no corpus shuffle), the update step is
-    ONE k-keyed aggregation folding vectors elementwise. The driver
-    loop runs O(iterations) times (the sanctioned iterative-algorithm
-    case, like dedup.component_min_labels); data never collects and
-    each round's centroid table is localCheckpointed to keep lineage
-    flat. Seeds are the k vectors with the smallest xxhash64(id) —
-    deterministic across runs, no RNG state. Empty cells drop out
-    (standard Lloyd's degeneracy); ids are re-densified at the end so
-    cell_id ∈ [0, cells).
+    narrow argmin (ivf_assign — no corpus shuffle); the update step is
+    posexplode + groupBy(cell_id, pos) with map-side partial
+    aggregation — every buffer is O(1) and the exchange carries ~k x
+    dim rows per map partition. (A collect_list fold here would hold
+    every member vector of a cell in one buffer: with k=8 a cell is
+    ~1/8 of the corpus — an executor-OOM shape at scale; ADVICE r3.)
+    The member count rides the same aggregation, and the dim-bounded
+    collect_list that re-assembles the centroid array groups ≤ dim
+    rows. The driver loop runs O(iterations) times (the sanctioned
+    iterative-algorithm case, like dedup.component_min_labels); data
+    never collects and each round's centroid table is
+    localCheckpointed to keep lineage flat. Seeds are the k vectors
+    with the smallest xxhash64(id) — deterministic across runs, no RNG
+    state. Empty cells drop out (standard Lloyd's degeneracy); ids are
+    re-densified at the end so cell_id ∈ [0, cells).
     """
     from pyspark.sql.window import Window
 
@@ -348,15 +354,17 @@ def kmeans_centroids(
     for _ in range(max_iters):
         assigned = ivf_assign(vecs, cents, vec_col, id_col)
         new_cents = (
-            assigned.groupBy("cell_id")
+            assigned.select(
+                "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cell_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cell_id")
             .agg(
-                F.count(F.lit(1)).alias("n_members"),
-                F.aggregate(
-                    F.collect_list(vec_col),
-                    F.expr("cast(array() as array<bigint>)"),
-                    lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
-                        F.zip_with(acc, v, lambda a, b: a + b)
-                    ),
+                F.max("n").alias("n_members"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
                 ).alias("sums"),
             )
             .select(

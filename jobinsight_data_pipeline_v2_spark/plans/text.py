@@ -41,26 +41,55 @@ _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
 
 
+_COOCCUR_SALTS = 64
+
+
 def _cooccur_pairs(
-    df: DataFrame, key: str, id_col: str = "doc_id", max_df: int | None = None
+    df: DataFrame, key: str, id_col: str = "doc_id", *, max_df: int
 ) -> DataFrame:
     """(doc_a, doc_b): one row per shared key per ordered id pair.
 
     Replaces the rare-filter + self-join tail (4 exchanges: df agg,
-    rare join, self-join shuffle of the b side, pair agg) with ONE
-    groupBy(key): collect the key's sorted id list, enforce the
-    document-frequency cap on its size (the same stop-key semantics),
-    and emit i<j combinations in-row. The combination fan-out is
-    bounded by max_df (≤ 40 ids → ≤ 780 pairs per key), so the
-    in-row expansion is exactly as skew-safe as the capped join it
-    replaces — and the ids arrive sorted, so doc_a < doc_b for free.
-    Callers still aggregate the emitted pairs (count per pair).
+    rare join, self-join shuffle of the b side, pair agg) with a
+    salted two-phase collect: phase 1 groups by (key, salt) and keeps
+    at most max_df+1 sorted ids per bucket (a corpus-scale stop key
+    with df in the millions holds df/SALTS ids in any one buffer,
+    then the slice caps what the bucket emits); phase 2 merges the ≤
+    SALTS x (max_df+1) partials per key, sums the exact df, and drops
+    keys outside [2, max_df]. No aggregation buffer ever materializes
+    a hot key's full id list (the single-phase collect-then-filter
+    form did — ADVICE r3), phase 2's exchange carries only capped
+    partials, and the big (key, id) stream still shuffles exactly
+    once. For surviving keys the slice is lossless (df ≤ max_df <
+    cap+1), so semantics are identical to the uncapped collect +
+    size filter. The in-row i<j expansion is bounded by max_df (≤ 40
+    ids → ≤ 780 pairs per key); ids arrive sorted, so doc_a < doc_b
+    for free. Callers still aggregate the emitted pairs.
     """
-    g = df.groupBy(key).agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
-    ).filter(F.size("ids") >= 2)
-    if max_df is not None:
-        g = g.filter(F.size("ids") <= max_df)
+    part = (
+        df.groupBy(
+            key,
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(_COOCCUR_SALTS)).alias(
+                "__salt"
+            ),
+        )
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(id_col)), 1, max_df + 1
+            ).alias("part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    g = (
+        part.groupBy(key)
+        .agg(
+            F.sum("cnt").alias("__df"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("part"))), 1, max_df + 1
+            ).alias("ids"),
+        )
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+    )
     return g.select(
         F.explode(
             F.expr(

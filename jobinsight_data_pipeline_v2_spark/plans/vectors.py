@@ -162,25 +162,26 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _centroid_sums(vecs: DataFrame, vec_col: str) -> DataFrame:
-    """(label, n, sums): per-label vector count + elementwise bigint
-    sums, in ONE label-keyed aggregation.
+def _component_sums(vecs: DataFrame, vec_col: str) -> DataFrame:
+    """(label, pos, s, n): per-(label, dimension) bigint component sum
+    + member count, in ONE aggregation.
 
-    collect_list + zip_with fold instead of posexplode + groupBy: the
-    shuffle moves one array per row, not one row per (row, dim), and
-    there is a single exchange. The fold is a cheap-arithmetic HOF
-    (CLAUDE.md rule 10 — no hashing inside the lambda). Empty-acc seed
-    avoids needing the dimension as a literal.
+    posexplode + groupBy(label, pos), NOT collect_list + zip_with
+    fold: the fold materializes every member vector of a group in one
+    aggregation buffer — O(members x dim) memory, an executor-OOM
+    shape once a hot label holds an unbounded slice of the corpus
+    (ADVICE r3). Exploding first looks like a rows x dims shuffle but
+    is not: partial (map-side) aggregation collapses each task's
+    contribution to its distinct (label, pos) keys before the
+    exchange, so the shuffle carries ~labels x dims rows per map
+    partition and every buffer is O(1). The member count rides the
+    same aggregation (count per (label, pos) == member count), so
+    there is no second pass over the vectors.
     """
-    return vecs.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.aggregate(
-            F.collect_list(vec_col),
-            F.expr("cast(array() as array<bigint>)"),
-            lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
-                F.zip_with(acc, v, lambda a, b: a + b)
-            ),
-        ).alias("sums"),
+    return (
+        vecs.select("label", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -204,25 +205,18 @@ def _centroid_sums(vecs: DataFrame, vec_col: str) -> DataFrame:
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroids in unpivoted (label, dim) form — the k-means
-    "update centroids" step of an IVF index build, done as one
-    explode + groupBy. Components are quantized ints so sums are exact;
-    the mean is one double division."""
+    "update centroids" step of an IVF index build, done as ONE
+    posexplode + groupBy(label, pos) aggregation (map-side partials
+    keep buffers O(1); see _component_sums). Components are quantized
+    ints so sums are exact; the mean is one double division."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    # One shuffle on label (2k rows), elementwise bigint fold, THEN
-    # unpivot the 64 dims: the previous posexplode-first form shuffled
-    # rows×dims (128k at sf0.1) through two aggregations. Sums of
-    # quantized ints via zip_with are exact in any order.
-    sums = _centroid_sums(emb.select("label", F.expr(_QVEC).alias("qv")), "qv")
-    return (
-        sums.select("label", "n", F.posexplode("sums").alias("pos", "s"))
-        .select(
-            "label",
-            (F.col("pos") + 1).alias("dim_idx"),
-            (F.col("s").cast("double") / F.col("n")).alias("centroid_component"),
-            F.col("n").alias("n_vectors"),
-        )
-        .orderBy("label", "dim_idx")
-    )
+    sums = _component_sums(emb.select("label", F.expr(_QVEC).alias("qv")), "qv")
+    return sums.select(
+        "label",
+        (F.col("pos") + 1).alias("dim_idx"),
+        (F.col("s").cast("double") / F.col("n")).alias("centroid_component"),
+        F.col("n").alias("n_vectors"),
+    ).orderBy("label", "dim_idx")
 
 
 # ---------------------------------------------------------------------------
@@ -273,13 +267,25 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     qe = emb.select("vec_id", "label", F.expr(_QVEC).alias("embedding"))
     cents = (
-        _centroid_sums(qe.select("label", "embedding"), "embedding")
-        .select(
-            F.col("label").alias("cell_id"),
-            F.expr("transform(sums, s -> cast(s as double) / n)").alias(
-                "centroid"
-            ),
+        _component_sums(qe.select("label", "embedding"), "embedding")
+        # re-assemble the per-dim means into a centroid array; the
+        # collect_list here is dim-sized per label (bounded), unlike
+        # the member-sized fold this replaced (ADVICE r3)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            (F.col("s").cast("double") / F.col("n")).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ).alias("centroid")
         )
+        .select(F.col("label").alias("cell_id"), "centroid")
         # consumed by both ivf_assign and ivf_probe_cells — materialize
         # the single-shuffle build once (cells × dims is tiny)
         .localCheckpoint(eager=False)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -272,35 +273,55 @@ _ASOF_SCHEMA = StructType(
         StructField("purchase_us", LongType(), True),
         StructField("view_id", LongType(), True),
         StructField("gap_us", LongType(), True),
+        StructField("late", BooleanType(), True),
     ]
 )
 
-_ASOF_STATE = "view_us LONG, view_id LONG"
+_ASOF_STATE = "view_us LONG, view_id LONG, max_us LONG"
 
 
 def asof_stream(events: DataFrame) -> DataFrame:
     """Streaming as-of join: each purchase emits the same user's most
     recent view at-or-before it.
 
-    Per user the state is just the view FRONTIER (latest view's
-    timestamp + id — two scalars, O(users) total state, never a
-    buffer of history). Each micro-batch seeds the frontier into the
-    batch's view set and matches purchases with a vectorized
-    ``pandas.merge_asof`` (backward search, exact matches allowed —
-    the same ``ts >= view_ts`` tie rule as the batch twin; views
-    sorted by (ts, id) so equal-timestamp views resolve to the max
-    id). Assumes per-key time-ordered arrival across micro-batches
-    (the guarantee a user-keyed Kafka partition provides); within a
-    batch, ordering is enforced by the sort.
+    Per user the state is the view FRONTIER (latest view's timestamp +
+    id) plus the per-key event-time high-water mark ``max_us`` — three
+    scalars, O(users) total state, never a buffer of history. Each
+    micro-batch seeds the frontier into the batch's view set and
+    matches purchases with a vectorized ``pandas.merge_asof``
+    (backward search, exact matches allowed — the same ``ts >=
+    view_ts`` tie rule as the batch twin; views sorted by (ts, id) so
+    equal-timestamp views resolve to the max id). Assumes per-key
+    time-ordered arrival across micro-batches (the guarantee a
+    user-keyed Kafka partition provides); within a batch, ordering is
+    enforced by the sort.
+
+    Ordering violations SURFACE instead of silently corrupting output
+    (ADVICE r3): any event that arrives behind the key's high-water
+    mark is excluded from matching and frontier updates (already-
+    emitted matches stay exactly what an ordered stream would have
+    produced) and is emitted as a ``late=true`` row — a late purchase
+    keeps its id/timestamp with a NULL match, a late view appears
+    with NULL purchase_id and its own view_id — so downstream can
+    count, alert on, or reprocess them. On an ordered stream every
+    row has ``late=false`` and dropping the column gives the batch
+    twin bit-exactly.
     """
     import pandas as pd
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
-        v_us, v_id = state.get if state.exists else (None, None)
-        batches = [pdf for pdf in pdfs]
-        pdf = pd.concat(batches, ignore_index=True)
-        views = pdf[pdf["event_type"] == "view"][["us", "event_id"]]
+        v_us, v_id, max_us = state.get if state.exists else (None, None, None)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # cross-batch order check: anything behind the high-water mark
+        # arrived late (within a batch the sorts below fix ordering)
+        late_mask = (
+            pdf["us"] < max_us
+            if max_us is not None
+            else pd.Series(False, index=pdf.index)
+        )
+        late, on_time = pdf[late_mask], pdf[~late_mask]
+        views = on_time[on_time["event_type"] == "view"][["us", "event_id"]]
         if v_us is not None:
             views = pd.concat(
                 [pd.DataFrame({"us": [v_us], "event_id": [v_id]}), views],
@@ -310,32 +331,64 @@ def asof_stream(events: DataFrame) -> DataFrame:
             columns={"event_id": "view_id", "us": "view_us"}
         )
         purchases = (
-            pdf[pdf["event_type"] == "purchase"][["us", "event_id"]]
+            on_time[on_time["event_type"] == "purchase"][["us", "event_id"]]
             .sort_values(["us", "event_id"])
             .rename(columns={"event_id": "purchase_id"})
         )
         if len(views):
             last = views.iloc[-1]
-            state.update((int(last["view_us"]), int(last["view_id"])))
-        if not len(purchases):
-            return
-        matched = pd.merge_asof(
-            purchases,
-            views,
-            left_on="us",
-            right_on="view_us",
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        yield pd.DataFrame(
-            {
-                "purchase_id": matched["purchase_id"].astype("int64"),
-                "user_id": user_id,
-                "purchase_us": matched["us"].astype("int64"),
-                "view_id": matched["view_id"].astype("Int64"),
-                "gap_us": (matched["us"] - matched["view_us"]).astype("Int64"),
-            }
-        )
+            v_us, v_id = int(last["view_us"]), int(last["view_id"])
+        if len(on_time):
+            max_us = (
+                int(on_time["us"].max())
+                if max_us is None
+                else max(max_us, int(on_time["us"].max()))
+            )
+        state.update((v_us, v_id, max_us))
+        out = []
+        if len(purchases):
+            matched = pd.merge_asof(
+                purchases,
+                views,
+                left_on="us",
+                right_on="view_us",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "purchase_id": matched["purchase_id"].astype("int64"),
+                        "user_id": user_id,
+                        "purchase_us": matched["us"].astype("int64"),
+                        "view_id": matched["view_id"].astype("Int64"),
+                        "gap_us": (matched["us"] - matched["view_us"]).astype(
+                            "Int64"
+                        ),
+                        "late": False,
+                    }
+                )
+            )
+        if len(late):
+            is_p = late["event_type"] == "purchase"
+            out.append(
+                pd.DataFrame(
+                    {
+                        "purchase_id": late["event_id"].where(is_p).astype(
+                            "Int64"
+                        ),
+                        "user_id": user_id,
+                        "purchase_us": late["us"].where(is_p).astype("Int64"),
+                        "view_id": late["event_id"].where(~is_p).astype(
+                            "Int64"
+                        ),
+                        "gap_us": pd.array([pd.NA] * len(late), dtype="Int64"),
+                        "late": True,
+                    }
+                )
+            )
+        if out:
+            yield pd.concat(out, ignore_index=True)
 
     return (
         events.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 _PACK_OUT_SCHEMA = StructType(
     [
@@ -24,34 +24,51 @@ _PACK_OUT_SCHEMA = StructType(
         StructField("doc_id", LongType(), True),
         StructField("n_tokens", LongType(), True),
         StructField("pack_id", LongType(), True),
+        StructField("late", BooleanType(), True),
     ]
 )
 
-_PACK_STATE = "cum LONG"
+_PACK_STATE = "cum LONG, last_doc LONG"
 
 
 def pack_stream(
     docs: DataFrame, capacity: int = 512, n_shards: int = 8
 ) -> DataFrame:
-    """(shard, doc_id, n_tokens, pack_id): streaming concat-and-chunk
-    assignment. ``docs`` needs (doc_id, text); token counts are
+    """(shard, doc_id, n_tokens, pack_id, late): streaming concat-and-
+    chunk assignment. ``docs`` needs (doc_id, text); token counts are
     computed narrowly before the stateful operator so the pandas
-    function only does integer bookkeeping."""
+    function only does integer bookkeeping.
+
+    State per shard: the running token total plus the doc_id
+    high-water mark. A doc that arrives at or behind the mark violates
+    the ordered-arrival assumption; assigning it would silently shift
+    every subsequent pack, so it is emitted as ``late=true`` with a
+    NULL pack_id and excluded from the running total — already-emitted
+    and future assignments stay exactly what the ordered stream
+    produces, and the violation is visible downstream (ADVICE r3). On
+    an ordered stream every row is ``late=false``.
+    """
     import pandas as pd
 
     def update(key, pdfs, state: GroupState):
         (shard,) = key
-        (cum,) = state.get if state.exists else (0,)
+        cum, last_doc = state.get if state.exists else (0, None)
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id")
             for doc_id, n_tokens in zip(pdf["doc_id"], pdf["n_tokens"]):
-                out.append((shard, int(doc_id), int(n_tokens), cum // capacity))
+                if last_doc is not None and doc_id <= last_doc:
+                    out.append((shard, int(doc_id), int(n_tokens), None, True))
+                    continue
+                out.append(
+                    (shard, int(doc_id), int(n_tokens), cum // capacity, False)
+                )
                 cum += int(n_tokens)
-        state.update((cum,))
+                last_doc = int(doc_id)
+        state.update((cum, last_doc))
         if out:
             yield pd.DataFrame(
-                out, columns=["shard", "doc_id", "n_tokens", "pack_id"]
+                out, columns=["shard", "doc_id", "n_tokens", "pack_id", "late"]
             )
 
     sized = docs.select(
@@ -80,7 +97,10 @@ def decontaminate_stream(
     docs: DataFrame, bench_grams: DataFrame, shingle_re: str
 ) -> DataFrame:
     """(doc_id, n_gram_hits, n_bench_docs): per streaming corpus doc,
-    its 4-gram overlap with a STATIC benchmark gram table.
+    its 4-gram overlap with a STATIC benchmark gram table — the same
+    columns, exactly, as the batch gate (plans/curation.decontaminate
+    corpus side), so stream and batch outputs are comparable row for
+    row.
 
     Structured Streaming's stream-static join: the benchmark side is a
     plain (static) DataFrame that broadcasts into every micro-batch —
@@ -89,6 +109,13 @@ def decontaminate_stream(
     decontamination: documents are checked as they arrive, the
     benchmark set updates only between restarts. bench_grams:
     (bench_id, g) distinct grams per benchmark doc.
+
+    n_bench_docs is EXACT: streaming aggregation forbids
+    count_distinct, so it is size(collect_set(bench_id)) — the set is
+    bounded by the number of benchmark docs a single corpus doc
+    overlaps (small by construction). The previous
+    approx_count_distinct emitted an HLL estimate under a name that
+    promised an exact count (ADVICE r3).
     """
     grams = docs.select(
         "doc_id",
@@ -103,6 +130,6 @@ def decontaminate_stream(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_gram_hits"),
-            F.approx_count_distinct("bench_id").alias("n_bench_docs_approx"),
+            F.size(F.collect_set("bench_id")).cast("long").alias("n_bench_docs"),
         )
     )

@@ -77,7 +77,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # FileSourceScanExec's default split target; splits ≈ ceil(size / this).
+# Fallback only — spread() reads the session's live conf so a tuned
+# spark.sql.files.maxPartitionBytes changes the estimate with it.
 _MAX_PARTITION_BYTES = 128 << 20
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    """The session's actual scan-split target (ADVICE r3: hardcoding
+    128 MB silently mis-estimates splits when the conf is tuned).
+    Accepts byte-suffix forms ("134217728", "128m", "1g")."""
+    try:
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(_MAX_PARTITION_BYTES)
+        )
+    except Exception:
+        return _MAX_PARTITION_BYTES
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    s = str(raw).strip().lower().removesuffix("b")
+    try:
+        if s and s[-1] in units:
+            return int(float(s[:-1]) * units[s[-1]])
+        return int(s)
+    except ValueError:
+        return _MAX_PARTITION_BYTES
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -102,7 +124,7 @@ def spread(df: DataFrame) -> DataFrame:
     n = df.sparkSession.sparkContext.defaultParallelism
     src = getattr(df, "_spread_src_bytes", None)
     if src is not None:
-        est_splits = max(1, -(-src // _MAX_PARTITION_BYTES))
+        est_splits = max(1, -(-src // _max_partition_bytes(df.sparkSession)))
         return df.repartition(n) if est_splits < n else df
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)

@@ -337,7 +337,116 @@ def test_streaming_decontaminate_stream_static(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM dec_test")
-    expected = decontaminate_stream(corpus, bench_grams, _SHINGLE_RE)
+    # expected side written independently as a plain batch aggregation
+    # with EXACT count_distinct (allowed in batch, not in streaming) —
+    # pins the online form against batch decontaminate semantics
+    # instead of against itself (ADVICE r3)
+    corpus_grams = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1))
+            )
+        ).alias("g"),
+    )
+    expected = (
+        corpus_grams.join(bench_grams, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gram_hits"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0
     assert got.count() > 0  # planted near-dups make the hit path real
+
+
+def _write_drop(df, tmp_path, src, name, mtime):
+    """Write df as a single parquet file drop with a pinned mtime."""
+    import time
+
+    d = os.path.join(str(tmp_path), f"__stage_{name}")
+    df.coalesce(1).write.parquet(d)
+    os.makedirs(src, exist_ok=True)
+    for root, _, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"{name}.parquet")
+                os.rename(os.path.join(root, f), dst)
+                os.utime(dst, (mtime, mtime))
+
+
+def test_streaming_asof_flags_late_arrivals(spark, tmp_path):
+    """Ordering violations must SURFACE (ADVICE r3): an event behind
+    its key's high-water mark is emitted late=true, excluded from
+    matching, and the on-time output stays what an ordered stream
+    would have produced."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.streaming.events import asof_stream
+
+    us = lambda s: f"TIMESTAMP_NTZ '2026-01-01 00:00:{s:02d}'"  # noqa: E731
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    from datetime import datetime
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    drop1 = mk([(1, t(10), 7, "view", 1.0, None), (2, t(20), 7, "purchase", 5.0, None)])
+    # view@15 is BEHIND user 7's high-water mark (20) -> late;
+    # purchase@25 is on time and must still match view@10
+    drop2 = mk([(3, t(15), 7, "view", 1.0, None), (4, t(25), 7, "purchase", 6.0, None)])
+    src = os.path.join(str(tmp_path), "late_flat")
+    now = time.time()
+    _write_drop(drop1, tmp_path, src, "drop_0", now)
+    _write_drop(drop2, tmp_path, src, "drop_1", now + 2)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = run_stream_to_memory(spark, asof_stream(stream), "asof_late_test")
+    q.awaitTermination(120)
+    rows = {
+        (r.purchase_id, r.view_id, r.late)
+        for r in spark.sql("SELECT * FROM asof_late_test").collect()
+    }
+    assert rows == {
+        (2, 1, False),   # purchase@20 -> view@10
+        (4, 1, False),   # purchase@25 -> view@10 (late view excluded)
+        (None, 3, True), # the out-of-order view surfaces, flagged
+    }
+
+
+def test_streaming_pack_flags_late_arrivals(spark, tmp_path):
+    """A doc behind the shard's doc_id high-water mark is flagged
+    late=true with NULL pack_id and does not shift subsequent pack
+    assignments (ADVICE r3)."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.streaming.packing import pack_stream
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    four = "w x y z"
+    drop1 = mk([(8, four), (16, four)])          # shard 0: cum 0->8
+    drop2 = mk([(12, four), (24, four)])         # 12 < 16 -> late; 24 on time
+    src = os.path.join(str(tmp_path), "pack_late_flat")
+    now = time.time()
+    _write_drop(drop1, tmp_path, src, "drop_0", now)
+    _write_drop(drop2, tmp_path, src, "drop_1", now + 2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, pack_stream(stream, capacity=10, n_shards=1), "pack_late_test"
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.doc_id, r.pack_id, r.late)
+        for r in spark.sql("SELECT * FROM pack_late_test").collect()
+    }
+    assert rows == {
+        (8, 0, False),      # cum 0
+        (16, 0, False),     # cum 4 -> pack 0
+        (12, None, True),   # behind high-water mark 16
+        (24, 0, False),     # cum 8 -> pack 0 (unchanged by late doc)
+    }
