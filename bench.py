@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "salted_returnflag_rollup",
     "mixture_sample",
     "curation_funnel",
+    # round 4 additions
+    "ivf_topk_learned",  # learned k-means quantizer, nprobe=all (exact)
+    "approx_monthly_stats",
+    "approx_percentiles",
 ]
 
 

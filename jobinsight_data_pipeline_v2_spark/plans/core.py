@@ -1033,3 +1033,121 @@ def salted_returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price").cast("double").alias("sum_price"),
         "max_qty",
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# approx drop-ins, oracle-gated with in-plan tolerance checks: Spark
+# computes BOTH the exact answer and the sketch, emits the exact values
+# plus a within-bound flag, and the oracle emits the exact values plus
+# a literal 1 — so the hash matches iff the sketch landed inside its
+# published accuracy bound. This makes the 100 TB story for A1-A3 and
+# percentiles driver-visible without asking two engines to agree on
+# sketch internals (VERDICT r3 next-round #7).
+# ---------------------------------------------------------------------------
+
+_ACD_RSD = 0.02  # approx_count_distinct relative standard deviation
+_APCT_ACC = 10_000  # approx_percentile accuracy (rank error ≤ n/acc)
+# rank half-width of the acceptance envelope: max(sketch bound,
+# ±1-row discretization floor) across the gate scales (see gate doc)
+_APCT_BOUND_Q = 0.005
+
+
+@register(
+    "approx_monthly_stats",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m')    AS order_month,
+           COUNT(DISTINCT o_custkey)         AS n_customers,
+           COUNT(*)                          AS n_orders,
+           {_sql_sum('o_totalprice')}        AS total_revenue,
+           1                                 AS within_rsd_bound
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def approx_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's scale variant, gated: approx_count_distinct (HLL++,
+    constant memory per group, no distinct expansion) must land within
+    5·rsd of the exact distinct count (plus a small-cardinality
+    cushion — the sparse HLL register is exact at tiny n, but the
+    bound stays honest). The emitted columns are the EXACT stats; the
+    sketch only decides within_rsd_bound, so nondeterminism in sketch
+    merge order can never break the value hash.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    out = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_revenue"),
+        F.approx_count_distinct("o_custkey", _ACD_RSD).alias("__approx"),
+    )
+    tol = F.greatest(
+        F.lit(5.0 * _ACD_RSD) * F.col("n_customers"), F.lit(4.0)
+    )
+    return out.select(
+        "order_month",
+        "n_customers",
+        "n_orders",
+        "total_revenue",
+        (F.abs(F.col("__approx") - F.col("n_customers")) <= tol)
+        .cast("int")
+        .alias("within_rsd_bound"),
+    )
+
+
+@register(
+    "approx_percentiles",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT)          AS n,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.9)  AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99,
+           1                                 AS within_rank_bound
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def approx_percentiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """price_percentiles' scale variant, gated: approx_percentile
+    (Greenwald-Khanna sketch, bounded memory per group — no sorted
+    buffer of the group's values) must land, by value, inside the
+    exact-percentile envelope at q ± _APCT_BOUND_Q rank. The envelope
+    is the max of the sketch's published rank-error bound
+    (n/accuracy) and the ±1-row discretization floor — the sketch
+    returns an actual data value while exact `percentile`
+    interpolates, so at small n a pure n/accuracy band is narrower
+    than one row and would flag exact answers. 0.5% of rank covers
+    ≥2 rows at the smallest gate scale and stays ≫ stricter than any
+    real sketch drift at larger n. Emits the EXACT percentiles plus
+    the flag; sketch values themselves never reach the hash.
+    """
+    qs = [0.5, 0.9, 0.99]
+    eps = _APCT_BOUND_Q
+    arr = lambda vals: "array(" + ", ".join(f"{v}D" for v in vals) + ")"  # noqa: E731
+    orders = load_table(spark, sf_dir, "orders")
+    out = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile(o_totalprice, {arr(qs)})").alias("ps"),
+        F.expr(
+            f"percentile(o_totalprice, {arr([max(q - eps, 0.0) for q in qs])})"
+        ).alias("lo"),
+        F.expr(
+            f"percentile(o_totalprice, {arr([min(q + eps, 1.0) for q in qs])})"
+        ).alias("hi"),
+        F.expr(
+            f"approx_percentile(o_totalprice, {arr(qs)}, {_APCT_ACC})"
+        ).alias("ap"),
+    )
+    within = F.expr(
+        "forall(sequence(0, 2), i -> ap[i] >= lo[i] AND ap[i] <= hi[i])"
+    )
+    return out.select(
+        "status",
+        "n",
+        F.col("ps")[0].alias("p50"),
+        F.col("ps")[1].alias("p90"),
+        F.col("ps")[2].alias("p99"),
+        within.cast("int").alias("within_rank_bound"),
+    )

@@ -229,9 +229,10 @@ _IVF_QUERY_VEC = 1
 _IVF_K = 10
 
 
-@register(
-    "ivf_topk",
-    f"""
+# exact top-k for query vector _IVF_QUERY_VEC — the shared oracle for
+# every IVF configuration gated at nprobe ≥ n_cells (where IVF search
+# degrades to exact brute force regardless of how cells were built)
+_IVF_EXACT_SQL = f"""
     WITH q AS (
         SELECT {_SQL_QVEC} AS qv FROM embeddings WHERE vec_id = {_IVF_QUERY_VEC}
     ),
@@ -249,8 +250,10 @@ _IVF_K = 10
     FROM scored
     ORDER BY cosine_sim DESC, vec_id
     LIMIT {_IVF_K}
-    """,
-)
+    """
+
+
+@register("ivf_topk", _IVF_EXACT_SQL)
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search end-to-end (operators/similarity.ivf_topk): per-label
     centroids as the coarse quantizer, probe list per query, exact
@@ -291,6 +294,46 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     corpus = qe.filter(F.col("vec_id") != _IVF_QUERY_VEC)
+    query = qe.filter(F.col("vec_id") == _IVF_QUERY_VEC).select(
+        F.lit(_IVF_QUERY_VEC).alias("query_id"), "embedding"
+    )
+    out = ivf_search(
+        corpus, cents, query, k=_IVF_K, nprobe=1_000_000  # ≥ n_cells → exact
+    )
+    labels = emb.select("vec_id", "label")
+    return (
+        labels.join(F.broadcast(out), "vec_id")
+        .select("vec_id", "label", "cosine_sim", "rank")
+        .orderBy("rank")
+    )
+
+
+@register("ivf_topk_learned", _IVF_EXACT_SQL)
+def ivf_topk_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with a LEARNED coarse quantizer: cells come from
+    operators/similarity.kmeans_centroids (Lloyd's iterations with
+    deterministic hash seeds — no labels needed), then the same
+    assign→probe→score→rank pipeline as ivf_topk.
+
+    Gated at nprobe ≥ n_cells, where search degrades to exact brute
+    force whatever the centroids are — so the oracle is the shared
+    exact top-k SQL and pins the learned-quantizer pipeline end to
+    end (the centroids only decide which cells exist, and probing all
+    of them scores every corpus vector exactly). The recall/cost dial
+    at nprobe < n_cells is property-tested against the exact top-k in
+    tests/test_operators.py.
+    """
+    from ..operators.similarity import ivf_topk as ivf_search
+    from ..operators.similarity import kmeans_centroids
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qe = emb.select("vec_id", "label", F.expr(_QVEC).alias("embedding"))
+    corpus = qe.filter(F.col("vec_id") != _IVF_QUERY_VEC).select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(corpus, k=8, max_iters=3).select(
+        "cell_id", "centroid"
+    )
     query = qe.filter(F.col("vec_id") == _IVF_QUERY_VEC).select(
         F.lit(_IVF_QUERY_VEC).alias("query_id"), "embedding"
     )

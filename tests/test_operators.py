@@ -246,6 +246,42 @@ def test_ivf_topk_recall_and_exactness(spark):
     assert hi >= 0.9, f"IVF recall too low at nprobe={n_cells - 1}: {hi}"
 
 
+def test_ivf_learned_quantizer_recall_and_exactness(spark):
+    """The learned (k-means) coarse quantizer behind the
+    ivf_topk_learned gate: nprobe ≥ cells is exact regardless of the
+    centroids; at nprobe < cells the recall dial stays monotone."""
+    from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qe = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("embedding"),
+    )
+    cents = kmeans_centroids(qe, k=6, max_iters=3).select(
+        "cell_id", "centroid"
+    ).localCheckpoint()
+    n_cells = cents.count()
+    queries = qe.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(qe, queries, k=10)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    full = ivf_topk(qe, cents, queries, k=10, nprobe=n_cells)
+    assert {(r["query_id"], r["vec_id"]) for r in full.collect()} == ex
+
+    def _recall(nprobe):
+        ap = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(qe, cents, queries, k=10, nprobe=nprobe).collect()
+        }
+        return len(ex & ap) / len(ex)
+
+    lo, hi = _recall(1), _recall(max(n_cells - 1, 1))
+    assert lo <= hi, f"recall not monotone in nprobe: {lo} {hi}"
+
+
 # --- multimodal -----------------------------------------------------------
 
 
