@@ -440,6 +440,15 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return funnel_report(docs).orderBy("lang")
+
+
+def funnel_report(docs: DataFrame) -> DataFrame:
+    """The funnel itself (narrow gate pass + one 5-group aggregation),
+    shared verbatim by the batch gate and
+    streaming.curation.funnel_stream — the aggregation is a standard
+    streaming groupBy in complete mode. ``docs`` needs (doc_id, lang,
+    n_chars, text)."""
     toks = F.expr("filter(split(text, ' '), t -> t != '')")
     stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
     sorted_grams = F.sort_array(
@@ -504,5 +513,4 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("kept_chars"),
         )
-        .orderBy("lang")
     )

@@ -461,9 +461,17 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded chunk string (codegen — rule 10). No shuffle at all
     except the presentation sort; linear in corpus size.
     """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return chunk_transform(docs).orderBy("doc_id", "chunk_idx")
+
+
+def chunk_transform(docs: DataFrame) -> DataFrame:
+    """The chunking map itself, shared verbatim by the batch gate and
+    streaming.curation.chunk_stream — being fully narrow (zero
+    shuffle, zero state) it runs unchanged on a streaming frame in
+    append mode. ``docs`` needs (doc_id, text)."""
     from .text import _TOKENS
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.expr(_TOKENS).alias("tokens")).filter(
         F.size("tokens") > 0
     )
@@ -478,14 +486,11 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.expr(f"slice(tokens, s, {_CHUNK_TOKENS})").alias("chunk"),
     )
-    return (
-        chunks.select(
-            "doc_id",
-            "chunk_idx",
-            F.size("chunk").cast("long").alias("n_tokens"),
-            F.md5(F.array_join("chunk", " ").cast("binary")).alias("chunk_hash"),
-        )
-        .orderBy("doc_id", "chunk_idx")
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ").cast("binary")).alias("chunk_hash"),
     )
 
 

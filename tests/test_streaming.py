@@ -450,3 +450,66 @@ def test_streaming_pack_flags_late_arrivals(spark, tmp_path):
         (12, None, True),   # behind high-water mark 16
         (24, 0, False),     # cum 8 -> pack 0 (unchanged by late doc)
     }
+
+
+def _stage_doc_drops(spark, tmp_path, cols, n_drops=3):
+    """Split documents into n single-file parquet drops by doc_id."""
+    import time
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(*cols)
+    src = os.path.join(str(tmp_path), "doc_flat")
+    now = time.time()
+    for b in range(n_drops):
+        part = docs.filter(F.pmod("doc_id", F.lit(n_drops)) == b)
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    return src, docs
+
+
+def test_streaming_chunk_equals_batch(spark, tmp_path):
+    """Stateless narrow chunking: the streamed union of per-batch
+    chunks equals the batch chunk_documents gate exactly."""
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        chunk_stream,
+    )
+
+    src, docs = _stage_doc_drops(spark, tmp_path, ["doc_id", "text"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(spark, chunk_stream(stream), "chunk_test")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM chunk_test")
+    expected = load_all()["chunk_documents"][0](spark, SF)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() > 0
+
+
+def test_streaming_funnel_equals_batch(spark, tmp_path):
+    """Streaming curation funnel: complete-mode final state equals the
+    batch curation_funnel gate row for row."""
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        funnel_stream,
+    )
+
+    src, docs = _stage_doc_drops(
+        spark, tmp_path, ["doc_id", "lang", "n_chars", "text"]
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, n_chars long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, funnel_stream(stream), "funnel_test", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM funnel_test")
+    expected = load_all()["curation_funnel"][0](spark, SF)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() > 0
