@@ -262,6 +262,91 @@ def gate_status_distribution(quality: DataFrame, as_of: date) -> DataFrame:
     )
 
 
+def etl_summary_stats(etl: DataFrame, as_of: date) -> DataFrame:
+    """The three pipeline-health stat tiles — 'Total Pipeline Runs
+    (7d)', 'Avg Duration (7d)', 'Total Rows Processed (7d)' — in ONE
+    scan (the dashboard issues three queries over the same filter; the
+    engine computes them as one aggregate)."""
+    return _recent(etl, "started_at", as_of).agg(
+        F.count(F.lit(1)).alias("total_runs"),
+        F.round(F.avg("duration_seconds"), 1).alias("avg_duration"),
+        F.coalesce(F.sum("rows_out"), F.lit(0)).alias("total_rows"),
+    )
+
+
+def task_duration_timeseries(etl: DataFrame, as_of: date) -> DataFrame:
+    """'Task Duration Over Time' timeseries panel: (time, value,
+    metric) = (started_at, duration_seconds, task_id)."""
+    return (
+        _recent(etl, "started_at", as_of)
+        .select(
+            F.col("started_at").alias("time"),
+            F.col("duration_seconds").alias("value"),
+            F.col("task_id").alias("metric"),
+        )
+        .orderBy("time", "metric")
+    )
+
+
+def quality_summary_stats(quality: DataFrame, as_of: date) -> DataFrame:
+    """The three data-quality stat tiles — 'Avg Valid Rate (7d)',
+    'Total Quality Checks (7d)', 'Avg Duplicate Rate (7d)' — in ONE
+    scan."""
+    return _recent(quality, "run_timestamp", as_of).agg(
+        F.round(F.avg("valid_rate") * 100, 1).alias("avg_valid_rate"),
+        F.count(F.lit(1)).alias("total_checks"),
+        F.round(F.avg("duplicate_rate") * 100, 2).alias("avg_dup_rate"),
+    )
+
+
+def valid_rate_trend(quality: DataFrame, as_of: date) -> DataFrame:
+    """'Valid Rate Trend by Type' timeseries panel: (time, value,
+    metric) = (run_timestamp, valid_rate*100, validation_type)."""
+    return (
+        _recent(quality, "run_timestamp", as_of)
+        .select(
+            F.col("run_timestamp").alias("time"),
+            (F.col("valid_rate") * 100).alias("value"),
+            F.col("validation_type").alias("metric"),
+        )
+        .orderBy("time", "metric")
+    )
+
+
+def jobs_processed_timeseries(quality: DataFrame, as_of: date) -> DataFrame:
+    """'Jobs Processed Over Time' timeseries panel: (time, value,
+    metric) = (run_timestamp, total_jobs, validation_type)."""
+    return (
+        _recent(quality, "run_timestamp", as_of)
+        .select(
+            F.col("run_timestamp").alias("time"),
+            F.col("total_jobs").alias("value"),
+            F.col("validation_type").alias("metric"),
+        )
+        .orderBy("time", "metric")
+    )
+
+
+def recent_quality_checks(quality: DataFrame, limit: int = 20) -> DataFrame:
+    """'Recent Quality Checks' table panel (newest first, total order
+    via the type tiebreak)."""
+    return (
+        quality.select(
+            "run_timestamp",
+            "validation_type",
+            "total_jobs",
+            "valid_jobs",
+            "invalid_jobs",
+            F.round(F.col("valid_rate") * 100, 1).alias("valid_pct"),
+            "duplicate_count",
+            "gate_status",
+            "gate_message",
+        )
+        .orderBy(F.desc("run_timestamp"), "validation_type")
+        .limit(limit)
+    )
+
+
 def recent_runs(etl: DataFrame, limit: int = 20) -> DataFrame:
     """'Recent Pipeline Runs' table panel (total order: started_at then
     dag/task id, newest first)."""

@@ -21,10 +21,16 @@ from jobinsight_data_pipeline_v2_spark.quality import (
 )
 from jobinsight_data_pipeline_v2_spark.quality.monitoring import (
     MetricsStore,
+    etl_summary_stats,
     gate_status_distribution,
+    jobs_processed_timeseries,
     pipeline_success_rate,
+    quality_summary_stats,
+    recent_quality_checks,
     recent_runs,
+    task_duration_timeseries,
     task_success_failure,
+    valid_rate_trend,
     vw_etl_health,
     vw_quality_health,
 )
@@ -195,3 +201,108 @@ def test_monitoring_views_registered(spark, metrics_run):
     register_monitoring_views(spark, store, as_of)
     n = spark.sql("SELECT SUM(total_runs) AS n FROM vw_etl_health").collect()[0]["n"]
     assert n == 7
+
+
+def test_grafana_stat_tiles_match_duckdb(metrics_run):
+    """The six stat tiles (three per dashboard), differential against
+    the panels' own rawSql (NOW() parameterized as as_of)."""
+    store, as_of = metrics_run
+    con = _duck(store)
+    etl = etl_summary_stats(store.etl_metrics(), as_of).collect()[0]
+    want = con.sql(
+        f"""
+        SELECT COUNT(*) AS total_runs,
+               ROUND(AVG(duration_seconds), 1) AS avg_duration,
+               COALESCE(SUM(rows_out), 0) AS total_rows
+        FROM etl_metrics
+        WHERE started_at >= DATE '{as_of}' - INTERVAL 7 DAY
+        """
+    ).fetchone()
+    assert (etl["total_runs"], etl["avg_duration"], etl["total_rows"]) == (
+        want[0],
+        pytest.approx(want[1]),
+        want[2],
+    )
+    q = quality_summary_stats(store.quality_metrics(), as_of).collect()[0]
+    want = con.sql(
+        f"""
+        SELECT ROUND(AVG(valid_rate) * 100, 1) AS avg_valid_rate,
+               COUNT(*) AS total_checks,
+               ROUND(AVG(duplicate_rate) * 100, 2) AS avg_dup_rate
+        FROM quality_metrics
+        WHERE run_timestamp >= DATE '{as_of}' - INTERVAL 7 DAY
+        """
+    ).fetchone()
+    assert (q["avg_valid_rate"], q["total_checks"], q["avg_dup_rate"]) == (
+        pytest.approx(want[0]),
+        want[1],
+        pytest.approx(want[2]),
+    )
+
+
+@pytest.mark.parametrize(
+    "fn_name,table,sql",
+    [
+        (
+            "task_duration_timeseries",
+            "etl_metrics",
+            """SELECT started_at AS time, duration_seconds AS value,
+                      task_id AS metric
+               FROM etl_metrics
+               WHERE started_at >= DATE '{as_of}' - INTERVAL 7 DAY
+               ORDER BY time, metric""",
+        ),
+        (
+            "valid_rate_trend",
+            "quality_metrics",
+            """SELECT run_timestamp AS time, valid_rate * 100 AS value,
+                      validation_type AS metric
+               FROM quality_metrics
+               WHERE run_timestamp >= DATE '{as_of}' - INTERVAL 7 DAY
+               ORDER BY time, metric""",
+        ),
+        (
+            "jobs_processed_timeseries",
+            "quality_metrics",
+            """SELECT run_timestamp AS time, total_jobs AS value,
+                      validation_type AS metric
+               FROM quality_metrics
+               WHERE run_timestamp >= DATE '{as_of}' - INTERVAL 7 DAY
+               ORDER BY time, metric""",
+        ),
+    ],
+)
+def test_grafana_timeseries_match_duckdb(metrics_run, fn_name, table, sql):
+    """The three timeseries panels, differential against their rawSql."""
+    import jobinsight_data_pipeline_v2_spark.quality.monitoring as mon
+
+    store, as_of = metrics_run
+    con = _duck(store)
+    src = store.etl_metrics() if table == "etl_metrics" else store.quality_metrics()
+    mine = getattr(mon, fn_name)(src, as_of).toPandas()
+    oracle = con.sql(sql.format(as_of=as_of)).fetchdf()
+    cols = sorted(oracle.columns)
+    assert sorted(mine.columns) == cols
+    assert _rows(mine, cols) == _rows(oracle, cols)
+    assert len(mine) > 0
+
+
+def test_grafana_recent_quality_checks_match_duckdb(metrics_run):
+    """'Recent Quality Checks' table panel: same columns as the
+    dashboard rawSql, newest-first, bounded."""
+    store, as_of = metrics_run
+    con = _duck(store)
+    mine = recent_quality_checks(store.quality_metrics(), limit=5).toPandas()
+    oracle = con.sql(
+        """
+        SELECT run_timestamp, validation_type, total_jobs, valid_jobs,
+               invalid_jobs, ROUND(valid_rate * 100, 1) AS valid_pct,
+               duplicate_count, gate_status, gate_message
+        FROM quality_metrics
+        ORDER BY run_timestamp DESC, validation_type LIMIT 5
+        """
+    ).fetchdf()
+    cols = sorted(oracle.columns)
+    assert sorted(mine.columns) == cols
+    assert _rows(mine, cols) == _rows(oracle, cols)
+    assert len(mine) == 5
