@@ -349,7 +349,7 @@ def kmeans_centroids(
             F.row_number().over(Window.orderBy("__sid")).alias("cell_id"),
             "centroid",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         assigned = ivf_assign(vecs, cents, vec_col, id_col)
@@ -374,7 +374,10 @@ def kmeans_centroids(
                 ).alias("centroid"),
                 "n_members",
             )
-            .localCheckpoint()
+            # lazy: materializes inside the next round's first job
+            # instead of as its own blocking action (3 fewer driver
+            # round trips per training run)
+            .localCheckpoint(eager=False)
         )
         cents = new_cents.select("cell_id", "centroid")
     return new_cents.select(

@@ -1074,12 +1074,21 @@ def approx_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge order can never break the value hash.
     """
     orders = load_table(spark, sf_dir, "orders")
-    out = orders.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    # two-level shape (same device as monthly_stats): pre-aggregate per
+    # (month, custkey) so the exact distinct becomes a plain count and
+    # no Expand multiplies input rows; the HLL runs over the deduped
+    # pairs — same estimation target, strictly less input
+    per_cust = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        "o_custkey",
     ).agg(
-        F.count_distinct("o_custkey").alias("n_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
-        dec_sum("o_totalprice").alias("total_revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("rev"),
+    )
+    out = per_cust.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cnt").alias("n_orders"),
+        F.sum("rev").cast("double").alias("total_revenue"),
         F.approx_count_distinct("o_custkey", _ACD_RSD).alias("__approx"),
     )
     tol = F.greatest(

@@ -908,13 +908,37 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("hs"),
     ).localCheckpoint(eager=False)
+    # Sliding-window min by LOG-DOUBLING instead of a per-position
+    # slice+array_min: each zip_with of the running array with a
+    # shifted copy doubles the covered window (m_p[j] = min of
+    # hs[j..j+p-1]), and a final shift of w-p closes a non-power-of-2
+    # w. O(n log w) cheap `least` comparisons and log w array
+    # allocations per doc, vs O(n·w) with an O(w) slice COPY per
+    # position (measured 2.0s → 1.5s at sf0.1 for the gate). zip_with
+    # pads the shorter side with nulls and `least` skips them, so tail
+    # positions hold truncated-window minima — the prints slice stops
+    # at n-w+1 and never reads them. hs references below stay safe
+    # from projection-collapse re-hashing because karr is
+    # materialized (the measured 30s trap — CLAUDE.md rule 10).
+    win_min = "hs"
+    p = 1
+    while p * 2 <= w:
+        win_min = (
+            f"zip_with({win_min}, slice({win_min}, {p + 1}, size(hs)),"
+            " (a, b) -> least(a, b))"
+        )
+        p *= 2
+    if p < w:
+        win_min = (
+            f"zip_with({win_min}, slice({win_min}, {w - p + 1}, size(hs)),"
+            " (a, b) -> least(a, b))"
+        )
     fps = karr.select(
         "doc_id",
         F.expr(
             f"""
             if(size(hs) >= {w},
-               array_distinct(transform(sequence(1, size(hs) - {w} + 1),
-                              j -> array_min(slice(hs, j, {w})))),
+               array_distinct(slice({win_min}, 1, size(hs) - {w} + 1)),
                cast(array() as array<bigint>))
             """
         ).alias("prints"),
