@@ -66,17 +66,31 @@ def _cooccur_pairs(
     ids → ≤ 780 pairs per key); ids arrive sorted, so doc_a < doc_b
     for free. Callers still aggregate the emitted pairs.
     """
+    # ONE exchange for both phases: hash-partitioning on `key` alone
+    # already co-locates every (key, salt) group AND every key group,
+    # so after the explicit repartition both aggregations run
+    # in-partition with no further shuffle (pinned partition count —
+    # a plain repartition(col) is AQE-coalescible, and collapsing to
+    # one partition would serialize the aggs). Most keys are unique
+    # (df=1), so a second exchange would re-move nearly the whole
+    # stream for nothing.
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     part = (
-        df.groupBy(
+        df.repartition(n_parts, key)
+        .groupBy(
             key,
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(_COOCCUR_SALTS)).alias(
                 "__salt"
             ),
         )
         .agg(
-            F.slice(
-                F.sort_array(F.collect_list(id_col)), 1, max_df + 1
-            ).alias("part"),
+            # NO sort here: truncation only ever affects keys whose df
+            # exceeds max_df, and those are dropped below — surviving
+            # keys pass through complete, so one sort in phase 2 is
+            # enough and every bucket skips an O(b log b) pass
+            F.slice(F.collect_list(id_col), 1, max_df + 1).alias("part"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )
