@@ -156,6 +156,22 @@ def lsh_topk(
     )
 
 
+def collect_array_by_pos(pos: F.Column, val: F.Column) -> F.Column:
+    """Aggregate expression re-assembling per-position rows into an
+    array ordered by position: ``transform(array_sort(collect_list(
+    struct(pos, val))), x -> x.val)``. The collect groups ≤ dim rows
+    per key — the bounded tail of the posexplode + groupBy(key, pos)
+    pattern that replaced member-sized fold buffers (ADVICE r3); used
+    by kmeans_centroids and plans/vectors' centroid builds so the
+    idiom cannot drift between them."""
+    return F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(pos.alias("p"), val.alias("v")))
+        ),
+        lambda x: x["v"],
+    )
+
+
 def _cells_index(centroids: DataFrame) -> DataFrame:
     """Collapse the centroid table into a ONE-ROW broadcast index:
     ``__cells`` = array<struct<cell_id, centroid, cnorm>>.
@@ -362,10 +378,7 @@ def kmeans_centroids(
             .groupBy("cell_id")
             .agg(
                 F.max("n").alias("n_members"),
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                    lambda x: x["s"],
-                ).alias("sums"),
+                collect_array_by_pos(F.col("pos"), F.col("s")).alias("sums"),
             )
             .select(
                 "cell_id",

@@ -184,13 +184,18 @@ _DF_BCAST_MAX_SRC_BYTES = 4 << 30
 
 
 def _join_df_side(tf, df, src_bytes):
-    """tf ⋈ df on token: broadcast the df side while the corpus is
-    small, shuffle once it cannot plausibly fit an executor. With the
-    shuffle strategy the df side is already token-partitioned by its
-    own aggregation, so only tf moves."""
-    if src_bytes is not None and src_bytes > _DF_BCAST_MAX_SRC_BYTES:
-        return tf.join(df, "token")
-    return tf.join(F.broadcast(df), "token")
+    """tf ⋈ df on token: broadcast the df side only when the corpus is
+    KNOWN small; shuffle once it cannot plausibly fit an executor.
+    Unknown size (object-store paths the local stat cannot measure —
+    exactly where a web-scale corpus lives) takes the un-hinted join:
+    forcing the broadcast there would recreate the OOM this guard
+    exists to prevent, while Catalyst may still broadcast from its own
+    stats when the table is genuinely tiny. With the shuffle strategy
+    the df side is already token-partitioned by its own aggregation,
+    so only tf moves."""
+    if src_bytes is not None and src_bytes <= _DF_BCAST_MAX_SRC_BYTES:
+        return tf.join(F.broadcast(df), "token")
+    return tf.join(df, "token")
 
 
 @register(

@@ -74,9 +74,12 @@ def _cooccur_pairs(
     # one partition would serialize the aggs). Most keys are unique
     # (df=1), so a second exchange would re-move nearly the whole
     # stream for nothing.
-    n_parts = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    try:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:  # e.g. "auto" on AQE-managed platforms
+        n_parts = 200
     part = (
         df.repartition(n_parts, key)
         .groupBy(

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.similarity import collect_array_by_pos
 from ..tables import load_table, spread
 from . import register
 
@@ -271,21 +272,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = emb.select("vec_id", "label", F.expr(_QVEC).alias("embedding"))
     cents = (
         _component_sums(qe.select("label", "embedding"), "embedding")
-        # re-assemble the per-dim means into a centroid array; the
-        # collect_list here is dim-sized per label (bounded), unlike
-        # the member-sized fold this replaced (ADVICE r3)
+        # re-assemble the per-dim means into a centroid array (shared
+        # dim-bounded idiom — operators/similarity.collect_array_by_pos)
         .groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("pos"),
-                            (F.col("s").cast("double") / F.col("n")).alias("c"),
-                        )
-                    )
-                ),
-                lambda x: x["c"],
+            collect_array_by_pos(
+                F.col("pos"), F.col("s").cast("double") / F.col("n")
             ).alias("centroid")
         )
         .select(F.col("label").alias("cell_id"), "centroid")

@@ -328,10 +328,16 @@ def jobs_processed_timeseries(quality: DataFrame, as_of: date) -> DataFrame:
 
 
 def recent_quality_checks(quality: DataFrame, limit: int = 20) -> DataFrame:
-    """'Recent Quality Checks' table panel (newest first, total order
-    via the type tiebreak)."""
+    """'Recent Quality Checks' table panel (newest first; total order
+    via the (type, dag_run_id) tiebreak — CLAUDE.md rule 3: two dag
+    runs can record the same type at the same timestamp, and a LIMIT
+    under a partial order returns a nondeterministic row set)."""
     return (
-        quality.select(
+        quality.orderBy(
+            F.desc("run_timestamp"), "validation_type", "dag_run_id"
+        )
+        .limit(limit)
+        .select(
             "run_timestamp",
             "validation_type",
             "total_jobs",
@@ -342,8 +348,6 @@ def recent_quality_checks(quality: DataFrame, limit: int = 20) -> DataFrame:
             "gate_status",
             "gate_message",
         )
-        .orderBy(F.desc("run_timestamp"), "validation_type")
-        .limit(limit)
     )
 
 

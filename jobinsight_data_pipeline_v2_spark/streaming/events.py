@@ -313,6 +313,11 @@ def asof_stream(events: DataFrame) -> DataFrame:
         (user_id,) = key
         v_us, v_id, max_us = state.get if state.exists else (None, None, None)
         pdf = pd.concat(list(pdfs), ignore_index=True)
+        # only the event types this operator consumes participate in
+        # ordering: a click/signup between a purchase and a later view
+        # must not advance the mark and flag that view late (the
+        # batch twin filters to view/purchase before matching too)
+        pdf = pdf[pdf["event_type"].isin(("view", "purchase"))]
         # cross-batch order check: anything behind the high-water mark
         # arrived late (within a batch the sorts below fix ordering)
         late_mask = (
@@ -371,17 +376,18 @@ def asof_stream(events: DataFrame) -> DataFrame:
             )
         if len(late):
             is_p = late["event_type"] == "purchase"
+            # convert to nullable Int64 BEFORE masking: .where() on an
+            # int64 column routes through float64 (NaN fill) and would
+            # silently corrupt ids above 2^53
+            eid = late["event_id"].astype("Int64")
+            lus = late["us"].astype("Int64")
             out.append(
                 pd.DataFrame(
                     {
-                        "purchase_id": late["event_id"].where(is_p).astype(
-                            "Int64"
-                        ),
+                        "purchase_id": eid.where(is_p),
                         "user_id": user_id,
-                        "purchase_us": late["us"].where(is_p).astype("Int64"),
-                        "view_id": late["event_id"].where(~is_p).astype(
-                            "Int64"
-                        ),
+                        "purchase_us": lus.where(is_p),
+                        "view_id": eid.where(~is_p),
                         "gap_us": pd.array([pd.NA] * len(late), dtype="Int64"),
                         "late": True,
                     }

@@ -54,17 +54,20 @@ def pack_stream(
         (shard,) = key
         cum, last_doc = state.get if state.exists else (0, None)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            for doc_id, n_tokens in zip(pdf["doc_id"], pdf["n_tokens"]):
-                if last_doc is not None and doc_id <= last_doc:
-                    out.append((shard, int(doc_id), int(n_tokens), None, True))
-                    continue
-                out.append(
-                    (shard, int(doc_id), int(n_tokens), cum // capacity, False)
-                )
-                cum += int(n_tokens)
-                last_doc = int(doc_id)
+        # concat ALL Arrow chunks before the sort: a micro-batch larger
+        # than arrow.maxRecordsPerBatch arrives as several chunks with
+        # no cross-chunk ordering, and sorting each independently would
+        # flag in-batch docs as late against the earlier chunk's ids
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        for doc_id, n_tokens in zip(pdf["doc_id"], pdf["n_tokens"]):
+            if last_doc is not None and doc_id <= last_doc:
+                out.append((shard, int(doc_id), int(n_tokens), None, True))
+                continue
+            out.append(
+                (shard, int(doc_id), int(n_tokens), cum // capacity, False)
+            )
+            cum += int(n_tokens)
+            last_doc = int(doc_id)
         state.update((cum, last_doc))
         if out:
             yield pd.DataFrame(

@@ -299,7 +299,7 @@ def test_grafana_recent_quality_checks_match_duckdb(metrics_run):
                invalid_jobs, ROUND(valid_rate * 100, 1) AS valid_pct,
                duplicate_count, gate_status, gate_message
         FROM quality_metrics
-        ORDER BY run_timestamp DESC, validation_type LIMIT 5
+        ORDER BY run_timestamp DESC, validation_type, dag_run_id LIMIT 5
         """
     ).fetchdf()
     cols = sorted(oracle.columns)
