@@ -513,3 +513,36 @@ def test_streaming_funnel_equals_batch(spark, tmp_path):
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0
     assert got.count() > 0
+
+
+def test_streaming_asof_ignores_other_event_types_for_frontier(spark, tmp_path):
+    """Only view/purchase participate in ordering: a click with a later
+    timestamp in batch 1 must not flag batch 2's on-time view late."""
+    import time
+    from datetime import datetime
+
+    from jobinsight_data_pipeline_v2_spark.streaming.events import asof_stream
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    # click@30 is ahead of everything but must be invisible to the asof
+    drop1 = mk([(1, t(10), 7, "view", 1.0, None), (9, t(30), 7, "click", 0.0, None)])
+    drop2 = mk([(2, t(15), 7, "view", 1.0, None), (3, t(20), 7, "purchase", 5.0, None)])
+    src = os.path.join(str(tmp_path), "click_flat")
+    now = time.time()
+    _write_drop(drop1, tmp_path, src, "drop_0", now)
+    _write_drop(drop2, tmp_path, src, "drop_1", now + 2)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = run_stream_to_memory(spark, asof_stream(stream), "asof_click_test")
+    q.awaitTermination(120)
+    rows = {
+        (r.purchase_id, r.view_id, r.late)
+        for r in spark.sql("SELECT * FROM asof_click_test").collect()
+    }
+    # view@15 is ON TIME (the click's t=30 never advanced the mark) and
+    # purchase@20 matches it
+    assert rows == {(3, 2, False)}

@@ -355,3 +355,32 @@ def test_views_match_reference_sql_on_duckdb(warehouse_days, view):
     # drop presentation-order columns mismatch by sorting canonically
     assert sorted(mine.columns) == sorted(oracle.columns)
     assert _canon(mine) == _canon(oracle), view
+
+
+def test_assign_batch_sks_properties(spark):
+    """Bucket-strided surrogate ids: unique, deterministic across
+    runs, strictly above the existing max, and assigned through a
+    bucket-partitioned window (the no-SinglePartition W4 rule) even
+    for a backfill-sized insert batch."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.operators.scd2 import (
+        ID_BUCKETS,
+        assign_batch_sks,
+    )
+
+    n = 50_000
+    batch = spark.range(n).select(
+        F.concat(F.lit("bk_"), F.col("id").cast("string")).alias("bk")
+    )
+    max_sk = spark.createDataFrame([(1000,)], "m long")
+    out = assign_batch_sks(batch, ["bk"], max_sk, "sk")
+    sks = [r["sk"] for r in out.select("sk").collect()]
+    assert len(sks) == n
+    assert len(set(sks)) == n, "ids must be unique"
+    assert min(sks) > 1000, "ids must sit above the existing max"
+    # strided, not dense: gaps bounded by buckets x imbalance
+    assert max(sks) <= 1000 + n + ID_BUCKETS * ID_BUCKETS
+    again = {r["bk"]: r["sk"] for r in assign_batch_sks(batch, ["bk"], max_sk, "sk").collect()}
+    first = {r["bk"]: r["sk"] for r in out.collect()}
+    assert first == again, "assignment must be deterministic"
