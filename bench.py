@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "ivf_topk_learned",  # learned k-means quantizer, nprobe=all (exact)
     "approx_monthly_stats",
     "approx_percentiles",
+    "shuffle_shards",
 ]
 
 

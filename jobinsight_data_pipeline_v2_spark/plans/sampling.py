@@ -563,3 +563,72 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle into training shards
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "shuffle_shards",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS rank_key
+        FROM documents
+    )
+    SELECT CAST(rank_key % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY rank_key % {_SHUFFLE_SHARDS}
+               ORDER BY rank_key, doc_id) AS BIGINT) AS pos,
+           doc_id
+    FROM ranked
+    ORDER BY shard, pos
+    """,
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into {_SHUFFLE_SHARDS}
+    training shards: every doc gets a pseudo-random 60-bit rank key
+    (md5 of its id — no rand(), so retries/backfills reproduce the
+    exact order), shard = rank % shards, position = rank order within
+    the shard. This is the pre-training interleave step: downstream
+    readers stream shard files sequentially and see a stable,
+    well-mixed document order.
+
+    Scale shape: ONE shuffle on the shard key and per-shard
+    row_number windows that parallelize across shards (positions are
+    per-shard by design — a single global sequence would funnel the
+    corpus through one task, the W4 anti-pattern). Ties on rank_key
+    break by doc_id: a total order per CLAUDE.md rule 3.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    rank_key = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("rank_key")
+    )
+    ranked = docs.select("doc_id", rank_key)
+    w = Window.partitionBy("shard").orderBy("rank_key", "doc_id")
+    return (
+        ranked.select(
+            (F.col("rank_key") % _SHUFFLE_SHARDS).alias("shard"),
+            "rank_key",
+            "doc_id",
+        )
+        .select(
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+            "doc_id",
+        )
+        .orderBy("shard", "pos")
+    )

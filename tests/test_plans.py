@@ -312,3 +312,19 @@ def test_range_join_grid_broadcasts(spark):
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_events_queries_timezone_independent(spark):
+    """The events tables are TIMESTAMP_NTZ rebuilt tz-independently
+    (CLAUDE.md rule 9); gate results must not shift when the session
+    timezone does — the driver may grade from any locale."""
+    name = "events_hourly"
+    fn = load_all()[name][0]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    base = {tuple(r) for r in fn(spark, SF).collect()}
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Ho_Chi_Minh")
+        shifted = {tuple(r) for r in fn(spark, SF).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert base == shifted
