@@ -116,7 +116,7 @@ PRIORITY: tuple[str, ...] = (
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
     """Import every plan module; return PRIORITY-ordered registry."""
-    from . import core, curation, events, sampling, text, vectors  # noqa: F401
+    from . import core, corpus, curation, events, sampling, text, vectors  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in PRIORITY if n in REGISTRY}
     ordered.update((n, v) for n, v in REGISTRY.items() if n not in ordered)

@@ -1,0 +1,410 @@
+"""Corpus-maintenance operators: segment-level dedup, incremental
+cross-corpus dedup, and in-plan model-based quality filtering.
+
+Net-new capability beyond the reference (training-data pipeline
+surface). These are the three corpus-lifecycle operations the
+document-level operators in ``plans/text.py`` don't cover:
+
+- ``segment_dedup``: C4/RefinedWeb-style *line-level* exact dedup —
+  remove every repeated text segment corpus-wide except its first
+  occurrence, and reassemble each document from its surviving
+  segments. Catches boilerplate (headers, navbars, license blurbs)
+  that document-level dedup never sees.
+- ``cross_dedup``: incremental dedup of an incoming batch against the
+  existing corpus via MinHash band collision — the production shape
+  of dedup (new crawl vs. reference corpus), where the two sides are
+  wildly different sizes and the candidate join must broadcast the
+  small side.
+- ``quality_classifier``: linear-model quality gating (the fastText /
+  logistic-classifier pass of a curation pipeline) with the entire
+  inference step expressed in-plan — feature extraction and the
+  weighted score are native columnar expressions, zero UDFs.
+
+Oracle-compatibility choices (CLAUDE.md rules):
+- grouping/join keys are md5-derived (identical hex in both engines);
+  Spark shuffles 60-bit long prefixes, DuckDB joins the raw strings —
+  equivalent absent 60-bit collisions (see ``text._shingle_key``).
+- first-occurrence order rides one BIGINT ``doc_id * 1e6 + seg_idx``
+  (documented bound: segment index < 1e6 ⇔ docs under 8M tokens; a
+  general-purpose build would min a (doc_id, seg_idx) struct).
+- classifier weights are integers over integer count features — the
+  logit is exact in both engines; no float hash hazard.
+- SUM casts to BIGINT (DuckDB HUGEINT trap).
+
+Scale design (100 TB):
+- ``segment_dedup``: one shuffle on the segment hash (window-min, no
+  orderBy → no per-group sort spec), one on doc_id to reassemble.
+  Reassembly buffers are bounded by single-document size. A globally
+  hot boilerplate segment concentrates its rows in one hash group —
+  acceptable because the group does O(n) work (min), not O(n²).
+- ``cross_dedup``: the incoming batch is small by construction; its
+  band rows broadcast, the reference corpus streams through the join
+  exactly once — never corpus×corpus. Signature construction is the
+  zero-shuffle in-row build shared with ``minhash_lsh_candidates``.
+- ``quality_classifier``: fully narrow single scan, whole-stage
+  codegen end to end; the only exchange is the presentation sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table, spread
+from . import register
+from .text import (
+    _BAND_SIZE,
+    _MINHASH_COEFFS,
+    _MINHASH_P,
+    _N_HASHES,
+    _SHINGLE_N,
+    _SHINGLE_RE,
+    _SQL_BAND_KEYS,
+    _SQL_SIG_COLS,
+    _SQL_TOKENS,
+    _STOP_SQL,
+    _STOPWORDS,
+    _TOKENS,
+    _materialize,
+    _shingle_key,
+)
+
+# ---------------------------------------------------------------------------
+# segment-level (line-level) exact dedup with document reassembly
+# ---------------------------------------------------------------------------
+#
+# The corpus is single-space word soup with no newlines, so "lines"
+# are fixed-width 8-token segments — the same first-occurrence-wins
+# semantics as C4's line dedup, with segmentation swapped for the
+# corpus's actual structure.
+
+_SEG_N = 8
+
+
+@register(
+    "segment_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, i - 1 AS seg_idx,
+               list_aggregate(t[(i - 1) * {_SEG_N} + 1 : i * {_SEG_N}],
+                              'string_agg', ' ') AS seg
+        FROM toks,
+             UNNEST(generate_series(
+                 1, CAST(ceil(len(t) / {_SEG_N}.0) AS BIGINT))) AS u(i)
+    ),
+    marked AS (
+        SELECT doc_id, seg_idx, seg,
+               CASE WHEN doc_id * 1000000 + seg_idx =
+                         MIN(doc_id * 1000000 + seg_idx)
+                             OVER (PARTITION BY seg)
+                    THEN 1 ELSE 0 END AS is_first
+        FROM segs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segs,
+           CAST(SUM(is_first) AS BIGINT) AS n_kept,
+           string_agg(CASE WHEN is_first = 1 THEN seg END,
+                      ' ' ORDER BY seg_idx) AS clean_text
+    FROM marked
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide segment (line) dedup: keep each distinct {_SEG_N}-token
+    segment's FIRST occurrence (ordered by doc_id, position), drop all
+    later copies, and reassemble documents from surviving segments.
+
+    Plan: in-row segmentation (transform over a token-index sequence,
+    guarded against Spark's descending ``sequence(1, 0)``) → one
+    window-min shuffle on the 60-bit segment hash (partitionBy only —
+    no ordering spec, so no per-group sort requirement beyond
+    clustering) → one groupBy(doc_id) to count and reassemble. The
+    reassembly buffer is one document's own segments — bounded by doc
+    size, never by corpus size.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # Materialize the token arrays before the segment build: the
+    # transform lambda references `t` once per segment index, and
+    # projection collapse would otherwise inline the split() into
+    # every reference (CLAUDE.md rule 10's O(n²) trap).
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t")).localCheckpoint(
+        eager=False
+    )
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""
+                if(size(t) > 0,
+                   transform(sequence(1, int(ceil(size(t) / {_SEG_N}.0))),
+                             i -> concat_ws(' ',
+                                      slice(t, (i - 1) * {_SEG_N} + 1,
+                                            {_SEG_N}))),
+                   cast(array() as array<string>))
+                """
+            )
+        ).alias("seg_idx", "seg"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        _shingle_key("seg").alias("sk"),
+        (F.col("doc_id") * 1_000_000 + F.col("seg_idx")).alias("ord"),
+    )
+    marked = segs.withColumn(
+        "is_first",
+        (F.col("ord") == F.min("ord").over(Window.partitionBy("sk"))).cast(
+            "int"
+        ),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum("is_first").alias("n_kept"),
+            # collect_list drops the NULLs the if() plants on dropped
+            # segments; struct sort restores document order; nullif
+            # matches DuckDB's NULL string_agg over zero kept rows.
+            F.expr(
+                "nullif(concat_ws(' ', transform(array_sort("
+                "collect_list(if(is_first = 1, struct(seg_idx, seg), null))"
+                "), s -> s.seg)), '')"
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental cross-corpus dedup (new batch vs. reference corpus)
+# ---------------------------------------------------------------------------
+
+# Deterministic batch split on the source column: two sources play the
+# incoming crawl, the rest are the standing corpus.
+_NEW_SOURCES = ("src0", "src1")
+_NEW_SQL = "(" + ", ".join(f"'{s}'" for s in _NEW_SOURCES) + ")"
+_N_BANDS = _N_HASHES // _BAND_SIZE
+
+
+def _band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) MinHash band rows, zero-shuffle build.
+
+    Same construction as ``minhash_lsh_candidates`` (one md5 per
+    shingle, {_N_HASHES} affine remixes, {_N_BANDS} band keys) so the
+    two gates stay oracle-consistent; kept separate so each caller
+    controls its own materialization (the self-join gate checkpoints,
+    this one broadcasts a single-consumer side instead).
+    """
+    hs = docs.select(
+        "doc_id",
+        F.transform(
+            F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1)),
+            lambda sh: F.conv(
+                F.substring(F.md5(sh.cast("binary")), 1, 8), 16, 10
+            ).cast("long"),
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    sigs = hs.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {_MINHASH_P}L))"
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MINHASH_COEFFS)
+        ],
+    )
+    band_key_exprs = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"m{band * _BAND_SIZE + j}").cast("string")
+                    for j in range(_BAND_SIZE)
+                ],
+            ).cast("binary")
+        ).alias(f"bk{band}")
+        for band in range(_N_BANDS)
+    ]
+    return (
+        sigs.select("doc_id", *band_key_exprs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            F.col(f"bk{band}").alias("band_key"),
+                        )
+                        for band in range(_N_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    )
+
+
+def _sql_band_ctes(name: str, pred: str) -> str:
+    """DuckDB CTE chain mirroring ``_band_rows`` over a filtered slice."""
+    return f"""
+    {name}_toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents WHERE {pred}
+    ),
+    {name}_shingles AS (
+        SELECT DISTINCT doc_id,
+               list_aggregate(tokens[i : i + {_SHINGLE_N} - 1],
+                              'string_agg', ' ') AS shingle
+        FROM {name}_toks,
+             UNNEST(generate_series(1, len(tokens) - {_SHINGLE_N} + 1)) AS t(i)
+    ),
+    {name}_hashed AS (
+        SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h
+        FROM {name}_shingles
+    ),
+    {name}_sigs AS (
+        SELECT doc_id,
+               {_SQL_SIG_COLS}
+        FROM {name}_hashed
+        GROUP BY 1
+    ),
+    {name}_bands AS (
+        SELECT doc_id, band,
+               CASE band
+                    {_SQL_BAND_KEYS}
+               END AS band_key
+        FROM {name}_sigs,
+             UNNEST(generate_series(0, {_N_BANDS - 1})) AS t(band)
+    )"""
+
+
+@register(
+    "cross_dedup",
+    f"""
+    WITH {_sql_band_ctes("new", f"source IN {_NEW_SQL}")},
+    {_sql_band_ctes("ref", f"source NOT IN {_NEW_SQL}")}
+    SELECT n.doc_id AS new_doc,
+           COUNT(DISTINCT r.doc_id) AS n_ref_matches,
+           MIN(r.doc_id) AS first_ref_match
+    FROM new_bands n
+    JOIN ref_bands r
+      ON n.band = r.band AND n.band_key = r.band_key
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: which docs of the incoming batch (source ∈
+    {_NEW_SOURCES}) MinHash-band-collide with the standing corpus, and
+    against how many reference docs.
+
+    The production dedup shape: a daily crawl is orders of magnitude
+    smaller than the corpus it must be checked against, so the batch's
+    band rows BROADCAST and the corpus streams through the join once
+    — no corpus shuffle, no corpus×corpus pairing, cost linear in
+    corpus size per batch. Both sides reuse the zero-shuffle in-row
+    signature build; the source filters push down to the parquet scan.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    new_bands = _band_rows(docs.filter(F.col("source").isin(*_NEW_SOURCES)))
+    ref_bands = _band_rows(docs.filter(~F.col("source").isin(*_NEW_SOURCES)))
+    n = F.broadcast(new_bands).alias("n")
+    r = ref_bands.alias("r")
+    return (
+        n.join(
+            r,
+            (F.col("n.band") == F.col("r.band"))
+            & (F.col("n.band_key") == F.col("r.band_key")),
+        )
+        .groupBy(F.col("n.doc_id").alias("new_doc"))
+        .agg(
+            F.countDistinct("r.doc_id").alias("n_ref_matches"),
+            F.min("r.doc_id").alias("first_ref_match"),
+        )
+        .orderBy("new_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering (linear classifier, in-plan inference)
+# ---------------------------------------------------------------------------
+#
+# The fastText-style quality-classifier pass of a curation pipeline,
+# with the model small enough to inline: integer weights over integer
+# count features, logit computed as a native columnar expression.
+# Weights are fixed literals standing in for a trained model (committed,
+# no runtime RNG); the point is the INFERENCE SHAPE — feature extraction
+# and scoring fused into one narrow codegen'd scan, the way a real
+# coefficient vector would be broadcast and applied at 100 TB.
+
+_W_DISTINCT = 4
+_W_STOP = 2
+_W_TOK = -2
+_W_SHORT = -3
+
+
+@register(
+    "quality_classifier",
+    f"""
+    WITH f AS (
+        SELECT doc_id,
+               len({_SQL_TOKENS}) AS n_tok,
+               len(list_distinct({_SQL_TOKENS})) AS n_distinct,
+               len(list_filter({_SQL_TOKENS}, x -> x IN {_STOP_SQL}))
+                   AS n_stop,
+               len(list_filter({_SQL_TOKENS}, x -> length(x) <= 2))
+                   AS n_short
+        FROM documents
+    )
+    SELECT doc_id, n_tok, n_distinct, n_stop, n_short,
+           {_W_DISTINCT} * n_distinct + {_W_STOP} * n_stop
+               + {_W_TOK} * n_tok + {_W_SHORT} * n_short AS logit,
+           ({_W_DISTINCT} * n_distinct + {_W_STOP} * n_stop
+               + {_W_TOK} * n_tok + {_W_SHORT} * n_short) > 0 AS keep
+    FROM f
+    WHERE n_tok > 0
+    ORDER BY doc_id
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over per-doc count features, inference
+    fully in-plan (zero UDFs, zero shuffles before the output sort).
+
+    logit = {_W_DISTINCT}·n_distinct + {_W_STOP}·n_stop
+    {_W_TOK}·n_tok {_W_SHORT}·n_short; keep ⇔ logit > 0 (≈44% of this
+    corpus). Integer weights × integer counts keep the score exact in
+    both engines; a float-weight model would quantize its coefficients
+    the same way (operators/skew.py's DECIMAL discipline).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    f = docs.withColumn("t", F.expr(_TOKENS)).select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        F.size(F.expr(f"filter(t, x -> x IN ({stop_arr}))")).alias("n_stop"),
+        F.size(F.expr("filter(t, x -> length(x) <= 2)")).alias("n_short"),
+    )
+    logit = (
+        F.lit(_W_DISTINCT) * F.col("n_distinct")
+        + F.lit(_W_STOP) * F.col("n_stop")
+        + F.lit(_W_TOK) * F.col("n_tok")
+        + F.lit(_W_SHORT) * F.col("n_short")
+    )
+    return (
+        f.filter(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_distinct",
+            "n_stop",
+            "n_short",
+            logit.cast("long").alias("logit"),
+            (logit > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
