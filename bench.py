@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     "approx_monthly_stats",
     "approx_percentiles",
     "shuffle_shards",
+    "segment_dedup",
+    "cross_dedup",
+    "quality_classifier",
+    "pq_topk_rerank",  # gate config: refine=all (exact); PQ cost ceiling
 ]
 
 

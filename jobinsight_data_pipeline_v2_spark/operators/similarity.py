@@ -400,3 +400,285 @@ def kmeans_centroids(
         "centroid",
         "n_members",
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): codebook training, encoding, ADC search
+# ---------------------------------------------------------------------------
+#
+# The memory-scale path of ANN (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): split each D-dim vector into
+# n_sub subvectors, k-means each subspace into `codes` centroids, store
+# every corpus vector as n_sub small codes. Search = asymmetric
+# distance computation (ADC): per query, precompute the n_sub × codes
+# table of query-subvector · centroid dot products ONCE, then score any
+# corpus vector with n_sub table lookups — never touching the original
+# vectors — and exact-re-rank only the `refine` best candidates.
+#
+# Spark-first shape: codebooks are corpus-independent-sized (n_sub ×
+# codes rows), so they ride as one-row broadcast structures exactly
+# like the IVF cells index; encoding is a narrow per-row argmin; the
+# ADC scan shuffles only (query_id, vec_id, approx_sim) triples —
+# vectors stay in the parquet scan until the refine join re-reads the
+# few candidate rows. Training mirrors kmeans_centroids' discipline:
+# ADVICE-safe posexplode+groupBy(m, code, pos) update buffers,
+# deterministic hash seeds, lazy per-round checkpoints.
+
+_PQ_KEY_PAD = 1_000_000  # map key = m * PAD + code (codes < PAD always)
+
+
+def _pq_cb_index(cb: DataFrame) -> DataFrame:
+    """One-row broadcast codebook: ``__cb`` array + ``__cbm`` map
+    (m * PAD + code → struct(centroid, cn2))."""
+    entry = F.struct(
+        F.col("m"),
+        F.col("code"),
+        F.col("centroid"),
+        _dot("centroid", "centroid").alias("cn2"),
+    ).alias("c")
+    return F.broadcast(
+        cb.select(entry).agg(
+            F.collect_list("c").alias("__cb"),
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("c.m") * _PQ_KEY_PAD + F.col("c.code")).alias(
+                            "k"
+                        ),
+                        F.struct(
+                            F.col("c.centroid").alias("centroid"),
+                            F.col("c.cn2").alias("cn2"),
+                        ).alias("v"),
+                    )
+                )
+            ).alias("__cbm"),
+        )
+    )
+
+
+def _pq_best_code(sv_expr: str) -> str:
+    """L2 argmin over the current subspace's codebook entries:
+    ``struct(cn2 - 2·(sv · centroid), code)`` min — integer-exact for
+    quantized vectors, ties to the smallest code. Expects lambda var
+    ``mi`` (subspace) and the one-row ``__cb`` array in scope."""
+    dot = _DOT.format(a=sv_expr, b="c.centroid")
+    return (
+        f"array_min(transform(filter(__cb, c -> c.m = mi), c -> "
+        f"struct(c.cn2 - 2D * ({dot}) AS negd, c.code AS code))).code"
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    n_sub: int = 4,
+    codes: int = 16,
+    max_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(m, code, centroid): per-subspace Lloyd's k-means codebooks.
+
+    Like kmeans_centroids but clustering every subspace at once: the
+    (id, m, subvector) rows carry their subspace id, assignment
+    argmins over the matching codebook slice of the one-row broadcast
+    index, and the update step is posexplode + groupBy(m, code, pos) —
+    O(1) aggregation buffers, exchange rows ≈ n_sub × codes × dim per
+    map partition (the ADVICE-r3-safe shape). Seeds per subspace are
+    the `codes` subvectors with the smallest xxhash64(id) — the seed
+    window partitions by m, so train on a hash-sample at scale (the
+    ivf_topk_learned discipline; codebooks need only be
+    representative). Empty codes drop out (Lloyd degeneracy); code ids
+    keep their seed numbering — consumers look codes up by (m, code),
+    nothing requires density.
+    """
+    from pyspark.sql.window import Window
+
+    sub = len(df.select(vec_col).first()[0]) // n_sub
+    subs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.expr(
+                            f"slice({vec_col}, {m * sub + 1}, {sub})"
+                        ).alias("sv"),
+                    )
+                    for m in range(n_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "s.m", "s.sv").localCheckpoint(eager=False)
+    w = Window.partitionBy("m").orderBy(F.xxhash64(F.col("id")), F.col("id"))
+    cb = (
+        subs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= codes)
+        .select(
+            "m", (F.col("rn") - 1).alias("code"), F.col("sv").alias("centroid")
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        assigned = subs.crossJoin(_pq_cb_index(cb)).select(
+            "m",
+            "sv",
+            F.expr(
+                # mi binds the row's own subspace for _pq_best_code
+                f"transform(array(m), mi -> {_pq_best_code('sv')})[0]"
+            ).alias("code"),
+        )
+        cb = (
+            assigned.select(
+                "m", "code", F.posexplode(F.col("sv")).alias("pos", "val")
+            )
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("m", "code")
+            .agg(
+                F.max("n").alias("n_members"),
+                collect_array_by_pos(F.col("pos"), F.col("s")).alias("sums"),
+            )
+            .select(
+                "m",
+                "code",
+                F.expr(
+                    "transform(sums, s -> cast(round(cast(s as double) / n_members) as bigint))"
+                ).alias("centroid"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cb
+
+
+def pq_encode(
+    df: DataFrame,
+    cb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>, approx_n2): corpus rows compressed to
+    their per-subspace code ids plus the reconstructed squared norm
+    (Σ‖c_m‖² — query-independent, so computed once here, not per
+    query). Narrow: one broadcast of the codebook index, no shuffle.
+    """
+    n_sub, sub = cb.agg(
+        F.max("m") + 1, F.max(F.size("centroid"))
+    ).first()
+    # codes and approx_n2 in two chained projections: approx_n2 reads
+    # the codes column, and building it in the same select would
+    # re-run the argmin per lookup under projection collapse.
+    coded = df.crossJoin(_pq_cb_index(cb)).select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform(sequence(0, {n_sub - 1}), mi -> "
+            + _pq_best_code(f"slice({vec_col}, mi * {sub} + 1, {sub})")
+            + ")"
+        ).alias("codes"),
+        "__cbm",
+    ).localCheckpoint(eager=False)
+    return coded.select(
+        "id",
+        "codes",
+        F.expr(
+            f"""
+            aggregate(sequence(0, {n_sub - 1}), 0D, (acc, mi) ->
+              acc + element_at(__cbm, cast(mi AS BIGINT) * {_PQ_KEY_PAD}
+                                      + element_at(codes, mi + 1)).cn2)
+            """
+        ).alias("approx_n2"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    cb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    refine: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage PQ search: ADC scan over codes, exact re-rank of the
+    top-``refine`` candidates per query.
+
+    Stage 1 never touches a corpus vector: each query precomputes its
+    n_sub × codes lookup table (one small map per query row, built
+    from the broadcast codebook), and scoring a corpus row is n_sub
+    map lookups over its codes. Only (query_id, vec_id, approx_sim)
+    triples reach the per-query top-`refine` window. Stage 2 joins the
+    ≤ queries × refine candidate ids back to the corpus (broadcast
+    semi-shape) and ranks by exact cosine — the standard
+    accuracy-recovery step. Approximate scores never leave stage 1.
+    """
+    from pyspark.sql.window import Window
+
+    coded = pq_encode(corpus, cb, vec_col, id_col)
+    n_sub, sub = cb.agg(F.max("m") + 1, F.max(F.size("centroid"))).first()
+    # per-query LUT: map (m·PAD + code) → q_sub · centroid
+    q = (
+        query.select(
+            "query_id", F.col(vec_col).alias("__qv")
+        )
+        .crossJoin(_pq_cb_index(cb))
+        .select(
+            "query_id",
+            "__qv",
+            F.sqrt(_dot("__qv", "__qv")).alias("__qnorm"),
+            F.expr(
+                f"""
+                map_from_entries(transform(__cb, c -> struct(
+                  cast(c.m AS BIGINT) * {_PQ_KEY_PAD} + c.code,
+                  {_DOT.format(a=f"slice(__qv, c.m * {sub} + 1, {sub})", b="c.centroid")})))
+                """
+            ).alias("__lut"),
+        )
+    )
+    scored = coded.crossJoin(
+        F.broadcast(q.select("query_id", "__qnorm", "__lut"))
+    ).select(
+        "query_id",
+        "id",
+        F.expr(
+            f"""
+            aggregate(sequence(0, {n_sub - 1}), 0D, (acc, mi) ->
+              acc + element_at(__lut, cast(mi AS BIGINT) * {_PQ_KEY_PAD}
+                                      + element_at(codes, mi + 1)))
+            """
+        ).alias("__adot"),
+        "approx_n2",
+        "__qnorm",
+    ).select(
+        "query_id",
+        "id",
+        (F.col("__adot") / (F.col("__qnorm") * F.sqrt("approx_n2"))).alias(
+            "approx_sim"
+        ),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.col("id")
+    )
+    cands = (
+        scored.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= refine)
+        .select("query_id", F.col("id").alias(id_col))
+    )
+    rer = (
+        corpus.join(F.broadcast(cands), id_col)
+        .join(
+            F.broadcast(q.select("query_id", "__qv", "__qnorm")), "query_id"
+        )
+        .withColumn("__norm", F.sqrt(_dot(vec_col, vec_col)))
+        .withColumn(
+            "cosine_sim",
+            _dot(vec_col, "__qv") / (F.col("__norm") * F.col("__qnorm")),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col(id_col)
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", "rank")
+    )

@@ -459,3 +459,75 @@ def cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cosine_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization: two-stage ADC search gated at the exactness
+# configuration (refine ≥ corpus), recall dial property-tested
+# ---------------------------------------------------------------------------
+
+_PQ_K = 5
+
+
+@register(
+    "pq_topk_rerank",
+    f"""
+    WITH qe AS (
+        SELECT vec_id, {_SQL_QVEC} AS qv,
+               sqrt(CAST({_sql_dot(_SQL_QVEC, _SQL_QVEC)} AS DOUBLE)) AS norm
+        FROM embeddings
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, qv AS q, norm AS qnorm FROM qe
+        WHERE vec_id % {_BATCH_QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST({_sql_dot('c.qv', 'q.q')} AS DOUBLE) / (c.norm * q.qnorm)
+                   AS cosine_sim
+        FROM qe c, queries q
+    )
+    SELECT query_id, vec_id, cosine_sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {_PQ_K}
+    ORDER BY query_id, rank
+    """,
+)
+def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search end-to-end (operators/similarity:
+    pq_train → pq_encode → ADC scan → exact re-rank), gated with
+    refine ≥ corpus size — where the re-rank stage exact-scores every
+    row and the result is brute-force top-{_PQ_K} whatever the learned
+    codebooks contain. Same device as the ivf gates' nprobe=all: the
+    oracle (plain exact batch SQL, self included) pins the whole
+    train/encode/LUT/scan/re-rank pipeline bit-exactly, and the real
+    memory/recall dial (refine ≪ corpus, vectors untouched until the
+    refine join) is property-tested in tests/test_operators.py.
+
+    Codebooks train on a deterministic 1/4 hash-sample (the
+    ivf_topk_learned discipline) with a small config — exactness at
+    refine=all never depends on codebook quality.
+    """
+    from ..operators.similarity import pq_topk as pq_search
+    from ..operators.similarity import pq_train
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qe = emb.select("vec_id", F.expr(_QVEC).alias("embedding"))
+    train = qe.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+    cb = pq_train(train, n_sub=4, codes=8, max_iters=2)
+    queries = qe.filter(F.col("vec_id") % _BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_search(
+        qe, cb, queries, k=_PQ_K, refine=1_000_000_000  # ≥ corpus → exact
+    )
+    return (
+        out.withColumn("rank", F.col("rank").cast("long"))
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -417,3 +417,98 @@ def test_media_decode_with_real_codec(spark):
     for mid, raw in payloads:
         want = pil_decode(raw)
         assert feats[mid] == pytest.approx(want), mid
+
+
+def test_pq_lossless_roundtrip(spark):
+    """On a corpus whose subvectors ARE codebook centroids (each vector
+    replaced by its PQ reconstruction), ADC distances are exact — so
+    PQ search with refine=k must equal brute force exactly, ids and
+    ranks both."""
+    from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+        _PQ_KEY_PAD,
+        _pq_cb_index,
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("embedding"),
+    )
+    cb = pq_train(emb, n_sub=4, codes=8, max_iters=2).localCheckpoint()
+    recon = (
+        pq_encode(emb, cb)
+        .crossJoin(_pq_cb_index(cb))
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"""
+                flatten(transform(sequence(0, 3), mi ->
+                  element_at(__cbm, cast(mi AS BIGINT) * {_PQ_KEY_PAD}
+                             + element_at(codes, mi + 1)).centroid))
+                """
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    queries = recon.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = (
+        pq_topk(recon, cb, queries, k=5, refine=5)
+        .select("query_id", "vec_id", "rank")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ex = (
+        cosine_topk(recon, queries, k=5)
+        .select("query_id", "vec_id", "rank")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert pq.equals(ex)
+
+
+def test_pq_recall_and_determinism(spark):
+    """The real PQ configuration (refine ≪ corpus): recall@10 vs brute
+    force ≥ 0.6 per query and ≥ 0.7 mean at sf0.001 with M=8 / K=32;
+    hash-seeded training makes the whole pipeline bit-deterministic."""
+    from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("embedding"),
+    ).localCheckpoint()
+    train = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+    cb = pq_train(train, n_sub=8, codes=32, max_iters=4).localCheckpoint()
+    assert cb.count() <= 8 * 32
+    assert cb.select(F.max(F.size("centroid"))).first()[0] == 8
+    queries = emb.filter(F.col("vec_id") % 401 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = pq_topk(emb, cb, queries, k=10, refine=100).toPandas()
+    pq2 = pq_topk(emb, cb, queries, k=10, refine=100).toPandas()
+    assert pq.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        pq2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    ex = cosine_topk(emb, queries, k=10).toPandas()
+    recalls = []
+    for qid in sorted(pq.query_id.unique()):
+        hits = set(pq[pq.query_id == qid].vec_id) & set(
+            ex[ex.query_id == qid].vec_id
+        )
+        recalls.append(len(hits) / 10)
+    assert min(recalls) >= 0.6, recalls
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
