@@ -147,3 +147,81 @@ def restore_from_archive(
             .parquet(f"{root.rstrip('/')}/{layer}")
         )
     return n
+
+
+def _partition_bytes_and_files(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total_bytes, n_data_files) for one partition directory."""
+    fs, p = _fs(spark, path)
+    total = files = 0
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if status.isFile() and not name.startswith(("_", ".")):
+            total += status.getLen()
+            files += 1
+    return total, files
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    layer: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict[str, dict]:
+    """Small-file compaction over a date-partitioned parquet layer.
+
+    Streaming ingestion and per-day incremental writes leave layers
+    with many files far below the scan-efficient size; at 100 TB the
+    resulting task explosion and namenode/listing pressure dominate
+    read cost. For each ``ingest_date=`` partition whose data files
+    are BOTH more numerous than ``min_files_to_compact`` AND smaller
+    on average than half the target, rewrite the partition at
+    ``ceil(bytes / target_file_bytes)`` files via the same
+    write-tmp-then-swap discipline as ``WarehouseStorage.write_day``
+    (readers of the partition never see a partial rewrite; a crash
+    leaves either the old directory or the new one, plus at worst an
+    orphaned tmp to re-sweep). Healthy partitions are never read or
+    rewritten — like ``retention_sweep``, this is partition
+    management, O(sick partitions) not O(table).
+
+    Returns a per-partition report {date: {files_before, files_after,
+    bytes}}; compaction preserves rows exactly (tested) but not
+    intra-file ordering — callers that rely on an order must sort at
+    read time (every engine consumer already does).
+    """
+    root = root.rstrip("/")
+    layer_path = f"{root}/{layer}"
+    report: dict[str, dict] = {}
+    for d in _list_date_partitions(spark, layer_path):
+        part_path = f"{layer_path}/ingest_date={d}"
+        nbytes, nfiles = _partition_bytes_and_files(spark, part_path)
+        if nfiles < min_files_to_compact or nbytes == 0:
+            continue
+        if nbytes / nfiles >= target_file_bytes / 2:
+            continue  # average file already healthy
+        n_out = max(1, -(-nbytes // target_file_bytes))  # ceil
+        tmp_path = f"{layer_path}/.compact_tmp_ingest_date={d}"
+        fs, tp = _fs(spark, tmp_path)
+        if fs.exists(tp):
+            fs.delete(tp, True)  # orphan from a crashed prior run
+        (
+            spark.read.parquet(part_path)
+            .repartition(n_out)
+            .write.mode("overwrite")
+            .parquet(tmp_path)
+        )
+        # swap: old dir out, tmp in (two renames — each atomic on
+        # HDFS/local; object stores want a manifest commit instead)
+        _, pp = _fs(spark, part_path)
+        old_path = f"{layer_path}/.compact_old_ingest_date={d}"
+        _, op = _fs(spark, old_path)
+        fs.rename(pp, op)
+        fs.rename(tp, pp)
+        fs.delete(op, True)
+        _, files_after = _partition_bytes_and_files(spark, part_path)
+        report[d] = {
+            "files_before": nfiles,
+            "files_after": files_after,
+            "bytes": nbytes,
+        }
+    return report

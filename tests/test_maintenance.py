@@ -91,3 +91,63 @@ def test_restore_from_archive(spark, layered_root):
     assert restore_from_archive(
         spark, layered_root, "raw", [AS_OF - timedelta(days=999)]
     ) == 0
+
+
+def test_compact_partitions_rewrites_only_fragmented(spark, tmp_path):
+    from jobinsight_data_pipeline_v2_spark.maintenance import (
+        _partition_bytes_and_files,
+        compact_partitions,
+    )
+
+    root = str(tmp_path)
+    frag_day, healthy_day = "2026-04-01", "2026-04-02"
+    # fragmented: 200 rows scattered over 12 tiny files
+    spark.range(200).select(
+        F.col("id"), F.lit("x").alias("payload")
+    ).repartition(12).write.mode("overwrite").parquet(
+        f"{root}/staging/ingest_date={frag_day}"
+    )
+    # healthy: same data volume in a single file
+    spark.range(200).select(
+        F.col("id"), F.lit("y").alias("payload")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/staging/ingest_date={healthy_day}"
+    )
+    before_frag = spark.read.parquet(
+        f"{root}/staging/ingest_date={frag_day}"
+    ).collect()
+    _, healthy_files = _partition_bytes_and_files(
+        spark, f"{root}/staging/ingest_date={healthy_day}"
+    )
+
+    # tiny target so ceil(bytes/target) lands between 1 and 12
+    report = compact_partitions(
+        spark, root, "staging", target_file_bytes=64 * 1024
+    )
+    assert set(report) == {frag_day}
+    assert report[frag_day]["files_before"] == 12
+    assert report[frag_day]["files_after"] < 12
+    # data preserved exactly
+    after = spark.read.parquet(f"{root}/staging/ingest_date={frag_day}")
+    assert sorted((r.id, r.payload) for r in after.collect()) == sorted(
+        (r.id, r.payload) for r in before_frag
+    )
+    # healthy partition untouched
+    _, healthy_after = _partition_bytes_and_files(
+        spark, f"{root}/staging/ingest_date={healthy_day}"
+    )
+    assert healthy_after == healthy_files
+    # idempotent: second sweep finds nothing to do
+    assert compact_partitions(
+        spark, root, "staging", target_file_bytes=64 * 1024
+    ) == {}
+    # no tmp/old debris
+    fs_listing = {
+        s.getPath().getName()
+        for s in spark._jvm.org.apache.hadoop.fs.Path(
+            f"{root}/staging"
+        ).getFileSystem(spark._jsc.hadoopConfiguration()).listStatus(
+            spark._jvm.org.apache.hadoop.fs.Path(f"{root}/staging")
+        )
+    }
+    assert not any(n.startswith(".compact") for n in fs_listing)
