@@ -663,6 +663,24 @@ def pq_topk(
         .filter(F.col("__rn") <= refine)
         .select("query_id", F.col("id").alias(id_col))
     )
+    return _exact_rerank(corpus, cands, q, k, vec_col, id_col)
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    cands: DataFrame,
+    q: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Stage-2 accuracy recovery shared by pq_topk / ivfpq_topk: join
+    the ≤ queries × refine candidate ids back to the corpus (broadcast
+    semi-shape — the corpus is filtered, never shuffled), score the
+    exact cosine, rank top-k per query. ``q`` carries (query_id, __qv,
+    __qnorm)."""
+    from pyspark.sql.window import Window
+
     rer = (
         corpus.join(F.broadcast(cands), id_col)
         .join(
@@ -682,3 +700,202 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: residual product quantization inside IVF cells
+# ---------------------------------------------------------------------------
+#
+# The composition behind billion-vector indexes (FAISS IndexIVFPQ):
+# coarse-quantize to a cell, PQ-encode the RESIDUAL vector − centroid
+# (residuals are smaller and more isotropic than raw vectors, so the
+# same codebook budget quantizes them better), search by probing a few
+# cells and ADC-scoring their members as
+#     q·x ≈ q·c_cell + Σ_m lut_r[m][code_m]      (lut over residual cb)
+#     ‖x‖² ≈ Σ_m ‖c_m + r̂_m‖²                   (query-independent)
+# then exact-re-rank the refine best. Both index structures (cells,
+# residual codebooks) are corpus-independent-sized one-row broadcasts;
+# corpus vectors are touched only at encode time and in the refine
+# join.
+
+
+def residuals(
+    df: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell_id, vec_col = vector − assigned-cell centroid)."""
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    c = F.broadcast(
+        cents.select(F.col("cell_id"), F.col("centroid").alias("__cc"))
+    )
+    return assigned.join(c, "cell_id").select(
+        id_col,
+        "cell_id",
+        F.expr(f"zip_with({vec_col}, __cc, (x, y) -> x - y)").alias(vec_col),
+        F.col("__cc"),
+    )
+
+
+def ivfpq_train(
+    df: DataFrame,
+    n_cells: int = 8,
+    n_sub: int = 4,
+    codes: int = 8,
+    kmeans_iters: int = 2,
+    pq_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(cells, residual codebooks): learn the coarse quantizer, then
+    PQ codebooks over the training set's residuals."""
+    cents = kmeans_centroids(
+        df, k=n_cells, max_iters=kmeans_iters, vec_col=vec_col, id_col=id_col
+    ).select("cell_id", "centroid").localCheckpoint(eager=False)
+    res = residuals(df, cents, vec_col, id_col).select(id_col, vec_col)
+    cb = pq_train(
+        res, n_sub=n_sub, codes=codes, max_iters=pq_iters,
+        vec_col=vec_col, id_col=id_col,
+    )
+    return cents, cb
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell_id, codes, approx_n2): cell assignment + residual PQ
+    codes + reconstructed squared norm Σ_m ‖c_m + r̂_m‖². Narrow per
+    row (two one-row broadcasts), no shuffle."""
+    n_sub, sub = cb.agg(F.max("m") + 1, F.max(F.size("centroid"))).first()
+    res = residuals(corpus, cents, vec_col, id_col)
+    coded = (
+        res.crossJoin(_pq_cb_index(cb))
+        .select(
+            F.col(id_col).alias("id"),
+            "cell_id",
+            "__cc",
+            F.expr(
+                f"transform(sequence(0, {n_sub - 1}), mi -> "
+                + _pq_best_code(f"slice({vec_col}, mi * {sub} + 1, {sub})")
+                + ")"
+            ).alias("codes"),
+            "__cbm",
+        )
+        .localCheckpoint(eager=False)  # codes referenced per-subspace below
+    )
+    recon_sub = (
+        f"zip_with(slice(__cc, mi * {sub} + 1, {sub}), "
+        f"element_at(__cbm, cast(mi AS BIGINT) * {_PQ_KEY_PAD} "
+        f"+ element_at(codes, mi + 1)).centroid, (a, b) -> a + b)"
+    )
+    return coded.select(
+        "id",
+        "cell_id",
+        "codes",
+        F.expr(
+            f"""
+            aggregate(sequence(0, {n_sub - 1}), 0D, (acc, mi) ->
+              acc + {_DOT.format(a=recon_sub, b=recon_sub)})
+            """
+        ).alias("approx_n2"),
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search: probe the ``nprobe`` closest cells per query,
+    ADC-score only their members' residual codes, exact-re-rank the
+    ``refine`` best. nprobe ≥ cells AND refine ≥ corpus degrades to
+    exact brute force (the oracle-gate configuration).
+
+    Per query the probe row carries the RAW q·c_cell dot (the constant
+    term of the ADC sum) and the residual-codebook LUT; scoring a
+    member is n_sub map lookups + one add. The candidate join is an
+    equi-join on cell_id — at scale the encoded corpus is
+    pre-partitioned by cell, so a probe touches only its cells'
+    partitions."""
+    from pyspark.sql.window import Window
+
+    n_sub, sub = cb.agg(F.max("m") + 1, F.max(F.size("centroid"))).first()
+    coded = ivfpq_encode(corpus, cents, cb, vec_col, id_col)
+    cdot = _DOT.format(a="__qv", b="c.centroid")
+    probes = (
+        query.select("query_id", F.col(vec_col).alias("__qv"))
+        .crossJoin(_cells_index(cents))
+        .crossJoin(_pq_cb_index(cb))
+        .select(
+            "query_id",
+            "__qv",
+            F.sqrt(_dot("__qv", "__qv")).alias("__qnorm"),
+            F.explode(
+                F.expr(
+                    f"""
+                    slice(array_sort(transform(__cells, c -> struct(
+                        -({cdot}) / (sqrt({_DOT.format(a="__qv", b="__qv")}) * c.cnorm) AS negsim,
+                        c.cell_id AS cell_id,
+                        {cdot} AS qdotc))),
+                      1, {int(nprobe)})
+                    """
+                )
+            ).alias("p"),
+            F.expr(
+                f"""
+                map_from_entries(transform(__cb, c -> struct(
+                  cast(c.m AS BIGINT) * {_PQ_KEY_PAD} + c.code,
+                  {_DOT.format(a=f"slice(__qv, c.m * {sub} + 1, {sub})", b="c.centroid")})))
+                """
+            ).alias("__lut"),
+        )
+        .select(
+            "query_id",
+            "__qv",
+            "__qnorm",
+            F.col("p.cell_id").alias("cell_id"),
+            F.col("p.qdotc").alias("qdotc"),
+            "__lut",
+        )
+    )
+    scored = coded.join(
+        F.broadcast(probes.select("query_id", "cell_id", "qdotc", "__qnorm", "__lut")),
+        "cell_id",
+    ).select(
+        "query_id",
+        "id",
+        (
+            (
+                F.col("qdotc")
+                + F.expr(
+                    f"""
+                    aggregate(sequence(0, {n_sub - 1}), 0D, (acc, mi) ->
+                      acc + element_at(__lut, cast(mi AS BIGINT) * {_PQ_KEY_PAD}
+                                              + element_at(codes, mi + 1)))
+                    """
+                )
+            )
+            / (F.col("__qnorm") * F.sqrt("approx_n2"))
+        ).alias("approx_sim"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.col("id")
+    )
+    cands = (
+        scored.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= refine)
+        .select("query_id", F.col("id").alias(id_col))
+    )
+    q = probes.select("query_id", "__qv", "__qnorm").distinct()
+    return _exact_rerank(corpus, cands, q, k, vec_col, id_col)

@@ -535,3 +535,67 @@ def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cosine_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "ivfpq_topk_exact",
+    f"""
+    WITH qe AS (
+        SELECT vec_id, {_SQL_QVEC} AS qv,
+               sqrt(CAST({_sql_dot(_SQL_QVEC, _SQL_QVEC)} AS DOUBLE)) AS norm
+        FROM embeddings
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, qv AS q, norm AS qnorm FROM qe
+        WHERE vec_id % {_BATCH_QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST({_sql_dot('c.qv', 'q.q')} AS DOUBLE) / (c.norm * q.qnorm)
+                   AS cosine_sim
+        FROM qe c, queries q
+    )
+    SELECT query_id, vec_id, cosine_sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {_PQ_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ivfpq_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end (operators/similarity: kmeans cells →
+    residual PQ codebooks → cell probe + residual-ADC scan → exact
+    re-rank), gated at nprobe ≥ cells AND refine ≥ corpus — where
+    every cell is probed and every member exact-re-ranked, so the
+    result is brute-force top-{_PQ_K} whatever the learned index
+    contains. The same exact batch oracle as pq_topk_rerank pins the
+    whole composition (assignment, residual arithmetic, the ADC
+    constant term q·c_cell, LUT lookups, rerank) bit-exactly; the
+    recall/cost dials (nprobe < cells, refine ≪ corpus) are
+    property-tested in tests/test_operators.py.
+    """
+    from ..operators.similarity import ivfpq_topk as ivfpq_search
+    from ..operators.similarity import ivfpq_train
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qe = emb.select("vec_id", F.expr(_QVEC).alias("embedding"))
+    train = qe.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+    cents, cb = ivfpq_train(
+        train, n_cells=8, n_sub=4, codes=8, kmeans_iters=1, pq_iters=1
+    )
+    queries = qe.filter(F.col("vec_id") % _BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_search(
+        qe, cents, cb, queries,
+        k=_PQ_K, nprobe=1_000_000, refine=1_000_000_000,
+    )
+    return (
+        out.withColumn("rank", F.col("rank").cast("long"))
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -512,3 +512,59 @@ def test_pq_recall_and_determinism(spark):
         recalls.append(len(hits) / 10)
     assert min(recalls) >= 0.6, recalls
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_ivfpq_exactness_and_recall(spark):
+    """IVF-PQ composition: at nprobe ≥ cells and refine ≥ corpus the
+    search is bit-identical to brute force (ids, ranks, sims); at the
+    real dials (nprobe=4 of 8, refine=100) recall@10 ≥ 0.5 and the
+    whole pipeline is deterministic."""
+    from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("embedding"),
+    ).localCheckpoint()
+    train = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+    cents, cb = ivfpq_train(train)
+    cents = cents.localCheckpoint()
+    cb = cb.localCheckpoint()
+    queries = emb.filter(F.col("vec_id") % 401 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ex = (
+        cosine_topk(emb, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pe = (
+        ivfpq_topk(emb, cents, cb, queries, k=5, nprobe=10**6, refine=10**9)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert pe[["query_id", "vec_id", "rank"]].equals(
+        ex[["query_id", "vec_id", "rank"]]
+    )
+    assert (pe.cosine_sim - ex.cosine_sim).abs().max() == 0.0
+
+    pa = ivfpq_topk(emb, cents, cb, queries, k=10, nprobe=4, refine=100).toPandas()
+    pa2 = ivfpq_topk(emb, cents, cb, queries, k=10, nprobe=4, refine=100).toPandas()
+    assert pa.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        pa2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    ex10 = cosine_topk(emb, queries, k=10).toPandas()
+    recalls = []
+    for qid in sorted(pa.query_id.unique()):
+        hits = set(pa[pa.query_id == qid].vec_id) & set(
+            ex10[ex10.query_id == qid].vec_id
+        )
+        recalls.append(len(hits) / 10)
+    assert min(recalls) >= 0.5, recalls
