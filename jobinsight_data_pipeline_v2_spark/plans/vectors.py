@@ -328,8 +328,18 @@ def ivf_topk_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactness at nprobe=all never depends on them); Lloyd's cost
     # drops 4x and stays a fixed fraction at any corpus size
     train = corpus.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
-    cents = kmeans_centroids(train, k=8, max_iters=3).select(
-        "cell_id", "centroid"
+    # two Lloyd rounds: nprobe=all exactness is centroid-independent,
+    # so the gate pays the minimum training that still iterates the
+    # seed assignment (convergence behavior is property-tested at
+    # higher iteration counts in tests/test_operators.py)
+    # materialize the trained centroids once: ivf_assign and
+    # ivf_probe_cells each build their own broadcast index, and
+    # without the boundary the second broadcast re-derives the
+    # k-means tail (measured 4.1s → 3.0s for the gate at sf0.1)
+    cents = (
+        kmeans_centroids(train, k=8, max_iters=2)
+        .select("cell_id", "centroid")
+        .localCheckpoint(eager=False)
     )
     query = qe.filter(F.col("vec_id") == _IVF_QUERY_VEC).select(
         F.lit(_IVF_QUERY_VEC).alias("query_id"), "embedding"
