@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "cross_dedup",
     "quality_classifier",
     "pq_topk_rerank",  # gate config: refine=all (exact); PQ cost ceiling
+    "conversion_funnel",
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

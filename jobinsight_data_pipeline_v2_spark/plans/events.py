@@ -669,3 +669,120 @@ def hourly_to_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered conversion funnel (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WIN = (
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+)
+
+
+@register(
+    "conversion_funnel",
+    f"""
+    WITH base AS (
+        SELECT user_id, event_id, event_type,
+               CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    e1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                      OVER ({_FUNNEL_WIN}) AS s1
+        FROM base
+    ),
+    e2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click'
+                            AND s1 IS NOT NULL AND ts > s1 THEN ts END)
+                      OVER ({_FUNNEL_WIN}) AS s2
+        FROM e1
+    ),
+    e3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                            AND s2 IS NOT NULL AND ts > s2 THEN ts END)
+                      OVER ({_FUNNEL_WIN}) AS s3
+        FROM e2
+    )
+    SELECT user_id,
+           CASE WHEN MIN(s3) IS NOT NULL THEN 3
+                WHEN MIN(s2) IS NOT NULL THEN 2
+                WHEN MIN(s1) IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage,
+           MIN(s1) AS t_view,
+           MIN(s2) AS t_click,
+           MIN(s3) AS t_purchase
+    FROM e3
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first view, first click
+    AFTER that view, first purchase AFTER that click — the sequential
+    event-pattern family (product-analytics funnels) the tumbling /
+    session windows don't cover.
+
+    ONE user-keyed window pass computes all three stages as chained
+    running minima: a row's candidate click only counts if a view
+    already ran (s1 non-null over the row's prefix), so ordering
+    semantics hold without self-joins or per-user collects —
+    aggregation buffers stay O(1) and a hot user costs one sorted
+    scan, never a pair blow-up. The three chained window columns share
+    one window spec, so Spark plans a single sort under one exchange.
+    Strictly-after (>) semantics; ties inside one microsecond order by
+    event_id in both engines (ns→µs cast applied on both sides —
+    CLAUDE.md rule 1/9).
+    """
+    events = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = (
+        events.withColumn(
+            "s1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "s2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & F.col("s1").isNotNull()
+                    & (F.col("ts") > F.col("s1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "s3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("s2").isNotNull()
+                    & (F.col("ts") > F.col("s2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    agg = e.groupBy("user_id").agg(
+        F.min("s1").alias("t_view"),
+        F.min("s2").alias("t_click"),
+        F.min("s3").alias("t_purchase"),
+    )
+    return agg.select(
+        "user_id",
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+        .alias("funnel_stage"),
+        "t_view",
+        "t_click",
+        "t_purchase",
+    ).orderBy("user_id")

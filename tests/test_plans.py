@@ -328,3 +328,17 @@ def test_events_queries_timezone_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert base == shifted
+
+
+def test_conversion_funnel_single_exchange(spark):
+    """The three chained funnel stages must share ONE user-keyed
+    exchange and ONE sort (stacked Window nodes preserve ordering);
+    the per-user aggregate reuses the same partitioning. A second
+    hashpartitioning exchange or inter-window re-sort is a scale
+    regression (events shuffle twice)."""
+    df = load_all()["conversion_funnel"][0](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1
+    # one window-feeding sort + the presentation range sort
+    assert p.count("+- Sort") <= 2
+    assert p.count("Window") == 3
