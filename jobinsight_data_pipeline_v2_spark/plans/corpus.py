@@ -81,6 +81,36 @@ from .text import (
 _SEG_N = 8
 
 
+def segment_rows(toks: DataFrame) -> DataFrame:
+    """(doc_id, seg_idx, seg, sk, ord) from (doc_id, t=token array):
+    in-row {_SEG_N}-token segmentation, 60-bit segment hash, and the
+    global first-occurrence order key. Checkpoint-free so the SAME
+    transform runs on a streaming frame (streaming/curation.
+    segment_dedup_stream); batch callers materialize ``toks`` first
+    (rule-10 projection-collapse guard)."""
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""
+                if(size(t) > 0,
+                   transform(sequence(1, int(ceil(size(t) / {_SEG_N}.0))),
+                             i -> concat_ws(' ',
+                                      slice(t, (i - 1) * {_SEG_N} + 1,
+                                            {_SEG_N}))),
+                   cast(array() as array<string>))
+                """
+            )
+        ).alias("seg_idx", "seg"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        _shingle_key("seg").alias("sk"),
+        (F.col("doc_id") * 1_000_000 + F.col("seg_idx")).alias("ord"),
+    )
+
+
 @register(
     "segment_dedup",
     f"""
@@ -134,27 +164,7 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.expr(_TOKENS).alias("t")).localCheckpoint(
         eager=False
     )
-    segs = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"""
-                if(size(t) > 0,
-                   transform(sequence(1, int(ceil(size(t) / {_SEG_N}.0))),
-                             i -> concat_ws(' ',
-                                      slice(t, (i - 1) * {_SEG_N} + 1,
-                                            {_SEG_N}))),
-                   cast(array() as array<string>))
-                """
-            )
-        ).alias("seg_idx", "seg"),
-    ).select(
-        "doc_id",
-        "seg_idx",
-        "seg",
-        _shingle_key("seg").alias("sk"),
-        (F.col("doc_id") * 1_000_000 + F.col("seg_idx")).alias("ord"),
-    )
+    segs = segment_rows(toks)
     marked = segs.withColumn(
         "is_first",
         (F.col("ord") == F.min("ord").over(Window.partitionBy("sk"))).cast(

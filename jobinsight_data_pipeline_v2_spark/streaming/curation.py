@@ -36,3 +36,92 @@ def funnel_stream(docs: DataFrame) -> DataFrame:
     In complete mode the final state equals the batch curation_funnel
     gate row for row."""
     return funnel_report(docs)
+
+
+# ---------------------------------------------------------------------------
+# streaming segment dedup: corpus-wide first-occurrence state per
+# segment hash (the incremental twin of plans/corpus.segment_dedup)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.streaming.state import (  # noqa: E402
+    GroupState,
+    GroupStateTimeout,
+)
+from pyspark.sql.types import (  # noqa: E402
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_SEG_OUT_SCHEMA = StructType(
+    [
+        StructField("sk", LongType(), True),
+        StructField("doc_id", LongType(), True),
+        StructField("seg_idx", LongType(), True),
+        StructField("kept", BooleanType(), True),
+        StructField("late", BooleanType(), True),
+    ]
+)
+
+_SEG_STATE = "winner_ord LONG"
+
+
+def segment_dedup_stream(docs: DataFrame) -> DataFrame:
+    """(sk, doc_id, seg_idx, kept, late): per-occurrence keep/drop
+    decisions for corpus-wide segment dedup over a document stream.
+
+    State per distinct segment hash: ONE long — the winning
+    first-occurrence order key. Within a micro-batch the minimum ord
+    wins (exactly the batch gate's rule), across batches the earliest
+    arrival wins (what an ordered doc_id-keyed feed produces). A
+    smaller ord arriving AFTER its segment's winner was emitted means
+    the ordered-arrival assumption broke; re-keeping it would
+    contradict the already-emitted drop decisions, so it is emitted
+    ``kept=false, late=true`` — visible, never silent (the
+    asof/pack_stream discipline). On an ordered single-pass feed the
+    output equals plans/corpus.segment_dedup's is_first marking row
+    for row (proven in tests/test_streaming.py).
+
+    This is the streaming-exact-dedup state shape: O(distinct
+    segments) longs. At fleet scale, bound it with a state TTL the way
+    dedup_stream's dropDuplicatesWithinWatermark does — an expired
+    segment re-admits one copy per horizon, the standard trade.
+    """
+    import pandas as pd
+
+    from ..plans.corpus import segment_rows
+    from ..plans.text import _TOKENS
+
+    segs = segment_rows(
+        docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    ).select("sk", "doc_id", F.col("seg_idx").cast("long"), "ord")
+
+    def update(key, pdfs, state: GroupState):
+        (sk,) = key
+        (winner,) = state.get if state.exists else (None,)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ord")
+        out = []
+        for doc_id, seg_idx, ordv in zip(
+            pdf["doc_id"], pdf["seg_idx"], pdf["ord"]
+        ):
+            if winner is None:
+                out.append((sk, int(doc_id), int(seg_idx), True, False))
+                winner = int(ordv)
+            else:
+                out.append(
+                    (sk, int(doc_id), int(seg_idx), False, int(ordv) < winner)
+                )
+        state.update((winner,))
+        yield pd.DataFrame(
+            out, columns=["sk", "doc_id", "seg_idx", "kept", "late"]
+        )
+
+    return segs.groupBy("sk").applyInPandasWithState(
+        update,
+        outputStructType=_SEG_OUT_SCHEMA,
+        stateStructType=_SEG_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

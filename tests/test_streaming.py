@@ -546,3 +546,86 @@ def test_streaming_asof_ignores_other_event_types_for_frontier(spark, tmp_path):
     # view@15 is ON TIME (the click's t=30 never advanced the mark) and
     # purchase@20 matches it
     assert rows == {(3, 2, False)}
+
+
+def test_streaming_segment_dedup_equals_batch(spark, tmp_path):
+    """Ordered feed (doc_id-range drops): the streamed keep/drop
+    decisions equal the batch gate's first-occurrence marking row for
+    row, with zero late flags."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        segment_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    src = os.path.join(str(tmp_path), "seg_ordered")
+    now = time.time()
+    for b, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)]):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, segment_dedup_stream(stream), "segdedup_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM segdedup_test")
+    assert got.filter("late").count() == 0
+    per_doc = (
+        got.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+    )
+    expected = load_all()["segment_dedup"][0](spark, SF).select(
+        "doc_id", "n_segs", "n_kept"
+    )
+    sym = (
+        per_doc.exceptAll(expected).count()
+        + expected.exceptAll(per_doc).count()
+    )
+    assert sym == 0
+
+
+def test_streaming_segment_dedup_keeps_each_segment_once(spark, tmp_path):
+    """Unordered feed (doc_id % 3 drops): whatever the arrival order,
+    every distinct segment is kept exactly once, every occurrence gets
+    a decision row, and order violations surface as late flags rather
+    than double-keeps."""
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        segment_dedup_stream,
+    )
+
+    src, docs = _stage_doc_drops(spark, tmp_path, ["doc_id", "text"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, segment_dedup_stream(stream), "segdedup_unordered"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM segdedup_unordered")
+    kept_per_sk = got.groupBy("sk").agg(
+        F.sum(F.col("kept").cast("long")).alias("n_kept")
+    )
+    assert kept_per_sk.filter("n_kept != 1").count() == 0
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import segment_rows
+    from jobinsight_data_pipeline_v2_spark.plans.text import _TOKENS
+
+    segs = segment_rows(docs.select("doc_id", F.expr(_TOKENS).alias("t")))
+    assert got.count() == segs.count()
+    # late rows are exactly the occurrences that would have won under
+    # batch order but arrived behind their segment's emitted winner —
+    # they must be flagged, not re-kept
+    assert got.filter("late AND kept").count() == 0
