@@ -357,6 +357,37 @@ _W_TOK = -2
 _W_SHORT = -3
 
 
+def classifier_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, counts…, logit, keep) — the entire inference as one
+    narrow projection over (doc_id, text). Shared verbatim by the
+    batch gate and the streaming twin (streaming/curation.
+    classifier_stream): stateless, so the same plan runs
+    incrementally with zero state store."""
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    f = docs.withColumn("t", F.expr(_TOKENS)).select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        F.size(F.expr(f"filter(t, x -> x IN ({stop_arr}))")).alias("n_stop"),
+        F.size(F.expr("filter(t, x -> length(x) <= 2)")).alias("n_short"),
+    )
+    logit = (
+        F.lit(_W_DISTINCT) * F.col("n_distinct")
+        + F.lit(_W_STOP) * F.col("n_stop")
+        + F.lit(_W_TOK) * F.col("n_tok")
+        + F.lit(_W_SHORT) * F.col("n_short")
+    )
+    return f.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        "n_stop",
+        "n_short",
+        logit.cast("long").alias("logit"),
+        (logit > 0).alias("keep"),
+    )
+
+
 @register(
     "quality_classifier",
     f"""
@@ -391,30 +422,4 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same way (operators/skew.py's DECIMAL discipline).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
-    f = docs.withColumn("t", F.expr(_TOKENS)).select(
-        "doc_id",
-        F.size("t").alias("n_tok"),
-        F.size(F.array_distinct("t")).alias("n_distinct"),
-        F.size(F.expr(f"filter(t, x -> x IN ({stop_arr}))")).alias("n_stop"),
-        F.size(F.expr("filter(t, x -> length(x) <= 2)")).alias("n_short"),
-    )
-    logit = (
-        F.lit(_W_DISTINCT) * F.col("n_distinct")
-        + F.lit(_W_STOP) * F.col("n_stop")
-        + F.lit(_W_TOK) * F.col("n_tok")
-        + F.lit(_W_SHORT) * F.col("n_short")
-    )
-    return (
-        f.filter(F.col("n_tok") > 0)
-        .select(
-            "doc_id",
-            "n_tok",
-            "n_distinct",
-            "n_stop",
-            "n_short",
-            logit.cast("long").alias("logit"),
-            (logit > 0).alias("keep"),
-        )
-        .orderBy("doc_id")
-    )
+    return classifier_score(docs).orderBy("doc_id")

@@ -38,6 +38,17 @@ def funnel_stream(docs: DataFrame) -> DataFrame:
     return funnel_report(docs)
 
 
+def classifier_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, counts…, logit, keep): model-based quality gating over
+    a document stream — the batch quality_classifier's inference
+    projection run incrementally (stateless append mode, zero state
+    store; the model weights are compiled into the plan the way a
+    broadcast coefficient vector would be)."""
+    from ..plans.corpus import classifier_score
+
+    return classifier_score(docs)
+
+
 # ---------------------------------------------------------------------------
 # streaming segment dedup: corpus-wide first-occurrence state per
 # segment hash (the incremental twin of plans/corpus.segment_dedup)

@@ -629,3 +629,26 @@ def test_streaming_segment_dedup_keeps_each_segment_once(spark, tmp_path):
     # batch order but arrived behind their segment's emitted winner —
     # they must be flagged, not re-kept
     assert got.filter("late AND kept").count() == 0
+
+
+def test_streaming_classifier_equals_batch(spark, tmp_path):
+    """Stateless in-plan model inference: the streamed union of
+    per-batch classifier decisions equals the batch gate exactly."""
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        classifier_stream,
+    )
+
+    src, docs = _stage_doc_drops(spark, tmp_path, ["doc_id", "text"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(spark, classifier_stream(stream), "clf_test")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM clf_test")
+    expected = load_all()["quality_classifier"][0](spark, SF)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() > 0
