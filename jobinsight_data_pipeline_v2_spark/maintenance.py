@@ -161,6 +161,39 @@ def _partition_bytes_and_files(spark: SparkSession, path: str) -> tuple[int, int
     return total, files
 
 
+def _recover_compactions(spark: SparkSession, layer_path: str) -> list[str]:
+    """Finish or roll back swaps a crashed prior compaction left behind.
+
+    Invariant of the swap below: ``.compact_old_ingest_date=d`` exists
+    only during the window between the two renames, and the new data
+    (``.compact_tmp``) is always complete before that window opens. So:
+    old present + partition missing → the crash hit mid-swap: restore
+    the old dir (the tmp, if still present, is discarded — it is a
+    pure rewrite of the same rows, nothing is lost). Old present +
+    partition present → the swap completed but cleanup didn't: drop
+    the old copy. Stray tmps are always safe to drop. Returns the
+    dates that needed recovery.
+    """
+    fs, lp = _fs(spark, layer_path)
+    if not fs.exists(lp):
+        return []
+    recovered = []
+    for status in fs.listStatus(lp):
+        name = status.getPath().getName()
+        if name.startswith(".compact_old_ingest_date="):
+            d = name.split("=", 1)[1]
+            _, pp = _fs(spark, f"{layer_path}/ingest_date={d}")
+            if not fs.exists(pp):
+                if not fs.rename(status.getPath(), pp):
+                    raise IOError(f"compaction recovery failed for {d}")
+            else:
+                fs.delete(status.getPath(), True)
+            recovered.append(d)
+        elif name.startswith(".compact_tmp_ingest_date="):
+            fs.delete(status.getPath(), True)
+    return recovered
+
+
 def compact_partitions(
     spark: SparkSession,
     root: str,
@@ -176,13 +209,15 @@ def compact_partitions(
     read cost. For each ``ingest_date=`` partition whose data files
     are BOTH more numerous than ``min_files_to_compact`` AND smaller
     on average than half the target, rewrite the partition at
-    ``ceil(bytes / target_file_bytes)`` files via the same
-    write-tmp-then-swap discipline as ``WarehouseStorage.write_day``
-    (readers of the partition never see a partial rewrite; a crash
-    leaves either the old directory or the new one, plus at worst an
-    orphaned tmp to re-sweep). Healthy partitions are never read or
-    rewritten — like ``retention_sweep``, this is partition
-    management, O(sick partitions) not O(table).
+    ``ceil(bytes / target_file_bytes)`` files, then swap it in with
+    two renames (each atomic on HDFS/local; object stores want a
+    manifest commit instead). Every run first replays any swap a
+    crashed prior run left half-done (``_recover_compactions``): a
+    crash can hide a partition only until the next invocation, and
+    every rename's return value is checked so a refused rename aborts
+    loudly instead of silently reporting success. Healthy partitions
+    are never read or rewritten — like ``retention_sweep``, this is
+    partition management, O(sick partitions) not O(table).
 
     Returns a per-partition report {date: {files_before, files_after,
     bytes}}; compaction preserves rows exactly (tested) but not
@@ -191,6 +226,7 @@ def compact_partitions(
     """
     root = root.rstrip("/")
     layer_path = f"{root}/{layer}"
+    _recover_compactions(spark, layer_path)
     report: dict[str, dict] = {}
     for d in _list_date_partitions(spark, layer_path):
         part_path = f"{layer_path}/ingest_date={d}"
@@ -202,21 +238,23 @@ def compact_partitions(
         n_out = max(1, -(-nbytes // target_file_bytes))  # ceil
         tmp_path = f"{layer_path}/.compact_tmp_ingest_date={d}"
         fs, tp = _fs(spark, tmp_path)
-        if fs.exists(tp):
-            fs.delete(tp, True)  # orphan from a crashed prior run
         (
             spark.read.parquet(part_path)
             .repartition(n_out)
             .write.mode("overwrite")
             .parquet(tmp_path)
         )
-        # swap: old dir out, tmp in (two renames — each atomic on
-        # HDFS/local; object stores want a manifest commit instead)
         _, pp = _fs(spark, part_path)
         old_path = f"{layer_path}/.compact_old_ingest_date={d}"
         _, op = _fs(spark, old_path)
-        fs.rename(pp, op)
-        fs.rename(tp, pp)
+        if not fs.rename(pp, op):
+            fs.delete(tp, True)
+            raise IOError(f"compaction swap-out refused for {part_path}")
+        if not fs.rename(tp, pp):
+            # put the old data back before failing — never leave the
+            # partition hidden when we can still restore it
+            fs.rename(op, pp)
+            raise IOError(f"compaction swap-in refused for {part_path}")
         fs.delete(op, True)
         _, files_after = _partition_bytes_and_files(spark, part_path)
         report[d] = {

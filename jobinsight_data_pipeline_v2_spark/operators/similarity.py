@@ -483,17 +483,24 @@ def pq_train(
     argmins over the matching codebook slice of the one-row broadcast
     index, and the update step is posexplode + groupBy(m, code, pos) —
     O(1) aggregation buffers, exchange rows ≈ n_sub × codes × dim per
-    map partition (the ADVICE-r3-safe shape). Seeds per subspace are
-    the `codes` subvectors with the smallest xxhash64(id) — the seed
-    window partitions by m, so train on a hash-sample at scale (the
-    ivf_topk_learned discipline; codebooks need only be
-    representative). Empty codes drop out (Lloyd degeneracy); code ids
-    keep their seed numbering — consumers look codes up by (m, code),
-    nothing requires density.
+    map partition (the ADVICE-r3-safe shape). Seeds are the `codes`
+    ids with the smallest xxhash64 — picked ONCE with a TakeOrdered
+    (kmeans_centroids' device; no per-subspace window funnelling the
+    training set through n_sub tasks) and sliced into every subspace.
+    Empty codes drop out (Lloyd degeneracy); code ids keep their seed
+    numbering — consumers look codes up by (m, code), nothing requires
+    density.
     """
     from pyspark.sql.window import Window
 
-    sub = len(df.select(vec_col).first()[0]) // n_sub
+    dim = len(df.select(vec_col).first()[0])
+    if dim % n_sub:
+        raise ValueError(
+            f"embedding dim {dim} not divisible by n_sub={n_sub}: the "
+            f"trailing {dim % n_sub} components would be silently "
+            "dropped from training/ADC while exact re-rank scores them"
+        )
+    sub = dim // n_sub
     subs = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -510,13 +517,41 @@ def pq_train(
             )
         ).alias("s"),
     ).select("id", "s.m", "s.sv").localCheckpoint(eager=False)
-    w = Window.partitionBy("m").orderBy(F.xxhash64(F.col("id")), F.col("id"))
-    cb = (
-        subs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= codes)
+    # seed rows: TakeOrdered over FULL vectors (codes rows — bounded),
+    # then the k-row window only numbers those; subspace slices of the
+    # same seed ids keep per-subspace seeds deterministic without a
+    # corpus-wide partitionBy(m) window (review r4: that shape sorts
+    # the whole training set in n_sub tasks)
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(codes)
         .select(
-            "m", (F.col("rn") - 1).alias("code"), F.col("sv").alias("centroid")
+            F.col(id_col).alias("__sid"), F.col(vec_col).alias("__sv")
         )
+        .select(
+            (F.row_number().over(Window.orderBy("__sid")) - 1).alias("code"),
+            "__sv",
+        )
+    )
+    cb = (
+        seed_rows.select(
+            "code",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.expr(
+                                f"slice(__sv, {m * sub + 1}, {sub})"
+                            ).alias("centroid"),
+                        )
+                        for m in range(n_sub)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("s.m", "code", "s.centroid")
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
@@ -551,20 +586,26 @@ def pq_train(
     return cb
 
 
+def _pq_dims(cb: DataFrame) -> tuple[int, int]:
+    """(n_sub, sub) from a codebook — ONE small aggregation job.
+    Callers that invoke several PQ stages fetch this once and pass it
+    down; stages only recompute when called standalone."""
+    return cb.agg(F.max("m") + 1, F.max(F.size("centroid"))).first()
+
+
 def pq_encode(
     df: DataFrame,
     cb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dims: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(id, codes array<int>, approx_n2): corpus rows compressed to
     their per-subspace code ids plus the reconstructed squared norm
     (Σ‖c_m‖² — query-independent, so computed once here, not per
     query). Narrow: one broadcast of the codebook index, no shuffle.
     """
-    n_sub, sub = cb.agg(
-        F.max("m") + 1, F.max(F.size("centroid"))
-    ).first()
+    n_sub, sub = dims or _pq_dims(cb)
     # codes and approx_n2 in two chained projections: approx_n2 reads
     # the codes column, and building it in the same select would
     # re-run the argmin per lookup under projection collapse.
@@ -613,8 +654,9 @@ def pq_topk(
     """
     from pyspark.sql.window import Window
 
-    coded = pq_encode(corpus, cb, vec_col, id_col)
-    n_sub, sub = cb.agg(F.max("m") + 1, F.max(F.size("centroid"))).first()
+    dims = _pq_dims(cb)
+    n_sub, sub = dims
+    coded = pq_encode(corpus, cb, vec_col, id_col, dims=dims)
     # per-query LUT: map (m·PAD + code) → q_sub · centroid
     q = (
         query.select(
@@ -767,11 +809,12 @@ def ivfpq_encode(
     cb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dims: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(id, cell_id, codes, approx_n2): cell assignment + residual PQ
     codes + reconstructed squared norm Σ_m ‖c_m + r̂_m‖². Narrow per
     row (two one-row broadcasts), no shuffle."""
-    n_sub, sub = cb.agg(F.max("m") + 1, F.max(F.size("centroid"))).first()
+    n_sub, sub = dims or _pq_dims(cb)
     res = residuals(corpus, cents, vec_col, id_col)
     coded = (
         res.crossJoin(_pq_cb_index(cb))
@@ -830,8 +873,9 @@ def ivfpq_topk(
     partitions."""
     from pyspark.sql.window import Window
 
-    n_sub, sub = cb.agg(F.max("m") + 1, F.max(F.size("centroid"))).first()
-    coded = ivfpq_encode(corpus, cents, cb, vec_col, id_col)
+    dims = _pq_dims(cb)
+    n_sub, sub = dims
+    coded = ivfpq_encode(corpus, cents, cb, vec_col, id_col, dims=dims)
     cdot = _DOT.format(a="__qv", b="c.centroid")
     probes = (
         query.select("query_id", F.col(vec_col).alias("__qv"))

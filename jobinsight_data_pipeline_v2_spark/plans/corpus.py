@@ -65,7 +65,6 @@ from .text import (
     _STOP_SQL,
     _STOPWORDS,
     _TOKENS,
-    _materialize,
     _shingle_key,
 )
 

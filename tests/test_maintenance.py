@@ -151,3 +151,64 @@ def test_compact_partitions_rewrites_only_fragmented(spark, tmp_path):
         )
     }
     assert not any(n.startswith(".compact") for n in fs_listing)
+
+
+def test_compact_partitions_recovers_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the partition as
+    .compact_old only; the next run must restore it before compacting,
+    and a completed-swap leftover (.compact_old beside a live
+    partition) must be dropped, not restored over the new data."""
+    from jobinsight_data_pipeline_v2_spark.maintenance import (
+        _fs,
+        compact_partitions,
+    )
+
+    root = str(tmp_path)
+    day_a, day_b = "2026-05-01", "2026-05-02"
+    for d, payload in ((day_a, "a"), (day_b, "b")):
+        spark.range(50).select(
+            F.col("id"), F.lit(payload).alias("payload")
+        ).repartition(6).write.mode("overwrite").parquet(
+            f"{root}/staging/ingest_date={d}"
+        )
+    rows_a = sorted(
+        (r.id, r.payload)
+        for r in spark.read.parquet(
+            f"{root}/staging/ingest_date={day_a}"
+        ).collect()
+    )
+    # simulate the mid-swap crash on day A: partition renamed away,
+    # a complete tmp left behind
+    fs, pa = _fs(spark, f"{root}/staging/ingest_date={day_a}")
+    _, oa = _fs(spark, f"{root}/staging/.compact_old_ingest_date={day_a}")
+    _, ta = _fs(spark, f"{root}/staging/.compact_tmp_ingest_date={day_a}")
+    assert fs.rename(pa, oa)
+    spark.range(50).select(
+        F.col("id"), F.lit("a").alias("payload")
+    ).coalesce(1).write.parquet(f"{root}/staging/.compact_tmp_ingest_date={day_a}")
+    # simulate a completed swap with leftover old on day B
+    _, ob = _fs(spark, f"{root}/staging/.compact_old_ingest_date={day_b}")
+    spark.range(50).select(
+        F.col("id"), F.lit("stale").alias("payload")
+    ).write.parquet(f"{root}/staging/.compact_old_ingest_date={day_b}")
+
+    report = compact_partitions(
+        spark, root, "staging", target_file_bytes=64 * 1024
+    )
+    # day A restored (then compacted in the same run), rows intact
+    got_a = sorted(
+        (r.id, r.payload)
+        for r in spark.read.parquet(
+            f"{root}/staging/ingest_date={day_a}"
+        ).collect()
+    )
+    assert got_a == rows_a
+    # day B kept its live (non-stale) data; leftover old dropped
+    assert {
+        r.payload
+        for r in spark.read.parquet(
+            f"{root}/staging/ingest_date={day_b}"
+        ).collect()
+    } == {"b"}
+    assert not fs.exists(oa) and not fs.exists(ob) and not fs.exists(ta)
+    assert set(report) == {day_a, day_b}
