@@ -718,24 +718,22 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     # Vote per token OCCURRENCE (±1), not per distinct (doc, token)
-    # with ±cnt: the sums are identical, and skipping the pre-count
-    # drops a full docs×tokens shuffle — the only shuffle left is the
-    # per-doc vote aggregation, map-side combined to one row per doc.
+    # with ±cnt: the sums are identical and no pre-count is needed.
     #
     # The full 64-bit token hash rides in ONE signed long (conv base
     # -10 keeps the ≥2^63 md5 prefixes in range; the bit pattern is
     # what matters). bit p of h = lo bit p (p<32) / hi bit p−32 (p≥32),
     # matching the oracle's two-half layout.
-    hashed = docs.select(
-        "doc_id", F.explode(F.expr(_TOKENS)).alias("token")
-    ).select(
-        "doc_id",
-        F.conv(
-            F.substring(F.md5(F.col("token").cast("binary")), 1, 16), 16, -10
-        )
-        .cast("long")
-        .alias("h"),
-    )
+    #
+    # ZERO-SHUFFLE votes (r4): hash the token array in-row (one
+    # interpreted md5 per occurrence — rule-10 nuance: cheaper than
+    # the explode → codegen-hash → groupBy(doc) round trip it
+    # replaces; A/B at sf0.1: 0.33s vs 0.85s for the vote subtree),
+    # then fold the 16 SWAR lane sums per doc with aggregate().
+    # Nothing exchanges until the band self-join. The 16 folds are
+    # single-reference consumers of the materialized hs array (the
+    # checkpoint guards against projection collapse re-hashing).
+    #
     # SWAR-packed vote counting: 16 lane-sum columns instead of 64
     # per-bit CASE sums. Lane word w_j accumulates four 16-bit
     # counters — the popcounts of hash bits j, j+16, j+32, j+48 —
@@ -746,15 +744,26 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # s_p = 2·c_p − n, so "s_p > 0" ⟺ "2·c_p > n" — measured 2×
     # cheaper than the branchy form, bit-identical fingerprints.
     _LANES = 0x0001000100010001
-    sums = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
+    hs = docs.select(
+        "doc_id",
+        F.transform(
+            F.expr(_TOKENS),
+            lambda t: F.conv(
+                F.substring(F.md5(t.cast("binary")), 1, 16), 16, -10
+            ).cast("long"),
+        ).alias("hs"),
+    ).localCheckpoint(eager=False)
+    sums = hs.select(
+        "doc_id",
+        F.size("hs").alias("n"),
         *[
-            F.sum(F.expr(f"shiftrightunsigned(h, {j}) & {_LANES}L")).alias(
-                f"w{j}"
-            )
+            F.expr(
+                f"aggregate(hs, 0L, (acc, h) -> "
+                f"acc + (shiftrightunsigned(h, {j}) & {_LANES}L))"
+            ).alias(f"w{j}")
             for j in range(16)
         ],
-    )
+    ).filter(F.col("n") > 0)
 
     def _fp_bit(p: int, shift: int) -> str:
         cnt = f"(w{p % 16} >> {16 * (p // 16)}) & 65535"
