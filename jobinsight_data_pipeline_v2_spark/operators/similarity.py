@@ -631,6 +631,77 @@ def pq_encode(
     )
 
 
+def pq_query_luts(
+    query: DataFrame,
+    cb: DataFrame,
+    vec_col: str = "embedding",
+    dims: tuple[int, int] | None = None,
+) -> DataFrame:
+    """(query_id, __qv, __qnorm, __lut): per-query ADC lookup table —
+    map (m·PAD + code) → q_sub · centroid — built narrowly from the
+    one-row broadcast codebook. Works identically on a batch query
+    table and a streaming query frame (stream-static join against the
+    broadcast index)."""
+    _, sub = dims or _pq_dims(cb)
+    return (
+        query.select("query_id", F.col(vec_col).alias("__qv"))
+        .crossJoin(_pq_cb_index(cb))
+        .select(
+            "query_id",
+            "__qv",
+            F.sqrt(_dot("__qv", "__qv")).alias("__qnorm"),
+            F.expr(
+                f"""
+                map_from_entries(transform(__cb, c -> struct(
+                  cast(c.m AS BIGINT) * {_PQ_KEY_PAD} + c.code,
+                  {_DOT.format(a=f"slice(__qv, c.m * {sub} + 1, {sub})", b="c.centroid")})))
+                """
+            ).alias("__lut"),
+        )
+    )
+
+
+def pq_adc_scores(
+    coded: DataFrame, q: DataFrame, dims: tuple[int, int]
+) -> DataFrame:
+    """(query_id, id, approx_sim): the ADC scan — n_sub map lookups
+    per (corpus row, query) over the broadcast query LUTs; corpus
+    vectors never touched. Shared by pq_topk's stage 1 and the
+    streaming serving twin (streaming/serving.ann_stream) — when the
+    query side streams, it must be the join's left input
+    (stream-static), with the coded corpus as the static side."""
+    n_sub, _ = dims
+    qs = q.select("query_id", "__qnorm", "__lut")
+    joined = (
+        qs.crossJoin(coded)
+        if qs.isStreaming
+        else coded.crossJoin(F.broadcast(qs))
+    )
+    return (
+        joined
+        .select(
+            "query_id",
+            "id",
+            F.expr(
+                f"""
+                aggregate(sequence(0, {n_sub - 1}), 0D, (acc, mi) ->
+                  acc + element_at(__lut, cast(mi AS BIGINT) * {_PQ_KEY_PAD}
+                                          + element_at(codes, mi + 1)))
+                """
+            ).alias("__adot"),
+            "approx_n2",
+            "__qnorm",
+        )
+        .select(
+            "query_id",
+            "id",
+            (
+                F.col("__adot") / (F.col("__qnorm") * F.sqrt("approx_n2"))
+            ).alias("approx_sim"),
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     cb: DataFrame,
@@ -655,48 +726,9 @@ def pq_topk(
     from pyspark.sql.window import Window
 
     dims = _pq_dims(cb)
-    n_sub, sub = dims
     coded = pq_encode(corpus, cb, vec_col, id_col, dims=dims)
-    # per-query LUT: map (m·PAD + code) → q_sub · centroid
-    q = (
-        query.select(
-            "query_id", F.col(vec_col).alias("__qv")
-        )
-        .crossJoin(_pq_cb_index(cb))
-        .select(
-            "query_id",
-            "__qv",
-            F.sqrt(_dot("__qv", "__qv")).alias("__qnorm"),
-            F.expr(
-                f"""
-                map_from_entries(transform(__cb, c -> struct(
-                  cast(c.m AS BIGINT) * {_PQ_KEY_PAD} + c.code,
-                  {_DOT.format(a=f"slice(__qv, c.m * {sub} + 1, {sub})", b="c.centroid")})))
-                """
-            ).alias("__lut"),
-        )
-    )
-    scored = coded.crossJoin(
-        F.broadcast(q.select("query_id", "__qnorm", "__lut"))
-    ).select(
-        "query_id",
-        "id",
-        F.expr(
-            f"""
-            aggregate(sequence(0, {n_sub - 1}), 0D, (acc, mi) ->
-              acc + element_at(__lut, cast(mi AS BIGINT) * {_PQ_KEY_PAD}
-                                      + element_at(codes, mi + 1)))
-            """
-        ).alias("__adot"),
-        "approx_n2",
-        "__qnorm",
-    ).select(
-        "query_id",
-        "id",
-        (F.col("__adot") / (F.col("__qnorm") * F.sqrt("approx_n2"))).alias(
-            "approx_sim"
-        ),
-    )
+    q = pq_query_luts(query, cb, vec_col, dims=dims)
+    scored = pq_adc_scores(coded, q, dims)
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim"), F.col("id")
     )

@@ -1,0 +1,60 @@
+"""Streaming ANN serving: a query stream against a static PQ index.
+
+The serving half of the similarity stack: the corpus is encoded ONCE
+(``pq_encode`` — codes + reconstructed norms, the static side), and
+queries arrive as a stream. Each micro-batch builds its queries' ADC
+lookup tables narrowly against the broadcast codebook, scores the
+static coded corpus via a stream-static join (n_sub map lookups per
+pair — corpus vectors never touched, never shuffled), and a streaming
+aggregation keeps the best match per query.
+
+State is ONE struct per live query (the running max), not a candidate
+buffer — the bounded-state discipline every twin in this package
+follows. Batch == stream is proven in tests/test_streaming.py against
+the identical ``pq_adc_scores`` plan run as a batch.
+
+At fleet scale the static side would be IVF-bucketed (ivfpq_encode)
+and the stream joined on cell_id after a probe step, so each query
+batch touches nprobe cells' partitions instead of the whole corpus;
+the all-cells form here is the nprobe=all upper bound of that plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.similarity import _pq_dims, pq_adc_scores, pq_query_luts
+
+
+def ann_stream(
+    queries: DataFrame,
+    coded_corpus: DataFrame,
+    cb: DataFrame,
+    vec_col: str = "embedding",
+    dims: tuple[int, int] | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, approx_sim): best ADC match per streamed
+    query. ``queries`` is a streaming (query_id, vector) frame;
+    ``coded_corpus`` is the static ``pq_encode`` output; ``cb`` the
+    codebook. Ties break to the smallest vec_id (the batch rule).
+    Use complete/update output mode — the result is a streaming
+    aggregate that improves as (re-sent) queries see more batches."""
+    dims = dims or _pq_dims(cb)
+    q = pq_query_luts(queries, cb, vec_col=vec_col, dims=dims)
+    scored = pq_adc_scores(coded_corpus, q, dims)
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("approx_sim"), (-F.col("id")).alias("negid")
+                )
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            (-F.col("b.negid")).alias("vec_id"),
+            F.col("b.approx_sim").alias("approx_sim"),
+        )
+    )

@@ -652,3 +652,65 @@ def test_streaming_classifier_equals_batch(spark, tmp_path):
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0
     assert got.count() > 0
+
+
+def test_streaming_ann_serving_equals_batch(spark, tmp_path):
+    """Query stream vs static PQ index: the complete-mode best match
+    per query equals the identical ADC plan run as a batch."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+        _pq_dims,
+        pq_adc_scores,
+        pq_encode,
+        pq_query_luts,
+        pq_train,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.serving import ann_stream
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("embedding"),
+    ).localCheckpoint()
+    cb = pq_train(emb, n_sub=4, codes=8, max_iters=1).localCheckpoint()
+    dims = _pq_dims(cb)
+    coded = pq_encode(emb, cb, dims=dims).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # two drops so the stream really runs multi-batch
+    src = os.path.join(str(tmp_path), "ann_queries")
+    now = time.time()
+    for b in range(2):
+        part = queries.filter(F.pmod("query_id", F.lit(2)) == b)
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("query_id long, embedding array<bigint>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, ann_stream(stream, coded, cb, dims=dims), "ann_test",
+        mode="complete",
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ann_test")
+    expected = (
+        pq_adc_scores(coded, pq_query_luts(queries, cb, dims=dims), dims)
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(F.col("approx_sim"), (-F.col("id")).alias("negid"))
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            (-F.col("b.negid")).alias("vec_id"),
+            F.col("b.approx_sim").alias("approx_sim"),
+        )
+    )
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() > 0
