@@ -1161,3 +1161,59 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-training statistics: adjacent-pair histogram
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    pairs AS (
+        SELECT t[i] || ' ' || t[i + 1] AS pair
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs
+    GROUP BY 1
+    ORDER BY n DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair histogram — the counting step of BPE merge
+    training (each round of ``operators/tokenizer.bpe_train`` merges
+    the argmax of exactly this statistic). In-row pair construction
+    (guarded against Spark's descending ``sequence(1, 0)``), explode,
+    one map-side-combined count on the pair key, TakeOrdered top
+    {_BPE_TOP} with a total order (count desc, pair asc). Pair keys
+    are uniform text — no skew beyond natural head pairs, which the
+    partial aggregation collapses before the exchange.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                f"""
+                if(size({_TOKENS}) >= 2,
+                   transform(sequence(1, size({_TOKENS}) - 1),
+                             i -> concat(element_at({_TOKENS}, i), ' ',
+                                         element_at({_TOKENS}, i + 1))),
+                   cast(array() as array<string>))
+                """
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOP)
+    )

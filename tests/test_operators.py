@@ -568,3 +568,69 @@ def test_ivfpq_exactness_and_recall(spark):
         )
         recalls.append(len(hits) / 10)
     assert min(recalls) >= 0.5, recalls
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Greedy word-BPE on Spark == a pure-Python reference (same
+    argmax tie rule, same left-to-right non-overlapping application),
+    merge for merge, on a real corpus slice; and training is
+    deterministic across runs."""
+    from collections import Counter
+
+    from jobinsight_data_pipeline_v2_spark.operators.tokenizer import (
+        apply_merge,
+        bpe_train,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def ref_bpe(texts, n_merges, min_count=2):
+        seqs = {i: t.split() for i, t in texts.items()}
+        merges = []
+        for _ in range(n_merges):
+            c = Counter()
+            for s in seqs.values():
+                for x, y in zip(s, s[1:]):
+                    c[(x, y)] += 1
+            if not c:
+                break
+            (a, b), n = min(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if n < min_count:
+                break
+            merges.append((a, b, n))
+            for i, s in seqs.items():
+                out, skip = [], False
+                for j, x in enumerate(s):
+                    if skip:
+                        skip = False
+                        continue
+                    if j + 1 < len(s) and x == a and s[j + 1] == b:
+                        out.append(a + " " + b)
+                        skip = True
+                    else:
+                        out.append(x)
+                seqs[i] = out
+        return merges, seqs
+
+    expected_merges, expected_seqs = ref_bpe(texts, 6)
+    got = bpe_train(docs, n_merges=6)
+    assert got == expected_merges
+    assert bpe_train(docs, n_merges=6) == got  # deterministic
+
+    # the applied corpus matches the reference symbol-for-symbol
+    symbols = docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("s"),
+    )
+    for a, b, _ in got:
+        symbols = apply_merge(symbols, a, b)
+    applied = {r.id: list(r.s) for r in symbols.collect()}
+    assert applied == expected_seqs
