@@ -634,3 +634,43 @@ def test_bpe_train_matches_python_reference(spark):
         symbols = apply_merge(symbols, a, b)
     applied = {r.id: list(r.s) for r in symbols.collect()}
     assert applied == expected_seqs
+
+
+def test_cooccur_pairs_equals_naive_reference(spark):
+    """The salted two-phase pair generator == the naive 'keys with
+    2 <= df <= max_df emit all ordered id pairs' semantics, including
+    at-cap keys (df == max_df, lossless), over-cap keys (dropped
+    whole), df=1 keys (no pairs), and ids spread across every salt
+    bucket."""
+    import itertools
+    import random
+    from collections import Counter
+
+    from jobinsight_data_pipeline_v2_spark.plans.text import _cooccur_pairs
+
+    rng = random.Random(42)
+    max_df = 8
+    rows = []
+    # controlled dfs around the cap
+    for key, df in [(100, 1), (101, 2), (102, max_df), (103, max_df + 1), (104, 30)]:
+        ids = rng.sample(range(1000), df)
+        rows += [(key, i) for i in ids]
+    # random background: 60 keys, dfs 1..12
+    for key in range(60):
+        for i in rng.sample(range(1000), rng.randint(1, 12)):
+            rows.append((key, i))
+    df_in = spark.createDataFrame(rows, "k long, doc_id long")
+
+    expected = Counter()
+    by_key = {}
+    for k, i in rows:
+        by_key.setdefault(k, []).append(i)
+    for k, ids in by_key.items():
+        if 2 <= len(ids) <= max_df:
+            for a, b in itertools.combinations(sorted(ids), 2):
+                expected[(a, b)] += 1
+
+    got = Counter()
+    for r in _cooccur_pairs(df_in, "k", max_df=max_df).collect():
+        got[(r.doc_a, r.doc_b)] += 1
+    assert got == expected
