@@ -636,18 +636,22 @@ def pq_query_luts(
     cb: DataFrame,
     vec_col: str = "embedding",
     dims: tuple[int, int] | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(query_id, __qv, __qnorm, __lut): per-query ADC lookup table —
-    map (m·PAD + code) → q_sub · centroid — built narrowly from the
-    one-row broadcast codebook. Works identically on a batch query
-    table and a streaming query frame (stream-static join against the
-    broadcast index)."""
+    """(query_id, [carry…], __qv, __qnorm, __lut): per-query ADC lookup
+    table — map (m·PAD + code) → q_sub · centroid — built narrowly
+    from the one-row broadcast codebook. Works identically on a batch
+    query table and a streaming query frame (stream-static join
+    against the broadcast index). ``carry`` columns (e.g. an
+    event-time column for watermarked serving) ride through
+    untouched."""
     _, sub = dims or _pq_dims(cb)
     return (
-        query.select("query_id", F.col(vec_col).alias("__qv"))
+        query.select("query_id", *carry, F.col(vec_col).alias("__qv"))
         .crossJoin(_pq_cb_index(cb))
         .select(
             "query_id",
+            *carry,
             "__qv",
             F.sqrt(_dot("__qv", "__qv")).alias("__qnorm"),
             F.expr(
@@ -662,7 +666,10 @@ def pq_query_luts(
 
 
 def pq_adc_scores(
-    coded: DataFrame, q: DataFrame, dims: tuple[int, int]
+    coded: DataFrame,
+    q: DataFrame,
+    dims: tuple[int, int],
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(query_id, id, approx_sim): the ADC scan — n_sub map lookups
     per (corpus row, query) over the broadcast query LUTs; corpus
@@ -671,7 +678,7 @@ def pq_adc_scores(
     query side streams, it must be the join's left input
     (stream-static), with the coded corpus as the static side."""
     n_sub, _ = dims
-    qs = q.select("query_id", "__qnorm", "__lut")
+    qs = q.select("query_id", *carry, "__qnorm", "__lut")
     joined = (
         qs.crossJoin(coded)
         if qs.isStreaming
@@ -681,6 +688,7 @@ def pq_adc_scores(
         joined
         .select(
             "query_id",
+            *carry,
             "id",
             F.expr(
                 f"""
@@ -694,6 +702,7 @@ def pq_adc_scores(
         )
         .select(
             "query_id",
+            *carry,
             "id",
             (
                 F.col("__adot") / (F.col("__qnorm") * F.sqrt("approx_n2"))

@@ -106,6 +106,8 @@ def bpe_train(
     early when no pair reaches ``min_count`` (merging hapax pairs
     carries no compression signal).
     """
+    import gc
+
     symbols = df.select(
         F.col(id_col).alias("id"),
         F.expr(f"filter(split({text_col}, ' '), t -> t != '')").alias("s"),
@@ -122,5 +124,15 @@ def bpe_train(
             break
         a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
         merges.append((a, b, n))
+        prev = symbols
         symbols = apply_merge(symbols, a, b).localCheckpoint(eager=False)
+        # the argmax collect above already materialized `prev`; force
+        # the NEW checkpoint now so its lineage no longer needs the
+        # previous round's blocks, then drop the only Python ref and
+        # let the ContextCleaner free them — otherwise every round's
+        # full corpus copy stays pinned in block storage for the whole
+        # training run (bench.py's gc discipline).
+        symbols.count()
+        del prev
+        gc.collect()
     return merges

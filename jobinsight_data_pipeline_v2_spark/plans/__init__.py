@@ -54,10 +54,10 @@ PRIORITY: tuple[str, ...] = (
     "chunk_documents",
     "mixture_sample",
     "cosine_topk_batch",
-    "ivf_topk",
+    "ivf_topk_learned",  # IVF search family (learned quantizer config)
     "label_centroids",
     "multimodal_binary_meta",
-    "ivf_topk_learned",  # round-4 gate: learned (k-means) IVF quantizer
+    "bpe_pair_counts",  # round-4 gate: BPE merge-training statistic
     "approx_percentiles",  # round-4 gate: approx-within-bound drop-in
     # remaining core
     "ri_orphan_counts",
@@ -101,6 +101,14 @@ PRIORITY: tuple[str, ...] = (
     "sequence_pack",
 )
 # Demoted below the driver's fold (family double-covered above):
+#   ivf_topk (label-derived quantizer — ivf_topk_learned pins the same
+#     IVF search pipeline with the harder learned config, and
+#     label_centroids pins the centroid build),
+#   pq_topk_rerank / ivfpq_topk_exact (PQ ADC family — share the exact
+#     batch oracle with cosine_topk_batch above; prop-tested configs),
+#   segment_dedup / cross_dedup (dedup family, exact_dedup + minhash
+#     above), quality_classifier (doc_quality covers quality scoring),
+#   conversion_funnel (events windowing family covered above),
 #   cosine_topk (exact ANN — cosine_topk_batch is the scale path),
 #   embedding_near_dups (all-pairs correctness baseline by design),
 #   stratified_sample (hash_split + mixture_sample cover sampling),

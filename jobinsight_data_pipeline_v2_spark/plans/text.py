@@ -1197,23 +1197,19 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     are uniform text — no skew beyond natural head pairs, which the
     partial aggregation collapses before the exchange.
     """
+    from ..operators.tokenizer import adjacent_pair_counts
+
     docs = spread(load_table(spark, sf_dir, "documents"))
-    pairs = docs.select(
-        F.explode(
-            F.expr(
-                f"""
-                if(size({_TOKENS}) >= 2,
-                   transform(sequence(1, size({_TOKENS}) - 1),
-                             i -> concat(element_at({_TOKENS}, i), ' ',
-                                         element_at({_TOKENS}, i + 1))),
-                   cast(array() as array<string>))
-                """
-            )
-        ).alias("pair")
+    # SAME pair-building/counting code bpe_train iterates — the gate
+    # statistic cannot drift from what training actually merges. The
+    # (a, b) group key equals the concatenated key here because
+    # first-round symbols contain no spaces.
+    symbols = docs.select(
+        F.col("doc_id").alias("id"), F.expr(_TOKENS).alias("s")
     )
     return (
-        pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
+        adjacent_pair_counts(symbols)
+        .select(F.concat_ws(" ", "a", "b").alias("pair"), "n")
         .orderBy(F.desc("n"), "pair")
         .limit(_BPE_TOP)
     )

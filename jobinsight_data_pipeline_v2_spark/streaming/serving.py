@@ -33,28 +33,43 @@ def ann_stream(
     cb: DataFrame,
     vec_col: str = "embedding",
     dims: tuple[int, int] | None = None,
+    ts_col: str | None = None,
+    horizon: str = "30 minutes",
 ) -> DataFrame:
-    """(query_id, vec_id, approx_sim): best ADC match per streamed
-    query. ``queries`` is a streaming (query_id, vector) frame;
+    """(…, query_id, vec_id, approx_sim): best ADC match per streamed
+    query. ``queries`` is a streaming (query_id, vector[, ts]) frame;
     ``coded_corpus`` is the static ``pq_encode`` output; ``cb`` the
     codebook. Ties break to the smallest vec_id (the batch rule).
-    Use complete/update output mode — the result is a streaming
-    aggregate that improves as (re-sent) queries see more batches."""
+
+    State bounding: with ``ts_col`` set (production), the aggregate is
+    keyed by (window(ts, horizon), query_id) under a watermark, so a
+    query's max-struct is EVICTED once the watermark passes its
+    arrival window — state is O(queries per horizon); run in update
+    mode and the output gains a ``window_start`` column. Without
+    ``ts_col`` (finite verification), state is one struct per distinct
+    query ever seen and complete mode re-emits the full table per
+    trigger — fine for a bounded test feed, unbounded on a real
+    serving stream; always pass ``ts_col`` there."""
     dims = dims or _pq_dims(cb)
-    q = pq_query_luts(queries, cb, vec_col=vec_col, dims=dims)
-    scored = pq_adc_scores(coded_corpus, q, dims)
-    return (
-        scored.groupBy("query_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("approx_sim"), (-F.col("id")).alias("negid")
-                )
-            ).alias("b")
-        )
-        .select(
-            "query_id",
-            (-F.col("b.negid")).alias("vec_id"),
-            F.col("b.approx_sim").alias("approx_sim"),
-        )
+    carry = (ts_col,) if ts_col is not None else ()
+    if ts_col is not None:
+        queries = queries.withWatermark(ts_col, horizon)
+    q = pq_query_luts(queries, cb, vec_col=vec_col, dims=dims, carry=carry)
+    scored = pq_adc_scores(coded_corpus, q, dims, carry=carry)
+    keys = (
+        [F.window(F.col(ts_col), horizon).alias("__w")] if ts_col else []
+    ) + [F.col("query_id")]
+    out = scored.groupBy(*keys).agg(
+        F.max(
+            F.struct(F.col("approx_sim"), (-F.col("id")).alias("negid"))
+        ).alias("b")
+    )
+    head = (
+        [F.col("__w.start").alias("window_start")] if ts_col else []
+    )
+    return out.select(
+        *head,
+        "query_id",
+        (-F.col("b.negid")).alias("vec_id"),
+        F.col("b.approx_sim").alias("approx_sim"),
     )

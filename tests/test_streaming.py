@@ -714,3 +714,73 @@ def test_streaming_ann_serving_equals_batch(spark, tmp_path):
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0
     assert got.count() > 0
+
+
+def test_streaming_ann_serving_watermarked_state_eviction_path(spark, tmp_path):
+    """Production configuration: state keyed by (arrival window,
+    query_id) under a watermark, update mode. Each one-shot query gets
+    exactly one update row, equal to the batch ADC best."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+        _pq_dims,
+        pq_adc_scores,
+        pq_encode,
+        pq_query_luts,
+        pq_train,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.serving import ann_stream
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("embedding"),
+    ).localCheckpoint()
+    cb = pq_train(emb, n_sub=4, codes=8, max_iters=1).localCheckpoint()
+    dims = _pq_dims(cb)
+    coded = pq_encode(emb, cb, dims=dims).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+        F.to_timestamp(F.lit("2026-01-01 00:05:00")).alias("qts"),
+    )
+    src = os.path.join(str(tmp_path), "ann_wm_queries")
+    now = time.time()
+    for b in range(2):
+        part = queries.filter(F.pmod("query_id", F.lit(2)) == b)
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema(
+            "query_id long, embedding array<bigint>, qts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark,
+        ann_stream(stream, coded, cb, dims=dims, ts_col="qts"),
+        "ann_wm_test",
+        mode="update",
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT query_id, vec_id, approx_sim FROM ann_wm_test"
+    )
+    assert got.count() == got.select("query_id").distinct().count()
+    expected = (
+        pq_adc_scores(coded, pq_query_luts(queries, cb, dims=dims), dims)
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(F.col("approx_sim"), (-F.col("id")).alias("negid"))
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            (-F.col("b.negid")).alias("vec_id"),
+            F.col("b.approx_sim").alias("approx_sim"),
+        )
+    )
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
