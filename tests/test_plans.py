@@ -318,16 +318,16 @@ def test_events_queries_timezone_independent(spark):
     """The events tables are TIMESTAMP_NTZ rebuilt tz-independently
     (CLAUDE.md rule 9); gate results must not shift when the session
     timezone does — the driver may grade from any locale."""
-    name = "events_hourly"
-    fn = load_all()[name][0]
-    prev = spark.conf.get("spark.sql.session.timeZone")
-    base = {tuple(r) for r in fn(spark, SF).collect()}
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "Asia/Ho_Chi_Minh")
-        shifted = {tuple(r) for r in fn(spark, SF).collect()}
-    finally:
-        spark.conf.set("spark.sql.session.timeZone", prev)
-    assert base == shifted
+    for name in ("events_hourly", "conversion_funnel"):
+        fn = load_all()[name][0]
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        base = {tuple(r) for r in fn(spark, SF).collect()}
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Ho_Chi_Minh")
+            shifted = {tuple(r) for r in fn(spark, SF).collect()}
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+        assert base == shifted, name
 
 
 def test_conversion_funnel_single_exchange(spark):
