@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "pq_topk_rerank",  # gate config: refine=all (exact); PQ cost ceiling
     "conversion_funnel",
     "bpe_pair_counts",
+    "anomaly_days",
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -786,3 +786,78 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_click",
         "t_purchase",
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# volume anomaly detection (monitoring): exact 2-sigma day flags
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anomaly_days",
+    """
+    WITH daily AS (
+        SELECT strftime(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                             AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(cents AS HUGEINT)) AS s,
+               SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS q
+        FROM daily
+    )
+    SELECT d.day, d.n_events, d.cents,
+           (g.n * CAST(d.cents AS HUGEINT) - g.s)
+               * (g.n * CAST(d.cents AS HUGEINT) - g.s)
+               > 4 * (g.n * g.q - g.s * g.s) AS is_anomaly
+    FROM daily d, g
+    ORDER BY 1
+    """,
+)
+def anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags: a day is anomalous when its revenue
+    total sits more than 2σ from the corpus mean — the pipeline-health
+    check a monitoring stack runs on every ingest metric.
+
+    The z-test runs in EXACT integer arithmetic: cents totals are
+    bigints, and |x−μ| > k·σ is compared squared-and-cleared as
+    (N·x − S)² > k²·(N·Q − S²) with S=Σx, Q=Σx² — no float mean, no
+    float sqrt, so the flag is bit-identical across engines and
+    independent of aggregation order. Intermediates ride DECIMAL(38,0)
+    (DuckDB HUGEINT): Q ~ days · cents² needs > 63 bits long before a
+    fleet does. One scan → day-keyed agg; the 3-number global stats
+    row broadcasts back over the daily rows.
+    """
+    events = load_events(spark, sf_dir)
+    daily = events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    daily = daily.localCheckpoint(eager=False)  # stats + output consumer
+    dec = F.col("cents").cast("decimal(38,0)")
+    g = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("q"),
+    )
+    dev = F.col("n") * dec - F.col("s")
+    return (
+        daily.crossJoin(F.broadcast(g))
+        .select(
+            "day",
+            "n_events",
+            "cents",
+            (
+                dev * dev
+                > F.lit(4).cast("decimal(38,0)")
+                * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
