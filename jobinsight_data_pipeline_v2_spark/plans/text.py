@@ -325,17 +325,16 @@ def _shingle_strings(docs: DataFrame) -> DataFrame:
     )
 
 
-# 60-bit shingle key from the md5 prefix: join/distinct on an 8-byte
-# long instead of a ~30-byte string (cheaper shuffle + comparisons).
-# 15 hex chars keep conv()'s unsigned decimal inside signed-long range;
-# collision odds at 60 bits are ~n²/2^61 — negligible for any realistic
-# shingle count per job, and the DuckDB oracle (which keeps string
-# keys) would surface one instantly as a hash mismatch.
+# 64-bit grouping key: join/distinct on an 8-byte long instead of a
+# ~30-byte string (cheaper shuffle + comparisons). xxhash64 — codegen,
+# no hex/conv detour — is safe here because every consumer uses the
+# key for GROUPING ONLY (never for value-dependent selection like
+# minhash/winnow minima, which must stay md5 to match their oracles).
+# Collision odds at 64 bits are ~n²/2^65 — negligible, and the DuckDB
+# oracle (which keeps string keys) would surface one instantly as a
+# hash mismatch.
 def _shingle_key(col: str) -> F.Column:
-    return (
-        F.conv(F.substring(F.md5(F.col(col).cast("binary")), 1, 15), 16, 10)
-        .cast("long")
-    )
+    return F.xxhash64(F.col(col))
 
 
 @register(
