@@ -674,3 +674,48 @@ def test_cooccur_pairs_equals_naive_reference(spark):
     for r in _cooccur_pairs(df_in, "k", max_df=max_df).collect():
         got[(r.doc_a, r.doc_b)] += 1
     assert got == expected
+
+
+def test_apply_merge_edge_cases_fuzz(spark):
+    """apply_merge == the Python left-to-right non-overlapping fold on
+    adversarial sequences: odd/even runs of the same symbol ('a a a'),
+    merged super-tokens that themselves form the next pair, empty and
+    single-symbol docs, and 200 seeded random docs over a 3-symbol
+    alphabet with 3 chained merges."""
+    import random
+
+    from jobinsight_data_pipeline_v2_spark.operators.tokenizer import (
+        apply_merge,
+    )
+
+    def ref_apply(s, a, b):
+        out, skip = [], False
+        for j, x in enumerate(s):
+            if skip:
+                skip = False
+                continue
+            if j + 1 < len(s) and x == a and s[j + 1] == b:
+                out.append(a + " " + b)
+                skip = True
+            else:
+                out.append(x)
+        return out
+
+    rng = random.Random(7)
+    docs = [
+        [], ["a"], ["a", "a"], ["a", "a", "a"], ["a", "a", "a", "a"],
+        ["a", "b", "a", "b", "a"], ["b", "a", "b"], ["a", "b", "b", "a", "b"],
+    ] + [
+        [rng.choice("abc") for _ in range(rng.randint(0, 8))]
+        for _ in range(200)
+    ]
+    merges = [("a", "a"), ("a", "b"), ("a a", "c")]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "id long, s array<string>"
+    )
+    expected = {i: list(s) for i, s in enumerate(docs)}
+    for a, b in merges:
+        df = apply_merge(df, a, b)
+        expected = {i: ref_apply(s, a, b) for i, s in expected.items()}
+    got = {r.id: list(r.s) for r in df.collect()}
+    assert got == expected
