@@ -342,3 +342,24 @@ def test_conversion_funnel_single_exchange(spark):
     # one window-feeding sort + the presentation range sort
     assert p.count("+- Sort") <= 2
     assert p.count("Window") == 3
+
+
+def test_registry_bench_and_coverage_stay_in_sync():
+    """Doc/bench drift guard: every registered gate is named in
+    COVERAGE.md, every benched query exists in the registry, and the
+    gate-count claim in COVERAGE.md's driver-gate summary matches
+    reality (both review rounds caught stale counts — make it a test)."""
+    import re
+
+    from bench import BENCH_QUERIES
+
+    reg = load_all()
+    coverage = open("/root/repo/COVERAGE.md").read()
+    missing = [n for n in reg if n not in coverage]
+    assert missing == [], f"gates absent from COVERAGE.md: {missing}"
+    unknown = [n for n in BENCH_QUERIES if n not in reg]
+    assert unknown == [], f"bench names not in registry: {unknown}"
+    m = re.search(r"(\d+) `queries\(\)` entries", coverage)
+    assert m and int(m.group(1)) == len(reg), (
+        f"COVERAGE.md claims {m and m.group(1)} gates, registry has {len(reg)}"
+    )
