@@ -917,13 +917,44 @@ def ivfpq_topk(
     dims = _pq_dims(cb)
     n_sub, sub = dims
     coded = ivfpq_encode(corpus, cents, cb, vec_col, id_col, dims=dims)
+    probes = ivfpq_probes(query, cents, cb, nprobe, dims, vec_col=vec_col)
+    scored = ivfpq_adc_scores(coded, probes, dims)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.col("id")
+    )
+    cands = (
+        scored.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= refine)
+        .select("query_id", F.col("id").alias(id_col))
+    )
+    q = probes.select("query_id", "__qv", "__qnorm").distinct()
+    return _exact_rerank(corpus, cands, q, k, vec_col, id_col)
+
+
+def ivfpq_probes(
+    query: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    nprobe: int,
+    dims: tuple[int, int] | None = None,
+    vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(query_id, [carry…], __qv, __qnorm, cell_id, qdotc, __lut): the
+    per-query probe list — the ``nprobe`` closest cells, each carrying
+    the RAW q·c_cell dot (the ADC constant term) — plus the residual-
+    codebook LUT. One narrow projection per query row against the two
+    one-row broadcast indexes; works identically on batch and
+    streaming query frames."""
+    _, sub = dims or _pq_dims(cb)
     cdot = _DOT.format(a="__qv", b="c.centroid")
-    probes = (
-        query.select("query_id", F.col(vec_col).alias("__qv"))
+    return (
+        query.select("query_id", *carry, F.col(vec_col).alias("__qv"))
         .crossJoin(_cells_index(cents))
         .crossJoin(_pq_cb_index(cb))
         .select(
             "query_id",
+            *carry,
             "__qv",
             F.sqrt(_dot("__qv", "__qv")).alias("__qnorm"),
             F.explode(
@@ -947,6 +978,7 @@ def ivfpq_topk(
         )
         .select(
             "query_id",
+            *carry,
             "__qv",
             "__qnorm",
             F.col("p.cell_id").alias("cell_id"),
@@ -954,11 +986,32 @@ def ivfpq_topk(
             "__lut",
         )
     )
-    scored = coded.join(
-        F.broadcast(probes.select("query_id", "cell_id", "qdotc", "__qnorm", "__lut")),
-        "cell_id",
-    ).select(
+
+
+def ivfpq_adc_scores(
+    coded: DataFrame,
+    probes: DataFrame,
+    dims: tuple[int, int],
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(query_id, [carry…], id, approx_sim): score probed cells'
+    members as q·c_cell + residual-LUT lookups. An EQUI-join on
+    cell_id — with the encoded corpus partitioned by cell, a probe
+    touches only its cells' partitions. Shared by ivfpq_topk and the
+    streaming serving twin; when probes stream, they take the join's
+    left side (stream-static)."""
+    n_sub, _ = dims
+    ps = probes.select(
+        "query_id", *carry, "cell_id", "qdotc", "__qnorm", "__lut"
+    )
+    joined = (
+        ps.join(coded, "cell_id")
+        if ps.isStreaming
+        else coded.join(F.broadcast(ps), "cell_id")
+    )
+    return joined.select(
         "query_id",
+        *carry,
         "id",
         (
             (
@@ -974,13 +1027,3 @@ def ivfpq_topk(
             / (F.col("__qnorm") * F.sqrt("approx_n2"))
         ).alias("approx_sim"),
     )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_sim"), F.col("id")
-    )
-    cands = (
-        scored.withColumn("__rn", F.row_number().over(wr))
-        .filter(F.col("__rn") <= refine)
-        .select("query_id", F.col("id").alias(id_col))
-    )
-    q = probes.select("query_id", "__qv", "__qnorm").distinct()
-    return _exact_rerank(corpus, cands, q, k, vec_col, id_col)

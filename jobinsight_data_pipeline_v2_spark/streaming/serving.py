@@ -73,3 +73,51 @@ def ann_stream(
         (-F.col("b.negid")).alias("vec_id"),
         F.col("b.approx_sim").alias("approx_sim"),
     )
+
+
+def ann_stream_ivfpq(
+    queries: DataFrame,
+    cents: DataFrame,
+    coded_corpus: DataFrame,
+    cb: DataFrame,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    dims: tuple[int, int] | None = None,
+    ts_col: str | None = None,
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """The nprobe<all serving plan: each streamed query probes its
+    ``nprobe`` closest IVF cells and ADC-scores ONLY those cells'
+    members via a stream-static EQUI-join on cell_id — with the
+    ``ivfpq_encode`` output partitioned/bucketed by cell, a query
+    batch touches a bounded slice of the index instead of the whole
+    corpus (ann_stream's all-cells scan is this plan's nprobe=all
+    upper bound). Probe lists and LUTs are narrow projections against
+    the two one-row broadcast indexes; state is the same one
+    running-max struct per (window,) query as ann_stream, with the
+    identical ts_col/horizon bounding contract."""
+    from ..operators.similarity import ivfpq_adc_scores, ivfpq_probes
+
+    dims = dims or _pq_dims(cb)
+    carry = (ts_col,) if ts_col is not None else ()
+    if ts_col is not None:
+        queries = queries.withWatermark(ts_col, horizon)
+    probes = ivfpq_probes(
+        queries, cents, cb, nprobe, dims, vec_col=vec_col, carry=carry
+    )
+    scored = ivfpq_adc_scores(coded_corpus, probes, dims, carry=carry)
+    keys = (
+        [F.window(F.col(ts_col), horizon).alias("__w")] if ts_col else []
+    ) + [F.col("query_id")]
+    out = scored.groupBy(*keys).agg(
+        F.max(
+            F.struct(F.col("approx_sim"), (-F.col("id")).alias("negid"))
+        ).alias("b")
+    )
+    head = [F.col("__w.start").alias("window_start")] if ts_col else []
+    return out.select(
+        *head,
+        "query_id",
+        (-F.col("b.negid")).alias("vec_id"),
+        F.col("b.approx_sim").alias("approx_sim"),
+    )

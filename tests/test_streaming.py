@@ -784,3 +784,73 @@ def test_streaming_ann_serving_watermarked_state_eviction_path(spark, tmp_path):
     )
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0
+
+
+def test_streaming_ann_serving_ivfpq_probed_equals_batch(spark, tmp_path):
+    """nprobe<all serving: the streamed best-of-probed-cells match per
+    query equals the identical probe+ADC plan run as a batch (equi-join
+    on cell_id — queries touch only their probed cells' members)."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+        _pq_dims,
+        ivfpq_adc_scores,
+        ivfpq_encode,
+        ivfpq_probes,
+        ivfpq_train,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.serving import (
+        ann_stream_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("embedding"),
+    ).localCheckpoint()
+    cents, cb = ivfpq_train(emb, kmeans_iters=1, pq_iters=1)
+    cents = cents.localCheckpoint()
+    cb = cb.localCheckpoint()
+    dims = _pq_dims(cb)
+    coded = ivfpq_encode(emb, cents, cb, dims=dims).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src = os.path.join(str(tmp_path), "ivfpq_queries")
+    now = time.time()
+    for b in range(2):
+        part = queries.filter(F.pmod("query_id", F.lit(2)) == b)
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("query_id long, embedding array<bigint>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark,
+        ann_stream_ivfpq(stream, cents, coded, cb, nprobe=2, dims=dims),
+        "ivfpq_serving_test",
+        mode="complete",
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ivfpq_serving_test")
+    expected = (
+        ivfpq_adc_scores(
+            coded, ivfpq_probes(queries, cents, cb, 2, dims), dims
+        )
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(F.col("approx_sim"), (-F.col("id")).alias("negid"))
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            (-F.col("b.negid")).alias("vec_id"),
+            F.col("b.approx_sim").alias("approx_sim"),
+        )
+    )
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() > 0
