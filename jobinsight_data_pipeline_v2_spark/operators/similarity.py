@@ -915,7 +915,6 @@ def ivfpq_topk(
     from pyspark.sql.window import Window
 
     dims = _pq_dims(cb)
-    n_sub, sub = dims
     coded = ivfpq_encode(corpus, cents, cb, vec_col, id_col, dims=dims)
     probes = ivfpq_probes(query, cents, cb, nprobe, dims, vec_col=vec_col)
     scored = ivfpq_adc_scores(coded, probes, dims)

@@ -52,7 +52,7 @@ PRIORITY: tuple[str, ...] = (
     # the 8 families with no driver row in round 3 — early, so neither
     # a count cap nor a time budget can cut them again
     "chunk_documents",
-    "mixture_sample",
+    "shuffle_shards",  # deterministic corpus-shuffle family
     "cosine_topk_batch",
     "ivf_topk_learned",  # IVF search family (learned quantizer config)
     "label_centroids",
@@ -66,7 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "orders_window_filter",
     "date_dimension",
     "status_pivot_by_month",
-    "price_percentiles",
+    "anomaly_days",  # round-4 gate: exact-integer 2σ volume flags
     "salted_returnflag_rollup",
     # text / dedup
     "doc_quality",
@@ -111,7 +111,10 @@ PRIORITY: tuple[str, ...] = (
 #   conversion_funnel (events windowing family covered above),
 #   cosine_topk (exact ANN — cosine_topk_batch is the scale path),
 #   embedding_near_dups (all-pairs correctness baseline by design),
-#   stratified_sample (hash_split + mixture_sample cover sampling),
+#   mixture_sample / stratified_sample (hash_split pins deterministic
+#     hash-bucket sampling; both variants stay local-gated),
+#   price_percentiles (approx_percentiles computes the same exact
+#     percentile values in-plan alongside its sketch-bound flags),
 #   regex_token_stats (token_histogram covers token stats),
 #   customers_without_orders (ri_orphan_counts covers anti-sets),
 #   rollup_status_priority (status_pivot_by_month + etl_health_rollup),

@@ -21,9 +21,10 @@ document-level operators in ``plans/text.py`` don't cover:
   weighted score are native columnar expressions, zero UDFs.
 
 Oracle-compatibility choices (CLAUDE.md rules):
-- grouping/join keys are md5-derived (identical hex in both engines);
-  Spark shuffles 60-bit long prefixes, DuckDB joins the raw strings —
-  equivalent absent 60-bit collisions (see ``text._shingle_key``).
+- Spark groups/joins on 64-bit xxhash64 keys while DuckDB groups the
+  raw strings — equivalent absent 64-bit collisions, safe because the
+  keys are grouping-only, never value-dependent selection (see
+  ``text._shingle_key``).
 - first-occurrence order rides one BIGINT ``doc_id * 1e6 + seg_idx``
   (documented bound: segment index < 1e6 ⇔ docs under 8M tokens; a
   general-purpose build would min a (doc_id, seg_idx) struct).
@@ -82,7 +83,7 @@ _SEG_N = 8
 
 def segment_rows(toks: DataFrame) -> DataFrame:
     """(doc_id, seg_idx, seg, sk, ord) from (doc_id, t=token array):
-    in-row {_SEG_N}-token segmentation, 60-bit segment hash, and the
+    in-row {_SEG_N}-token segmentation, 64-bit segment hash, and the
     global first-occurrence order key. Checkpoint-free so the SAME
     transform runs on a streaming frame (streaming/curation.
     segment_dedup_stream); batch callers materialize ``toks`` first
@@ -149,7 +150,7 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: in-row segmentation (transform over a token-index sequence,
     guarded against Spark's descending ``sequence(1, 0)``) → one
-    window-min shuffle on the 60-bit segment hash (partitionBy only —
+    window-min shuffle on the 64-bit segment hash (partitionBy only —
     no ordering spec, so no per-group sort requirement beyond
     clustering) → one groupBy(doc_id) to count and reassemble. The
     reassembly buffer is one document's own segments — bounded by doc

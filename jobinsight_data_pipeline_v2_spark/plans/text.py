@@ -389,9 +389,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-doc DISTINCT shingle arrays stay narrow (array_distinct — no
     # global DISTINCT shuffle); shingle extraction is the one-pass
     # regex scan (_SHINGLE_RE). All downstream grouping/joining runs
-    # on the 60-bit md5-prefix key (_shingle_key): the self-join
+    # on the 64-bit xxhash64 key (_shingle_key): the self-join
     # shuffles 8-byte longs, not shingle strings. Distinct-on-strings
-    # equals distinct-on-keys absent 60-bit collisions (see
+    # equals distinct-on-keys absent 64-bit collisions (see
     # _shingle_key note).
     sh_arr = _materialize(
         docs.select(

@@ -27,6 +27,32 @@ from pyspark.sql import functions as F
 from ..operators.similarity import _pq_dims, pq_adc_scores, pq_query_luts
 
 
+def _best_match_per_query(
+    scored: DataFrame, ts_col: str | None, horizon: str
+) -> DataFrame:
+    """Shared serving tail: one running-max struct per (arrival
+    window,) query, ties to the smallest vec_id (the batch rule).
+    Both twins MUST share this — the tie-break and the eviction keying
+    are the serving contract, and a divergence between the all-cells
+    and probed-cells paths would be invisible to their separate
+    batch==stream tests."""
+    keys = (
+        [F.window(F.col(ts_col), horizon).alias("__w")] if ts_col else []
+    ) + [F.col("query_id")]
+    out = scored.groupBy(*keys).agg(
+        F.max(
+            F.struct(F.col("approx_sim"), (-F.col("id")).alias("negid"))
+        ).alias("b")
+    )
+    head = [F.col("__w.start").alias("window_start")] if ts_col else []
+    return out.select(
+        *head,
+        "query_id",
+        (-F.col("b.negid")).alias("vec_id"),
+        F.col("b.approx_sim").alias("approx_sim"),
+    )
+
+
 def ann_stream(
     queries: DataFrame,
     coded_corpus: DataFrame,
@@ -56,23 +82,7 @@ def ann_stream(
         queries = queries.withWatermark(ts_col, horizon)
     q = pq_query_luts(queries, cb, vec_col=vec_col, dims=dims, carry=carry)
     scored = pq_adc_scores(coded_corpus, q, dims, carry=carry)
-    keys = (
-        [F.window(F.col(ts_col), horizon).alias("__w")] if ts_col else []
-    ) + [F.col("query_id")]
-    out = scored.groupBy(*keys).agg(
-        F.max(
-            F.struct(F.col("approx_sim"), (-F.col("id")).alias("negid"))
-        ).alias("b")
-    )
-    head = (
-        [F.col("__w.start").alias("window_start")] if ts_col else []
-    )
-    return out.select(
-        *head,
-        "query_id",
-        (-F.col("b.negid")).alias("vec_id"),
-        F.col("b.approx_sim").alias("approx_sim"),
-    )
+    return _best_match_per_query(scored, ts_col, horizon)
 
 
 def ann_stream_ivfpq(
@@ -106,18 +116,4 @@ def ann_stream_ivfpq(
         queries, cents, cb, nprobe, dims, vec_col=vec_col, carry=carry
     )
     scored = ivfpq_adc_scores(coded_corpus, probes, dims, carry=carry)
-    keys = (
-        [F.window(F.col(ts_col), horizon).alias("__w")] if ts_col else []
-    ) + [F.col("query_id")]
-    out = scored.groupBy(*keys).agg(
-        F.max(
-            F.struct(F.col("approx_sim"), (-F.col("id")).alias("negid"))
-        ).alias("b")
-    )
-    head = [F.col("__w.start").alias("window_start")] if ts_col else []
-    return out.select(
-        *head,
-        "query_id",
-        (-F.col("b.negid")).alias("vec_id"),
-        F.col("b.approx_sim").alias("approx_sim"),
-    )
+    return _best_match_per_query(scored, ts_col, horizon)

@@ -355,7 +355,9 @@ def test_registry_bench_and_coverage_stay_in_sync():
 
     reg = load_all()
     coverage = open("/root/repo/COVERAGE.md").read()
-    missing = [n for n in reg if n not in coverage]
+    missing = [
+        n for n in reg if not re.search(rf"\b{re.escape(n)}\b", coverage)
+    ]
     assert missing == [], f"gates absent from COVERAGE.md: {missing}"
     unknown = [n for n in BENCH_QUERIES if n not in reg]
     assert unknown == [], f"bench names not in registry: {unknown}"

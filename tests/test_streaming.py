@@ -854,3 +854,82 @@ def test_streaming_ann_serving_ivfpq_probed_equals_batch(spark, tmp_path):
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0
     assert got.count() > 0
+
+
+def test_streaming_ann_serving_ivfpq_watermarked_path(spark, tmp_path):
+    """Production configuration of the probed-cells serving twin:
+    ts_col threads through probes/scores (the carry plumbing) and the
+    (arrival window, query_id) watermarked agg emits one update row
+    per one-shot query, equal to the batch probe+ADC best."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+        _pq_dims,
+        ivfpq_adc_scores,
+        ivfpq_encode,
+        ivfpq_probes,
+        ivfpq_train,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.serving import (
+        ann_stream_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("embedding"),
+    ).localCheckpoint()
+    cents, cb = ivfpq_train(emb, kmeans_iters=1, pq_iters=1)
+    cents = cents.localCheckpoint()
+    cb = cb.localCheckpoint()
+    dims = _pq_dims(cb)
+    coded = ivfpq_encode(emb, cents, cb, dims=dims).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+        F.to_timestamp(F.lit("2026-01-01 00:05:00")).alias("qts"),
+    )
+    src = os.path.join(str(tmp_path), "ivfpq_wm_queries")
+    now = time.time()
+    for b in range(2):
+        part = queries.filter(F.pmod("query_id", F.lit(2)) == b)
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema(
+            "query_id long, embedding array<bigint>, qts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark,
+        ann_stream_ivfpq(
+            stream, cents, coded, cb, nprobe=2, dims=dims, ts_col="qts"
+        ),
+        "ivfpq_wm_test",
+        mode="update",
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT query_id, vec_id, approx_sim FROM ivfpq_wm_test"
+    )
+    assert got.count() == got.select("query_id").distinct().count()
+    expected = (
+        ivfpq_adc_scores(
+            coded, ivfpq_probes(queries, cents, cb, 2, dims), dims
+        )
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(F.col("approx_sim"), (-F.col("id")).alias("negid"))
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            (-F.col("b.negid")).alias("vec_id"),
+            F.col("b.approx_sim").alias("approx_sim"),
+        )
+    )
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0

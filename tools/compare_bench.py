@@ -34,10 +34,13 @@ def main() -> int:
     shared = sorted(set(old) & set(new))
     t_old = sum(old[q] for q in shared)
     t_new = sum(new[q] for q in shared)
-    print(
-        f"like-for-like ({len(shared)} queries): "
-        f"{t_old:.1f}s -> {t_new:.1f}s ({t_new / t_old:.2f}x)"
-    )
+    if shared and t_old > 0:
+        print(
+            f"like-for-like ({len(shared)} queries): "
+            f"{t_old:.1f}s -> {t_new:.1f}s ({t_new / t_old:.2f}x)"
+        )
+    else:
+        print("no shared queries — nothing like-for-like to compare")
     for tag, names in (
         ("only-old", sorted(set(old) - set(new))),
         ("only-new", sorted(set(new) - set(old))),
