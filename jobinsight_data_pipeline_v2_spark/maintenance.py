@@ -194,6 +194,41 @@ def _recover_compactions(spark: SparkSession, layer_path: str) -> list[str]:
     return recovered
 
 
+_COMPACT_LOCK_STALE_MS = 60 * 60 * 1000  # an hour-old lock is a crash, not a writer
+
+
+def _acquire_compact_lock(spark: SparkSession, layer_path: str):
+    """Single-writer guard for ``compact_partitions`` (ADVICE r4).
+
+    Recovery deletes every in-flight ``.compact_tmp_*`` directory, so
+    two overlapping compactions of one layer would destroy each
+    other's tmp writes and interleave swap renames. A ``.compact_lock``
+    file under the layer path serializes them: creation is atomic
+    (``FileSystem.createNewFile``), a fresh lock means another writer
+    is live (raise — e.g. a cron overlap), and a lock older than
+    ``_COMPACT_LOCK_STALE_MS`` is a crashed run's leftover and is
+    broken. Returns (fs, lock_path) for the caller's ``finally``.
+    """
+    import time as _time
+
+    fs, _ = _fs(spark, layer_path)
+    _, lk = _fs(spark, f"{layer_path}/.compact_lock")
+    if fs.exists(lk):
+        age = _time.time() * 1000 - fs.getFileStatus(lk).getModificationTime()
+        if age < _COMPACT_LOCK_STALE_MS:
+            raise RuntimeError(
+                f"another compaction holds {lk} (age {age / 1000:.0f}s); "
+                "compact_partitions is single-writer per layer"
+            )
+        fs.delete(lk, False)
+    if not fs.createNewFile(lk):
+        raise RuntimeError(
+            f"lost the compaction lock race for {lk}; "
+            "compact_partitions is single-writer per layer"
+        )
+    return fs, lk
+
+
 def compact_partitions(
     spark: SparkSession,
     root: str,
@@ -215,7 +250,12 @@ def compact_partitions(
     crashed prior run left half-done (``_recover_compactions``): a
     crash can hide a partition only until the next invocation, and
     every rename's return value is checked so a refused rename aborts
-    loudly instead of silently reporting success. Healthy partitions
+    loudly instead of silently reporting success. Compaction is
+    SINGLE-WRITER per layer, enforced by an atomic ``.compact_lock``
+    file (recovery deletes in-flight tmp dirs, so an overlapping run
+    would corrupt a live one): a second invocation while the lock is
+    fresh raises, and a stale lock (> 1 h — a crashed holder) is
+    broken automatically. Healthy partitions
     are never read or rewritten — like ``retention_sweep``, this is
     partition management, O(sick partitions) not O(table).
 
@@ -226,40 +266,47 @@ def compact_partitions(
     """
     root = root.rstrip("/")
     layer_path = f"{root}/{layer}"
-    _recover_compactions(spark, layer_path)
-    report: dict[str, dict] = {}
-    for d in _list_date_partitions(spark, layer_path):
-        part_path = f"{layer_path}/ingest_date={d}"
-        nbytes, nfiles = _partition_bytes_and_files(spark, part_path)
-        if nfiles < min_files_to_compact or nbytes == 0:
-            continue
-        if nbytes / nfiles >= target_file_bytes / 2:
-            continue  # average file already healthy
-        n_out = max(1, -(-nbytes // target_file_bytes))  # ceil
-        tmp_path = f"{layer_path}/.compact_tmp_ingest_date={d}"
-        fs, tp = _fs(spark, tmp_path)
-        (
-            spark.read.parquet(part_path)
-            .repartition(n_out)
-            .write.mode("overwrite")
-            .parquet(tmp_path)
-        )
-        _, pp = _fs(spark, part_path)
-        old_path = f"{layer_path}/.compact_old_ingest_date={d}"
-        _, op = _fs(spark, old_path)
-        if not fs.rename(pp, op):
-            fs.delete(tp, True)
-            raise IOError(f"compaction swap-out refused for {part_path}")
-        if not fs.rename(tp, pp):
-            # put the old data back before failing — never leave the
-            # partition hidden when we can still restore it
-            fs.rename(op, pp)
-            raise IOError(f"compaction swap-in refused for {part_path}")
-        fs.delete(op, True)
-        _, files_after = _partition_bytes_and_files(spark, part_path)
-        report[d] = {
-            "files_before": nfiles,
-            "files_after": files_after,
-            "bytes": nbytes,
-        }
-    return report
+    fs0, lp0 = _fs(spark, layer_path)
+    if not fs0.exists(lp0):
+        return {}
+    lock_fs, lock = _acquire_compact_lock(spark, layer_path)
+    try:
+        _recover_compactions(spark, layer_path)
+        report: dict[str, dict] = {}
+        for d in _list_date_partitions(spark, layer_path):
+            part_path = f"{layer_path}/ingest_date={d}"
+            nbytes, nfiles = _partition_bytes_and_files(spark, part_path)
+            if nfiles < min_files_to_compact or nbytes == 0:
+                continue
+            if nbytes / nfiles >= target_file_bytes / 2:
+                continue  # average file already healthy
+            n_out = max(1, -(-nbytes // target_file_bytes))  # ceil
+            tmp_path = f"{layer_path}/.compact_tmp_ingest_date={d}"
+            fs, tp = _fs(spark, tmp_path)
+            (
+                spark.read.parquet(part_path)
+                .repartition(n_out)
+                .write.mode("overwrite")
+                .parquet(tmp_path)
+            )
+            _, pp = _fs(spark, part_path)
+            old_path = f"{layer_path}/.compact_old_ingest_date={d}"
+            _, op = _fs(spark, old_path)
+            if not fs.rename(pp, op):
+                fs.delete(tp, True)
+                raise IOError(f"compaction swap-out refused for {part_path}")
+            if not fs.rename(tp, pp):
+                # put the old data back before failing — never leave the
+                # partition hidden when we can still restore it
+                fs.rename(op, pp)
+                raise IOError(f"compaction swap-in refused for {part_path}")
+            fs.delete(op, True)
+            _, files_after = _partition_bytes_and_files(spark, part_path)
+            report[d] = {
+                "files_before": nfiles,
+                "files_after": files_after,
+                "bytes": nbytes,
+            }
+        return report
+    finally:
+        lock_fs.delete(lock, False)

@@ -608,7 +608,11 @@ def pq_encode(
     n_sub, sub = dims or _pq_dims(cb)
     # codes and approx_n2 in two chained projections: approx_n2 reads
     # the codes column, and building it in the same select would
-    # re-run the argmin per lookup under projection collapse.
+    # re-run the argmin per lookup under projection collapse. The
+    # checkpoint holds ONLY (id, codes) — materializing __cbm here
+    # would copy the whole codebook map per corpus row (storage
+    # O(corpus × codebook), ADVICE r4); the approx_n2 projection
+    # crossJoins the one-row broadcast index again instead.
     coded = df.crossJoin(_pq_cb_index(cb)).select(
         F.col(id_col).alias("id"),
         F.expr(
@@ -616,9 +620,8 @@ def pq_encode(
             + _pq_best_code(f"slice({vec_col}, mi * {sub} + 1, {sub})")
             + ")"
         ).alias("codes"),
-        "__cbm",
     ).localCheckpoint(eager=False)
-    return coded.select(
+    return coded.crossJoin(_pq_cb_index(cb)).select(
         "id",
         "codes",
         F.expr(
@@ -704,8 +707,20 @@ def pq_adc_scores(
             "query_id",
             *carry,
             "id",
+            # Degenerate-codebook guard (ADVICE r4): a row whose
+            # reconstruction is the zero vector has approx_n2 = 0 and
+            # would otherwise score NULL (Spark ÷0 → NULL), silently
+            # sinking below all candidates. Quantized-integer vectors
+            # make any nonzero reconstruction have approx_n2 ≥ 1, so
+            # greatest(·, 1) changes ONLY exact-zero rows — whose
+            # numerator is exactly 0 too — pinning their score to 0.0
+            # (a deliberate "no information" rank, not NULL ordering).
             (
-                F.col("__adot") / (F.col("__qnorm") * F.sqrt("approx_n2"))
+                F.col("__adot")
+                / (
+                    F.col("__qnorm")
+                    * F.sqrt(F.greatest(F.col("approx_n2"), F.lit(1.0)))
+                )
             ).alias("approx_sim"),
         )
     )
@@ -857,27 +872,37 @@ def ivfpq_encode(
     row (two one-row broadcasts), no shuffle."""
     n_sub, sub = dims or _pq_dims(cb)
     res = residuals(corpus, cents, vec_col, id_col)
+    # Checkpoint holds ONLY (id, cell_id, codes) — carrying __cc/__cbm
+    # through would materialize a cell centroid + full codebook map per
+    # corpus row (O(corpus × codebook) storage, ADVICE r4). The
+    # reconstruction projection re-acquires both from their broadcast
+    # sources: the cells table by cell_id equi-join, the codebook by
+    # re-crossJoining the one-row index. The checkpoint still guards
+    # the per-subspace codes references below (rule 10).
     coded = (
         res.crossJoin(_pq_cb_index(cb))
         .select(
             F.col(id_col).alias("id"),
             "cell_id",
-            "__cc",
             F.expr(
                 f"transform(sequence(0, {n_sub - 1}), mi -> "
                 + _pq_best_code(f"slice({vec_col}, mi * {sub} + 1, {sub})")
                 + ")"
             ).alias("codes"),
-            "__cbm",
         )
-        .localCheckpoint(eager=False)  # codes referenced per-subspace below
+        .localCheckpoint(eager=False)
     )
     recon_sub = (
         f"zip_with(slice(__cc, mi * {sub} + 1, {sub}), "
         f"element_at(__cbm, cast(mi AS BIGINT) * {_PQ_KEY_PAD} "
         f"+ element_at(codes, mi + 1)).centroid, (a, b) -> a + b)"
     )
-    return coded.select(
+    return coded.join(
+        F.broadcast(
+            cents.select("cell_id", F.col("centroid").alias("__cc"))
+        ),
+        "cell_id",
+    ).crossJoin(_pq_cb_index(cb)).select(
         "id",
         "cell_id",
         "codes",
@@ -1023,6 +1048,11 @@ def ivfpq_adc_scores(
                     """
                 )
             )
-            / (F.col("__qnorm") * F.sqrt("approx_n2"))
+            # same degenerate-reconstruction guard as pq_adc_scores:
+            # approx_n2 = 0 ⇒ numerator is exactly 0 ⇒ score 0.0
+            / (
+                F.col("__qnorm")
+                * F.sqrt(F.greatest(F.col("approx_n2"), F.lit(1.0)))
+            )
         ).alias("approx_sim"),
     )

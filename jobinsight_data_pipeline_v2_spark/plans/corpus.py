@@ -25,9 +25,12 @@ Oracle-compatibility choices (CLAUDE.md rules):
   raw strings — equivalent absent 64-bit collisions, safe because the
   keys are grouping-only, never value-dependent selection (see
   ``text._shingle_key``).
-- first-occurrence order rides one BIGINT ``doc_id * 1e6 + seg_idx``
-  (documented bound: segment index < 1e6 ⇔ docs under 8M tokens; a
-  general-purpose build would min a (doc_id, seg_idx) struct).
+- first-occurrence order rides one BIGINT ``doc_id * 1e6 + seg_idx``.
+  The bound (segment index < 1e6 ⇔ docs under ~8M tokens) is enforced
+  in-plan by an ``assert_true`` guard in ``segment_rows`` — a
+  violating corpus fails the job loudly instead of silently
+  mis-ordering winners (a general-purpose build would min a
+  (doc_id, seg_idx) struct instead of the packed key).
 - classifier weights are integers over integer count features — the
   logit is exact in both engines; no float hash hazard.
 - SUM casts to BIGINT (DuckDB HUGEINT trap).
@@ -107,7 +110,27 @@ def segment_rows(toks: DataFrame) -> DataFrame:
         "seg_idx",
         "seg",
         _shingle_key("seg").alias("sk"),
-        (F.col("doc_id") * 1_000_000 + F.col("seg_idx")).alias("ord"),
+        # Packed first-occurrence key. The seg_idx < 1e6 bound (docs
+        # under ~8M tokens) is ENFORCED in-plan (ADVICE r4): a
+        # violating corpus fails loudly via assert_true instead of
+        # silently mis-ordering winners. assert_true returns NULL when
+        # the predicate holds, so the coalesce(…, 0) add is a no-op on
+        # every legal row; the streaming twin shares this guard.
+        (
+            F.col("doc_id") * 1_000_000
+            + F.col("seg_idx")
+            + F.coalesce(
+                F.assert_true(
+                    F.col("seg_idx") < 1_000_000,
+                    F.lit(
+                        "segment dedup: seg_idx >= 1e6 (document over "
+                        "~8M tokens) overflows the packed "
+                        "first-occurrence key; re-segment or widen ord"
+                    ),
+                ).cast("bigint"),
+                F.lit(0),
+            )
+        ).alias("ord"),
     )
 
 
