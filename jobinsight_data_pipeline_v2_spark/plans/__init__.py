@@ -59,11 +59,11 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_binary_meta",
     "bpe_pair_counts",  # round-4 gate: BPE merge-training statistic
     "approx_percentiles",  # round-4 gate: approx-within-bound drop-in
+    "ivfpq_topk_probed",  # round-5 gate: APPROXIMATE ANN serving config
     # remaining core
     "ri_orphan_counts",
     "upsert_classify",
     "dedup_first_lineitem",
-    "orders_window_filter",
     "date_dimension",
     "status_pivot_by_month",
     "anomaly_days",  # round-4 gate: exact-integer 2σ volume flags
@@ -104,8 +104,13 @@ PRIORITY: tuple[str, ...] = (
 #   ivf_topk (label-derived quantizer — ivf_topk_learned pins the same
 #     IVF search pipeline with the harder learned config, and
 #     label_centroids pins the centroid build),
-#   pq_topk_rerank / ivfpq_topk_exact (PQ ADC family — share the exact
-#     batch oracle with cosine_topk_batch above; prop-tested configs),
+#   pq_topk_rerank / ivfpq_topk_exact (PQ ADC family exactness
+#     ceilings — the APPROXIMATE serving config ivfpq_topk_probed is
+#     above the fold and pins the same train/encode/LUT/scan pipeline
+#     plus an in-plan ADC-agreement bound; both stay local-gated),
+#   orders_window_filter (P2 snapshot-day filter — carry_forward_day
+#     pins P2/P3 above; its datediff (F10) is pinned by
+#     archive_age_scan's age arithmetic),
 #   segment_dedup / cross_dedup (dedup family, exact_dedup + minhash
 #     above), quality_classifier (doc_quality covers quality scoring),
 #   conversion_funnel (events windowing family covered above),
