@@ -84,15 +84,18 @@ from .text import (
 _SEG_N = 8
 
 
-def segment_rows(toks: DataFrame) -> DataFrame:
-    """(doc_id, seg_idx, seg, sk, ord) from (doc_id, t=token array):
-    in-row {_SEG_N}-token segmentation, 64-bit segment hash, and the
-    global first-occurrence order key. Checkpoint-free so the SAME
-    transform runs on a streaming frame (streaming/curation.
-    segment_dedup_stream); batch callers materialize ``toks`` first
-    (rule-10 projection-collapse guard)."""
+def segment_rows(toks: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, [carry…], seg_idx, seg, sk, ord) from (doc_id,
+    t=token array): in-row {_SEG_N}-token segmentation, 64-bit segment
+    hash, and the global first-occurrence order key. Checkpoint-free
+    so the SAME transform runs on a streaming frame (streaming/
+    curation.segment_dedup_stream); batch callers materialize ``toks``
+    first (rule-10 projection-collapse guard). ``carry`` columns (e.g.
+    an event-time column for the TTL-bounded streaming twin) ride
+    through untouched."""
     return toks.select(
         "doc_id",
+        *carry,
         F.posexplode(
             F.expr(
                 f"""
@@ -107,6 +110,7 @@ def segment_rows(toks: DataFrame) -> DataFrame:
         ).alias("seg_idx", "seg"),
     ).select(
         "doc_id",
+        *carry,
         "seg_idx",
         "seg",
         _shingle_key("seg").alias("sk"),

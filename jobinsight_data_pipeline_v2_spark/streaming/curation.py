@@ -78,8 +78,33 @@ _SEG_OUT_SCHEMA = StructType(
 
 _SEG_STATE = "winner_ord LONG"
 
+_DURATION_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
 
-def segment_dedup_stream(docs: DataFrame) -> DataFrame:
+
+def _duration_ms(horizon: str) -> int:
+    """'30 seconds' / '1 minute' → milliseconds (the subset of Spark's
+    CalendarInterval syntax the streaming twins use)."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s+(millisecond|second|minute|hour|day)s?\s*", horizon
+    )
+    if not m:
+        raise ValueError(f"unparseable duration: {horizon!r}")
+    return int(m.group(1)) * _DURATION_UNITS_MS[m.group(2)]
+
+
+def segment_dedup_stream(
+    docs: DataFrame,
+    ts_col: str | None = None,
+    horizon: str | None = None,
+) -> DataFrame:
     """(sk, doc_id, seg_idx, kept, late): per-occurrence keep/drop
     decisions for corpus-wide segment dedup over a document stream.
 
@@ -95,21 +120,61 @@ def segment_dedup_stream(docs: DataFrame) -> DataFrame:
     output equals plans/corpus.segment_dedup's is_first marking row
     for row (proven in tests/test_streaming.py).
 
-    This is the streaming-exact-dedup state shape: O(distinct
-    segments) longs. At fleet scale, bound it with a state TTL the way
-    dedup_stream's dropDuplicatesWithinWatermark does — an expired
-    segment re-admits one copy per horizon, the standard trade.
+    Without a TTL the state is O(distinct segments) FOREVER — the
+    verification-twin configuration only. The PRODUCTION path passes
+    ``ts_col`` + ``horizon`` (e.g. "1 hour"): the event-time column is
+    cast once and watermarked at the horizon, state uses
+    EventTimeTimeout, and a segment unseen for ``horizon`` of event
+    time expires — the next copy after expiry is re-admitted (kept
+    again) exactly once per horizon, the standard
+    dropDuplicatesWithinWatermark trade. State is then O(distinct
+    segments per horizon), bounded however long the stream runs.
     """
     import pandas as pd
 
     from ..plans.corpus import segment_rows
     from ..plans.text import _TOKENS
 
-    segs = segment_rows(
-        docs.select("doc_id", F.expr(_TOKENS).alias("t"))
-    ).select("sk", "doc_id", F.col("seg_idx").cast("long"), "ord")
+    if (ts_col is None) != (horizon is None):
+        raise ValueError("ts_col and horizon must be provided together")
+
+    if ts_col is None:
+        segs = segment_rows(
+            docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+        ).select("sk", "doc_id", F.col("seg_idx").cast("long"), "ord")
+        timeout = GroupStateTimeout.NoTimeout
+        ttl_ms = None
+    else:
+        # cast the (possibly ntz) event time ONCE here (rule 8) and
+        # watermark before the stateful op; the column rides through
+        # the narrow segment build untouched
+        toks = (
+            docs.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+            .withWatermark("__ts", horizon)
+            .select("doc_id", "__ts", F.expr(_TOKENS).alias("t"))
+        )
+        # __ts keeps the watermark attached through the stateful op;
+        # __ts_ms is the SAME instant as epoch millis computed
+        # JVM-side (unix_millis) — the UDF must never re-derive epoch
+        # from the Arrow-transferred naive timestamp, whose wall time
+        # is session-zone-local (a tz-dependent expiry bug shape)
+        segs = segment_rows(toks, carry=("__ts",)).select(
+            "sk",
+            "doc_id",
+            F.col("seg_idx").cast("long"),
+            "ord",
+            "__ts",
+            F.unix_millis("__ts").alias("__ts_ms"),
+        )
+        timeout = GroupStateTimeout.EventTimeTimeout
+        ttl_ms = _duration_ms(horizon)
 
     def update(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # horizon of event time passed with no arrival for this
+            # segment: drop the winner — the next copy re-admits
+            state.remove()
+            return
         (sk,) = key
         (winner,) = state.get if state.exists else (None,)
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ord")
@@ -125,6 +190,19 @@ def segment_dedup_stream(docs: DataFrame) -> DataFrame:
                     (sk, int(doc_id), int(seg_idx), False, int(ordv) < winner)
                 )
         state.update((winner,))
+        if ttl_ms is not None:
+            # expire `horizon` past this segment's newest event time.
+            # The watermark floor matters on two edges: a late row
+            # (batch max behind the watermark) must not set a timeout
+            # the watermark already passed (Spark rejects it), and the
+            # cold-start watermark (epoch 0) must not make the first
+            # batch's timeout instantly stale.
+            state.setTimeoutTimestamp(
+                max(
+                    int(pdf["__ts_ms"].max()) + ttl_ms,
+                    state.getCurrentWatermarkMs() + ttl_ms,
+                )
+            )
         yield pd.DataFrame(
             out, columns=["sk", "doc_id", "seg_idx", "kept", "late"]
         )
@@ -134,5 +212,5 @@ def segment_dedup_stream(docs: DataFrame) -> DataFrame:
         outputStructType=_SEG_OUT_SCHEMA,
         stateStructType=_SEG_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -631,6 +631,72 @@ def test_streaming_segment_dedup_keeps_each_segment_once(spark, tmp_path):
     assert got.filter("late AND kept").count() == 0
 
 
+def test_streaming_segment_dedup_ttl_bounds_state(spark, tmp_path):
+    """TTL-bounded production path (VERDICT r4 #2): with ts_col +
+    horizon the state uses EventTimeTimeout — a segment unseen for a
+    horizon of event time is dropped from the store, and the next copy
+    after expiry is RE-ADMITTED (kept again) exactly once. Segments
+    inside the horizon still dedup exactly; final state holds only the
+    segments live within the horizon, not every segment ever seen."""
+    import time
+    from datetime import datetime
+
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        segment_dedup_stream,
+    )
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, 0).replace(  # noqa: E731
+        minute=s // 60, second=s % 60
+    )
+    S0 = "zero " * 7 + "zero"      # 8 tokens, appears once, must expire
+    S1 = "alfa " * 7 + "alfa"      # re-appears after the horizon
+    S2 = "bravo " * 7 + "bravo"
+    S3 = "charlie " * 7 + "charlie"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, ts timestamp_ntz, text string"
+    )
+    drops = [
+        mk([(1, t(0), S0), (2, t(0), S1), (3, t(0), S1)]),  # S1 dup in-batch
+        mk([(4, t(10), S1)]),     # within horizon: still a dup
+        mk([(5, t(120), S2)]),    # jump: watermark -> +90s after this
+        mk([(6, t(130), S3)]),    # S0@+30s and S1@+40s expire HERE
+        mk([(7, t(140), S1)]),    # after expiry: S1 re-admitted
+    ]
+    src = os.path.join(str(tmp_path), "seg_ttl")
+    now = time.time()
+    for b, d in enumerate(drops):
+        _write_drop(d, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp_ntz, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark,
+        segment_dedup_stream(stream, ts_col="ts", horizon="30 seconds"),
+        "segdedup_ttl",
+    )
+    q.awaitTermination(120)
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    got = {
+        (r.doc_id, r.kept, r.late)
+        for r in spark.sql("SELECT * FROM segdedup_ttl").collect()
+    }
+    assert got == {
+        (1, True, False),   # S0 first occurrence
+        (2, True, False),   # S1 first occurrence
+        (3, False, False),  # S1 in-batch dup
+        (4, False, False),  # S1 within-horizon dup
+        (5, True, False),   # S2 first occurrence
+        (6, True, False),   # S3 first occurrence
+        (7, True, False),   # S1 RE-ADMITTED after expiry — the TTL trade
+    }
+    # bounded state: S0 and the first S1 incarnation expired; the store
+    # holds only the horizon-live segments (S1 readmitted, S2, S3) —
+    # NOT all four distinct segments ever seen
+    assert state_rows == 3
+
+
 def test_streaming_classifier_equals_batch(spark, tmp_path):
     """Stateless in-plan model inference: the streamed union of
     per-batch classifier decisions equals the batch gate exactly."""
