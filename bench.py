@@ -98,7 +98,21 @@ BENCH_QUERIES = [
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)
     # are already measured individually above; adding the composed
     # ceiling would double-count their cost without new signal.
+    # ivfpq_topk_probed (the approximate serving GATE) is likewise a
+    # composition of measured halves plus a verification baseline; its
+    # serving cost is what the SERVING_BENCH split below reports.
 ]
+
+# train/serve split (VERDICT r4): the pq/ivf gate rows above time
+# training + serving together because the oracle pins the whole
+# pipeline; these rows time ONLY the steady-state serving scan against
+# an index trained and materialized outside the timer — the number a
+# user actually pays per query batch. name -> builder(spark, sf_dir)
+# returning a zero-arg thunk that builds the serving plan.
+SERVING_BENCH = {
+    "pq_adc_serve": "build_pq_serving",
+    "ivf_learned_serve": "build_ivf_learned_serving",
+}
 
 
 def drain(df) -> None:
@@ -129,6 +143,22 @@ def main() -> None:
         del df
         gc.collect()  # release localCheckpoint RDDs before the next query
 
+    # serving split: index build (training + eager materialization) is
+    # paid once here and reported as *_train; the serving thunk joins
+    # the measured passes below like any other query
+    from jobinsight_data_pipeline_v2_spark.plans import vectors as _vectors
+
+    serving_thunks: dict[str, object] = {}
+    train_secs: dict[str, float] = {}
+    for name, builder in SERVING_BENCH.items():
+        t0 = time.time()
+        thunk = getattr(_vectors, builder)(spark, sf_dir)
+        drain(thunk())  # warmup (also forces any remaining lazy index)
+        train_secs[name] = round(time.time() - t0, 3)
+        serving_thunks[name] = thunk
+        row_counts[name] = thunk().count()
+        gc.collect()
+
     # Best-of-two measured passes: a single shared local JVM has GC /
     # listener noise that can triple a sub-second query; the min is the
     # stable steady-state signal.
@@ -150,6 +180,18 @@ def main() -> None:
             print(
                 f"# {name}: {dt:.2f}s ({row_counts[name]} rows)", file=sys.stderr
             )
+        for name, thunk in serving_thunks.items():
+            gc.collect()
+            t0 = time.time()
+            drain(thunk())
+            dt = time.time() - t0
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            print(
+                f"# {name}: {dt:.2f}s ({row_counts[name]} rows, "
+                f"index built in {train_secs[name]}s untimed)",
+                file=sys.stderr,
+            )
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = sum(timings.values())
 
@@ -161,6 +203,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # index-build (train + materialize) seconds paid
+                # OUTSIDE the timed serving rows above — the gate rows
+                # (pq_topk_rerank, ivf_topk_learned) still measure the
+                # full train+serve pipeline end-to-end
+                "serving_index_build": train_secs,
                 # methodology note: since round 2 queries drain through
                 # the noop sink (full plan: sorts, windows, every
                 # column). Round-1 numbers used count(), which let

@@ -751,3 +751,109 @@ def ivfpq_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cosine_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# train/serve split for the bench (VERDICT r4 #3): the pq/ivf GATES
+# deliberately include quantizer training so the oracle pins the whole
+# pipeline, but a user's steady-state cost is the serving scan against
+# an already-built index. These builders pay training + index
+# materialization ONCE (eager localCheckpoint — the moral equivalent of
+# the index table a 100 TB deployment keeps on disk) and return a thunk
+# that builds only the per-batch serving plan; bench.py times the thunk.
+# ---------------------------------------------------------------------------
+
+
+def build_pq_serving(spark: SparkSession, sf_dir: str):
+    """PQ serving thunk: per-query LUT build + ADC scan over the
+    pre-encoded corpus + top-``refine`` window + exact re-rank. The
+    codebook (pq_train) and encoded corpus (pq_encode) are trained and
+    materialized at build time, outside the timed path."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import (
+        _exact_rerank,
+        _pq_dims,
+        pq_adc_scores,
+        pq_encode,
+        pq_query_luts,
+        pq_train,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qe = emb.select("vec_id", F.expr(_QVEC).alias("embedding"))
+    train = qe.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+    cb = pq_train(
+        train, n_sub=_PROBED_NSUB, codes=_PROBED_CODES, max_iters=1
+    ).localCheckpoint(eager=True)
+    dims = _pq_dims(cb)
+    coded = pq_encode(qe, cb, dims=dims).localCheckpoint(eager=True)
+    queries = qe.filter(F.col("vec_id") % _BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def serve() -> DataFrame:
+        q = pq_query_luts(queries, cb, dims=dims)
+        scored = pq_adc_scores(coded, q, dims)
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("approx_sim"), F.col("id")
+        )
+        cands = (
+            scored.withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") <= _PROBED_REFINE)
+            .select("query_id", F.col("id").alias("vec_id"))
+        )
+        return _exact_rerank(qe, cands, q, _PQ_K, "embedding", "vec_id")
+
+    return serve
+
+
+def build_ivf_learned_serving(spark: SparkSession, sf_dir: str):
+    """IVF serving thunk: probe-list build + exact scoring of the
+    probed cells' members (nprobe={_PROBED_NPROBE} of 8). The learned
+    quantizer (kmeans_centroids) and the assigned corpus — the
+    inverted index — are materialized at build time."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import (
+        _dot as _fdot,
+        ivf_assign,
+        ivf_probe_cells,
+        kmeans_centroids,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qe = emb.select("vec_id", F.expr(_QVEC).alias("embedding"))
+    train = qe.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+    cents = (
+        kmeans_centroids(train, k=8, max_iters=2)
+        .select("cell_id", "centroid")
+        .localCheckpoint(eager=True)
+    )
+    assigned = ivf_assign(qe, cents).localCheckpoint(eager=True)
+    queries = qe.filter(F.col("vec_id") % _BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+
+    def serve() -> DataFrame:
+        probes = ivf_probe_cells(queries, cents, nprobe=_PROBED_NPROBE)
+        cands = assigned.join(F.broadcast(probes), "cell_id")
+        scored = cands.withColumn(
+            "cosine_sim",
+            _fdot("embedding", "__qv") / (F.col("__norm") * F.col("__qnorm")),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= _PQ_K)
+            .select(
+                "query_id",
+                "vec_id",
+                "cosine_sim",
+                F.col("__rank").alias("rank"),
+            )
+        )
+
+    return serve
