@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "conversion_funnel",
     "bpe_pair_counts",
     "anomaly_days",
+    # round 5 additions
+    "cohort_retention",
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

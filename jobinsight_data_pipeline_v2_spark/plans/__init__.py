@@ -65,7 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "upsert_classify",
     "dedup_first_lineitem",
     "date_dimension",
-    "status_pivot_by_month",
+    "cohort_retention",  # round-5 gate: weekly retention triangle
     "anomaly_days",  # round-4 gate: exact-integer 2σ volume flags
     "salted_returnflag_rollup",
     # text / dedup
@@ -122,7 +122,9 @@ PRIORITY: tuple[str, ...] = (
 #     percentile values in-plan alongside its sketch-bound flags),
 #   regex_token_stats (token_histogram covers token stats),
 #   customers_without_orders (ri_orphan_counts covers anti-sets),
-#   rollup_status_priority (status_pivot_by_month + etl_health_rollup),
+#   rollup_status_priority / status_pivot_by_month (A11 monitoring
+#     rollup/pivot family — etl_health_rollup pins it above the fold
+#     and all 14 Grafana panels are differential-tested),
 #   latest_order_per_customer (carry_forward_day covers W3),
 #   events_sliding_window (events_hourly/sessionize cover windowing),
 #   top3_months (top_part_words pins TakeOrdered; A12 local-gated),
