@@ -507,6 +507,41 @@ def chunk_transform(docs: DataFrame) -> DataFrame:
 _MIX_RATE_SQL = "950 - CAST(substring(source, 4) AS INTEGER) * 45"
 
 
+def mixture_decisions(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_chars, rate_permille, bucket, kept): the
+    per-document mixture-sampling decision as ONE narrow projection —
+    membership = md5(doc_id) bucket vs the source's keep-rate.
+    Stateless, so the SAME code is the streaming twin's plan
+    (streaming/curation.mixture_stream): decisions stream in append
+    mode with zero state store."""
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(_MIX_RATE_SQL).alias("rate_permille"),
+        _bucket("doc_id", 1000).alias("bucket"),
+    ).withColumn("kept", F.col("bucket") < F.col("rate_permille"))
+
+
+def mixture_report(docs: DataFrame) -> DataFrame:
+    """Per-source mixture report over the decisions — the aggregation
+    the batch gate emits and the complete-mode streaming report
+    updates incrementally."""
+    d = mixture_decisions(docs)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.max("rate_permille").cast("long").alias("rate_permille"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "mixture_sample",
     f"""
@@ -544,25 +579,7 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast config table joined on source.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    rated = docs.select(
-        "source",
-        "n_chars",
-        F.expr(_MIX_RATE_SQL).alias("rate_permille"),
-        _bucket("doc_id", 1000).alias("bucket"),
-    )
-    kept = F.col("bucket") < F.col("rate_permille")
-    return (
-        rated.groupBy("source")
-        .agg(
-            F.max("rate_permille").cast("long").alias("rate_permille"),
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
-            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("kept_chars"),
-        )
-        .orderBy("source")
-    )
+    return mixture_report(docs)
 
 
 # ---------------------------------------------------------------------------

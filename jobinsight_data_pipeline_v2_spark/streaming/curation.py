@@ -38,6 +38,49 @@ def funnel_stream(docs: DataFrame) -> DataFrame:
     return funnel_report(docs)
 
 
+def mixture_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_chars, rate_permille, bucket, kept):
+    mixture-weighted sampling decisions over a document stream — the
+    batch mixture gate's per-document projection run incrementally.
+    Stateless append mode, zero state store: the md5-bucket membership
+    rule is reprocessing-stable by construction, so a replayed or
+    re-ordered stream emits the identical keep/drop set."""
+    from ..plans.sampling import mixture_decisions
+
+    return mixture_decisions(docs)
+
+
+def mixture_report_stream(docs: DataFrame) -> DataFrame:
+    """Per-source (rate, totals, kept, kept_chars) mixture report,
+    updating as documents arrive — the batch mixture_sample gate's
+    aggregation in complete mode (finite verification sinks; update
+    mode with a windowed source key in production). In complete mode
+    the final state equals the batch gate row for row."""
+    from ..plans.sampling import mixture_report
+
+    return mixture_report(docs)
+
+
+def bpe_pair_stream(docs: DataFrame) -> DataFrame:
+    """(pair, n): the BPE merge-training statistic — adjacent-symbol
+    pair counts — maintained incrementally over a document stream.
+    In-row pair construction stays narrow per micro-batch; the running
+    count is a standard streaming aggregation (complete mode for
+    finite verification; the batch gate's top-N presentation LIMIT is
+    a batch-only affordance — streams emit the full histogram and the
+    consumer ranks). Final complete-mode state equals the batch
+    adjacent_pair_counts over the same documents."""
+    from ..operators.tokenizer import adjacent_pair_counts
+    from ..plans.text import _TOKENS
+
+    symbols = docs.select(
+        F.col("doc_id").alias("id"), F.expr(_TOKENS).alias("s")
+    )
+    return adjacent_pair_counts(symbols).select(
+        F.concat_ws(" ", "a", "b").alias("pair"), "n"
+    )
+
+
 def classifier_stream(docs: DataFrame) -> DataFrame:
     """(doc_id, counts…, logit, keep): model-based quality gating over
     a document stream — the batch quality_classifier's inference

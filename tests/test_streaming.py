@@ -697,6 +697,80 @@ def test_streaming_segment_dedup_ttl_bounds_state(spark, tmp_path):
     assert state_rows == 3
 
 
+def test_streaming_mixture_equals_batch(spark, tmp_path):
+    """Stateless mixture sampling: the streamed union of per-batch
+    keep/drop decisions equals the batch decision set exactly, and the
+    complete-mode report equals the batch mixture_sample gate."""
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        mixture_decisions,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        mixture_report_stream,
+        mixture_stream,
+    )
+
+    src, docs = _stage_doc_drops(
+        spark, tmp_path, ["doc_id", "source", "n_chars"]
+    )
+    schema = "doc_id long, source string, n_chars long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(spark, mixture_stream(stream), "mix_decisions")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM mix_decisions")
+    expected = mixture_decisions(docs)
+    assert got.exceptAll(expected).count() + expected.exceptAll(got).count() == 0
+
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = run_stream_to_memory(
+        spark, mixture_report_stream(stream2), "mix_report", mode="complete"
+    )
+    q2.awaitTermination(120)
+    got2 = spark.sql("SELECT * FROM mix_report")
+    expected2 = load_all()["mixture_sample"][0](spark, SF)
+    assert (
+        got2.exceptAll(expected2).count() + expected2.exceptAll(got2).count()
+        == 0
+    )
+
+
+def test_streaming_bpe_pair_counts_equals_batch(spark, tmp_path):
+    """The BPE pair-count statistic as a running streaming aggregation:
+    the complete-mode final state equals the batch adjacent-pair
+    histogram (pre-LIMIT) over the same documents."""
+    from jobinsight_data_pipeline_v2_spark.operators.tokenizer import (
+        adjacent_pair_counts,
+    )
+    from jobinsight_data_pipeline_v2_spark.plans.text import _TOKENS
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        bpe_pair_stream,
+    )
+
+    src, docs = _stage_doc_drops(spark, tmp_path, ["doc_id", "text"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, bpe_pair_stream(stream), "bpe_pairs", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM bpe_pairs")
+    expected = adjacent_pair_counts(
+        docs.select(F.col("doc_id").alias("id"), F.expr(_TOKENS).alias("s"))
+    ).select(F.concat_ws(" ", "a", "b").alias("pair"), "n")
+    assert got.exceptAll(expected).count() + expected.exceptAll(got).count() == 0
+
+
 def test_streaming_classifier_equals_batch(spark, tmp_path):
     """Stateless in-plan model inference: the streamed union of
     per-batch classifier decisions equals the batch gate exactly."""
