@@ -172,15 +172,23 @@ def run_day(
     crawled_at,
     gate_config: QualityGateConfig | None = None,
     metrics: MetricsStore | None = None,
+    compact: bool = False,
 ) -> tuple[WarehouseDay, DayReport]:
     """Full daily cycle: ingest → build → register the 16 views
     (entry point 3's SQL surface becomes live on the session). With a
     ``metrics`` store, run/quality metrics persist and the monitoring
-    views join the SQL surface."""
+    views join the SQL surface. ``compact=True`` runs the opt-in
+    staging-layer small-file compaction after the build (the
+    maintenance-DAG cadence; fragmented days only — see
+    storage.run_daily_build)."""
     staging, crawl_gate, staging_gate, rules = ingest_day(
         spark, storage, raw, as_of, crawled_at, gate_config, metrics
     )
     w = build_day(spark, storage, staging, as_of, crawled_at, metrics)
+    if compact:
+        from .maintenance import compact_partitions
+
+        compact_partitions(spark, storage.root, "staging")
     register_views(spark, w, as_of)
     if metrics is not None:
         register_monitoring_views(spark, metrics, as_of)

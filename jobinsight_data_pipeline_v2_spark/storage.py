@@ -234,16 +234,39 @@ def run_daily_build(
     raw: DataFrame,
     as_of: date,
     crawled_at,
+    compact: bool = False,
+    compact_target_file_bytes: int = 128 * 1024 * 1024,
+    compact_min_files: int = 8,
 ) -> WarehouseDay:
     """End-to-end daily pipeline: staging transform → warehouse build →
     persist → reload (so the caller gets parquet-backed frames with O(1)
-    lineage, safe to chain into the next day)."""
+    lineage, safe to chain into the next day).
+
+    ``compact=True`` additionally runs small-file compaction over the
+    ``staging`` layer after the commit — the engine twin of the
+    reference's nightly maintenance DAG cadence (maintenance_dag.py
+    runs its cleanups right after the pipeline). Opt-in because it is
+    pure I/O hygiene: a fragmentation threshold (at least
+    ``compact_min_files`` files averaging under half
+    ``compact_target_file_bytes``) keeps healthy days untouched, so
+    scheduling it daily costs O(today's sick partitions), not
+    O(warehouse)."""
     from .warehouse import build_warehouse_day, staging_transform
 
     staging = staging_transform(raw, crawled_at)
     prev = storage.load()
     w = build_warehouse_day(spark, staging, prev, as_of, crawled_at)
     storage.write_day(w, as_of)
+    if compact:
+        from .maintenance import compact_partitions
+
+        compact_partitions(
+            spark,
+            storage.root,
+            "staging",
+            target_file_bytes=compact_target_file_bytes,
+            min_files_to_compact=compact_min_files,
+        )
     loaded = storage.load()
     assert loaded is not None
     return loaded

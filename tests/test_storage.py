@@ -116,3 +116,60 @@ def test_bucketed_storage_colocated_fact_bridge_join(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql(f"DROP TABLE IF EXISTS {storage._fact_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {storage._bridge_tbl}")
+
+
+def test_run_daily_build_opt_in_compaction(spark, tmp_path):
+    """compact=True runs staging-layer compaction after the commit with
+    a fragmentation threshold: a fragmented prior day is rewritten, a
+    healthy day is untouched, and the build output is unaffected."""
+    from jobinsight_data_pipeline_v2_spark.maintenance import (
+        _partition_bytes_and_files,
+    )
+
+    storage = WarehouseStorage(spark, str(tmp_path))
+    d1 = date(2026, 3, 1)
+    staging_rows = [
+        ("j1", "Dev A", "alpha", "10 triệu", ["Python"], "Hà Nội", "10"),
+        ("j2", "Dev B", "beta", "Thỏa thuận", ["SQL"], "Huế", "4"),
+    ]
+    # day 1: normal build + staging write, then fragment day 1's
+    # staging partition into 6 tiny files (a streaming-ingest shape)
+    from jobinsight_data_pipeline_v2_spark.warehouse import staging_transform
+
+    staging = staging_transform(
+        _raw(spark, d1, staging_rows), datetime(2026, 3, 1, 7)
+    )
+    storage.write_staging(staging, d1)
+    run_daily_build(
+        spark, storage, _raw(spark, d1, staging_rows), d1,
+        datetime(2026, 3, 1, 7),
+    )
+    p1 = f"{tmp_path}/staging/ingest_date={d1.isoformat()}"
+    frag = spark.read.parquet(p1)
+    frag_rows = sorted(r.job_id for r in frag.collect())
+    frag.repartition(6).write.mode("overwrite").parquet(p1)
+
+    # day 2: healthy single-file staging + build WITH compaction
+    d2 = d1 + timedelta(days=1)
+    staging2 = staging_transform(
+        _raw(spark, d2, staging_rows[:1]), datetime(2026, 3, 2, 7)
+    )
+    storage.write_staging(staging2.coalesce(1), d2)
+    p2 = f"{tmp_path}/staging/ingest_date={d2.isoformat()}"
+    _, d2_files_before = _partition_bytes_and_files(spark, p2)
+    w = run_daily_build(
+        spark, storage, _raw(spark, d2, staging_rows[:1]), d2,
+        datetime(2026, 3, 2, 7),
+        compact=True,
+        compact_target_file_bytes=64 * 1024,
+        compact_min_files=4,
+    )
+    # fragmented day rewritten (fewer files, same rows)…
+    _, d1_files_after = _partition_bytes_and_files(spark, p1)
+    assert d1_files_after < 6
+    assert sorted(r.job_id for r in spark.read.parquet(p1).collect()) == frag_rows
+    # …healthy day untouched…
+    _, d2_files_after = _partition_bytes_and_files(spark, p2)
+    assert d2_files_after == d2_files_before
+    # …and the warehouse build is unaffected
+    assert w.fact.filter(F.col("date_id") == d2).count() >= 1
