@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "anomaly_days",
     # round 5 additions
     "cohort_retention",
+    "bloom_decontaminate",
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

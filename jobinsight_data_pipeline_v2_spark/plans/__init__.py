@@ -129,7 +129,9 @@ PRIORITY: tuple[str, ...] = (
 #   events_sliding_window (events_hourly/sessionize cover windowing),
 #   top3_months (top_part_words pins TakeOrdered; A12 local-gated),
 #   parts_with_sales (semi-join; ri_orphan_counts pins set probes),
-#   approx_monthly_stats (approx_percentiles pins the approx family).
+#   approx_monthly_stats (approx_percentiles pins the approx family),
+#   bloom_decontaminate (decontaminate pins the family above the fold;
+#     the bloom path's exact values + FP flag stay local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -370,6 +370,192 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: the 100-TB shape of the same test
+# ---------------------------------------------------------------------------
+#
+# `decontaminate` broadcasts the benchmark gram set — right when it
+# fits. At fleet scale the benchmark suite's gram set can outgrow a
+# broadcast, and the corpus gram stream would have to SHUFFLE into the
+# verify join. The production fix is a Bloom filter: the bench grams
+# fold into one fixed-size bit array (still broadcastable when the raw
+# set is not — ~1.2 bytes/item at 3% FP), the corpus stream drops every
+# gram the filter rejects BEFORE the join, and only the surviving
+# sliver (true hits + bounded false positives) pays the shuffle. Bloom
+# filters have NO false negatives, so the verified output is exact.
+#
+# Gate device (the approx-percentile pattern): the emitted values are
+# the EXACT per-source contamination counts — computed THROUGH the
+# bloom path, so a hash match against the direct-join oracle proves the
+# no-false-negative property end-to-end — plus an in-plan FP-rate flag:
+# (bloom hits − true hits) / clean grams must stay within the filter's
+# design bound.
+
+_BLOOM_CAPACITY = 262_144  # design capacity in items
+_BLOOM_BITS = 8 * _BLOOM_CAPACITY  # 8 bits/item → ~2.2% FP at capacity
+_BLOOM_K = 6  # hash functions: ln2 · bits/items ≈ 5.5, rounded up
+_BLOOM_FP_BOUND = 0.05  # design rate + cushion; content ≪ capacity here
+
+# Spark exposes no bloom_filter_agg SQL function, so the filter is
+# built from first principles: position j = pmod(xxhash64(g, j), bits),
+# packed into 64-bit words.
+
+
+def bloom_probe_expr(bits: int = _BLOOM_BITS, k: int = _BLOOM_K) -> str:
+    """Membership probe over the one-row ``__bfm`` word map: all K bit
+    positions set. A missing word → NULL element_at → coalesce 0 →
+    bit clear → not contained."""
+    return f"""
+    forall(sequence(0, {k - 1}), j ->
+      (coalesce(element_at(__bfm, pmod(xxhash64(g, j), {bits}) div 64), 0L)
+       & shiftleft(1L, cast(pmod(xxhash64(g, j), {bits}) % 64 AS INT)))
+      != 0L)
+    """
+
+
+def bloom_build(
+    grams: DataFrame, bits: int = _BLOOM_BITS, k: int = _BLOOM_K
+) -> DataFrame:
+    """One-row broadcastable Bloom filter over a ``g`` column: each
+    gram emits its K bit positions, positions pack into 64-bit words
+    (bit_or partial-aggregates map-side), and the ≤ bits/64 words
+    collapse into a single ``__bfm`` map row — the same one-row-index
+    discipline as the PQ codebook maps."""
+    return (
+        grams.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {k - 1}), "
+                    f"j -> pmod(xxhash64(g, j), {bits}))"
+                )
+            ).alias("pos")
+        )
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("__bfm")
+        )
+    )
+
+
+@register(
+    "bloom_decontaminate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {{sql_tokens}} AS tokens FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               list_aggregate(tokens[i : i + 3], 'string_agg', ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(tokens) - 3)) AS t(i)
+    ),
+    bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM grams c JOIN bench b USING (g)
+        WHERE c.doc_id % {_BENCH_MOD} != 0
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           1 AS bloom_fp_within_bound
+    FROM documents d LEFT JOIN contaminated k USING (doc_id)
+    WHERE d.doc_id % {_BENCH_MOD} != 0
+    GROUP BY 1
+    ORDER BY 1
+    """.replace("{sql_tokens}", _SQL_TOKENS),
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination counts via the Bloom-prefiltered path:
+    bench grams → one broadcast bit-array row (K=6 xxhash64 positions
+    packed into 64-bit words via map-side bit_or); corpus grams →
+    bit-probe prefilter → exact verify join → per-source distinct
+    contaminated docs. Values are exact (no false negatives
+    by construction — the oracle computes the same counts with a
+    direct join); ``bloom_fp_within_bound`` pins the filter's false-
+    positive rate in-plan, so an undersized or mis-hashed filter fails
+    the gate even though the exact values would still match.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    is_bench = (F.col("doc_id") % _BENCH_MOD) == 0
+
+    def _grams(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1))
+                )
+            ).alias("g"),
+        )
+
+    bench_grams = _grams(docs.filter(is_bench)).select("g").distinct()
+    bloom = bloom_build(bench_grams)
+    # one gram stream, two consumers (exact values + the FP monitor):
+    # checkpoint the marked stream so the regex shingling and bloom
+    # probes run once (rule 12)
+    marked = (
+        _grams(docs.filter(~is_bench))
+        .crossJoin(F.broadcast(bloom))
+        .withColumn("bh", F.expr(bloom_probe_expr()))
+        .drop("__bfm")
+        .localCheckpoint(eager=False)
+    )
+    # the at-scale join shape: only bloom-surviving grams reach the
+    # verify join (no broadcast hint — when the bench set outgrows a
+    # broadcast this is the shuffle whose input the bloom just cut)
+    hits = (
+        marked.filter("bh")
+        .join(bench_grams, "g", "left_semi")
+        .localCheckpoint(eager=False)  # consumed by values AND monitor
+    )
+    contaminated = hits.select("doc_id").distinct().withColumn(
+        "__c", F.lit(1)
+    )
+    totals = marked.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("bh").cast("long")).alias("n_bloom"),
+    )
+    true_tot = hits.agg(F.count(F.lit(1)).alias("n_true"))
+    flag = (
+        totals.crossJoin(true_tot)
+        .select(
+            (
+                (F.col("n_bloom") - F.col("n_true")).cast("double")
+                / F.greatest(
+                    (F.col("n_grams") - F.col("n_true")).cast("double"),
+                    F.lit(1.0),
+                )
+                <= F.lit(_BLOOM_FP_BOUND)
+            )
+            .cast("int")
+            .alias("bloom_fp_within_bound")
+        )
+    )
+    corpus_docs = docs.filter(~is_bench).select("doc_id", "source")
+    return (
+        corpus_docs.join(F.broadcast(contaminated), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("__c", F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+        .crossJoin(F.broadcast(flag))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # curation funnel: the composed keep/drop decision with per-stage counts
 # ---------------------------------------------------------------------------
 

@@ -123,3 +123,49 @@ def test_registry_has_oracles_for_curation(spark):
     for name in ("pii_scrub", "repetition_stats", "decontaminate"):
         fn, oracle = reg[name]
         assert oracle is not None and "SELECT" in oracle.upper()
+
+
+def test_bloom_filter_no_false_negatives_and_fp_monitor(spark):
+    """The in-plan Bloom filter: (1) every inserted key probes true —
+    the no-false-negative guarantee the bloom_decontaminate gate's
+    exact values rest on; (2) the FP monitor discriminates — a
+    deliberately undersized filter (64 bits for 2000 keys) produces a
+    false-positive rate far above the design bound, which is exactly
+    the regression the gate's bloom_fp_within_bound flag would
+    catch."""
+    from jobinsight_data_pipeline_v2_spark.plans.curation import (
+        _BLOOM_FP_BOUND,
+        bloom_build,
+        bloom_probe_expr,
+    )
+
+    inserted = spark.range(2000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("g")
+    )
+    others = spark.range(2000, 22000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("g")
+    )
+
+    # properly sized: all inserted keys hit, outsiders mostly miss
+    bf = bloom_build(inserted)
+    probe = F.expr(bloom_probe_expr())
+    hits_in = (
+        inserted.crossJoin(F.broadcast(bf)).filter(probe).count()
+    )
+    assert hits_in == 2000  # no false negatives, ever
+    fp = others.crossJoin(F.broadcast(bf)).filter(probe).count() / 20000
+    assert fp <= _BLOOM_FP_BOUND, fp
+
+    # undersized: still no false negatives, but the FP rate explodes —
+    # the monitor flag has something real to catch
+    bf_small = bloom_build(inserted, bits=64)
+    probe_small = F.expr(bloom_probe_expr(bits=64))
+    assert (
+        inserted.crossJoin(F.broadcast(bf_small)).filter(probe_small).count()
+        == 2000
+    )
+    fp_small = (
+        others.crossJoin(F.broadcast(bf_small)).filter(probe_small).count()
+        / 20000
+    )
+    assert fp_small > _BLOOM_FP_BOUND, fp_small
