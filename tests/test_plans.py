@@ -365,3 +365,52 @@ def test_registry_bench_and_coverage_stay_in_sync():
     assert m and int(m.group(1)) == len(reg), (
         f"COVERAGE.md claims {m and m.group(1)} gates, registry has {len(reg)}"
     )
+
+
+def test_cohort_retention_plan(spark):
+    """Round-5 gate shapes: the events scan prunes to (user_id, ts),
+    the anchor date rides a broadcast (no shuffle join anywhere), and
+    nothing degenerates to a cartesian product."""
+    p = _plan(spark, "cohort_retention")
+    schema_line = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "user_id" in schema_line
+    assert "props" not in schema_line, "unused events columns not pruned"
+    assert "event_type" not in schema_line
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bloom_prefilter_plan(spark):
+    """The Bloom build/probe subtree (inside bloom_decontaminate's
+    checkpoint boundary, so asserted directly): the one-row filter
+    broadcasts (BroadcastNestedLoopJoin, never CartesianProduct) and
+    the word-packing bit_or aggregation is in-plan."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.plans.curation import (
+        bloom_build,
+        bloom_probe_expr,
+    )
+
+    grams = spark.range(100).select(
+        F.concat(F.lit("g"), F.col("id")).alias("g")
+    )
+    probed = (
+        grams.crossJoin(F.broadcast(bloom_build(grams)))
+        .filter(F.expr(bloom_probe_expr()))
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = probed._jdf.queryExecution().explainString(mode)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "bit_or" in p
+
+
+def test_ivfpq_probed_gate_no_cartesian(spark):
+    """The approximate serving gate composes three search paths
+    (approx, probed-exact, brute-force exact); every cross join in the
+    visible plan must be a broadcast, never a cartesian product."""
+    p = _plan(spark, "ivfpq_topk_probed")
+    assert "CartesianProduct" not in p
