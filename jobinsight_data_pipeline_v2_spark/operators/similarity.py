@@ -1056,3 +1056,65 @@ def ivfpq_adc_scores(
             )
         ).alias("approx_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF index maintenance (daily upsert + drift monitoring)
+# ---------------------------------------------------------------------------
+#
+# A 100 TB vector index is not rebuilt per batch: the quantizer is
+# frozen, each day's new vectors are assigned against it in O(batch),
+# and the inverted index grows by union — re-encoding the standing
+# corpus would be O(corpus) per day for no accuracy gain (assignment is
+# per-row deterministic given the centroids). What CAN silently rot is
+# the quantizer itself: new data drifting away from the training
+# distribution lands far from every centroid (falling cell_sim) or
+# piles into few cells (hot cells — probe cost skew). The drift report
+# is the retrain trigger a maintenance DAG would alert on.
+
+
+def ivf_upsert(
+    index: DataFrame,
+    batch: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Extend a standing IVF inverted index with a new batch: assign
+    ONLY the batch against the frozen quantizer (narrow broadcast
+    argmin — no shuffle, no touch of the standing index) and union.
+    Because assignment is per-row deterministic given ``cents``,
+    ``ivf_upsert(assign(A), B) == assign(A ∪ B)`` exactly — the
+    incremental index can never diverge from a full rebuild
+    (property-tested)."""
+    return index.unionByName(ivf_assign(batch, cents, vec_col, id_col))
+
+
+def ivf_drift_report(
+    batch_index: DataFrame, min_mean_sim: float = 0.0
+) -> DataFrame:
+    """(cell_id, n_new, mean_cell_sim, low_affinity): per-cell intake
+    stats over a newly-assigned batch — the quantizer-retrain signal.
+    ``mean_cell_sim`` is exact (cell_sim values are deterministic
+    doubles; the mean is SUM/COUNT with the sum over values identical
+    in any order at these magnitudes only after a stable reduce, so it
+    is computed via DECIMAL(38,18) — the engine's cross-run float
+    discipline); ``low_affinity`` flags cells whose new members sit
+    below ``min_mean_sim``. One aggregation on the cell key; cells ≪
+    batch, so the report is quantizer-sized."""
+    return (
+        batch_index.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            (
+                F.sum(F.col("cell_sim").cast("decimal(38,18)"))
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("mean_cell_sim"),
+        )
+        .withColumn(
+            "low_affinity", F.col("mean_cell_sim") < F.lit(min_mean_sim)
+        )
+        .orderBy("cell_id")
+    )

@@ -136,3 +136,42 @@ def decontaminate_stream(
             F.size(F.collect_set("bench_id")).cast("long").alias("n_bench_docs"),
         )
     )
+
+
+def bloom_decontaminate_stream(
+    docs: DataFrame, bench_grams: DataFrame, shingle_re: str
+) -> DataFrame:
+    """(doc_id, n_gram_hits, n_bench_docs): decontaminate_stream
+    through the Bloom-prefiltered path (the at-scale shape of
+    plans/curation.bloom_decontaminate, streamed): the static bench
+    gram set folds ONCE into a one-row Bloom bit-array, each
+    micro-batch's gram stream drops every filter-rejected gram with a
+    narrow bit probe, and only the surviving sliver reaches the exact
+    verify join. Bloom filters have no false negatives, so the output
+    equals decontaminate_stream's row for row (proven in tests) —
+    the filter only cuts join input, never results. Stateless:
+    stream-static, zero state store."""
+    from ..plans.curation import bloom_build, bloom_probe_expr
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all("text", F.lit(shingle_re), F.lit(1))
+            )
+        ).alias("g"),
+    )
+    bloom = F.broadcast(bloom_build(bench_grams.select("g").distinct()))
+    pre = (
+        grams.crossJoin(bloom)
+        .filter(F.expr(bloom_probe_expr()))
+        .drop("__bfm")
+    )
+    return (
+        pre.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gram_hits"),
+            F.size(F.collect_set("bench_id")).cast("long").alias("n_bench_docs"),
+        )
+    )

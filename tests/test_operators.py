@@ -764,3 +764,58 @@ def test_apply_merge_edge_cases_fuzz(spark):
         expected = {i: ref_apply(s, a, b) for i, s in expected.items()}
     got = {r.id: list(r.s) for r in df.collect()}
     assert got == expected
+
+
+def test_ivf_upsert_equals_full_rebuild(spark):
+    """Incremental index maintenance: assigning only the new batch
+    against the frozen quantizer and unioning (ivf_upsert) yields
+    EXACTLY the index a full rebuild over the combined corpus would —
+    assignment is per-row deterministic given the centroids, so the
+    daily O(batch) upsert can never drift from the O(corpus) rebuild.
+    The drift report partitions the batch completely and its cell ids
+    all exist in the quantizer."""
+    from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+        ivf_assign,
+        ivf_drift_report,
+        ivf_upsert,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("embedding"),
+    ).localCheckpoint()
+    cents = (
+        kmeans_centroids(
+            emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0),
+            k=8,
+            max_iters=2,
+        )
+        .select("cell_id", "centroid")
+        .localCheckpoint()
+    )
+    old_half = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
+    new_batch = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 1)
+
+    standing = ivf_assign(old_half, cents)
+    upserted = ivf_upsert(standing, new_batch, cents).select(
+        "vec_id", "cell_id"
+    )
+    rebuilt = ivf_assign(emb, cents).select("vec_id", "cell_id")
+    sym = (
+        upserted.exceptAll(rebuilt).count()
+        + rebuilt.exceptAll(upserted).count()
+    )
+    assert sym == 0
+
+    batch_index = ivf_assign(new_batch, cents)
+    report = ivf_drift_report(batch_index, min_mean_sim=0.99).toPandas()
+    assert report.n_new.sum() == new_batch.count()  # complete partition
+    cell_ids = {r.cell_id for r in cents.select("cell_id").collect()}
+    assert set(report.cell_id) <= cell_ids
+    # near-random vectors sit far from every centroid — the drift
+    # monitor must fire at an absurd threshold and stay quiet at 0
+    assert report.low_affinity.all()
+    assert not ivf_drift_report(batch_index, min_mean_sim=-1.0).toPandas().low_affinity.any()
