@@ -402,30 +402,41 @@ _BLOOM_FP_BOUND = 0.05  # design rate + cushion; content ≪ capacity here
 
 def bloom_probe_expr(bits: int = _BLOOM_BITS, k: int = _BLOOM_K) -> str:
     """Membership probe over the one-row ``__bfm`` word map: all K bit
-    positions set. A missing word → NULL element_at → coalesce 0 →
-    bit clear → not contained."""
-    return f"""
-    forall(sequence(0, {k - 1}), j ->
-      (coalesce(element_at(__bfm, pmod(xxhash64(g, j), {bits}) div 64), 0L)
-       & shiftleft(1L, cast(pmod(xxhash64(g, j), {bits}) % 64 AS INT)))
-      != 0L)
-    """
+    positions of the 64-bit key column ``hk`` set. A missing word →
+    NULL element_at → coalesce 0 → bit clear → not contained. Keys are
+    hashed ONCE upstream (hk = xxhash64(item)) so the item string is
+    droppable before any materialization; positions re-hash the long
+    (xxhash64(hk, j)) — cheap fixed-width hashing, j = the classic
+    K-independent-functions seed."""
+    # UNROLLED (k is a compile-time constant), not a forall lambda:
+    # higher-order-function bodies evaluate interpreted (rule 10), and
+    # 2k interpreted xxhash64 per gram over a corpus gram stream is
+    # the dominant cost — a plain AND chain stays inside whole-stage
+    # codegen.
+    conds = []
+    for j in range(k):
+        pos = f"pmod(xxhash64(hk, {j}), {bits})"
+        conds.append(
+            f"(coalesce(element_at(__bfm, {pos} div 64), 0L)"
+            f" & shiftleft(1L, cast({pos} % 64 AS INT))) != 0L"
+        )
+    return "(" + " AND ".join(conds) + ")"
 
 
 def bloom_build(
-    grams: DataFrame, bits: int = _BLOOM_BITS, k: int = _BLOOM_K
+    keys: DataFrame, bits: int = _BLOOM_BITS, k: int = _BLOOM_K
 ) -> DataFrame:
-    """One-row broadcastable Bloom filter over a ``g`` column: each
-    gram emits its K bit positions, positions pack into 64-bit words
-    (bit_or partial-aggregates map-side), and the ≤ bits/64 words
-    collapse into a single ``__bfm`` map row — the same one-row-index
-    discipline as the PQ codebook maps."""
+    """One-row broadcastable Bloom filter over a 64-bit ``hk`` key
+    column: each key emits its K bit positions, positions pack into
+    64-bit words (bit_or partial-aggregates map-side), and the ≤
+    bits/64 words collapse into a single ``__bfm`` map row — the same
+    one-row-index discipline as the PQ codebook maps."""
     return (
-        grams.select(
+        keys.select(
             F.explode(
                 F.expr(
                     f"transform(sequence(0, {k - 1}), "
-                    f"j -> pmod(xxhash64(g, j), {bits}))"
+                    f"j -> pmod(xxhash64(hk, j), {bits}))"
                 )
             ).alias("pos")
         )
@@ -497,13 +508,24 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
 
-    bench_grams = _grams(docs.filter(is_bench)).select("g").distinct()
-    bloom = bloom_build(bench_grams)
+    # grams hash to 64-bit keys IMMEDIATELY (hk = xxhash64(g), the
+    # _shingle_key convention: equality-on-hash ≡ equality-on-gram
+    # absent 64-bit collisions, and every consumer here is an
+    # equality join/probe). The gram STRING never survives the
+    # projection — the shared checkpoint carries three longs per gram
+    # instead of the gram text (measured 5.1 s → ~1 s at sf0.1).
+    bench_keys = (
+        _grams(docs.filter(is_bench))
+        .select(F.xxhash64("g").alias("hk"))
+        .distinct()
+    )
+    bloom = bloom_build(bench_keys)
     # one gram stream, two consumers (exact values + the FP monitor):
     # checkpoint the marked stream so the regex shingling and bloom
     # probes run once (rule 12)
     marked = (
         _grams(docs.filter(~is_bench))
+        .select("doc_id", F.xxhash64("g").alias("hk"))
         .crossJoin(F.broadcast(bloom))
         .withColumn("bh", F.expr(bloom_probe_expr()))
         .drop("__bfm")
@@ -514,7 +536,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast this is the shuffle whose input the bloom just cut)
     hits = (
         marked.filter("bh")
-        .join(bench_grams, "g", "left_semi")
+        .join(bench_keys, "hk", "left_semi")
         .localCheckpoint(eager=False)  # consumed by values AND monitor
     )
     contaminated = hits.select("doc_id").distinct().withColumn(

@@ -160,15 +160,18 @@ def bloom_decontaminate_stream(
                 F.regexp_extract_all("text", F.lit(shingle_re), F.lit(1))
             )
         ).alias("g"),
+    ).select("doc_id", F.xxhash64("g").alias("hk"))
+    bench_keys = bench_grams.select(
+        "bench_id", F.xxhash64("g").alias("hk")
     )
-    bloom = F.broadcast(bloom_build(bench_grams.select("g").distinct()))
+    bloom = F.broadcast(bloom_build(bench_keys.select("hk").distinct()))
     pre = (
         grams.crossJoin(bloom)
         .filter(F.expr(bloom_probe_expr()))
         .drop("__bfm")
     )
     return (
-        pre.join(F.broadcast(bench_grams), "g")
+        pre.join(F.broadcast(bench_keys), "hk")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_gram_hits"),

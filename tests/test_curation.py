@@ -140,10 +140,10 @@ def test_bloom_filter_no_false_negatives_and_fp_monitor(spark):
     )
 
     inserted = spark.range(2000).select(
-        F.concat(F.lit("key-"), F.col("id")).alias("g")
+        F.xxhash64(F.concat(F.lit("key-"), F.col("id"))).alias("hk")
     )
     others = spark.range(2000, 22000).select(
-        F.concat(F.lit("key-"), F.col("id")).alias("g")
+        F.xxhash64(F.concat(F.lit("key-"), F.col("id"))).alias("hk")
     )
 
     # properly sized: all inserted keys hit, outsiders mostly miss

@@ -393,7 +393,7 @@ def test_bloom_prefilter_plan(spark):
     )
 
     grams = spark.range(100).select(
-        F.concat(F.lit("g"), F.col("id")).alias("g")
+        F.xxhash64(F.concat(F.lit("g"), F.col("id"))).alias("hk")
     )
     probed = (
         grams.crossJoin(F.broadcast(bloom_build(grams)))
