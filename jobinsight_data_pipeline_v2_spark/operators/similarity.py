@@ -427,6 +427,21 @@ def kmeans_centroids(
 _PQ_KEY_PAD = 1_000_000  # map key = m * PAD + code (codes < PAD always)
 
 
+def _unrolled_lut_sum(map_col: str, n_sub: int, field: str = "") -> str:
+    """Σ_mi map[mi·PAD + codes[mi+1]]{field} as an UNROLLED sum —
+    n_sub is a plan-time constant, and an aggregate-fold lambda would
+    evaluate its body interpreted (working-notes rule 10); these
+    lookups run once per (corpus row × query) in the hottest ADC
+    scans, so they must stay inside whole-stage codegen. Left-to-right
+    addition matches the fold's accumulation order bit for bit."""
+    terms = [
+        f"element_at({map_col}, {mi}L * {_PQ_KEY_PAD}"
+        f" + element_at(codes, {mi + 1})){field}"
+        for mi in range(n_sub)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _pq_cb_index(cb: DataFrame) -> DataFrame:
     """One-row broadcast codebook: ``__cb`` array + ``__cbm`` map
     (m * PAD + code → struct(centroid, cn2))."""
@@ -624,13 +639,7 @@ def pq_encode(
     return coded.crossJoin(_pq_cb_index(cb)).select(
         "id",
         "codes",
-        F.expr(
-            f"""
-            aggregate(sequence(0, {n_sub - 1}), 0D, (acc, mi) ->
-              acc + element_at(__cbm, cast(mi AS BIGINT) * {_PQ_KEY_PAD}
-                                      + element_at(codes, mi + 1)).cn2)
-            """
-        ).alias("approx_n2"),
+        F.expr(_unrolled_lut_sum("__cbm", n_sub, ".cn2")).alias("approx_n2"),
     )
 
 
@@ -693,13 +702,7 @@ def pq_adc_scores(
             "query_id",
             *carry,
             "id",
-            F.expr(
-                f"""
-                aggregate(sequence(0, {n_sub - 1}), 0D, (acc, mi) ->
-                  acc + element_at(__lut, cast(mi AS BIGINT) * {_PQ_KEY_PAD}
-                                          + element_at(codes, mi + 1)))
-                """
-            ).alias("__adot"),
+            F.expr(_unrolled_lut_sum("__lut", n_sub)).alias("__adot"),
             "approx_n2",
             "__qnorm",
         )
@@ -892,10 +895,20 @@ def ivfpq_encode(
         )
         .localCheckpoint(eager=False)
     )
-    recon_sub = (
-        f"zip_with(slice(__cc, mi * {sub} + 1, {sub}), "
-        f"element_at(__cbm, cast(mi AS BIGINT) * {_PQ_KEY_PAD} "
-        f"+ element_at(codes, mi + 1)).centroid, (a, b) -> a + b)"
+    # Σ_m ‖c_m + r̂_m‖² with the outer per-subspace loop UNROLLED
+    # (plan-time constant — _unrolled_lut_sum rationale); the inner
+    # zip_with/fold dot stays a lambda but runs once per subspace at
+    # ENCODE time only, never in the per-query ADC scan.
+    def _recon_sub(mi: int) -> str:
+        return (
+            f"zip_with(slice(__cc, {mi * sub + 1}, {sub}), "
+            f"element_at(__cbm, {mi}L * {_PQ_KEY_PAD} "
+            f"+ element_at(codes, {mi + 1})).centroid, (a, b) -> a + b)"
+        )
+
+    approx_n2 = " + ".join(
+        _DOT.format(a=_recon_sub(mi), b=_recon_sub(mi))
+        for mi in range(n_sub)
     )
     return coded.join(
         F.broadcast(
@@ -906,12 +919,7 @@ def ivfpq_encode(
         "id",
         "cell_id",
         "codes",
-        F.expr(
-            f"""
-            aggregate(sequence(0, {n_sub - 1}), 0D, (acc, mi) ->
-              acc + {_DOT.format(a=recon_sub, b=recon_sub)})
-            """
-        ).alias("approx_n2"),
+        F.expr(f"({approx_n2})").alias("approx_n2"),
     )
 
 
@@ -1040,13 +1048,7 @@ def ivfpq_adc_scores(
         (
             (
                 F.col("qdotc")
-                + F.expr(
-                    f"""
-                    aggregate(sequence(0, {n_sub - 1}), 0D, (acc, mi) ->
-                      acc + element_at(__lut, cast(mi AS BIGINT) * {_PQ_KEY_PAD}
-                                              + element_at(codes, mi + 1)))
-                    """
-                )
+                + F.expr(_unrolled_lut_sum("__lut", n_sub))
             )
             # same degenerate-reconstruction guard as pq_adc_scores:
             # approx_n2 = 0 ⇒ numerator is exactly 0 ⇒ score 0.0
