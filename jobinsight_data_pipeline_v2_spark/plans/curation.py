@@ -280,6 +280,21 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BENCH_MOD = 97  # pseudo-benchmark: doc_id % 97 = 0
 
 
+def _grams(side: DataFrame) -> DataFrame:
+    """(doc_id, g): the distinct word-{_SHINGLE_N}-grams of each doc —
+    per-doc dedup is ``array_distinct`` inside the row (narrow), not a
+    global DISTINCT. Shared by the direct and Bloom-prefiltered
+    decontamination gates so the gram definition cannot drift."""
+    return side.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1))
+            )
+        ).alias("g"),
+    )
+
+
 @register(
     "decontaminate",
     f"""
@@ -329,16 +344,6 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     is_bench = (F.col("doc_id") % _BENCH_MOD) == 0
-
-    def _grams(side: DataFrame) -> DataFrame:
-        return side.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1))
-                )
-            ).alias("g"),
-        )
 
     # Membership filters run BEFORE shingling: the id predicate pushes
     # to the scan, so the benchmark side regexes only its own slice
@@ -497,16 +502,6 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     is_bench = (F.col("doc_id") % _BENCH_MOD) == 0
-
-    def _grams(side: DataFrame) -> DataFrame:
-        return side.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.regexp_extract_all("text", F.lit(_SHINGLE_RE), F.lit(1))
-                )
-            ).alias("g"),
-        )
 
     # grams hash to 64-bit keys IMMEDIATELY (hk = xxhash64(g), the
     # _shingle_key convention: equality-on-hash ≡ equality-on-gram

@@ -359,6 +359,13 @@ def test_registry_bench_and_coverage_stay_in_sync():
         n for n in reg if not re.search(rf"\b{re.escape(n)}\b", coverage)
     ]
     assert missing == [], f"gates absent from COVERAGE.md: {missing}"
+    # serving-split rows must reference real builders (they bypass the
+    # registry, so the registry check above cannot catch a rename)
+    from bench import SERVING_BENCH
+    from jobinsight_data_pipeline_v2_spark.plans import vectors
+
+    for builder in SERVING_BENCH.values():
+        assert callable(getattr(vectors, builder)), builder
     unknown = [n for n in BENCH_QUERIES if n not in reg]
     assert unknown == [], f"bench names not in registry: {unknown}"
     m = re.search(r"(\d+) `queries\(\)` entries", coverage)
