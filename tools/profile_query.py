@@ -40,9 +40,23 @@ def main() -> None:
     def drain(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # serving-split entries (bench.SERVING_BENCH) are addressable too:
+    # the index builds once outside the timer, the thunk is what's timed
+    from bench import SERVING_BENCH
+    from jobinsight_data_pipeline_v2_spark.plans import vectors
+
     for name in names:
-        fn = registry[name][0]
-        drain(fn(spark, sf_dir))  # warmup: codegen/JIT
+        if name in SERVING_BENCH:
+            t0 = time.time()
+            thunk = getattr(vectors, SERVING_BENCH[name])(spark, sf_dir)
+            drain(thunk())
+            build = time.time() - t0
+            fn = lambda *_: thunk()  # noqa: E731
+            suffix = f"  (index build {build:.3f}s untimed)"
+        else:
+            fn = registry[name][0]
+            drain(fn(spark, sf_dir))  # warmup: codegen/JIT
+            suffix = ""
         gc.collect()
         best = float("inf")
         for _ in range(n):
@@ -50,7 +64,7 @@ def main() -> None:
             t0 = time.time()
             drain(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
-        print(f"{name}: {best:.3f}s")
+        print(f"{name}: {best:.3f}s{suffix}")
     spark.stop()
 
 
