@@ -146,22 +146,6 @@ def main() -> None:
         del df
         gc.collect()  # release localCheckpoint RDDs before the next query
 
-    # serving split: index build (training + eager materialization) is
-    # paid once here and reported as *_train; the serving thunk joins
-    # the measured passes below like any other query
-    from jobinsight_data_pipeline_v2_spark.plans import vectors as _vectors
-
-    serving_thunks: dict[str, object] = {}
-    train_secs: dict[str, float] = {}
-    for name, builder in SERVING_BENCH.items():
-        t0 = time.time()
-        thunk = getattr(_vectors, builder)(spark, sf_dir)
-        drain(thunk())  # warmup (also forces any remaining lazy index)
-        train_secs[name] = round(time.time() - t0, 3)
-        serving_thunks[name] = thunk
-        row_counts[name] = thunk().count()
-        gc.collect()
-
     # Best-of-two measured passes: a single shared local JVM has GC /
     # listener noise that can triple a sub-second query; the min is the
     # stable steady-state signal.
@@ -183,18 +167,39 @@ def main() -> None:
             print(
                 f"# {name}: {dt:.2f}s ({row_counts[name]} rows)", file=sys.stderr
             )
-        for name, thunk in serving_thunks.items():
+
+    # serving split — AFTER the registry passes so the eagerly
+    # checkpointed indexes (the full assigned/coded corpus) never
+    # occupy executor storage while registry queries are being timed
+    # (the lingering-checkpoint contamination the gc.collect comment
+    # above exists to prevent). train_secs times ONLY the builder: its
+    # eager localCheckpoints force the index, so the timer closes
+    # before any serving drain.
+    from jobinsight_data_pipeline_v2_spark.plans import vectors as _vectors
+
+    train_secs: dict[str, float] = {}
+    for name, builder in SERVING_BENCH.items():
+        gc.collect()
+        t0 = time.time()
+        thunk = getattr(_vectors, builder)(spark, sf_dir)
+        train_secs[name] = round(time.time() - t0, 3)
+        df = thunk()
+        drain(df)  # warmup: codegen/JIT for the serving plan
+        row_counts[name] = df.count()
+        best = float("inf")
+        for _ in range(2):
             gc.collect()
             t0 = time.time()
             drain(thunk())
-            dt = time.time() - t0
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
-            print(
-                f"# {name}: {dt:.2f}s ({row_counts[name]} rows, "
-                f"index built in {train_secs[name]}s untimed)",
-                file=sys.stderr,
-            )
+            best = min(best, time.time() - t0)
+        timings[name] = best
+        print(
+            f"# {name}: {best:.2f}s ({row_counts[name]} rows, "
+            f"index built in {train_secs[name]}s untimed)",
+            file=sys.stderr,
+        )
+        del thunk, df
+        gc.collect()
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = sum(timings.values())
 

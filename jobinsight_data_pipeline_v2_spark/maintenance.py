@@ -269,11 +269,18 @@ def compact_partitions(
     fs0, lp0 = _fs(spark, layer_path)
     if not fs0.exists(lp0):
         return {}
+    import time as _time
+
     lock_fs, lock = _acquire_compact_lock(spark, layer_path)
     try:
         _recover_compactions(spark, layer_path)
         report: dict[str, dict] = {}
         for d in _list_date_partitions(spark, layer_path):
+            # refresh the lock mtime every iteration: a run longer than
+            # the stale threshold must never look abandoned, or a cron
+            # overlap would break the lock mid-write and run recovery
+            # against the live writer's tmp dirs
+            lock_fs.setTimes(lock, int(_time.time() * 1000), -1)
             part_path = f"{layer_path}/ingest_date={d}"
             nbytes, nfiles = _partition_bytes_and_files(spark, part_path)
             if nfiles < min_files_to_compact or nbytes == 0:

@@ -173,14 +173,17 @@ def run_day(
     gate_config: QualityGateConfig | None = None,
     metrics: MetricsStore | None = None,
     compact: bool = False,
+    compact_target_file_bytes: int = 128 * 1024 * 1024,
+    compact_min_files: int = 8,
 ) -> tuple[WarehouseDay, DayReport]:
     """Full daily cycle: ingest → build → register the 16 views
     (entry point 3's SQL surface becomes live on the session). With a
     ``metrics`` store, run/quality metrics persist and the monitoring
     views join the SQL surface. ``compact=True`` runs the opt-in
     staging-layer small-file compaction after the build (the
-    maintenance-DAG cadence; fragmented days only — see
-    storage.run_daily_build)."""
+    maintenance-DAG cadence; fragmented days only — thresholds and
+    report surface as in storage.run_daily_build; ingest_day persists
+    staging here, so the layer always exists)."""
     staging, crawl_gate, staging_gate, rules = ingest_day(
         spark, storage, raw, as_of, crawled_at, gate_config, metrics
     )
@@ -188,7 +191,13 @@ def run_day(
     if compact:
         from .maintenance import compact_partitions
 
-        compact_partitions(spark, storage.root, "staging")
+        storage.last_compaction_report = compact_partitions(
+            spark,
+            storage.root,
+            "staging",
+            target_file_bytes=compact_target_file_bytes,
+            min_files_to_compact=compact_min_files,
+        )
     register_views(spark, w, as_of)
     if metrics is not None:
         register_monitoring_views(spark, metrics, as_of)

@@ -509,10 +509,14 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equality join/probe). The gram STRING never survives the
     # projection — the shared checkpoint carries three longs per gram
     # instead of the gram text (measured 5.1 s → ~1 s at sf0.1).
+    # two differently-shaped consumers (the bloom fold and the verify
+    # join's build side) — checkpoint or the bench slice's regex scan
+    # and distinct exchange compute twice (rule 12)
     bench_keys = (
         _grams(docs.filter(is_bench))
         .select(F.xxhash64("g").alias("hk"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     bloom = bloom_build(bench_keys)
     # one gram stream, two consumers (exact values + the FP monitor):

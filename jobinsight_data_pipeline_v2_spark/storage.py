@@ -72,6 +72,10 @@ class WarehouseStorage:
         self.root = root.rstrip("/")
         self.bucketed = bucketed
         self.n_buckets = n_buckets
+        # populated by run_daily_build/run_day when compact=True:
+        # {date: {files_before, files_after, bytes}} — empty means the
+        # sweep ran and found nothing fragmented (or no staging layer)
+        self.last_compaction_report: dict[str, dict] = {}
         # catalog names are session-global — scope them to this root
         import hashlib
 
@@ -250,7 +254,13 @@ def run_daily_build(
     ``compact_min_files`` files averaging under half
     ``compact_target_file_bytes``) keeps healthy days untouched, so
     scheduling it daily costs O(today's sick partitions), not
-    O(warehouse)."""
+    O(warehouse). NOTE: this entry point does not itself persist
+    staging — the layer exists only when the caller maintains it via
+    ``storage.write_staging`` (the full-cycle ``pipelines.run_day``
+    does); with no staging layer the sweep is a documented no-op. The
+    per-partition report lands on
+    ``storage.last_compaction_report`` either way, so a caller can
+    observe exactly what was (or wasn't) rewritten."""
     from .warehouse import build_warehouse_day, staging_transform
 
     staging = staging_transform(raw, crawled_at)
@@ -260,7 +270,7 @@ def run_daily_build(
     if compact:
         from .maintenance import compact_partitions
 
-        compact_partitions(
+        storage.last_compaction_report = compact_partitions(
             spark,
             storage.root,
             "staging",

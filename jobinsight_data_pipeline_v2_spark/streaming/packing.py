@@ -161,10 +161,17 @@ def bloom_decontaminate_stream(
             )
         ).alias("g"),
     ).select("doc_id", F.xxhash64("g").alias("hk"))
-    bench_keys = bench_grams.select(
-        "bench_id", F.xxhash64("g").alias("hk")
+    # the static side of a stream-static join is RE-EVALUATED every
+    # micro-batch — materialize the filter and the key table once, or
+    # a long-running stream pays a full bench-gram scan + bloom
+    # aggregation per trigger (the opposite of "folds once")
+    bench_keys = (
+        bench_grams.select("bench_id", F.xxhash64("g").alias("hk"))
+        .localCheckpoint()
     )
-    bloom = F.broadcast(bloom_build(bench_keys.select("hk").distinct()))
+    bloom = F.broadcast(
+        bloom_build(bench_keys.select("hk").distinct()).localCheckpoint()
+    )
     pre = (
         grams.crossJoin(bloom)
         .filter(F.expr(bloom_probe_expr()))

@@ -366,6 +366,10 @@ def test_registry_bench_and_coverage_stay_in_sync():
 
     for builder in SERVING_BENCH.values():
         assert callable(getattr(vectors, builder)), builder
+    # serving rows share bench.py's timing/row-count dicts with the
+    # registry rows — a name collision would silently overwrite one
+    assert not set(SERVING_BENCH) & set(reg)
+    assert not set(SERVING_BENCH) & set(BENCH_QUERIES)
     unknown = [n for n in BENCH_QUERIES if n not in reg]
     assert unknown == [], f"bench names not in registry: {unknown}"
     m = re.search(r"(\d+) `queries\(\)` entries", coverage)

@@ -145,9 +145,19 @@ def test_run_daily_build_opt_in_compaction(spark, tmp_path):
         datetime(2026, 3, 1, 7),
     )
     p1 = f"{tmp_path}/staging/ingest_date={d1.isoformat()}"
-    frag = spark.read.parquet(p1)
-    frag_rows = sorted(r.job_id for r in frag.collect())
-    frag.repartition(6).write.mode("overwrite").parquet(p1)
+    # fragment into 6 REAL files via single-file appends (repartition
+    # of a 2-row frame writes nothing for its empty partitions, which
+    # would leave the day below the fragmentation threshold)
+    frag = spark.read.parquet(p1).coalesce(1).localCheckpoint()
+    for _ in range(5):
+        frag.write.mode("append").parquet(p1)
+    frag_rows = sorted(r.job_id for r in spark.read.parquet(p1).collect())
+    from jobinsight_data_pipeline_v2_spark.maintenance import (
+        _partition_bytes_and_files as _pbf,
+    )
+
+    _, d1_files_before = _pbf(spark, p1)
+    assert d1_files_before >= 4  # genuinely above the threshold
 
     # day 2: healthy single-file staging + build WITH compaction
     d2 = d1 + timedelta(days=1)
@@ -166,7 +176,9 @@ def test_run_daily_build_opt_in_compaction(spark, tmp_path):
     )
     # fragmented day rewritten (fewer files, same rows)…
     _, d1_files_after = _partition_bytes_and_files(spark, p1)
-    assert d1_files_after < 6
+    assert d1_files_after < d1_files_before
+    # …and the sweep's report is observable on the storage handle
+    assert set(storage.last_compaction_report) == {d1.isoformat()}
     assert sorted(r.job_id for r in spark.read.parquet(p1).collect()) == frag_rows
     # …healthy day untouched…
     _, d2_files_after = _partition_bytes_and_files(spark, p2)
