@@ -409,3 +409,41 @@ def asof_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def cohort_stream(events: DataFrame, anchor) -> DataFrame:
+    """(cohort_week, week_offset, n_active): the weekly cohort-
+    retention matrix updating as events arrive — the streaming twin of
+    plans/events.cohort_retention's count columns.
+
+    ``anchor`` (a datetime.date) pins the cohort epoch: the batch gate
+    derives it with a corpus-min aggregate, which a stream can neither
+    compute up front nor take as a broadcast — production pins the
+    epoch as config, exactly as passed here. Structured Streaming
+    forbids chained aggregations, so the batch plan's two-level shape
+    (per-user weekly dedup, then the matrix count) folds into ONE
+    aggregation: ``size(collect_set(user_id))`` per matrix cell. State
+    is the per-cell distinct-user sets — bounded by (cohorts × weeks)
+    cells times their active users, the same information the batch
+    first level carries, and quadratically smaller than the event
+    stream. Complete mode for finite verification (rule 8); the final
+    state equals the batch matrix row for row (tests)."""
+    ev = events.select("user_id", F.to_date("ts").alias("d"))
+    act = (
+        ev.select(
+            "user_id",
+            (F.col("user_id") % 4).alias("cohort_week"),
+            F.datediff("d", F.lit(anchor)).alias("day_off"),
+        )
+        .filter(F.col("day_off") >= F.col("cohort_week") * 7)
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(F.col("day_off") / 7) - F.col("cohort_week")
+            ).alias("week_offset"),
+        )
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.size(F.collect_set("user_id")).cast("long").alias("n_active")
+    )

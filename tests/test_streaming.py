@@ -631,6 +631,34 @@ def test_streaming_segment_dedup_keeps_each_segment_once(spark, tmp_path):
     assert got.filter("late AND kept").count() == 0
 
 
+def test_streaming_cohort_matrix_equals_batch(spark, tmp_path):
+    """The cohort-retention matrix as ONE streaming aggregation
+    (chained aggs are unsupported, so the per-user weekly dedup folds
+    into size(collect_set) per cell): complete-mode final state equals
+    the batch gate's count columns row for row, with the cohort epoch
+    pinned as config instead of derived by a corpus-min aggregate."""
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.events import (
+        cohort_stream,
+    )
+
+    flat, ev = _stage_stream_files(spark, tmp_path)
+    anchor = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    stream = read_events_stream(spark, flat).drop("__b")
+    q = run_stream_to_memory(
+        spark, cohort_stream(stream, anchor), "cohort_test", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT cohort_week, week_offset, n_active FROM cohort_test"
+    )
+    expected = load_all()["cohort_retention"][0](spark, SF).select(
+        "cohort_week", "week_offset", "n_active"
+    )
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+
+
 def test_streaming_bloom_decontaminate_equals_direct(spark, tmp_path):
     """The Bloom-prefiltered streaming decontamination path: the
     one-row filter prunes each micro-batch's gram stream before the
