@@ -754,7 +754,25 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     sums = hs.select(
         "doc_id",
-        F.size("hs").alias("n"),
+        # the SWAR lane bound is ENFORCED in-plan (the segment-dedup
+        # ord-guard pattern): a ≥ 65536-token doc would silently
+        # overflow its 16-bit vote counters into the neighboring lane;
+        # assert_true fails the job loudly instead. No-op on legal
+        # rows (returns NULL → coalesce 0).
+        (
+            F.size("hs")
+            + F.coalesce(
+                F.assert_true(
+                    F.size("hs") < 65536,
+                    F.lit(
+                        "simhash gate: document over 65535 tokens "
+                        "overflows the 16-bit SWAR vote lanes; use the "
+                        "uncapped production twin (operators/dedup.py)"
+                    ),
+                ).cast("int"),
+                F.lit(0),
+            )
+        ).alias("n"),
         *[
             F.expr(
                 f"aggregate(hs, 0L, (acc, h) -> "
