@@ -515,6 +515,12 @@ def pq_train(
             f"trailing {dim % n_sub} components would be silently "
             "dropped from training/ADC while exact re-rank scores them"
         )
+    if codes >= _PQ_KEY_PAD:
+        raise ValueError(
+            f"codes={codes} >= {_PQ_KEY_PAD}: code ids would collide "
+            "across subspaces in the m*PAD+code map keys every ADC "
+            "consumer relies on"
+        )
     sub = dim // n_sub
     subs = df.select(
         F.col(id_col).alias("id"),
