@@ -191,13 +191,27 @@ def _recover_compactions(spark: SparkSession, layer_path: str) -> list[str]:
             recovered.append(d)
         elif name.startswith(".compact_tmp_ingest_date="):
             fs.delete(status.getPath(), True)
+        elif name.startswith(".compact_lock_broken_"):
+            # tombstone from a stale-lock break that crashed between
+            # rename and delete — inert, safe to clear
+            fs.delete(status.getPath(), False)
     return recovered
 
 
-_COMPACT_LOCK_STALE_MS = 60 * 60 * 1000  # an hour-old lock is a crash, not a writer
+# Default stale threshold: 6 h. The per-partition mtime refresh in the
+# compaction loop keeps a live run's lock fresh BETWEEN partitions, but
+# cannot refresh DURING one partition's rewrite job — so this threshold
+# must exceed the worst single-partition rewrite, not just the gap
+# between refreshes. Tune it down only if partition rewrites are known
+# to be fast; it only delays recovery from a genuinely crashed run.
+_COMPACT_LOCK_STALE_MS = 6 * 60 * 60 * 1000
 
 
-def _acquire_compact_lock(spark: SparkSession, layer_path: str):
+def _acquire_compact_lock(
+    spark: SparkSession,
+    layer_path: str,
+    stale_ms: int = _COMPACT_LOCK_STALE_MS,
+):
     """Single-writer guard for ``compact_partitions`` (ADVICE r4).
 
     Recovery deletes every in-flight ``.compact_tmp_*`` directory, so
@@ -206,21 +220,36 @@ def _acquire_compact_lock(spark: SparkSession, layer_path: str):
     file under the layer path serializes them: creation is atomic
     (``FileSystem.createNewFile``), a fresh lock means another writer
     is live (raise — e.g. a cron overlap), and a lock older than
-    ``_COMPACT_LOCK_STALE_MS`` is a crashed run's leftover and is
-    broken. Returns (fs, lock_path) for the caller's ``finally``.
+    ``stale_ms`` is a crashed run's leftover. Breaking a stale lock is
+    itself race-safe: the breaker must first RENAME the stale lock to
+    a tombstone (rename is atomic — of two contenders observing the
+    same stale lock, exactly one wins; delete-then-create would let
+    the loser delete the winner's fresh lock). Returns
+    (fs, lock_path) for the caller's ``finally``.
     """
+    import os as _os
     import time as _time
 
     fs, _ = _fs(spark, layer_path)
     _, lk = _fs(spark, f"{layer_path}/.compact_lock")
     if fs.exists(lk):
         age = _time.time() * 1000 - fs.getFileStatus(lk).getModificationTime()
-        if age < _COMPACT_LOCK_STALE_MS:
+        if age < stale_ms:
             raise RuntimeError(
                 f"another compaction holds {lk} (age {age / 1000:.0f}s); "
                 "compact_partitions is single-writer per layer"
             )
-        fs.delete(lk, False)
+        _, tomb = _fs(
+            spark,
+            f"{layer_path}/.compact_lock_broken_{int(_time.time() * 1000)}"
+            f"_{_os.getpid()}",
+        )
+        if not fs.rename(lk, tomb):
+            raise RuntimeError(
+                f"stale lock {lk} was broken by a concurrent contender; "
+                "compact_partitions is single-writer per layer"
+            )
+        fs.delete(tomb, False)
     if not fs.createNewFile(lk):
         raise RuntimeError(
             f"lost the compaction lock race for {lk}; "
@@ -254,8 +283,10 @@ def compact_partitions(
     SINGLE-WRITER per layer, enforced by an atomic ``.compact_lock``
     file (recovery deletes in-flight tmp dirs, so an overlapping run
     would corrupt a live one): a second invocation while the lock is
-    fresh raises, and a stale lock (> 1 h — a crashed holder) is
-    broken automatically. Healthy partitions
+    fresh raises; a stale lock (older than the 6 h threshold — a
+    crashed holder; see ``_COMPACT_LOCK_STALE_MS`` for the contract)
+    is broken automatically via an atomic rename, so two contenders
+    can never both claim it. Healthy partitions
     are never read or rewritten — like ``retention_sweep``, this is
     partition management, O(sick partitions) not O(table).
 
@@ -276,10 +307,11 @@ def compact_partitions(
         _recover_compactions(spark, layer_path)
         report: dict[str, dict] = {}
         for d in _list_date_partitions(spark, layer_path):
-            # refresh the lock mtime every iteration: a run longer than
-            # the stale threshold must never look abandoned, or a cron
-            # overlap would break the lock mid-write and run recovery
-            # against the live writer's tmp dirs
+            # refresh the lock mtime between partitions so a
+            # many-partition run never looks abandoned; DURING one
+            # partition's rewrite the mtime cannot move, which is why
+            # the stale threshold must exceed the worst
+            # single-partition rewrite (see _COMPACT_LOCK_STALE_MS)
             lock_fs.setTimes(lock, int(_time.time() * 1000), -1)
             part_path = f"{layer_path}/ingest_date={d}"
             nbytes, nfiles = _partition_bytes_and_files(spark, part_path)

@@ -72,9 +72,12 @@ class WarehouseStorage:
         self.root = root.rstrip("/")
         self.bucketed = bucketed
         self.n_buckets = n_buckets
-        # populated by run_daily_build/run_day when compact=True:
-        # {date: {files_before, files_after, bytes}} — empty means the
-        # sweep ran and found nothing fragmented (or no staging layer)
+        # the MOST RECENT compact=True sweep's report:
+        # {date: {files_before, files_after, bytes}}. {} until a sweep
+        # has run, and {} again when a sweep found nothing fragmented
+        # (or no staging layer); non-compacting runs leave it untouched
+        # — consumers wanting per-run attribution should read it right
+        # after the run that requested compaction.
         self.last_compaction_report: dict[str, dict] = {}
         # catalog names are session-global — scope them to this root
         import hashlib

@@ -428,11 +428,15 @@ def cohort_stream(events: DataFrame, anchor) -> DataFrame:
     first level carries, and quadratically smaller than the event
     stream. Complete mode for finite verification (rule 8); the final
     state equals the batch matrix row for row (tests)."""
+    # admission rule SHARED with the batch gate (plans/events) — a
+    # re-stated literal here could silently drift from the oracle
+    from ..plans.events import _COHORT_WEEKS
+
     ev = events.select("user_id", F.to_date("ts").alias("d"))
     act = (
         ev.select(
             "user_id",
-            (F.col("user_id") % 4).alias("cohort_week"),
+            (F.col("user_id") % _COHORT_WEEKS).alias("cohort_week"),
             F.datediff("d", F.lit(anchor)).alias("day_off"),
         )
         .filter(F.col("day_off") >= F.col("cohort_week") * 7)

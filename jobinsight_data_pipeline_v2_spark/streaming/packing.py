@@ -128,8 +128,10 @@ def decontaminate_stream(
             )
         ).alias("g"),
     )
+    # the static side re-evaluates every micro-batch — materialize the
+    # bench gram derivation once (same as bloom_decontaminate_stream)
     return (
-        grams.join(F.broadcast(bench_grams), "g")
+        grams.join(F.broadcast(bench_grams.localCheckpoint()), "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_gram_hits"),
