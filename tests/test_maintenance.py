@@ -212,3 +212,60 @@ def test_compact_partitions_recovers_crashed_swap(spark, tmp_path):
     } == {"b"}
     assert not fs.exists(oa) and not fs.exists(ob) and not fs.exists(ta)
     assert set(report) == {day_a, day_b}
+
+
+def test_compaction_lock_lifecycle(spark, tmp_path):
+    """Single-writer lock: a fresh lock blocks a second acquirer, a
+    stale lock is broken (atomically, via rename) and re-acquired, and
+    an orphaned break tombstone is cleared by recovery."""
+    import os
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.maintenance import (
+        _acquire_compact_lock,
+        _fs,
+        _recover_compactions,
+    )
+
+    layer = f"{tmp_path}/staging"
+    os.makedirs(layer)
+    fs, lk = _acquire_compact_lock(spark, layer)
+    assert fs.exists(lk)
+    # a live (fresh) lock blocks the next acquirer
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="single-writer"):
+        _acquire_compact_lock(spark, layer)
+    # age the lock past the stale threshold -> breakable and re-acquired
+    fs.setTimes(lk, int((time.time() - 10_000) * 1000), -1)
+    fs2, lk2 = _acquire_compact_lock(spark, layer, stale_ms=3600 * 1000)
+    assert fs2.exists(lk2)
+    fs2.delete(lk2, False)
+    # an orphaned tombstone (crash between rename and delete) is inert
+    # and cleared by the next recovery pass
+    _, tomb = _fs(spark, f"{layer}/.compact_lock_broken_123_456")
+    fs.createNewFile(tomb)
+    _recover_compactions(spark, layer)
+    assert not fs.exists(tomb)
+
+
+def test_streaming_duration_parser():
+    """_duration_ms accepts the subset the streaming twins document and
+    rejects everything else loudly."""
+    import pytest as _pytest
+
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        _duration_ms,
+        segment_dedup_stream,
+    )
+
+    assert _duration_ms("30 seconds") == 30_000
+    assert _duration_ms("1 minute") == 60_000
+    assert _duration_ms("2 hours") == 7_200_000
+    assert _duration_ms("500 milliseconds") == 500
+    for bad in ("30", "seconds", "1.5 hours", "30 fortnights"):
+        with _pytest.raises(ValueError):
+            _duration_ms(bad)
+    # ts_col and horizon must travel together
+    with _pytest.raises(ValueError, match="together"):
+        segment_dedup_stream(None, ts_col="ts")
