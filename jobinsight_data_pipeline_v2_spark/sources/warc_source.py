@@ -1,0 +1,217 @@
+"""WARC source: Common-Crawl-style web-archive files → record rows.
+
+The interchange format of every large-scale web text pipeline is the
+WARC file (ISO 28500): a concatenation of length-delimited records —
+``WARC/1.0`` header block, CRLF-separated named headers (including
+``Content-Length``), CRLF CRLF, payload, CRLF CRLF. Common Crawl ships
+~100 MB ``.warc.gz`` files whose gzip stream is one member per record
+(so readers can seek); a 100 TB crawl is simply a few hundred thousand
+such files.
+
+Spark-first shape: the FILE is the unit of parallelism — exactly how a
+cluster ingests Common Crawl (one task per .warc.gz, thousands in
+flight). Files load through the built-in ``binaryFile`` source and are
+split into records by an Arrow-batched ``mapInPandas`` (the sanctioned
+Python edge, same contract as sources/html_source.py: stdlib-only
+parsing, schema/batching/partitioning real and tested). Record
+splitting is pure offset arithmetic off ``Content-Length`` — no
+regex over payload bytes — so a task streams a file once.
+
+Out of scope here, by design: fetching (a crawler is out-of-engine per
+SURVEY S1), and 2 GB+ single files (``binaryFile`` materializes one
+file per row; Common Crawl's ~1 GB-max segment convention fits —
+larger archives would move to a streaming record reader over
+``spark.read.format("text")`` with custom delimiters).
+
+Downstream: ``warc_html_payloads`` adapts response records to the
+``html`` column shape ``html_source.html_pages_to_raw_jobs`` ingests —
+WARC → DOM rows → RAW_JOBS staging is then the reference's crawl
+pipeline with the crawl replayed from an archive instead of a live
+fetch.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_RECORD_SCHEMA = StructType(
+    [
+        StructField("source_file", StringType(), True),
+        StructField("record_offset", LongType(), True),  # order within file
+        StructField("warc_type", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("content_type", StringType(), True),  # WARC-level
+        StructField("http_status", LongType(), True),  # response records
+        StructField("http_content_type", StringType(), True),  # HTTP header
+        StructField("payload", BinaryType(), True),  # body, HTTP headers stripped
+    ]
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _split_records(raw: bytes) -> Iterator[tuple[int, dict, bytes]]:
+    """Yield (offset_index, warc_headers, block) per record.
+
+    Pure offset walking: find the header/block boundary (CRLF CRLF),
+    read ``Content-Length``, slice the block, skip the two record
+    separators. A malformed header block (no Content-Length) aborts
+    the FILE loudly — a truncated archive must never silently yield a
+    prefix of its records.
+    """
+    pos = 0
+    idx = 0
+    n = len(raw)
+    while pos < n:
+        # tolerate trailing separator runs at EOF
+        while pos < n and raw[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        head_end = raw.find(_CRLF2, pos)
+        if head_end < 0:
+            raise ValueError(f"WARC header block not terminated at offset {pos}")
+        head = raw[pos:head_end].decode("utf-8", errors="replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(
+                f"expected WARC version line at offset {pos}, got {lines[0]!r}"
+            )
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError(
+                f"WARC record at offset {pos} has no valid Content-Length"
+            ) from e
+        block_start = head_end + len(_CRLF2)
+        yield idx, headers, raw[block_start : block_start + length]
+        idx += 1
+        pos = block_start + length
+
+
+def _parse_http_response(
+    block: bytes,
+) -> tuple[int | None, str | None, bytes]:
+    """(status, content_type, body) from an HTTP response block;
+    header-less blocks pass through whole (status None) rather than
+    being dropped. The HTTP Content-Type is distinct from the
+    WARC-level one (which is ``application/http`` for every response
+    record) — it is what downstream media routing filters on."""
+    if not block.startswith(b"HTTP/"):
+        return None, None, block
+    head_end = block.find(_CRLF2)
+    if head_end < 0:
+        return None, None, block
+    head = block[:head_end].decode("ascii", errors="replace")
+    lines = head.split("\r\n")
+    parts = lines[0].split(" ", 2)
+    try:
+        status: int | None = int(parts[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype = None
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+            break
+    return status, ctype, block[head_end + len(_CRLF2) :]
+
+
+def _maybe_gunzip(name: str, content: bytes) -> bytes:
+    """Decompress ``.gz`` members (Common Crawl gzips one member per
+    record; stdlib gzip handles concatenated members natively)."""
+    if name.endswith(".gz") or content[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=io.BytesIO(content)).read()
+    return content
+
+
+def parse_warc_bytes(name: str, content: bytes) -> list[dict]:
+    """All records of one WARC file as row dicts (driver-free pure
+    function — the same code runs in the Arrow batches and in unit
+    tests)."""
+    rows = []
+    for idx, headers, block in _split_records(_maybe_gunzip(name, content)):
+        wtype = headers.get("warc-type")
+        status, http_ctype, payload = (
+            _parse_http_response(block)
+            if wtype == "response"
+            else (None, None, block)
+        )
+        rows.append(
+            {
+                "source_file": name,
+                "record_offset": idx,
+                "warc_type": wtype,
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "http_status": status,
+                "http_content_type": http_ctype,
+                "payload": payload,
+            }
+        )
+    return rows
+
+
+def read_warc_records(spark: SparkSession, path_glob: str) -> DataFrame:
+    """(source_file, record_offset, warc_type, target_uri, warc_date,
+    content_type, http_status, payload) for every record under
+    ``path_glob`` (``.warc`` or ``.warc.gz``).
+
+    One input file = one row into ``binaryFile`` = one parse task —
+    the Common Crawl parallelism unit. The mapInPandas batches carry
+    whole files; per-record rows fan out of the iterator, so a batch
+    never holds more than one decompressed file plus its rows.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for name, content in zip(pdf["path"], pdf["content"]):
+                rows = parse_warc_bytes(name, bytes(content))
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return files.mapInPandas(parse, schema=WARC_RECORD_SCHEMA)
+
+
+def warc_html_payloads(records: DataFrame) -> DataFrame:
+    """(url, captured_at, html): successful HTML response records in
+    the shape ``html_source.html_pages_to_raw_jobs`` ingests — the
+    adapter that replays an archived crawl through the reference's
+    HTML→rows pipeline. Narrow projection; the content-type/status
+    filters prune before any payload decode."""
+    return (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("http_content_type").contains("html")
+        )
+        .select(
+            F.col("target_uri").alias("url"),
+            F.to_timestamp("warc_date").alias("captured_at"),
+            F.col("payload").cast("string").alias("html"),
+        )
+    )

@@ -1,0 +1,135 @@
+"""WARC source (sources/warc_source.py): record splitting, gzip
+members, HTTP header stripping, and the replay path into the HTML→
+RAW_JOBS pipeline."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_v2_spark.sources.warc_source import (
+    parse_warc_bytes,
+    read_warc_records,
+    warc_html_payloads,
+)
+
+
+def _record(
+    wtype: str,
+    uri: str | None,
+    body: bytes,
+    date: str = "2026-05-01T06:00:00Z",
+    ctype: str = "application/http; msgtype=response",
+) -> bytes:
+    headers = [f"WARC-Type: {wtype}", f"WARC-Date: {date}"]
+    if uri:
+        headers.append(f"WARC-Target-URI: {uri}")
+    headers.append(f"Content-Type: {ctype}")
+    headers.append(f"Content-Length: {len(body)}")
+    head = "WARC/1.0\r\n" + "\r\n".join(headers) + "\r\n\r\n"
+    return head.encode() + body + b"\r\n\r\n"
+
+
+def _http(body: bytes, status: int = 200, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+_WARCINFO = _record(
+    "warcinfo", None, b"software: test\r\n", ctype="application/warc-fields"
+)
+_RESP_A = _record(
+    "response", "https://a.example/x", _http(b"<html>alpha</html>")
+)
+_RESP_404 = _record(
+    "response", "https://a.example/missing", _http(b"gone", status=404)
+)
+_REQUEST = _record(
+    "request",
+    "https://a.example/x",
+    b"GET /x HTTP/1.1\r\n\r\n",
+    ctype="application/http; msgtype=request",
+)
+
+
+def test_parse_warc_bytes_splits_and_strips():
+    rows = parse_warc_bytes(
+        "f.warc", _WARCINFO + _RESP_A + _RESP_404 + _REQUEST
+    )
+    assert [r["warc_type"] for r in rows] == [
+        "warcinfo",
+        "response",
+        "response",
+        "request",
+    ]
+    assert [r["record_offset"] for r in rows] == [0, 1, 2, 3]
+    a = rows[1]
+    assert a["target_uri"] == "https://a.example/x"
+    assert a["http_status"] == 200
+    # HTTP headers stripped, body intact
+    assert a["payload"] == b"<html>alpha</html>"
+    assert rows[2]["http_status"] == 404
+    # non-response blocks pass through whole, status None
+    assert rows[3]["http_status"] is None
+    assert rows[3]["payload"].startswith(b"GET /x")
+
+
+def test_parse_warc_bytes_gzip_members_and_malformed():
+    # Common Crawl style: one gzip member per record, concatenated
+    gz = gzip.compress(_WARCINFO) + gzip.compress(_RESP_A)
+    rows = parse_warc_bytes("f.warc.gz", gz)
+    assert len(rows) == 2 and rows[1]["payload"] == b"<html>alpha</html>"
+    # a record without Content-Length aborts the file loudly
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody"
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_bytes("bad.warc", bad)
+    with pytest.raises(ValueError, match="version line"):
+        parse_warc_bytes("bad2.warc", b"NOTWARC\r\n\r\nxx")
+
+
+def test_read_warc_records_distributed(spark, tmp_path):
+    """binaryFile → mapInPandas: every record of every file surfaces
+    with its source file and in-file order; .warc and .warc.gz mix."""
+    d = str(tmp_path)
+    with open(os.path.join(d, "a.warc"), "wb") as f:
+        f.write(_WARCINFO + _RESP_A)
+    with open(os.path.join(d, "b.warc.gz"), "wb") as f:
+        f.write(gzip.compress(_RESP_404) + gzip.compress(_REQUEST))
+    recs = read_warc_records(spark, d).collect()
+    by_file = {}
+    for r in recs:
+        by_file.setdefault(os.path.basename(r.source_file), []).append(r)
+    assert [r.warc_type for r in sorted(by_file["a.warc"], key=lambda r: r.record_offset)] == ["warcinfo", "response"]
+    assert [r.warc_type for r in sorted(by_file["b.warc.gz"], key=lambda r: r.record_offset)] == ["response", "request"]
+
+
+def test_warc_replays_into_html_pipeline(spark, tmp_path):
+    """End-to-end archive replay: a WARC-captured listing page flows
+    through warc_html_payloads → html_pages_to_raw_jobs and yields the
+    same parsed jobs as a live-crawled page would (S2 parity)."""
+    from test_html_source import PAGE_PRIMARY
+
+    from jobinsight_data_pipeline_v2_spark.sources import (
+        html_pages_to_raw_jobs,
+    )
+
+    d = str(tmp_path)
+    warc = _record(
+        "response",
+        "https://topcv.vn/viec-lam",
+        _http(PAGE_PRIMARY.encode()),
+    ) + _RESP_404  # non-HTML-status record must be filtered out
+    with open(os.path.join(d, "crawl.warc"), "wb") as f:
+        f.write(warc)
+    pages = warc_html_payloads(read_warc_records(spark, d))
+    assert pages.count() == 1  # the 404 is pruned
+    raw = html_pages_to_raw_jobs(
+        pages.select("html"), crawled_at=pages.first().captured_at
+    )
+    ids = {r.job_id for r in raw.select("job_id").collect()}
+    assert {"7001", "7002"} <= ids
