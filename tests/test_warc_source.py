@@ -133,3 +133,42 @@ def test_warc_replays_into_html_pipeline(spark, tmp_path):
     )
     ids = {r.job_id for r in raw.select("job_id").collect()}
     assert {"7001", "7002"} <= ids
+
+
+def test_jsonl_source_partitions_input_exactly(spark, tmp_path):
+    """Every input line lands in exactly one of (docs, quarantine):
+    typed rows for parse-clean lines with the required fields,
+    raw-line + reason rows for everything else."""
+    import json
+    import os as _os
+
+    from jobinsight_data_pipeline_v2_spark.sources.jsonl_source import (
+        read_jsonl_docs,
+    )
+
+    lines = [
+        json.dumps({"doc_id": 1, "text": "hello world", "lang": "en",
+                    "source": "src0", "n_chars": 11}),
+        json.dumps({"doc_id": 2, "text": "xin chào"}),   # sparse but valid
+        "{not json at all",                                # malformed
+        json.dumps({"text": "no id"}),                     # missing doc_id
+        json.dumps({"doc_id": 5}),                         # missing text
+    ]
+    p = _os.path.join(str(tmp_path), "corpus.jsonl")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    docs, quarantine = read_jsonl_docs(spark, p)
+    got = {r.doc_id: r for r in docs.collect()}
+    assert set(got) == {1, 2}
+    assert got[1].lang == "en" and got[2].lang is None
+    q = {r.reason for r in quarantine.collect()}
+    assert q == {"malformed_json", "missing:doc_id", "missing:text"}
+    assert docs.count() + quarantine.count() == len(lines)
+    # the quarantine keeps the raw line for replay
+    assert any("not json" in r.line for r in quarantine.collect())
+    # typed rows feed the text operators directly
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        classifier_score,
+    )
+
+    assert classifier_score(docs).count() == 2
