@@ -8,6 +8,7 @@ same pipeline.
 """
 
 from .html_source import html_pages_to_raw_jobs, parse_html  # noqa: F401
+from .jsonl_source import read_jsonl_docs  # noqa: F401
 from .warc_source import (  # noqa: F401
     read_warc_records,
     warc_html_payloads,
