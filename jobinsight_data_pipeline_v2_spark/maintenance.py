@@ -255,7 +255,53 @@ def _acquire_compact_lock(
             f"lost the compaction lock race for {lk}; "
             "compact_partitions is single-writer per layer"
         )
-    return fs, lk
+    # Stamp OUR identity into the lock (ADVICE r5): if this run ever
+    # outlives the stale threshold, a contender may legitimately break
+    # the lock and create its own — an unconditional delete in the
+    # original holder's ``finally`` would then destroy the CONTENDER'S
+    # live lock and re-enable overlapping compactions. The release
+    # path verifies this token and refuses to delete a lock that is no
+    # longer ours. Writing over our freshly-created empty lock is safe:
+    # createNewFile already won the race, nobody else owns it yet.
+    token = f"{_os.getpid()}_{_time.time_ns()}_{id(spark)}"
+    out = fs.create(lk, True)
+    try:
+        out.write(bytearray(token.encode("utf-8")))
+    finally:
+        out.close()
+    return fs, lk, token
+
+
+def _release_compact_lock(spark: SparkSession, fs, lk, token: str) -> bool:
+    """Delete the compaction lock ONLY if it still carries our token.
+
+    Returns True when released; False (with a warning) when the lock
+    was broken and re-acquired by a contender — deleting it then would
+    hand a THIRD run an open door while the contender still compacts.
+    """
+    import warnings
+
+    if not fs.exists(lk):
+        warnings.warn(
+            f"compaction lock {lk} vanished before release; a contender "
+            "broke it (run exceeded the stale threshold?)"
+        )
+        return False
+    stream = fs.open(lk)
+    try:
+        current = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8", errors="replace")
+    finally:
+        stream.close()
+    if current != token:
+        warnings.warn(
+            f"compaction lock {lk} is no longer ours "
+            f"(held by {current!r}); leaving it in place"
+        )
+        return False
+    fs.delete(lk, False)
+    return True
 
 
 def compact_partitions(
@@ -302,7 +348,7 @@ def compact_partitions(
         return {}
     import time as _time
 
-    lock_fs, lock = _acquire_compact_lock(spark, layer_path)
+    lock_fs, lock, lock_token = _acquire_compact_lock(spark, layer_path)
     try:
         _recover_compactions(spark, layer_path)
         report: dict[str, dict] = {}
@@ -348,4 +394,4 @@ def compact_partitions(
             }
         return report
     finally:
-        lock_fs.delete(lock, False)
+        _release_compact_lock(spark, lock_fs, lock, lock_token)

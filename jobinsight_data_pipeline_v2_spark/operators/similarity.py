@@ -1090,12 +1090,23 @@ def ivf_upsert(
 ) -> DataFrame:
     """Extend a standing IVF inverted index with a new batch: assign
     ONLY the batch against the frozen quantizer (narrow broadcast
-    argmin — no shuffle, no touch of the standing index) and union.
-    Because assignment is per-row deterministic given ``cents``,
-    ``ivf_upsert(assign(A), B) == assign(A ∪ B)`` exactly — the
-    incremental index can never diverge from a full rebuild
-    (property-tested)."""
-    return index.unionByName(ivf_assign(batch, cents, vec_col, id_col))
+    argmin — no shuffle of the standing index) and union. A true
+    UPSERT (ADVICE r5): batch ids already present in the standing
+    index are dropped first via a left-anti join on ``id_col`` — a
+    replayed ingest (at-least-once delivery is the 100 TB norm) must
+    not duplicate candidates and skew top-k. The anti join probes the
+    standing index on its id key only (two-column scan); the batch is
+    day-sized, so with the standing side large this is the standard
+    big-probe/small-build shape AQE handles. Because assignment is
+    per-row deterministic given ``cents``,
+    ``ivf_upsert(assign(A), B) == assign(A ∪ B)`` exactly for any
+    batch whose novel ids are B ∖ A — the incremental index can never
+    diverge from a full rebuild (property-tested, including replays).
+    """
+    fresh = batch.join(
+        index.select(F.col(id_col)), on=id_col, how="left_anti"
+    )
+    return index.unionByName(ivf_assign(fresh, cents, vec_col, id_col))
 
 
 def ivf_drift_report(

@@ -101,6 +101,15 @@ def _split_records(raw: bytes) -> Iterator[tuple[int, dict, bytes]]:
                 f"WARC record at offset {pos} has no valid Content-Length"
             ) from e
         block_start = head_end + len(_CRLF2)
+        if block_start + length > n:
+            # a file truncated mid-payload would otherwise slice past
+            # EOF and silently yield a short final record — the same
+            # no-silent-prefix contract as the header checks above
+            raise ValueError(
+                f"WARC record at offset {pos} declares Content-Length "
+                f"{length} but the file ends {block_start + length - n} "
+                "bytes short (truncated archive)"
+            )
         yield idx, headers, raw[block_start : block_start + length]
         idx += 1
         pos = block_start + length

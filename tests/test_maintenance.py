@@ -225,11 +225,12 @@ def test_compaction_lock_lifecycle(spark, tmp_path):
         _acquire_compact_lock,
         _fs,
         _recover_compactions,
+        _release_compact_lock,
     )
 
     layer = f"{tmp_path}/staging"
     os.makedirs(layer)
-    fs, lk = _acquire_compact_lock(spark, layer)
+    fs, lk, token = _acquire_compact_lock(spark, layer)
     assert fs.exists(lk)
     # a live (fresh) lock blocks the next acquirer
     import pytest as _pytest
@@ -238,9 +239,21 @@ def test_compaction_lock_lifecycle(spark, tmp_path):
         _acquire_compact_lock(spark, layer)
     # age the lock past the stale threshold -> breakable and re-acquired
     fs.setTimes(lk, int((time.time() - 10_000) * 1000), -1)
-    fs2, lk2 = _acquire_compact_lock(spark, layer, stale_ms=3600 * 1000)
+    fs2, lk2, token2 = _acquire_compact_lock(spark, layer, stale_ms=3600 * 1000)
     assert fs2.exists(lk2)
-    fs2.delete(lk2, False)
+    assert token2 != token
+    # ADVICE r5: the ORIGINAL holder's release must see the lock is no
+    # longer its own (the contender overwrote the token) and refuse to
+    # delete the contender's live lock
+    with _pytest.warns(UserWarning, match="no longer ours"):
+        assert not _release_compact_lock(spark, fs, lk, token)
+    assert fs2.exists(lk2)
+    # the contender's own release succeeds
+    assert _release_compact_lock(spark, fs2, lk2, token2)
+    assert not fs2.exists(lk2)
+    # releasing a vanished lock warns instead of raising
+    with _pytest.warns(UserWarning, match="vanished"):
+        assert not _release_compact_lock(spark, fs2, lk2, token2)
     # an orphaned tombstone (crash between rename and delete) is inert
     # and cleared by the next recovery pass
     _, tomb = _fs(spark, f"{layer}/.compact_lock_broken_123_456")

@@ -809,6 +809,16 @@ def test_ivf_upsert_equals_full_rebuild(spark):
         + rebuilt.exceptAll(upserted).count()
     )
     assert sym == 0
+    # ADVICE r5: a REPLAYED ingest (batch overlaps the standing index —
+    # at-least-once delivery) must not duplicate candidates: upsert is
+    # a true upsert, so replaying the ENTIRE corpus over the standing
+    # half still equals the rebuild exactly
+    replayed = ivf_upsert(standing, emb, cents).select("vec_id", "cell_id")
+    sym2 = (
+        replayed.exceptAll(rebuilt).count()
+        + rebuilt.exceptAll(replayed).count()
+    )
+    assert sym2 == 0
 
     batch_index = ivf_assign(new_batch, cents)
     report = ivf_drift_report(batch_index, min_mean_sim=0.99).toPandas()

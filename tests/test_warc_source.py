@@ -90,6 +90,12 @@ def test_parse_warc_bytes_gzip_members_and_malformed():
         parse_warc_bytes("bad.warc", bad)
     with pytest.raises(ValueError, match="version line"):
         parse_warc_bytes("bad2.warc", b"NOTWARC\r\n\r\nxx")
+    # ADVICE r5: truncation mid-PAYLOAD (headers intact, file ends
+    # before Content-Length bytes) must also abort loudly, never yield
+    # a silently short final record
+    truncated = (_WARCINFO + _RESP_A)[:-20]
+    with pytest.raises(ValueError, match="truncated archive"):
+        parse_warc_bytes("trunc.warc", truncated)
 
 
 def test_read_warc_records_distributed(spark, tmp_path):
