@@ -681,6 +681,91 @@ def test_bpe_train_matches_python_reference(spark):
     assert applied == expected_seqs
 
 
+def test_bpe_train_batched_equals_sequential(spark):
+    """``batch_max`` > 1 (top-M symbol-disjoint merges per Spark
+    round) is merge-for-merge identical to sequential greedy BPE —
+    including on adversarial tiny-vocab corpora where created pairs
+    and count ties force the safe-batch rule to shrink batches — and
+    cuts the round count by ~batch_max on a separated-count corpus."""
+    import random
+    from collections import Counter
+
+    from jobinsight_data_pipeline_v2_spark.operators.tokenizer import (
+        bpe_train,
+    )
+
+    def ref_bpe(texts, n_merges, min_count=2):
+        seqs = {i: t.split() for i, t in texts.items()}
+        merges = []
+        for _ in range(n_merges):
+            c = Counter()
+            for s in seqs.values():
+                for x, y in zip(s, s[1:]):
+                    c[(x, y)] += 1
+            if not c:
+                break
+            (a, b), n = min(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if n < min_count:
+                break
+            merges.append((a, b, n))
+            for i, s in seqs.items():
+                out, skip = [], False
+                for j, x in enumerate(s):
+                    if skip:
+                        skip = False
+                        continue
+                    if j + 1 < len(s) and x == a and s[j + 1] == b:
+                        out.append(a + " " + b)
+                        skip = True
+                    else:
+                        out.append(x)
+                seqs[i] = out
+        return merges
+
+    # adversarial fuzz: 6-symbol vocab => dense ties, overlap runs
+    # ("a b a b"), and created pairs that rank high immediately
+    for seed in (7, 21):
+        rng = random.Random(seed)
+        texts = {
+            i: " ".join(
+                rng.choice("abcdef") for _ in range(rng.randint(4, 24))
+            )
+            for i in range(40)
+        }
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id: long, text: string"
+        )
+        expected = ref_bpe(texts, 10)
+        stats: dict = {}
+        got = bpe_train(docs, n_merges=10, batch_max=4, stats=stats)
+        assert got == expected, f"seed {seed}"
+        assert sum(stats["batch_sizes"]) == len(got)
+
+    # separated-count corpus: 50 disjoint pairs with distinct counts,
+    # one per 2-token doc -> the batch drains batch_max merges per
+    # round and 50 merges take ~ceil(50/16) Spark rounds, not 50
+    rows = []
+    doc_id = 0
+    for i in range(50):
+        for _ in range(60 - i):
+            rows.append((doc_id, f"a{i:02d} b{i:02d}"))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    texts = {i: t for i, t in rows}
+    expected = ref_bpe(texts, 50)
+    assert len(expected) == 50
+    seq_stats: dict = {}
+    bat_stats: dict = {}
+    got_seq = bpe_train(docs, n_merges=50, stats=seq_stats)
+    got_bat = bpe_train(docs, n_merges=50, batch_max=16, stats=bat_stats)
+    assert got_seq == expected
+    assert got_bat == expected
+    assert seq_stats["rounds"] >= 50
+    assert bat_stats["rounds"] <= 5  # ceil(50/16) + slack
+
+
 def test_cooccur_pairs_equals_naive_reference(spark):
     """The salted two-phase pair generator == the naive 'keys with
     2 <= df <= max_df emit all ordered id pairs' semantics, including
