@@ -55,7 +55,7 @@ PRIORITY: tuple[str, ...] = (
     "shuffle_shards",  # deterministic corpus-shuffle family
     "cosine_topk_batch",
     "ivf_topk_learned",  # IVF search family (learned quantizer config)
-    "label_centroids",
+    "jsonl_roundtrip",  # round-6 gate: S15 source path pinned end-to-end
     "multimodal_binary_meta",
     "bpe_pair_counts",  # round-4 gate: BPE merge-training statistic
     "approx_percentiles",  # round-4 gate: approx-within-bound drop-in
@@ -131,7 +131,10 @@ PRIORITY: tuple[str, ...] = (
 #   parts_with_sales (semi-join; ri_orphan_counts pins set probes),
 #   approx_monthly_stats (approx_percentiles pins the approx family),
 #   bloom_decontaminate (decontaminate pins the family above the fold;
-#     the bloom path's exact values + FP flag stay local-gated).
+#     the bloom path's exact values + FP flag stay local-gated),
+#   label_centroids (demoted r6 for jsonl_roundtrip: the k-means
+#     centroid build it pins trains IN-GATE inside ivf_topk_learned,
+#     which sits above the fold; stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

