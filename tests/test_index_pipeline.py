@@ -1,0 +1,157 @@
+"""Multi-day IVF index lifecycle (index_pipeline.py): day-one
+bootstrap, incremental upsert == full rebuild, replay-safe ingest,
+threshold-triggered retrain, atomic generation promotion, pruning,
+and the serving path over the persisted index."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_v2_spark.index_pipeline import (
+    current_generation,
+    load_index,
+    prune_index_generations,
+    run_index_day,
+    serve_topk,
+)
+from jobinsight_data_pipeline_v2_spark.operators.similarity import ivf_assign
+
+DIM = 8
+SCALE = 1_000_000
+
+
+def _clustered(spark, ids):
+    """One-hot cluster vectors on dims 0–3 (cluster = id % 4) with a
+    tiny deterministic perturbation — high affinity to any sane
+    quantizer over them."""
+    rows = []
+    for i in ids:
+        v = [0] * DIM
+        v[i % 4] = SCALE
+        v[4 + (i % 3)] = 100 + (i % 7)
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<long>")
+
+
+def _orthogonal(spark, ids):
+    """Vectors living entirely on dims 4–7 — cosine ≈ 0 against every
+    dim-0–3 centroid, the drift scenario."""
+    rows = []
+    for i in ids:
+        v = [0] * DIM
+        v[4 + (i % 4)] = SCALE
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<long>")
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "ivf_index")
+
+
+def test_index_lifecycle_multiday(spark, root):
+    day1 = _clustered(spark, range(0, 60))
+    day2 = _clustered(spark, range(60, 120))
+    day3 = _orthogonal(spark, range(120, 180))
+    kw = dict(k=4, kmeans_iters=3, train_sample_mod=2, drift_min_sim=0.5)
+
+    # day one bootstraps generation 0
+    r1 = run_index_day(spark, root, day1, "2026-01-01", **kw)
+    assert r1["gen"] == 0 and r1["retrained"] and r1["n_fresh"] == 60
+    assert current_generation(spark, root) == 0
+
+    # day two: incremental assign, no retrain (affinity stays high)
+    r2 = run_index_day(spark, root, day2, "2026-01-02", **kw)
+    assert r2["gen"] == 0 and not r2["retrained"]
+    assert r2["n_fresh"] == 60 and r2["batch_id"] == "2026-01-02"
+    assert r2["batch_mean_sim"] > 0.5
+
+    # incremental index == full rebuild against the same frozen
+    # quantizer (the ivf_upsert equivalence, through the PERSISTED path)
+    cents, idx = load_index(spark, root)
+    rebuilt = ivf_assign(
+        day1.unionByName(day2), cents.localCheckpoint()
+    ).select("vec_id", "cell_id")
+    inc = idx.select("vec_id", "cell_id")
+    assert inc.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(inc).count() == 0
+
+    # replay day two plus a top-up: only the genuinely new ids land
+    replay = day2.unionByName(_clustered(spark, [1000, 1001]))
+    r2b = run_index_day(spark, root, replay, "2026-01-02", **kw)
+    assert r2b["n_fresh"] == 2 and not r2b["retrained"]
+    assert r2b["batch_id"] == "2026-01-02.1"  # immutable batch dirs
+    _, idx2 = load_index(spark, root)
+    assert idx2.count() == 122
+    assert idx2.select("vec_id").distinct().count() == 122
+
+    # day three drifts (orthogonal to every centroid) -> retrain fires,
+    # generation promotes atomically, corpus fully re-assigned
+    r3 = run_index_day(spark, root, day3, "2026-01-03", **kw)
+    assert r3["retrained"] and r3["gen"] == 1
+    assert r3["batch_mean_sim"] < 0.5
+    assert r3["n_low_affinity_cells"] > 0
+    assert current_generation(spark, root) == 1
+    _, idx3 = load_index(spark, root)
+    assert idx3.count() == 182  # nothing lost across the retrain
+    assert idx3.select("vec_id").distinct().count() == 182
+
+    # a fourth clustered-like day against the NEW quantizer: no retrain
+    # (the retrained centroids describe both populations now)
+    day4 = _clustered(spark, range(200, 220))
+    r4 = run_index_day(spark, root, day4, "2026-01-04", **kw)
+    assert r4["gen"] == 1 and not r4["retrained"]
+
+    # serving path: a query equal to a standing vector finds itself
+    q = spark.createDataFrame(
+        [(0, [SCALE, 0, 0, 0, 100, 0, 0, 0])],
+        "query_id: long, embedding: array<long>",
+    )
+    hits = serve_topk(spark, root, q, topk=3, nprobe=4).collect()
+    assert hits[0]["rank"] == 1
+    assert hits[0]["cosine_sim"] > 0.99
+
+    # pruning keeps the newest generations only
+    assert prune_index_generations(spark, root, keep=1) == [0]
+    assert current_generation(spark, root) == 1
+
+
+def test_index_day_skips_empty_replay(spark, root):
+    day1 = _clustered(spark, range(0, 40))
+    kw = dict(k=4, kmeans_iters=2, train_sample_mod=2, drift_min_sim=0.5)
+    run_index_day(spark, root, day1, "2026-02-01", **kw)
+    # an exact replay writes NOTHING (no empty batch dirs, no retrain
+    # decision on a vacuous mean) and reports n_fresh=0
+    r = run_index_day(spark, root, day1, "2026-02-01", **kw)
+    assert r["n_fresh"] == 0 and r["batch_id"] is None
+    assert not r["retrained"] and r["batch_mean_sim"] is None
+    _, idx = load_index(spark, root)
+    assert idx.count() == 40
+
+
+def test_stale_tmp_sweep_and_atomicity(spark, root, tmp_path):
+    """A crashed promotion (leftover .tmp- dir) is invisible to
+    readers, swept once stale, and left alone while fresh."""
+    import os
+
+    from jobinsight_data_pipeline_v2_spark.index_pipeline import (
+        _sweep_stale_tmp,
+    )
+
+    day1 = _clustered(spark, range(0, 40))
+    run_index_day(
+        spark, root, day1, "2026-03-01", k=4, kmeans_iters=2,
+        train_sample_mod=2,
+    )
+    crash = os.path.join(root, ".tmp-gen-9-deadbeef")
+    os.makedirs(crash)
+    # fresh tmp: left alone
+    _sweep_stale_tmp(spark, root)
+    assert os.path.exists(crash)
+    assert current_generation(spark, root) == 0  # never observed as a gen
+    # aged tmp: swept
+    old = (os.path.getmtime(crash)) - 2 * 3600
+    os.utime(crash, (old, old))
+    _sweep_stale_tmp(spark, root)
+    assert not os.path.exists(crash)
