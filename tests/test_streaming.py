@@ -1163,3 +1163,57 @@ def test_streaming_ann_serving_ivfpq_watermarked_path(spark, tmp_path):
     )
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0
+
+
+def test_streaming_warc_equals_batch(spark, tmp_path):
+    """WARC file-arrival stream (19th twin): records parsed out of the
+    streaming binaryFile source — one file per micro-batch — equal the
+    batch reader's rows exactly, and the HTML-payload adapter works
+    unchanged on the streaming frame."""
+    import gzip
+
+    from jobinsight_data_pipeline_v2_spark.sources.warc_source import (
+        read_warc_records,
+        read_warc_stream,
+        warc_html_payloads,
+    )
+    from tests.test_warc_source import _RESP_404, _RESP_A, _WARCINFO, _record, _http
+
+    land = os.path.join(str(tmp_path), "warc_landing")
+    os.makedirs(land)
+    with open(os.path.join(land, "crawl-0.warc"), "wb") as f:
+        f.write(_WARCINFO + _RESP_A)
+    with open(os.path.join(land, "crawl-1.warc.gz"), "wb") as f:
+        f.write(gzip.compress(_RESP_404))
+    with open(os.path.join(land, "crawl-2.warc"), "wb") as f:
+        f.write(
+            _record(
+                "response",
+                "https://b.example/y",
+                _http(b"<html>bravo</html>"),
+            )
+        )
+
+    glob = os.path.join(land, "*")
+    stream = read_warc_stream(spark, glob, max_files_per_trigger=1)
+    q = run_stream_to_memory(spark, stream, "warc_stream_test")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM warc_stream_test")
+    expected = read_warc_records(spark, glob)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() == 4
+
+    # the S2 adapter is a narrow projection: works on the streaming
+    # frame itself (not just the memory-sink output)
+    q2 = run_stream_to_memory(
+        spark,
+        warc_html_payloads(read_warc_stream(spark, glob)),
+        "warc_html_stream_test",
+    )
+    q2.awaitTermination(120)
+    pages = spark.sql("SELECT url, html FROM warc_html_stream_test").collect()
+    assert {(r.url, r.html) for r in pages} == {
+        ("https://a.example/x", "<html>alpha</html>"),
+        ("https://b.example/y", "<html>bravo</html>"),
+    }
