@@ -447,3 +447,50 @@ def test_ivfpq_probed_gate_no_cartesian(spark):
     visible plan must be a broadcast, never a cartesian product."""
     p = _plan(spark, "ivfpq_topk_probed")
     assert "CartesianProduct" not in p
+
+
+def test_first_activity_cohort_matrix_staggered(spark):
+    """The parameterized cohort operator (cohort_matrix) with the
+    production first-activity derivation, on synthetic STAGGERED
+    signups (the shape the driver's uniform testdata can't provide),
+    against a pure-Python triangle."""
+    from collections import defaultdict
+
+    from jobinsight_data_pipeline_v2_spark.plans.events import (
+        cohort_matrix,
+        first_activity_cohorts,
+    )
+
+    # user u first appears in week u % 3 + u % 2 (staggered), then is
+    # active in a deterministic subset of later weeks; duplicate
+    # activity rows per (user, week) exercise the dedup-first shape
+    rows = []
+    for u in range(30):
+        start = u % 3 + u % 2
+        for w in range(start, 6):
+            if (u + w) % 4 != 0:
+                rows.append((u, w))
+                rows.append((u, w))  # duplicate activity that week
+        rows.append((u, start))  # first week always active
+    act = spark.createDataFrame(rows, "user_id: long, week: long")
+
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.retention)
+        for r in cohort_matrix(first_activity_cohorts(act)).collect()
+    }
+
+    first = {}
+    weekly = defaultdict(set)
+    for u, w in rows:
+        first[u] = min(first.get(u, w), w)
+        weekly[w].add(u)
+    mat = defaultdict(set)
+    for w, users in weekly.items():
+        for u in users:
+            mat[(first[u], w - first[u])].add(u)
+    expected = {}
+    for (c, off), users in mat.items():
+        expected[(c, off)] = (len(users), len(users) / len(mat[(c, 0)]))
+    assert got == expected
+    # staggering is real: multiple distinct cohort weeks
+    assert len({c for c, _ in got}) >= 3
