@@ -428,6 +428,37 @@ def bloom_probe_expr(bits: int = _BLOOM_BITS, k: int = _BLOOM_K) -> str:
     return "(" + " AND ".join(conds) + ")"
 
 
+def bloom_probe(
+    df: DataFrame, bits: int = _BLOOM_BITS, k: int = _BLOOM_K
+) -> DataFrame:
+    """Append the membership verdict ``bh`` to a frame carrying ``hk``
+    and the one-row ``__bfm`` word map, then drop the map.
+
+    The K bit positions are HOISTED into their own projection first
+    (r6): ``bloom_probe_expr`` references each position twice
+    (element_at word lookup + shiftleft mask), and whole-stage codegen
+    does not reliably common-subexpression-eliminate across the AND
+    chain — hoisting halves the xxhash64 evaluations per gram
+    (measured 0.54 → 0.43 s on the pure probe scan at sf0.1). Still
+    one codegen'd stage: projection + filterless AND chain.
+    """
+    pos = [
+        F.expr(f"pmod(xxhash64(hk, {j}), {bits})").alias(f"__bp{j}")
+        for j in range(k)
+    ]
+    keep = [c for c in df.columns if c != "__bfm"]
+    conds = " AND ".join(
+        f"(coalesce(element_at(__bfm, __bp{j} div 64), 0L)"
+        f" & shiftleft(1L, cast(__bp{j} % 64 AS INT))) != 0L"
+        for j in range(k)
+    )
+    return (
+        df.select(*keep, "__bfm", *pos)
+        .withColumn("bh", F.expr(conds))
+        .select(*keep, "bh")
+    )
+
+
 def bloom_build(
     keys: DataFrame, bits: int = _BLOOM_BITS, k: int = _BLOOM_K
 ) -> DataFrame:
@@ -522,14 +553,11 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one gram stream, two consumers (exact values + the FP monitor):
     # checkpoint the marked stream so the regex shingling and bloom
     # probes run once (rule 12)
-    marked = (
+    marked = bloom_probe(
         _grams(docs.filter(~is_bench))
         .select("doc_id", F.xxhash64("g").alias("hk"))
         .crossJoin(F.broadcast(bloom))
-        .withColumn("bh", F.expr(bloom_probe_expr()))
-        .drop("__bfm")
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
     # the at-scale join shape: only bloom-surviving grams reach the
     # verify join (no broadcast hint — when the bench set outgrows a
     # broadcast this is the shuffle whose input the bloom just cut)

@@ -153,7 +153,7 @@ def bloom_decontaminate_stream(
     equals decontaminate_stream's row for row (proven in tests) —
     the filter only cuts join input, never results. Stateless:
     stream-static, zero state store."""
-    from ..plans.curation import bloom_build, bloom_probe_expr
+    from ..plans.curation import bloom_build, bloom_probe
 
     grams = docs.select(
         "doc_id",
@@ -174,11 +174,7 @@ def bloom_decontaminate_stream(
     bloom = F.broadcast(
         bloom_build(bench_keys.select("hk").distinct()).localCheckpoint()
     )
-    pre = (
-        grams.crossJoin(bloom)
-        .filter(F.expr(bloom_probe_expr()))
-        .drop("__bfm")
-    )
+    pre = bloom_probe(grams.crossJoin(bloom)).filter("bh").drop("bh")
     return (
         pre.join(F.broadcast(bench_keys), "hk")
         .groupBy("doc_id")

@@ -421,17 +421,17 @@ def test_bloom_prefilter_plan(spark):
     from pyspark.sql import functions as F
 
     from jobinsight_data_pipeline_v2_spark.plans.curation import (
+        _BLOOM_K,
         bloom_build,
-        bloom_probe_expr,
+        bloom_probe,
     )
 
     grams = spark.range(100).select(
         F.xxhash64(F.concat(F.lit("g"), F.col("id"))).alias("hk")
     )
-    probed = (
+    probed = bloom_probe(
         grams.crossJoin(F.broadcast(bloom_build(grams)))
-        .filter(F.expr(bloom_probe_expr()))
-    )
+    ).filter("bh")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
@@ -439,6 +439,10 @@ def test_bloom_prefilter_plan(spark):
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
     assert "bit_or" in p
+    # r6: the K probe positions are hoisted into one projection so each
+    # position's xxhash64 evaluates once, not twice per bit test
+    assert p.count("xxhash64(hk") >= _BLOOM_K
+    assert "__bp0" in p
 
 
 def test_ivfpq_probed_gate_no_cartesian(spark):
