@@ -134,7 +134,10 @@ PRIORITY: tuple[str, ...] = (
 #     the bloom path's exact values + FP flag stay local-gated),
 #   label_centroids (demoted r6 for jsonl_roundtrip: the k-means
 #     centroid build it pins trains IN-GATE inside ivf_topk_learned,
-#     which sits above the fold; stays local-gated).
+#     which sits above the fold; stays local-gated),
+#   warc_roundtrip (r6, born below the fold: the source-roundtrip
+#     family is pinned above by jsonl_roundtrip; the WARC variant
+#     stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

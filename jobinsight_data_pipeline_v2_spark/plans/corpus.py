@@ -552,3 +552,61 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "n", F.lit(0).cast("long").alias("chars"))
     )
     return by_lang.unionByName(by_reason).orderBy("bucket")
+
+
+@register(
+    "warc_roundtrip",
+    """
+    SELECT doc_id % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(length(text)) AS BIGINT) AS chars
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → distributed WARC export → ``read_warc_records`` →
+    aggregates: the S14 archive source pinned end to end against the
+    pristine parquet table (companion to ``jsonl_roundtrip``, same
+    oracle device — DuckDB never reads the files, so the gate is
+    independent of driver run ordering; what is pinned is that the
+    WARC write/split/gzip/HTTP-strip round trip preserves every
+    record exactly).
+
+    The export runs DISTRIBUTED (``write_warc_archive``: one task =
+    one archive file, half of them per-member-gzipped so both decode
+    paths execute); the read-back parses doc ids out of the record
+    URIs and decodes payload bytes to text. Buckets by doc_id % 10:
+    a dropped, duplicated, or corrupted record moves n_docs / id_sum /
+    chars of its bucket. The gate-scale repartition(8) just spreads
+    the corpus over several archives; a production export would keep
+    the source partitioning.
+    """
+    import os
+    import shutil
+
+    from ..sources.warc_source import read_warc_records, write_warc_archive
+
+    out = _jsonl_gate_dir(sf_dir).replace("jsonl", "warc")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    recs = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("target_uri"),
+        F.col("text").alias("payload"),
+    ).repartition(8)
+    write_warc_archive(recs, out).count()  # drain: executes the export
+    back = read_warc_records(spark, f"{out}/*")
+    parsed = back.select(
+        F.expr("cast(substring(target_uri, 9) as bigint)").alias("doc_id"),
+        F.col("payload").cast("string").alias("text"),
+    )
+    return (
+        parsed.groupBy((F.col("doc_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .orderBy("bucket")
+    )

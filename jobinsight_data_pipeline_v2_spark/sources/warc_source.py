@@ -266,3 +266,81 @@ def warc_html_payloads(records: DataFrame) -> DataFrame:
             F.col("payload").cast("string").alias("html"),
         )
     )
+
+
+def write_warc_archive(
+    records: DataFrame,
+    out_dir: str,
+    uri_col: str = "target_uri",
+    payload_col: str = "payload",
+    date: str = "2026-01-01T00:00:00Z",
+    gzip_every_other: bool = True,
+) -> DataFrame:
+    """Export (uri, payload) rows as WARC response archives — one file
+    per partition, the unit real crawlers emit and ``read_warc_records``
+    re-ingests.
+
+    Distributed write via ``mapInPandas``: each task serializes its
+    partition's records (WARC/1.0 response + minimal HTTP envelope,
+    Content-Length from the encoded body) into ONE ``.warc`` —
+    ``.warc.gz`` with per-member gzip for odd partitions when
+    ``gzip_every_other``, so a round trip exercises both decode paths —
+    written to a tmp name and os.rename'd into place (atomic per file;
+    a retried task can only leave a stale tmp, never a torn archive).
+    Returns a (file, n_records) frame; the caller drains it to execute
+    the write. Empty partitions write nothing. The caller owns dir
+    lifecycle (cleanup/uniqueness) — files ACCUMULATE otherwise.
+    """
+    import gzip as _gzip
+    import os as _os
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from pyspark.sql.functions import spark_partition_id
+
+    src = records.select(
+        F.col(uri_col).cast("string").alias("uri"),
+        F.col(payload_col).cast("string").alias("body"),
+        spark_partition_id().alias("__pid"),
+    )
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks: list[bytes] = []
+        n = 0
+        pid = 0
+        for pdf in batches:
+            for uri, body, p in zip(pdf["uri"], pdf["body"], pdf["__pid"]):
+                pid = int(p)
+                enc = ("" if body is None else str(body)).encode("utf-8")
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+                    + b"Content-Length: " + str(len(enc)).encode() + b"\r\n\r\n"
+                    + enc
+                )
+                head = (
+                    "WARC/1.0\r\n"
+                    "WARC-Type: response\r\n"
+                    f"WARC-Date: {date}\r\n"
+                    f"WARC-Target-URI: {uri}\r\n"
+                    "Content-Type: application/http; msgtype=response\r\n"
+                    f"Content-Length: {len(http)}\r\n\r\n"
+                ).encode("utf-8")
+                chunks.append(head + http + b"\r\n\r\n")
+                n += 1
+        if not n:
+            return
+        raw = b"".join(chunks)
+        if gzip_every_other and pid % 2 == 1:
+            # Common Crawl style: one gzip member per record
+            raw = b"".join(_gzip.compress(c) for c in chunks)
+            name = f"part-{pid:05d}.warc.gz"
+        else:
+            name = f"part-{pid:05d}.warc"
+        tmp = _os.path.join(out_dir, f".tmp-{_uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        _os.rename(tmp, _os.path.join(out_dir, name))
+        yield pd.DataFrame({"file": [name], "n_records": [n]})
+
+    return src.mapInPandas(write_partition, schema="file string, n_records long")
