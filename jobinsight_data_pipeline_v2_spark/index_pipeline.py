@@ -67,17 +67,31 @@ _TMP_STALE_MS = 60 * 60 * 1000
 
 def _sweep_stale_tmp(spark: SparkSession, root: str) -> None:
     """Remove crashed runs' hidden tmp dirs (stale only — a live
-    concurrent writer's fresh tmp is left alone)."""
+    concurrent writer's fresh tmp is left alone). Sweeps BOTH levels
+    that write tmp dirs: generation promotions under the root and
+    ingest-batch writes under each generation's index dir (review r6 —
+    a crashed daily ingest would otherwise leak its assigned-batch
+    copy forever)."""
     fs, rp = _fs(spark, root)
     if not fs.exists(rp):
         return
     now = time.time() * 1000
+
+    def sweep_dir(jpath) -> None:
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
+            if name.startswith(".tmp-") and (
+                now - status.getModificationTime() > _TMP_STALE_MS
+            ):
+                fs.delete(status.getPath(), True)
+
+    sweep_dir(rp)
     for status in fs.listStatus(rp):
         name = status.getPath().getName()
-        if name.startswith(".tmp-") and (
-            now - status.getModificationTime() > _TMP_STALE_MS
-        ):
-            fs.delete(status.getPath(), True)
+        if status.isDirectory() and name.startswith("gen="):
+            _, ip = _fs(spark, f"{root}/{name}/index")
+            if fs.exists(ip):
+                sweep_dir(ip)
 
 
 def current_generation(spark: SparkSession, root: str) -> int | None:
@@ -211,14 +225,26 @@ def run_index_day(
     Returns {day, gen, retrained, n_batch, n_fresh, batch_mean_sim,
     n_low_affinity_cells, batch_id}. ``drift_min_sim=None`` disables
     retraining (pure incremental mode). Vectors follow the engine's
-    integer-quantization convention upstream of this call.
+    integer-quantization convention upstream of this call; an id maps
+    to one vector (intra-batch duplicate ids are collapsed to one
+    arbitrary row — at-least-once replays duplicate identical rows, so
+    the collapse is deterministic in effect).
     """
     _sweep_stale_tmp(spark, root)
-    batch = batch.select(id_col, vec_col)
+    # dedup WITHIN the batch too (review r6): at-least-once delivery
+    # duplicates rows inside one day's batch, not just across days,
+    # and the immutable ingest partition must never carry an id twice
+    batch = batch.select(id_col, vec_col).dropDuplicates([id_col])
     n_batch = batch.count()
     gen = current_generation(spark, root)
 
     if gen is None:
+        if n_batch == 0:
+            # bootstrapping from nothing would promote an empty
+            # quantizer and poison every later assignment (review r6)
+            raise ValueError(
+                f"cannot bootstrap index at {root} from an empty batch"
+            )
         # day one: the batch IS the corpus — train, assign, promote
         cents = _train_quantizer(
             batch, k, kmeans_iters, train_sample_mod, vec_col, id_col
@@ -240,38 +266,51 @@ def run_index_day(
             "batch_id": day,
         }
 
+    if n_batch == 0:
+        return {
+            "day": day,
+            "gen": gen,
+            "retrained": False,
+            "n_batch": 0,
+            "n_fresh": 0,
+            "batch_mean_sim": None,
+            "n_low_affinity_cells": 0,
+            "batch_id": None,
+        }
+
     index_dir = f"{root}/gen={gen}/index"
     cents, standing = load_index(spark, root, gen)
     cents = cents.localCheckpoint()
+    # Drift is measured over the WHOLE day's batch, not just its
+    # novel ids (review r6): assignment is deterministic given the
+    # centroids, so the drift decision is replay-stable — a crash
+    # between the batch write and the retrain block cannot swallow
+    # the retrain trigger (the replay recomputes the same mean and
+    # fires it), and a replayed drifted day after a successful
+    # retrain re-assigns against the NEW generation and stays quiet.
+    assigned = ivf_assign(batch, cents, vec_col, id_col).localCheckpoint()
+    stats = assigned.agg(F.avg("cell_sim").alias("m")).collect()[0]
+    mean_sim = float(stats["m"])
+    n_low = 0
+    if drift_min_sim is not None:
+        n_low = (
+            ivf_drift_report(assigned, min_mean_sim=drift_min_sim)
+            .filter(F.col("low_affinity"))
+            .count()
+        )
     # replay-safe upsert: only ids absent from the standing index are
-    # assigned and written (the ivf_upsert contract, but against the
-    # PERSISTED index — the anti-join probes a two-column scan)
-    fresh = batch.join(
+    # written (the ivf_upsert contract, but against the PERSISTED
+    # index — the anti-join probes a two-column scan)
+    fresh = assigned.join(
         standing.select(F.col(id_col)), on=id_col, how="left_anti"
     )
-    assigned = ivf_assign(fresh, cents, vec_col, id_col).localCheckpoint()
-    n_fresh = assigned.count()
-
+    n_fresh = fresh.count()
     batch_id = None
-    mean_sim = None
-    n_low = 0
     if n_fresh > 0:
         batch_id = _next_batch_id(spark, index_dir, day)
-        _write_batch_partition(spark, assigned, index_dir, batch_id)
-        stats = assigned.agg(F.avg("cell_sim").alias("m")).collect()[0]
-        mean_sim = float(stats["m"])
-        if drift_min_sim is not None:
-            n_low = (
-                ivf_drift_report(assigned, min_mean_sim=drift_min_sim)
-                .filter(F.col("low_affinity"))
-                .count()
-            )
+        _write_batch_partition(spark, fresh, index_dir, batch_id)
 
-    retrain = (
-        drift_min_sim is not None
-        and mean_sim is not None
-        and mean_sim < drift_min_sim
-    )
+    retrain = drift_min_sim is not None and mean_sim < drift_min_sim
     if retrain:
         # the day's data is already safe in gen g; rebuild from the
         # full standing corpus (reloaded from disk — no cross-step

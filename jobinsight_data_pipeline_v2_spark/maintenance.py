@@ -281,13 +281,17 @@ def _release_compact_lock(spark: SparkSession, fs, lk, token: str) -> bool:
     """
     import warnings
 
-    if not fs.exists(lk):
+    # exists → open is not atomic: a contender breaking the lock in
+    # between must land in the same "vanished" path, not leak a raw
+    # FileNotFoundException out of the caller's finally (review r6)
+    try:
+        stream = fs.open(lk)
+    except Exception:
         warnings.warn(
             f"compaction lock {lk} vanished before release; a contender "
             "broke it (run exceeded the stale threshold?)"
         )
         return False
-    stream = fs.open(lk)
     try:
         current = bytes(
             spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)

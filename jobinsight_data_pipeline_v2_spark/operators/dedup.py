@@ -178,13 +178,20 @@ def component_min_labels(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        cand = labels.join(
-            neigh, labels["id"] == neigh["src"], "left"
-        ).select(
-            labels["id"],
-            F.least(
-                labels["label"], F.coalesce("nlabel", labels["label"])
-            ).alias("label"),
+        # checkpoint before the self-join (rule 12): `lol` below
+        # consumes this subtree a second time on a DIFFERENT key, so
+        # without the boundary the edge-sized neighbour join computes
+        # twice per round (exchange reuse cannot fire across the two
+        # differently-keyed consumers)
+        cand = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce("nlabel", labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
         )
         # shortcut: label <- label(label). Every label IS a node id
         # that appears in the table (labels start as ids and only ever

@@ -1094,7 +1094,9 @@ def ivf_upsert(
     UPSERT (ADVICE r5): batch ids already present in the standing
     index are dropped first via a left-anti join on ``id_col`` — a
     replayed ingest (at-least-once delivery is the 100 TB norm) must
-    not duplicate candidates and skew top-k. The anti join probes the
+    not duplicate candidates and skew top-k. Duplicate ids WITHIN the
+    batch collapse to one row too (review r6): at-least-once delivery
+    duplicates inside a batch as readily as across batches. The anti join probes the
     standing index on its id key only (two-column scan); the batch is
     day-sized, so with the standing side large this is the standard
     big-probe/small-build shape AQE handles. Because assignment is
@@ -1103,7 +1105,7 @@ def ivf_upsert(
     batch whose novel ids are B ∖ A — the incremental index can never
     diverge from a full rebuild (property-tested, including replays).
     """
-    fresh = batch.join(
+    fresh = batch.dropDuplicates([id_col]).join(
         index.select(F.col(id_col)), on=id_col, how="left_anti"
     )
     return index.unionByName(ivf_assign(fresh, cents, vec_col, id_col))

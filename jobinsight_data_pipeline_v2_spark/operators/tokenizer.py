@@ -104,10 +104,15 @@ def apply_merges(
     side, merging one pair never creates or destroys an adjacency of
     another (the merged token replaces two tokens with one — neighbors
     become adjacent to IT, not to each other), and the skip logic per
-    match is the same as ``apply_merge``'s. Merged names are
-    space-joined, and tokens never contain spaces, so the batch
-    membership test is one ``array_contains`` on the joined adjacency
-    — O(batch) string compares per element, interpreted (rule 10) but
+    match is the same as ``apply_merge``'s.
+
+    The membership test compares BOTH adjacency elements exactly
+    (a CASE chain over the batch), never a joined string: merged
+    tokens themselves contain the space separator from round 2 on, so
+    a concat key would collide — pair ('a', 'b c') and pair
+    ('a b', 'c') both join to 'a b c', and a space-keyed test would
+    merge adjacencies sequential BPE never touches (review r6).
+    O(batch) string compares per element, interpreted (rule 10) but
     trivially cheap next to the md5-class lambdas that rule governs.
     """
     if len(pairs) == 1:
@@ -117,7 +122,13 @@ def apply_merges(
         if a in seen or b in seen:
             raise ValueError(f"batched merges must be symbol-disjoint: {pairs}")
         seen.update((a, b))
-    keys = ", ".join(_sql_quote(a + " " + b) for a, b in pairs)
+    whens = " ".join(
+        f"WHEN element_at(s, i) = {_sql_quote(a)} "
+        f"AND element_at(s, i + 1) = {_sql_quote(b)} "
+        f"THEN {_sql_quote(a + ' ' + b)}"
+        for a, b in pairs
+    )
+    merged = f"(CASE {whens} ELSE NULL END)"
     return symbols.select(
         "id",
         F.expr(
@@ -129,16 +140,9 @@ def apply_merges(
                               'skip', false),
                  (acc, i) -> if(acc.skip,
                     named_struct('out', acc.out, 'skip', false),
-                    if(i < size(s)
-                           AND array_contains(
-                                 array({keys}),
-                                 concat(element_at(s, i), ' ',
-                                        element_at(s, i + 1))),
+                    if(i < size(s) AND {merged} IS NOT NULL,
                        named_struct('out',
-                                    concat(acc.out,
-                                           array(concat(element_at(s, i),
-                                                        ' ',
-                                                        element_at(s, i + 1)))),
+                                    concat(acc.out, array({merged})),
                                     'skip', true),
                        named_struct('out',
                                     concat(acc.out,

@@ -441,6 +441,13 @@ def bloom_probe(
     chain — hoisting halves the xxhash64 evaluations per gram
     (measured 0.54 → 0.43 s on the pure probe scan at sf0.1). Still
     one codegen'd stage: projection + filterless AND chain.
+
+    Caveat: ``.filter("bh")`` directly on the result lets predicate
+    pushdown substitute the __bp definitions back into the join
+    condition (re-inlined, two evaluations again). Keep ``bh`` as a
+    column until after a materialization boundary — the gate filters
+    only past its localCheckpoint; the streaming twin has no boundary
+    and accepts the re-inline (cost equal to the pre-r6 expression).
     """
     pos = [
         F.expr(f"pmod(xxhash64(hk, {j}), {bits})").alias(f"__bp{j}")

@@ -330,12 +330,12 @@ def write_warc_archive(
                 n += 1
         if not n:
             return
-        raw = b"".join(chunks)
         if gzip_every_other and pid % 2 == 1:
             # Common Crawl style: one gzip member per record
             raw = b"".join(_gzip.compress(c) for c in chunks)
             name = f"part-{pid:05d}.warc.gz"
         else:
+            raw = b"".join(chunks)
             name = f"part-{pid:05d}.warc"
         tmp = _os.path.join(out_dir, f".tmp-{_uuid.uuid4().hex}")
         with open(tmp, "wb") as f:

@@ -77,8 +77,11 @@ def test_index_lifecycle_multiday(spark, root):
     assert inc.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(inc).count() == 0
 
-    # replay day two plus a top-up: only the genuinely new ids land
-    replay = day2.unionByName(_clustered(spark, [1000, 1001]))
+    # replay day two plus a top-up, with an intra-batch duplicate id
+    # (review r6): only the genuinely new ids land, exactly once
+    replay = day2.unionByName(
+        _clustered(spark, [1000, 1001, 1001])  # 1001 duplicated in-batch
+    )
     r2b = run_index_day(spark, root, replay, "2026-01-02", **kw)
     assert r2b["n_fresh"] == 2 and not r2b["retrained"]
     assert r2b["batch_id"] == "2026-01-02.1"  # immutable batch dirs
@@ -118,16 +121,56 @@ def test_index_lifecycle_multiday(spark, root):
 
 
 def test_index_day_skips_empty_replay(spark, root):
+    import pytest as _pytest
+
     day1 = _clustered(spark, range(0, 40))
     kw = dict(k=4, kmeans_iters=2, train_sample_mod=2, drift_min_sim=0.5)
+    # bootstrapping from an empty batch must refuse (an empty
+    # quantizer would poison every later assignment)
+    with _pytest.raises(ValueError, match="empty batch"):
+        run_index_day(spark, root, day1.filter("vec_id < 0"),
+                      "2026-02-01", **kw)
     run_index_day(spark, root, day1, "2026-02-01", **kw)
-    # an exact replay writes NOTHING (no empty batch dirs, no retrain
-    # decision on a vacuous mean) and reports n_fresh=0
+    # an exact replay writes NOTHING (no empty batch dirs) and reports
+    # n_fresh=0; the drift mean is still computed over the whole batch
+    # (replay-stable retrain decision), and stays quiet here
     r = run_index_day(spark, root, day1, "2026-02-01", **kw)
     assert r["n_fresh"] == 0 and r["batch_id"] is None
-    assert not r["retrained"] and r["batch_mean_sim"] is None
+    assert not r["retrained"] and r["batch_mean_sim"] > 0.5
     _, idx = load_index(spark, root)
     assert idx.count() == 40
+    # an empty LATER batch is a no-op report, not an error
+    r0 = run_index_day(spark, root, day1.filter("vec_id < 0"),
+                       "2026-02-02", **kw)
+    assert r0["n_batch"] == 0 and r0["batch_id"] is None
+    assert not r0["retrained"]
+
+
+def test_index_day_retrain_survives_crash_replay(spark, root):
+    """The drift decision is computed over the WHOLE batch, not just
+    its novel ids (review r6): if a run persists the drifted batch and
+    dies before retraining, the replay sees n_fresh=0 but recomputes
+    the same drifted mean and still promotes the new generation."""
+    day1 = _clustered(spark, range(0, 40))
+    run_index_day(spark, root, day1, "2026-03-01",
+                  k=4, kmeans_iters=2, train_sample_mod=2,
+                  drift_min_sim=0.5)
+    drifted = _orthogonal(spark, range(100, 140))
+    # "crash before the retrain block": persist the batch with the
+    # trigger disabled, then replay the same day with it enabled
+    r_crash = run_index_day(spark, root, drifted, "2026-03-02",
+                            k=4, kmeans_iters=2, train_sample_mod=2,
+                            drift_min_sim=None)
+    assert r_crash["n_fresh"] == 40 and not r_crash["retrained"]
+    assert current_generation(spark, root) == 0
+    r_replay = run_index_day(spark, root, drifted, "2026-03-02",
+                             k=4, kmeans_iters=2, train_sample_mod=2,
+                             drift_min_sim=0.5)
+    assert r_replay["n_fresh"] == 0
+    assert r_replay["retrained"] and r_replay["batch_mean_sim"] < 0.5
+    assert current_generation(spark, root) == 1
+    _, idx = load_index(spark, root)
+    assert idx.count() == 80  # nothing duplicated, nothing lost
 
 
 def test_stale_tmp_sweep_and_atomicity(spark, root, tmp_path):
@@ -146,12 +189,18 @@ def test_stale_tmp_sweep_and_atomicity(spark, root, tmp_path):
     )
     crash = os.path.join(root, ".tmp-gen-9-deadbeef")
     os.makedirs(crash)
+    # crashed INGEST write, two levels down (review r6)
+    crash_ingest = os.path.join(root, "gen=0", "index", ".tmp-cafef00d")
+    os.makedirs(crash_ingest)
     # fresh tmp: left alone
     _sweep_stale_tmp(spark, root)
     assert os.path.exists(crash)
+    assert os.path.exists(crash_ingest)
     assert current_generation(spark, root) == 0  # never observed as a gen
-    # aged tmp: swept
-    old = (os.path.getmtime(crash)) - 2 * 3600
-    os.utime(crash, (old, old))
+    # aged tmp: swept at both levels
+    for p in (crash, crash_ingest):
+        old = (os.path.getmtime(p)) - 2 * 3600
+        os.utime(p, (old, old))
     _sweep_stale_tmp(spark, root)
     assert not os.path.exists(crash)
+    assert not os.path.exists(crash_ingest)

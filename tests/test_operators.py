@@ -743,6 +743,29 @@ def test_bpe_train_batched_equals_sequential(spark):
         assert got == expected, f"seed {seed}"
         assert sum(stats["batch_sizes"]) == len(got)
 
+    # space-collision regression (review r6): merged tokens contain
+    # spaces from round 2 on, so the pair ('a', 'b c') and the pair
+    # ('a b', 'c') join to the same string — the membership test must
+    # compare both adjacency elements exactly, or ['a b', 'c'] gets
+    # merged by a batch that only contains ('a', 'b c')
+    from jobinsight_data_pipeline_v2_spark.operators.tokenizer import (
+        apply_merges,
+    )
+
+    sym = spark.createDataFrame(
+        [(1, ["a", "b c", "z"]), (2, ["a b", "c", "z"]), (3, ["x", "y"])],
+        "id: long, s: array<string>",
+    )
+    out = {
+        r.id: list(r.s)
+        for r in apply_merges(sym, [("a", "b c"), ("x", "y")]).collect()
+    }
+    assert out == {
+        1: ["a b c", "z"],      # ('a', 'b c') merges
+        2: ["a b", "c", "z"],   # ('a b', 'c') must NOT
+        3: ["x y"],
+    }
+
     # separated-count corpus: 50 disjoint pairs with distinct counts,
     # one per 2-token doc -> the batch drains batch_max merges per
     # round and 50 merges take ~ceil(50/16) Spark rounds, not 50

@@ -429,9 +429,11 @@ def test_bloom_prefilter_plan(spark):
     grams = spark.range(100).select(
         F.xxhash64(F.concat(F.lit("g"), F.col("id"))).alias("hk")
     )
-    probed = bloom_probe(
-        grams.crossJoin(F.broadcast(bloom_build(grams)))
-    ).filter("bh")
+    # the gate's pre-checkpoint subtree keeps bh as a COLUMN (rule 14:
+    # filtering before the boundary would let predicate pushdown
+    # rewrite the bit tests into the join condition, re-inlining the
+    # hoisted positions) — assert on exactly that shape
+    probed = bloom_probe(grams.crossJoin(F.broadcast(bloom_build(grams))))
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
@@ -440,9 +442,17 @@ def test_bloom_prefilter_plan(spark):
     assert "CartesianProduct" not in p
     assert "bit_or" in p
     # r6: the K probe positions are hoisted into one projection so each
-    # position's xxhash64 evaluates once, not twice per bit test
-    assert p.count("xxhash64(hk") >= _BLOOM_K
-    assert "__bp0" in p
+    # position's xxhash64 evaluates once, not twice per bit test — the
+    # bit-test expressions must reference the hoisted __bp columns,
+    # never an inline xxhash64 (occurrence COUNTS are useless here:
+    # formatted explain repeats expressions across sections)
+    assert "__bp0" in p and f"__bp{_BLOOM_K - 1}" in p
+    bit_test_lines = [l for l in p.splitlines() if "element_at(__bfm" in l]
+    assert bit_test_lines, p
+    assert not any("xxhash64(hk" in l for l in bit_test_lines), (
+        "probe positions re-inlined into the bit tests:\n"
+        + "\n".join(bit_test_lines)
+    )
 
 
 def test_ivfpq_probed_gate_no_cartesian(spark):
