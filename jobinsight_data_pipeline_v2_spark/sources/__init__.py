@@ -8,8 +8,10 @@ same pipeline.
 """
 
 from .html_source import html_pages_to_raw_jobs, parse_html  # noqa: F401
-from .jsonl_source import read_jsonl_docs  # noqa: F401
+from .jsonl_source import read_jsonl_docs, read_jsonl_stream  # noqa: F401
 from .warc_source import (  # noqa: F401
     read_warc_records,
+    read_warc_stream,
     warc_html_payloads,
+    write_warc_archive,
 )

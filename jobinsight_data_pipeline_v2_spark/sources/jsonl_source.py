@@ -61,6 +61,15 @@ def read_jsonl_docs(
     projections of one splittable text scan.
     """
     raw = spark.read.text(path).select(F.col("value").alias("line"))
+    return _partition_lines(raw, schema, required_fields)
+
+
+def _partition_lines(
+    raw: DataFrame, schema: StructType, required_fields: tuple[str, ...]
+) -> tuple[DataFrame, DataFrame]:
+    """The stateless parse/partition shared by the batch and streaming
+    readers: (line) → (typed docs, quarantine), both narrow
+    projections of the one input frame."""
     # from_json under PERMISSIVE yields an all-null struct (not a NULL
     # struct) for malformed input — indistinguishable from a sparse
     # valid object — so malformed detection rides the dedicated
@@ -91,3 +100,29 @@ def read_jsonl_docs(
         "line", "reason"
     )
     return docs, quarantine
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = DOC_SCHEMA,
+    required_fields: tuple[str, ...] = ("doc_id", "text"),
+    max_files_per_trigger: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of ``read_jsonl_docs``: newly landed JSONL dumps
+    become micro-batches of (typed docs, quarantine) — the corpus-drop
+    ingestion shape (a producer finishing a dump file = one trigger of
+    downstream curation).
+
+    Same stateless parse as the batch reader, so batch == stream row
+    for row; both returned frames are streaming and feed the existing
+    stateless twins (classifier_stream, chunk_stream, …) directly.
+    The two frames are independent streaming queries when started —
+    Spark re-reads the text source for each, which is the lines scan
+    only (no state, no shuffle).
+    """
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.text(path).select(F.col("value").alias("line"))
+    return _partition_lines(raw, schema, required_fields)

@@ -1217,3 +1217,49 @@ def test_streaming_warc_equals_batch(spark, tmp_path):
         ("https://a.example/x", "<html>alpha</html>"),
         ("https://b.example/y", "<html>bravo</html>"),
     }
+
+
+def test_streaming_jsonl_equals_batch(spark, tmp_path):
+    """JSONL corpus-drop stream (20th twin): typed docs AND quarantine
+    streamed out of newly landed dump files equal the batch reader's
+    partition exactly, one file per micro-batch."""
+    import json
+
+    from jobinsight_data_pipeline_v2_spark.sources.jsonl_source import (
+        read_jsonl_docs,
+        read_jsonl_stream,
+    )
+
+    land = os.path.join(str(tmp_path), "jsonl_landing")
+    os.makedirs(land)
+    dumps = [
+        [
+            json.dumps({"doc_id": 1, "text": "hello world", "lang": "en",
+                        "source": "s0", "n_chars": 11}),
+            "{broken",
+        ],
+        [
+            json.dumps({"doc_id": 2, "text": "xin chào"}),
+            json.dumps({"text": "no id"}),
+        ],
+        [
+            json.dumps({"doc_id": 5}),
+            json.dumps({"doc_id": 3, "text": "third dump"}),
+        ],
+    ]
+    for i, lines in enumerate(dumps):
+        with open(os.path.join(land, f"dump_{i}.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    docs_s, quar_s = read_jsonl_stream(spark, land, max_files_per_trigger=1)
+    q1 = run_stream_to_memory(spark, docs_s, "jsonl_docs_stream")
+    q2 = run_stream_to_memory(spark, quar_s, "jsonl_quar_stream")
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    got_docs = spark.sql("SELECT * FROM jsonl_docs_stream")
+    got_quar = spark.sql("SELECT * FROM jsonl_quar_stream")
+    exp_docs, exp_quar = read_jsonl_docs(spark, land)
+    for got, exp in ((got_docs, exp_docs), (got_quar, exp_quar)):
+        sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
+        assert sym == 0
+    assert got_docs.count() == 3 and got_quar.count() == 3
