@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "bloom_decontaminate",
     # round 6 additions
     "jsonl_roundtrip",  # S15 ingest: JSONL write + text-scan read-back
+    "token_budget_select",  # budget cut via histogram offsets
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

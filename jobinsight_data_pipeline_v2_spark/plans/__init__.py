@@ -137,7 +137,10 @@ PRIORITY: tuple[str, ...] = (
 #     which sits above the fold; stays local-gated),
 #   warc_roundtrip (r6, born below the fold: the source-roundtrip
 #     family is pinned above by jsonl_roundtrip; the WARC variant
-#     stays local-gated).
+#     stays local-gated),
+#   token_budget_select (r6, born below the fold: the sampling/
+#     assembly family is pinned above by hash_split + shuffle_shards +
+#     sequence_pack; the budget cut stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

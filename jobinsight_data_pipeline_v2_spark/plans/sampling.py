@@ -649,3 +649,136 @@ def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus selection (data curation under a training budget)
+# ---------------------------------------------------------------------------
+#
+# The assembly step after scoring: "take the best documents until the
+# token budget is spent" — every pre-training data recipe ends in this
+# cut. Naively it is a GLOBAL ordered cumulative sum (ORDER BY score
+# DESC over the corpus), i.e. the W4 single-task funnel. The scalable
+# decomposition: scores are class-valued (integer quality scores,
+# quantized logits), so ONE aggregation per score class gives a
+# driver-sized histogram; walking it finds the boundary class and each
+# class's global token offset; the exact per-doc cumulative sum is
+# then offset[class] + a within-class running sum — windows partition
+# by score class, never a global sort. The emitted cum_tokens is the
+# exact global prefix sum, so the oracle's naive global-window SQL
+# must match hash-for-hash.
+
+
+def select_token_budget(
+    scored: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs whose INCLUSIVE running token sum stays ≤ ``budget`` in
+    (score DESC, id ASC) order, with the exact global prefix sum as
+    ``cum_tokens`` — prefix semantics (the cut is a point in the
+    ranked stream, stable under reprocessing; no knapsack skipping).
+
+    Rows must carry a positive ``token_col`` (zero-token docs make the
+    boundary ambiguous — filter upstream). Scale shape: one score-class
+    aggregation (driver-sized histogram), one exchange partitioned by
+    score class for the within-class running sums; the heaviest class
+    bounds parallelism — a corpus concentrated in ONE class would salt
+    the class and two-level the offsets (not needed at gate scale).
+    """
+    hist = (
+        scored.groupBy(F.col(score_col).alias("s"))
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    )
+    classes = sorted(((r["s"], int(r["t"])) for r in hist), reverse=True)
+    offsets: dict = {}
+    cum_before = 0
+    for s, t in classes:
+        if cum_before >= budget:
+            break  # positive tokens: nothing below can ever fit
+        offsets[s] = cum_before
+        cum_before += t
+    if not offsets:
+        return (
+            scored.select(
+                id_col,
+                F.col(score_col).cast("long").alias("score"),
+                F.col(token_col).cast("long").alias("n_tokens"),
+                F.lit(None).cast("long").alias("cum_tokens"),
+            )
+            .filter(F.lit(False))
+        )
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = (
+        Window.partitionBy(score_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = scored.filter(F.col(score_col) >= min(offsets))
+    return (
+        kept.withColumn(
+            "cum_tokens",
+            F.element_at(off_map, F.col(score_col))
+            + F.sum(token_col).over(w),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            id_col,
+            F.col(score_col).cast("long").alias("score"),
+            F.col(token_col).cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )
+
+
+@register(
+    "token_budget_select",
+    f"""
+    WITH f AS (
+        SELECT doc_id,
+               len(list_distinct({_SQL_TOKENS})) AS score,
+               len({_SQL_TOKENS}) AS n_tokens
+        FROM documents
+        WHERE len({_SQL_TOKENS}) > 0
+    ),
+    b AS (SELECT 3 * SUM(n_tokens) // 10 AS budget FROM f),
+    c AS (
+        SELECT doc_id, score, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM f
+    )
+    SELECT c.doc_id,
+           CAST(c.score AS BIGINT) AS score,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           CAST(c.cum AS BIGINT) AS cum_tokens
+    FROM c, b WHERE c.cum <= b.budget
+    ORDER BY c.doc_id
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the best-scoring documents until 30% of the corpus's
+    tokens are spent (score = distinct-token count, an integer both
+    engines compute identically; budget = 3·total div 10 in integer
+    arithmetic — a float fraction would ulp-diverge at the boundary).
+
+    The oracle is the naive global-window cumulative sum; the engine
+    answers with the histogram-offset decomposition — hash equality
+    proves the scalable plan computes the exact same global prefix.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("score"),
+        F.size(toks).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    scored = scored.localCheckpoint(eager=False)  # histogram + window scan
+    total = scored.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
+    budget = 3 * int(total) // 10
+    return select_token_budget(scored, budget).orderBy("doc_id")

@@ -743,6 +743,22 @@ def test_bpe_train_batched_equals_sequential(spark):
         assert got == expected, f"seed {seed}"
         assert sum(stats["batch_sizes"]) == len(got)
 
+    # depth fuzz: 3-symbol vocab, 16 merges — late rounds merge pairs
+    # whose SYMBOLS are themselves space-joined merged tokens, the
+    # regime where a joined-string membership key collides (review r6)
+    rng = random.Random(3)
+    texts = {
+        i: " ".join(rng.choice("abc") for _ in range(rng.randint(6, 30)))
+        for i in range(50)
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id: long, text: string"
+    )
+    expected = ref_bpe(texts, 16)
+    got = bpe_train(docs, n_merges=16, batch_max=4)
+    assert got == expected
+    assert any(" " in a or " " in b for a, b, _ in got)  # depth reached
+
     # space-collision regression (review r6): merged tokens contain
     # spaces from round 2 on, so the pair ('a', 'b c') and the pair
     # ('a b', 'c') join to the same string — the membership test must

@@ -508,3 +508,51 @@ def test_first_activity_cohort_matrix_staggered(spark):
     assert got == expected
     # staggering is real: multiple distinct cohort weeks
     assert len({c for c, _ in got}) >= 3
+
+
+def test_select_token_budget_matches_naive(spark):
+    """The histogram-offset decomposition == the naive global ordered
+    cumulative-sum prefix, across boundary positions, heavy score
+    ties, exact-fit budgets, budget 0, and budget >= total."""
+    import random
+
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        select_token_budget,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randint(0, 5), rng.randint(1, 9)) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, score: long, n_tokens: long")
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    total = sum(t for _, _, t in rows)
+
+    def naive(budget):
+        out, cum = [], 0
+        for i, s, t in ordered:
+            cum += t
+            if cum > budget:
+                continue  # prefix semantics: nothing after fits either
+            out.append((i, s, t, cum))
+        return {r[0]: r for r in out}
+
+    exact_prefix = 0
+    for k, (_, _, t) in enumerate(ordered):
+        if k < 40:
+            exact_prefix += t
+    for budget in (0, 1, exact_prefix, exact_prefix + 1, total, total + 5):
+        got = {
+            r.doc_id: (r.doc_id, r.score, r.n_tokens, r.cum_tokens)
+            for r in select_token_budget(df, budget).collect()
+        }
+        # prefix semantics: selection = docs with inclusive cum <= budget,
+        # and since tokens are positive the kept set IS a prefix
+        expected = {}
+        cum = 0
+        for i, s, t in ordered:
+            cum += t
+            if cum > budget:
+                break
+            expected[i] = (i, s, t, cum)
+        assert got == expected, budget
