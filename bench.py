@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     # round 6 additions
     "jsonl_roundtrip",  # S15 ingest: JSONL write + text-scan read-back
     "token_budget_select",  # budget cut via histogram offsets
+    "bigram_coverage",  # n-gram-LM quality signal, integer-exact core
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -140,7 +140,10 @@ PRIORITY: tuple[str, ...] = (
 #     stays local-gated),
 #   token_budget_select (r6, born below the fold: the sampling/
 #     assembly family is pinned above by hash_split + shuffle_shards +
-#     sequence_pack; the budget cut stays local-gated).
+#     sequence_pack; the budget cut stays local-gated),
+#   bigram_coverage (r6, born below the fold: quality scoring is
+#     pinned above by doc_quality; the n-gram-LM signal stays
+#     local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -610,3 +610,124 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM coverage scoring (the n-gram language-model quality signal)
+# ---------------------------------------------------------------------------
+#
+# The classic LM-based quality filter scores documents by how typical
+# their n-gram stream is of the corpus (KenLM-style perplexity in
+# production curation). A log-probability perplexity would ulp-diverge
+# between engines, so the gate pins the integer-exact core of the same
+# signal: build the corpus's top-V bigram vocabulary, score each doc
+# by the fraction of its bigram OCCURRENCES covered by that
+# vocabulary, division last (the embedding-quantization float
+# discipline). Gibberish and boilerplate-free natural text separate on
+# exactly this statistic.
+
+_BIGRAM_TOP_V = 500
+_SQL_BIGRAMS = (
+    "list_transform(generate_series(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i + 1])"
+)
+
+
+def bigram_vocab(bigrams: DataFrame, top_v: int = _BIGRAM_TOP_V) -> DataFrame:
+    """(bg,) — the ``top_v`` most frequent bigrams of a (…, bg)
+    occurrence stream, ties broken lexicographically (a total order,
+    rule 3). One map-side-combined count on the bigram key, then
+    TakeOrdered — vocabulary-sized, broadcastable by construction."""
+    return (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bg")
+        .limit(top_v)
+        .select("bg")
+    )
+
+
+@register(
+    "bigram_coverage",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bg FROM toks
+    ),
+    vocab AS (
+        SELECT bg FROM (
+            SELECT bg, COUNT(*) AS n FROM bigrams GROUP BY bg
+            ORDER BY n DESC, bg LIMIT {_BIGRAM_TOP_V}
+        )
+    ),
+    per_doc AS (
+        SELECT b.doc_id,
+               COUNT(*) AS n_bi,
+               CAST(SUM(CASE WHEN v.bg IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cov
+        FROM bigrams b LEFT JOIN vocab v USING (bg)
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, CAST(n_bi AS BIGINT) AS n_bi, n_cov,
+           CAST(n_cov AS DOUBLE) / n_bi AS coverage
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM coverage: the fraction of the doc's bigram
+    occurrences that fall inside the corpus's top-{_BIGRAM_TOP_V}
+    bigram vocabulary — the integer-exact core of an n-gram LM quality
+    filter (coverage is monotone in the truncated-LM probability mass
+    the doc draws from).
+
+    Scale shape: bigram construction is in-row (narrow transform);
+    the vocabulary is ONE map-side-combined count + TakeOrdered
+    (vocabulary-sized, broadcast); per-doc scoring is a broadcast
+    LEFT join of the doc's bigram stream against the vocab plus one
+    groupBy(doc) with map-side partials. Docs with fewer than two
+    tokens carry no bigrams and drop out on both sides. The gate's
+    only float is the final division of two exact integers.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("t"),
+    )
+    # two consumers (vocab build + scoring) of one exploded stream —
+    # checkpoint so the corpus scan and bigram construction run once
+    # (rule 12)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                if(size(t) >= 2,
+                   transform(sequence(1, size(t) - 1),
+                             i -> concat(element_at(t, i), ' ',
+                                         element_at(t, i + 1))),
+                   cast(array() as array<string>))
+                """
+            )
+        ).alias("bg"),
+    ).localCheckpoint(eager=False)
+    vocab = bigram_vocab(bigrams)
+    return (
+        bigrams.join(
+            F.broadcast(vocab.withColumn("__v", F.lit(1))), "bg", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bi"),
+            F.sum(F.coalesce("__v", F.lit(0))).cast("long").alias("n_cov"),
+        )
+        .select(
+            "doc_id",
+            "n_bi",
+            "n_cov",
+            (F.col("n_cov").cast("double") / F.col("n_bi")).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
