@@ -41,6 +41,14 @@ BENCH_QUERIES = [
     "latest_order_per_customer",
     "dedup_first_lineitem",
     "date_dimension",
+    # bloom sits HERE, away from its list-order round (r6): its
+    # neighbors in BOTH pass directions (date_dimension / events
+    # windowing) are light, checkpoint-free queries — parked at the
+    # end of the list it inherited a checkpoint-heavy predecessor in
+    # each direction (text-dedup block forward, bigram/budget gates
+    # reversed) and paid the order-position penalty twice, which
+    # min() then could not remove
+    "bloom_decontaminate",
     # events
     "events_hourly",
     "sessionize",
@@ -93,9 +101,9 @@ BENCH_QUERIES = [
     "conversion_funnel",
     "bpe_pair_counts",
     "anomaly_days",
-    # round 5 additions
+    # round 5 additions (bloom_decontaminate benched above, placed
+    # between light neighbors)
     "cohort_retention",
-    "bloom_decontaminate",
     # round 6 additions
     "jsonl_roundtrip",  # S15 ingest: JSONL write + text-scan read-back
     "token_budget_select",  # budget cut via histogram offsets

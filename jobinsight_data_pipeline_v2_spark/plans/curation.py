@@ -567,12 +567,14 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     # the at-scale join shape: only bloom-surviving grams reach the
     # verify join (no broadcast hint — when the bench set outgrows a
-    # broadcast this is the shuffle whose input the bloom just cut)
-    hits = (
-        marked.filter("bh")
-        .join(bench_keys, "hk", "left_semi")
-        .localCheckpoint(eager=False)  # consumed by values AND monitor
-    )
+    # broadcast this is the shuffle whose input the bloom just cut).
+    # hits is consumed twice (values + monitor) but deliberately NOT
+    # checkpointed (r6): both inputs are already checkpointed longs,
+    # so the recompute is a filter + semi-join — cheaper than a third
+    # synchronous materialization barrier (A/B 2.13 → 1.90 s at sf0.1
+    # in one session; rule 12 applies to expensive subtrees, not to
+    # projections of existing checkpoints)
+    hits = marked.filter("bh").join(bench_keys, "hk", "left_semi")
     contaminated = hits.select("doc_id").distinct().withColumn(
         "__c", F.lit(1)
     )

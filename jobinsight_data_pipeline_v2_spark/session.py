@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # The generated-class cache defaults to 100 entries; a session
+        # running a wide query mix (65+ bench queries x several
+        # codegen stages each) evicts and Janino-RECOMPILES plans on
+        # every revisit — measured +1.5s on the bloom gate's first
+        # re-execution after a full pass, gone at steady state. Sized
+        # for a fleet analytics session, not a notebook (r6).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -67,6 +74,13 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        # generated-class cache sizing (see get_spark); only takes
+        # effect if the JVM-global cache is not yet instantiated —
+        # harmless otherwise
+        spark.conf.set("spark.sql.codegen.cache.maxEntries", "5000")
+    except Exception:
+        pass
     # Pin the session zone: ntz→timestamp casts (sliding windows,
     # streaming twins) must not depend on the host JVM's default zone —
     # a :45-offset zone would misalign the 30-minute wall-clock grid.

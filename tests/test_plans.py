@@ -556,3 +556,27 @@ def test_select_token_budget_matches_naive(spark):
                 break
             expected[i] = (i, s, t, cum)
         assert got == expected, budget
+
+
+def test_token_budget_select_no_global_window(spark):
+    """The budget cut must never funnel the corpus through a global
+    ordered window (W4): the running sums partition by score class,
+    and no Exchange SinglePartition appears anywhere in the plan."""
+    p = _plan(spark, "token_budget_select")
+    assert "Exchange SinglePartition" not in p, p
+    window_lines = [
+        l for l in p.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert window_lines, p
+    assert any("score" in l for l in window_lines), p
+
+
+def test_bigram_coverage_vocab_broadcasts(spark):
+    """The vocabulary side is top-V-sized by construction and must
+    ride a broadcast join back onto the corpus bigram stream — a
+    shuffle join on the bigram key would move the corpus twice. The
+    vocab selection itself must be TakeOrdered, not a global sort."""
+    p = _plan(spark, "bigram_coverage")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
