@@ -623,32 +623,7 @@ def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     break by doc_id: a total order per CLAUDE.md rule 3.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    rank_key = (
-        F.conv(
-            F.substring(
-                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("rank_key")
-    )
-    ranked = docs.select("doc_id", rank_key)
-    w = Window.partitionBy("shard").orderBy("rank_key", "doc_id")
-    return (
-        ranked.select(
-            (F.col("rank_key") % _SHUFFLE_SHARDS).alias("shard"),
-            "rank_key",
-            "doc_id",
-        )
-        .select(
-            "shard",
-            F.row_number().over(w).cast("long").alias("pos"),
-            "doc_id",
-        )
-        .orderBy("shard", "pos")
-    )
+    return shard_assignments(docs).orderBy("shard", "pos")
 
 
 # ---------------------------------------------------------------------------
@@ -782,3 +757,65 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = scored.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
     budget = 3 * int(total) // 10
     return select_token_budget(scored, budget).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# sharded training-data sink (the deliverable of the assembly phase)
+# ---------------------------------------------------------------------------
+
+
+def shard_assignments(
+    docs: DataFrame, id_col: str = "doc_id", n_shards: int = _SHUFFLE_SHARDS
+) -> DataFrame:
+    """(shard, pos, id) — the deterministic global-shuffle order of
+    ``shuffle_shards``, parameterized (the gate pins the statistic at
+    the default shard count; this is the reusable surface). One
+    shuffle on the shard key; per-shard row_number windows."""
+    rank_key = (
+        F.conv(
+            F.substring(
+                F.md5(F.col(id_col).cast("string").cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("rank_key")
+    )
+    w = Window.partitionBy("shard").orderBy("rank_key", id_col)
+    return (
+        docs.select(F.col(id_col), rank_key)
+        .select((F.col("rank_key") % n_shards).alias("shard"), "rank_key", id_col)
+        .select("shard", F.row_number().over(w).cast("long").alias("pos"), id_col)
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    n_shards: int = _SHUFFLE_SHARDS,
+) -> None:
+    """Materialize the corpus as ``shard=N/`` parquet dirs whose row
+    order IS the deterministic interleave — the file set a trainer's
+    data loader streams sequentially.
+
+    Scale shape: attach payloads to the shard/pos assignment (an
+    id-keyed join — both sides hash on the id, AQE co-partitions),
+    ONE repartition on the shard key, sortWithinPartitions(shard,
+    pos) so each task writes its shard(s) in position order, then a
+    partitioned write. No global sort: ordering is per shard by
+    construction. Readers that stream each shard file front-to-back
+    (every training loader) see exactly the interleave; a SQL engine
+    reading the whole directory must re-sort on pos, which the column
+    carries for that purpose.
+    """
+    assign = shard_assignments(docs, id_col, n_shards)
+    (
+        assign.join(docs, id_col)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

@@ -580,3 +580,44 @@ def test_bigram_coverage_vocab_broadcasts(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_write_training_shards_order_and_coverage(spark, tmp_path):
+    """The sharded sink writes every doc exactly once, shard dirs
+    match the assignment, and within each shard file the physical row
+    order is the deterministic interleave (pos ascending) — what a
+    sequential training loader consumes."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        shard_assignments,
+        write_training_shards,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang")
+        .filter(F.col("doc_id") < 200)
+    )
+    out = os.path.join(str(tmp_path), "shards")
+    write_training_shards(docs, out, n_shards=4)
+
+    expected = {
+        (r.shard, r.pos, r.doc_id)
+        for r in shard_assignments(docs, n_shards=4).collect()
+    }
+    got = set()
+    for shard_dir in sorted(glob.glob(os.path.join(out, "shard=*"))):
+        shard = int(shard_dir.rsplit("=", 1)[1])
+        files = sorted(glob.glob(os.path.join(shard_dir, "*.parquet")))
+        assert len(files) == 1, "one task wrote one file per shard"
+        t = pq.read_table(files[0])
+        pos = t.column("pos").to_pylist()
+        ids = t.column("doc_id").to_pylist()
+        assert pos == sorted(pos), f"shard {shard} not in interleave order"
+        got.update((shard, p, i) for p, i in zip(pos, ids))
+    assert got == expected
