@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "jsonl_roundtrip",  # S15 ingest: JSONL write + text-scan read-back
     "token_budget_select",  # budget cut via histogram offsets
     "bigram_coverage",  # n-gram-LM quality signal, integer-exact core
+    "substring_dedup",  # suffix-array-style span dedup + reassembly
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

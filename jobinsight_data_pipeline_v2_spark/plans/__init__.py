@@ -143,6 +143,11 @@ PRIORITY: tuple[str, ...] = (
 #     sequence_pack; the budget cut stays local-gated),
 #   bigram_coverage (r6, born below the fold: quality scoring is
 #     pinned above by doc_quality; the n-gram-LM signal stays
+#     local-gated),
+#   substring_dedup (r6, born below the fold: the dedup family is
+#     pinned above by exact_dedup + minhash_lsh_candidates, and
+#     first-occurrence-wins reassembly by the same window-min device
+#     as segment_dedup; the suffix-array-style span semantics stay
 #     local-gated).
 
 

@@ -731,3 +731,226 @@ def bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-span dedup (suffix-array-style, seeded by dup L-grams)
+# ---------------------------------------------------------------------------
+#
+# The marquee corpus operator of Lee et al., "Deduplicating Training
+# Data Makes Language Models Better": remove every *substring* that
+# occurs more than once corpus-wide, keeping its first occurrence.
+# The paper builds a corpus suffix array; the standard distributed
+# approximation (exact for spans of >= L tokens) exploits that every
+# duplicated span of length >= L contains a duplicated L-gram:
+#
+#   1. stream every overlapping L-token gram with its (doc, pos),
+#   2. an occurrence is REDUNDANT iff an identical gram occurs earlier
+#      in global (doc_id, pos) order — window-min on the gram hash,
+#      exactly segment_dedup's first-occurrence-wins device,
+#   3. per doc, merge the redundant occurrences' [pos, pos+L-1] windows
+#      into maximal spans (overlapping-or-adjacent coalesce) and cut
+#      the covered tokens out of the document.
+#
+# Differences from segment_dedup: segments are FIXED non-overlapping
+# 8-token blocks (C4's line dedup), so a duplicate that straddles a
+# segment boundary survives; this operator's overlapping grams catch
+# any shared run of >= L tokens at any alignment, which is the actual
+# suffix-array semantics at token granularity.
+#
+# Scale shape (100 TB): gram rows are (long, int, long) triples — the
+# gram STRING never leaves the projection that hashes it (xxhash64,
+# grouping-only, the _shingle_key convention). One shuffle on the gram
+# hash (window-min, partitionBy only), one map-side-combined
+# groupBy(doc) collecting the per-doc redundant positions (bounded by
+# doc gram count), one doc-keyed join back to the token arrays, then
+# the span merge / coverage / reassembly run entirely in-row over the
+# sorted position list (coverage added by occurrence j is
+# min(L, pos_j - pos_{j-1}) — no per-token flag array is ever built,
+# so there is no rule-10 multi-reference lambda-array trap and no
+# checkpoint is needed). A globally hot gram (boilerplate) concentrates
+# one hash group doing O(n) min work, never O(n²) pairing.
+
+_SPAN_L = 16
+# overlapping L-gram scanner: consume the separator, capture the next
+# L tokens in a lookahead (text.py's _SHINGLE_RE device — no
+# per-position token array is materialized, so the gram stream is one
+# narrow regex pass with no checkpoint)
+_SPAN_RE = r"(?:^| )(?=((?:\S+ ){" + str(_SPAN_L - 1) + r"}\S+))"
+
+
+def redundant_gram_positions(docs: DataFrame, l: int = _SPAN_L) -> DataFrame:
+    """(doc_id, dps) — per doc, the sorted 1-based token positions of
+    every L-gram occurrence whose gram text appears earlier in global
+    (doc_id, position) order. Docs with no redundant grams are absent
+    (callers left-join). The packed first-occurrence key reuses
+    segment_rows' guarded doc_id*1e6+pos encoding."""
+    pat = r"(?:^| )(?=((?:\S+ ){" + str(l - 1) + r"}\S+))"
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit(pat), F.lit(1))
+        ).alias("p0", "g"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        _shingle_key("g").alias("sk"),
+        (
+            F.col("doc_id") * 1_000_000
+            + F.col("p0")
+            + 1
+            + F.coalesce(
+                F.assert_true(
+                    F.col("p0") + 1 < 1_000_000,
+                    F.lit(
+                        "substring dedup: gram position >= 1e6 (document "
+                        "over ~1M tokens) overflows the packed "
+                        "first-occurrence key; widen ord"
+                    ),
+                ).cast("bigint"),
+                F.lit(0),
+            )
+        ).alias("ord"),
+    )
+    dups = grams.withColumn(
+        "first_ord", F.min("ord").over(Window.partitionBy("sk"))
+    ).filter(F.col("ord") > F.col("first_ord"))
+    return dups.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("dps")
+    )
+
+
+def cut_duplicate_spans(
+    docs: DataFrame, dup_pos: DataFrame, l: int = _SPAN_L
+) -> DataFrame:
+    """(doc_id, n_tok, n_dup_occ, n_spans, n_removed, clean_text) —
+    merge each doc's redundant-gram windows [p, p+l-1] into maximal
+    spans and reassemble the document from the surviving tokens.
+    Entirely in-row over the sorted position list after one doc-keyed
+    left join; empty-token docs are dropped (no substring semantics
+    without tokens)."""
+    joined = (
+        docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+        .filter(F.size("t") > 0)
+        .join(dup_pos, "doc_id", "left")
+        .select(
+            "doc_id",
+            "t",
+            F.coalesce("dps", F.expr("cast(array() as array<int>)")).alias(
+                "dps"
+            ),
+        )
+    )
+    # span starts: occurrence j opens a new maximal span iff it begins
+    # past the previous window's end+1 (windows all have length l, so
+    # the running span end is pos_{j-1}+l-1 for sorted positions);
+    # coverage added by occurrence j is min(l, pos_j - pos_{j-1}).
+    # sequence(1, 0) counts DOWN (rule 4) — the empty-dps branch is
+    # guarded explicitly.
+    clean = joined.select(
+        "doc_id",
+        "t",
+        "dps",
+        F.expr(
+            f"filter(t, (x, i) -> not exists("
+            f"dps, d -> d <= i + 1 and i + 1 <= d + {l} - 1))"
+        ).alias("clean"),
+        F.expr(
+            f"""
+            if(size(dps) = 0, cast(0 as bigint),
+               aggregate(sequence(2, size(dps) + 1), cast(1 as bigint),
+                         (acc, j) -> acc + if(j <= size(dps) and
+                             element_at(dps, j) >
+                                 element_at(dps, j - 1) + {l},
+                             1, 0)))
+            """
+        ).alias("n_spans"),
+    )
+    return clean.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tok"),
+        F.size("dps").cast("long").alias("n_dup_occ"),
+        "n_spans",
+        (F.size("t") - F.size("clean")).cast("long").alias("n_removed"),
+        F.expr("nullif(concat_ws(' ', clean), '')").alias("clean_text"),
+    )
+
+
+@register(
+    "substring_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               list_aggregate(t[i : i + {_SPAN_L} - 1], 'string_agg', ' ')
+                   AS g
+        FROM toks,
+             UNNEST(generate_series(1, len(t) - {_SPAN_L} + 1)) AS u(i)
+    ),
+    dups AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   doc_id * 1000000 + pos
+                       > MIN(doc_id * 1000000 + pos) OVER (PARTITION BY g)
+                       AS is_dup
+            FROM grams
+        ) WHERE is_dup
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_occ,
+               CAST(SUM(CASE WHEN prev IS NULL
+                             OR pos > prev + {_SPAN_L} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_spans
+        FROM (SELECT doc_id, pos,
+                     LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS prev
+              FROM dups)
+        GROUP BY doc_id
+    ),
+    covered AS (
+        SELECT DISTINCT d.doc_id, d.pos + o.off AS p
+        FROM dups d, UNNEST(generate_series(0, {_SPAN_L} - 1)) AS o(off)
+    ),
+    kept AS (
+        SELECT tp.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(CASE WHEN c.p IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_removed,
+               string_agg(CASE WHEN c.p IS NULL THEN tp.tok END,
+                          ' ' ORDER BY tp.p) AS clean_text
+        FROM (SELECT t.doc_id, u.p AS p, t.t[u.p] AS tok
+              FROM toks t,
+                   UNNEST(generate_series(1, len(t.t))) AS u(p)) tp
+        LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.p = tp.p
+        GROUP BY tp.doc_id
+    )
+    SELECT k.doc_id, k.n_tok,
+           COALESCE(s.n_dup_occ, 0) AS n_dup_occ,
+           COALESCE(s.n_spans, 0) AS n_spans,
+           k.n_removed, k.clean_text
+    FROM kept k LEFT JOIN spans s USING (doc_id)
+    ORDER BY k.doc_id
+    """,
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style exact substring dedup (Lee et al.): cut every
+    corpus-wide duplicated run of >= {_SPAN_L} tokens, first occurrence
+    wins, and reassemble the documents — per doc: token count,
+    redundant-gram occurrences, merged span count, removed-token count,
+    and the deduplicated text.
+
+    The Spark side streams overlapping grams with the one-pass regex
+    scanner and hashes them in the same projection (strings never
+    shuffle); the oracle recomputes the identical semantics from token
+    slices with a per-token coverage join. Exactness: every duplicated
+    span of >= {_SPAN_L} tokens is removed in full (its every token is
+    covered by some redundant window); no span shorter than {_SPAN_L}
+    is ever touched.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return cut_duplicate_spans(
+        docs, redundant_gram_positions(docs)
+    ).orderBy("doc_id")

@@ -98,3 +98,132 @@ def test_cross_dedup_emits_only_batch_docs(spark):
     }
     hits = {r[0] for r in out.select("first_ref_match").collect()}
     assert hits <= ref_ids
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup (suffix-array-style exact span dedup)
+# ---------------------------------------------------------------------------
+
+
+def _ref_substring_dedup(texts: dict[int, list[str]], l: int):
+    """Pure-Python reference: global first-occurrence-wins duplicated
+    L-gram marking, window merge, token cut — the Lee et al. semantics
+    cut_duplicate_spans must reproduce."""
+    seen: set[str] = set()
+    dup_occ: dict[int, list[int]] = {}
+    for d in sorted(texts):
+        t = texts[d]
+        dps = []
+        for p in range(1, len(t) - l + 2):
+            g = " ".join(t[p - 1 : p - 1 + l])
+            if g in seen:
+                dps.append(p)
+            else:
+                seen.add(g)
+        dup_occ[d] = dps
+    out = {}
+    for d in sorted(texts):
+        t, dps = texts[d], dup_occ[d]
+        if not t:
+            continue
+        covered: set[int] = set()
+        for p in dps:
+            covered.update(range(p, p + l))
+        clean = [tok for i, tok in enumerate(t, start=1) if i not in covered]
+        n_spans, prev_end = 0, None
+        for p in dps:
+            if prev_end is None or p > prev_end + 1:
+                n_spans += 1
+            prev_end = p + l - 1
+        out[d] = (
+            len(t),
+            len(dps),
+            n_spans,
+            len(t) - len(clean),
+            " ".join(clean) or None,
+        )
+    return out
+
+
+def _run_substring(spark, texts: dict[int, list[str]], l: int):
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        cut_duplicate_spans,
+        redundant_gram_positions,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in texts.items()], "doc_id long, text string"
+    )
+    rows = cut_duplicate_spans(
+        docs, redundant_gram_positions(docs, l=l), l=l
+    ).collect()
+    return {
+        r["doc_id"]: (
+            r["n_tok"],
+            r["n_dup_occ"],
+            r["n_spans"],
+            r["n_removed"],
+            r["clean_text"],
+        )
+        for r in rows
+    }
+
+
+def test_substring_dedup_crafted_topologies(spark):
+    """Hand-built corpus exercising every edge: cross-doc duplicate
+    span longer than L (must be cut in FULL from the later doc only),
+    overlapping + adjacent windows merging into one span, a doc
+    shorter than L (untouchable), a full-duplicate doc (emptied to
+    NULL), and within-doc internal repetition."""
+    l = 4
+    run = [f"r{i}" for i in range(7)]  # 7-token shared run (> L)
+    texts = {
+        1: ["a1", "a2", *run, "a3", "a4"],
+        2: ["b1", "b2", "b3", *run, "b4"],  # later copy: run cut in full
+        3: ["c1", "c2", "c3"],  # shorter than L: no grams, untouched
+        4: ["a1", "a2", *run, "a3", "a4"],  # full dup of doc 1: emptied
+        5: ["d1", "e1", "e2", "e3", "e4", "d2", "d3", "d4",
+            "e1", "e2", "e3", "e4", "d5"],  # within-doc repetition
+    }
+    got = _run_substring(spark, texts, l)
+    ref = _ref_substring_dedup(texts, l)
+    assert got == ref
+    # the exactness contract, spelled out:
+    assert got[1][3] == 0, "first occurrence never loses a token"
+    assert got[2][3] == len(run), "later copy loses exactly the shared run"
+    assert got[2][2] == 1, "overlapping windows merge into ONE span"
+    assert got[3] == (3, 0, 0, 0, "c1 c2 c3")
+    assert got[4][4] is None, "full duplicate empties to NULL"
+    assert got[5][3] == 4, "second internal copy of the 4-run is cut"
+
+
+def test_substring_dedup_fuzz_vs_reference(spark):
+    """Randomized small-vocab corpus (dense collisions) == the pure
+    Python reference, several seeds in one Spark round trip."""
+    import random
+
+    l = 3
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        texts = {
+            d: [f"w{rng.randrange(6)}" for _ in range(rng.randrange(0, 30))]
+            for d in range(1, 13)
+        }
+        assert _run_substring(spark, texts, l) == _ref_substring_dedup(
+            texts, l
+        ), f"seed {seed}"
+
+
+def test_substring_dedup_plan_shape(spark):
+    """100 TB shape: gram strings are hashed inside the scan projection
+    (xxhash64 visible, no gram-string exchange), the dup window is
+    partitioned by the gram hash (never SinglePartition), the span
+    merge/reassembly is in-row (no per-token exchange), and nothing
+    falls back to Python."""
+    p = _plan(spark, "substring_dedup")
+    assert "xxhash64" in p
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    schema_line = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in schema_line, "unused document columns not pruned"
