@@ -278,3 +278,112 @@ def bpe_train(
         stats["rounds"] = rounds
         stats["batch_sizes"] = batch_sizes
     return merges
+
+
+# ---------------------------------------------------------------------------
+# encoding: APPLY a trained merge table (tokenizer inference)
+# ---------------------------------------------------------------------------
+#
+# Training rewrites the training corpus as a side effect; serving needs
+# the inverse-direction operator — encode NEW documents with a frozen
+# merge table. Classic BPE inference iterates "merge the lowest-RANK
+# pair present" per word; the equivalent single-direction form is one
+# left-to-right pass per rank in rank order, because a merge can only
+# CREATE pairs whose rule (if any) was learned after the symbol it
+# produces — so once rank r has been applied, no rank <= r can become
+# applicable again. Both implementations below rely on that invariant,
+# which holds for any table produced by BPE training (a rule's symbols
+# must exist before the rule is learned); hand-built tables violating
+# it are out of contract.
+
+
+def _encode_batches(pairs: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
+    """Split a rank-ordered merge list into maximal consecutive groups
+    that one ``apply_merges`` fold applies exactly like sequential
+    rank-order application: pairs in a group are mutually
+    symbol-disjoint AND never reference a symbol PRODUCED by an
+    earlier pair of the same group (a created token is only visible to
+    the next fold pass, so such a rank must start a new group)."""
+    batches: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    used: set[str] = set()
+    produced: set[str] = set()
+    for a, b in pairs:
+        if a in used or b in used or a in produced or b in produced:
+            batches.append(cur)
+            cur, used, produced = [], set(), set()
+        cur.append((a, b))
+        used.update((a, b))
+        produced.add(a + " " + b)
+    if cur:
+        batches.append(cur)
+    return batches
+
+
+def bpe_encode(
+    symbols: DataFrame,
+    merges: list[tuple],
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Encode (id, s: array<string>) with a trained merge table, fully
+    in-plan: the rank-ordered table is packed into output-disjoint
+    batches (``_encode_batches``) and each batch is one narrow
+    ``apply_merges`` fold — zero shuffles, zero Python, whole-corpus
+    rewrite per batch. A lazy localCheckpoint every
+    ``checkpoint_every`` batches keeps the chained fold expressions
+    out of one collapsed mega-projection (rule 10) and the plan flat.
+
+    Right-sized for gate/analysis tables (tens to hundreds of ranks).
+    A vocabulary-scale table (30k+ ranks) makes the PLAN the
+    bottleneck — use ``bpe_encode_arrow`` there.
+    """
+    pairs = [(m[0], m[1]) for m in merges]
+    out = symbols
+    for i, batch in enumerate(_encode_batches(pairs)):
+        out = apply_merges(out, batch)
+        if (i + 1) % checkpoint_every == 0:
+            out = out.localCheckpoint(eager=False)
+    return out
+
+
+def bpe_encode_arrow(symbols: DataFrame, merges: list[tuple]) -> DataFrame:
+    """Encode (id, s) with a vocabulary-scale merge table via the
+    sanctioned Arrow edge: the rank map ships to every task inside the
+    closure (a 50k-entry dict is a few MB — broadcast-sized), and each
+    Arrow batch runs the classic min-rank merge loop per document.
+    Output symbols are identical to ``bpe_encode``'s (fuzz-proven);
+    only the execution strategy differs. One narrow mapInPandas stage:
+    no shuffle, parallelism = input partitions."""
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+    schema = symbols.schema
+
+    def _encode_seq(s: list) -> list:
+        while len(s) >= 2:
+            best_rank, best = None, None
+            for xy in zip(s, s[1:]):
+                r = ranks.get(xy)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best = r, xy
+            if best is None:
+                return s
+            a, b = best
+            out, skip = [], False
+            for j, x in enumerate(s):
+                if skip:
+                    skip = False
+                    continue
+                if j + 1 < len(s) and x == a and s[j + 1] == b:
+                    out.append(a + " " + b)
+                    skip = True
+                else:
+                    out.append(x)
+            s = out
+        return s
+
+    def _enc(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["s"] = [_encode_seq(list(s)) for s in pdf["s"]]
+            yield pdf
+
+    return symbols.mapInPandas(_enc, schema=schema)

@@ -148,7 +148,11 @@ PRIORITY: tuple[str, ...] = (
 #     pinned above by exact_dedup + minhash_lsh_candidates, and
 #     first-occurrence-wins reassembly by the same window-min device
 #     as segment_dedup; the suffix-array-style span semantics stay
-#     local-gated).
+#     local-gated),
+#   bpe_encode_roundtrip (r6, born below the fold: the BPE family is
+#     pinned above by bpe_pair_counts; the encode path's loss-free
+#     round trip stays local-gated, and its merge-coverage half is
+#     pinned by the min-rank reference-encoder property tests).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -1230,3 +1230,67 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(_BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode round trip: the tokenizer INFERENCE path, loss-free
+# ---------------------------------------------------------------------------
+#
+# bpe_pair_counts pins the SQL-expressible half of BPE (the training
+# statistic); encoding with a frozen merge table is inherently
+# iterative and has no SQL twin, so this gate pins the half an oracle
+# CAN check end to end: encoding is exactly invertible. The gate
+# trains a merge table on a quarter slice of the corpus (the
+# train/serve split — serving docs the trainer never saw), encodes
+# EVERY document through the real in-plan encode path, then emits the
+# token count and an md5 of the space-rejoined symbol stream. Merged
+# symbols are space-joined super-tokens, so a correct encode
+# reconstructs the original token stream byte-for-byte and the oracle
+# recomputes both columns from the pristine parquet text — any
+# dropped / duplicated / reordered / corrupted token anywhere in the
+# train→batch→fold pipeline breaks the hash. (What the recon hash
+# deliberately does NOT pin is merge COVERAGE — an identity encoder
+# would reconstruct too; tests/test_operators.py pins symbol counts
+# against the pure-Python min-rank reference encoder for that half.)
+
+_ENC_MERGES = 12
+
+
+@register(
+    "bpe_encode_roundtrip",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+           md5(list_aggregate({_SQL_TOKENS}, 'string_agg', ' '))
+               AS recon_md5
+    FROM documents
+    WHERE len({_SQL_TOKENS}) > 0
+    ORDER BY doc_id
+    """,
+)
+def bpe_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {_ENC_MERGES} BPE merges on the doc_id%4==0 quarter of the
+    corpus, encode the WHOLE corpus with the frozen table
+    (``operators/tokenizer.bpe_encode`` — rank-ordered output-disjoint
+    fold batches, zero shuffles), and prove the encode loss-free per
+    document: token count and md5 of the reconstructed token stream,
+    hash-matched against the pristine text.
+    """
+    from ..operators.tokenizer import bpe_encode, bpe_train
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    train_slice = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "text"
+    )
+    merges = bpe_train(train_slice, n_merges=_ENC_MERGES, batch_max=4)
+    symbols = docs.select(
+        F.col("doc_id").alias("id"), F.expr(_TOKENS).alias("s")
+    ).filter(F.size("s") > 0)
+    enc = bpe_encode(symbols, merges)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.size(F.expr("split(concat_ws(' ', s), ' ')"))
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(F.concat_ws(" ", "s").cast("binary")).alias("recon_md5"),
+    ).orderBy("doc_id")

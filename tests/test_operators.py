@@ -953,3 +953,82 @@ def test_ivf_upsert_equals_full_rebuild(spark):
     # monitor must fire at an absurd threshold and stay quiet at 0
     assert report.low_affinity.all()
     assert not ivf_drift_report(batch_index, min_mean_sim=-1.0).toPandas().low_affinity.any()
+
+
+def test_bpe_encode_matches_min_rank_reference(spark):
+    """Encoding with a TRAINED table: the in-plan fold-batch path and
+    the Arrow min-rank path both equal a pure-Python reference encoder
+    (classic lowest-rank-first iteration), on held-out documents the
+    trainer never saw — several seeds, small vocab (dense rank depth,
+    composed symbols in late ranks)."""
+    import random
+
+    from jobinsight_data_pipeline_v2_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_encode_arrow,
+        bpe_train,
+    )
+
+    def ref_encode(s, ranks):
+        s = list(s)
+        while len(s) >= 2:
+            best_rank, best = None, None
+            for xy in zip(s, s[1:]):
+                r = ranks.get(xy)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best = r, xy
+            if best is None:
+                return s
+            a, b = best
+            out, skip = [], False
+            for j, x in enumerate(s):
+                if skip:
+                    skip = False
+                    continue
+                if j + 1 < len(s) and x == a and s[j + 1] == b:
+                    out.append(a + " " + b)
+                    skip = True
+                else:
+                    out.append(x)
+            s = out
+        return s
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        train_texts = {
+            i: " ".join(rng.choice("abcd") for _ in range(rng.randint(6, 28)))
+            for i in range(40)
+        }
+        serve_texts = {
+            i: " ".join(rng.choice("abcd") for _ in range(rng.randint(0, 28)))
+            for i in range(100, 130)
+        }
+        train = spark.createDataFrame(
+            list(train_texts.items()), "doc_id: long, text: string"
+        )
+        merges = bpe_train(train, n_merges=14, batch_max=4)
+        assert any(" " in a or " " in b for a, b, _ in merges), "no depth"
+        ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+        serve = spark.createDataFrame(
+            [(d, t.split()) for d, t in serve_texts.items()],
+            "id: long, s: array<string>",
+        )
+        expected = {
+            d: ref_encode(t.split(), ranks) for d, t in serve_texts.items()
+        }
+        got_plan = {
+            r.id: list(r.s) for r in bpe_encode(serve, merges).collect()
+        }
+        got_arrow = {
+            r.id: list(r.s) for r in bpe_encode_arrow(serve, merges).collect()
+        }
+        assert got_plan == expected, f"plan path, seed {seed}"
+        assert got_arrow == expected, f"arrow path, seed {seed}"
+        # losslessness + coverage: every doc reconstructs, and the
+        # table actually fires on a shared-vocabulary corpus
+        for d, s in got_plan.items():
+            assert " ".join(s).split() == serve_texts[d].split()
+        n_sym = sum(len(s) for s in got_plan.values())
+        n_tok = sum(len(t.split()) for t in serve_texts.values())
+        assert n_sym < n_tok, "encoder never merged anything"
