@@ -205,6 +205,40 @@ def _write_generation(
     _rename_or_raise(fs, src, dst)
 
 
+def _record_index_metrics(
+    metrics, report: dict, duration_seconds: float, run_ts
+) -> None:
+    """One etl_metrics row per maintenance day — the drift report lands
+    in the SAME store the warehouse pipeline reports to, so the
+    existing Grafana-twin rollups (vw_etl_health, task timeseries)
+    monitor index health with zero new panel plumbing. The retrain
+    trigger's inputs ride in ``metadata`` for dashboard drill-down."""
+    import datetime as _dt
+
+    if run_ts is None:
+        run_ts = _dt.datetime.now()
+    metrics.record_etl(
+        dag_id="index_maintenance",
+        task_id="run_index_day",
+        dag_run_id=f"index_{report['day']}",
+        status="success",
+        duration_seconds=duration_seconds,
+        rows_in=report["n_batch"],
+        rows_out=report["n_fresh"],
+        rows_inserted=report["n_fresh"],
+        metadata={
+            "gen": report["gen"],
+            "retrained": report["retrained"],
+            "batch_mean_sim": report["batch_mean_sim"],
+            "n_low_affinity_cells": report["n_low_affinity_cells"],
+            "batch_id": report["batch_id"],
+        },
+        started_at=run_ts,
+        completed_at=run_ts
+        + _dt.timedelta(seconds=duration_seconds),
+    )
+
+
 def run_index_day(
     spark: SparkSession,
     root: str,
@@ -217,6 +251,8 @@ def run_index_day(
     drift_min_sim: float | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    metrics=None,
+    run_ts=None,
 ) -> dict:
     """One day of index maintenance: dedup-assign the batch, persist it
     as an immutable ingest partition, report drift, retrain when the
@@ -229,7 +265,13 @@ def run_index_day(
     to one vector (intra-batch duplicate ids are collapsed to one
     arbitrary row — at-least-once replays duplicate identical rows, so
     the collapse is deterministic in effect).
+
+    With a ``metrics`` store (quality/monitoring.MetricsStore), every
+    day's report is appended to etl_metrics — same store and row shape
+    the warehouse pipeline reports to (``run_ts`` pins the recorded
+    timestamps for deterministic tests; wall clock otherwise).
     """
+    _t0 = time.monotonic()
     _sweep_stale_tmp(spark, root)
     # dedup WITHIN the batch too (review r6): at-least-once delivery
     # duplicates rows inside one day's batch, not just across days,
@@ -255,7 +297,7 @@ def run_index_day(
         stats = idx0.agg(
             F.avg("cell_sim").alias("m"), F.count(F.lit(1)).alias("n")
         ).collect()[0]
-        return {
+        report = {
             "day": day,
             "gen": 0,
             "retrained": True,
@@ -265,9 +307,14 @@ def run_index_day(
             "n_low_affinity_cells": 0,
             "batch_id": day,
         }
+        if metrics is not None:
+            _record_index_metrics(
+                metrics, report, time.monotonic() - _t0, run_ts
+            )
+        return report
 
     if n_batch == 0:
-        return {
+        report = {
             "day": day,
             "gen": gen,
             "retrained": False,
@@ -277,6 +324,11 @@ def run_index_day(
             "n_low_affinity_cells": 0,
             "batch_id": None,
         }
+        if metrics is not None:
+            _record_index_metrics(
+                metrics, report, time.monotonic() - _t0, run_ts
+            )
+        return report
 
     index_dir = f"{root}/gen={gen}/index"
     cents, standing = load_index(spark, root, gen)
@@ -325,7 +377,7 @@ def run_index_day(
         )
         gen += 1
 
-    return {
+    report = {
         "day": day,
         "gen": gen,
         "retrained": bool(retrain),
@@ -335,26 +387,57 @@ def run_index_day(
         "n_low_affinity_cells": int(n_low),
         "batch_id": batch_id,
     }
+    if metrics is not None:
+        _record_index_metrics(metrics, report, time.monotonic() - _t0, run_ts)
+    return report
 
 
 def prune_index_generations(
-    spark: SparkSession, root: str, keep: int = 2
+    spark: SparkSession,
+    root: str,
+    keep: int = 2,
+    max_age_ms: int | None = None,
+    now_ms: int | None = None,
 ) -> list[int]:
-    """Delete all but the newest ``keep`` generations (rollback
-    window); returns the pruned generation numbers."""
+    """Delete superseded generations; returns the pruned numbers.
+
+    Two independent policies, both of which only ever touch
+    NON-CURRENT generations (the newest survives unconditionally, so a
+    paused maintainer can never GC its only serving index):
+
+    - count: all but the newest ``keep`` generations go (rollback
+      window);
+    - age: with ``max_age_ms``, a superseded generation also goes once
+      its promotion is older than the TTL even when it sits inside the
+      count window — generation dirs are promoted with one atomic
+      rename, so the dir's filesystem mtime IS the promotion instant
+      (``now_ms`` pins the clock for deterministic tests).
+
+    A generation is pruned when EITHER policy selects it: count caps
+    rollback breadth, age caps how long a stale quantizer (and its
+    full corpus copy — the dominant storage cost) can linger when
+    retrains are rare.
+    """
     fs, rp = _fs(spark, root)
     if not fs.exists(rp):
         return []
-    gens = sorted(
-        int(s.getPath().getName().split("=", 1)[1])
-        for s in fs.listStatus(rp)
-        if s.isDirectory() and s.getPath().getName().startswith("gen=")
-    )
-    pruned = gens[:-keep] if keep > 0 else gens
-    for g in pruned:
-        _, gp = _fs(spark, f"{root}/gen={g}")
-        fs.delete(gp, True)
-    return pruned
+    stat_by_gen = {}
+    for s in fs.listStatus(rp):
+        name = s.getPath().getName()
+        if s.isDirectory() and name.startswith("gen="):
+            stat_by_gen[int(name.split("=", 1)[1])] = s
+    gens = sorted(stat_by_gen)
+    pruned = set(gens[:-keep] if keep > 0 else gens[:-1])
+    if max_age_ms is not None:
+        now = time.time() * 1000 if now_ms is None else now_ms
+        pruned.update(
+            g
+            for g in gens[:-1]
+            if now - stat_by_gen[g].getModificationTime() > max_age_ms
+        )
+    for g in sorted(pruned):
+        fs.delete(stat_by_gen[g].getPath(), True)
+    return sorted(pruned)
 
 
 def serve_topk(

@@ -204,3 +204,67 @@ def test_stale_tmp_sweep_and_atomicity(spark, root, tmp_path):
     _sweep_stale_tmp(spark, root)
     assert not os.path.exists(crash)
     assert not os.path.exists(crash_ingest)
+
+
+def test_prune_by_age_never_touches_current(spark, root):
+    """Age-based GC: a superseded generation inside the count window is
+    pruned once its promotion mtime exceeds the TTL; the current
+    generation survives ANY policy combination (even keep=0 +
+    max_age=0)."""
+    kw = dict(k=4, kmeans_iters=2, train_sample_mod=1)
+    run_index_day(spark, root, _clustered(spark, range(40)),
+                  "2026-05-01", **kw)
+    # force gen 1 via drift
+    run_index_day(spark, root, _orthogonal(spark, range(100, 140)),
+                  "2026-05-02", drift_min_sim=0.5, **kw)
+    assert current_generation(spark, root) == 1
+    # inside the TTL: count window (keep=2) retains both
+    now = __import__("time").time() * 1000
+    assert prune_index_generations(
+        spark, root, keep=2, max_age_ms=10_000, now_ms=now
+    ) == []
+    # past the TTL: gen 0 goes even though keep=2 would retain it
+    assert prune_index_generations(
+        spark, root, keep=2, max_age_ms=10_000, now_ms=now + 60_000
+    ) == [0]
+    # the current generation is untouchable regardless of policy
+    assert prune_index_generations(
+        spark, root, keep=0, max_age_ms=0, now_ms=now + 10**9
+    ) == []
+    assert current_generation(spark, root) == 1
+    load_index(spark, root)  # still loadable
+
+
+def test_run_index_day_records_metrics(spark, root, tmp_path):
+    """With a MetricsStore, each maintenance day appends one
+    etl_metrics row (same store the warehouse pipeline reports to):
+    rows_in/out mirror the report, the drift inputs ride in metadata,
+    and the monitoring rollups see the task."""
+    import datetime
+    import json
+
+    from jobinsight_data_pipeline_v2_spark.quality.monitoring import (
+        MetricsStore,
+        vw_etl_health,
+    )
+
+    ms = MetricsStore(spark, str(tmp_path / "metrics"))
+    kw = dict(k=4, kmeans_iters=2, train_sample_mod=1, metrics=ms)
+    t1 = datetime.datetime(2026, 5, 1, 6, 0, 0)
+    run_index_day(spark, root, _clustered(spark, range(30)),
+                  "2026-05-01", run_ts=t1, **kw)
+    r2 = run_index_day(
+        spark, root, _clustered(spark, range(20, 50)), "2026-05-02",
+        run_ts=t1 + datetime.timedelta(days=1), **kw,
+    )
+    rows = ms.etl_metrics().orderBy("dag_run_id").collect()
+    assert [r.dag_id for r in rows] == ["index_maintenance"] * 2
+    assert rows[0].status == "success" and rows[0].rows_in == 30
+    assert rows[1].rows_in == 30 and rows[1].rows_out == r2["n_fresh"] == 20
+    meta = json.loads(rows[1].metadata)
+    assert meta["gen"] == 0 and meta["retrained"] is False
+    assert meta["batch_mean_sim"] == r2["batch_mean_sim"]
+    health = vw_etl_health(
+        ms.etl_metrics(), datetime.date(2026, 5, 2)
+    ).collect()
+    assert any(h.dag_id == "index_maintenance" for h in health)
