@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "bigram_coverage",  # n-gram-LM quality signal, integer-exact core
     "substring_dedup",  # suffix-array-style span dedup + reassembly
     "bpe_encode_roundtrip",  # tokenizer inference: train 1/4, encode all
+    "semantic_dedup",  # SemDeDup: within-cell cosine groups + components
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -152,7 +152,12 @@ PRIORITY: tuple[str, ...] = (
 #   bpe_encode_roundtrip (r6, born below the fold: the BPE family is
 #     pinned above by bpe_pair_counts; the encode path's loss-free
 #     round trip stays local-gated, and its merge-coverage half is
-#     pinned by the min-rank reference-encoder property tests).
+#     pinned by the min-rank reference-encoder property tests),
+#   semantic_dedup (r6, born below the fold: embedding-space dedup —
+#     the dedup family is pinned above by exact_dedup + minhash, its
+#     components device by near_dup_components, and its cell/ANN
+#     machinery by ivf_topk_learned; the SemDeDup composition stays
+#     local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -857,3 +857,180 @@ def build_ivf_learned_serving(spark: SparkSession, sf_dir: str):
         )
 
     return serve
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via embedding clusters (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+#
+# Embedding-space dedup at corpus scale is cluster-restricted by
+# construction: k-means the corpus, then find near-duplicate GROUPS
+# only within each cluster (pairwise cosine above a tight threshold),
+# keep one representative per group. Cost is sum(|cell|^2) instead of
+# n^2 — the SemDeDup cost model; cross-cell near-dups are the accepted
+# approximation (a pair that similar lands in the same cell for any
+# sane quantizer).
+#
+# Gate data note (the cohort_retention device): the driver's
+# embeddings are iid — max natural pairwise cosine is ~0.6 at every
+# SF, so raw thresholding is vacuous. The gate therefore synthesizes
+# near-duplicates IN-PLAN, deterministically, on BOTH sides: every
+# vec_id % 7 == 0 vector gets a +5000-per-component copy (cosine
+# ~0.99999 to its source at the 1e6 quantization scale), every
+# vec_id % 14 == 0 a second, farther copy — so groups of size 2 and 3
+# exist at every SF, chains must collapse transitively, and the
+# natural corpus (pairwise <= 0.6) never crosses the 0.99 threshold.
+# Cells come from the `label` column (the label-derived-quantizer
+# convention of ivf_topk/label_centroids); a production run feeds
+# kmeans_centroids + ivf_assign cell ids instead.
+
+_SEM_TAU = 0.99
+_SEM_PERT_1 = 5_000
+_SEM_PERT_2 = 10_000
+_SEM_OFF_1 = 10_000_000
+_SEM_OFF_2 = 20_000_000
+
+
+def semdedup_groups(
+    vectors: DataFrame,
+    tau: float = _SEM_TAU,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    vec_col: str = "qv",
+) -> DataFrame:
+    """(id, cell, grp, is_keeper, n_group) — SemDeDup group labels over
+    (id, cell, quantized-int vector): within-cell pairs with cosine >=
+    ``tau`` form edges, connected components collapse chains, the
+    minimum id is the kept representative, singletons keep themselves.
+
+    Scale shape: one checkpoint of the normed corpus (rule 12 — the
+    self-join consumes it twice), a cell-keyed equi self-join whose
+    residual is the cosine test (work = sum of cell sizes squared,
+    the quantizer's k controls it), then pointer-doubled min-label
+    propagation over the EDGE set only
+    (operators/dedup.component_min_labels). The corpus is never
+    all-pairs joined; partitioning rides the cell key end to end.
+    """
+    from ..operators.dedup import component_min_labels
+
+    n = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_dot(vec_col, vec_col).cast("double")).alias("norm"),
+    ).localCheckpoint(eager=False)
+    a, b = n.alias("a"), n.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            _dot("a.qv", "b.qv").cast("double")
+            / (F.col("a.norm") * F.col("b.norm"))
+            >= tau
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+    )
+    labels = component_min_labels(edges)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        n.select("vec_id", "cell")
+        .join(labels.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .withColumn("grp", F.coalesce("label", F.col("vec_id")))
+        .join(
+            F.broadcast(sizes).withColumnRenamed("label", "grp"),
+            "grp",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "grp",
+            (F.col("vec_id") == F.col("grp")).alias("is_keeper"),
+            F.coalesce("n_members", F.lit(1)).cast("long").alias("n_group"),
+        )
+    )
+
+
+@register(
+    "semantic_dedup",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT vec_id, label AS cell, {_SQL_QVEC} AS qv FROM embeddings
+    ),
+    corpus AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT vec_id + {_SEM_OFF_1}, cell,
+               list_transform(qv, x -> x + {_SEM_PERT_1})
+        FROM base WHERE vec_id % 7 = 0
+        UNION ALL
+        SELECT vec_id + {_SEM_OFF_2}, cell,
+               list_transform(qv, x -> x + {_SEM_PERT_2})
+        FROM base WHERE vec_id % 14 = 0
+    ),
+    n AS (
+        SELECT vec_id, cell, qv,
+               sqrt(CAST({_sql_dot('qv', 'qv')} AS DOUBLE)) AS norm
+        FROM corpus
+    ),
+    sim AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE CAST({_sql_dot('a.qv', 'b.qv')} AS DOUBLE)
+                  / (a.norm * b.norm) >= {_SEM_TAU}
+    ),
+    edges AS (
+        SELECT ia AS src, ib AS dst FROM sim
+        UNION ALL
+        SELECT ib AS src, ia AS dst FROM sim
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    labels AS (SELECT id, MIN(r) AS grp FROM reach GROUP BY 1),
+    sizes AS (SELECT grp, COUNT(*) AS n_group FROM labels GROUP BY 1)
+    SELECT c.vec_id, c.cell,
+           COALESCE(l.grp, c.vec_id) AS grp,
+           (COALESCE(l.grp, c.vec_id) = c.vec_id) AS is_keeper,
+           CAST(COALESCE(s.n_group, 1) AS BIGINT) AS n_group
+    FROM corpus c
+    LEFT JOIN labels l ON c.vec_id = l.id
+    LEFT JOIN sizes s ON COALESCE(l.grp, c.vec_id) = s.grp
+    ORDER BY c.vec_id
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus (+ in-plan synthesized
+    near-duplicates, see module note): per vector its cell, its
+    semantic-duplicate group (minimum member id), the keeper flag, and
+    the group size — groups formed only WITHIN cells by pairwise
+    cosine >= {_SEM_TAU}, chains collapsed by connected components.
+
+    The oracle resolves the identical edge set with a recursive-CTE
+    transitive closure (the near_dup_components device); cosine values
+    are exact in both engines via the integer-quantized dot products.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id", F.col("label").alias("cell"), F.expr(_QVEC).alias("qv")
+    )
+    d1 = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + _SEM_OFF_1).alias("vec_id"),
+        "cell",
+        F.expr(f"transform(qv, x -> x + {_SEM_PERT_1})").alias("qv"),
+    )
+    d2 = base.filter(F.col("vec_id") % 14 == 0).select(
+        (F.col("vec_id") + _SEM_OFF_2).alias("vec_id"),
+        "cell",
+        F.expr(f"transform(qv, x -> x + {_SEM_PERT_2})").alias("qv"),
+    )
+    corpus = base.unionByName(d1).unionByName(d2)
+    return semdedup_groups(corpus).orderBy("vec_id")

@@ -621,3 +621,37 @@ def test_write_training_shards_order_and_coverage(spark, tmp_path):
         assert pos == sorted(pos), f"shard {shard} not in interleave order"
         got.update((shard, p, i) for p, i in zip(pos, ids))
     assert got == expected
+
+
+def test_semantic_dedup_group_topology(spark):
+    """SemDeDup gate semantics beyond the oracle hash: every
+    synthesized near-duplicate joins its SOURCE's group (never a
+    cross-source group), keepers are exactly the original vectors,
+    and group sizes follow the synthesis arithmetic (3 for %14
+    sources, 2 for %7-only, 1 otherwise)."""
+    from jobinsight_data_pipeline_v2_spark.plans.vectors import (
+        _SEM_OFF_1,
+        _SEM_OFF_2,
+    )
+
+    out = load_all()["semantic_dedup"][0](spark, SF).toPandas()
+    orig = out[out.vec_id < _SEM_OFF_1]
+    synth = out[out.vec_id >= _SEM_OFF_1]
+    assert not synth.is_keeper.any(), "a synthesized copy must never win"
+    assert (synth.grp == synth.vec_id % _SEM_OFF_1).all()
+    for _, r in orig.iterrows():
+        want = 3 if r.vec_id % 14 == 0 else 2 if r.vec_id % 7 == 0 else 1
+        assert r.n_group == want, (r.vec_id, r.n_group, want)
+        assert bool(r.is_keeper) and r.grp == r.vec_id
+    # total group count == distinct groups == original corpus size
+    assert out.grp.nunique() == len(orig)
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """The edge build is a cell-keyed equi join (never a cartesian
+    corpus product) and nothing falls back to Python; the components
+    fixpoint sits behind its checkpoint boundary (rule 14), so the
+    pre-boundary subtree carries the assertions."""
+    p = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
