@@ -779,20 +779,26 @@ _SPAN_L = 16
 _SPAN_RE = r"(?:^| )(?=((?:\S+ ){" + str(_SPAN_L - 1) + r"}\S+))"
 
 
-def redundant_gram_positions(docs: DataFrame, l: int = _SPAN_L) -> DataFrame:
-    """(doc_id, dps) — per doc, the sorted 1-based token positions of
-    every L-gram occurrence whose gram text appears earlier in global
-    (doc_id, position) order. Docs with no redundant grams are absent
-    (callers left-join). The packed first-occurrence key reuses
-    segment_rows' guarded doc_id*1e6+pos encoding."""
+def span_gram_rows(
+    docs: DataFrame, l: int = _SPAN_L, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, [carry…], pos, sk, ord) — one row per overlapping
+    L-gram occurrence: 1-based token position, 64-bit gram hash, and
+    the guarded packed global first-occurrence key (segment_rows'
+    doc_id*1e6+pos encoding). Checkpoint-free and narrow, so the SAME
+    transform runs on a streaming frame (streaming/curation.
+    substring_dedup_stream); ``carry`` columns (the streaming twin's
+    event time) ride through untouched."""
     pat = r"(?:^| )(?=((?:\S+ ){" + str(l - 1) + r"}\S+))"
-    grams = docs.select(
+    return docs.select(
         "doc_id",
+        *carry,
         F.posexplode(
             F.regexp_extract_all("text", F.lit(pat), F.lit(1))
         ).alias("p0", "g"),
     ).select(
         "doc_id",
+        *carry,
         (F.col("p0") + 1).alias("pos"),
         _shingle_key("g").alias("sk"),
         (
@@ -812,6 +818,14 @@ def redundant_gram_positions(docs: DataFrame, l: int = _SPAN_L) -> DataFrame:
             )
         ).alias("ord"),
     )
+
+
+def redundant_gram_positions(docs: DataFrame, l: int = _SPAN_L) -> DataFrame:
+    """(doc_id, dps) — per doc, the sorted 1-based token positions of
+    every L-gram occurrence whose gram text appears earlier in global
+    (doc_id, position) order. Docs with no redundant grams are absent
+    (callers left-join)."""
+    grams = span_gram_rows(docs, l=l)
     dups = grams.withColumn(
         "first_ord", F.min("ord").over(Window.partitionBy("sk"))
     ).filter(F.col("ord") > F.col("first_ord"))

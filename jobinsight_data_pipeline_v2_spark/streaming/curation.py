@@ -109,17 +109,76 @@ from pyspark.sql.types import (  # noqa: E402
     StructType,
 )
 
-_SEG_OUT_SCHEMA = StructType(
-    [
-        StructField("sk", LongType(), True),
-        StructField("doc_id", LongType(), True),
-        StructField("seg_idx", LongType(), True),
-        StructField("kept", BooleanType(), True),
-        StructField("late", BooleanType(), True),
-    ]
-)
+def _decision_schema(idx_name: str) -> StructType:
+    return StructType(
+        [
+            StructField("sk", LongType(), True),
+            StructField("doc_id", LongType(), True),
+            StructField(idx_name, LongType(), True),
+            StructField("kept", BooleanType(), True),
+            StructField("late", BooleanType(), True),
+        ]
+    )
+
 
 _SEG_STATE = "winner_ord LONG"
+
+
+def _first_arrival_decisions(
+    rows: DataFrame, idx_col: str, timeout, ttl_ms: int | None
+) -> DataFrame:
+    """(sk, doc_id, {idx_col}, kept, late): the shared
+    first-occurrence-wins state machine behind the dedup stream twins
+    (segment and substring dedup differ only in how they cut text into
+    hash-keyed occurrence rows). ``rows`` carries (sk, doc_id,
+    {idx_col}, ord [, __ts, __ts_ms]); state per hash is ONE long —
+    the winning order key. Semantics and the TTL/late-row discipline
+    are documented on ``segment_dedup_stream``."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # horizon of event time passed with no arrival for this
+            # hash: drop the winner — the next copy re-admits
+            state.remove()
+            return
+        (sk,) = key
+        (winner,) = state.get if state.exists else (None,)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ord")
+        out = []
+        for doc_id, idx, ordv in zip(pdf["doc_id"], pdf[idx_col], pdf["ord"]):
+            if winner is None:
+                out.append((sk, int(doc_id), int(idx), True, False))
+                winner = int(ordv)
+            else:
+                out.append(
+                    (sk, int(doc_id), int(idx), False, int(ordv) < winner)
+                )
+        state.update((winner,))
+        if ttl_ms is not None:
+            # expire `horizon` past this hash's newest event time.
+            # The watermark floor matters on two edges: a late row
+            # (batch max behind the watermark) must not set a timeout
+            # the watermark already passed (Spark rejects it), and the
+            # cold-start watermark (epoch 0) must not make the first
+            # batch's timeout instantly stale.
+            state.setTimeoutTimestamp(
+                max(
+                    int(pdf["__ts_ms"].max()) + ttl_ms,
+                    state.getCurrentWatermarkMs() + ttl_ms,
+                )
+            )
+        yield pd.DataFrame(
+            out, columns=["sk", "doc_id", idx_col, "kept", "late"]
+        )
+
+    return rows.groupBy("sk").applyInPandasWithState(
+        update,
+        outputStructType=_decision_schema(idx_col),
+        stateStructType=_SEG_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
 
 _DURATION_UNITS_MS = {
     "millisecond": 1,
@@ -173,8 +232,6 @@ def segment_dedup_stream(
     dropDuplicatesWithinWatermark trade. State is then O(distinct
     segments per horizon), bounded however long the stream runs.
     """
-    import pandas as pd
-
     from ..plans.corpus import segment_rows
     from ..plans.text import _TOKENS
 
@@ -212,48 +269,58 @@ def segment_dedup_stream(
         timeout = GroupStateTimeout.EventTimeTimeout
         ttl_ms = _duration_ms(horizon)
 
-    def update(key, pdfs, state: GroupState):
-        if ttl_ms is not None and state.hasTimedOut:
-            # horizon of event time passed with no arrival for this
-            # segment: drop the winner — the next copy re-admits
-            state.remove()
-            return
-        (sk,) = key
-        (winner,) = state.get if state.exists else (None,)
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ord")
-        out = []
-        for doc_id, seg_idx, ordv in zip(
-            pdf["doc_id"], pdf["seg_idx"], pdf["ord"]
-        ):
-            if winner is None:
-                out.append((sk, int(doc_id), int(seg_idx), True, False))
-                winner = int(ordv)
-            else:
-                out.append(
-                    (sk, int(doc_id), int(seg_idx), False, int(ordv) < winner)
-                )
-        state.update((winner,))
-        if ttl_ms is not None:
-            # expire `horizon` past this segment's newest event time.
-            # The watermark floor matters on two edges: a late row
-            # (batch max behind the watermark) must not set a timeout
-            # the watermark already passed (Spark rejects it), and the
-            # cold-start watermark (epoch 0) must not make the first
-            # batch's timeout instantly stale.
-            state.setTimeoutTimestamp(
-                max(
-                    int(pdf["__ts_ms"].max()) + ttl_ms,
-                    state.getCurrentWatermarkMs() + ttl_ms,
-                )
-            )
-        yield pd.DataFrame(
-            out, columns=["sk", "doc_id", "seg_idx", "kept", "late"]
-        )
+    return _first_arrival_decisions(segs, "seg_idx", timeout, ttl_ms)
 
-    return segs.groupBy("sk").applyInPandasWithState(
-        update,
-        outputStructType=_SEG_OUT_SCHEMA,
-        stateStructType=_SEG_STATE,
-        outputMode="append",
-        timeoutConf=timeout,
-    )
+
+def substring_dedup_stream(
+    docs: DataFrame,
+    l: int | None = None,
+    ts_col: str | None = None,
+    horizon: str | None = None,
+) -> DataFrame:
+    """(sk, doc_id, pos, kept, late): per-occurrence keep/drop
+    decisions for corpus-wide SUBSTRING dedup over a document stream —
+    the incremental twin of plans/corpus.substring_dedup's
+    redundant-gram marking (overlapping L-token grams at any
+    alignment, where segment dedup sees only fixed blocks). A
+    downstream consumer cuts each doc's non-kept positions into spans
+    exactly as the batch ``cut_duplicate_spans`` does — the decision
+    rows here carry everything it needs.
+
+    State per distinct gram hash: ONE long (the winning order key) —
+    the same machine as ``segment_dedup_stream``, fed by the same
+    ``span_gram_rows`` transform the batch gate uses. TTL semantics
+    (``ts_col`` + ``horizon``) and the late-row discipline are
+    identical; without a TTL this is the verification-twin
+    configuration (state O(distinct grams) forever).
+    """
+    from ..plans.corpus import _SPAN_L, span_gram_rows
+
+    if (ts_col is None) != (horizon is None):
+        raise ValueError("ts_col and horizon must be provided together")
+    l = _SPAN_L if l is None else l
+
+    if ts_col is None:
+        grams = span_gram_rows(docs, l=l).select(
+            "sk", "doc_id", F.col("pos").cast("long"), "ord"
+        )
+        timeout = GroupStateTimeout.NoTimeout
+        ttl_ms = None
+    else:
+        with_ts = (
+            docs.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+            .withWatermark("__ts", horizon)
+            .select("doc_id", "__ts", "text")
+        )
+        grams = span_gram_rows(with_ts, l=l, carry=("__ts",)).select(
+            "sk",
+            "doc_id",
+            F.col("pos").cast("long"),
+            "ord",
+            "__ts",
+            F.unix_millis("__ts").alias("__ts_ms"),
+        )
+        timeout = GroupStateTimeout.EventTimeTimeout
+        ttl_ms = _duration_ms(horizon)
+
+    return _first_arrival_decisions(grams, "pos", timeout, ttl_ms)

@@ -1263,3 +1263,53 @@ def test_streaming_jsonl_equals_batch(spark, tmp_path):
         sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
         assert sym == 0
     assert got_docs.count() == 3 and got_quar.count() == 3
+
+
+def test_streaming_substring_dedup_equals_batch(spark, tmp_path):
+    """Twin 21: ordered feed — the streamed per-gram keep/drop
+    decisions reproduce the batch substring gate's redundant-gram
+    marking exactly (dropped positions per doc == the batch dps list),
+    with every occurrence decided and zero late flags."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        redundant_gram_positions,
+        span_gram_rows,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        substring_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    src = os.path.join(str(tmp_path), "sub_ordered")
+    now = time.time()
+    bounds = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)]
+    for b, (lo, hi) in enumerate(bounds):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, substring_dedup_stream(stream), "subdedup_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM subdedup_test")
+    assert got.filter("late").count() == 0
+    assert got.count() == span_gram_rows(docs).count()
+    dropped = (
+        got.filter("NOT kept")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("dps"))
+    )
+    expected = redundant_gram_positions(docs)
+    sym = (
+        dropped.exceptAll(expected).count()
+        + expected.exceptAll(dropped).count()
+    )
+    assert sym == 0
