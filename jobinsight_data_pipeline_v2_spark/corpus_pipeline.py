@@ -1,0 +1,227 @@
+"""End-to-end training-corpus curation: one driver-callable lifecycle
+composing the engine's curation operators in the order a release
+pipeline runs them — the corpus-side twin of the warehouse's
+``run_daily_build`` and the index's ``run_index_day``.
+
+Stages (each an operator family the registry gates individually):
+
+1. exact dedup          — first-occurrence-wins on the text hash
+2. substring-span dedup — Lee et al. duplicated-run removal at any
+                          alignment (plans/corpus.cut_duplicate_spans),
+                          documents reassembled from surviving tokens
+3. PII redaction        — email/phone scrub (plans/curation patterns)
+4. quality gating       — in-plan linear classifier keep/drop
+                          (plans/corpus.classifier_score)
+5. token-budget cut     — best-quality-first prefix under a global
+                          token budget (plans/sampling.
+                          select_token_budget, histogram-offset global
+                          prefix — no single-task window)
+6. sharded sink         — deterministic global interleave into
+                          ``shard=N/`` parquet dirs (plans/sampling.
+                          write_training_shards)
+
+Composition discipline: every stage boundary is a lazy
+``localCheckpoint`` — each stage's output is consumed at least twice
+(the report count and the next stage), and the chained windows/joins
+would otherwise stack one lineage (rules 5/12). Per-stage row counts
+are single-row driver fetches; with a ``metrics`` store each stage
+also appends one etl_metrics row, so the corpus pipeline reports into
+the same monitoring surface as the warehouse and the index
+maintainer.
+
+Scale: no stage introduces a shape the individual operators don't
+already bound — exact/substring dedup shuffle on uniform 64-bit
+hashes, the classifier is a narrow scan, the budget cut partitions by
+score class, the shard sink repartitions once on the shard key. The
+whole pipeline is a constant number of passes regardless of corpus
+size.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .plans.corpus import (
+    _SPAN_L,
+    classifier_score,
+    cut_duplicate_spans,
+    redundant_gram_positions,
+)
+from .plans.curation import _EMAIL_RE, _PHONE_RE
+from .plans.sampling import select_token_budget, write_training_shards
+
+_BUDGET_CLASSES = 16
+
+
+def _stage(metrics, run_ts, task: str, n_in: int, n_out: int, t0: float):
+    if metrics is None:
+        return
+    import datetime as _dt
+
+    ts = run_ts if run_ts is not None else _dt.datetime.now()
+    metrics.record_etl(
+        dag_id="corpus_curation",
+        task_id=task,
+        status="success",
+        duration_seconds=time.monotonic() - t0,
+        rows_in=n_in,
+        rows_out=n_out,
+        started_at=ts,
+        completed_at=ts,
+    )
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    token_budget: int | None = None,
+    n_shards: int = 8,
+    span_l: int = _SPAN_L,
+    metrics=None,
+    run_ts=None,
+) -> dict:
+    """Run the full curation lifecycle over (doc_id, text) and
+    materialize the result as training shards under ``out_dir``.
+
+    Returns the per-stage report: {n_input, n_exact_kept,
+    n_span_kept, span_tokens_removed, pii_emails, pii_phones,
+    n_quality_kept, n_selected, selected_tokens, n_shards, out_dir}.
+    ``token_budget=None`` skips the budget cut (every quality-passing
+    doc ships). Deterministic end to end — re-running on the same
+    corpus rewrites identical shards.
+    """
+    report: dict = {}
+    t0 = time.monotonic()
+    docs = docs.select("doc_id", "text").localCheckpoint(eager=False)
+    n_input = docs.count()
+    report["n_input"] = n_input
+
+    # 1. exact dedup: first occurrence (min doc_id) per text hash —
+    #    window-min on a uniform 64-bit key, the exact_dedup shape
+    exact = (
+        docs.withColumn("__th", F.xxhash64("text"))
+        .withColumn(
+            "__first", F.min("doc_id").over(Window.partitionBy("__th"))
+        )
+        .filter(F.col("doc_id") == F.col("__first"))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    n_exact = exact.count()
+    report["n_exact_kept"] = n_exact
+    _stage(metrics, run_ts, "exact_dedup", n_input, n_exact, t0)
+
+    # 2. substring-span dedup + reassembly; fully-duplicated docs
+    #    (clean_text NULL) drop out here
+    t1 = time.monotonic()
+    spans = cut_duplicate_spans(
+        exact, redundant_gram_positions(exact, l=span_l), l=span_l
+    ).localCheckpoint(eager=False)
+    span_stats = spans.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_removed").alias("removed"),
+        F.sum(F.when(F.col("clean_text").isNotNull(), 1).otherwise(0)).alias(
+            "kept"
+        ),
+    ).collect()[0]
+    deduped = (
+        spans.filter(F.col("clean_text").isNotNull())
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint(eager=False)
+    )
+    report["n_span_kept"] = int(span_stats["kept"])
+    report["span_tokens_removed"] = int(span_stats["removed"] or 0)
+    _stage(
+        metrics, run_ts, "substring_dedup", n_exact, int(span_stats["kept"]), t1
+    )
+
+    # 3. PII redaction (narrow projection; counts ride the same scan)
+    t2 = time.monotonic()
+    scrubbed = deduped.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))
+        ).alias("__em"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))
+        ).alias("__ph"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("text"),
+    ).localCheckpoint(eager=False)
+    pii = scrubbed.agg(
+        F.sum("__em").alias("em"), F.sum("__ph").alias("ph")
+    ).collect()[0]
+    report["pii_emails"] = int(pii["em"] or 0)
+    report["pii_phones"] = int(pii["ph"] or 0)
+    _stage(
+        metrics, run_ts, "pii_scrub", int(span_stats["kept"]),
+        int(span_stats["kept"]), t2,
+    )
+
+    # 4. quality gate: in-plan classifier, keep ⇔ logit > 0
+    t3 = time.monotonic()
+    scored = (
+        classifier_score(scrubbed.select("doc_id", "text"))
+        .filter("keep")
+        .select("doc_id", "n_tok", "logit")
+        .join(scrubbed.select("doc_id", "text"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    n_quality = scored.count()
+    report["n_quality_kept"] = n_quality
+    _stage(
+        metrics, run_ts, "quality_gate", int(span_stats["kept"]), n_quality, t3
+    )
+
+    # 5. token-budget cut: bucket the logit into a driver-sized class
+    #    histogram (select_token_budget's contract), best class first
+    t4 = time.monotonic()
+    if token_budget is not None and n_quality > 0:
+        lo, hi = scored.agg(
+            F.min("logit"), F.max("logit")
+        ).collect()[0]
+        width = max((int(hi) - int(lo)) // _BUDGET_CLASSES + 1, 1)
+        classed = scored.withColumn(
+            "__q", ((F.col("logit") - F.lit(int(lo))) / width).cast("long")
+        )
+        picked = select_token_budget(
+            classed.select(
+                "doc_id", F.col("__q").alias("score"),
+                F.col("n_tok").alias("n_tokens"),
+            ),
+            token_budget,
+        )
+        final = (
+            picked.select("doc_id", "n_tokens")
+            .join(scored.select("doc_id", "text"), "doc_id")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        final = scored.select(
+            "doc_id", F.col("n_tok").alias("n_tokens"), "text"
+        ).localCheckpoint(eager=False)
+    sel = final.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    report["n_selected"] = int(sel["n"])
+    report["selected_tokens"] = int(sel["t"] or 0)
+    _stage(metrics, run_ts, "token_budget", n_quality, int(sel["n"]), t4)
+
+    # 6. sharded sink: deterministic interleave, shard=N/ parquet dirs
+    t5 = time.monotonic()
+    write_training_shards(
+        final.select("doc_id", "n_tokens", "text"), out_dir,
+        n_shards=n_shards,
+    )
+    report["n_shards"] = n_shards
+    report["out_dir"] = out_dir
+    _stage(metrics, run_ts, "write_shards", int(sel["n"]), int(sel["n"]), t5)
+    return report

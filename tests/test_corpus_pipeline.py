@@ -1,0 +1,95 @@
+"""End-to-end corpus curation lifecycle (corpus_pipeline.curate_corpus):
+stage composition, report arithmetic, budget cut, sharded output, and
+metrics-store integration — the corpus twin of the warehouse/index
+multi-day lifecycle tests."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_v2_spark.corpus_pipeline import curate_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def test_curate_corpus_full_lifecycle(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "shards")
+    r = curate_corpus(spark, docs, out, n_shards=4)
+    # monotone funnel
+    assert (
+        r["n_input"]
+        >= r["n_exact_kept"]
+        >= r["n_span_kept"]
+        >= r["n_quality_kept"]
+        == r["n_selected"]  # no budget: everything quality-passing ships
+    )
+    assert r["n_input"] == docs.count()
+    assert r["n_exact_kept"] == docs.select("text").distinct().count()
+    assert r["span_tokens_removed"] > 0, "testdata carries duplicated runs"
+    # the sink holds exactly the selected docs, shard-partitioned,
+    # token counts consistent with the shipped text
+    back = spark.read.parquet(out)
+    assert back.count() == r["n_selected"]
+    assert back.select("shard").distinct().count() == 4
+    bad = back.filter(
+        F.size(F.expr("filter(split(text, ' '), t -> t != '')"))
+        != F.col("n_tokens")
+    ).count()
+    assert bad == 0
+    assert int(back.agg(F.sum("n_tokens")).collect()[0][0]) == (
+        r["selected_tokens"]
+    )
+    # quality gate really ran: every shipped doc passes the classifier
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        classifier_score,
+    )
+
+    kept = classifier_score(back.select("doc_id", "text"))
+    assert kept.filter("NOT keep").count() == 0
+
+
+def test_curate_corpus_token_budget_and_metrics(spark, tmp_path):
+    from jobinsight_data_pipeline_v2_spark.quality.monitoring import (
+        MetricsStore,
+    )
+
+    docs = _docs(spark)
+    ms = MetricsStore(spark, str(tmp_path / "metrics"))
+    out = str(tmp_path / "shards_budget")
+    full = curate_corpus(spark, docs, str(tmp_path / "shards_all"))
+    budget = full["selected_tokens"] // 3
+    r = curate_corpus(
+        spark, docs, out, token_budget=budget, n_shards=2,
+        metrics=ms, run_ts=datetime.datetime(2026, 6, 1, 6, 0, 0),
+    )
+    assert 0 < r["n_selected"] < full["n_selected"]
+    assert 0 < r["selected_tokens"] <= budget
+    back = spark.read.parquet(out)
+    assert back.count() == r["n_selected"]
+    # one metrics row per stage, rows_in/out chaining like the report
+    rows = {m.task_id: m for m in ms.etl_metrics().collect()}
+    assert set(rows) == {
+        "exact_dedup", "substring_dedup", "pii_scrub", "quality_gate",
+        "token_budget", "write_shards",
+    }
+    assert all(m.dag_id == "corpus_curation" for m in rows.values())
+    assert rows["exact_dedup"].rows_in == r["n_input"]
+    assert rows["token_budget"].rows_out == r["n_selected"]
+    # deterministic: re-running the budgeted cut selects the same docs
+    r2 = curate_corpus(
+        spark, docs, str(tmp_path / "shards_budget2"), token_budget=budget,
+        n_shards=2,
+    )
+    ids = lambda p: sorted(
+        x.doc_id for x in spark.read.parquet(p).select("doc_id").collect()
+    )
+    assert ids(out) == ids(str(tmp_path / "shards_budget2"))
