@@ -157,7 +157,11 @@ PRIORITY: tuple[str, ...] = (
 #     the dedup family is pinned above by exact_dedup + minhash, its
 #     components device by near_dup_components, and its cell/ANN
 #     machinery by ivf_topk_learned; the SemDeDup composition stays
-#     local-gated).
+#     local-gated),
+#   kn_lm_stats (r6, born below the fold: n-gram LM statistics — the
+#     token-stats family is pinned above by token_histogram and the
+#     LM quality signal by doc_quality; the Kneser-Ney continuation
+#     counts stay local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

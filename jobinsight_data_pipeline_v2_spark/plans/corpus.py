@@ -968,3 +968,120 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut_duplicate_spans(
         docs, redundant_gram_positions(docs)
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney LM statistics: the n-gram LM TRAINING counts
+# ---------------------------------------------------------------------------
+#
+# bigram_coverage consumes a bigram vocabulary; this gate produces the
+# statistics that TRAIN the filter LM (the KenLM counting stage a
+# curation stack runs corpus-side). Kneser-Ney's insight is that the
+# lower-order distribution should use CONTINUATION counts — in how
+# many distinct contexts does a word appear — rather than raw
+# frequency ("San Francisco" makes "Francisco" frequent but it only
+# ever continues one context). Per word, all exact integers:
+#
+#   n_uni    = c(w)             raw unigram count
+#   n_end    = c(· w)           bigram occurrences ending in w
+#   n_cont   = N1+(· w)         distinct left contexts (the KN
+#                               lower-order numerator)
+#   n_fanout = N1+(w ·)         distinct right continuations (the KN
+#                               backoff-weight numerator)
+#
+# The float smoothing arithmetic (discounts, interpolation) is a
+# trivial driver-side epilogue over these integers; the gate pins the
+# distributed half exactly (the integer-core discipline of
+# bigram_coverage / anomaly_days).
+
+_KN_TOP = 50
+
+
+@register(
+    "kn_lm_stats",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    words AS (SELECT unnest(t) AS w FROM toks),
+    uni AS (SELECT w, COUNT(*) AS n_uni FROM words GROUP BY 1),
+    pairs AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    lefts AS (
+        SELECT w2 AS w, COUNT(*) AS n_end,
+               COUNT(DISTINCT w1) AS n_cont
+        FROM pairs GROUP BY 1
+    ),
+    rights AS (
+        SELECT w1 AS w, COUNT(DISTINCT w2) AS n_fanout FROM pairs GROUP BY 1
+    )
+    SELECT u.w AS word,
+           CAST(u.n_uni AS BIGINT) AS n_uni,
+           CAST(COALESCE(l.n_end, 0) AS BIGINT) AS n_end,
+           CAST(COALESCE(l.n_cont, 0) AS BIGINT) AS n_cont,
+           CAST(COALESCE(r.n_fanout, 0) AS BIGINT) AS n_fanout
+    FROM uni u
+    LEFT JOIN lefts l ON u.w = l.w
+    LEFT JOIN rights r ON u.w = r.w
+    ORDER BY n_uni DESC, word
+    LIMIT {_KN_TOP}
+    """,
+)
+def kn_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney training statistics for the top-{_KN_TOP} words (by
+    raw count, word tiebreak — a total order): unigram count, bigram
+    occurrences ending in the word, distinct left contexts
+    (continuation count), distinct right continuations.
+
+    Scale shape: one explode of the adjacent-pair stream (checkpointed
+    — three word-keyed aggregations consume it), vocabulary-sized
+    map-side-combined aggregates, word-keyed left joins of three
+    word-sized tables (same key — one co-partitioned exchange set),
+    TakeOrdered for the top slice. Distinct-context counts are
+    Spark's two-phase partial-distinct aggregation — no pair list is
+    ever collected per word.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    ).localCheckpoint(eager=False)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                """
+                if(size(t) >= 2,
+                   transform(sequence(1, size(t) - 1),
+                             i -> struct(element_at(t, i) AS w1,
+                                         element_at(t, i + 1) AS w2)),
+                   cast(array() as array<struct<w1: string, w2: string>>))
+                """
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2").localCheckpoint(eager=False)
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    lefts = pairs.groupBy(F.col("w2").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_end"),
+        F.countDistinct("w1").alias("n_cont"),
+    )
+    rights = pairs.groupBy(F.col("w1").alias("w")).agg(
+        F.countDistinct("w2").alias("n_fanout")
+    )
+    return (
+        uni.join(lefts, "w", "left")
+        .join(rights, "w", "left")
+        .select(
+            F.col("w").alias("word"),
+            "n_uni",
+            F.coalesce("n_end", F.lit(0)).cast("long").alias("n_end"),
+            F.coalesce("n_cont", F.lit(0)).cast("long").alias("n_cont"),
+            F.coalesce("n_fanout", F.lit(0)).cast("long").alias("n_fanout"),
+        )
+        .orderBy(F.desc("n_uni"), "word")
+        .limit(_KN_TOP)
+    )
