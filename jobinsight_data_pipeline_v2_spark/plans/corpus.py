@@ -384,15 +384,17 @@ _W_TOK = -2
 _W_SHORT = -3
 
 
-def classifier_score(docs: DataFrame) -> DataFrame:
-    """(doc_id, counts…, logit, keep) — the entire inference as one
-    narrow projection over (doc_id, text). Shared verbatim by the
-    batch gate and the streaming twin (streaming/curation.
-    classifier_stream): stateless, so the same plan runs
-    incrementally with zero state store."""
+def classifier_score(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, [carry…], counts…, logit, keep) — the entire inference
+    as one narrow projection over (doc_id, text). Shared verbatim by
+    the batch gate and the streaming twins (streaming/curation.
+    classifier_stream, curation_stream): stateless, so the same plan
+    runs incrementally with zero state store. ``carry`` columns ride
+    through untouched."""
     stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
     f = docs.withColumn("t", F.expr(_TOKENS)).select(
         "doc_id",
+        *carry,
         F.size("t").alias("n_tok"),
         F.size(F.array_distinct("t")).alias("n_distinct"),
         F.size(F.expr(f"filter(t, x -> x IN ({stop_arr}))")).alias("n_stop"),
@@ -406,6 +408,7 @@ def classifier_score(docs: DataFrame) -> DataFrame:
     )
     return f.filter(F.col("n_tok") > 0).select(
         "doc_id",
+        *carry,
         "n_tok",
         "n_distinct",
         "n_stop",

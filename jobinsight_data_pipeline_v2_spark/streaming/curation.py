@@ -109,7 +109,9 @@ from pyspark.sql.types import (  # noqa: E402
     StructType,
 )
 
-def _decision_schema(idx_name: str) -> StructType:
+def _decision_schema(
+    idx_name: str, extras: tuple = ()
+) -> StructType:
     return StructType(
         [
             StructField("sk", LongType(), True),
@@ -117,6 +119,7 @@ def _decision_schema(idx_name: str) -> StructType:
             StructField(idx_name, LongType(), True),
             StructField("kept", BooleanType(), True),
             StructField("late", BooleanType(), True),
+            *[StructField(n, t, True) for n, t in extras],
         ]
     )
 
@@ -125,16 +128,25 @@ _SEG_STATE = "winner_ord LONG"
 
 
 def _first_arrival_decisions(
-    rows: DataFrame, idx_col: str, timeout, ttl_ms: int | None
+    rows: DataFrame,
+    idx_col: str,
+    timeout,
+    ttl_ms: int | None,
+    extras: tuple = (),
 ) -> DataFrame:
-    """(sk, doc_id, {idx_col}, kept, late): the shared
+    """(sk, doc_id, {idx_col}, kept, late[, extras…]): the shared
     first-occurrence-wins state machine behind the dedup stream twins
     (segment and substring dedup differ only in how they cut text into
     hash-keyed occurrence rows). ``rows`` carries (sk, doc_id,
-    {idx_col}, ord [, __ts, __ts_ms]); state per hash is ONE long —
-    the winning order key. Semantics and the TTL/late-row discipline
-    are documented on ``segment_dedup_stream``."""
+    {idx_col}, ord [, __ts, __ts_ms][, extras…]); state per hash is
+    ONE long — the winning order key. ``extras`` is a tuple of
+    (column_name, DataType) pairs echoed through per occurrence row
+    (curation_stream rides its stateless classifier/PII columns this
+    way). Semantics and the TTL/late-row discipline are documented on
+    ``segment_dedup_stream``."""
     import pandas as pd
+
+    extra_names = [n for n, _ in extras]
 
     def update(key, pdfs, state: GroupState):
         if ttl_ms is not None and state.hasTimedOut:
@@ -146,14 +158,15 @@ def _first_arrival_decisions(
         (winner,) = state.get if state.exists else (None,)
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ord")
         out = []
-        for doc_id, idx, ordv in zip(pdf["doc_id"], pdf[idx_col], pdf["ord"]):
+        for row in pdf.itertuples(index=False):
+            ordv = getattr(row, "ord")
+            ex = tuple(getattr(row, n) for n in extra_names)
+            base = (sk, int(getattr(row, "doc_id")), int(getattr(row, idx_col)))
             if winner is None:
-                out.append((sk, int(doc_id), int(idx), True, False))
+                out.append((*base, True, False, *ex))
                 winner = int(ordv)
             else:
-                out.append(
-                    (sk, int(doc_id), int(idx), False, int(ordv) < winner)
-                )
+                out.append((*base, False, int(ordv) < winner, *ex))
         state.update((winner,))
         if ttl_ms is not None:
             # expire `horizon` past this hash's newest event time.
@@ -169,12 +182,13 @@ def _first_arrival_decisions(
                 )
             )
         yield pd.DataFrame(
-            out, columns=["sk", "doc_id", idx_col, "kept", "late"]
+            out,
+            columns=["sk", "doc_id", idx_col, "kept", "late", *extra_names],
         )
 
     return rows.groupBy("sk").applyInPandasWithState(
         update,
-        outputStructType=_decision_schema(idx_col),
+        outputStructType=_decision_schema(idx_col, extras),
         stateStructType=_SEG_STATE,
         outputMode="append",
         timeoutConf=timeout,
@@ -324,3 +338,105 @@ def substring_dedup_stream(
         ttl_ms = _duration_ms(horizon)
 
     return _first_arrival_decisions(grams, "pos", timeout, ttl_ms)
+
+
+def curation_stream(
+    docs: DataFrame,
+    ts_col: str | None = None,
+    horizon: str | None = None,
+) -> DataFrame:
+    """(doc_id, sk, first_copy, late, logit, quality_keep, n_emails,
+    n_phones, ship): per-document curation DECISIONS over a stream —
+    the incremental front half of ``corpus_pipeline.curate_corpus``.
+    Exact dedup is the stateful part (first arrival per text hash —
+    one long of state via the shared machine); the classifier features
+    and PII counts are computed in the SAME stateless projection that
+    hashes the text and ride through the state op as passthrough
+    columns, so no stream-stream join is ever needed. ``ship`` is the
+    shippable verdict: first copy AND classifier keep. Substring-level
+    dedup decisions stream separately (``substring_dedup_stream``);
+    the global stages (token budget, sharding) are inherently
+    batch-final and run on the accumulated shippable set.
+
+    TTL (``ts_col`` + ``horizon``) bounds the dedup state exactly as
+    in the dedup twins. Empty-token docs never reach the state op
+    (the classifier's n_tok > 0 filter — same docs the batch pipeline
+    drops).
+    """
+    from ..plans.corpus import classifier_score
+    from ..plans.curation import _EMAIL_RE, _PHONE_RE
+
+    if (ts_col is None) != (horizon is None):
+        raise ValueError("ts_col and horizon must be provided together")
+
+    pre_cols = [
+        "doc_id",
+        "text",
+        F.xxhash64("text").alias("sk"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+    ]
+    extras = (
+        ("logit", LongType()),
+        ("keep", BooleanType()),
+        ("n_emails", LongType()),
+        ("n_phones", LongType()),
+    )
+
+    if ts_col is None:
+        pre = docs.select(*pre_cols)
+        scored = classifier_score(
+            pre, carry=("sk", "n_emails", "n_phones")
+        )
+        rows = scored.select(
+            "sk",
+            "doc_id",
+            F.lit(0).cast("long").alias("pos"),
+            F.col("doc_id").alias("ord"),
+            "logit",
+            "keep",
+            F.col("n_emails").cast("long"),
+            F.col("n_phones").cast("long"),
+        )
+        timeout = GroupStateTimeout.NoTimeout
+        ttl_ms = None
+    else:
+        pre = (
+            docs.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+            .withWatermark("__ts", horizon)
+            .select(*pre_cols, "__ts")
+        )
+        scored = classifier_score(
+            pre, carry=("sk", "n_emails", "n_phones", "__ts")
+        )
+        rows = scored.select(
+            "sk",
+            "doc_id",
+            F.lit(0).cast("long").alias("pos"),
+            F.col("doc_id").alias("ord"),
+            "__ts",
+            F.unix_millis("__ts").alias("__ts_ms"),
+            "logit",
+            "keep",
+            F.col("n_emails").cast("long"),
+            F.col("n_phones").cast("long"),
+        )
+        timeout = GroupStateTimeout.EventTimeTimeout
+        ttl_ms = _duration_ms(horizon)
+
+    decided = _first_arrival_decisions(rows, "pos", timeout, ttl_ms, extras)
+    return decided.select(
+        "doc_id",
+        "sk",
+        F.col("kept").alias("first_copy"),
+        "late",
+        "logit",
+        F.col("keep").alias("quality_keep"),
+        "n_emails",
+        "n_phones",
+        (F.col("kept") & F.col("keep")).alias("ship"),
+    )

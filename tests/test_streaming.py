@@ -1313,3 +1313,99 @@ def test_streaming_substring_dedup_equals_batch(spark, tmp_path):
         + expected.exceptAll(dropped).count()
     )
     assert sym == 0
+
+
+def test_streaming_curation_decisions_equal_batch(spark, tmp_path):
+    """Twin 22: the per-doc curation decision stream (exact-dedup
+    state + stateless classifier/PII passthrough) equals the batch
+    rule set row for row on an ordered feed: first_copy == min-doc_id
+    per text hash, quality_keep == the classifier gate, ship == the
+    conjunction; zero late flags."""
+    import time
+
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        classifier_score,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        curation_stream,
+    )
+
+    filler = " ".join(f"word{i} thing{i} the of and" for i in range(12))
+    planted = spark.createDataFrame(
+        [
+            (900_001, f"contact me <a.b@mail.example.com> {filler}"),
+            (900_002, f"tel 15-123-456-7890 alt 15-111-222-3333 {filler}"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    n = docs.count()
+    src = os.path.join(str(tmp_path), "cur_ordered")
+    now = time.time()
+    half = n // 2
+    base = docs.filter(F.col("doc_id") < 900_000)
+    _write_drop(
+        base.filter(F.col("doc_id") < half), tmp_path, src, "drop_0", now
+    )
+    _write_drop(
+        base.filter(F.col("doc_id") >= half).unionByName(planted),
+        tmp_path, src, "drop_1", now + 1,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, curation_stream(stream), "curation_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT doc_id, first_copy, quality_keep, ship, late,"
+        " n_emails, n_phones FROM curation_test"
+    )
+    assert got.filter("late").count() == 0
+    assert got.filter("ship != (first_copy AND quality_keep)").count() == 0
+    # planted PII rides the passthrough columns with real counts
+    pii_rows = {
+        r.doc_id: (r.n_emails, r.n_phones)
+        for r in got.filter("doc_id >= 900000").collect()
+    }
+    assert pii_rows == {900_001: (1, 0), 900_002: (0, 2)}
+    from jobinsight_data_pipeline_v2_spark.plans.curation import (
+        _EMAIL_RE,
+        _PHONE_RE,
+    )
+
+    scored = classifier_score(docs)  # n_tok > 0 population
+    expected = (
+        docs.join(scored.select("doc_id", "keep"), "doc_id")
+        .withColumn("__sk", F.xxhash64("text"))
+        .withColumn(
+            "first_copy",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("__sk")),
+        )
+        .select(
+            "doc_id",
+            "first_copy",
+            F.col("keep").alias("quality_keep"),
+            (F.col("first_copy") & F.col("keep")).alias("ship"),
+            F.lit(False).alias("late"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))
+            ).cast("long").alias("n_emails"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))
+            ).cast("long").alias("n_phones"),
+        )
+    )
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0, "decision stream != batch rules"
+    assert got.count() == scored.count()
