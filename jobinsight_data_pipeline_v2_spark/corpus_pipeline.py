@@ -93,10 +93,44 @@ def curate_corpus(
     n_quality_kept, n_selected, selected_tokens, n_shards, out_dir}.
     ``token_budget=None`` skips the budget cut (every quality-passing
     doc ships). Deterministic end to end — re-running on the same
-    corpus rewrites identical shards.
+    corpus rewrites identical shards. With a ``metrics`` store, a
+    failing stage records a status='failed' row naming the stage
+    before the exception propagates (a crashed curation run must be
+    visible in the health rollups, review r6).
     """
+    stage = {"name": "input"}
+    try:
+        return _curate_corpus(
+            spark, docs, out_dir, token_budget=token_budget,
+            n_shards=n_shards, span_l=span_l, metrics=metrics,
+            run_ts=run_ts, stage=stage,
+        )
+    except Exception as e:
+        if metrics is not None:
+            from .index_pipeline import _record_lifecycle_failure
+
+            _record_lifecycle_failure(
+                metrics, "corpus_curation", stage["name"],
+                f"curation_{out_dir.rsplit('/', 1)[-1]}", e, run_ts,
+            )
+        raise
+
+
+def _curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    token_budget: int | None,
+    n_shards: int,
+    span_l: int,
+    metrics,
+    run_ts,
+    stage: dict,
+) -> dict:
     report: dict = {}
     t0 = time.monotonic()
+    stage["name"] = "exact_dedup"
     docs = docs.select("doc_id", "text").localCheckpoint(eager=False)
     n_input = docs.count()
     report["n_input"] = n_input
@@ -119,6 +153,7 @@ def curate_corpus(
     # 2. substring-span dedup + reassembly; fully-duplicated docs
     #    (clean_text NULL) drop out here
     t1 = time.monotonic()
+    stage["name"] = "substring_dedup"
     spans = cut_duplicate_spans(
         exact, redundant_gram_positions(exact, l=span_l), l=span_l
     ).localCheckpoint(eager=False)
@@ -142,6 +177,7 @@ def curate_corpus(
 
     # 3. PII redaction (narrow projection; counts ride the same scan)
     t2 = time.monotonic()
+    stage["name"] = "pii_scrub"
     scrubbed = deduped.select(
         "doc_id",
         F.size(
@@ -168,6 +204,7 @@ def curate_corpus(
 
     # 4. quality gate: in-plan classifier, keep ⇔ logit > 0
     t3 = time.monotonic()
+    stage["name"] = "quality_gate"
     scored = (
         classifier_score(scrubbed.select("doc_id", "text"))
         .filter("keep")
@@ -184,6 +221,7 @@ def curate_corpus(
     # 5. token-budget cut: bucket the logit into a driver-sized class
     #    histogram (select_token_budget's contract), best class first
     t4 = time.monotonic()
+    stage["name"] = "token_budget"
     if token_budget is not None and n_quality > 0:
         lo, hi = scored.agg(
             F.min("logit"), F.max("logit")
@@ -217,6 +255,7 @@ def curate_corpus(
 
     # 6. sharded sink: deterministic interleave, shard=N/ parquet dirs
     t5 = time.monotonic()
+    stage["name"] = "write_shards"
     write_training_shards(
         final.select("doc_id", "n_tokens", "text"), out_dir,
         n_shards=n_shards,

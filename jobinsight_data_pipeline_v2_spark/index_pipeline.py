@@ -239,7 +239,57 @@ def _record_index_metrics(
     )
 
 
+def _record_lifecycle_failure(
+    metrics, dag_id: str, task_id: str, dag_run_id: str, err, run_ts
+) -> None:
+    """A crashed maintainer must be VISIBLE in the shared health
+    rollups, not identical to one that never ran (review r6 — the
+    warehouse pipeline records its hard-fail path the same way)."""
+    import datetime as _dt
+
+    ts = run_ts if run_ts is not None else _dt.datetime.now()
+    metrics.record_etl(
+        dag_id=dag_id,
+        task_id=task_id,
+        dag_run_id=dag_run_id,
+        status="failed",
+        error_message=str(err)[:500],
+        started_at=ts,
+        completed_at=ts,
+    )
+
+
 def run_index_day(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    day: str,
+    *,
+    metrics=None,
+    run_ts=None,
+    **kwargs,
+) -> dict:
+    """See ``_run_index_day``; with a ``metrics`` store, a failure in
+    any step additionally records a status='failed' etl_metrics row
+    (error message included) before re-raising."""
+    try:
+        return _run_index_day(
+            spark, root, batch, day, metrics=metrics, run_ts=run_ts, **kwargs
+        )
+    except Exception as e:
+        if metrics is not None:
+            _record_lifecycle_failure(
+                metrics,
+                "index_maintenance",
+                "run_index_day",
+                f"index_{day}",
+                e,
+                run_ts,
+            )
+        raise
+
+
+def _run_index_day(
     spark: SparkSession,
     root: str,
     batch: DataFrame,
@@ -408,14 +458,18 @@ def prune_index_generations(
     - count: all but the newest ``keep`` generations go (rollback
       window);
     - age: with ``max_age_ms``, a superseded generation also goes once
-      its promotion is older than the TTL even when it sits inside the
-      count window — generation dirs are promoted with one atomic
-      rename, so the dir's filesystem mtime IS the promotion instant
-      (``now_ms`` pins the clock for deterministic tests).
+      its SUPERSESSION is older than the TTL even when it sits inside
+      the count window. Age is measured from the promotion instant of
+      the SUCCESSOR generation (dirs are promoted with one atomic
+      rename, so a dir's filesystem mtime IS its promotion instant) —
+      never from the generation's own promotion: a generation that
+      served for months and was superseded a minute ago is the
+      rollback target a fresh retrain most needs, not stale data
+      (review r6). ``now_ms`` pins the clock for deterministic tests.
 
     A generation is pruned when EITHER policy selects it: count caps
-    rollback breadth, age caps how long a stale quantizer (and its
-    full corpus copy — the dominant storage cost) can linger when
+    rollback breadth, age caps how long a superseded quantizer (and
+    its full corpus copy — the dominant storage cost) can linger when
     retrains are rare.
     """
     fs, rp = _fs(spark, root)
@@ -432,8 +486,8 @@ def prune_index_generations(
         now = time.time() * 1000 if now_ms is None else now_ms
         pruned.update(
             g
-            for g in gens[:-1]
-            if now - stat_by_gen[g].getModificationTime() > max_age_ms
+            for g, succ in zip(gens[:-1], gens[1:])
+            if now - stat_by_gen[succ].getModificationTime() > max_age_ms
         )
     for g in sorted(pruned):
         fs.delete(stat_by_gen[g].getPath(), True)

@@ -769,35 +769,48 @@ def bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc gram count), one doc-keyed join back to the token arrays, then
 # the span merge / coverage / reassembly run entirely in-row over the
 # sorted position list (coverage added by occurrence j is
-# min(L, pos_j - pos_{j-1}) — no per-token flag array is ever built,
-# so there is no rule-10 multi-reference lambda-array trap and no
-# checkpoint is needed). A globally hot gram (boilerplate) concentrates
-# one hash group doing O(n) min work, never O(n²) pairing.
+# min(L, pos_j - pos_{j-1}) — no per-token flag array is ever built;
+# the only checkpoint is the token-array build the slice lambda
+# references per index, rule 10). A globally hot gram (boilerplate)
+# concentrates one hash group doing O(n) min work, never O(n²)
+# pairing.
 
 _SPAN_L = 16
-# overlapping L-gram scanner: consume the separator, capture the next
-# L tokens in a lookahead (text.py's _SHINGLE_RE device — no
-# per-position token array is materialized, so the gram stream is one
-# narrow regex pass with no checkpoint)
-_SPAN_RE = r"(?:^| )(?=((?:\S+ ){" + str(_SPAN_L - 1) + r"}\S+))"
 
 
 def span_gram_rows(
-    docs: DataFrame, l: int = _SPAN_L, carry: tuple[str, ...] = ()
+    toks: DataFrame, l: int = _SPAN_L, carry: tuple[str, ...] = ()
 ) -> DataFrame:
-    """(doc_id, [carry…], pos, sk, ord) — one row per overlapping
-    L-gram occurrence: 1-based token position, 64-bit gram hash, and
-    the guarded packed global first-occurrence key (segment_rows'
-    doc_id*1e6+pos encoding). Checkpoint-free and narrow, so the SAME
-    transform runs on a streaming frame (streaming/curation.
-    substring_dedup_stream); ``carry`` columns (the streaming twin's
-    event time) ride through untouched."""
-    pat = r"(?:^| )(?=((?:\S+ ){" + str(l - 1) + r"}\S+))"
-    return docs.select(
+    """(doc_id, [carry…], pos, sk, ord) from (doc_id, t=token array) —
+    one row per overlapping L-gram occurrence: 1-based token position,
+    64-bit gram hash, and the guarded packed global first-occurrence
+    key (segment_rows' doc_id*1e6+pos encoding).
+
+    Grams are built from the TOKEN ARRAY (slices over a position
+    sequence), never from a regex scan of the raw text: a ``\\S+``
+    scanner silently misaligns positions on text with consecutive
+    spaces or non-space whitespace (review r6 — a double space makes
+    the scanner skip a gram and shift every later position, cutting
+    the WRONG tokens downstream), while the token build is
+    position-exact for ANY input by construction and matches the
+    oracle's slice semantics. Checkpoint-free so the SAME transform
+    runs on a streaming frame (streaming/curation.
+    substring_dedup_stream); batch callers materialize ``toks`` first
+    (the segment_rows rule-10 discipline — the transform lambda
+    references ``t`` once per gram index). ``carry`` columns ride
+    through untouched."""
+    return toks.select(
         "doc_id",
         *carry,
         F.posexplode(
-            F.regexp_extract_all("text", F.lit(pat), F.lit(1))
+            F.expr(
+                f"""
+                if(size(t) >= {l},
+                   transform(sequence(1, size(t) - {l} + 1),
+                             i -> concat_ws(' ', slice(t, i, {l}))),
+                   cast(array() as array<string>))
+                """
+            )
         ).alias("p0", "g"),
     ).select(
         "doc_id",
@@ -827,8 +840,12 @@ def redundant_gram_positions(docs: DataFrame, l: int = _SPAN_L) -> DataFrame:
     """(doc_id, dps) — per doc, the sorted 1-based token positions of
     every L-gram occurrence whose gram text appears earlier in global
     (doc_id, position) order. Docs with no redundant grams are absent
-    (callers left-join)."""
-    grams = span_gram_rows(docs, l=l)
+    (callers left-join). Token arrays are materialized before the gram
+    build (rule 10 — the slice lambda references them per index)."""
+    toks = docs.select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    ).localCheckpoint(eager=False)
+    grams = span_gram_rows(toks, l=l)
     dups = grams.withColumn(
         "first_ord", F.min("ord").over(Window.partitionBy("sk"))
     ).filter(F.col("ord") > F.col("first_ord"))
@@ -864,6 +881,13 @@ def cut_duplicate_spans(
     # coverage added by occurrence j is min(l, pos_j - pos_{j-1}).
     # sequence(1, 0) counts DOWN (rule 4) — the empty-dps branch is
     # guarded explicitly.
+    # n_removed comes from the SAME gap arithmetic (coverage added by
+    # occurrence j is min(l, pos_j - pos_{j-1}), l for j=1), NOT from
+    # size(clean): the per-token filter lambda runs interpreted at
+    # O(n_tok·n_dup) per row, and referencing `clean` from two
+    # consumer expressions would inline and evaluate it twice after
+    # projection collapse (review r6, rule 10) — `clean` now has
+    # exactly one consumer (clean_text).
     clean = joined.select(
         "doc_id",
         "t",
@@ -882,13 +906,25 @@ def cut_duplicate_spans(
                              1, 0)))
             """
         ).alias("n_spans"),
+        F.expr(
+            f"""
+            if(size(dps) = 0, cast(0 as bigint),
+               aggregate(sequence(2, size(dps) + 1),
+                         cast({l} as bigint),
+                         (acc, j) -> acc + if(j <= size(dps),
+                             least(cast({l} as bigint),
+                                   cast(element_at(dps, j)
+                                        - element_at(dps, j - 1) as bigint)),
+                             0)))
+            """
+        ).alias("n_removed"),
     )
     return clean.select(
         "doc_id",
         F.size("t").cast("long").alias("n_tok"),
         F.size("dps").cast("long").alias("n_dup_occ"),
         "n_spans",
-        (F.size("t") - F.size("clean")).cast("long").alias("n_removed"),
+        "n_removed",
         F.expr("nullif(concat_ws(' ', clean), '')").alias("clean_text"),
     )
 
@@ -959,10 +995,10 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     redundant-gram occurrences, merged span count, removed-token count,
     and the deduplicated text.
 
-    The Spark side streams overlapping grams with the one-pass regex
-    scanner and hashes them in the same projection (strings never
-    shuffle); the oracle recomputes the identical semantics from token
-    slices with a per-token coverage join. Exactness: every duplicated
+    The Spark side streams overlapping token-slice grams and hashes
+    them in the same projection (strings never shuffle); the oracle
+    recomputes the identical semantics from the same token slices with
+    a per-token coverage join. Exactness: every duplicated
     span of >= {_SPAN_L} tokens is removed in full (its every token is
     covered by some redundant window); no span shorter than {_SPAN_L}
     is ever touched.

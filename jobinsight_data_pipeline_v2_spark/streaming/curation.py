@@ -309,13 +309,15 @@ def substring_dedup_stream(
     configuration (state O(distinct grams) forever).
     """
     from ..plans.corpus import _SPAN_L, span_gram_rows
+    from ..plans.text import _TOKENS
 
     if (ts_col is None) != (horizon is None):
         raise ValueError("ts_col and horizon must be provided together")
     l = _SPAN_L if l is None else l
 
     if ts_col is None:
-        grams = span_gram_rows(docs, l=l).select(
+        toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+        grams = span_gram_rows(toks, l=l).select(
             "sk", "doc_id", F.col("pos").cast("long"), "ord"
         )
         timeout = GroupStateTimeout.NoTimeout
@@ -324,7 +326,7 @@ def substring_dedup_stream(
         with_ts = (
             docs.withColumn("__ts", F.col(ts_col).cast("timestamp"))
             .withWatermark("__ts", horizon)
-            .select("doc_id", "__ts", "text")
+            .select("doc_id", "__ts", F.expr(_TOKENS).alias("t"))
         )
         grams = span_gram_rows(with_ts, l=l, carry=("__ts",)).select(
             "sk",
@@ -348,11 +350,12 @@ def curation_stream(
     """(doc_id, sk, first_copy, late, logit, quality_keep, n_emails,
     n_phones, ship): per-document curation DECISIONS over a stream —
     the incremental front half of ``corpus_pipeline.curate_corpus``.
-    Exact dedup is the stateful part (first arrival per text hash —
-    one long of state via the shared machine); the classifier features
-    and PII counts are computed in the SAME stateless projection that
-    hashes the text and ride through the state op as passthrough
-    columns, so no stream-stream join is ever needed. ``ship`` is the
+    Exact dedup is the stateful part (first arrival per RAW-text hash —
+    one long of state via the shared machine); the PII counts,
+    redaction, and classifier features ride the SAME stateless
+    projection and pass through the state op as extra columns, so no
+    stream-stream join is ever needed. Stage order matches the batch
+    pipeline: the classifier scores the REDACTED text. ``ship`` is the
     shippable verdict: first copy AND classifier keep. Substring-level
     dedup decisions stream separately (``substring_dedup_stream``);
     the global stages (token budget, sharding) are inherently
@@ -369,9 +372,13 @@ def curation_stream(
     if (ts_col is None) != (horizon is None):
         raise ValueError("ts_col and horizon must be provided together")
 
+    # dedup hashes the RAW text; the classifier sees the REDACTED text
+    # — the same stage order as curate_corpus (review r6: classifying
+    # un-scrubbed text can flip `keep` near the logit boundary for
+    # PII-bearing docs, because redaction collapses k distinct emails
+    # into one repeated '[EMAIL]' token)
     pre_cols = [
         "doc_id",
-        "text",
         F.xxhash64("text").alias("sk"),
         F.size(
             F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))
@@ -379,6 +386,11 @@ def curation_stream(
         F.size(
             F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))
         ).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("text"),
     ]
     extras = (
         ("logit", LongType()),

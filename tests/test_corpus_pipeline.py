@@ -93,3 +93,24 @@ def test_curate_corpus_token_budget_and_metrics(spark, tmp_path):
         x.doc_id for x in spark.read.parquet(p).select("doc_id").collect()
     )
     assert ids(out) == ids(str(tmp_path / "shards_budget2"))
+
+
+def test_curate_corpus_records_failure_row(spark, tmp_path):
+    """A crashed stage must be VISIBLE in the shared health store: the
+    failure row names the stage and carries the error (review r6)."""
+    import pytest
+
+    from jobinsight_data_pipeline_v2_spark.quality.monitoring import (
+        MetricsStore,
+    )
+
+    ms = MetricsStore(spark, str(tmp_path / "metrics"))
+    bad = spark.createDataFrame([(1, "x")], "doc_id long, wrong_col string")
+    with pytest.raises(Exception):
+        curate_corpus(spark, bad, str(tmp_path / "out"), metrics=ms)
+    rows = ms.etl_metrics().collect()
+    failed = [r for r in rows if r.status == "failed"]
+    assert len(failed) == 1
+    assert failed[0].dag_id == "corpus_curation"
+    assert failed[0].task_id == "exact_dedup"
+    assert failed[0].error_message

@@ -227,3 +227,43 @@ def test_substring_dedup_plan_shape(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     schema_line = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
     assert "lang" not in schema_line, "unused document columns not pruned"
+
+
+def test_substring_dedup_position_exact_on_messy_whitespace(spark):
+    """Review r6 regression: gram POSITIONS must index into the token
+    array (filter(split(text,' '))), not into a whitespace-scanned
+    view of the raw text — a doc with double spaces must cut exactly
+    the duplicated run, not shifted neighbors."""
+    l = 4
+    run = ["r0", "r1", "r2", "r3", "r4"]
+    texts_raw = {
+        1: "x1 x2 " + " ".join(run) + " x3",
+        # double spaces BEFORE the duplicated run: a \S+ scanner would
+        # shift every position after them
+        2: "y1  y2   y3 " + " ".join(run) + "  y4",
+    }
+    docs = spark.createDataFrame(
+        list(texts_raw.items()), "doc_id long, text string"
+    )
+    got = _run_substring_raw(spark, docs, l)
+    texts_tok = {d: [w for w in t.split(" ") if w] for d, t in texts_raw.items()}
+    assert got == _ref_substring_dedup(texts_tok, l)
+    assert got[2][4] == "y1 y2 y3 y4", "wrong tokens cut after double spaces"
+
+
+def _run_substring_raw(spark, docs, l):
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        cut_duplicate_spans,
+        redundant_gram_positions,
+    )
+
+    rows = cut_duplicate_spans(
+        docs, redundant_gram_positions(docs, l=l), l=l
+    ).collect()
+    return {
+        r["doc_id"]: (
+            r["n_tok"], r["n_dup_occ"], r["n_spans"], r["n_removed"],
+            r["clean_text"],
+        )
+        for r in rows
+    }

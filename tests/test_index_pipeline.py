@@ -218,8 +218,22 @@ def test_prune_by_age_never_touches_current(spark, root):
     run_index_day(spark, root, _orthogonal(spark, range(100, 140)),
                   "2026-05-02", drift_min_sim=0.5, **kw)
     assert current_generation(spark, root) == 1
-    # inside the TTL: count window (keep=2) retains both
     now = __import__("time").time() * 1000
+    # age is SUPERSESSION age, not promotion age (review r6): a
+    # generation that served for a year but was superseded just now is
+    # the rollback target — backdate gen 0's own promotion mtime far
+    # past the TTL and it must still survive while its successor is
+    # fresh
+    import os
+
+    year = 365 * 86400
+    os.utime(
+        f"{root}/gen=0",
+        (
+            __import__("time").time() - year,
+            __import__("time").time() - year,
+        ),
+    )
     assert prune_index_generations(
         spark, root, keep=2, max_age_ms=10_000, now_ms=now
     ) == []
@@ -268,3 +282,21 @@ def test_run_index_day_records_metrics(spark, root, tmp_path):
         ms.etl_metrics(), datetime.date(2026, 5, 2)
     ).collect()
     assert any(h.dag_id == "index_maintenance" for h in health)
+
+
+def test_run_index_day_records_failure_row(spark, root, tmp_path):
+    """The empty-batch bootstrap error must land a failed etl_metrics
+    row before propagating (review r6)."""
+    from jobinsight_data_pipeline_v2_spark.quality.monitoring import (
+        MetricsStore,
+    )
+
+    ms = MetricsStore(spark, str(tmp_path / "metrics"))
+    empty = _clustered(spark, range(10)).filter("vec_id < 0")
+    with pytest.raises(ValueError):
+        run_index_day(spark, root, empty, "2026-07-01",
+                      k=4, kmeans_iters=2, train_sample_mod=1, metrics=ms)
+    rows = ms.etl_metrics().collect()
+    assert [r.status for r in rows] == ["failed"]
+    assert rows[0].dag_id == "index_maintenance"
+    assert "bootstrap" in rows[0].error_message

@@ -1301,7 +1301,10 @@ def test_streaming_substring_dedup_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM subdedup_test")
     assert got.filter("late").count() == 0
-    assert got.count() == span_gram_rows(docs).count()
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), t -> t != '')").alias("t")
+    )
+    assert got.count() == span_gram_rows(toks).count()
     dropped = (
         got.filter("NOT kept")
         .groupBy("doc_id")
@@ -1383,7 +1386,17 @@ def test_streaming_curation_decisions_equal_batch(spark, tmp_path):
         _PHONE_RE,
     )
 
-    scored = classifier_score(docs)  # n_tok > 0 population
+    # the batch rule set: classifier over REDACTED text (curate_corpus
+    # stage order), dedup hash over raw text
+    redacted = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("text"),
+    )
+    scored = classifier_score(redacted)  # n_tok > 0 population
     expected = (
         docs.join(scored.select("doc_id", "keep"), "doc_id")
         .withColumn("__sk", F.xxhash64("text"))
