@@ -1,0 +1,145 @@
+"""Hypothesis property tests for the driver-side combinatorial logic
+that the Spark fuzz harnesses exercise only at a handful of seeds:
+BPE batch selection/packing and the substring-span gap arithmetic.
+Pure Python — no SparkSession — so hundreds of generated cases run in
+milliseconds and shrinking produces minimal counterexamples.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jobinsight_data_pipeline_v2_spark.operators.tokenizer import (
+    _encode_batches,
+    _select_merge_batch,
+)
+
+# --- strategies ------------------------------------------------------------
+
+_SYM = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+
+def _merge_tables():
+    """Rank-ordered merge lists, including composed symbols (outputs of
+    earlier ranks reused as later members) — the regime that forces
+    batch flushes."""
+
+    @st.composite
+    def build(draw):
+        n = draw(st.integers(0, 12))
+        pairs: list[tuple[str, str]] = []
+        for _ in range(n):
+            pool = [s for p in pairs for s in (p[0] + " " + p[1],)]
+            cand = st.one_of(_SYM, st.sampled_from(pool)) if pool else _SYM
+            a, b = draw(cand), draw(cand)
+            if (a, b) not in pairs:
+                pairs.append((a, b))
+        return pairs
+
+    return build()
+
+
+# --- _encode_batches -------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(_merge_tables())
+def test_encode_batches_partition_and_disjointness(pairs):
+    """Batches must (1) concatenate back to the input in order, and
+    (2) within a batch be mutually symbol-disjoint AND never reference
+    a symbol produced by an earlier pair of the same batch — the two
+    preconditions under which one apply_merges fold equals sequential
+    rank-order application."""
+    batches = _encode_batches(pairs)
+    assert [p for b in batches for p in b] == pairs
+    assert all(b for b in batches) or not pairs
+    for batch in batches:
+        used: set[str] = set()
+        produced: set[str] = set()
+        for a, b in batch:
+            assert a not in used and b not in used, (batch, (a, b))
+            assert a not in produced and b not in produced, (batch, (a, b))
+            used.update((a, b))
+            produced.add(a + " " + b)
+
+
+# --- _select_merge_batch ---------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_SYM, _SYM, st.integers(1, 50)),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(1, 6),
+)
+def test_select_merge_batch_safety_invariants(rows, limit):
+    """Whatever the ranked slice looks like: the batch is a prefix-
+    selected symbol-disjoint set, its first element is the global
+    argmax (row 0), and every later member's count is STRICTLY above
+    the safety bound (the first skipped/overlapping count), so no
+    created pair can outrank it mid-batch."""
+    ranked = sorted(
+        [{"a": a, "b": b, "n": n} for a, b, n in rows],
+        key=lambda r: (-r["n"], r["a"], r["b"]),
+    )
+    batch = _select_merge_batch(ranked, limit, min_count=2, saw_all_pairs=True)
+    if not batch:
+        return
+    assert (batch[0][0], batch[0][1]) == (ranked[0]["a"], ranked[0]["b"])
+    assert len(batch) <= limit
+    used: set[str] = set()
+    for a, b, n in batch:
+        assert a not in used and b not in used
+        used.update((a, b))
+    # recompute the stop bound exactly as the implementation defines it
+    bound = None
+    seen: set[str] = set()
+    taken = 0
+    for r in ranked:
+        if r["a"] in seen or r["b"] in seen:
+            bound = r["n"]
+            break
+        if taken < limit and r["n"] >= 2:
+            seen.update((r["a"], r["b"]))
+            taken += 1
+        else:
+            bound = r["n"]
+            break
+    if bound is not None:
+        for m in batch[1:]:
+            assert m[2] > bound, (batch, bound)
+
+
+# --- substring-span gap arithmetic ----------------------------------------
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(st.integers(1, 60), min_size=0, max_size=25, unique=True),
+    st.integers(2, 8),
+)
+def test_span_gap_arithmetic_equals_coverage(positions, l):
+    """The closed forms the engine evaluates in-row over the sorted
+    redundant-position list — n_removed = l + Σ min(l, gap_j),
+    n_spans = 1 + #{j : gap_j > l} — must equal brute-force interval
+    union coverage for EVERY position multiset, not just the shapes a
+    random corpus generates."""
+    dps = sorted(positions)
+    covered: set[int] = set()
+    for p in dps:
+        covered.update(range(p, p + l))
+    # brute-force island count over the covered set
+    n_spans_bf = sum(1 for p in covered if p - 1 not in covered)
+    if not dps:
+        n_removed, n_spans = 0, 0
+    else:
+        n_removed = l + sum(
+            min(l, b - a) for a, b in zip(dps, dps[1:])
+        )
+        n_spans = 1 + sum(1 for a, b in zip(dps, dps[1:]) if b > a + l)
+    assert n_removed == len(covered)
+    assert n_spans == n_spans_bf
