@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "bpe_encode_roundtrip",  # tokenizer inference: train 1/4, encode all
     "semantic_dedup",  # SemDeDup: within-cell cosine groups + components
     "kn_lm_stats",  # Kneser-Ney continuation/fanout counts, integer core
+    "ccnet_buckets",  # CCNet head/middle/tail quality-stratified sampling
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -161,7 +161,11 @@ PRIORITY: tuple[str, ...] = (
 #   kn_lm_stats (r6, born below the fold: n-gram LM statistics — the
 #     token-stats family is pinned above by token_histogram and the
 #     LM quality signal by doc_quality; the Kneser-Ney continuation
-#     counts stay local-gated).
+#     counts stay local-gated),
+#   ccnet_buckets (r6, born below the fold: quality-stratified
+#     sampling — the sampling family is pinned above by hash_split +
+#     shuffle_shards and quality scoring by doc_quality; the
+#     CCNet head/middle/tail composition stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

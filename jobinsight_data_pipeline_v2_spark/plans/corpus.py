@@ -695,6 +695,19 @@ def bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     only float is the final division of two exact integers.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return coverage_counts(docs).select(
+        "doc_id",
+        "n_bi",
+        "n_cov",
+        (F.col("n_cov").cast("double") / F.col("n_bi")).alias("coverage"),
+    ).orderBy("doc_id")
+
+
+def coverage_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bi, n_cov) — per doc, total bigram occurrences and
+    the count covered by the corpus's top-{_BIGRAM_TOP_V} bigram
+    vocabulary. Exact integers (the bigram-LM quality core); shared by
+    the coverage gate and the CCNet-style bucketing below."""
     toks = docs.select(
         "doc_id",
         F.expr("filter(split(text, ' '), x -> x != '')").alias("t"),
@@ -726,13 +739,6 @@ def bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bi"),
             F.sum(F.coalesce("__v", F.lit(0))).cast("long").alias("n_cov"),
         )
-        .select(
-            "doc_id",
-            "n_bi",
-            "n_cov",
-            (F.col("n_cov").cast("double") / F.col("n_bi")).alias("coverage"),
-        )
-        .orderBy("doc_id")
     )
 
 
@@ -1123,4 +1129,110 @@ def kn_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_uni"), "word")
         .limit(_KN_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality-stratified sampling (head / middle / tail)
+# ---------------------------------------------------------------------------
+#
+# CCNet (Wenzek et al. 2020) buckets a crawl by LM quality and samples
+# each bucket at its own rate — keep the head, thin the middle, keep a
+# sliver of tail for diversity. The quality signal here is the
+# integer-exact bigram-LM coverage core (coverage_counts); bucket
+# boundaries are RATIONAL thresholds compared by integer
+# cross-multiplication (3·n_cov ≥ 2·n_bi ⇔ coverage ≥ 2/3), so the
+# bucketing is bit-exact in both engines with no float ratio anywhere.
+# Membership sampling reuses the engine's md5-bucket rule (the
+# mixture_sample device: deterministic, replay/retry-stable, no
+# rand()).
+
+_CCNET_RATES = {"head": 1000, "middle": 500, "tail": 100}
+# head: coverage >= 2/3; middle: coverage >= 3/5; else tail
+_CCNET_BUCKET_SQL = (
+    "CASE WHEN 3 * n_cov >= 2 * n_bi THEN 'head' "
+    "WHEN 5 * n_cov >= 3 * n_bi THEN 'middle' ELSE 'tail' END"
+)
+_CCNET_RATE_SQL = (
+    "CASE bucket WHEN 'head' THEN 1000 WHEN 'middle' THEN 500 "
+    "ELSE 100 END"
+)
+
+
+@register(
+    "ccnet_buckets",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bg FROM toks
+    ),
+    vocab AS (
+        SELECT bg FROM (
+            SELECT bg, COUNT(*) AS n FROM bigrams GROUP BY bg
+            ORDER BY n DESC, bg LIMIT {_BIGRAM_TOP_V}
+        )
+    ),
+    per_doc AS (
+        SELECT b.doc_id,
+               COUNT(*) AS n_bi,
+               CAST(SUM(CASE WHEN v.bg IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cov
+        FROM bigrams b LEFT JOIN vocab v USING (bg)
+        GROUP BY b.doc_id
+    ),
+    bucketed AS (
+        SELECT doc_id, CAST(n_bi AS BIGINT) AS n_bi, n_cov,
+               {_CCNET_BUCKET_SQL} AS bucket,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000 AS mbucket
+        FROM per_doc
+    )
+    SELECT doc_id, n_bi, n_cov, bucket,
+           CAST({_CCNET_RATE_SQL} AS BIGINT) AS rate_permille,
+           mbucket < {_CCNET_RATE_SQL} AS kept
+    FROM bucketed
+    ORDER BY doc_id
+    """,
+)
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality-stratified sampling decisions: per doc its
+    coverage counts, head/middle/tail bucket (integer cross-multiplied
+    rational thresholds — no float ratio), the bucket's keep rate, and
+    the deterministic md5-membership verdict.
+
+    Scale shape: coverage_counts' one checkpointed bigram stream +
+    broadcast vocab join + map-side-combined per-doc agg; everything
+    after is a narrow projection. Docs with fewer than two tokens
+    carry no bigrams and drop out (no quality signal to stratify on).
+    """
+    from .sampling import _bucket
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cov = coverage_counts(docs)
+    bucket = (
+        F.when(3 * F.col("n_cov") >= 2 * F.col("n_bi"), "head")
+        .when(5 * F.col("n_cov") >= 3 * F.col("n_bi"), "middle")
+        .otherwise("tail")
+    )
+    rate = (
+        F.when(F.col("bucket") == "head", _CCNET_RATES["head"])
+        .when(F.col("bucket") == "middle", _CCNET_RATES["middle"])
+        .otherwise(_CCNET_RATES["tail"])
+        .cast("long")
+    )
+    return (
+        cov.withColumn("bucket", bucket)
+        .withColumn("rate_permille", rate)
+        .withColumn("mbucket", _bucket("doc_id", 1000))
+        .select(
+            "doc_id",
+            "n_bi",
+            "n_cov",
+            "bucket",
+            "rate_permille",
+            (F.col("mbucket") < F.col("rate_permille")).alias("kept"),
+        )
+        .orderBy("doc_id")
     )

@@ -267,3 +267,23 @@ def _run_substring_raw(spark, docs, l):
         )
         for r in rows
     }
+
+
+def test_ccnet_buckets_stratify_and_sample(spark):
+    """CCNet gate semantics beyond the oracle hash: all three buckets
+    are populated (thresholds actually stratify this corpus), bucket
+    assignment matches the integer cross-multiplication rule, and the
+    realized keep rate per bucket tracks its nominal rate."""
+    out = load_all()["ccnet_buckets"][0](spark, SF).toPandas()
+    counts = out.bucket.value_counts()
+    assert set(counts.index) == {"head", "middle", "tail"}
+    assert (counts > 10).all(), counts
+    assert (
+        (out.bucket == "head") == (3 * out.n_cov >= 2 * out.n_bi)
+    ).all()
+    rates = {"head": 1000, "middle": 500, "tail": 100}
+    for b, r in rates.items():
+        sel = out[out.bucket == b]
+        assert (sel.rate_permille == r).all()
+        realized = sel.kept.mean()
+        assert abs(realized - r / 1000) < 0.2, (b, realized)
