@@ -337,6 +337,8 @@ def write_warc_archive(
         else:
             raw = b"".join(chunks)
             name = f"part-{pid:05d}.warc"
+        # tasks may race to be first on a fresh out_dir — exist_ok
+        _os.makedirs(out_dir, exist_ok=True)
         tmp = _os.path.join(out_dir, f".tmp-{_uuid.uuid4().hex}")
         with open(tmp, "wb") as f:
             f.write(raw)

@@ -114,3 +114,36 @@ def test_curate_corpus_records_failure_row(spark, tmp_path):
     assert failed[0].dag_id == "corpus_curation"
     assert failed[0].task_id == "exact_dedup"
     assert failed[0].error_message
+
+
+def test_curate_corpus_from_warc_ingest_matches_direct(spark, tmp_path):
+    """Crawl-to-shards: the corpus exported as WARC archives, re-read
+    through the archive source, and curated must produce the IDENTICAL
+    report and shard contents as curating the parquet directly — the
+    ingest format cannot leak into any curation decision."""
+    from jobinsight_data_pipeline_v2_spark.sources.warc_source import (
+        read_warc_records,
+        write_warc_archive,
+    )
+
+    docs = _docs(spark)
+    recs = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("target_uri"),
+        F.col("text").alias("payload"),
+    ).repartition(4)
+    arch = str(tmp_path / "archives")
+    write_warc_archive(recs, arch).count()  # drain executes the export
+    ingested = read_warc_records(spark, f"{arch}/*").select(
+        F.expr("cast(substring(target_uri, 9) as bigint)").alias("doc_id"),
+        F.col("payload").cast("string").alias("text"),
+    )
+    r_warc = curate_corpus(
+        spark, ingested, str(tmp_path / "shards_warc"), n_shards=2
+    )
+    r_direct = curate_corpus(
+        spark, docs, str(tmp_path / "shards_direct"), n_shards=2
+    )
+    assert r_warc == {**r_direct, "out_dir": r_warc["out_dir"]}
+    a = spark.read.parquet(str(tmp_path / "shards_warc"))
+    b = spark.read.parquet(str(tmp_path / "shards_direct"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
