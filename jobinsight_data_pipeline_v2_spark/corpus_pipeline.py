@@ -48,6 +48,7 @@ from .plans.corpus import (
     _SPAN_L,
     classifier_score,
     cut_duplicate_spans,
+    doc_token_arrays,
     redundant_gram_positions,
 )
 from .plans.curation import _EMAIL_RE, _PHONE_RE
@@ -107,11 +108,14 @@ def curate_corpus(
         )
     except Exception as e:
         if metrics is not None:
+            import os as _os
+
             from .index_pipeline import _record_lifecycle_failure
 
+            run_name = _os.path.basename(_os.path.normpath(out_dir))
             _record_lifecycle_failure(
                 metrics, "corpus_curation", stage["name"],
-                f"curation_{out_dir.rsplit('/', 1)[-1]}", e, run_ts,
+                f"curation_{run_name}", e, run_ts,
             )
         raise
 
@@ -154,8 +158,9 @@ def _curate_corpus(
     #    (clean_text NULL) drop out here
     t1 = time.monotonic()
     stage["name"] = "substring_dedup"
+    toks = doc_token_arrays(exact)
     spans = cut_duplicate_spans(
-        exact, redundant_gram_positions(exact, l=span_l), l=span_l
+        toks, redundant_gram_positions(toks, l=span_l), l=span_l
     ).localCheckpoint(eager=False)
     span_stats = spans.agg(
         F.count(F.lit(1)).alias("n"),

@@ -244,19 +244,27 @@ def _record_lifecycle_failure(
 ) -> None:
     """A crashed maintainer must be VISIBLE in the shared health
     rollups, not identical to one that never ran (review r6 — the
-    warehouse pipeline records its hard-fail path the same way)."""
+    warehouse pipeline records its hard-fail path the same way).
+    Best-effort: a broken metrics store must never mask the original
+    stage exception (review r6, second pass)."""
     import datetime as _dt
+    import logging
 
     ts = run_ts if run_ts is not None else _dt.datetime.now()
-    metrics.record_etl(
-        dag_id=dag_id,
-        task_id=task_id,
-        dag_run_id=dag_run_id,
-        status="failed",
-        error_message=str(err)[:500],
-        started_at=ts,
-        completed_at=ts,
-    )
+    try:
+        metrics.record_etl(
+            dag_id=dag_id,
+            task_id=task_id,
+            dag_run_id=dag_run_id,
+            status="failed",
+            error_message=str(err)[:500],
+            started_at=ts,
+            completed_at=ts,
+        )
+    except Exception:
+        logging.getLogger(__name__).exception(
+            "failed to record lifecycle failure for %s/%s", dag_id, task_id
+        )
 
 
 def run_index_day(

@@ -842,15 +842,88 @@ def span_gram_rows(
     )
 
 
-def redundant_gram_positions(docs: DataFrame, l: int = _SPAN_L) -> DataFrame:
-    """(doc_id, dps) — per doc, the sorted 1-based token positions of
-    every L-gram occurrence whose gram text appears earlier in global
-    (doc_id, position) order. Docs with no redundant grams are absent
-    (callers left-join). Token arrays are materialized before the gram
-    build (rule 10 — the slice lambda references them per index)."""
-    toks = docs.select(
+def span_gram_rows_scan(
+    docs: DataFrame, l: int = _SPAN_L, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, [carry…], pos, sk, ord) — the LINEAR one-pass gram
+    stream for STREAMING frames, where the token-array build cannot be
+    checkpointed and projection collapse would inline the tokenizer
+    into the per-index slice lambda (rule 10's O(n_tok²) shape,
+    review r6). Canonical single-space text is rebuilt from the token
+    array with ONE reference (concat_ws), then scanned with the
+    overlapping-gram lookahead regex — position-exact ON canonical
+    text. A token containing non-space whitespace would desynchronize
+    the ``\\S+`` scanner, so such input fails loudly via an in-plan
+    assert_true instead of silently shifting positions (out of
+    contract for the scan variant; the batch slice path handles it
+    exactly)."""
+    pat = r"(?:^| )(?=((?:\S+ ){" + str(l - 1) + r"}\S+))"
+    canon = docs.select(
+        "doc_id",
+        *carry,
+        F.concat(
+            F.concat_ws(" ", F.expr(_TOKENS)),
+            F.coalesce(
+                F.assert_true(
+                    ~F.col("text").rlike("[\\t\\n\\x0b\\f\\r]"),
+                    F.lit(
+                        "substring dedup (scan variant): text contains "
+                        "non-space whitespace inside a token; the "
+                        "one-pass scanner cannot position it — use the "
+                        "batch slice path or pre-normalize"
+                    ),
+                ).cast("string"),
+                F.lit(""),
+            ),
+        ).alias("__canon"),
+    )
+    return canon.select(
+        "doc_id",
+        *carry,
+        F.posexplode(
+            F.regexp_extract_all("__canon", F.lit(pat), F.lit(1))
+        ).alias("p0", "g"),
+    ).select(
+        "doc_id",
+        *carry,
+        (F.col("p0") + 1).alias("pos"),
+        _shingle_key("g").alias("sk"),
+        (
+            F.col("doc_id") * 1_000_000
+            + F.col("p0")
+            + 1
+            + F.coalesce(
+                F.assert_true(
+                    F.col("p0") + 1 < 1_000_000,
+                    F.lit(
+                        "substring dedup: gram position >= 1e6 overflows "
+                        "the packed first-occurrence key; widen ord"
+                    ),
+                ).cast("bigint"),
+                F.lit(0),
+            )
+        ).alias("ord"),
+    )
+
+
+def doc_token_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, t) — the materialized token arrays every substring-
+    dedup stage shares: ONE corpus scan + tokenization, checkpointed
+    because the gram-build slice lambda references ``t`` per index
+    (rule 10) and because the gram stream and the reassembly both
+    consume it (rule 12; review r6 — building it twice re-scanned the
+    corpus)."""
+    return docs.select(
         "doc_id", F.expr(_TOKENS).alias("t")
     ).localCheckpoint(eager=False)
+
+
+def redundant_gram_positions(toks: DataFrame, l: int = _SPAN_L) -> DataFrame:
+    """(doc_id, dps) from (doc_id, t) — per doc, the sorted 1-based
+    token positions of every L-gram occurrence whose gram text appears
+    earlier in global (doc_id, position) order. Docs with no redundant
+    grams are absent (callers left-join). ``toks`` comes from
+    ``doc_token_arrays`` (materialized — see there)."""
     grams = span_gram_rows(toks, l=l)
     dups = grams.withColumn(
         "first_ord", F.min("ord").over(Window.partitionBy("sk"))
@@ -861,17 +934,18 @@ def redundant_gram_positions(docs: DataFrame, l: int = _SPAN_L) -> DataFrame:
 
 
 def cut_duplicate_spans(
-    docs: DataFrame, dup_pos: DataFrame, l: int = _SPAN_L
+    toks: DataFrame, dup_pos: DataFrame, l: int = _SPAN_L
 ) -> DataFrame:
-    """(doc_id, n_tok, n_dup_occ, n_spans, n_removed, clean_text) —
-    merge each doc's redundant-gram windows [p, p+l-1] into maximal
-    spans and reassemble the document from the surviving tokens.
-    Entirely in-row over the sorted position list after one doc-keyed
-    left join; empty-token docs are dropped (no substring semantics
-    without tokens)."""
+    """(doc_id, n_tok, n_dup_occ, n_spans, n_removed, clean_text) from
+    (doc_id, t) + (doc_id, dps) — merge each doc's redundant-gram
+    windows [p, p+l-1] into maximal spans and reassemble the document
+    from the surviving tokens. Entirely in-row over the sorted
+    position list after one doc-keyed left join; empty-token docs are
+    dropped (no substring semantics without tokens). ``toks`` is the
+    SAME ``doc_token_arrays`` frame the gram stream consumed — one
+    corpus scan for the whole operator."""
     joined = (
-        docs.select("doc_id", F.expr(_TOKENS).alias("t"))
-        .filter(F.size("t") > 0)
+        toks.filter(F.size("t") > 0)
         .join(dup_pos, "doc_id", "left")
         .select(
             "doc_id",
@@ -1010,8 +1084,9 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ever touched.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = doc_token_arrays(docs)
     return cut_duplicate_spans(
-        docs, redundant_gram_positions(docs)
+        toks, redundant_gram_positions(toks)
     ).orderBy("doc_id")
 
 

@@ -308,16 +308,20 @@ def substring_dedup_stream(
     identical; without a TTL this is the verification-twin
     configuration (state O(distinct grams) forever).
     """
-    from ..plans.corpus import _SPAN_L, span_gram_rows
-    from ..plans.text import _TOKENS
+    # streaming frames cannot checkpoint the token arrays, so the
+    # gram stream uses the LINEAR scan variant (canonical text rebuilt
+    # with one array reference + lookahead regex, in-plan whitespace
+    # guard) — the slice variant's per-index array reference would
+    # re-tokenize per gram after projection collapse (rule 10,
+    # review r6)
+    from ..plans.corpus import _SPAN_L, span_gram_rows_scan
 
     if (ts_col is None) != (horizon is None):
         raise ValueError("ts_col and horizon must be provided together")
     l = _SPAN_L if l is None else l
 
     if ts_col is None:
-        toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
-        grams = span_gram_rows(toks, l=l).select(
+        grams = span_gram_rows_scan(docs, l=l).select(
             "sk", "doc_id", F.col("pos").cast("long"), "ord"
         )
         timeout = GroupStateTimeout.NoTimeout
@@ -326,9 +330,9 @@ def substring_dedup_stream(
         with_ts = (
             docs.withColumn("__ts", F.col(ts_col).cast("timestamp"))
             .withWatermark("__ts", horizon)
-            .select("doc_id", "__ts", F.expr(_TOKENS).alias("t"))
+            .select("doc_id", "__ts", "text")
         )
-        grams = span_gram_rows(with_ts, l=l, carry=("__ts",)).select(
+        grams = span_gram_rows_scan(with_ts, l=l, carry=("__ts",)).select(
             "sk",
             "doc_id",
             F.col("pos").cast("long"),

@@ -154,8 +154,11 @@ def _run_substring(spark, texts: dict[int, list[str]], l: int):
     docs = spark.createDataFrame(
         [(d, " ".join(t)) for d, t in texts.items()], "doc_id long, text string"
     )
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), t -> t != '')").alias("t")
+    )
     rows = cut_duplicate_spans(
-        docs, redundant_gram_positions(docs, l=l), l=l
+        toks, redundant_gram_positions(toks, l=l), l=l
     ).collect()
     return {
         r["doc_id"]: (
@@ -225,7 +228,24 @@ def test_substring_dedup_plan_shape(spark):
     assert "Exchange SinglePartition" not in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    schema_line = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    # the shared token-array build is a checkpoint boundary (rule 14
+    # hides its subtree in the gate plan), so column pruning is
+    # asserted on the PRE-boundary subtree (test_bloom_prefilter_plan
+    # pattern)
+    from jobinsight_data_pipeline_v2_spark.plans.text import _TOKENS
+    from jobinsight_data_pipeline_v2_spark.tables import load_table
+
+    toks_plan = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", F.expr(_TOKENS).alias("t"))
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    schema_line = [ln for ln in toks_plan.splitlines() if "ReadSchema" in ln][0]
     assert "lang" not in schema_line, "unused document columns not pruned"
 
 
@@ -257,8 +277,11 @@ def _run_substring_raw(spark, docs, l):
         redundant_gram_positions,
     )
 
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), t -> t != '')").alias("t")
+    )
     rows = cut_duplicate_spans(
-        docs, redundant_gram_positions(docs, l=l), l=l
+        toks, redundant_gram_positions(toks, l=l), l=l
     ).collect()
     return {
         r["doc_id"]: (
@@ -287,3 +310,36 @@ def test_ccnet_buckets_stratify_and_sample(spark):
         assert (sel.rate_permille == r).all()
         realized = sel.kept.mean()
         assert abs(realized - r / 1000) < 0.2, (b, realized)
+
+
+def test_span_gram_scan_variant_matches_slice_and_guards(spark):
+    """The streaming scan variant (canonical text + lookahead regex)
+    must emit the identical (doc_id, pos, sk, ord) rows as the batch
+    slice variant on single-space text — including text with double
+    spaces, which canonicalization absorbs — and must FAIL LOUDLY on
+    a token containing non-space whitespace rather than emit shifted
+    positions."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        span_gram_rows,
+        span_gram_rows_scan,
+    )
+
+    l = 4
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x1  x2   x3 a b c d")],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), t -> t != '')").alias("t")
+    )
+    a = {tuple(r) for r in span_gram_rows(toks, l=l).collect()}
+    b = {tuple(r) for r in span_gram_rows_scan(docs, l=l).collect()}
+    assert a == b and a
+    bad = spark.createDataFrame(
+        [(3, "a b\tc d e f g h")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="non-space whitespace"):
+        span_gram_rows_scan(bad, l=l).collect()

@@ -7,8 +7,11 @@ milliseconds and shrinking produces minimal counterexamples.
 
 from __future__ import annotations
 
-from hypothesis import given, settings
-from hypothesis import strategies as st
+import pytest
+
+pytest.importorskip("hypothesis")  # optional dep — skip, don't break collection
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
 
 from jobinsight_data_pipeline_v2_spark.operators.tokenizer import (
     _encode_batches,
@@ -95,21 +98,23 @@ def test_select_merge_batch_safety_invariants(rows, limit):
     for a, b, n in batch:
         assert a not in used and b not in used
         used.update((a, b))
-    # recompute the stop bound exactly as the implementation defines it
-    bound = None
-    seen: set[str] = set()
-    taken = 0
-    for r in ranked:
-        if r["a"] in seen or r["b"] in seen:
-            bound = r["n"]
-            break
-        if taken < limit and r["n"] >= 2:
-            seen.update((r["a"], r["b"]))
-            taken += 1
-        else:
-            bound = r["n"]
-            break
-    if bound is not None:
+    # spec-level safety (derived from WHY the batch is safe, not from
+    # the implementation's walk): applying the batch can only create
+    # or boost pairs that involve a batch symbol, and any such pair's
+    # current count is bounded by some ranked pair sharing a symbol
+    # with the batch. So every non-first member must STRICTLY outrank
+    # the best unselected pair that touches the batch's symbols — else
+    # sequential BPE might merge that one (or a created pair tied
+    # with it) first.
+    in_batch = {(a, b) for a, b, _ in batch}
+    touching = [
+        r["n"]
+        for r in ranked
+        if (r["a"], r["b"]) not in in_batch
+        and (r["a"] in used or r["b"] in used)
+    ]
+    if touching:
+        bound = max(touching)
         for m in batch[1:]:
             assert m[2] > bound, (batch, bound)
 

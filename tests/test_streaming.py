@@ -1310,7 +1310,7 @@ def test_streaming_substring_dedup_equals_batch(spark, tmp_path):
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("dps"))
     )
-    expected = redundant_gram_positions(docs)
+    expected = redundant_gram_positions(toks)
     sym = (
         dropped.exceptAll(expected).count()
         + expected.exceptAll(dropped).count()
