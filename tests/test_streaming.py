@@ -1422,3 +1422,104 @@ def test_streaming_curation_decisions_equal_batch(spark, tmp_path):
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0, "decision stream != batch rules"
     assert got.count() == scored.count()
+
+
+def test_streaming_substring_ttl_expiry_readmits(spark, tmp_path):
+    """The substring twin's TTL wiring (watermark cast, __ts_ms carry,
+    EventTimeTimeout) through the shared state machine: a gram unseen
+    for the horizon expires and its next copy is RE-ADMITTED, exactly
+    like the segment twin's proven behavior; state stays bounded."""
+    import time
+    from datetime import datetime
+
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        substring_dedup_stream,
+    )
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, 0).replace(  # noqa: E731
+        minute=s // 60, second=s % 60
+    )
+    R1 = "a1 a2 a3 a4"  # one 4-gram per doc at l=4
+    R2 = "b1 b2 b3 b4"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, ts timestamp_ntz, text string"
+    )
+    drops = [
+        mk([(1, t(0), R1), (2, t(0), R1)]),   # dup within batch
+        mk([(3, t(120), R2)]),                 # jump: watermark advances
+        mk([(4, t(130), R2)]),                 # R1's gram expires here
+        mk([(5, t(140), R1)]),                 # after expiry: re-admitted
+    ]
+    src = os.path.join(str(tmp_path), "sub_ttl")
+    now = time.time()
+    for b, d in enumerate(drops):
+        _write_drop(d, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp_ntz, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark,
+        substring_dedup_stream(stream, l=4, ts_col="ts",
+                               horizon="30 seconds"),
+        "subdedup_ttl",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.kept, r.late)
+        for r in spark.sql("SELECT * FROM subdedup_ttl").collect()
+    }
+    assert got == {
+        (1, True, False),
+        (2, False, False),
+        (3, True, False),
+        (4, False, False),
+        (5, True, False),  # re-admitted after the horizon — the TTL trade
+    }
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] <= 2
+
+
+def test_streaming_curation_ttl_branch_runs(spark, tmp_path):
+    """curation_stream's TTL branch (watermarked dedup state with
+    classifier/PII passthrough): decisions still chain ship ==
+    first_copy AND quality_keep, a within-horizon duplicate is
+    dropped, and the passthrough columns survive the stateful op."""
+    import time
+    from datetime import datetime
+
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        curation_stream,
+    )
+
+    filler = " ".join(f"word{i} thing{i} the of and" for i in range(12))
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, ts timestamp_ntz, text string"
+    )
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    drops = [
+        mk([(1, t0, filler), (2, t0, filler)]),  # exact dup pair
+        mk([(3, t0.replace(second=10), "x " * 3)]),  # low quality
+    ]
+    src = os.path.join(str(tmp_path), "cur_ttl")
+    now = time.time()
+    for b, d in enumerate(drops):
+        _write_drop(d, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp_ntz, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark,
+        curation_stream(stream, ts_col="ts", horizon="1 minute"),
+        "curation_ttl",
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.sql(
+        "SELECT * FROM curation_ttl").collect()}
+    assert rows[1].first_copy and rows[1].quality_keep and rows[1].ship
+    assert not rows[2].first_copy and not rows[2].ship  # within-horizon dup
+    assert rows[2].quality_keep  # passthrough classifier verdict intact
+    assert not rows[3].quality_keep and not rows[3].ship
+    assert rows[3].first_copy
