@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "semantic_dedup",  # SemDeDup: within-cell cosine groups + components
     "kn_lm_stats",  # Kneser-Ney continuation/fanout counts, integer core
     "ccnet_buckets",  # CCNet head/middle/tail quality-stratified sampling
+    "substring_decontaminate",  # cut benchmark-overlap spans, keep docs
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

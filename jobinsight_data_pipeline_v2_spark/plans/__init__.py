@@ -165,7 +165,11 @@ PRIORITY: tuple[str, ...] = (
 #   ccnet_buckets (r6, born below the fold: quality-stratified
 #     sampling — the sampling family is pinned above by hash_split +
 #     shuffle_shards and quality scoring by doc_quality; the
-#     CCNet head/middle/tail composition stays local-gated).
+#     CCNet head/middle/tail composition stays local-gated),
+#   substring_decontaminate (r6, born below the fold: the
+#     decontamination family is pinned above by decontaminate and the
+#     span-cut machinery by the substring-dedup tests; the
+#     span-granular benchmark cut stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

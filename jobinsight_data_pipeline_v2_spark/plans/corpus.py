@@ -1311,3 +1311,119 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# substring-level decontamination (cut benchmark spans, keep the doc)
+# ---------------------------------------------------------------------------
+#
+# Doc-level decontamination (plans/curation.decontaminate, bloom
+# variant) REPORTS or DROPS documents that overlap an evaluation
+# benchmark; the modern shape (Lee et al.'s dedup machinery applied to
+# eval leakage) CUTS the contaminated span and keeps the rest of the
+# document — no training text is wasted on a few leaked sentences.
+# Composition of the substring-dedup primitives: benchmark L-gram
+# hashes (benchmark-sized, broadcast — the decontaminate convention),
+# corpus gram stream probed with a broadcast semi-join (the corpus
+# never shuffles), matched positions merged into maximal spans and cut
+# by the SAME cut_duplicate_spans reassembly the dedup gate uses. The
+# pseudo-benchmark is the deterministic doc_id % {_DECON_MOD} slice
+# (the curation.py _BENCH_MOD device; near-dup corpus docs make the
+# overlap real at every SF). Benchmarks too large to broadcast take
+# the Bloom prefilter path (bloom_decontaminate) before exact verify.
+
+_DECON_MOD = 11
+
+
+def benchmark_gram_positions(
+    toks: DataFrame, bench_toks: DataFrame, l: int = _SPAN_L
+) -> DataFrame:
+    """(doc_id, dps) — per corpus doc, sorted token positions of every
+    L-gram occurrence whose gram appears ANYWHERE in the benchmark.
+    The benchmark's distinct gram hashes broadcast; the corpus gram
+    stream is probed with one semi-join (no corpus shuffle before the
+    doc-keyed position collect)."""
+    bench_sks = span_gram_rows(bench_toks, l=l).select("sk").distinct()
+    hits = span_gram_rows(toks, l=l).join(
+        F.broadcast(bench_sks), "sk", "left_semi"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("dps")
+    )
+
+
+@register(
+    "substring_decontaminate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               list_aggregate(t[i : i + {_SPAN_L} - 1], 'string_agg', ' ')
+                   AS g
+        FROM toks,
+             UNNEST(generate_series(1, len(t) - {_SPAN_L} + 1)) AS u(i)
+    ),
+    bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    dups AS (
+        SELECT g.doc_id, g.pos
+        FROM grams g JOIN bench b USING (g)
+        WHERE g.doc_id % {_DECON_MOD} != 0
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_occ,
+               CAST(SUM(CASE WHEN prev IS NULL
+                             OR pos > prev + {_SPAN_L} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_spans
+        FROM (SELECT doc_id, pos,
+                     LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS prev
+              FROM dups)
+        GROUP BY doc_id
+    ),
+    covered AS (
+        SELECT DISTINCT d.doc_id, d.pos + o.off AS p
+        FROM dups d, UNNEST(generate_series(0, {_SPAN_L} - 1)) AS o(off)
+    ),
+    kept AS (
+        SELECT tp.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(CASE WHEN c.p IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_removed,
+               string_agg(CASE WHEN c.p IS NULL THEN tp.tok END,
+                          ' ' ORDER BY tp.p) AS clean_text
+        FROM (SELECT t.doc_id, u.p AS p, t.t[u.p] AS tok
+              FROM toks t,
+                   UNNEST(generate_series(1, len(t.t))) AS u(p)
+              WHERE t.doc_id % {_DECON_MOD} != 0) tp
+        LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.p = tp.p
+        GROUP BY tp.doc_id
+    )
+    SELECT k.doc_id, k.n_tok,
+           COALESCE(s.n_dup_occ, 0) AS n_dup_occ,
+           COALESCE(s.n_spans, 0) AS n_spans,
+           k.n_removed, k.clean_text
+    FROM kept k LEFT JOIN spans s USING (doc_id)
+    ORDER BY k.doc_id
+    """,
+)
+def substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut every corpus span of >= {_SPAN_L} tokens that appears in the
+    pseudo-benchmark (doc_id % {_DECON_MOD} == 0 docs), keep the rest
+    of each document — per corpus doc: token count, contaminated gram
+    occurrences, merged span count, removed tokens, cleaned text.
+    Benchmark docs themselves are not emitted (they are the eval set,
+    not training data).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = doc_token_arrays(docs)
+    bench_toks = toks.filter(F.col("doc_id") % _DECON_MOD == 0)
+    corpus_toks = toks.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return cut_duplicate_spans(
+        corpus_toks,
+        benchmark_gram_positions(corpus_toks, bench_toks),
+    ).orderBy("doc_id")

@@ -343,3 +343,42 @@ def test_span_gram_scan_variant_matches_slice_and_guards(spark):
     )
     with pytest.raises(Exception, match="non-space whitespace"):
         span_gram_rows_scan(bad, l=l).collect()
+
+
+def test_substring_decontaminate_idempotent_and_excludes_bench(spark):
+    """Decontamination semantics the oracle hash doesn't spell out:
+    benchmark docs are never emitted, some contamination is actually
+    found (non-vacuous), and the operator is IDEMPOTENT on this corpus
+    — re-probing the cleaned text against the same benchmark finds
+    zero remaining contaminated grams (no benchmark span survives a
+    single pass)."""
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        _DECON_MOD,
+        benchmark_gram_positions,
+        doc_token_arrays,
+    )
+
+    out = load_all()["substring_decontaminate"][0](spark, SF)
+    pdf = out.toPandas()
+    assert (pdf.doc_id % _DECON_MOD != 0).all(), "benchmark docs leaked"
+    assert pdf.n_removed.sum() > 0, "no contamination found — vacuous gate"
+    docs = load_table(spark, SF, "documents")
+    bench_toks = doc_token_arrays(
+        docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    )
+    cleaned = out.filter(F.col("clean_text").isNotNull()).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    remaining = benchmark_gram_positions(
+        doc_token_arrays(cleaned), bench_toks
+    ).count()
+    assert remaining == 0, "a benchmark span survived the cut"
+
+
+def test_substring_decontaminate_benchmark_side_broadcasts(spark):
+    """The benchmark gram set must broadcast; the corpus probe must be
+    a broadcast semi-join (the corpus never shuffles for it)."""
+    p = _plan(spark, "substring_decontaminate")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
