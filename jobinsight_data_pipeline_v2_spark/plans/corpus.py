@@ -1009,9 +1009,15 @@ def cut_duplicate_spans(
     )
 
 
-@register(
-    "substring_dedup",
-    f"""
+def _span_oracle_sql(dups_ctes: str, doc_pred: str = "TRUE") -> str:
+    """The shared span-cut oracle chain: the two span gates differ only
+    in WHICH gram occurrences are cut (``dups_ctes`` must end in a
+    ``dups(doc_id, pos)`` CTE; extra CTEs like a benchmark set may
+    precede it) and which documents are emitted (``doc_pred`` over
+    toks). Everything downstream — span-merge adjacency, coverage
+    expansion, per-token reassembly — is defined ONCE, so the gates'
+    oracles cannot desynchronize (review r6)."""
+    return f"""
     WITH toks AS (
         SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
     ),
@@ -1022,15 +1028,7 @@ def cut_duplicate_spans(
         FROM toks,
              UNNEST(generate_series(1, len(t) - {_SPAN_L} + 1)) AS u(i)
     ),
-    dups AS (
-        SELECT doc_id, pos FROM (
-            SELECT doc_id, pos,
-                   doc_id * 1000000 + pos
-                       > MIN(doc_id * 1000000 + pos) OVER (PARTITION BY g)
-                       AS is_dup
-            FROM grams
-        ) WHERE is_dup
-    ),
+    {dups_ctes},
     spans AS (
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_dup_occ,
@@ -1056,7 +1054,8 @@ def cut_duplicate_spans(
                           ' ' ORDER BY tp.p) AS clean_text
         FROM (SELECT t.doc_id, u.p AS p, t.t[u.p] AS tok
               FROM toks t,
-                   UNNEST(generate_series(1, len(t.t))) AS u(p)) tp
+                   UNNEST(generate_series(1, len(t.t))) AS u(p)
+              WHERE {doc_pred}) tp
         LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.p = tp.p
         GROUP BY tp.doc_id
     )
@@ -1066,7 +1065,22 @@ def cut_duplicate_spans(
            k.n_removed, k.clean_text
     FROM kept k LEFT JOIN spans s USING (doc_id)
     ORDER BY k.doc_id
-    """,
+    """
+
+
+@register(
+    "substring_dedup",
+    _span_oracle_sql(
+        """dups AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   doc_id * 1000000 + pos
+                       > MIN(doc_id * 1000000 + pos) OVER (PARTITION BY g)
+                       AS is_dup
+            FROM grams
+        ) WHERE is_dup
+    )"""
+    ),
 )
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style exact substring dedup (Lee et al.): cut every
@@ -1354,62 +1368,17 @@ def benchmark_gram_positions(
 
 @register(
     "substring_decontaminate",
-    f"""
-    WITH toks AS (
-        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
-    ),
-    grams AS (
-        SELECT doc_id, i AS pos,
-               list_aggregate(t[i : i + {_SPAN_L} - 1], 'string_agg', ' ')
-                   AS g
-        FROM toks,
-             UNNEST(generate_series(1, len(t) - {_SPAN_L} + 1)) AS u(i)
-    ),
-    bench AS (
+    _span_oracle_sql(
+        f"""bench AS (
         SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0
     ),
     dups AS (
         SELECT g.doc_id, g.pos
         FROM grams g JOIN bench b USING (g)
         WHERE g.doc_id % {_DECON_MOD} != 0
+    )""",
+        doc_pred=f"t.doc_id % {_DECON_MOD} != 0",
     ),
-    spans AS (
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_dup_occ,
-               CAST(SUM(CASE WHEN prev IS NULL
-                             OR pos > prev + {_SPAN_L} THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_spans
-        FROM (SELECT doc_id, pos,
-                     LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                         AS prev
-              FROM dups)
-        GROUP BY doc_id
-    ),
-    covered AS (
-        SELECT DISTINCT d.doc_id, d.pos + o.off AS p
-        FROM dups d, UNNEST(generate_series(0, {_SPAN_L} - 1)) AS o(off)
-    ),
-    kept AS (
-        SELECT tp.doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_tok,
-               CAST(SUM(CASE WHEN c.p IS NULL THEN 0 ELSE 1 END)
-                    AS BIGINT) AS n_removed,
-               string_agg(CASE WHEN c.p IS NULL THEN tp.tok END,
-                          ' ' ORDER BY tp.p) AS clean_text
-        FROM (SELECT t.doc_id, u.p AS p, t.t[u.p] AS tok
-              FROM toks t,
-                   UNNEST(generate_series(1, len(t.t))) AS u(p)
-              WHERE t.doc_id % {_DECON_MOD} != 0) tp
-        LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.p = tp.p
-        GROUP BY tp.doc_id
-    )
-    SELECT k.doc_id, k.n_tok,
-           COALESCE(s.n_dup_occ, 0) AS n_dup_occ,
-           COALESCE(s.n_spans, 0) AS n_spans,
-           k.n_removed, k.clean_text
-    FROM kept k LEFT JOIN spans s USING (doc_id)
-    ORDER BY k.doc_id
-    """,
 )
 def substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cut every corpus span of >= {_SPAN_L} tokens that appears in the
