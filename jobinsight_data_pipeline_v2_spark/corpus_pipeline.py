@@ -174,11 +174,13 @@ def _curate_corpus(
         .select("doc_id", F.col("clean_text").alias("text"))
         .localCheckpoint(eager=False)
     )
-    report["n_span_kept"] = int(span_stats["kept"])
+    # SUM/conditional-SUM over zero rows is NULL — guard BOTH fields so
+    # an empty or fully-filtered corpus reports zeros instead of a
+    # TypeError failure row (ADVICE r6).
+    n_span_kept = int(span_stats["kept"] or 0)
+    report["n_span_kept"] = n_span_kept
     report["span_tokens_removed"] = int(span_stats["removed"] or 0)
-    _stage(
-        metrics, run_ts, "substring_dedup", n_exact, int(span_stats["kept"]), t1
-    )
+    _stage(metrics, run_ts, "substring_dedup", n_exact, n_span_kept, t1)
 
     # 3. PII redaction (narrow projection; counts ride the same scan)
     t2 = time.monotonic()
@@ -203,8 +205,7 @@ def _curate_corpus(
     report["pii_emails"] = int(pii["em"] or 0)
     report["pii_phones"] = int(pii["ph"] or 0)
     _stage(
-        metrics, run_ts, "pii_scrub", int(span_stats["kept"]),
-        int(span_stats["kept"]), t2,
+        metrics, run_ts, "pii_scrub", n_span_kept, n_span_kept, t2,
     )
 
     # 4. quality gate: in-plan classifier, keep ⇔ logit > 0
@@ -220,7 +221,7 @@ def _curate_corpus(
     n_quality = scored.count()
     report["n_quality_kept"] = n_quality
     _stage(
-        metrics, run_ts, "quality_gate", int(span_stats["kept"]), n_quality, t3
+        metrics, run_ts, "quality_gate", n_span_kept, n_quality, t3
     )
 
     # 5. token-budget cut: bucket the logit into a driver-sized class

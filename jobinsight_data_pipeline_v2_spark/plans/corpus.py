@@ -489,8 +489,11 @@ def _jsonl_gate_dir(sf_dir: str) -> str:
     import hashlib
     import os
 
+    # Keyed by sf_dir AND pid: two concurrent drivers grading the same
+    # sf_dir must not race on overwrite/rmtree of a shared gate dir
+    # (ADVICE r6).
     h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return f"/tmp/jobinsight_jsonl_gate_{h}"
+    return f"/tmp/jobinsight_jsonl_gate_{h}_{os.getpid()}"
 
 
 @register(

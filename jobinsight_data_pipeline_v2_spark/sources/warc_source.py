@@ -290,6 +290,13 @@ def write_warc_archive(
     Returns a (file, n_records) frame; the caller drains it to execute
     the write. Empty partitions write nothing. The caller owns dir
     lifecycle (cleanup/uniqueness) — files ACCUMULATE otherwise.
+
+    DEPLOYMENT CONSTRAINT: tasks write through Python ``open()``/
+    ``os.rename()``, so ``out_dir`` must be a filesystem shared by
+    executors and the consumer (local mode, NFS, a fuse-mounted object
+    store). On HDFS/S3-native clusters, export to a shared mount or
+    route through the JVM Hadoop FileSystem as storage._write_day does
+    — executor-local paths would silently strand the files (ADVICE r6).
     """
     import gzip as _gzip
     import os as _os
