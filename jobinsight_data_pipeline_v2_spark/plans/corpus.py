@@ -1399,3 +1399,222 @@ def substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_toks,
         benchmark_gram_positions(corpus_toks, bench_toks),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed-ngram target/raw ratios)
+# ---------------------------------------------------------------------------
+#
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling") selects raw-corpus documents whose hashed
+# n-gram profile looks like a TARGET distribution: fit two
+# bag-of-hashed-ngrams multinomials (target p, raw q, Laplace
+# smoothed), weight each raw doc by w = prod_g p[b(g)] / q[b(g)], and
+# sample with probability proportional to w. The published form keeps
+# log-ratios in floats — the one thing that cannot cross the DuckDB
+# hash gate bit-exactly (libm log/exp differ per engine). The
+# integer-exact core pinned here quantizes each bucket's smoothed
+# ratio to its floor-log2 CLASS via cross-multiplied BIGINT
+# comparisons (the ccnet_buckets rational-threshold device):
+#
+#   class(b) = floor(log2( (t_b+1)(R+B) / ((r_b+1)(T+B)) ))  in [-8,8]
+#
+# evaluated as "num >= den * 2^c" ladders — no division, no log, no
+# float anywhere. A doc's importance score is the integer sum of its
+# gram occurrences' classes (== log2 of the quantized weight), and the
+# resampling rate is the capped power-of-two rate_permille =
+# min(1000, 1000 * 2^score) realized by integer shifts, with the
+# engine's md5-membership rule deciding keep/drop (deterministic,
+# replay/retry-stable, no rand()). Target = the English slice of the
+# corpus (a real distribution shift: per-language token inventories
+# differ), raw = everything else — the candidates to resample.
+#
+# Scale shape (100 TB): the gram stream (unigrams + bigrams) is one
+# narrow in-row build + explode, hashed to B buckets in-row
+# (md5 — hash VALUES are semantics here, pinned by the oracle, the
+# minhash convention); bucket counts are ONE map-side-combined
+# groupBy over B<<corpus keys; totals are one more agg over the
+# B-row table; classes broadcast back onto the gram stream (B rows —
+# always broadcastable); per-doc scoring is one doc-keyed agg with
+# map-side partials. Two passes over the gram stream (counts +
+# scoring) — the stream is checkpointed so the corpus scan and gram
+# build run once (rule 12). BIGINT headroom: (t+1)(R+B)*256 needs
+# R*T < 2^55 — fine through ~10^13 gram occurrences per side; past
+# that, right-shift both counts by a common k before the ladder
+# (floor-log2 of the ratio is shift-invariant up to the +1 smoothing)
+# or carry the approx_percentiles-style within-bound flag.
+
+_DSIR_B = 256  # hashed-ngram buckets
+_DSIR_CLAMP = 8  # class range [-8, 8]
+_DSIR_TARGET_LANG = "en"
+
+
+def _dsir_class_case(num: str, den: str, clamp: int = _DSIR_CLAMP) -> str:
+    """CASE ladder computing floor(log2(num/den)) clamped to
+    [-clamp, clamp], using only integer multiply/compare — identical
+    text runs on Spark SQL and DuckDB."""
+    parts = []
+    for c in range(clamp, -1, -1):
+        parts.append(f"WHEN {num} >= {den} * {1 << c} THEN {c}")
+    for c in range(1, clamp):
+        parts.append(f"WHEN {num} * {1 << c} >= {den} THEN {-c}")
+    return "CASE " + " ".join(parts) + f" ELSE {-clamp} END"
+
+
+_DSIR_NUM = f"(t_n + 1) * (r_tot + {_DSIR_B})"
+_DSIR_DEN = f"(r_n + 1) * (t_tot + {_DSIR_B})"
+_SQL_GRAM_BUCKET = f"('0x' || substring(md5(g), 1, 8))::BIGINT % {_DSIR_B}"
+
+
+@register(
+    "dsir_resample",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, lang, unnest({_SQL_BIGRAMS}) AS g FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id, lang = '{_DSIR_TARGET_LANG}' AS is_target,
+               {_SQL_GRAM_BUCKET} AS bucket
+        FROM grams
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t_n,
+               CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+                   AS r_n
+        FROM hashed GROUP BY bucket
+    ),
+    totals AS (
+        SELECT CAST(SUM(t_n) AS BIGINT) AS t_tot,
+               CAST(SUM(r_n) AS BIGINT) AS r_tot
+        FROM counts
+    ),
+    classes AS (
+        SELECT bucket, {_dsir_class_case(_DSIR_NUM, _DSIR_DEN)} AS cls
+        FROM counts CROSS JOIN totals
+    ),
+    scored AS (
+        SELECT h.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(c.cls) AS BIGINT) AS score
+        FROM hashed h JOIN classes c USING (bucket)
+        WHERE NOT h.is_target
+        GROUP BY h.doc_id
+    ),
+    rated AS (
+        SELECT doc_id, n_grams, score,
+               CAST(CASE WHEN score >= 0 THEN 1000
+                         WHEN score >= -9 THEN 1000 // (1 << (-score))
+                         ELSE 0 END AS BIGINT) AS rate_permille
+        FROM scored
+    )
+    SELECT doc_id, n_grams, score, rate_permille,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 < rate_permille AS kept
+    FROM rated
+    ORDER BY doc_id
+    """,
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling decisions for every non-target
+    document: hashed-ngram (unigram + bigram, {_DSIR_B} buckets)
+    importance score as the integer sum of floor-log2 bucket classes
+    (target vs raw Laplace-smoothed count rationals compared by
+    cross-multiplication — no float ratio or log anywhere), the capped
+    power-of-two sampling rate it implies, and the deterministic
+    md5-membership verdict. Target distribution = the
+    '{_DSIR_TARGET_LANG}' slice; docs of other languages are the raw
+    pool being resampled toward it.
+    """
+    from .sampling import _bucket
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == _DSIR_TARGET_LANG).alias("is_target"),
+        F.expr(_TOKENS).alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.expr(
+                """
+                concat(
+                    t,
+                    if(size(t) >= 2,
+                       transform(sequence(1, size(t) - 1),
+                                 i -> concat(element_at(t, i), ' ',
+                                             element_at(t, i + 1))),
+                       cast(array() as array<string>)))
+                """
+            )
+        ).alias("g"),
+    )
+    # two consumers (bucket counts + per-doc scoring) — one gram build
+    hashed = grams.select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("g").cast("binary")), 1, 8), 16, 10
+            ).cast("long")
+            % _DSIR_B
+        ).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    counts = (
+        hashed.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+            .cast("long")
+            .alias("t_n"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1))
+            .cast("long")
+            .alias("r_n"),
+        )
+        # consumed twice (totals + classes); B rows — free to pin
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(
+        F.sum("t_n").cast("long").alias("t_tot"),
+        F.sum("r_n").cast("long").alias("r_tot"),
+    )
+    classes = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(_dsir_class_case(_DSIR_NUM, _DSIR_DEN)).alias("cls"),
+    )
+    scored = (
+        hashed.filter(~F.col("is_target"))
+        .join(F.broadcast(classes), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("cls").cast("long").alias("score"),
+        )
+    )
+    rate = (
+        F.when(F.col("score") >= 0, F.lit(1000))
+        .when(
+            F.col("score") >= -9,
+            F.expr("div(1000, shiftleft(1, -score))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        scored.withColumn("rate_permille", rate)
+        .select(
+            "doc_id",
+            "n_grams",
+            "score",
+            "rate_permille",
+            (_bucket("doc_id", 1000) < F.col("rate_permille")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
