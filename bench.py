@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     "kn_lm_stats",  # Kneser-Ney continuation/fanout counts, integer core
     "ccnet_buckets",  # CCNet head/middle/tail quality-stratified sampling
     "substring_decontaminate",  # cut benchmark-overlap spans, keep docs
+    # round 7 additions
+    "dsir_resample",  # DSIR importance resampling, integer-exact core
+    "png_decode_stats",  # REAL stdlib PNG decode at the Arrow edge
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)
@@ -124,15 +127,19 @@ BENCH_QUERIES = [
     # serving cost is what the SERVING_BENCH split below reports.
 ]
 
-# train/serve split (VERDICT r4): the pq/ivf gate rows above time
+# train/serve split (VERDICT r4): the pq/ivf/bpe gate rows above time
 # training + serving together because the oracle pins the whole
 # pipeline; these rows time ONLY the steady-state serving scan against
-# an index trained and materialized outside the timer — the number a
-# user actually pays per query batch. name -> builder(spark, sf_dir)
-# returning a zero-arg thunk that builds the serving plan.
+# an index/merge-table trained and materialized outside the timer —
+# the number a user actually pays per query batch.
+# name -> (plans submodule, builder(spark, sf_dir)) returning a
+# zero-arg thunk that builds the serving plan.
 SERVING_BENCH = {
-    "pq_adc_serve": "build_pq_serving",
-    "ivf_learned_serve": "build_ivf_learned_serving",
+    "pq_adc_serve": ("vectors", "build_pq_serving"),
+    "ivf_learned_serve": ("vectors", "build_ivf_learned_serving"),
+    # r7: ~3.3 of bpe_encode_roundtrip's ~4s is merge TRAINING inside
+    # the timer; this row times the encode with a frozen merge table
+    "bpe_encode_serve": ("text", "build_bpe_encode_serving"),
 }
 
 
@@ -201,13 +208,16 @@ def main() -> None:
     # above exists to prevent). train_secs times ONLY the builder: its
     # eager localCheckpoints force the index, so the timer closes
     # before any serving drain.
-    from jobinsight_data_pipeline_v2_spark.plans import vectors as _vectors
+    import importlib
 
     train_secs: dict[str, float] = {}
-    for name, builder in SERVING_BENCH.items():
+    for name, (mod_name, builder) in SERVING_BENCH.items():
+        mod = importlib.import_module(
+            f"jobinsight_data_pipeline_v2_spark.plans.{mod_name}"
+        )
         gc.collect()
         t0 = time.time()
-        thunk = getattr(_vectors, builder)(spark, sf_dir)
+        thunk = getattr(mod, builder)(spark, sf_dir)
         train_secs[name] = round(time.time() - t0, 3)
         df = thunk()
         drain(df)  # warmup: codegen/JIT for the serving plan

@@ -3,11 +3,13 @@
 Images/audio/video ride in a DataFrame as a ``binary`` column plus a
 metadata struct; all real Spark machinery — schema, partition sizing,
 Arrow-batched Pandas iteration, content addressing — is implemented and
-tested here. The codec step itself (JPEG decode, resample, frame
-sample) is STUBBED: the decode libraries are not in this container, so
-``decode_fn=None`` uses a deterministic fake that derives "features"
-from the payload bytes. Swap in a real decoder (PIL/librosa/pyav) by
-passing ``decode_fn``; the Spark-side contract is unchanged.
+tested here. Image decode is REAL: :func:`decode_image` runs the
+pure-stdlib PNG codec (operators/png.py — zlib + the five scanline
+filters; oracle-gated by ``png_decode_stats``). Audio/video codecs
+(librosa/pyav) are environment-blocked, so ``decode_fn=None`` keeps
+the deterministic byte-histogram fake for those kinds; swap in a real
+decoder by passing ``decode_fn`` — the Spark-side contract is
+unchanged either way.
 
 Design for 100 TB of media:
 - payloads stay opaque bytes end-to-end: no JVM→Python round trip
@@ -129,15 +131,26 @@ def media_exact_dedup(features: DataFrame) -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes) -> list[float]:
-    """The honest stub for a REAL codec — documents the contract and
-    fails loudly where a decoder library would be called."""
-    raise NotImplementedError(
-        "media decode requires a codec library (e.g. PIL/librosa/pyav) "
-        "not present in this environment; pass decode_fn=... to "
-        "extract_features. The Spark plumbing (schema, Arrow batching, "
-        "hashing, dedup) is real and tested with the deterministic fake."
-    )
+def decode_image(payload: bytes) -> list[float]:
+    """REAL image decode (pure-stdlib PNG codec, operators/png.py):
+    payload → [width, height, channels, mean_ch0, mean_ch1, ...] —
+    the feature vector a production thumbnail pipeline extracts.
+
+    Pass as ``decode_fn`` to :func:`extract_features`; non-PNG or
+    corrupt payloads raise inside the decoder and surface as
+    ``features = NULL`` rows (the quarantine convention). Audio/video
+    codecs (librosa/pyav) are still environment-blocked — PNG is the
+    format whose baseline profile is decodable with zlib alone."""
+    from .png import decode_png
+
+    width, height, ch, px = decode_png(payload)
+    n = max(width * height, 1)
+    sums = [0] * ch
+    for i, b in enumerate(px):
+        sums[i % ch] += b
+    return [float(width), float(height), float(ch)] + [
+        s / n for s in sums
+    ]
 
 
 FRAME_SCHEMA = StructType(

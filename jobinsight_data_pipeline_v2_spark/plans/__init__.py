@@ -56,7 +56,7 @@ PRIORITY: tuple[str, ...] = (
     "cosine_topk_batch",
     "ivf_topk_learned",  # IVF search family (learned quantizer config)
     "jsonl_roundtrip",  # round-6 gate: S15 source path pinned end-to-end
-    "multimodal_binary_meta",
+    "png_decode_stats",  # round-7 gate: REAL stdlib PNG decode at the Arrow edge
     "bpe_pair_counts",  # round-4 gate: BPE merge-training statistic
     "approx_percentiles",  # round-4 gate: approx-within-bound drop-in
     "ivfpq_topk_probed",  # round-5 gate: APPROXIMATE ANN serving config
@@ -76,7 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "minhash_lsh_candidates",
     "token_histogram",
     "simhash_near_dups",
-    "winnow_fingerprint_pairs",
+    "dsir_resample",  # round-7 gate: DSIR importance resampling (integer core)
     "near_dup_components",
     # curation
     "pii_scrub",
@@ -101,6 +101,16 @@ PRIORITY: tuple[str, ...] = (
     "sequence_pack",
 )
 # Demoted below the driver's fold (family double-covered above):
+#   winnow_fingerprint_pairs (demoted r7 for dsir_resample: the
+#     n-gram fingerprint/candidate-pair family keeps THREE above-fold
+#     representatives — ngram_jaccard_pairs, minhash_lsh_candidates,
+#     simhash_near_dups — and winnowing's sliding-min device is
+#     plan/property-tested; stays local-gated),
+#   multimodal_binary_meta (demoted r7 for png_decode_stats: the
+#     binary-payload plumbing it pins — payload bytes + metadata
+#     through the plan — is a strict subset of the PNG gate's path,
+#     which additionally runs the REAL stdlib decode inside
+#     mapInPandas; stays local-gated),
 #   ivf_topk (label-derived quantizer — ivf_topk_learned pins the same
 #     IVF search pipeline with the harder learned config, and
 #     label_centroids pins the centroid build),

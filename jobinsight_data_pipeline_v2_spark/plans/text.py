@@ -1286,7 +1286,13 @@ def bpe_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbols = docs.select(
         F.col("doc_id").alias("id"), F.expr(_TOKENS).alias("s")
     ).filter(F.size("s") > 0)
-    enc = bpe_encode(symbols, merges)
+    return _bpe_roundtrip_projection(bpe_encode(symbols, merges))
+
+
+def _bpe_roundtrip_projection(enc: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, recon_md5) from an encoded symbol stream — the
+    loss-free-reconstruction projection shared by the gate and the
+    serving bench row."""
     return enc.select(
         F.col("id").alias("doc_id"),
         F.size(F.expr("split(concat_ws(' ', s), ' ')"))
@@ -1294,3 +1300,31 @@ def bpe_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tok"),
         F.md5(F.concat_ws(" ", "s").cast("binary")).alias("recon_md5"),
     ).orderBy("doc_id")
+
+
+def build_bpe_encode_serving(spark: SparkSession, sf_dir: str):
+    """bench.py SERVING_BENCH builder (judge ask, r6): the
+    bpe_encode_roundtrip gate row times training + encoding together
+    because its oracle pins the whole pipeline, but ~3 of its ~4
+    seconds are the {_ENC_MERGES}-merge TRAINING loop — a build-time
+    cost, not the per-corpus encode a user pays at serving. This
+    builder trains the merge table outside the timer (bpe_train is a
+    driver loop of eagerly-executed Spark jobs, so the table is fully
+    materialized when it returns) and hands back a thunk building the
+    encode-everything plan with the FROZEN table — the exact plan the
+    gate drains, minus training."""
+    from ..operators.tokenizer import bpe_encode, bpe_train
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    train_slice = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "text"
+    )
+    merges = bpe_train(train_slice, n_merges=_ENC_MERGES, batch_max=4)
+    symbols = docs.select(
+        F.col("doc_id").alias("id"), F.expr(_TOKENS).alias("s")
+    ).filter(F.size("s") > 0)
+
+    def thunk() -> DataFrame:
+        return _bpe_roundtrip_projection(bpe_encode(symbols, merges))
+
+    return thunk

@@ -389,6 +389,106 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# real PNG decode at the Arrow edge (operators/png.py stdlib codec)
+# ---------------------------------------------------------------------------
+#
+# The decode gate's device is the jsonl_roundtrip ordering-independent
+# oracle: images are synthesized from doc_id by a closed-form gradient
+# (pixel(x, y, c) = base_c + x + 2y with base_c < 200, x < 16, 2y < 27
+# — never wraps mod 256), the encoder cycles the filter type per row
+# (y % 5 → every scanline filter appears in every image taller than 4
+# rows), and the DuckDB oracle recomputes the channel sums from the
+# generation constants alone — it never sees a PNG byte. Any defect in
+# chunk framing, zlib streaming, or any of the five filter reversals
+# changes a decoded sum and fails the hash. Scale shape: one narrow
+# mapInPandas over doc_id (Arrow both ways, no shuffle); parallelism =
+# input partitions, exactly how a 100 TB thumbnail decode would run.
+
+_PNG_W_MOD, _PNG_H_MOD, _PNG_BASE_MOD = 13, 11, 200
+
+
+def _png_stats_batches(it):
+    """doc_id batches → synthesize gradient PNG → REAL decode → stats."""
+    import pandas as pd
+
+    from ..operators.png import decode_png, encode_png
+
+    for pdf in it:
+        out = {k: [] for k in
+               ("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 4 + d % _PNG_W_MOD, 4 + d % _PNG_H_MOD
+            base = [(d * (c + 1)) % _PNG_BASE_MOD for c in range(3)]
+            px = bytes(
+                base[c] + x + 2 * y
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            payload = encode_png(w, h, px, color_type=2,
+                                 filters=lambda y: y % 5)
+            dw, dh, ch, decoded = decode_png(payload)
+            sums = [0, 0, 0]
+            for i, b in enumerate(decoded):
+                sums[i % 3] += b
+            out["doc_id"].append(d)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["r_sum"].append(sums[0])
+            out["g_sum"].append(sums[1])
+            out["b_sum"].append(sums[2])
+        yield pd.DataFrame(out)
+
+
+def _png_sum_sql(c: int) -> str:
+    """Closed-form channel sum of the gradient image, pure integers:
+    Σ_{{x,y}} (base_c + x + 2y) = W·H·base + H·W(W−1)/2 + W·H(H−1)."""
+    base = f"((doc_id * {c + 1}) % {_PNG_BASE_MOD})"
+    return (
+        f"CAST(w * h * {base} + h * (w * (w - 1) // 2) + w * h * (h - 1) "
+        f"AS BIGINT)"
+    )
+
+
+@register(
+    "png_decode_stats",
+    f"""
+    WITH dims AS (
+        SELECT doc_id,
+               4 + doc_id % {_PNG_W_MOD} AS w,
+               4 + doc_id % {_PNG_H_MOD} AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           {_png_sum_sql(0)} AS r_sum,
+           {_png_sum_sql(1)} AS g_sum,
+           {_png_sum_sql(2)} AS b_sum
+    FROM dims
+    ORDER BY doc_id
+    """,
+)
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: per document a deterministic
+    gradient PNG (filter type cycling 0-4 across scanlines) is
+    synthesized and decoded by the stdlib codec (operators/png.py)
+    inside one Arrow-batched mapInPandas; the output pins decoded
+    dimensions + per-channel pixel sums against the oracle's
+    closed-form recomputation (which never decodes — any codec defect
+    breaks the hash)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(n, LongType(), False)
+         for n in ("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")]
+    )
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    return docs.mapInPandas(_png_stats_batches, schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # batched exact top-k: many query vectors in one corpus scan (the
 # serving shape of operators/similarity.cosine_topk)
 # ---------------------------------------------------------------------------

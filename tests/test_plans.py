@@ -383,11 +383,15 @@ def test_registry_bench_and_coverage_stay_in_sync():
     assert missing == [], f"gates absent from COVERAGE.md: {missing}"
     # serving-split rows must reference real builders (they bypass the
     # registry, so the registry check above cannot catch a rename)
-    from bench import SERVING_BENCH
-    from jobinsight_data_pipeline_v2_spark.plans import vectors
+    import importlib
 
-    for builder in SERVING_BENCH.values():
-        assert callable(getattr(vectors, builder)), builder
+    from bench import SERVING_BENCH
+
+    for mod_name, builder in SERVING_BENCH.values():
+        mod = importlib.import_module(
+            f"jobinsight_data_pipeline_v2_spark.plans.{mod_name}"
+        )
+        assert callable(getattr(mod, builder)), builder
     # serving rows share bench.py's timing/row-count dicts with the
     # registry rows — a name collision would silently overwrite one
     assert not set(SERVING_BENCH) & set(reg)

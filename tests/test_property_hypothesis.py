@@ -148,3 +148,51 @@ def test_span_gap_arithmetic_equals_coverage(positions, l):
         n_spans = 1 + sum(1 for a, b in zip(dps, dps[1:]) if b > a + l)
     assert n_removed == len(covered)
     assert n_spans == n_spans_bf
+
+
+# --- DSIR floor-log2 class ladder ------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 10**14), st.integers(1, 10**14)
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_dsir_class_ladder_is_clamped_floor_log2(pairs):
+    """The generated CASE ladder (integer multiply/compare only) must
+    equal floor(log2(num/den)) clamped to [-8, 8] for arbitrary
+    positive BIGINTs — checked by executing the ACTUAL SQL text in
+    DuckDB against an exact integer-arithmetic reference (no float
+    log anywhere, so no ulp excuses)."""
+    import duckdb
+
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        _DSIR_CLAMP,
+        _dsir_class_case,
+    )
+
+    def ref(num: int, den: int) -> int:
+        if num >= den:  # largest c with den * 2^c <= num
+            c = 0
+            while den << (c + 1) <= num:
+                c += 1
+            return min(_DSIR_CLAMP, c)
+        k = 0  # smallest k with num * 2^k >= den  ->  floor = -k
+        while (num << k) < den and k <= _DSIR_CLAMP:
+            k += 1
+        return -min(_DSIR_CLAMP, k)
+
+    values = ", ".join(
+        f"(CAST({n} AS BIGINT), CAST({d} AS BIGINT))" for n, d in pairs
+    )
+    sql = (
+        f"SELECT {_dsir_class_case('num', 'den')} FROM "
+        f"(VALUES {values}) t(num, den)"
+    )
+    got = [r[0] for r in duckdb.execute(sql).fetchall()]
+    assert got == [ref(n, d) for n, d in pairs]
