@@ -282,10 +282,51 @@ def test_near_dup_components_pointer_doubling_log_rounds(spark):
         [(i, i + 1) for i in range(d)], "id_a: long, id_b: long"
     ).repartition(8)
     stats: dict = {}
-    labels = component_min_labels(pairs, max_iters=50, stats=stats)
+    # broadcast_threshold=0 forces the distributed path — the chain
+    # would otherwise take the small-edge-set fast path (r7)
+    labels = component_min_labels(
+        pairs, max_iters=50, stats=stats, broadcast_threshold=0
+    )
     got = {r.id: r.label for r in labels.collect()}
     assert got == {i: 0 for i in range(d + 1)}
     assert stats["rounds"] <= math.ceil(math.log2(d)) + 4, stats
+    assert stats["fast_path"] is False
+
+
+def test_component_fast_path_equals_pointer_doubling(spark):
+    """The r7 driver-side union-find fast path must produce the exact
+    label fixpoint of the distributed path on an adversarial mix of
+    topologies (chains, stars, cycles, self-loops, singleton edges) —
+    and actually engage below the threshold."""
+    import random
+
+    from jobinsight_data_pipeline_v2_spark.operators.dedup import (
+        component_min_labels,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(50)]  # chain
+    edges += [(100, 100 + i) for i in range(1, 20)]  # star
+    edges += [(200, 201), (201, 202), (202, 200)]  # cycle
+    edges += [(300, 300)]  # self-loop singleton
+    edges += [(rng.randrange(400, 480), rng.randrange(400, 480))
+              for _ in range(60)]
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    fast_stats: dict = {}
+    slow_stats: dict = {}
+    fast = {
+        (r.id, r.label)
+        for r in component_min_labels(pairs, stats=fast_stats).collect()
+    }
+    slow = {
+        (r.id, r.label)
+        for r in component_min_labels(
+            pairs, max_iters=50, stats=slow_stats, broadcast_threshold=0
+        ).collect()
+    }
+    assert fast_stats["fast_path"] is True
+    assert slow_stats["fast_path"] is False
+    assert fast == slow
 
 
 def test_sequence_pack_sharded_window(spark):
