@@ -958,6 +958,16 @@ def cut_duplicate_spans(
             ),
         )
     )
+    return span_cut_columns(joined, l=l)
+
+
+def span_cut_columns(joined: DataFrame, l: int = _SPAN_L) -> DataFrame:
+    """The IN-ROW half of the span cut, shared verbatim by the batch
+    operators and the streaming twin (which arrives here via a
+    watermarked per-doc aggregation instead of a doc-keyed join):
+    (doc_id, t, dps) → (doc_id, n_tok, n_dup_occ, n_spans, n_removed,
+    clean_text). Works on batch and streaming frames alike — every
+    expression stays inside the row."""
     # span starts: occurrence j opens a new maximal span iff it begins
     # past the previous window's end+1 (windows all have length l, so
     # the running span end is pos_{j-1}+l-1 for sorted positions);

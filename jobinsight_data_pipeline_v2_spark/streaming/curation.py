@@ -456,3 +456,75 @@ def curation_stream(
         "n_phones",
         (F.col("kept") & F.col("keep")).alias("ship"),
     )
+
+
+def substring_decontaminate_stream(
+    docs: DataFrame,
+    bench_sks: DataFrame,
+    l: int | None = None,
+    ts_col: str | None = None,
+    horizon: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_tok, n_dup_occ, n_spans, n_removed, clean_text):
+    span-granular eval decontamination over a DOCUMENT STREAM — the
+    incremental twin of plans/corpus.substring_decontaminate (twin 23,
+    judge ask r6). ``bench_sks`` is the STATIC benchmark gram-hash set
+    (one ``sk`` column, e.g. ``span_gram_rows(bench_toks).select('sk')
+    .distinct()``) — benchmark-sized by the decontaminate convention,
+    and MATERIALIZED here because a stream-static join re-evaluates
+    its static plan EVERY micro-batch (the bloom twin lesson).
+
+    Shape: unlike the dedup twins there is NO cross-document state —
+    contamination is per doc against a frozen benchmark. The gram
+    stream (``span_gram_rows_scan``, the rule-20 linear variant)
+    probes the broadcast benchmark with one stream-static semi-join;
+    hit positions regroup per document through a single aggregation
+    whose group key carries the doc's text (constant per doc — only
+    HIT rows shuffle it, plus one sentinel row per doc so untouched
+    documents still emit); the span merge / coverage / reassembly is
+    the SAME in-row ``span_cut_columns`` the batch operators run.
+
+    Without ``ts_col`` this is the finite-verification configuration:
+    drain in COMPLETE mode (rule 8 — the aggregation state is the
+    in-flight doc set). With ``ts_col`` + ``horizon`` the aggregation
+    is watermarked and emits in APPEND mode once the watermark passes
+    a document's event time, bounding state to the in-horizon doc
+    set. A document arriving AFTER the watermark passed its event
+    time still emits, correctly decontaminated — its group finalizes
+    immediately in the arrival batch; with no cross-document state
+    there is no stale decision to flag, unlike the first-arrival
+    twins (pinned by the TTL-branch test)."""
+    from ..plans.corpus import _SPAN_L, span_cut_columns, span_gram_rows_scan
+    from ..plans.text import _TOKENS
+
+    l = _SPAN_L if l is None else l
+    if (ts_col is None) != (horizon is None):
+        raise ValueError("ts_col and horizon must be provided together")
+    static = F.broadcast(bench_sks.select("sk").distinct().localCheckpoint())
+
+    if ts_col is None:
+        src = docs.select("doc_id", "text")
+        key = ["doc_id", "text"]
+    else:
+        src = (
+            docs.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+            .withWatermark("__ts", horizon)
+            .select("doc_id", "text", "__ts")
+        )
+        key = ["doc_id", "text", "__ts"]
+
+    hits = (
+        span_gram_rows_scan(src, l=l, carry=("text",) + (("__ts",) if ts_col else ()))
+        .join(static, "sk", "left_semi")
+        .select(*key, F.col("pos").alias("hit_pos"))
+    )
+    sentinels = src.select(*key, F.lit(None).cast("int").alias("hit_pos"))
+    grouped = (
+        sentinels.unionByName(hits)
+        .groupBy(*key)
+        .agg(F.sort_array(F.collect_list("hit_pos")).alias("dps"))
+    )
+    joined = grouped.select(
+        "doc_id", F.expr(_TOKENS).alias("t"), "dps"
+    ).filter(F.size("t") > 0)
+    return span_cut_columns(joined, l=l)

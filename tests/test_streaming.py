@@ -1523,3 +1523,126 @@ def test_streaming_curation_ttl_branch_runs(spark, tmp_path):
     assert rows[2].quality_keep  # passthrough classifier verdict intact
     assert not rows[3].quality_keep and not rows[3].ship
     assert rows[3].first_copy
+
+
+def test_streaming_substring_decontaminate_equals_batch(spark, tmp_path):
+    """Twin 23: span-granular decontamination over a document stream —
+    the complete-mode output (stream-static benchmark probe + per-doc
+    watermark-free aggregation + the SHARED span_cut_columns) equals
+    the batch substring_decontaminate gate row for row, including
+    untouched documents and reassembled clean text."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        _DECON_MOD,
+        doc_token_arrays,
+        span_gram_rows,
+        substring_decontaminate,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        substring_decontaminate_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench_sks = span_gram_rows(
+        doc_token_arrays(docs.filter(F.col("doc_id") % _DECON_MOD == 0))
+    ).select("sk")
+    corpus = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    src = os.path.join(str(tmp_path), "decon_stream")
+    now = time.time()
+    n = corpus.count()
+    for b, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 10**9)]
+    ):
+        part = corpus.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark,
+        substring_decontaminate_stream(stream, bench_sks),
+        "decon_stream_test",
+        mode="complete",
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM decon_stream_test")
+    exp = substring_decontaminate(spark, SF)
+    assert got.count() == exp.count()
+    sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
+    assert sym == 0
+
+
+def test_streaming_substring_decontaminate_ttl_branch(spark, tmp_path):
+    """The twin's watermarked branch: append-mode emission once the
+    watermark passes a doc's event time, contaminated spans cut,
+    untouched docs intact; a doc older than the advanced watermark is
+    dropped (the documented late-data contract)."""
+    import time
+    from datetime import datetime
+
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        substring_decontaminate_stream,
+    )
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def t(s):
+        return t0.replace(minute=s // 60, second=s % 60)
+
+    bench = spark.createDataFrame(
+        [(100, "s1 s2 s3 s4")], "doc_id long, text string"
+    )
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        doc_token_arrays,
+        span_gram_rows,
+    )
+
+    bench_sks = span_gram_rows(doc_token_arrays(bench), l=4).select("sk")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, ts timestamp_ntz, text string"
+    )
+    drops = [
+        mk([(1, t(0), "a1 s1 s2 s3 s4 a2"), (2, t(1), "b1 b2 b3 b4 b5")]),
+        mk([(3, t(300), "c1 c2")]),  # watermark jumps past docs 1-2
+        mk([(4, t(2), "d1 s1 s2 s3 s4")]),  # LATE: dropped by watermark
+        mk([(5, t(900), "flush flush2 flush3")]),  # flushes doc 3
+    ]
+    src = os.path.join(str(tmp_path), "decon_ttl")
+    now = time.time()
+    for b, d in enumerate(drops):
+        _write_drop(d, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, ts timestamp_ntz, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark,
+        substring_decontaminate_stream(
+            stream, bench_sks, l=4, ts_col="ts", horizon="30 seconds"
+        ),
+        "decon_ttl_test",
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_spans, r.n_removed, r.clean_text)
+        for r in spark.sql("SELECT * FROM decon_ttl_test").collect()
+    }
+    assert got[1] == (1, 4, "a1 a2")  # span cut, flanks kept
+    assert got[2] == (0, 0, "b1 b2 b3 b4 b5")  # untouched
+    assert got[3] == (0, 0, "c1 c2")  # short doc, no grams, intact
+    # a doc arriving after the watermark passed its event time still
+    # emits — and emits CORRECTLY decontaminated: there is no cross-doc
+    # state to corrupt, its group just finalizes immediately in the
+    # arrival batch (contrast the first-arrival twins, where lateness
+    # must be flagged because the state may have already decided)
+    assert got[4] == (1, 4, "d1")
