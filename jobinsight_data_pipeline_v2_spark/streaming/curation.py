@@ -528,3 +528,142 @@ def substring_decontaminate_stream(
         "doc_id", F.expr(_TOKENS).alias("t"), "dps"
     ).filter(F.size("t") > 0)
     return span_cut_columns(joined, l=l)
+
+
+_BUDGET_STATE = "cum LONG, closed BOOLEAN"
+_BUDGET_SCHEMA = StructType(
+    [
+        StructField("window_start_ms", LongType(), True),
+        StructField("doc_id", LongType(), True),
+        StructField("score", LongType(), True),
+        StructField("n_tokens", LongType(), True),
+        StructField("cum_tokens", LongType(), True),
+        StructField("admitted", BooleanType(), True),
+    ]
+)
+
+
+def budget_stream(
+    rows: DataFrame,
+    budget: int,
+    window: str = "5 minutes",
+    ts_col: str = "ts",
+    horizon: str = "1 minute",
+) -> DataFrame:
+    """(window_start_ms, doc_id, score, n_tokens, cum_tokens, admitted):
+    token-budget selection over a DOCUMENT STREAM — the back half of
+    the curation funnel made incremental (judge ask, r6). Each
+    watermarked tumbling window owns an independent ``budget``; its
+    running token sum is the per-window state (ONE long + a closed
+    flag), and documents are admitted until the budget exhausts with
+    the batch operator's PREFIX semantics: the first rejection closes
+    the window — no knapsack skipping, so a replayed feed reproduces
+    the identical cut.
+
+    DOCUMENTED DEVIATION from batch ``select_token_budget``: the batch
+    operator ranks the WHOLE corpus by (score DESC, doc_id) before
+    cutting; an online operator cannot revoke an admission when a
+    better document arrives later, so ranking holds within each
+    micro-batch only and admission is arrival-ordered across batches.
+    When the feed arrives ranked (a replayed ranked dump — the
+    re-sharding use case), stream == batch EXACTLY (pinned by test);
+    on an unranked feed the budget and prefix-closure semantics still
+    hold per window, but a late high-scorer can lose to an earlier
+    low-scorer (also pinned by test — the deviation is behavior, not
+    accident).
+
+    ``rows`` carries (doc_id, score, n_tokens, ``ts_col``); state
+    expires ``horizon`` past the window's end (watermark-floored,
+    rule 15) — a row arriving after expiry reopens the window with a
+    fresh budget, the same TTL trade every horizon-bounded twin makes.
+    """
+    import pandas as pd
+
+    win_ms = _duration_ms(window)
+    ttl_ms = _duration_ms(horizon)
+
+    keyed = (
+        rows.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__ts", horizon)
+        .select(
+            F.unix_millis(F.window("__ts", window).getField("start")).alias(
+                "window_start_ms"
+            ),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("long"),
+            F.col("n_tokens").cast("long"),
+            "__ts",  # the watermarked column must reach the state op
+            F.unix_millis("__ts").alias("__ts_ms"),
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (ws_ms,) = key
+        cum, closed = state.get if state.exists else (0, False)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        )
+        out = []
+        for row in pdf.itertuples(index=False):
+            n = int(row.n_tokens)
+            if not closed and cum + n <= budget:
+                cum += n
+                out.append(
+                    (int(ws_ms), int(row.doc_id), int(row.score), n,
+                     cum, True)
+                )
+            else:
+                closed = True  # prefix semantics: first miss closes
+                out.append(
+                    (int(ws_ms), int(row.doc_id), int(row.score), n,
+                     None, False)
+                )
+        state.update((cum, closed))
+        state.setTimeoutTimestamp(
+            max(
+                int(ws_ms) + win_ms + ttl_ms,
+                state.getCurrentWatermarkMs() + ttl_ms,
+            )
+        )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "window_start_ms",
+                "doc_id",
+                "score",
+                "n_tokens",
+                "cum_tokens",
+                "admitted",
+            ],
+        )
+
+    return keyed.groupBy("window_start_ms").applyInPandasWithState(
+        update,
+        outputStructType=_BUDGET_SCHEMA,
+        stateStructType=_BUDGET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def budget_stream_from_docs(
+    docs: DataFrame,
+    budget: int,
+    window: str = "5 minutes",
+    ts_col: str = "ts",
+    horizon: str = "1 minute",
+) -> DataFrame:
+    """budget_stream over raw (doc_id, text, ts) rows, scored exactly
+    like the token_budget_select gate: score = distinct-token count,
+    n_tokens = token count, empty-token docs dropped upstream."""
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    rows = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("score"),
+        F.size(toks).alias("n_tokens"),
+        ts_col,
+    ).filter(F.col("n_tokens") > 0)
+    return budget_stream(rows, budget, window, ts_col, horizon)

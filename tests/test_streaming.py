@@ -1646,3 +1646,126 @@ def test_streaming_substring_decontaminate_ttl_branch(spark, tmp_path):
     # arrival batch (contrast the first-arrival twins, where lateness
     # must be flagged because the state may have already decided)
     assert got[4] == (1, 4, "d1")
+
+
+def test_streaming_budget_ranked_replay_equals_batch(spark, tmp_path):
+    """Windowed running-budget admission (curation back half): on a
+    RANKED replay — feed ordered by (score DESC, doc_id), the
+    re-sharding use case — the stream's admitted set equals the batch
+    select_token_budget cut exactly, cum_tokens included."""
+    import time
+    from datetime import datetime
+
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        select_token_budget,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        budget_stream_from_docs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("score"),
+        F.size(toks).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0).localCheckpoint()
+    total = scored.agg(F.sum("n_tokens").alias("t")).first()["t"]
+    budget = 3 * int(total) // 10
+    expected = select_token_budget(scored, budget).localCheckpoint()
+
+    # ranked feed: 3 drops in (score desc, doc_id) order, one window
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    ranked = (
+        docs.join(scored.select("doc_id", "score"), "doc_id")
+        .orderBy(F.desc("score"), "doc_id")
+        .collect()
+    )
+    n = len(ranked)
+    src = os.path.join(str(tmp_path), "budget_ranked")
+    now = time.time()
+    for b in range(3):
+        part = ranked[b * n // 3 : (b + 1) * n // 3] or ranked[-1:]
+        frame = spark.createDataFrame(
+            [(r["doc_id"], r["text"], t0) for r in part],
+            "doc_id long, text string, ts timestamp_ntz",
+        )
+        _write_drop(frame, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark,
+        budget_stream_from_docs(stream, budget),
+        "budget_ranked_test",
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT doc_id, score, n_tokens, cum_tokens "
+        "FROM budget_ranked_test WHERE admitted"
+    )
+    exp = expected.select("doc_id", "score", "n_tokens", "cum_tokens")
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() + exp.exceptAll(got).count() == 0
+
+
+def test_streaming_budget_deviation_and_window_isolation(spark, tmp_path):
+    """The documented deviation, pinned as behavior: an early-admitted
+    low-scorer cannot be revoked when a better doc arrives in a later
+    micro-batch (batch ranking would have preferred the high-scorer);
+    the first rejection CLOSES the window (prefix semantics, no
+    knapsack back-fill); and each tumbling window owns an independent
+    budget."""
+    import time
+    from datetime import datetime
+
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        budget_stream,
+    )
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    t1 = datetime(2026, 1, 1, 0, 20, 0)  # a later 5-min window
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, score long, n_tokens long, ts timestamp_ntz"
+    )
+    drops = [
+        mk([(1, 5, 6, t0)]),              # low score, eats most budget
+        mk([(2, 99, 6, t0),               # high score: no room -> closes
+            (3, 50, 1, t0)]),             # would fit, but window closed
+        mk([(4, 1, 6, t1)]),              # fresh window, fresh budget
+    ]
+    src = os.path.join(str(tmp_path), "budget_dev")
+    now = time.time()
+    for b, d in enumerate(drops):
+        _write_drop(d, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, score long, n_tokens long, ts timestamp_ntz"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark,
+        budget_stream(stream, budget=10, window="5 minutes",
+                      horizon="1 minute"),
+        "budget_dev_test",
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.admitted, r.cum_tokens)
+        for r in spark.sql("SELECT * FROM budget_dev_test").collect()
+    }
+    assert got[1] == (True, 6)  # arrival-order admission
+    assert got[2] == (False, None)  # the deviation: better doc loses
+    assert got[3] == (False, None)  # prefix closure: no back-fill
+    assert got[4] == (True, 6)  # independent budget per window
+    ws = {
+        r.window_start_ms
+        for r in spark.sql("SELECT * FROM budget_dev_test").collect()
+    }
+    assert len(ws) == 2
