@@ -36,20 +36,25 @@ def test_fuzz_grammar_covers_all_shapes():
     drifting shape split would silently shrink coverage."""
     gen = fuzz.Generator(SF, seed=11)
     kinds = {"proj": 0, "agg": 0, "group": 0, "window": 0, "limit": 0,
-             "join": 0, "having": 0}
+             "join": 0, "having": 0, "setop": 0, "case_key": 0,
+             "in_subq": 0}
     for _ in range(300):
         s, _ = gen.gen()
         if "row_number()" in s:
             kinds["window"] += 1
+        elif " UNION" in s or " INTERSECT " in s or " EXCEPT " in s:
+            kinds["setop"] += 1
         elif "GROUP BY" in s:
             kinds["group"] += 1
             kinds["limit"] += "LIMIT" in s
             kinds["having"] += "HAVING" in s
+            kinds["case_key"] += "CASE WHEN" in s
         elif s.startswith("SELECT COUNT") or "SUM(" in s or "MIN(" in s:
             kinds["agg"] += 1
         else:
             kinds["proj"] += 1
         kinds["join"] += " JOIN " in s
+        kinds["in_subq"] += "IN (SELECT" in s
     assert all(v > 0 for v in kinds.values()), kinds
 
 

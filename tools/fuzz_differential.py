@@ -232,8 +232,8 @@ class Generator:
 
     # --- query shapes -------------------------------------------------------
 
-    def _from_clause(self) -> tuple[str, list[tuple[str, str, str]]]:
-        """Random FROM with 0-2 join hops; returns (sql, usable cols)."""
+    def _from_clause(self) -> tuple[str, list[tuple[str, str, str]], str]:
+        """Random FROM with 0-2 join hops; (sql, usable cols, base)."""
         t = self.rng.choice(list(TABLES))
         sql = t
         cols = [(t, c, k) for c, k in TABLES[t].items()]
@@ -246,19 +246,37 @@ class Generator:
             sql += f" JOIN {dim} ON {fk} = {dk}"
             cols += [(dim, c, k) for c, k in TABLES[dim].items()]
             cur = dim
-        return sql, cols
+        return sql, cols, t
 
-    def _where(self, cols) -> str:
+    def _in_subquery(self, base: str) -> str | None:
+        """fk IN (SELECT dk FROM dim WHERE pred) off the join graph —
+        Catalyst rewrites to a semi join; DuckDB plans it natively."""
+        hops = JOINS.get(base)
+        if not hops:
+            return None
+        dim, fk, dk = self.rng.choice(hops)
+        dim_cols = [(dim, c, k) for c, k in TABLES[dim].items()]
+        pred = self._pred(dim_cols)
+        if pred is None:
+            return None
+        neg = "NOT " if self.rng.random() < 0.3 else ""
+        return f"{fk} {neg}IN (SELECT {dk} FROM {dim} WHERE {pred})"
+
+    def _where(self, cols, base: str | None = None) -> str:
         preds = [p for p in (self._pred(cols)
                              for _ in range(self.rng.randrange(3))) if p]
+        if base is not None and self.rng.random() < 0.2:
+            sub = self._in_subquery(base)
+            if sub:
+                preds.append(sub)
         return (" WHERE " + " AND ".join(preds)) if preds else ""
 
     def gen(self) -> tuple[str, str]:
         """One random query -> (spark_sql, duck_sql)."""
         shape = self.rng.random()
-        frm, cols = self._from_clause()
-        where = self._where(cols)
-        if shape < 0.25:  # plain filter + projection
+        frm, cols, base = self._from_clause()
+        where = self._where(cols, base)
+        if shape < 0.22:  # plain filter + projection
             n = self.rng.randrange(1, 4)
             picks = self.rng.sample(cols, min(n, len(cols)))
             exprs = [
@@ -268,6 +286,24 @@ class Generator:
             return (
                 f"SELECT {', '.join(e.s() for e in exprs)} FROM {frm}{where}",
                 f"SELECT {', '.join(e.d() for e in exprs)} FROM {frm}{where}",
+            )
+        if shape < 0.3:  # set operation over two filtered projections
+            t = self.rng.choice(list(TABLES))
+            tcols = [(t, c, k) for c, k in TABLES[t].items()]
+            picks = self.rng.sample(tcols, min(2, len(tcols)))
+            exprs = [
+                self._proj(c, k, f"c{i}")
+                for i, (_, c, k) in enumerate(picks)
+            ]
+            op = self.rng.choice(
+                ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+            )
+            w1, w2 = self._where(tcols), self._where(tcols)
+            sp = ", ".join(e.s() for e in exprs)
+            dp = ", ".join(e.d() for e in exprs)
+            return (
+                f"SELECT {sp} FROM {t}{w1} {op} SELECT {sp} FROM {t}{w2}",
+                f"SELECT {dp} FROM {t}{w1} {op} SELECT {dp} FROM {t}{w2}",
             )
         if shape < 0.4:  # global aggregate
             aggs = [self._agg(cols, i)
@@ -283,6 +319,17 @@ class Generator:
                 self._group_exprs(c, k, f"g{i}")
                 for i, (_, c, k) in enumerate(picks)
             ]
+            if self.rng.random() < 0.25:  # CASE bucket as an extra key
+                p = self._pred(cols)
+                if p:
+                    keys.append(
+                        Expr(
+                            f"CASE WHEN {p} THEN 'hi' ELSE 'lo' END",
+                            f"CASE WHEN {p} THEN 'hi' ELSE 'lo' END",
+                            "s",
+                            f"g{len(keys)}",
+                        )
+                    )
             aggs = [self._agg(cols, i)
                     for i in range(self.rng.randrange(1, 3))]
             having = ""
