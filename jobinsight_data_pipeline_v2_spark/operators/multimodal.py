@@ -153,6 +153,20 @@ def decode_image(payload: bytes) -> list[float]:
     ]
 
 
+def decode_audio(payload: bytes) -> list[float]:
+    """REAL audio decode (pure-stdlib WAV/PCM codec, operators/wav.py):
+    payload → [sample_rate, channels, n_frames, mean_ch0, mean_ch1, …].
+    Compressed codecs (MP3/AAC) raise inside the decoder — quarantined
+    as NULL features like any corrupt payload."""
+    from .wav import decode_wav
+
+    rate, n_ch, n_frames, channels = decode_wav(payload)
+    n = max(n_frames, 1)
+    return [float(rate), float(n_ch), float(n_frames)] + [
+        sum(c) / n for c in channels
+    ]
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

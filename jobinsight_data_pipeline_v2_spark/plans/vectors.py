@@ -489,6 +489,100 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# real WAV/PCM decode at the Arrow edge (operators/wav.py — the PNG
+# gate's audio sibling; same ordering-independent closed-form oracle)
+# ---------------------------------------------------------------------------
+
+_WAV_CYCLE = 16  # sample(ch, i) = base_ch + (i % 16): sums close-form
+
+
+def _wav_stats_batches(it):
+    """doc_id batches → synthesize PCM WAV → REAL decode → stats."""
+    import pandas as pd
+
+    from ..operators.wav import decode_wav, encode_wav
+
+    for pdf in it:
+        out = {k: [] for k in
+               ("doc_id", "rate", "channels", "n_frames", "c0_sum",
+                "c1_sum")}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            rate = 8000 + (d % 5) * 1000
+            n_ch = 1 + d % 2
+            n = 64 + d % 129
+            chans = []
+            for c in range(n_ch):
+                base = (d * (c + 3)) % 100 - 50
+                chans.append([base + (i % _WAV_CYCLE) for i in range(n)])
+            got_rate, got_ch, got_n, got_chans = decode_wav(
+                encode_wav(rate, chans)
+            )
+            sums = [sum(c) for c in got_chans]
+            out["doc_id"].append(d)
+            out["rate"].append(got_rate)
+            out["channels"].append(got_ch)
+            out["n_frames"].append(got_n)
+            out["c0_sum"].append(sums[0])
+            out["c1_sum"].append(sums[1] if got_ch == 2 else None)
+        yield pd.DataFrame(out)
+
+
+def _wav_sum_sql(c: int) -> str:
+    """Closed-form channel sum: n·base + (n // 16)·120 + r(r−1)/2 with
+    r = n % 16 — pure integer arithmetic the oracle evaluates without
+    ever seeing a WAV byte."""
+    base = f"((doc_id * {c + 3}) % 100 - 50)"
+    k = _WAV_CYCLE
+    full = k * (k - 1) // 2  # sum of one 0..15 cycle
+    return (
+        f"n * {base} + (n // {k}) * {full} "
+        f"+ (n % {k}) * ((n % {k}) - 1) // 2"
+    )
+
+
+@register(
+    "wav_decode_stats",
+    f"""
+    WITH dims AS (
+        SELECT doc_id,
+               8000 + (doc_id % 5) * 1000 AS rate,
+               1 + doc_id % 2 AS channels,
+               64 + doc_id % 129 AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS rate,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST({_wav_sum_sql(0)} AS BIGINT) AS c0_sum,
+           CAST(CASE WHEN channels = 2 THEN {_wav_sum_sql(1)} END
+                AS BIGINT) AS c1_sum
+    FROM dims
+    ORDER BY doc_id
+    """,
+)
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per document a deterministic PCM
+    WAV (mono/stereo alternating, varying rate and frame count) is
+    synthesized and decoded by the stdlib RIFF codec (operators/
+    wav.py) inside one Arrow-batched mapInPandas; the output pins
+    decoded rate/channels/frame-count + per-channel sample sums
+    against the oracle's closed-form recomputation (which never sees
+    a WAV byte — any framing, alignment, or interleave defect breaks
+    the hash)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(n, LongType(), False)
+         for n in ("doc_id", "rate", "channels", "n_frames", "c0_sum")]
+        + [StructField("c1_sum", LongType(), True)]  # NULL when mono
+    )
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    return docs.mapInPandas(_wav_stats_batches, schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # batched exact top-k: many query vectors in one corpus scan (the
 # serving shape of operators/similarity.cosine_topk)
 # ---------------------------------------------------------------------------
