@@ -485,15 +485,56 @@ _JSONL_MISSING_ID = '{"text": "injected orphan segment, no doc_id"}'
 _JSONL_MISSING_TEXT = '{"doc_id": 900000001, "lang": "vi"}'
 
 
+_GATE_DIRS_CREATED: set[str] = set()
+
+
+def _sweep_stale_gate_dirs(prefix: str = "/tmp/jobinsight_") -> None:
+    """Remove gate dirs left by DEAD processes: pid-keyed names stop
+    two live drivers racing (ADVICE r6), but each crashed/killed run
+    would otherwise leak a full corpus export into /tmp (review r7).
+    A dir is reclaimed only when its embedded pid no longer exists —
+    never by age, so a slow live grader is untouchable."""
+    import glob
+    import os
+    import shutil
+
+    for d in glob.glob(prefix + "*_gate_*_[0-9]*"):
+        pid_part = d.rsplit("_", 1)[-1]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_part), 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user: leave it
+
+
+def _cleanup_own_gate_dirs() -> None:
+    import shutil
+
+    for d in _GATE_DIRS_CREATED:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _jsonl_gate_dir(sf_dir: str) -> str:
+    import atexit
     import hashlib
     import os
 
     # Keyed by sf_dir AND pid: two concurrent drivers grading the same
     # sf_dir must not race on overwrite/rmtree of a shared gate dir
-    # (ADVICE r6).
+    # (ADVICE r6). The pid keying must not trade the race for a /tmp
+    # leak (review r7): this process's dirs are removed at exit, and
+    # dirs whose owning pid is dead are swept opportunistically.
+    _sweep_stale_gate_dirs()
     h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return f"/tmp/jobinsight_jsonl_gate_{h}_{os.getpid()}"
+    d = f"/tmp/jobinsight_jsonl_gate_{h}_{os.getpid()}"
+    if not _GATE_DIRS_CREATED:
+        atexit.register(_cleanup_own_gate_dirs)
+    _GATE_DIRS_CREATED.add(d)
+    _GATE_DIRS_CREATED.add(d.replace("jsonl", "warc"))
+    return d
 
 
 @register(

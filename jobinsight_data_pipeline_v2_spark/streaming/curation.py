@@ -592,8 +592,11 @@ def budget_stream(
             F.col("doc_id").cast("long"),
             F.col("score").cast("long"),
             F.col("n_tokens").cast("long"),
-            "__ts",  # the watermarked column must reach the state op
-            F.unix_millis("__ts").alias("__ts_ms"),
+            # the watermarked column itself must reach the state op
+            # (event-time timeout needs it); the timeout value is
+            # computed from the window-start key, so no __ts_ms
+            # passthrough is needed here (unlike the per-hash twins)
+            "__ts",
         )
     )
 
@@ -659,7 +662,9 @@ def budget_stream_from_docs(
     """budget_stream over raw (doc_id, text, ts) rows, scored exactly
     like the token_budget_select gate: score = distinct-token count,
     n_tokens = token count, empty-token docs dropped upstream."""
-    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    from ..plans.text import _TOKENS  # the ONE canonical tokenizer
+
+    toks = F.expr(_TOKENS)
     rows = docs.select(
         "doc_id",
         F.size(F.array_distinct(toks)).alias("score"),

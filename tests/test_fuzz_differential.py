@@ -27,7 +27,10 @@ def test_fuzz_100_generated_queries_match_duckdb(spark):
     failures = fuzz.run_fuzz(spark, SF, n=100, seed=7)
     dt = time.time() - t0
     assert failures == [], failures[:3]
-    assert dt < 120, f"fuzz run took {dt:.0f}s — must stay CI-sized"
+    # ~30-40s on a quiet machine; the bound is a runaway guard sized
+    # for the documented 2x+ load variance, not a tight SLA (a loaded
+    # CI box must not fail this test with zero diffs found)
+    assert dt < 300, f"fuzz run took {dt:.0f}s — runaway guard"
 
 
 def test_fuzz_grammar_covers_all_shapes():

@@ -389,23 +389,50 @@ def _shrink(spark, con, canon, s_sql: str, d_sql: str):
     persists (the common failure unit in this grammar)."""
 
     def mismatch(ss: str, ds: str) -> bool:
+        # only a reproduced VALUE divergence counts (the caller shrinks
+        # only err-free failures): a deletion that merely breaks the
+        # SQL — e.g. splicing across a set-op branch — must be
+        # rejected, or the report stops demonstrating the original bug
         try:
             a = canon(spark.sql(ss).toPandas())
             b = canon(con.execute(ds).fetchdf())
         except Exception:
-            return True
+            return False
         return a[:3] != b[:3]
 
+    def split(sql: str):
+        """head WHERE p1 AND p2 ... [tail] -> (head, [preds], tail);
+        only the FIRST WHERE clause is shrunk (set-op right arms and
+        subqueries keep their predicates — deleting across branch
+        boundaries would splice unrelated queries together)."""
+        if " WHERE " not in sql:
+            return None
+        head, rest = sql.split(" WHERE ", 1)
+        # a WHERE clause ends at the next top-level clause keyword
+        tail = ""
+        for kw in (" GROUP BY ", " ORDER BY ", " UNION", " INTERSECT ",
+                   " EXCEPT "):
+            idx = rest.find(kw)
+            if idx >= 0:
+                rest, tail = rest[:idx], rest[idx:]
+                break
+        if "(" in rest:  # predicate list contains a subquery: too
+            return None  # structured for the flat AND-splitter
+        return head, rest.split(" AND "), tail
+
+    def join(head, preds, tail):
+        w = (" WHERE " + " AND ".join(preds)) if preds else ""
+        return f"{head}{w}{tail}"
+
     changed = True
-    while changed and " AND " in s_sql:
+    while changed:
         changed = False
-        s_parts = s_sql.split(" AND ")
-        d_parts = d_sql.split(" AND ")
-        if len(s_parts) != len(d_parts):
+        sp, dp = split(s_sql), split(d_sql)
+        if sp is None or dp is None or len(sp[1]) != len(dp[1]):
             break
-        for i in range(len(s_parts)):
-            ss = " AND ".join(s_parts[:i] + s_parts[i + 1 :])
-            ds = " AND ".join(d_parts[:i] + d_parts[i + 1 :])
+        for i in range(len(sp[1])):
+            ss = join(sp[0], sp[1][:i] + sp[1][i + 1 :], sp[2])
+            ds = join(dp[0], dp[1][:i] + dp[1][i + 1 :], dp[2])
             if mismatch(ss, ds):
                 s_sql, d_sql, changed = ss, ds, True
                 break

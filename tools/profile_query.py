@@ -42,13 +42,18 @@ def main() -> None:
 
     # serving-split entries (bench.SERVING_BENCH) are addressable too:
     # the index builds once outside the timer, the thunk is what's timed
+    import importlib
+
     from bench import SERVING_BENCH
-    from jobinsight_data_pipeline_v2_spark.plans import vectors
 
     for name in names:
         if name in SERVING_BENCH:
+            mod_name, builder = SERVING_BENCH[name]
+            mod = importlib.import_module(
+                f"jobinsight_data_pipeline_v2_spark.plans.{mod_name}"
+            )
             t0 = time.time()
-            thunk = getattr(vectors, SERVING_BENCH[name])(spark, sf_dir)
+            thunk = getattr(mod, builder)(spark, sf_dir)
             drain(thunk())
             build = time.time() - t0
             fn = lambda *_: thunk()  # noqa: E731
