@@ -700,3 +700,32 @@ def test_semantic_dedup_plan_shape(spark):
     p = _plan(spark, "semantic_dedup")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dsir_resample_plan(spark):
+    """DSIR (r7) scale shapes on the post-checkpoint plan (the gram
+    build sits behind the rule-14 boundary): the B-row class table
+    must BROADCAST into the scoring join (never a sort-merge join —
+    the corpus-sized gram stream must not shuffle for it), and the
+    only hash exchanges are the one-row totals aggregation and the
+    doc-keyed scoring aggregation."""
+    p = _plan(spark, "dsir_resample")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 1
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_media_decode_gates_plan(spark):
+    """The PNG/WAV decode gates (r7) are ONE narrow Arrow stage over
+    doc_id + the presentation sort: no hash exchange, no join, and
+    the scan prunes to the id column (payloads are synthesized
+    in-stage; a real corpus would stream opaque binaries the same
+    way)."""
+    for name in ("png_decode_stats", "wav_decode_stats"):
+        p = _plan(spark, name)
+        assert "Exchange hashpartitioning" not in p, name
+        assert "Join" not in p, name
+        assert "MapInPandas" in p or "ArrowEvalPython" in p, name
+        schema_line = [l for l in p.splitlines() if "ReadSchema" in l]
+        if schema_line:  # spread() may hide the scan behind a boundary
+            assert "text" not in schema_line[0], name
