@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "dsir_resample",  # DSIR importance resampling, integer-exact core
     "png_decode_stats",  # REAL stdlib PNG decode at the Arrow edge
     "wav_decode_stats",  # REAL stdlib WAV/PCM decode (audio sibling)
+    "y4m_frame_stats",  # REAL stdlib Y4M video demux + frame sampling
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -189,12 +189,14 @@ def sample_frames(
 
     The frame-sampling shape of a video pipeline: a 1→N row fan-out
     inside mapInPandas, Arrow-batched both ways, with frame timestamps
-    derived from the frame index (ts_ms = idx·1000/fps). The demuxer is
-    stubbed (``split_fn=None`` chops the payload into fixed
-    ``frame_bytes`` slices — deterministic, reassemblable); swap in a
-    real one (pyav: container→decode→frame bytes) via ``split_fn``
-    without touching the Spark contract. Downstream, each frame row
-    feeds extract_features / media_exact_dedup unchanged.
+    derived from the frame index (ts_ms = idx·1000/fps). A REAL
+    demuxer exists for uncompressed Y4M containers —
+    ``operators.y4m.y4m_frame_splitter`` (oracle-gated by
+    ``y4m_frame_stats``); ``split_fn=None`` keeps the deterministic
+    fixed-``frame_bytes`` slicing stand-in, and compressed containers
+    (MP4/WebM) take a pyav-style ``split_fn`` where available — the
+    Spark contract is identical for all three. Downstream, each frame
+    row feeds extract_features / media_exact_dedup unchanged.
     """
 
     def split(payload: bytes, size: int) -> list[bytes]:

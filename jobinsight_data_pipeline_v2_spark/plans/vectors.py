@@ -583,6 +583,90 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# real Y4M video demux at the Arrow edge (operators/y4m.py — completes
+# the media triple; same closed-form oracle device as PNG/WAV)
+# ---------------------------------------------------------------------------
+
+_Y4M_EVERY_N = 2  # sample every 2nd frame (the sample_frames dial)
+
+
+def _y4m_stats_batches(it):
+    """doc_id batches → synthesize mono Y4M → REAL demux → sample
+    every {_Y4M_EVERY_N}th frame → luma stats."""
+    import pandas as pd
+
+    from ..operators.y4m import demux_y4m, encode_y4m, luma_sum
+
+    for pdf in it:
+        out = {k: [] for k in
+               ("doc_id", "width", "height", "n_frames", "n_sampled",
+                "luma_total")}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + (d % 5) * 2, 8 + (d % 3) * 2
+            n = 3 + d % 6
+            base = d % 150  # + 7k <= 198: constant-luma frames, no wrap
+            frames = [bytes([base + 7 * k]) * (w * h) for k in range(n)]
+            gw, gh, _fps, _cs, got = demux_y4m(
+                encode_y4m(w, h, frames, colorspace="mono")
+            )
+            sampled = got[::_Y4M_EVERY_N]
+            out["doc_id"].append(d)
+            out["width"].append(gw)
+            out["height"].append(gh)
+            out["n_frames"].append(len(got))
+            out["n_sampled"].append(len(sampled))
+            out["luma_total"].append(
+                sum(luma_sum(f, gw, gh) for f in sampled)
+            )
+        yield pd.DataFrame(out)
+
+
+@register(
+    "y4m_frame_stats",
+    f"""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + (doc_id % 5) * 2 AS w,
+               8 + (doc_id % 3) * 2 AS h,
+               3 + doc_id % 6 AS n,
+               doc_id % 150 AS base
+        FROM documents
+    ),
+    s AS (SELECT *, (n + 1) // 2 AS m FROM dims)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(m AS BIGINT) AS n_sampled,
+           CAST(w * h * (m * base + 7 * m * (m - 1)) AS BIGINT)
+               AS luma_total
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux end-to-end: per document a deterministic mono
+    YUV4MPEG2 stream (3-8 constant-luma frames) is synthesized and
+    demuxed by the stdlib container parser (operators/y4m.py) inside
+    one Arrow-batched mapInPandas, every {_Y4M_EVERY_N}nd frame
+    sampled (the sample_frames dial), luma-plane sums pinned against
+    the oracle's closed-form recomputation — which never sees a Y4M
+    byte, so any header-parse, frame-boundary, or plane-size defect
+    breaks the hash. Sampled frames: luma of frame k is base + 7k, so
+    Σ over k = 0,2,…,2(m−1) is m·base + 14·m(m−1)/2 per pixel."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(n, LongType(), False)
+         for n in ("doc_id", "width", "height", "n_frames", "n_sampled",
+                   "luma_total")]
+    )
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    return docs.mapInPandas(_y4m_stats_batches, schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # batched exact top-k: many query vectors in one corpus scan (the
 # serving shape of operators/similarity.cosine_topk)
 # ---------------------------------------------------------------------------

@@ -721,7 +721,8 @@ def test_media_decode_gates_plan(spark):
     the scan prunes to the id column (payloads are synthesized
     in-stage; a real corpus would stream opaque binaries the same
     way)."""
-    for name in ("png_decode_stats", "wav_decode_stats"):
+    for name in ("png_decode_stats", "wav_decode_stats",
+                 "y4m_frame_stats"):
         p = _plan(spark, name)
         assert "Exchange hashpartitioning" not in p, name
         assert "Join" not in p, name
