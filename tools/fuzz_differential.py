@@ -243,7 +243,10 @@ class Generator:
             if not hops:
                 break
             dim, fk, dk = self.rng.choice(hops)
-            sql += f" JOIN {dim} ON {fk} = {dk}"
+            # LEFT joins exercise the null-introducing path (3-valued
+            # predicates, null group keys, null-skipping aggregates)
+            jt = "LEFT JOIN" if self.rng.random() < 0.3 else "JOIN"
+            sql += f" {jt} {dim} ON {fk} = {dk}"
             cols += [(dim, c, k) for c, k in TABLES[dim].items()]
             cur = dim
         return sql, cols, t
