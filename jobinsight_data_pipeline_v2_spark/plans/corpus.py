@@ -1669,3 +1669,85 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_DSIR_GRAMS = """
+    concat(
+        t,
+        if(size(t) >= 2,
+           transform(sequence(1, size(t) - 1),
+                     i -> concat(element_at(t, i), ' ',
+                                 element_at(t, i + 1))),
+           cast(array() as array<string>)))
+"""
+
+
+def _dsir_bucket(col: str) -> F.Column:
+    """gram string → hashed bucket in [0, {_DSIR_B}) — md5-based so
+    the DuckDB oracle computes the identical buckets."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(col).cast("binary")), 1, 8), 16, 10
+        ).cast("long")
+        % _DSIR_B
+    )
+
+
+def dsir_train_classes(docs: DataFrame, target_pred: F.Column):
+    """Train the DSIR bucket-class MODEL as a servable artifact:
+    returns a {_DSIR_B}-long list of floor-log2 importance classes
+    indexed by bucket, with unseen buckets filled by the smoothed
+    (0, 0)-count default class. The model is B integers — exactly
+    what a serving tier ships (streaming/curation.dsir_stream
+    compiles it into the plan as an array literal; the batch gate
+    keeps its own fused two-pass plan so its oracle hash is
+    unchanged)."""
+    toks = docs.select(
+        target_pred.alias("is_target"), F.expr(_TOKENS).alias("t")
+    )
+    hashed = toks.select(
+        "is_target",
+        F.explode(F.expr(_DSIR_GRAMS)).alias("g"),
+    ).select("is_target", _dsir_bucket("g").alias("bucket"))
+    counts = (
+        hashed.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+            .cast("long")
+            .alias("t_n"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1))
+            .cast("long")
+            .alias("r_n"),
+        )
+        .localCheckpoint(eager=False)  # totals + classes consumers
+    )
+    totals = counts.agg(
+        F.sum("t_n").cast("long").alias("t_tot"),
+        F.sum("r_n").cast("long").alias("r_tot"),
+    )
+    rows = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket", F.expr(_dsir_class_case(_DSIR_NUM, _DSIR_DEN)).alias("cls")
+        )
+        .collect()
+    )
+    tot = totals.collect()[0]
+    t_tot, r_tot = int(tot["t_tot"] or 0), int(tot["r_tot"] or 0)
+
+    def floor_log2_ratio(num: int, den: int) -> int:
+        if num >= den:
+            c = 0
+            while den << (c + 1) <= num:
+                c += 1
+            return min(_DSIR_CLAMP, c)
+        k = 0
+        while (num << k) < den and k <= _DSIR_CLAMP:
+            k += 1
+        return -min(_DSIR_CLAMP, k)
+
+    default = floor_log2_ratio(r_tot + _DSIR_B, t_tot + _DSIR_B)
+    classes = [default] * _DSIR_B
+    for r in rows:
+        classes[int(r["bucket"])] = int(r["cls"])
+    return classes

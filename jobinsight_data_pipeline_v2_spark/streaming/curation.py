@@ -672,3 +672,66 @@ def budget_stream_from_docs(
         ts_col,
     ).filter(F.col("n_tokens") > 0)
     return budget_stream(rows, budget, window, ts_col, horizon)
+
+
+def dsir_stream(docs: DataFrame, classes: list[int]) -> DataFrame:
+    """(doc_id, n_grams, score, rate_permille, kept): DSIR importance-
+    resampling decisions over a DOCUMENT STREAM (twin 25) — the
+    serving shape of plans/corpus.dsir_resample: the bucket-class
+    model is trained OFFLINE (``dsir_train_classes``, B integers) and
+    COMPILED INTO THE PLAN as an array literal, the way
+    classifier_stream carries its weights. Scoring is one fully
+    in-row fold — hash each gram to its bucket, look the class up in
+    the literal array, sum — so the operator is a stateless narrow
+    projection: append mode, zero state store, no joins, no
+    aggregation. Decisions are md5-membership (replay/retry-stable),
+    so a re-ordered or replayed stream emits the identical keep set.
+    One interpreted md5 per gram inside the fold is the rule-10 trade
+    the batch engine already measured as cheaper than an
+    explode/shuffle round trip — and on a stream it is also the only
+    checkpoint-free shape (rule 20)."""
+    from ..plans.corpus import _DSIR_B, _dsir_class_case  # noqa: F401
+    from ..plans.corpus import _DSIR_GRAMS
+    from ..plans.sampling import _bucket
+    from ..plans.text import _TOKENS
+
+    if len(classes) != _DSIR_B:
+        raise ValueError(f"classes must have {_DSIR_B} entries")
+    cls_arr = F.array(*[F.lit(int(c)) for c in classes])
+
+    def gram_cls(g):
+        bucket = (
+            F.conv(F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % _DSIR_B
+        )
+        return F.element_at(cls_arr, (bucket + 1).cast("int")).cast("long")
+
+    toks = docs.select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    ).withColumn("__grams", F.expr(_DSIR_GRAMS))
+    scored = toks.select(
+        "doc_id",
+        F.size("__grams").cast("long").alias("n_grams"),
+        F.aggregate(
+            F.transform("__grams", gram_cls),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    ).filter(F.col("n_grams") > 0)
+    rate = (
+        F.when(F.col("score") >= 0, F.lit(1000))
+        .when(
+            F.col("score") >= -9,
+            F.expr("div(1000, shiftleft(1, -score))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return scored.withColumn("rate_permille", rate).select(
+        "doc_id",
+        "n_grams",
+        "score",
+        "rate_permille",
+        (_bucket("doc_id", 1000) < F.col("rate_permille")).alias("kept"),
+    )

@@ -1769,3 +1769,74 @@ def test_streaming_budget_deviation_and_window_isolation(spark, tmp_path):
         for r in spark.sql("SELECT * FROM budget_dev_test").collect()
     }
     assert len(ws) == 2
+
+
+def test_streaming_dsir_decisions_equal_batch(spark, tmp_path):
+    """Twin 25: DSIR serving — the bucket-class model trained offline
+    (dsir_train_classes) and compiled into the stream plan as an array
+    literal must reproduce the batch dsir_resample gate's decisions
+    row for row over a replayed raw-pool feed (stateless: order and
+    batching cannot matter)."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        _DSIR_TARGET_LANG,
+        dsir_resample,
+        dsir_train_classes,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        dsir_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    classes = dsir_train_classes(
+        docs, F.col("lang") == _DSIR_TARGET_LANG
+    )
+    assert len(classes) == 256 and all(-8 <= c <= 8 for c in classes)
+    raw = docs.filter(F.col("lang") != _DSIR_TARGET_LANG).select(
+        "doc_id", "text"
+    )
+    n = raw.count()
+    src = os.path.join(str(tmp_path), "dsir_stream")
+    now = time.time()
+    for b, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, 10**12)]
+    ):
+        part = raw.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, dsir_stream(stream, classes), "dsir_stream_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dsir_stream_test")
+    exp = dsir_resample(spark, SF)
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() + exp.exceptAll(got).count() == 0
+
+
+def test_dsir_stream_default_class_for_unseen_buckets(spark):
+    """A model bucket never observed in training scores through the
+    smoothed default class — checked by compiling a hand-built model
+    where every bucket is the default and verifying the in-plan fold
+    uses it (batch-mode execution of the same stateless plan)."""
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        dsir_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_grams, r.score)
+           for r in dsir_stream(docs, [2] * 256).collect()}
+    # 3 unigrams + 2 bigrams = 5 grams, every one scoring the default
+    assert got[1] == (5, 10)
+    assert 2 not in got  # empty docs carry no grams and drop out
