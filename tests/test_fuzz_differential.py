@@ -40,9 +40,12 @@ def test_fuzz_grammar_covers_all_shapes():
     gen = fuzz.Generator(SF, seed=11)
     kinds = {"proj": 0, "agg": 0, "group": 0, "window": 0, "limit": 0,
              "join": 0, "having": 0, "setop": 0, "case_key": 0,
-             "in_subq": 0}
+             "in_subq": 0, "events_ntz": 0}
     for _ in range(300):
-        s, _ = gen.gen()
+        s, d = gen.gen()
+        if "TIMESTAMP_NTZ" in s:
+            kinds["events_ntz"] += 1
+            assert "TIMESTAMP_NTZ" not in d  # NTZ is Spark-side only
         if "row_number()" in s:
             kinds["window"] += 1
         elif " UNION" in s or " INTERSECT " in s or " EXCEPT " in s:

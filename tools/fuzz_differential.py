@@ -87,6 +87,16 @@ TABLES: dict[str, dict[str, str]] = {
         "source": "s",
         "n_chars": "i",
     },
+    # events is the nanos-timestamp table: Spark reads it through
+    # tables.load_events (timestamp_ntz rebuild), so its ts column is
+    # kind "n" — NTZ literals Spark-side, plain TIMESTAMP DuckDB-side
+    "events": {
+        "event_id": "i",
+        "ts": "n",
+        "user_id": "i",
+        "event_type": "s",
+        "value": "f",
+    },
 }
 
 # fact -> (dim, fact_key, dim_key); chains compose (lineitem->orders->customer)
@@ -104,7 +114,8 @@ JOINS: dict[str, list[tuple[str, str, str]]] = {
 
 # tables whose first column is a verified-unique pk (window tiebreaks)
 UNIQUE_PK = {"orders": "o_orderkey", "customer": "c_custkey",
-             "part": "p_partkey", "documents": "doc_id"}
+             "part": "p_partkey", "documents": "doc_id",
+             "events": "event_id"}
 
 
 def _load_canon():
@@ -156,7 +167,7 @@ class Generator:
     # --- projections --------------------------------------------------------
 
     def _proj(self, col: str, kind: str, alias: str) -> Expr:
-        if kind == "t":
+        if kind in ("t", "n"):
             return Expr(
                 f"date_format({col}, 'yyyy-MM-dd')",
                 f"strftime({col}, '%Y-%m-%d')",
@@ -166,7 +177,7 @@ class Generator:
         return Expr(col, col, kind, alias)
 
     def _group_exprs(self, col: str, kind: str, alias: str) -> Expr:
-        if kind == "t" and self.rng.random() < 0.5:
+        if kind in ("t", "n") and self.rng.random() < 0.5:
             return Expr(f"year({col})", f"year({col})", "i", alias)
         return self._proj(col, kind, alias)
 
@@ -192,9 +203,12 @@ class Generator:
                     return f"{c} LIKE '{pfx}%'"
             op = self.rng.choice(["=", "<>", "<", ">"])
             return f"{c} {op} '{_esc(sv)}'"
-        # timestamp
+        # timestamp (kind "t"); kind "n" is NTZ on the Spark side only
         iso = str(v)[:19]
         op = self.rng.choice(["<", "<=", ">", ">="])
+        if kind == "n":
+            return (f"{c} {op} TIMESTAMP_NTZ '{iso}'",
+                    f"{c} {op} TIMESTAMP '{iso}'")
         return f"{c} {op} TIMESTAMP '{iso}'"
 
     # --- aggregates ---------------------------------------------------------
@@ -221,7 +235,7 @@ class Generator:
                 f"SUM({c})", f"CAST(SUM({c}) AS BIGINT)", "i", alias
             )
         fn = self.rng.choice(["MIN", "MAX"])
-        if kind == "t":
+        if kind in ("t", "n"):
             return Expr(
                 f"date_format({fn}({c}), 'yyyy-MM-dd')",
                 f"strftime({fn}({c}), '%Y-%m-%d')",
@@ -260,25 +274,31 @@ class Generator:
         dim, fk, dk = self.rng.choice(hops)
         dim_cols = [(dim, c, k) for c, k in TABLES[dim].items()]
         pred = self._pred(dim_cols)
-        if pred is None:
+        if pred is None or isinstance(pred, tuple):
             return None
         neg = "NOT " if self.rng.random() < 0.3 else ""
         return f"{fk} {neg}IN (SELECT {dk} FROM {dim} WHERE {pred})"
 
-    def _where(self, cols, base: str | None = None) -> str:
+    def _where(self, cols, base: str | None = None):
+        """Returns (spark_where, duck_where) — identical text except
+        NTZ-vs-naive timestamp literals."""
         preds = [p for p in (self._pred(cols)
                              for _ in range(self.rng.randrange(3))) if p]
         if base is not None and self.rng.random() < 0.2:
             sub = self._in_subquery(base)
             if sub:
                 preds.append(sub)
-        return (" WHERE " + " AND ".join(preds)) if preds else ""
+        sp = [p[0] if isinstance(p, tuple) else p for p in preds]
+        dp = [p[1] if isinstance(p, tuple) else p for p in preds]
+        if not preds:
+            return "", ""
+        return " WHERE " + " AND ".join(sp), " WHERE " + " AND ".join(dp)
 
     def gen(self) -> tuple[str, str]:
         """One random query -> (spark_sql, duck_sql)."""
         shape = self.rng.random()
         frm, cols, base = self._from_clause()
-        where = self._where(cols, base)
+        sw, dw = self._where(cols, base)
         if shape < 0.22:  # plain filter + projection
             n = self.rng.randrange(1, 4)
             picks = self.rng.sample(cols, min(n, len(cols)))
@@ -287,8 +307,8 @@ class Generator:
                 for i, (_, c, k) in enumerate(picks)
             ]
             return (
-                f"SELECT {', '.join(e.s() for e in exprs)} FROM {frm}{where}",
-                f"SELECT {', '.join(e.d() for e in exprs)} FROM {frm}{where}",
+                f"SELECT {', '.join(e.s() for e in exprs)} FROM {frm}{sw}",
+                f"SELECT {', '.join(e.d() for e in exprs)} FROM {frm}{dw}",
             )
         if shape < 0.3:  # set operation over two filtered projections
             t = self.rng.choice(list(TABLES))
@@ -301,19 +321,19 @@ class Generator:
             op = self.rng.choice(
                 ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
             )
-            w1, w2 = self._where(tcols), self._where(tcols)
+            (s1, d1), (s2, d2) = self._where(tcols), self._where(tcols)
             sp = ", ".join(e.s() for e in exprs)
             dp = ", ".join(e.d() for e in exprs)
             return (
-                f"SELECT {sp} FROM {t}{w1} {op} SELECT {sp} FROM {t}{w2}",
-                f"SELECT {dp} FROM {t}{w1} {op} SELECT {dp} FROM {t}{w2}",
+                f"SELECT {sp} FROM {t}{s1} {op} SELECT {sp} FROM {t}{s2}",
+                f"SELECT {dp} FROM {t}{d1} {op} SELECT {dp} FROM {t}{d2}",
             )
         if shape < 0.4:  # global aggregate
             aggs = [self._agg(cols, i)
                     for i in range(self.rng.randrange(1, 4))]
             return (
-                f"SELECT {', '.join(e.s() for e in aggs)} FROM {frm}{where}",
-                f"SELECT {', '.join(e.d() for e in aggs)} FROM {frm}{where}",
+                f"SELECT {', '.join(e.s() for e in aggs)} FROM {frm}{sw}",
+                f"SELECT {', '.join(e.d() for e in aggs)} FROM {frm}{dw}",
             )
         if shape < 0.85:  # group by [having] [order+limit]
             nk = self.rng.randrange(1, 3)
@@ -325,10 +345,11 @@ class Generator:
             if self.rng.random() < 0.25:  # CASE bucket as an extra key
                 p = self._pred(cols)
                 if p:
+                    ps, pd = p if isinstance(p, tuple) else (p, p)
                     keys.append(
                         Expr(
-                            f"CASE WHEN {p} THEN 'hi' ELSE 'lo' END",
-                            f"CASE WHEN {p} THEN 'hi' ELSE 'lo' END",
+                            f"CASE WHEN {ps} THEN 'hi' ELSE 'lo' END",
+                            f"CASE WHEN {pd} THEN 'hi' ELSE 'lo' END",
                             "s",
                             f"g{len(keys)}",
                         )
@@ -353,9 +374,9 @@ class Generator:
             gb = ", ".join(e.spark for e in keys)
             gd = ", ".join(e.duck for e in keys)
             return (
-                f"SELECT {s_keys}, {s_aggs} FROM {frm}{where} "
+                f"SELECT {s_keys}, {s_aggs} FROM {frm}{sw} "
                 f"GROUP BY {gb}{having}{order}",
-                f"SELECT {d_keys}, {d_aggs} FROM {frm}{where} "
+                f"SELECT {d_keys}, {d_aggs} FROM {frm}{dw} "
                 f"GROUP BY {gd}{having}{order}",
             )
         # window: row_number over a unique-pk table
@@ -366,18 +387,18 @@ class Generator:
             [x for x in cols if x[1] != pk] or cols
         )
         _, ocol, okind = self.rng.choice(cols)
-        where = self._where(cols)
+        sw, dw = self._where(cols)
         part_s = self._group_exprs(part, pkind, "p")
         rn = self.rng.randrange(1, 5)
         inner_s = (
             f"SELECT {pk} AS pk, {part_s.s()}, row_number() OVER "
             f"(PARTITION BY {part_s.spark} ORDER BY {ocol}, {pk}) AS rn "
-            f"FROM {t}{where}"
+            f"FROM {t}{sw}"
         )
         inner_d = (
             f"SELECT {pk} AS pk, {part_s.d()}, row_number() OVER "
             f"(PARTITION BY {part_s.duck} ORDER BY {ocol}, {pk}) AS rn "
-            f"FROM {t}{where}"
+            f"FROM {t}{dw}"
         )
         return (
             f"SELECT pk, p, CAST(rn AS BIGINT) AS rn FROM ({inner_s}) "
@@ -447,6 +468,8 @@ def run_fuzz(spark, sf_dir: str, n: int = 100, seed: int = 7,
     """Run ``n`` generated queries on both engines; return failures."""
     import duckdb
 
+    from jobinsight_data_pipeline_v2_spark.tables import load_events
+
     canon = _load_canon()
     gen = Generator(sf_dir, seed)
     con = duckdb.connect()
@@ -454,7 +477,12 @@ def run_fuzz(spark, sf_dir: str, n: int = 100, seed: int = 7,
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        if t == "events":  # nanos parquet: the ntz-rebuild loader
+            load_events(spark, sf_dir).createOrReplaceTempView(t)
+        else:
+            spark.read.parquet(
+                f"{sf_dir}/{t}.parquet"
+            ).createOrReplaceTempView(t)
     failures = []
     for i in range(n):
         s_sql, d_sql = gen.gen()
