@@ -179,7 +179,11 @@ PRIORITY: tuple[str, ...] = (
 #   substring_decontaminate (r6, born below the fold: the
 #     decontamination family is pinned above by decontaminate and the
 #     span-cut machinery by the substring-dedup tests; the
-#     span-granular benchmark cut stays local-gated).
+#     span-granular benchmark cut stays local-gated),
+#   gopher_quality_flags (r7, born below the fold: rule-based quality
+#     scoring is pinned above by doc_quality and the rational-
+#     threshold device by ccnet_buckets' bucket arithmetic; the
+#     published Gopher rule battery stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -253,6 +253,168 @@ def langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher rule-based quality flags (Rae et al. 2021, appendix A)
+# ---------------------------------------------------------------------------
+#
+# The published heuristic filter battery every large curation stack
+# runs before any model-based scoring: word-count bounds, mean-word-
+# length bounds, symbol-to-word ratio, alphabetic-word fraction, the
+# stop-word requirement, and the bullet-/ellipsis-line ratios. Every
+# ratio threshold is evaluated by integer cross-multiplication
+# (3·n_words ≤ n_wchars ⇔ mean ≥ 3 — the ccnet_buckets rational-
+# threshold device), so the verdicts are bit-exact in both engines
+# with no float division anywhere. On this corpus (single-line ASCII
+# word soup) the symbol/bullet/ellipsis rules are vacuously true —
+# the counters that feed them still vary per doc and sit in the hash;
+# on real crawl text the same expressions light up.
+
+# Gopher's published eight function words, plus the engine's LID stop
+# list (text.py:_STOPWORDS). The synthetic corpus vocabulary contains
+# only 'the'/'a' from Gopher's own list, which would pin the ≥2-
+# distinct rule at constant false; the union is a superset of the
+# published list and keeps the rule discriminative here.
+_GOPHER_STOPS = (
+    "the", "be", "to", "of", "and", "that", "have", "with", "a", "in", "is",
+)
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               {_SQL_TOKENS} AS t,
+               string_split(text, chr(10)) AS lines,
+               CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_wchars,
+               CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+                   AS n_hash,
+               CAST((len(text) - len(replace(text, '...', ''))) // 3
+                    AS BIGINT) AS n_ellipsis
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_wchars, n_hash, n_ellipsis,
+               CAST(len(t) AS BIGINT) AS n_words,
+               CAST(len(list_filter(t,
+                        w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+                   AS n_alpha,
+               CAST(len(list_intersect(t, [{_GOPHER_STOP_SQL}])) AS BIGINT)
+                   AS n_stop_distinct,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                        l -> regexp_matches(ltrim(l), '^[-*]'))) AS BIGINT)
+                   AS n_bullet,
+               CAST(len(list_filter(lines,
+                        l -> ends_with(rtrim(l), '...'))) AS BIGINT)
+                   AS n_ell_end
+        FROM s
+    )
+    SELECT doc_id, n_words, n_wchars, n_alpha, n_stop_distinct,
+           n_hash, n_ellipsis, n_lines, n_bullet, n_ell_end,
+           n_words BETWEEN 50 AND 100000                    AS f_word_count,
+           3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
+                                                            AS f_word_len,
+           10 * (n_hash + n_ellipsis) <= n_words            AS f_symbol,
+           5 * n_alpha >= 4 * n_words                       AS f_alpha,
+           n_stop_distinct >= 2                             AS f_stop,
+           10 * n_bullet <= 9 * n_lines                     AS f_bullet,
+           10 * n_ell_end <= 3 * n_lines                    AS f_ellipsis,
+           (n_words BETWEEN 50 AND 100000)
+               AND 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
+               AND 10 * (n_hash + n_ellipsis) <= n_words
+               AND 5 * n_alpha >= 4 * n_words
+               AND n_stop_distinct >= 2
+               AND 10 * n_bullet <= 9 * n_lines
+               AND 10 * n_ell_end <= 3 * n_lines            AS pass_gopher
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021): per document
+    the raw counters (words, word chars, alphabetic words, distinct
+    Gopher stop words, #/ellipsis symbols, lines, bullet lines,
+    ellipsis-ended lines), each published rule's verdict, and the
+    overall pass flag. All thresholds are integer cross-multiplied —
+    no float ratio anywhere (the ccnet_buckets discipline).
+
+    Scale shape: a single fully narrow projection over the corpus scan
+    — string/array built-ins only, whole-stage codegen end to end,
+    zero shuffle beyond the presentation sort. Survives any scale-up
+    by construction.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+    c = docs.select(
+        "doc_id",
+        F.expr(f"cast(size({_TOKENS}) as bigint)").alias("n_words"),
+        F.expr("cast(length(replace(text, ' ', '')) as bigint)").alias(
+            "n_wchars"
+        ),
+        F.expr(
+            f"cast(size(filter({_TOKENS}, w -> w rlike '[a-zA-Z]')) as bigint)"
+        ).alias("n_alpha"),
+        F.expr(
+            f"cast(size(array_intersect({_TOKENS}, array({stops}))) as bigint)"
+        ).alias("n_stop_distinct"),
+        F.expr(
+            "cast(length(text) - length(replace(text, '#', '')) as bigint)"
+        ).alias("n_hash"),
+        F.expr(
+            "cast(div(length(text) - length(replace(text, '...', '')), 3)"
+            " as bigint)"
+        ).alias("n_ellipsis"),
+        F.expr("cast(size(split(text, char(10))) as bigint)").alias("n_lines"),
+        F.expr(
+            "cast(size(filter(split(text, char(10)),"
+            " l -> ltrim(l) rlike '^[-*]')) as bigint)"
+        ).alias("n_bullet"),
+        F.expr(
+            "cast(size(filter(split(text, char(10)),"
+            " l -> endswith(rtrim(l), '...'))) as bigint)"
+        ).alias("n_ell_end"),
+    )
+    f_word_count = F.col("n_words").between(50, 100000)
+    f_word_len = (3 * F.col("n_words") <= F.col("n_wchars")) & (
+        F.col("n_wchars") <= 10 * F.col("n_words")
+    )
+    f_symbol = 10 * (F.col("n_hash") + F.col("n_ellipsis")) <= F.col("n_words")
+    f_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    f_stop = F.col("n_stop_distinct") >= 2
+    f_bullet = 10 * F.col("n_bullet") <= 9 * F.col("n_lines")
+    f_ellipsis = 10 * F.col("n_ell_end") <= 3 * F.col("n_lines")
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_wchars",
+        "n_alpha",
+        "n_stop_distinct",
+        "n_hash",
+        "n_ellipsis",
+        "n_lines",
+        "n_bullet",
+        "n_ell_end",
+        f_word_count.alias("f_word_count"),
+        f_word_len.alias("f_word_len"),
+        f_symbol.alias("f_symbol"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+        f_bullet.alias("f_bullet"),
+        f_ellipsis.alias("f_ellipsis"),
+        (
+            f_word_count
+            & f_word_len
+            & f_symbol
+            & f_alpha
+            & f_stop
+            & f_bullet
+            & f_ellipsis
+        ).alias("pass_gopher"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # exact dedup via normalized fingerprint (hash-groupBy)
 # ---------------------------------------------------------------------------
 

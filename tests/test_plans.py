@@ -355,6 +355,17 @@ def test_chunk_documents_narrow(spark):
     assert n_hash_exchanges == 0, p
 
 
+def test_gopher_flags_narrow(spark):
+    """The Gopher rule battery is one narrow projection: no join, no
+    aggregate, no hash exchange — only the presentation sort's range
+    exchange may appear. Counters and flags are all string/array
+    built-ins inside whole-stage codegen."""
+    p = _plan(spark, "gopher_quality_flags")
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    assert "Exchange hashpartitioning" not in p, p
+
+
 def test_asof_join_is_merge_shaped(spark):
     """The as-of join must be the union + carry-forward merge — no join
     operator at all, no pair blow-up, at most the dedup and window
