@@ -183,7 +183,11 @@ PRIORITY: tuple[str, ...] = (
 #   gopher_quality_flags (r7, born below the fold: rule-based quality
 #     scoring is pinned above by doc_quality and the rational-
 #     threshold device by ccnet_buckets' bucket arithmetic; the
-#     published Gopher rule battery stays local-gated).
+#     published Gopher rule battery stays local-gated),
+#   lm_perplexity_buckets (r7, born below the fold: quality-stratified
+#     sampling is pinned above by doc_quality + hash_split and the
+#     floor-log2 class ladder by dsir_resample; the bigram-LM
+#     perplexity composition stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

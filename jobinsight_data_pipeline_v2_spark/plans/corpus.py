@@ -1751,3 +1751,204 @@ def dsir_train_classes(docs: DataFrame, target_pred: F.Column):
     for r in rows:
         classes[int(r["bucket"])] = int(r["cls"])
     return classes
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity bucketing (the CCNet quality signal, exact core)
+# ---------------------------------------------------------------------------
+#
+# CCNet's actual quality signal is an n-gram LM's perplexity on each
+# document (KenLM trained on Wikipedia; head/middle/tail by perplexity
+# tercile). bigram_coverage pins the coverage PROXY of that signal;
+# this gate pins the LM itself with the float log-probabilities
+# replaced by the dsir_resample integer device: a Laplace-smoothed
+# bigram LM is trained on the target slice (lang = 'en' — the
+# "Wikipedia" side), each in-vocabulary bigram's probability
+#
+#   p(w2 | w1) = (c12 + 1) / (c1 + V)
+#
+# is quantized to its floor-log2 CLASS via the cross-multiplied CASE
+# ladder (no log, no division), out-of-vocabulary bigrams take the
+# clamp-floor class (the backoff penalty), and a document's score is
+# the exact integer sum of its bigram classes — -score/n_bi IS the
+# quantized bits-per-bigram (log2 perplexity). Bucket thresholds
+# compare that rational by cross-multiplication (head ⇔
+# score + {9}·n_bi ≥ 0), and per-bucket resampling reuses the CCNet
+# rates + md5-membership rule.
+#
+# Scale shape (100 TB): the corpus is scanned ONCE (token arrays
+# checkpointed — bigram stream + train unigram stream consumers); the
+# bigram stream is built in-row and checkpointed (vocabulary counting
+# + scoring consumers, rule 12); unigram counts are a vocabulary-sized
+# map-side-combined agg; the bigram vocabulary is TakeOrdered(V); the
+# class table is V rows — always broadcastable — so scoring is one
+# broadcast LEFT join plus a doc-keyed agg with map-side partials. No
+# corpus-sized shuffle anywhere but the per-doc agg.
+
+_PPL_V = 500  # bigram LM vocabulary (top-V by train count)
+_PPL_CLAMP = 16  # class range floor; OOV bigrams take -_PPL_CLAMP
+_PPL_HEAD_BITS = 9  # head: quantized bits/bigram <= 9 (~p50 measured)
+_PPL_MID_BITS = 10  # middle: <= 10 (~p75 measured); else tail
+_PPL_LADDER = None  # built below (needs _dsir_class_case)
+
+
+def _ppl_bucket_sql(score: str, n_bi: str) -> str:
+    """Shared head/middle/tail CASE over the integer score — identical
+    text on both engines (cross-multiplied bits-per-bigram)."""
+    return (
+        f"CASE WHEN {score} + {_PPL_HEAD_BITS} * {n_bi} >= 0 THEN 'head' "
+        f"WHEN {score} + {_PPL_MID_BITS} * {n_bi} >= 0 THEN 'middle' "
+        "ELSE 'tail' END"
+    )
+
+
+@register(
+    "lm_perplexity_buckets",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang = '{_DSIR_TARGET_LANG}' AS is_train,
+               {_SQL_TOKENS} AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, is_train, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(t) AS w FROM toks WHERE is_train) GROUP BY 1
+    ),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_uni FROM uni),
+    vocab AS (
+        SELECT bg, w1, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bi WHERE is_train GROUP BY 1, 2
+        ORDER BY c12 DESC, bg LIMIT {_PPL_V}
+    ),
+    classes AS (
+        SELECT vocab.bg,
+               {_dsir_class_case("(c12 + 1)", "(c1 + v_uni)", clamp=_PPL_CLAMP)}
+                   AS cls
+        FROM vocab JOIN uni ON vocab.w1 = uni.w CROSS JOIN v
+    ),
+    scored AS (
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
+               CAST(SUM(CASE WHEN c.cls IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               CAST(SUM(COALESCE(c.cls, {-_PPL_CLAMP})) AS BIGINT) AS score
+        FROM bi b LEFT JOIN classes c USING (bg) GROUP BY 1
+    ),
+    bucketed AS (
+        SELECT doc_id, n_bi, n_oov, score,
+               {_ppl_bucket_sql("score", "n_bi")} AS bucket
+        FROM scored
+    )
+    SELECT doc_id, n_bi, n_oov, score, bucket,
+           CAST({_CCNET_RATE_SQL} AS BIGINT) AS rate_permille,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 < {_CCNET_RATE_SQL} AS kept
+    FROM bucketed
+    ORDER BY doc_id
+    """,
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing by the REAL quality signal — a
+    Laplace-smoothed bigram LM trained on the '{_DSIR_TARGET_LANG}'
+    slice — with every float replaced by the integer floor-log2 class
+    device: per doc its bigram count, OOV count, exact integer
+    perplexity score (sum of per-bigram log2-probability classes),
+    bucket, CCNet keep rate, and the deterministic md5-membership
+    verdict.
+    """
+    from .sampling import _bucket
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == _DSIR_TARGET_LANG).alias("is_train"),
+        F.expr(_TOKENS).alias("t"),
+    ).localCheckpoint(eager=False)  # bigram + train-unigram consumers
+    bi = (
+        toks.select(
+            "doc_id",
+            "is_train",
+            F.explode(
+                F.expr(
+                    """
+                    if(size(t) >= 2,
+                       transform(sequence(1, size(t) - 1),
+                                 i -> struct(
+                                     element_at(t, i) AS w1,
+                                     concat(element_at(t, i), ' ',
+                                            element_at(t, i + 1)) AS bg)),
+                       cast(array() as
+                            array<struct<w1: string, bg: string>>))
+                    """
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "is_train", "p.w1", "p.bg")
+        # vocabulary counting + scoring consumers (rule 12)
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        toks.filter("is_train")
+        .select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        # v scalar + class-join consumers; vocabulary-sized
+        .localCheckpoint(eager=False)
+    )
+    v = uni.agg(F.count(F.lit(1)).cast("long").alias("v_uni"))
+    vocab = (
+        bi.filter("is_train")
+        .groupBy("bg", "w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .orderBy(F.desc("c12"), "bg")
+        .limit(_PPL_V)
+    )
+    classes = (
+        uni.withColumnRenamed("w", "w1")
+        .join(F.broadcast(vocab), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bg",
+            F.expr(
+                _dsir_class_case("(c12 + 1)", "(c1 + v_uni)", clamp=_PPL_CLAMP)
+            ).alias("cls"),
+        )
+    )
+    scored = (
+        bi.join(F.broadcast(classes), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bi"),
+            F.sum(F.when(F.col("cls").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(F.coalesce("cls", F.lit(-_PPL_CLAMP)))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    rate = (
+        F.when(F.col("bucket") == "head", _CCNET_RATES["head"])
+        .when(F.col("bucket") == "middle", _CCNET_RATES["middle"])
+        .otherwise(_CCNET_RATES["tail"])
+        .cast("long")
+    )
+    return (
+        scored.withColumn(
+            "bucket", F.expr(_ppl_bucket_sql("score", "n_bi"))
+        )
+        .withColumn("rate_permille", rate)
+        .select(
+            "doc_id",
+            "n_bi",
+            "n_oov",
+            "score",
+            "bucket",
+            "rate_permille",
+            (_bucket("doc_id", 1000) < F.col("rate_permille")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -312,6 +312,33 @@ def test_ccnet_buckets_stratify_and_sample(spark):
         assert abs(realized - r / 1000) < 0.2, (b, realized)
 
 
+def test_lm_perplexity_buckets_stratify_and_score(spark):
+    """Perplexity gate semantics beyond the oracle hash: all three
+    buckets populated (the bits-per-bigram thresholds stratify this
+    corpus), bucket assignment matches the cross-multiplied rule,
+    OOV never exceeds the bigram count, and every in-vocab doc's
+    score sits inside the class-range envelope."""
+    out = load_all()["lm_perplexity_buckets"][0](spark, SF).toPandas()
+    counts = out.bucket.value_counts()
+    assert set(counts.index) == {"head", "middle", "tail"}
+    assert (counts > 10).all(), counts
+    assert ((out.bucket == "head") == (out.score + 9 * out.n_bi >= 0)).all()
+    assert (out.n_oov <= out.n_bi).all()
+    # every class is in [-16, 0] → score in [-16*n_bi, 0]
+    assert (out.score <= 0).all()
+    assert (out.score >= -16 * out.n_bi).all()
+
+
+def test_lm_perplexity_scoring_join_broadcasts(spark):
+    """The class table (V rows) must broadcast into the scoring join —
+    the corpus-sized bigram stream never shuffles for it; the only
+    corpus-sized exchange is the per-doc aggregation. The checkpointed
+    subtrees hide upstream, so assert on the visible scoring tail."""
+    p = _plan(spark, "lm_perplexity_buckets")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_span_gram_scan_variant_matches_slice_and_guards(spark):
     """The streaming scan variant (canonical text + lookahead regex)
     must emit the identical (doc_id, pos, sk, ord) rows as the batch
