@@ -1952,3 +1952,59 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ppl_train_model(docs: DataFrame, target_pred) -> dict[str, int]:
+    """Train the bigram-LM perplexity MODEL as a servable artifact:
+    {bigram -> floor-log2 class} for the top-{_PPL_V} training-slice
+    bigrams (out-of-vocabulary bigrams take the -{_PPL_CLAMP} backoff
+    class at serving time). The model is V small integers keyed by
+    string — exactly what a serving tier ships
+    (streaming/curation.perplexity_stream compiles it into the plan as
+    a map literal; the batch gate keeps its own fused plan so its
+    oracle hash is unchanged)."""
+    toks = docs.select(
+        target_pred.alias("is_train"), F.expr(_TOKENS).alias("t")
+    ).localCheckpoint(eager=False)  # bigram + unigram consumers
+    bi = toks.filter("is_train").select(
+        F.explode(
+            F.expr(
+                """
+                if(size(t) >= 2,
+                   transform(sequence(1, size(t) - 1),
+                             i -> struct(
+                                 element_at(t, i) AS w1,
+                                 concat(element_at(t, i), ' ',
+                                        element_at(t, i + 1)) AS bg)),
+                   cast(array() as array<struct<w1: string, bg: string>>))
+                """
+            )
+        ).alias("p")
+    ).select("p.w1", "p.bg")
+    uni = (
+        toks.filter("is_train")
+        .select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        .localCheckpoint(eager=False)  # v scalar + class-join consumers
+    )
+    v = uni.agg(F.count(F.lit(1)).cast("long").alias("v_uni"))
+    vocab = (
+        bi.groupBy("bg", "w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .orderBy(F.desc("c12"), "bg")
+        .limit(_PPL_V)
+    )
+    rows = (
+        uni.withColumnRenamed("w", "w1")
+        .join(F.broadcast(vocab), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bg",
+            F.expr(
+                _dsir_class_case("(c12 + 1)", "(c1 + v_uni)", clamp=_PPL_CLAMP)
+            ).alias("cls"),
+        )
+        .collect()
+    )
+    return {r["bg"]: int(r["cls"]) for r in rows}

@@ -735,3 +735,83 @@ def dsir_stream(docs: DataFrame, classes: list[int]) -> DataFrame:
         "rate_permille",
         (_bucket("doc_id", 1000) < F.col("rate_permille")).alias("kept"),
     )
+
+
+def perplexity_stream(docs: DataFrame, classes: dict[str, int]) -> DataFrame:
+    """(doc_id, n_bi, n_oov, score, bucket, rate_permille, kept):
+    bigram-LM perplexity bucketing over a DOCUMENT STREAM (twin 26) —
+    the serving shape of plans/corpus.lm_perplexity_buckets: the
+    {bigram -> class} model is trained OFFLINE (``ppl_train_model``,
+    V small integers) and COMPILED INTO THE PLAN as a map literal (the
+    dsir_stream array-literal device, keyed by string instead of
+    position). Scoring is one fully in-row pass — build the doc's
+    bigram array, look each bigram's class up in the literal map
+    (missing key = the -CLAMP backoff class), fold the sum — so the
+    operator is a stateless narrow projection: append mode, zero
+    state store, no joins, no aggregation. Bucketing and keep
+    decisions reuse the batch gate's shared SQL (``_ppl_bucket_sql``)
+    and the md5-membership rule, so a replayed or re-ordered stream
+    emits the identical keep set. The lambda-built bigram array is
+    consumed by single-reference folds only (rule 10's safe shape) —
+    checkpoint-free by construction, as a stream requires (rule 20).
+    """
+    from ..plans.corpus import _CCNET_RATES, _PPL_CLAMP, _ppl_bucket_sql
+    from ..plans.sampling import _bucket
+    from ..plans.text import _TOKENS
+
+    if not classes:
+        raise ValueError("empty perplexity model (no training bigrams)")
+    keys, vals = zip(*sorted(classes.items()))
+    cls_map = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.array(*[F.lit(int(v)) for v in vals]),
+    )
+
+    bi_arr = F.expr(
+        """
+        if(size(t) >= 2,
+           transform(sequence(1, size(t) - 1),
+                     i -> concat(element_at(t, i), ' ',
+                                 element_at(t, i + 1))),
+           cast(array() as array<string>))
+        """
+    )
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t")).withColumn(
+        "__bi", bi_arr
+    )
+    looked = toks.withColumn(
+        "__cls", F.transform("__bi", lambda bg: F.element_at(cls_map, bg))
+    )
+    scored = looked.select(
+        "doc_id",
+        F.size("__bi").cast("long").alias("n_bi"),
+        F.aggregate(
+            "__cls",
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + F.when(c.isNull(), 1).otherwise(0),
+        ).alias("n_oov"),
+        F.aggregate(
+            "__cls",
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + F.coalesce(c, F.lit(-_PPL_CLAMP)),
+        ).alias("score"),
+    ).filter(F.col("n_bi") > 0)
+    rate = (
+        F.when(F.col("bucket") == "head", _CCNET_RATES["head"])
+        .when(F.col("bucket") == "middle", _CCNET_RATES["middle"])
+        .otherwise(_CCNET_RATES["tail"])
+        .cast("long")
+    )
+    return (
+        scored.withColumn("bucket", F.expr(_ppl_bucket_sql("score", "n_bi")))
+        .withColumn("rate_permille", rate)
+        .select(
+            "doc_id",
+            "n_bi",
+            "n_oov",
+            "score",
+            "bucket",
+            "rate_permille",
+            (_bucket("doc_id", 1000) < F.col("rate_permille")).alias("kept"),
+        )
+    )

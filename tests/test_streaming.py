@@ -1840,3 +1840,77 @@ def test_dsir_stream_default_class_for_unseen_buckets(spark):
     # 3 unigrams + 2 bigrams = 5 grams, every one scoring the default
     assert got[1] == (5, 10)
     assert 2 not in got  # empty docs carry no grams and drop out
+
+
+def test_streaming_perplexity_decisions_equal_batch(spark, tmp_path):
+    """Twin 26: perplexity serving — the {bigram -> class} model
+    trained offline (ppl_train_model) and compiled into the stream
+    plan as a map literal must reproduce the batch
+    lm_perplexity_buckets gate's decisions row for row over a
+    replayed document feed (stateless: order and batching cannot
+    matter)."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        _DSIR_TARGET_LANG,
+        _PPL_CLAMP,
+        _PPL_V,
+        lm_perplexity_buckets,
+        ppl_train_model,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        perplexity_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    model = ppl_train_model(docs, F.col("lang") == _DSIR_TARGET_LANG)
+    assert 0 < len(model) <= _PPL_V
+    assert all(-_PPL_CLAMP <= c <= 0 for c in model.values())
+    feed = docs.select("doc_id", "text")
+    n = feed.count()
+    src = os.path.join(str(tmp_path), "ppl_stream")
+    now = time.time()
+    for b, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, 10**12)]
+    ):
+        part = feed.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, perplexity_stream(stream, model), "ppl_stream_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ppl_stream_test")
+    exp = lm_perplexity_buckets(spark, SF)
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() + exp.exceptAll(got).count() == 0
+
+
+def test_perplexity_stream_oov_backoff_class(spark):
+    """Bigrams absent from the compiled model score through the
+    -CLAMP backoff class and are counted as OOV; in-vocab bigrams use
+    their literal class (batch-mode execution of the same stateless
+    plan)."""
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        perplexity_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bi, r.n_oov, r.score)
+        for r in perplexity_stream(docs, {"a b": -3}).collect()
+    }
+    # doc 1: bigrams 'a b' (class -3) + 'b c' (OOV, -16)
+    assert got[1] == (2, 1, -19)
+    # single-token and empty docs carry no bigrams and drop out
+    assert 2 not in got and 3 not in got
