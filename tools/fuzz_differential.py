@@ -379,7 +379,12 @@ class Generator:
                 f"SELECT {d_keys}, {d_aggs} FROM {frm}{dw} "
                 f"GROUP BY {gd}{having}{order}",
             )
-        # window: row_number over a unique-pk table
+        # window over a unique-pk table. Determinism discipline: ranked
+        # / offset / running variants order by (ocol NULLS FIRST, pk) —
+        # a total order (Spark defaults NULLS FIRST, DuckDB NULLS LAST,
+        # so the null placement is always EXPLICIT); rank/dense_rank
+        # order by ocol alone (tie-stable by definition); frame-free
+        # partition aggregates need no order at all.
         t = self.rng.choice(list(UNIQUE_PK))
         pk = UNIQUE_PK[t]
         cols = [(t, c, k) for c, k in TABLES[t].items()]
@@ -389,22 +394,80 @@ class Generator:
         _, ocol, okind = self.rng.choice(cols)
         sw, dw = self._where(cols)
         part_s = self._group_exprs(part, pkind, "p")
-        rn = self.rng.randrange(1, 5)
-        inner_s = (
-            f"SELECT {pk} AS pk, {part_s.s()}, row_number() OVER "
-            f"(PARTITION BY {part_s.spark} ORDER BY {ocol}, {pk}) AS rn "
-            f"FROM {t}{sw}"
-        )
-        inner_d = (
-            f"SELECT {pk} AS pk, {part_s.d()}, row_number() OVER "
-            f"(PARTITION BY {part_s.duck} ORDER BY {ocol}, {pk}) AS rn "
-            f"FROM {t}{dw}"
-        )
+        order = f"ORDER BY {ocol} NULLS FIRST, {pk}"
+        variant = self.rng.random()
+        if variant < 0.35:  # row_number top-k per partition
+            rn = self.rng.randrange(1, 5)
+            inner_s = (
+                f"SELECT {pk} AS pk, {part_s.s()}, row_number() OVER "
+                f"(PARTITION BY {part_s.spark} {order}) AS rn "
+                f"FROM {t}{sw}"
+            )
+            inner_d = (
+                f"SELECT {pk} AS pk, {part_s.d()}, row_number() OVER "
+                f"(PARTITION BY {part_s.duck} {order}) AS rn "
+                f"FROM {t}{dw}"
+            )
+            return (
+                f"SELECT pk, p, CAST(rn AS BIGINT) AS rn FROM ({inner_s}) "
+                f"WHERE rn <= {rn}",
+                f"SELECT pk, p, CAST(rn AS BIGINT) AS rn FROM ({inner_d}) "
+                f"WHERE rn <= {rn}",
+            )
+        if variant < 0.55:  # rank/dense_rank — ties are value-stable
+            fn = self.rng.choice(["rank", "dense_rank"])
+            w_s = (f"{fn}() OVER (PARTITION BY {part_s.spark} "
+                   f"ORDER BY {ocol} NULLS FIRST)")
+            w_d = (f"{fn}() OVER (PARTITION BY {part_s.duck} "
+                   f"ORDER BY {ocol} NULLS FIRST)")
+            return (
+                f"SELECT {pk} AS pk, {part_s.s()}, "
+                f"CAST({w_s} AS BIGINT) AS rnk FROM {t}{sw}",
+                f"SELECT {pk} AS pk, {part_s.d()}, "
+                f"CAST({w_d} AS BIGINT) AS rnk FROM {t}{dw}",
+            )
+        if variant < 0.75:  # frame-free whole-partition aggregate
+            ints = [x for x in cols if x[2] == "i"]
+            if ints and self.rng.random() < 0.7:
+                _, ic, _ = self.rng.choice(ints)
+                agg_s = f"SUM({ic}) OVER (PARTITION BY {part_s.spark})"
+                agg_d = f"SUM({ic}) OVER (PARTITION BY {part_s.duck})"
+            else:
+                agg_s = f"COUNT(*) OVER (PARTITION BY {part_s.spark})"
+                agg_d = f"COUNT(*) OVER (PARTITION BY {part_s.duck})"
+            return (
+                f"SELECT {pk} AS pk, {part_s.s()}, "
+                f"CAST({agg_s} AS BIGINT) AS w FROM {t}{sw}",
+                f"SELECT {pk} AS pk, {part_s.d()}, "
+                f"CAST({agg_d} AS BIGINT) AS w FROM {t}{dw}",
+            )
+        if variant < 0.9:  # running sum/count, explicit ROWS frame
+            frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            ints = [x for x in cols if x[2] == "i"]
+            if ints and self.rng.random() < 0.7:
+                _, ic, _ = self.rng.choice(ints)
+                fn_s = f"SUM({ic})"
+            else:
+                fn_s = "COUNT(*)"
+            w_s = (f"{fn_s} OVER (PARTITION BY {part_s.spark} "
+                   f"{order} {frame})")
+            w_d = (f"{fn_s} OVER (PARTITION BY {part_s.duck} "
+                   f"{order} {frame})")
+            return (
+                f"SELECT {pk} AS pk, {part_s.s()}, "
+                f"CAST({w_s} AS BIGINT) AS run FROM {t}{sw}",
+                f"SELECT {pk} AS pk, {part_s.d()}, "
+                f"CAST({w_d} AS BIGINT) AS run FROM {t}{dw}",
+            )
+        # lag/lead over the total order; value restricted to exact kinds
+        fn = self.rng.choice(["lag", "lead"])
+        plain = [x for x in cols if x[2] in ("i", "s", "f")]
+        _, vc, _ = self.rng.choice(plain)
+        w_s = f"{fn}({vc}) OVER (PARTITION BY {part_s.spark} {order})"
+        w_d = f"{fn}({vc}) OVER (PARTITION BY {part_s.duck} {order})"
         return (
-            f"SELECT pk, p, CAST(rn AS BIGINT) AS rn FROM ({inner_s}) "
-            f"WHERE rn <= {rn}",
-            f"SELECT pk, p, CAST(rn AS BIGINT) AS rn FROM ({inner_d}) "
-            f"WHERE rn <= {rn}",
+            f"SELECT {pk} AS pk, {part_s.s()}, {w_s} AS lv FROM {t}{sw}",
+            f"SELECT {pk} AS pk, {part_s.d()}, {w_d} AS lv FROM {t}{dw}",
         )
 
 
