@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "y4m_frame_stats",  # REAL stdlib Y4M video demux + frame sampling
     "gopher_quality_flags",  # Gopher rule battery, integer cross-mult
     "lm_perplexity_buckets",  # bigram-LM perplexity terciles, exact core
+    "csv_roundtrip",  # S16 ingest: headerless CSV write + text-scan read-back
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

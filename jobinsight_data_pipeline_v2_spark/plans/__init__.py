@@ -187,7 +187,10 @@ PRIORITY: tuple[str, ...] = (
 #   lm_perplexity_buckets (r7, born below the fold: quality-stratified
 #     sampling is pinned above by doc_quality + hash_split and the
 #     floor-log2 class ladder by dsir_resample; the bigram-LM
-#     perplexity composition stays local-gated).
+#     perplexity composition stays local-gated),
+#   csv_roundtrip (r7, born below the fold: the source-roundtrip
+#     family is pinned above by jsonl_roundtrip — same oracle device,
+#     same text-scan parse shape; the CSV variant stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

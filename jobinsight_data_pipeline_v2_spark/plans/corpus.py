@@ -534,6 +534,7 @@ def _jsonl_gate_dir(sf_dir: str) -> str:
         atexit.register(_cleanup_own_gate_dirs)
     _GATE_DIRS_CREATED.add(d)
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "warc"))
+    _GATE_DIRS_CREATED.add(d.replace("jsonl", "csv"))
     return d
 
 
@@ -597,6 +598,93 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .select("bucket", "n", F.lit(0).cast("long").alias("chars"))
+    )
+    return by_lang.unionByName(by_reason).orderBy("bucket")
+
+
+_CSV_MALFORMED = (
+    "abc,type-failed doc id,en,src1,11",  # doc_id fails bigint
+    "too,few",  # token count under the schema
+)
+_CSV_MISSING_ID = ",orphan text with no id,en,src2,22"
+_CSV_MISSING_TEXT = "900000001,,vi,src3,0"  # empty field reads as NULL
+
+
+@register(
+    "csv_roundtrip",
+    """
+    SELECT 'lang:' || COALESCE(lang, '<null>') AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(len(text)) AS BIGINT) AS tchars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT 'quarantine:malformed_csv', CAST(2 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:doc_id', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:text', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ORDER BY bucket
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → headerless CSV files → ``read_csv_docs`` →
+    aggregates, with injected garbage lines that must land in
+    quarantine (one type failure, one short line, one empty required
+    id, one empty required text) — the CSV source path pinned end to
+    end against the pristine parquet table (the ``jsonl_roundtrip``
+    oracle device: DuckDB never reads the exported files, so the gate
+    is independent of driver run ordering; pinned is exactly the
+    round-trip-preserves-the-table contract plus quarantine = the
+    injected garbage and nothing else). Beyond the JSONL gate's
+    counters this one also sums round-tripped TEXT lengths and doc
+    ids per lang bucket, so quote/escape corruption or row identity
+    swaps fail the hash even though n_chars rides along unchanged.
+    """
+    import os
+
+    from ..sources.csv_source import read_csv_docs
+
+    out = _jsonl_gate_dir(sf_dir).replace("jsonl", "csv")
+    docs_src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs_src.write.mode("overwrite").csv(out)
+    with open(os.path.join(out, "zz_injected.csv"), "w") as f:
+        for line in (
+            *_CSV_MALFORMED,
+            _CSV_MISSING_ID,
+            _CSV_MISSING_TEXT,
+        ):
+            f.write(line + "\n")
+    docs, quar = read_csv_docs(spark, out)
+    by_lang = docs.groupBy(
+        F.concat(F.lit("lang:"), F.coalesce("lang", F.lit("<null>"))).alias(
+            "bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.length("text")).alias("tchars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    by_reason = (
+        quar.groupBy(
+            F.concat(F.lit("quarantine:"), F.col("reason")).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            "n",
+            F.lit(0).cast("long").alias("chars"),
+            F.lit(0).cast("long").alias("tchars"),
+            F.lit(0).cast("long").alias("id_sum"),
+        )
     )
     return by_lang.unionByName(by_reason).orderBy("bucket")
 

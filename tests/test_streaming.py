@@ -1914,3 +1914,38 @@ def test_perplexity_stream_oov_backoff_class(spark):
     assert got[1] == (2, 1, -19)
     # single-token and empty docs carry no bigrams and drop out
     assert 2 not in got and 3 not in got
+
+
+def test_streaming_csv_equals_batch(spark, tmp_path):
+    """CSV corpus-drop stream (twin 27): typed docs AND quarantine
+    streamed out of newly landed dump files equal the batch reader's
+    partition exactly, one file per micro-batch (the read_jsonl_stream
+    device over the shared _partition_csv_lines parse)."""
+    from jobinsight_data_pipeline_v2_spark.sources.csv_source import (
+        read_csv_docs,
+        read_csv_stream,
+    )
+
+    land = os.path.join(str(tmp_path), "csv_landing")
+    os.makedirs(land)
+    dumps = [
+        ["1,hello world,en,s0,11", "abc,bad id,en,s0,5"],
+        ["2,xin chao,vi,s1,8", ",no id,en,s1,5"],
+        ["7,,en,s2,0", "3,third dump,en,s2,10"],
+    ]
+    for i, lines in enumerate(dumps):
+        with open(os.path.join(land, f"dump_{i}.csv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    docs_s, quar_s = read_csv_stream(spark, land, max_files_per_trigger=1)
+    q1 = run_stream_to_memory(spark, docs_s, "csv_docs_stream")
+    q2 = run_stream_to_memory(spark, quar_s, "csv_quar_stream")
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    got_docs = spark.sql("SELECT * FROM csv_docs_stream")
+    got_quar = spark.sql("SELECT * FROM csv_quar_stream")
+    exp_docs, exp_quar = read_csv_docs(spark, land)
+    for got, exp in ((got_docs, exp_docs), (got_quar, exp_quar)):
+        sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
+        assert sym == 0
+    assert got_docs.count() == 3 and got_quar.count() == 3

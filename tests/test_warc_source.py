@@ -223,3 +223,47 @@ def test_write_warc_archive_roundtrip_unit(spark, tmp_path):
     ).repartition(6)
     write_warc_archive(small, out2).collect()
     assert len(read_warc_records(spark, f"{out2}/*").collect()) == 2
+
+
+def test_csv_source_partitions_input_exactly(spark, tmp_path):
+    """Every input CSV line lands in exactly one of (docs, quarantine):
+    typed rows for parse-clean lines with the required fields, raw-line
+    + reason rows for everything else — including the probed from_csv
+    corrupt cases (type failure, token count off in either direction)
+    and the CSV-specific empty-field-is-NULL path."""
+    import os as _os
+
+    from jobinsight_data_pipeline_v2_spark.sources.csv_source import (
+        read_csv_docs,
+    )
+
+    lines = [
+        "1,hello world,en,src0,11",          # clean
+        '3,"quoted, text",en,src0,12',       # quoted delimiter survives
+        "abc,type fail,en,src0,5",           # doc_id fails bigint
+        "1,short",                            # too few tokens
+        "1,a,b,c,9,extra,cols",               # too many tokens
+        ",no id,en,src0,5",                   # empty required doc_id
+        "7,,en,src0,0",                       # empty required text
+    ]
+    p = _os.path.join(str(tmp_path), "corpus.csv")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    docs, quarantine = read_csv_docs(spark, p)
+    got = {r.doc_id: r for r in docs.collect()}
+    assert set(got) == {1, 3}
+    assert got[3].text == "quoted, text"
+    q = [r.reason for r in quarantine.collect()]
+    assert sorted(q) == [
+        "malformed_csv", "malformed_csv", "malformed_csv",
+        "missing:doc_id", "missing:text",
+    ]
+    assert docs.count() + quarantine.count() == len(lines)
+    # the quarantine keeps the raw line for replay
+    assert any("type fail" in r.line for r in quarantine.collect())
+    # typed rows feed the text operators directly
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        classifier_score,
+    )
+
+    assert classifier_score(docs).count() == 2
