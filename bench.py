@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "gopher_quality_flags",  # Gopher rule battery, integer cross-mult
     "lm_perplexity_buckets",  # bigram-LM perplexity terciles, exact core
     "csv_roundtrip",  # S16 ingest: headerless CSV write + text-scan read-back
+    "leakage_safe_split",  # component-keyed 80/10/10, no near-dup straddle
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -190,7 +190,11 @@ PRIORITY: tuple[str, ...] = (
 #     perplexity composition stays local-gated),
 #   csv_roundtrip (r7, born below the fold: the source-roundtrip
 #     family is pinned above by jsonl_roundtrip — same oracle device,
-#     same text-scan parse shape; the CSV variant stays local-gated).
+#     same text-scan parse shape; the CSV variant stays local-gated),
+#   leakage_safe_split (r7, born below the fold: hash-bucket split
+#     assignment is pinned above by hash_split and the component
+#     fixpoint by near_dup_components; the group-keyed composition
+#     stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

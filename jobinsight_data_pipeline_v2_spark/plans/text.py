@@ -1250,10 +1250,11 @@ def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checks it against a DuckDB recursive-CTE transitive closure.
 
 
-@register(
-    "near_dup_components",
-    f"""
-    WITH RECURSIVE toks AS (
+# Shared DuckDB transitive-closure CTE over the Jaccard near-dup
+# graph — ONE builder feeds both the components gate and the
+# leakage-safe split gate so their closure semantics cannot
+# desynchronize (the _span_oracle_sql precedent).
+_COMPONENTS_CTE = f"""toks AS (
         SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
     ),
     shingles AS (
@@ -1299,7 +1300,13 @@ def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     labels AS (
         SELECT id, MIN(r) AS component FROM reach GROUP BY 1
-    )
+    )"""
+
+
+@register(
+    "near_dup_components",
+    f"""
+    WITH RECURSIVE {_COMPONENTS_CTE}
     SELECT l.id AS doc_id, l.component, (l.id = l.component) AS is_keeper,
            c.n_members
     FROM labels l
@@ -1340,6 +1347,84 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split (component-keyed assignment)
+# ---------------------------------------------------------------------------
+#
+# A hash split keyed on doc_id (hash_split) leaks: two near-duplicate
+# documents hash independently, so eval examples have near-copies in
+# train — the contamination every dedup paper warns about and the
+# reason production splits assign at the DUPLICATE-GROUP level. This
+# gate composes the engine's own primitives into that contract: the
+# split key is the near-dup component label (min doc_id of the
+# connected component; singleton docs key on themselves), and the
+# 80/10/10 assignment is the md5-membership rule on the GROUP key —
+# so every member of a component lands in the same split, by
+# construction, deterministically, replay-stable.
+#
+# Scale shape (100 TB): the component labels come from the edge-sized
+# pointer-doubling fixpoint (component_min_labels — LSH/DF-capped
+# edges, never corpus-sized); docs join the label table which is
+# bounded by 2·|edges| rows (only docs IN some pair carry a label —
+# broadcast at any realistic dup rate, size-gated otherwise); the
+# split decision is a narrow md5 projection. One corpus scan, one
+# label join, zero corpus shuffles beyond the presentation sort.
+
+_SPLIT_MB = "('0x' || substring(md5(CAST(group_key AS VARCHAR)), 1, 8))::BIGINT % 10"
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_COMPONENTS_CTE},
+    assigned AS (
+        SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS group_key
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+    )
+    SELECT doc_id, CAST(group_key AS BIGINT) AS group_key,
+           CASE WHEN {_SPLIT_MB} < 8 THEN 'train'
+                WHEN {_SPLIT_MB} = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    ORDER BY doc_id
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split: every document's split is decided
+    by the md5-membership rule on its near-dup COMPONENT label (min
+    doc_id; singletons key on themselves), so near-duplicates can
+    never straddle train/val/test — the group-level split assignment
+    a training pipeline needs before building eval sets.
+    """
+    from ..operators.dedup import component_min_labels
+    from .sampling import _bucket
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    edges = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    labels = component_min_labels(edges)
+    assigned = (
+        docs.join(
+            F.broadcast(labels.withColumnRenamed("id", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").cast("long").alias("group_key"),
+        )
+    )
+    mb = _bucket("group_key", 10)
+    return assigned.select(
+        "doc_id",
+        "group_key",
+        F.when(mb < 8, "train").when(mb == 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

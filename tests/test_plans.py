@@ -741,3 +741,24 @@ def test_media_decode_gates_plan(spark):
         schema_line = [l for l in p.splitlines() if "ReadSchema" in l]
         if schema_line:  # spread() may hide the scan behind a boundary
             assert "text" not in schema_line[0], name
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    """The split contract: every near-dup pair (the gate's own edge
+    set) lands in ONE split; all docs are assigned; realized fractions
+    track 80/10/10 (loose band — the corpus is finite)."""
+    from jobinsight_data_pipeline_v2_spark.plans.text import (
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    out = leakage_safe_split(spark, SF).toPandas().set_index("doc_id")
+    assert len(out) == 500
+    pairs = ngram_jaccard_pairs(spark, SF).toPandas()
+    assert len(pairs) > 0
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        assert out.loc[a, "split"] == out.loc[b, "split"], (a, b)
+        assert out.loc[a, "group_key"] == out.loc[b, "group_key"]
+    frac = out.split.value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    assert frac.get("val", 0) > 0.03 and frac.get("test", 0) > 0.03
