@@ -83,6 +83,7 @@ def curate_corpus(
     token_budget: int | None = None,
     n_shards: int = 8,
     span_l: int = _SPAN_L,
+    gopher: bool = False,
     metrics=None,
     run_ts=None,
 ) -> dict:
@@ -93,7 +94,10 @@ def curate_corpus(
     n_span_kept, span_tokens_removed, pii_emails, pii_phones,
     n_quality_kept, n_selected, selected_tokens, n_shards, out_dir}.
     ``token_budget=None`` skips the budget cut (every quality-passing
-    doc ships). Deterministic end to end — re-running on the same
+    doc ships). ``gopher=True`` inserts the published Gopher rule
+    battery (plans/text.gopher_flag_columns) as stage 3b, before the
+    classifier — rules cut the volume the model gate pays for — and
+    adds ``n_gopher_kept`` to the report. Deterministic end to end — re-running on the same
     corpus rewrites identical shards. With a ``metrics`` store, a
     failing stage records a status='failed' row naming the stage
     before the exception propagates (a crashed curation run must be
@@ -103,8 +107,8 @@ def curate_corpus(
     try:
         return _curate_corpus(
             spark, docs, out_dir, token_budget=token_budget,
-            n_shards=n_shards, span_l=span_l, metrics=metrics,
-            run_ts=run_ts, stage=stage,
+            n_shards=n_shards, span_l=span_l, gopher=gopher,
+            metrics=metrics, run_ts=run_ts, stage=stage,
         )
     except Exception as e:
         if metrics is not None:
@@ -128,6 +132,7 @@ def _curate_corpus(
     token_budget: int | None,
     n_shards: int,
     span_l: int,
+    gopher: bool,
     metrics,
     run_ts,
     stage: dict,
@@ -208,6 +213,29 @@ def _curate_corpus(
         metrics, run_ts, "pii_scrub", n_span_kept, n_span_kept, t2,
     )
 
+    # 3b. optional Gopher rule gate: the cheap published heuristics
+    #     run BEFORE the model gate (the production order — rules cut
+    #     the volume the classifier pays for). Narrow projection +
+    #     filter; counts ride one fetch.
+    gate_in = n_span_kept
+    if gopher:
+        t2b = time.monotonic()
+        stage["name"] = "gopher_rules"
+        from .plans.text import gopher_flag_columns
+
+        ruled = (
+            gopher_flag_columns(scrubbed.select("doc_id", "text"))
+            .filter("pass_gopher")
+            .select("doc_id")
+            .join(scrubbed.select("doc_id", "text"), "doc_id")
+            .localCheckpoint(eager=False)
+        )
+        n_gopher = ruled.count()
+        report["n_gopher_kept"] = n_gopher
+        _stage(metrics, run_ts, "gopher_rules", n_span_kept, n_gopher, t2b)
+        scrubbed = ruled
+        gate_in = n_gopher
+
     # 4. quality gate: in-plan classifier, keep ⇔ logit > 0
     t3 = time.monotonic()
     stage["name"] = "quality_gate"
@@ -221,7 +249,7 @@ def _curate_corpus(
     n_quality = scored.count()
     report["n_quality_kept"] = n_quality
     _stage(
-        metrics, run_ts, "quality_gate", n_span_kept, n_quality, t3
+        metrics, run_ts, "quality_gate", gate_in, n_quality, t3
     )
 
     # 5. token-budget cut: bucket the logit into a driver-sized class

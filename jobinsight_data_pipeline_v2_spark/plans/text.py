@@ -345,6 +345,15 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return gopher_flag_columns(docs).orderBy("doc_id")
+
+
+def gopher_flag_columns(docs: DataFrame) -> DataFrame:
+    """(doc_id, counters…, f_*…, pass_gopher) — the Gopher rule battery
+    as a reusable narrow transform over any (doc_id, text) frame:
+    shared by the oracle gate and the curate_corpus rule-gate stage
+    (and streaming-safe: single linear projection, no checkpoint
+    needed)."""
     stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
     c = docs.select(
         "doc_id",
@@ -411,7 +420,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             & f_bullet
             & f_ellipsis
         ).alias("pass_gopher"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -147,3 +147,36 @@ def test_curate_corpus_from_warc_ingest_matches_direct(spark, tmp_path):
     a = spark.read.parquet(str(tmp_path / "shards_warc"))
     b = spark.read.parquet(str(tmp_path / "shards_direct"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_curate_corpus_gopher_rule_gate(spark, tmp_path):
+    """gopher=True inserts stage 3b: the funnel stays monotone with
+    n_gopher_kept between span dedup and the classifier, every shipped
+    doc passes the rule battery, and the default run is unchanged (no
+    report key, superset of the gated run's selection)."""
+    from jobinsight_data_pipeline_v2_spark.plans.text import (
+        gopher_flag_columns,
+    )
+
+    docs = _docs(spark)
+    out_g = str(tmp_path / "shards_gopher")
+    r = curate_corpus(spark, docs, out_g, n_shards=2, gopher=True)
+    assert (
+        r["n_span_kept"]
+        >= r["n_gopher_kept"]
+        >= r["n_quality_kept"]
+        == r["n_selected"]
+    )
+    assert r["n_gopher_kept"] > 0
+    back = spark.read.parquet(out_g)
+    flags = gopher_flag_columns(back.select("doc_id", "text"))
+    assert flags.filter("NOT pass_gopher").count() == 0
+
+    out_d = str(tmp_path / "shards_default")
+    r2 = curate_corpus(spark, docs, out_d, n_shards=2)
+    assert "n_gopher_kept" not in r2
+    assert r2["n_selected"] >= r["n_selected"]
+    # the gated selection is a subset of the ungated one
+    got = {x.doc_id for x in back.collect()}
+    allset = {x.doc_id for x in spark.read.parquet(out_d).collect()}
+    assert got <= allset
