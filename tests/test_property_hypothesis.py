@@ -196,3 +196,45 @@ def test_dsir_class_ladder_is_clamped_floor_log2(pairs):
     )
     got = [r[0] for r in duckdb.execute(sql).fetchall()]
     assert got == [ref(n, d) for n, d in pairs]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 10**12), st.integers(1, 10**12)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_ppl_ladder_clamp16_is_clamped_floor_log2(pairs):
+    """The perplexity gate runs the same ladder generator at clamp 16
+    (lm_perplexity_buckets / ppl_train_model) — pin that configuration
+    too: executing the ACTUAL SQL text in DuckDB must equal
+    floor(log2(num/den)) clamped to [-16, 16] on arbitrary BIGINTs."""
+    import duckdb
+
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        _PPL_CLAMP,
+        _dsir_class_case,
+    )
+
+    def ref(num: int, den: int) -> int:
+        if num >= den:
+            c = 0
+            while den << (c + 1) <= num:
+                c += 1
+            return min(_PPL_CLAMP, c)
+        k = 0
+        while (num << k) < den and k <= _PPL_CLAMP:
+            k += 1
+        return -min(_PPL_CLAMP, k)
+
+    values = ", ".join(
+        f"(CAST({n} AS BIGINT), CAST({d} AS BIGINT))" for n, d in pairs
+    )
+    sql = (
+        f"SELECT {_dsir_class_case('num', 'den', clamp=_PPL_CLAMP)} FROM "
+        f"(VALUES {values}) t(num, den)"
+    )
+    got = [r[0] for r in duckdb.execute(sql).fetchall()]
+    assert got == [ref(n, d) for n, d in pairs]
