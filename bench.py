@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "lm_perplexity_buckets",  # bigram-LM perplexity terciles, exact core
     "csv_roundtrip",  # S16 ingest: headerless CSV write + text-scan read-back
     "leakage_safe_split",  # component-keyed 80/10/10, no near-dup straddle
+    "temperature_mixture",  # T5 alpha=1/2 source mixing, exact isqrt core
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

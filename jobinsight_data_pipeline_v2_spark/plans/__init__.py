@@ -194,7 +194,11 @@ PRIORITY: tuple[str, ...] = (
 #   leakage_safe_split (r7, born below the fold: hash-bucket split
 #     assignment is pinned above by hash_split and the component
 #     fixpoint by near_dup_components; the group-keyed composition
-#     stays local-gated).
+#     stays local-gated),
+#   temperature_mixture (r7, born below the fold: mixture reweighting
+#     is pinned above by hash_split + shuffle_shards and the
+#     per-source-rate device by mixture_sample below it; the
+#     temperature (isqrt) rate derivation stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

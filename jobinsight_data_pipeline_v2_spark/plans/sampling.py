@@ -819,3 +819,146 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source mixing (T5-style alpha = 1/2, exact core)
+# ---------------------------------------------------------------------------
+#
+# Multilingual/multi-source pre-training reweights source shares to
+# n_s^alpha (T5/mT5 "temperature sampling": alpha < 1 upweights small
+# sources). At alpha = 1/2 an iid per-doc keep rate proportional to
+# n_s^{-1/2} realizes picked_s ∝ n_s^{1/2}. sqrt is the cross-engine
+# float hazard; the exact core is INTEGER sqrt: w = floor(sqrt(n))
+# computed as the IEEE double sqrt (correctly rounded, identical in
+# both engines) followed by an integer ±1 correction that makes the
+# result exact-by-construction even if the float were a ulp off:
+#
+#   w0 = CAST(floor(sqrt(n)) AS BIGINT)
+#   w1 = w0 - (w0² > n);  w = w1 + ((w1+1)² <= n)
+#
+# Rates are then pure integer arithmetic: the smallest source keeps
+# everything, source s keeps floor(1000·w_min/w_s) permille, and the
+# md5-membership rule decides each doc. The testdata's sources are
+# deliberately uniform (25 docs each — rates would degenerate), so
+# the gate synthesizes a skewed 4-group mixture in-plan from
+# doc_id % 15 (8/4/2/1 shares — the cohort_retention synthesis
+# precedent); production calls group by the real source column.
+
+_MIX_GRP_SQL = (
+    "CASE WHEN doc_id % 15 < 8 THEN 'a' WHEN doc_id % 15 < 12 THEN 'b' "
+    "WHEN doc_id % 15 < 14 THEN 'c' ELSE 'd' END"
+)
+
+
+@register(
+    "temperature_mixture",
+    f"""
+    WITH grouped AS (
+        SELECT doc_id, {_MIX_GRP_SQL} AS grp FROM documents
+    ),
+    counts AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM grouped GROUP BY 1
+    ),
+    w0 AS (
+        SELECT grp, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w0
+        FROM counts
+    ),
+    w1 AS (
+        SELECT grp, n,
+               w0 - CASE WHEN w0 * w0 > n THEN 1 ELSE 0 END AS w1
+        FROM w0
+    ),
+    ws AS (
+        SELECT grp, n,
+               w1 + CASE WHEN (w1 + 1) * (w1 + 1) <= n THEN 1 ELSE 0 END AS w
+        FROM w1
+    ),
+    wm AS (SELECT MIN(w) AS w_min FROM ws),
+    rates AS (
+        SELECT grp, n, w,
+               CAST(LEAST(1000, 1000 * w_min // w) AS BIGINT)
+                   AS rate_permille
+        FROM ws CROSS JOIN wm
+    ),
+    rated AS (
+        SELECT g.doc_id, g.grp, r.n, r.w, r.rate_permille,
+               ('0x' || substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000 AS bucket
+        FROM grouped g JOIN rates r USING (grp)
+    )
+    SELECT grp, MAX(n) AS n_docs, MAX(w) AS w_isqrt,
+           MAX(rate_permille) AS rate_permille,
+           CAST(SUM(CASE WHEN bucket < rate_permille THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < rate_permille THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM rated
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha = 1/2) source-mixing decisions over the
+    synthesized skewed groups: per group its size, EXACT integer sqrt
+    weight, the keep rate floor(1000·w_min/w) permille (smallest group
+    keeps all — picked volumes ∝ sqrt(n)), and the md5-membership
+    outcome pinned by kept count + kept id sum.
+
+    Scale shape: one map-side-combined group count (groups ≪ corpus),
+    the isqrt/rate chain on the group-sized table, rates broadcast
+    back onto the corpus scan, one final group agg. The isqrt
+    correction makes the weight exact even at perfect-square
+    boundaries where a bare floor(sqrt) could round across.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grouped = docs.select("doc_id", F.expr(_MIX_GRP_SQL).alias("grp"))
+    counts = grouped.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ws = (
+        counts.withColumn(
+            "w0", F.expr("cast(floor(sqrt(cast(n as double))) as bigint)")
+        )
+        .withColumn(
+            "w1", F.expr("w0 - if(w0 * w0 > n, 1, 0)")
+        )
+        .withColumn(
+            "w", F.expr("w1 + if((w1 + 1) * (w1 + 1) <= n, 1, 0)")
+        )
+        .select("grp", "n", "w")
+        # w_min scalar + rate join consumers; group-sized
+        .localCheckpoint(eager=False)
+    )
+    wm = ws.agg(F.min("w").alias("w_min"))
+    rates = ws.crossJoin(F.broadcast(wm)).select(
+        "grp",
+        "n",
+        "w",
+        F.expr("cast(least(1000, div(1000 * w_min, w)) as bigint)").alias(
+            "rate_permille"
+        ),
+    )
+    rated = grouped.join(F.broadcast(rates), "grp").withColumn(
+        "bucket", _bucket("doc_id", 1000)
+    )
+    return (
+        rated.groupBy("grp")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("w").alias("w_isqrt"),
+            F.max("rate_permille").alias("rate_permille"),
+            F.sum(F.when(F.col("bucket") < F.col("rate_permille"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.col("bucket") < F.col("rate_permille"), F.col("doc_id")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("grp")
+    )

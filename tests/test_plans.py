@@ -762,3 +762,20 @@ def test_leakage_safe_split_no_straddle(spark):
     frac = out.split.value_counts(normalize=True)
     assert 0.7 < frac["train"] < 0.9
     assert frac.get("val", 0) > 0.03 and frac.get("test", 0) > 0.03
+
+
+def test_temperature_mixture_rate_ordering(spark):
+    """Temperature semantics beyond the oracle hash: bigger groups get
+    smaller keep rates, the smallest group keeps everything, weights
+    are exact integer sqrts, and realized keeps track the nominal
+    rate."""
+    import math
+
+    out = load_all()["temperature_mixture"][0](spark, SF).toPandas()
+    assert len(out) == 4
+    assert (out.w_isqrt == out.n_docs.map(math.isqrt)).all()
+    by_n = out.sort_values("n_docs")
+    assert by_n.iloc[0].rate_permille == 1000
+    assert (by_n.rate_permille.diff().dropna() <= 0).all(), by_n
+    for r in out.itertuples():
+        assert abs(r.n_kept / r.n_docs - r.rate_permille / 1000) < 0.25
