@@ -815,3 +815,16 @@ def perplexity_stream(docs: DataFrame, classes: dict[str, int]) -> DataFrame:
             (_bucket("doc_id", 1000) < F.col("rate_permille")).alias("kept"),
         )
     )
+
+
+def gopher_stream(docs: DataFrame) -> DataFrame:
+    """Gopher rule battery over a DOCUMENT STREAM (twin 28) — the
+    batch transform verbatim (the chunk_stream/classifier_stream
+    device): ``plans/text.gopher_flag_columns`` is a single linear
+    projection of string/array built-ins with no aggregation and no
+    checkpoint need (rule 20 satisfied by construction), so the
+    streamed union of per-batch flag rows equals the batch gate
+    row for row. Stateless append mode, zero state store."""
+    from ..plans.text import gopher_flag_columns
+
+    return gopher_flag_columns(docs)

@@ -1949,3 +1949,27 @@ def test_streaming_csv_equals_batch(spark, tmp_path):
         sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
         assert sym == 0
     assert got_docs.count() == 3 and got_quar.count() == 3
+
+
+def test_streaming_gopher_equals_batch(spark, tmp_path):
+    """Twin 28: stateless Gopher rule battery — the streamed union of
+    per-batch flag rows equals the batch gopher_quality_flags gate
+    exactly (shared gopher_flag_columns transform)."""
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        gopher_stream,
+    )
+
+    src, docs = _stage_doc_drops(spark, tmp_path, ["doc_id", "text"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(spark, gopher_stream(stream), "gopher_test")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM gopher_test")
+    expected = load_all()["gopher_quality_flags"][0](spark, SF)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() > 0
