@@ -962,3 +962,59 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+def temperature_rates(docs: DataFrame) -> dict[str, int]:
+    """Collect the alpha = 1/2 keep rates (group → permille) from a
+    REFERENCE corpus snapshot — the gate's count → isqrt → rate chain,
+    returned as a group-sized dict (one collect of |groups| rows).
+
+    Serving pairs this with :func:`temperature_decisions` on live
+    data: rates train on yesterday's snapshot, decisions apply them
+    statelessly (the ppl_train_model / dsir serving split)."""
+    grouped = docs.select("doc_id", F.expr(_MIX_GRP_SQL).alias("grp"))
+    ws = (
+        grouped.groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "w0", F.expr("cast(floor(sqrt(cast(n as double))) as bigint)")
+        )
+        .withColumn("w1", F.expr("w0 - if(w0 * w0 > n, 1, 0)"))
+        .withColumn("w", F.expr("w1 + if((w1 + 1) * (w1 + 1) <= n, 1, 0)"))
+        .select("grp", "w")
+    )
+    wm = ws.agg(F.min("w").alias("w_min"))
+    rates = ws.crossJoin(F.broadcast(wm)).select(
+        "grp",
+        F.expr("cast(least(1000, div(1000 * w_min, w)) as bigint)").alias(
+            "rate_permille"
+        ),
+    )
+    return {r["grp"]: int(r["rate_permille"]) for r in rates.collect()}
+
+
+def temperature_decisions(docs: DataFrame, rates: dict[str, int]) -> DataFrame:
+    """(doc_id, grp, rate_permille, bucket, kept): per-document
+    temperature-mixing decision with the trained rates compiled into
+    the plan as a map literal (the perplexity_stream device — no join,
+    no state). A group absent from ``rates`` gets rate 0 (drop): a
+    source unseen at training time contributes nothing until the next
+    rate refresh, the conservative serving contract.
+
+    Stateless narrow projection, so the SAME code is the streaming
+    twin's plan (streaming/curation.temperature_stream)."""
+    if rates:
+        pairs: list = []
+        for k in sorted(rates):
+            pairs.extend([F.lit(k), F.lit(int(rates[k]))])
+        rate = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col("grp")), F.lit(0)
+        )
+    else:
+        rate = F.lit(0)
+    return (
+        docs.select("doc_id", F.expr(_MIX_GRP_SQL).alias("grp"))
+        .withColumn("rate_permille", rate.cast("long"))
+        .withColumn("bucket", _bucket("doc_id", 1000))
+        .withColumn("kept", F.col("bucket") < F.col("rate_permille"))
+    )

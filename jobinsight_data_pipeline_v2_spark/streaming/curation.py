@@ -828,3 +828,18 @@ def gopher_stream(docs: DataFrame) -> DataFrame:
     from ..plans.text import gopher_flag_columns
 
     return gopher_flag_columns(docs)
+
+
+def temperature_stream(docs: DataFrame, rates: dict[str, int]) -> DataFrame:
+    """Temperature (alpha = 1/2) mixing decisions over a DOCUMENT
+    STREAM (twin 29) — the serving half of the temperature_mixture
+    gate: rates train batch-side on a reference snapshot
+    (plans/sampling.temperature_rates) and arrive here as a plain
+    dict compiled into the plan as a map literal (the
+    perplexity_stream device). Stateless append mode, zero state
+    store; the md5-membership rule is reprocessing-stable, so a
+    replayed or re-ordered stream emits the identical keep/drop set.
+    Unseen groups get rate 0 (drop until the next rate refresh)."""
+    from ..plans.sampling import temperature_decisions
+
+    return temperature_decisions(docs, rates)

@@ -1973,3 +1973,62 @@ def test_streaming_gopher_equals_batch(spark, tmp_path):
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0
     assert got.count() > 0
+
+
+def test_streaming_temperature_equals_batch(spark, tmp_path):
+    """Twin 29: temperature-mixing decisions with batch-trained rates
+    compiled into the plan — the streamed union of per-batch decision
+    rows equals the batch temperature_decisions projection exactly,
+    and its per-group keep aggregates equal the temperature_mixture
+    gate (train/serve split parity)."""
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        temperature_decisions,
+        temperature_rates,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        temperature_stream,
+    )
+
+    src, docs = _stage_doc_drops(spark, tmp_path, ["doc_id"])
+    rates = temperature_rates(docs)
+    assert rates and min(rates.values()) >= 0 and max(rates.values()) == 1000
+
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, temperature_stream(stream, rates), "temperature_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM temperature_test")
+    expected = temperature_decisions(docs, rates)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+
+    # serving == gate: per-group kept counts match the oracle-gated row
+    gate = {
+        r["grp"]: (r["rate_permille"], r["n_kept"], r["kept_id_sum"])
+        for r in load_all()["temperature_mixture"][0](spark, SF).collect()
+    }
+    served = {
+        r["grp"]: (r["rate"], r["n_kept"], r["kept_id_sum"])
+        for r in got.groupBy("grp")
+        .agg(
+            F.max("rate_permille").alias("rate"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0)).alias(
+                "kept_id_sum"
+            ),
+        )
+        .collect()
+    }
+    assert served == gate
+
+    # unseen group -> rate 0, dropped (conservative serving contract)
+    lone = spark.createDataFrame([(14,)], "doc_id long")  # grp 'd'
+    rates_no_d = {k: v for k, v in rates.items() if k != "d"}
+    row = temperature_decisions(lone, rates_no_d).collect()[0]
+    assert row["rate_permille"] == 0 and not row["kept"]
