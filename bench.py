@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "doc_quality",
     "exact_dedup",
     "token_histogram",
+    "cms_heavy_hitters",  # count-min frequency sketch, within-bound gated
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates",
     "simhash_near_dups",

@@ -804,6 +804,83 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# count-min-sketch heavy hitters (frequency sketch, within-bound gated)
+# ---------------------------------------------------------------------------
+
+_CMS_SLACK = 8  # accepted excess = max(_CMS_SLACK * N / W, 2)
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM toks GROUP BY 1
+    )
+    SELECT token, n_occurrences, 1 AS within_cms_bound
+    FROM counts
+    ORDER BY n_occurrences DESC, token
+    LIMIT 25
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch, gated by the
+    approx_monthly_stats device: the emitted values are the EXACT
+    top-25 token counts (total order: count desc, token), and the
+    sketch only decides ``within_cms_bound`` — the D·W-counter CMS
+    estimate must sit in [exact, exact + max(8·N/W, 2)] for every
+    heavy hitter. A CMS never underestimates, and the excess of a
+    min-of-D probe exceeds t·N/W with probability ≤ t^−D, so the
+    8×-expectation envelope holds with margin at every gate scale
+    while W = 1024 stays small enough that collisions genuinely
+    occur (the flag tests the sketch, not a vacuous bound).
+
+    Scale shape: one shuffle on the token key for the exact counts
+    (map-side combined); the sketch builds from the DISTINCT-key
+    counts table (D× |vocab| rows, not D× corpus), collapses to a
+    one-row broadcast map, and probes are D unrolled element_at
+    lookups on the 25-row result. At 100 TB the CMS itself is the
+    artifact — D·W counters regardless of vocabulary width, mergeable
+    across splits by adding counters — and the exact side restricts
+    to candidate keys instead of the full vocabulary.
+    """
+    from ..operators.sketch import CMS_WIDTH, cms_build, cms_estimate
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(F.expr(_TOKENS)).alias("token"))
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        # three consumers: top-k, sketch build, total-weight scalar
+        .localCheckpoint(eager=False)
+    )
+    cms = cms_build(counts, "token", "n_occurrences")
+    n_total = counts.agg(F.sum("n_occurrences").alias("__n"))
+    topk = (
+        counts.orderBy(F.desc("n_occurrences"), "token")
+        .limit(25)
+        .crossJoin(F.broadcast(n_total))
+    )
+    probed = cms_estimate(topk, "token", cms)
+    bound = F.expr(
+        f"greatest(div({_CMS_SLACK} * __n, {CMS_WIDTH}), 2L)"
+    )
+    return probed.select(
+        "token",
+        "n_occurrences",
+        (
+            (F.col("cms_est") >= F.col("n_occurrences"))
+            & (F.col("cms_est") - F.col("n_occurrences") <= bound)
+        )
+        .cast("int")
+        .alias("within_cms_bound"),
+    ).orderBy(F.desc("n_occurrences"), "token")
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup pairs (md5-based, oracle-checked)
 # ---------------------------------------------------------------------------
 #

@@ -1032,3 +1032,66 @@ def test_bpe_encode_matches_min_rank_reference(spark):
         n_sym = sum(len(s) for s in got_plan.values())
         n_tok = sum(len(t.split()) for t in serve_texts.values())
         assert n_sym < n_tok, "encoder never merged anything"
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_mergeable(spark):
+    """CMS invariants on a skewed key set: (a) est >= exact for EVERY
+    key (not just heavy hitters); (b) sketches built on disjoint
+    splits merge by adding counters — slot-wise sum of the two half
+    sketches equals the whole-corpus sketch exactly."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(f"k{i % 97}", 1 + i % 5) for i in range(500)]
+    exact = Counter()
+    for k, c in rows:
+        exact[k] += c
+    counts = spark.createDataFrame(
+        [(k, v) for k, v in exact.items()], "key string, cnt long"
+    )
+    # tiny sketch so collisions are guaranteed
+    cms = cms_build(counts, depth=3, width=16)
+    probed = cms_estimate(counts, "key", cms, depth=3, width=16)
+    for r in probed.collect():
+        assert r["cms_est"] >= exact[r["key"]], r
+
+    # mergeability: half sketches sum slot-wise to the whole sketch
+    h1 = counts.filter(F.crc32("key") % 2 == 0)
+    h2 = counts.filter(F.crc32("key") % 2 == 1)
+    whole = cms_build(counts, depth=3, width=16).collect()[0]["__cms"]
+    m1 = cms_build(h1, depth=3, width=16).collect()[0]["__cms"]
+    m2 = cms_build(h2, depth=3, width=16).collect()[0]["__cms"]
+    merged = Counter(m1)
+    merged.update(m2)
+    assert dict(merged) == {k: v for k, v in whole.items()}
+
+
+def test_cms_estimate_unseen_key_zero_or_collision(spark):
+    """A key never inserted probes empty-or-colliding slots: with a
+    wide sketch its estimate is 0 (all D slots empty); estimates are
+    never negative."""
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    counts = spark.createDataFrame(
+        [("a", 10), ("b", 3)], "key string, cnt long"
+    )
+    cms = cms_build(counts, depth=4, width=4096)
+    probe = spark.createDataFrame(
+        [("zzz-unseen",)], "key string"
+    )
+    est = cms_estimate(probe, "key", cms, depth=4, width=4096).collect()[0]
+    assert est["cms_est"] == 0
