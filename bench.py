@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "gopher_quality_flags",  # Gopher rule battery, integer cross-mult
     "lm_perplexity_buckets",  # bigram-LM perplexity terciles, exact core
     "csv_roundtrip",  # S16 ingest: headerless CSV write + text-scan read-back
+    "orc_roundtrip",  # S17 ingest: partitioned ORC write + columnar read-back
     "leakage_safe_split",  # component-keyed 80/10/10, no near-dup straddle
     "temperature_mixture",  # T5 alpha=1/2 source mixing, exact isqrt core
     # ivfpq_topk_exact is deliberately NOT benched: its gate config

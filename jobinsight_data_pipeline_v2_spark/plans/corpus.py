@@ -535,6 +535,7 @@ def _jsonl_gate_dir(sf_dir: str) -> str:
     _GATE_DIRS_CREATED.add(d)
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "warc"))
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "csv"))
+    _GATE_DIRS_CREATED.add(d.replace("jsonl", "orc"))
     return d
 
 
@@ -682,6 +683,87 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "n",
             F.lit(0).cast("long").alias("chars"),
+            F.lit(0).cast("long").alias("tchars"),
+            F.lit(0).cast("long").alias("id_sum"),
+        )
+    )
+    return by_lang.unionByName(by_reason).orderBy("bucket")
+
+
+# late-batch injection constants for the ORC gate: one good doc in a
+# NEW partition (discovery must pick the directory up), plus one row
+# per required-field violation that must land in row-level quarantine
+_ORC_EXTRA_GOOD = (900000001, "orc extra doc", "zz", "late_batch", 13)
+_ORC_MISSING_TEXT = (900000002, None, "en", "late_batch", 0)
+_ORC_MISSING_ID = (None, "orphan orc row", "en", "late_batch", 14)
+
+
+@register(
+    "orc_roundtrip",
+    """
+    SELECT 'lang:' || lang AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(len(text)) AS BIGINT) AS tchars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT 'lang:zz', CAST(1 AS BIGINT), CAST(13 AS BIGINT),
+           CAST(900000001 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:doc_id', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:text', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ORDER BY bucket
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → partitioned ORC export → late append batch →
+    ``read_orc_docs`` → aggregates: the S17 columnar interchange
+    source pinned end to end against the pristine parquet table (the
+    ``jsonl_roundtrip`` oracle device — DuckDB never reads the
+    exported files, so the gate is independent of driver run
+    ordering).
+
+    What is pinned: (a) the partitioned write/read round trip
+    preserves every row — per-lang counts, TEXT lengths and doc-id
+    sums all reappear exactly; (b) partition discovery picks up the
+    appended late batch's NEW ``lang=zz`` directory; (c) the
+    row-level quarantine contract — ORC has no malformed-line path,
+    so required-field NULLs (one per field) must land in quarantine
+    with their reason and nothing else may. Both sides of the union
+    are narrow aggregations of ONE columnar scan.
+    """
+    from ..sources.orc_source import read_orc_docs, write_orc_corpus
+
+    out = _jsonl_gate_dir(sf_dir).replace("jsonl", "orc")
+    docs_src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_orc_corpus(docs_src, out)
+    late = spark.createDataFrame(
+        [_ORC_EXTRA_GOOD, _ORC_MISSING_TEXT, _ORC_MISSING_ID],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    write_orc_corpus(late, out, mode="append")
+    docs, quar = read_orc_docs(spark, out)
+    by_lang = docs.groupBy(
+        F.concat(F.lit("lang:"), F.col("lang")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("tchars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    by_reason = (
+        quar.groupBy(
+            F.concat(F.lit("quarantine:"), F.col("reason")).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            "n",
             F.lit(0).cast("long").alias("tchars"),
             F.lit(0).cast("long").alias("id_sum"),
         )

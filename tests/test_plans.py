@@ -779,3 +779,38 @@ def test_temperature_mixture_rate_ordering(spark):
     assert (by_n.rate_permille.diff().dropna() <= 0).all(), by_n
     for r in out.itertuples():
         assert abs(r.n_kept / r.n_docs - r.rate_permille / 1000) < 0.25
+
+
+def test_orc_scan_pushdown_and_partition_pruning(spark, tmp_path):
+    """The ORC source scan must behave like the parquet scans: data-
+    column predicates reach the reader (PushedFilters) and partition-
+    column predicates prune directories (PartitionFilters), with the
+    projection pruned to the referenced columns."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.sources.orc_source import (
+        read_orc_docs,
+        write_orc_corpus,
+    )
+
+    out = os.path.join(str(tmp_path), "orc_pushdown")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    write_orc_corpus(docs, out)
+    typed, _ = read_orc_docs(spark, out)
+    q = typed.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") > 100)
+    ).select("doc_id", "n_chars")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = q._jdf.queryExecution().explainString(mode)
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThan(n_chars,100)" in pushed
+    part = [l for l in p.splitlines() if "PartitionFilters" in l][0]
+    assert "lang" in part and "en" in part
+    # column pruning: 'source' is referenced nowhere (text stays — the
+    # required-field null filter evaluates it) and must not be read
+    schema_line = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "source" not in schema_line

@@ -2032,3 +2032,45 @@ def test_streaming_temperature_equals_batch(spark, tmp_path):
     rates_no_d = {k: v for k, v in rates.items() if k != "d"}
     row = temperature_decisions(lone, rates_no_d).collect()[0]
     assert row["rate_permille"] == 0 and not row["kept"]
+
+
+def test_streaming_orc_equals_batch(spark, tmp_path):
+    """ORC corpus-drop stream (twin 30): typed docs AND row-level
+    quarantine streamed out of newly landed ORC files equal the batch
+    reader's split exactly, one file per micro-batch (the
+    read_csv_stream device with the shared _partition_orc_rows
+    split)."""
+    from jobinsight_data_pipeline_v2_spark.sources.orc_source import (
+        read_orc_docs,
+        read_orc_stream,
+    )
+
+    land = os.path.join(str(tmp_path), "orc_landing")
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    drops = [
+        [(1, "hello world", "en", "s0", 11), (2, "xin chao", "vi", "s0", 8)],
+        [(3, None, "en", "s1", 0), (None, "no id", "en", "s1", 5)],
+        [(4, "third drop", "de", "s2", 10)],
+    ]
+    for rows in drops:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).orc(land)
+
+    docs_s, quar_s = read_orc_stream(spark, land, max_files_per_trigger=1)
+    q1 = run_stream_to_memory(spark, docs_s, "orc_docs_stream")
+    q2 = run_stream_to_memory(spark, quar_s, "orc_quar_stream")
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    got_docs = spark.sql("SELECT * FROM orc_docs_stream")
+    got_quar = spark.sql("SELECT * FROM orc_quar_stream")
+    exp_docs, exp_quar = read_orc_docs(spark, land)
+    for got, exp in ((got_docs, exp_docs), (got_quar, exp_quar)):
+        sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
+        assert sym == 0
+    assert got_docs.count() == 3 and got_quar.count() == 2
+    reasons = {r["reason"] for r in got_quar.collect()}
+    assert reasons == {"missing:text", "missing:doc_id"}
