@@ -359,6 +359,44 @@ class Generator:
             having = ""
             if self.rng.random() < 0.3:
                 having = f" HAVING COUNT(*) > {self.rng.randrange(1, 4)}"
+            # ROLLUP variant: subtotal rows + GROUPING() markers per
+            # key (a subtotal NULL must stay distinguishable from a
+            # data NULL, and the markers complete the row identity).
+            # No ORDER/LIMIT — the canon compare is order-insensitive
+            # and a total order over subtotal NULLs buys nothing.
+            # ENGINE DIVERGENCE (found by this fuzzer, seed 71): on an
+            # EMPTY input Spark's ROLLUP emits 0 rows while DuckDB
+            # (per the standard) emits the () grand-total row with
+            # count 0 — even though both agree a PLAIN global
+            # aggregate yields one row. HAVING COUNT(*) >= 1 removes
+            # exactly that divergent row and nothing else (every
+            # non-empty group counts ≥ 1), so the renderer always
+            # forces a count floor on rollup queries.
+            if self.rng.random() < 0.2:
+                having = having or " HAVING COUNT(*) >= 1"
+                gfs = [
+                    Expr(
+                        f"CAST(GROUPING({k.spark}) AS INT)",
+                        f"CAST(GROUPING({k.duck}) AS INT)",
+                        "i",
+                        f"gf{i}",
+                    )
+                    for i, k in enumerate(keys)
+                ]
+                s_proj = ", ".join(
+                    e.s() for e in (*keys, *gfs, *aggs)
+                )
+                d_proj = ", ".join(
+                    e.d() for e in (*keys, *gfs, *aggs)
+                )
+                gb = ", ".join(e.spark for e in keys)
+                gd = ", ".join(e.duck for e in keys)
+                return (
+                    f"SELECT {s_proj} FROM {frm}{sw} "
+                    f"GROUP BY ROLLUP ({gb}){having}",
+                    f"SELECT {d_proj} FROM {frm}{dw} "
+                    f"GROUP BY ROLLUP ({gd}){having}",
+                )
             order = ""
             if self.rng.random() < 0.5:
                 # total order: aggs first, then EVERY group key (the
