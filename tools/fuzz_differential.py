@@ -1,6 +1,6 @@
 """Randomized differential fuzzing vs DuckDB (judge ask, r7).
 
-The 85 registry gates are hand-written; this harness pins the GENERAL
+The (90+) registry gates are hand-written; this harness pins the GENERAL
 SQL surface SURVEY §3.3 promises: a seeded generator emits random
 filter / join / group-by / having / top-k / window queries over the
 testdata star schema, runs each on Spark AND DuckDB, and compares with
@@ -359,21 +359,22 @@ class Generator:
             having = ""
             if self.rng.random() < 0.3:
                 having = f" HAVING COUNT(*) > {self.rng.randrange(1, 4)}"
-            # ROLLUP variant: subtotal rows + GROUPING() markers per
+            # ROLLUP/CUBE variant: subtotal rows + GROUPING() markers per
             # key (a subtotal NULL must stay distinguishable from a
             # data NULL, and the markers complete the row identity).
             # No ORDER/LIMIT — the canon compare is order-insensitive
             # and a total order over subtotal NULLs buys nothing.
             # ENGINE DIVERGENCE (found by this fuzzer, seed 71): on an
-            # EMPTY input Spark's ROLLUP emits 0 rows while DuckDB
+            # EMPTY input Spark's ROLLUP/CUBE emits 0 rows while DuckDB
             # (per the standard) emits the () grand-total row with
             # count 0 — even though both agree a PLAIN global
             # aggregate yields one row. HAVING COUNT(*) >= 1 removes
             # exactly that divergent row and nothing else (every
             # non-empty group counts ≥ 1), so the renderer always
-            # forces a count floor on rollup queries.
+            # forces a count floor on grouping-sets queries.
             if self.rng.random() < 0.2:
                 having = having or " HAVING COUNT(*) >= 1"
+                op = self.rng.choice(["ROLLUP", "CUBE"])
                 gfs = [
                     Expr(
                         f"CAST(GROUPING({k.spark}) AS INT)",
@@ -393,9 +394,9 @@ class Generator:
                 gd = ", ".join(e.duck for e in keys)
                 return (
                     f"SELECT {s_proj} FROM {frm}{sw} "
-                    f"GROUP BY ROLLUP ({gb}){having}",
+                    f"GROUP BY {op} ({gb}){having}",
                     f"SELECT {d_proj} FROM {frm}{dw} "
-                    f"GROUP BY ROLLUP ({gd}){having}",
+                    f"GROUP BY {op} ({gd}){having}",
                 )
             order = ""
             if self.rng.random() < 0.5:
