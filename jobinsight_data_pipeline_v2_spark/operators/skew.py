@@ -149,3 +149,95 @@ def approx_percentiles(df: DataFrame, col: str, keys: list[str]) -> DataFrame:
         F.col("pcts")[2].alias("p99"),
         "n",
     )
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key_col: str,
+    min_share_permille: int = 100,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(key, cms_est): keys whose estimated share of the rows reaches
+    ``min_share_permille`` — the detection pass that tells the salting
+    operators WHERE to spend their replication budget, without ever
+    shuffling on the (possibly hot) key with wide aggregation state.
+
+    Two skew-SAFE passes over the input: (1) a count-min sketch built
+    from per-row weight 1 (operators/sketch.py — the slot aggregation
+    map-side combines to ≤ D·W rows per task, so a hot key never
+    concentrates on one reducer); (2) the distinct key list (hash
+    aggregation with map-side combine: a hot key collapses to one row
+    per map partition before the exchange — distinct is not the skew
+    hazard; wide per-key state is). Each distinct key probes the
+    broadcast sketch; a CMS never underestimates, so a truly hot key
+    is never missed — the failure mode is a borderline cold key
+    flagged hot, which costs only unnecessary salting, never a wrong
+    result."""
+    from .sketch import cms_build, cms_estimate
+
+    counts = df.select(F.col(key_col).alias("key"), F.lit(1).alias("cnt"))
+    cms = cms_build(counts, depth=depth, width=width)
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    probed = cms_estimate(
+        df.select(F.col(key_col).alias("key")).distinct(),
+        "key",
+        cms,
+        depth=depth,
+        width=width,
+    )
+    return (
+        probed.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cms_est") * 1000 >= F.lit(min_share_permille) * F.col("__n")
+        )
+        .select("key", "cms_est")
+    )
+
+
+def selective_salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, Column],
+    hot_keys: DataFrame,
+    n_salts: int = 16,
+    merge: dict[str, str] | None = None,
+) -> DataFrame:
+    """Two-phase aggregation that salts ONLY the detected hot keys:
+    rows whose key is in the broadcast ``hot_keys`` set spread over
+    ``n_salts`` phase-1 reducers, every other key aggregates in one
+    hop (salt 0) — so the cold long tail pays no second-phase
+    traffic beyond its single partial row. The result carries a
+    ``was_salted`` flag per key. Same decomposability contract as
+    ``salted_agg`` (sum/count partials; ``merge`` for max/min etc.).
+    """
+    merge = merge or {}
+    unknown = {m for m in merge.values() if m not in MERGE_FNS}
+    if unknown:
+        raise ValueError(
+            f"selective_salted_agg: unknown merge fns {sorted(unknown)}; "
+            f"allowed: {sorted(MERGE_FNS)}"
+        )
+    hot = F.broadcast(
+        hot_keys.select(F.col("key").alias(key)).withColumn(
+            "__hot", F.lit(1)
+        )
+    )
+    marked = df.join(hot, key, "left")
+    salted = marked.withColumn(
+        "__salt",
+        F.when(
+            F.col("__hot").isNotNull(), _row_salt(df, n_salts)
+        ).otherwise(F.lit(0)),
+    )
+    partial = salted.groupBy(key, "__salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()],
+        F.max(F.coalesce("__hot", F.lit(0))).alias("__hot_p"),
+    )
+    return partial.groupBy(key).agg(
+        *[
+            MERGE_FNS[merge.get(name, "sum")](name).alias(name)
+            for name in aggs
+        ],
+        F.max("__hot_p").cast("int").alias("was_salted"),
+    )

@@ -881,6 +881,93 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CMS-driven hot-key detection + selective salting (adaptive skew path)
+# ---------------------------------------------------------------------------
+#
+# The testdata keys are deliberately uniform, so the gate synthesizes
+# a skewed key in-plan (the cohort/temperature synthesis precedent):
+# half the corpus lands on 'hot', the rest spreads over 97 cold keys
+# (~0.5% each). Detection threshold 10% sits an order of magnitude
+# from both sides — the CMS overestimate envelope (~N/W ≈ 0.1% per
+# probe) cannot push a cold key across, and a CMS never
+# underestimates, so 'hot' cannot be missed.
+
+_HOT_KEY_SPARK = (
+    "CASE WHEN doc_id % 10 < 5 THEN 'hot' "
+    "ELSE concat('k', CAST(doc_id % 97 AS STRING)) END"
+)
+_HOT_KEY_SQL = (
+    "CASE WHEN doc_id % 10 < 5 THEN 'hot' "
+    "ELSE 'k' || CAST(doc_id % 97 AS VARCHAR) END"
+)
+_HOT_SHARE_PERMILLE = 100
+
+
+@register(
+    "cms_hot_key_agg",
+    f"""
+    WITH keyed AS (
+        SELECT {_HOT_KEY_SQL} AS key, doc_id FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keyed),
+    agg AS (
+        SELECT key,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM keyed GROUP BY 1
+    )
+    SELECT key, n_rows, id_sum,
+           CASE WHEN 1000 * n_rows >= {_HOT_SHARE_PERMILLE} * (SELECT n FROM tot)
+                THEN 1 ELSE 0 END AS was_salted
+    FROM agg
+    ORDER BY key
+    """,
+)
+def cms_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive skew path end to end: a count-min sketch detects
+    which keys are hot (``detect_hot_keys``), and the aggregation
+    salts ONLY those (``selective_salted_agg``) — the cold long tail
+    aggregates in one hop while the hot key spreads over 16 phase-1
+    reducers. The emitted aggregates are exact regardless of salting
+    (two-phase sum/count), so the oracle pins the DETECTION decision:
+    ``was_salted`` must equal the exact share ≥ 10% predicate —
+    a sketch false positive or miss flips the flag and fails the hash.
+
+    Scale shape: the sketch pass map-side combines to ≤ D·W rows per
+    task (no per-key reducer concentration), the distinct-key probe is
+    a map-side-combining hash distinct, and the hot set broadcasts
+    into the salting decision. This is what replaces a blind
+    n_salts-everywhere plan at 100 TB: the tail's shuffle volume is
+    unchanged while the hot keys get the full replication budget.
+    """
+    from ..operators.skew import detect_hot_keys, selective_salted_agg
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        F.expr(_HOT_KEY_SPARK).alias("key"), "doc_id"
+    # two sketch-pass consumers + the aggregation itself (rule 12)
+    ).localCheckpoint(eager=False)
+    hot = detect_hot_keys(
+        keyed, "key", min_share_permille=_HOT_SHARE_PERMILLE
+    )
+    out = selective_salted_agg(
+        keyed,
+        "key",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "id_sum": F.sum("doc_id"),
+        },
+        hot_keys=hot,
+    )
+    return out.select(
+        "key",
+        F.col("n_rows").cast("long"),
+        F.col("id_sum").cast("long"),
+        "was_salted",
+    ).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup pairs (md5-based, oracle-checked)
 # ---------------------------------------------------------------------------
 #

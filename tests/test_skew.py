@@ -70,3 +70,68 @@ def test_approx_variants_close_to_exact(spark):
     ex50 = {r["o_orderstatus"]: r["p50"] for r in ex}
     for r in ap:
         assert abs(r["p50"] - ex50[r["o_orderstatus"]]) / ex50[r["o_orderstatus"]] < 0.05
+
+
+def test_detect_hot_keys_finds_exactly_the_hot_keys(spark):
+    """On a frame where one key owns half the rows and 40 cold keys
+    share the rest, a 10% detection threshold must flag the hot key
+    and no cold one (the CMS overestimate envelope is far below the
+    threshold margin)."""
+    from jobinsight_data_pipeline_v2_spark.operators.skew import (
+        detect_hot_keys,
+    )
+
+    rows = [("hot" if i % 2 == 0 else f"k{i % 40}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "key string, v long")
+    hot = {r["key"] for r in detect_hot_keys(df, "key", 100).collect()}
+    assert hot == {"hot"}
+
+
+def test_selective_salted_agg_equals_plain_agg(spark):
+    """Selective salting is invisible in the result: aggregates equal
+    the plain groupBy for every key, was_salted = 1 exactly on the
+    detected set, and cold keys produce ONE phase-1 partial row (salt
+    pinned to 0)."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.operators.skew import (
+        detect_hot_keys,
+        selective_salted_agg,
+    )
+
+    rows = [("hot" if i % 2 == 0 else f"k{i % 40}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "key string, v long")
+    hot = detect_hot_keys(df, "key", 100)
+    got = {
+        r["key"]: (r["n"], r["s"], r["was_salted"])
+        for r in selective_salted_agg(
+            df, "key", {"n": F.count(F.lit(1)), "s": F.sum("v")}, hot
+        ).collect()
+    }
+    exp = {
+        r["key"]: (r["n"], r["s"])
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k, (n, s) in exp.items():
+        gn, gs, flag = got[k]
+        assert (gn, gs) == (n, s), k
+        assert flag == (1 if k == "hot" else 0), k
+
+
+def test_selective_salted_agg_rejects_unknown_merge(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.operators.skew import (
+        selective_salted_agg,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "key string, v long")
+    hot = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError, match="unknown merge"):
+        selective_salted_agg(
+            df, "key", {"n": F.count(F.lit(1))}, hot, merge={"n": "median"}
+        )
