@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "ivf_topk",  # gate config: nprobe=all (exact); upper bound of IVF cost
     "etl_health_rollup",
     "pii_scrub",
+    "unicode_nfc_stats",  # NFC at the Arrow edge vs DuckDB utf8proc
     "repetition_stats",
     "decontaminate",
     # round 3 additions

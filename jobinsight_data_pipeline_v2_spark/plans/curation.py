@@ -758,3 +758,81 @@ def funnel_report(docs: DataFrame) -> DataFrame:
             .alias("kept_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (sanctioned Arrow edge; DuckDB nfc_normalize
+# oracle)
+# ---------------------------------------------------------------------------
+#
+# The corpus is ASCII word soup, so decomposed sequences are
+# synthesized IN-PLAN (the cohort/temperature synthesis precedent):
+# two of three docs get a suffix carrying combining marks (e+U+0301,
+# A+U+0300) that NFC must compose, the third gets a clean suffix that
+# must pass through unchanged. The combining characters ride in both
+# engines' SQL as literal UTF-8 — Spark's char() is ASCII-modulo and
+# DuckDB's chr() is codepoint, so chr() is never used.
+
+_NFC_SUFFIX_CASE = (
+    "CASE WHEN doc_id % 3 = 0 THEN ' café' "
+    "WHEN doc_id % 3 = 1 THEN ' Àpril' ELSE ' x' END"
+)
+
+
+@register(
+    "unicode_nfc_stats",
+    f"""
+    WITH aug AS (
+        SELECT lang, text || {_NFC_SUFFIX_CASE} AS t FROM documents
+    ),
+    norm AS (
+        SELECT lang, t, nfc_normalize(t) AS n FROM aug
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n <> t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(SUM(length(t)) AS BIGINT) AS chars_before,
+           CAST(SUM(length(n)) AS BIGINT) AS chars_after
+    FROM norm
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def unicode_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization, differentially pinned against
+    DuckDB's ``nfc_normalize`` (utf8proc) — CPython's ``unicodedata``
+    and utf8proc must agree character for character or the per-lang
+    changed-doc counts and post-normalization char sums split the
+    hash. Two of three docs carry synthesized combining sequences
+    (composed under NFC, shrinking the char count by exactly one
+    each); the third pins the must-not-change path.
+
+    This is the step that makes every exact-match operator downstream
+    (exact dedup, shingle hashing, decontamination) see é and e+U+0301
+    as the same document. Scale shape: one Arrow-batched narrow
+    projection (operators/unicode_norm.py — Spark has no
+    normalization built-in, the documented 4th sanctioned Python
+    edge), then one small-key aggregation; stateless, so the same
+    column works on streams unchanged.
+    """
+    from ..operators.unicode_norm import normalize_column
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    aug = docs.select(
+        "lang",
+        F.concat("text", F.expr(_NFC_SUFFIX_CASE)).alias("t"),
+    )
+    norm = aug.withColumn("n", normalize_column("t", "NFC"))
+    return (
+        norm.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n") != F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+            F.sum(F.length("t")).cast("long").alias("chars_before"),
+            F.sum(F.length("n")).cast("long").alias("chars_after"),
+        )
+        .orderBy("lang")
+    )

@@ -1095,3 +1095,45 @@ def test_cms_estimate_unseen_key_zero_or_collision(spark):
     )
     est = cms_estimate(probe, "key", cms, depth=4, width=4096).collect()[0]
     assert est["cms_est"] == 0
+
+
+def test_unicode_normalize_goldens_and_idempotence(spark):
+    """NFC composes combining sequences, NFKC additionally folds
+    compatibility forms (ligature fi, fullwidth digits); both are
+    idempotent; NULLs pass through; bad form raises."""
+    import pytest
+
+    from jobinsight_data_pipeline_v2_spark.operators.unicode_norm import (
+        normalize_column,
+    )
+
+    rows = [
+        (1, "café"),        # e + combining acute -> é
+        (2, "Àpril"),       # A + combining grave -> À
+        (3, "ﬁle"),          # ligature fi (NFC keeps, NFKC folds)
+        (4, "１２"),      # fullwidth 12 (NFKC -> "12")
+        (5, None),
+        (6, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    nfc = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_column("t", "NFC").alias("n")).collect()}
+    assert nfc[1] == "café"
+    assert nfc[2] == "Àpril"
+    assert nfc[3] == "ﬁle"       # NFC preserves compatibility chars
+    assert nfc[5] is None
+    assert nfc[6] == "plain ascii"
+    nfkc = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_column("t", "NFKC").alias("n")).collect()}
+    assert nfkc[3] == "file"
+    assert nfkc[4] == "12"
+    # idempotence: normalizing the normalized column changes nothing
+    again = df.select(
+        "id",
+        normalize_column(
+            normalize_column("t", "NFC"), "NFC"
+        ).alias("n2"),
+    )
+    assert {r["id"]: r["n2"] for r in again.collect()} == nfc
+    with pytest.raises(ValueError, match="form="):
+        normalize_column("t", "NFX")
