@@ -84,6 +84,7 @@ def curate_corpus(
     n_shards: int = 8,
     span_l: int = _SPAN_L,
     gopher: bool = False,
+    normalize: bool = False,
     metrics=None,
     run_ts=None,
 ) -> dict:
@@ -97,7 +98,12 @@ def curate_corpus(
     doc ships). ``gopher=True`` inserts the published Gopher rule
     battery (plans/text.gopher_flag_columns) as stage 3b, before the
     classifier — rules cut the volume the model gate pays for — and
-    adds ``n_gopher_kept`` to the report. Deterministic end to end — re-running on the same
+    adds ``n_gopher_kept`` to the report. ``normalize=True`` inserts
+    Unicode NFC normalization as stage 0 (operators/unicode_norm.py)
+    so exact dedup and the span-gram hashes see é == e+U+0301 — form
+    variants of the same text collapse instead of slipping through —
+    and adds ``n_nfc_changed`` to the report.
+    Deterministic end to end — re-running on the same
     corpus rewrites identical shards. With a ``metrics`` store, a
     failing stage records a status='failed' row naming the stage
     before the exception propagates (a crashed curation run must be
@@ -108,7 +114,8 @@ def curate_corpus(
         return _curate_corpus(
             spark, docs, out_dir, token_budget=token_budget,
             n_shards=n_shards, span_l=span_l, gopher=gopher,
-            metrics=metrics, run_ts=run_ts, stage=stage,
+            normalize=normalize, metrics=metrics, run_ts=run_ts,
+            stage=stage,
         )
     except Exception as e:
         if metrics is not None:
@@ -133,6 +140,7 @@ def _curate_corpus(
     n_shards: int,
     span_l: int,
     gopher: bool,
+    normalize: bool,
     metrics,
     run_ts,
     stage: dict,
@@ -143,6 +151,37 @@ def _curate_corpus(
     docs = docs.select("doc_id", "text").localCheckpoint(eager=False)
     n_input = docs.count()
     report["n_input"] = n_input
+
+    # 0. optional Unicode NFC normalization: composed/decomposed form
+    #    variants of the same text must collapse in stage 1's hash,
+    #    and the span-gram keys downstream must never split on form.
+    #    Narrow Arrow-batched projection; the changed count rides the
+    #    same checkpointed frame.
+    if normalize:
+        t00 = time.monotonic()
+        stage["name"] = "nfc_normalize"
+        from .operators.unicode_norm import normalize_column
+
+        normed = (
+            docs.select(
+                "doc_id",
+                F.col("text").alias("__orig"),
+                # ONE udf evaluation per row; the flag compares the
+                # materialized output column, not a second udf call
+                normalize_column("text", "NFC").alias("text"),
+            )
+            .select(
+                "doc_id",
+                "text",
+                (F.col("text") != F.col("__orig")).cast("int").alias("__chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_changed = normed.agg(F.sum("__chg").alias("c")).collect()[0]["c"]
+        report["n_nfc_changed"] = int(n_changed or 0)
+        docs = normed.select("doc_id", "text")
+        _stage(metrics, run_ts, "nfc_normalize", n_input, n_input, t00)
+        stage["name"] = "exact_dedup"
 
     # 1. exact dedup: first occurrence (min doc_id) per text hash —
     #    window-min on a uniform 64-bit key, the exact_dedup shape

@@ -350,6 +350,7 @@ def curation_stream(
     docs: DataFrame,
     ts_col: str | None = None,
     horizon: str | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """(doc_id, sk, first_copy, late, logit, quality_keep, n_emails,
     n_phones, ship): per-document curation DECISIONS over a stream —
@@ -375,6 +376,17 @@ def curation_stream(
 
     if (ts_col is None) != (horizon is None):
         raise ValueError("ts_col and horizon must be provided together")
+
+    if normalize:
+        # stage 0, same as curate_corpus(normalize=True): NFC before
+        # the dedup hash so form variants share one state key.
+        # Stateless Arrow projection — streaming-safe by construction.
+        from ..operators.unicode_norm import normalize_column
+
+        keep = [c for c in docs.columns if c != "text"]
+        docs = docs.select(
+            *keep, normalize_column("text", "NFC").alias("text")
+        )
 
     # dedup hashes the RAW text; the classifier sees the REDACTED text
     # — the same stage order as curate_corpus (review r6: classifying

@@ -180,3 +180,30 @@ def test_curate_corpus_gopher_rule_gate(spark, tmp_path):
     got = {x.doc_id for x in back.collect()}
     allset = {x.doc_id for x in spark.read.parquet(out_d).collect()}
     assert got <= allset
+
+
+def test_curate_corpus_normalize_collapses_form_variants(spark, tmp_path):
+    """normalize=True (stage 0): two docs that differ only in Unicode
+    form (composed vs decomposed) must collapse in exact dedup, the
+    changed count must land in the report, and the shipped text must
+    be the NFC form. Without the flag the same corpus ships both."""
+    rows = [
+        (1, "café story " * 20),          # composed e-acute
+        (2, "café story " * 20),         # decomposed, same text
+        (3, "plain ascii document " * 20),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out_raw = str(tmp_path / "raw")
+    r_raw = curate_corpus(spark, docs, out_raw, n_shards=1)
+    assert r_raw["n_exact_kept"] == 3
+    assert "n_nfc_changed" not in r_raw
+
+    out = str(tmp_path / "norm")
+    r = curate_corpus(spark, docs, out, n_shards=1, normalize=True)
+    assert r["n_nfc_changed"] == 1          # only the decomposed doc
+    assert r["n_exact_kept"] == 2           # variants collapsed
+    back = spark.read.parquet(out)
+    texts = [row["text"] for row in back.collect()]
+    assert all("café" in t or "plain" in t for t in texts)
+    assert not any("é" in t for t in texts)

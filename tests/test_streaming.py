@@ -2074,3 +2074,40 @@ def test_streaming_orc_equals_batch(spark, tmp_path):
     assert got_docs.count() == 3 and got_quar.count() == 2
     reasons = {r["reason"] for r in got_quar.collect()}
     assert reasons == {"missing:text", "missing:doc_id"}
+
+
+def test_streaming_curation_normalize_option(spark, tmp_path):
+    """curation_stream(normalize=True): a decomposed form variant of
+    an already-seen composed doc is NOT a first copy — NFC runs before
+    the dedup hash, so both forms share one state key (parity with
+    curate_corpus(normalize=True))."""
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        curation_stream,
+    )
+
+    land = os.path.join(str(tmp_path), "cur_norm")
+    os.makedirs(land)
+    composed = "café story time " * 10
+    decomposed = composed.replace("\u00e9", "e\u0301")
+    assert composed != decomposed  # different forms, same NFC
+    for i, rows in enumerate(
+        [[(1, composed)], [(2, decomposed)], [(3, "other doc " * 10)]]
+    ):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(land)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = run_stream_to_memory(
+        spark, curation_stream(stream, normalize=True), "cur_norm_test"
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["first_copy"]
+        for r in spark.sql("SELECT * FROM cur_norm_test").collect()
+    }
+    assert got[1] is True and got[3] is True
+    assert got[2] is False, "form variant must hit the same state key"
