@@ -207,3 +207,34 @@ def test_curate_corpus_normalize_collapses_form_variants(spark, tmp_path):
     texts = [row["text"] for row in back.collect()]
     assert all("café" in t or "plain" in t for t in texts)
     assert not any("é" in t for t in texts)
+
+
+def test_curate_corpus_from_orc_ingest_matches_direct(spark, tmp_path):
+    """Columnar interchange to shards: the corpus exported as
+    partitioned ORC, re-read through the ORC source, and curated must
+    produce the IDENTICAL report and shard contents as curating the
+    parquet directly — the S17 twin of the WARC crawl-to-shards
+    identity."""
+    from jobinsight_data_pipeline_v2_spark.sources.orc_source import (
+        read_orc_docs,
+        write_orc_corpus,
+    )
+
+    full = spark.read.parquet(f"{SF}/documents.parquet")
+    land = str(tmp_path / "orc_land")
+    write_orc_corpus(full, land)
+    typed, quar = read_orc_docs(spark, land)
+    assert quar.count() == 0
+    r_orc = curate_corpus(
+        spark,
+        typed.select("doc_id", "text"),
+        str(tmp_path / "shards_orc"),
+        n_shards=2,
+    )
+    r_direct = curate_corpus(
+        spark, _docs(spark), str(tmp_path / "shards_direct"), n_shards=2
+    )
+    assert r_orc == {**r_direct, "out_dir": r_orc["out_dir"]}
+    a = spark.read.parquet(str(tmp_path / "shards_orc"))
+    b = spark.read.parquet(str(tmp_path / "shards_direct"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
