@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "range_join_windows",
     "hourly_to_daily_rollup",
     "cosine_topk_batch",
+    "cosine_topk_filtered",  # hybrid search: equi-join prune before scoring
     "salted_returnflag_rollup",
     "mixture_sample",
     "curation_funnel",

@@ -67,6 +67,61 @@ def cosine_topk(
     )
 
 
+def cosine_topk_filtered(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    match_cols: tuple[str, ...] = ("label",),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid (filtered) vector search: exact top-k per query among
+    ONLY the corpus rows matching the query's metadata columns — the
+    "search within my tenant / language / shard" serving shape.
+
+    Same contract as ``cosine_topk`` (broadcast query batch, one
+    corpus scan, per-query window with the cosine-desc/id-asc tie
+    rule), but the cross join becomes an EQUI-join on ``match_cols``:
+    a corpus row is scored against exactly the queries sharing its
+    metadata, so the scored row count drops from \\|corpus\\|·\\|batch\\| to
+    Σ per-key matches — at scale the predicate prunes before any
+    arithmetic, not after. A query whose key matches nothing returns
+    no rows (the serving caller's miss path)."""
+    keys = list(match_cols)
+    q = query.select(
+        F.col("query_id"), F.col(vec_col).alias("__qv"), *keys
+    )
+    scored = (
+        with_norm(corpus, vec_col)
+        .join(
+            F.broadcast(
+                with_norm(q, "__qv").withColumnRenamed("__norm", "__qnorm")
+            ),
+            keys,
+        )
+        .withColumn(
+            "cosine_sim",
+            _dot(vec_col, "__qv") / (F.col("__norm") * F.col("__qnorm")),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(
+            "query_id",
+            *keys,
+            id_col,
+            "cosine_sim",
+            F.col("__rank").alias("rank"),
+        )
+    )
+
+
 def _plane_component(table: str, plane: str, dim: str) -> str:
     """Deterministic pseudo-random plane component in [-1, 1)."""
     return (

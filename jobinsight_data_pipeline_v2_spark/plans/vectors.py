@@ -749,6 +749,81 @@ def cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cosine_topk_filtered",
+    f"""
+    WITH qe AS (
+        SELECT vec_id, label, {_SQL_QVEC} AS qv,
+               sqrt(CAST({_sql_dot(_SQL_QVEC, _SQL_QVEC)} AS DOUBLE)) AS norm
+        FROM embeddings
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, label, qv AS q, norm AS qnorm FROM qe
+        WHERE vec_id % {_BATCH_QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, q.label, c.vec_id,
+               CAST({_sql_dot('c.qv', 'q.q')} AS DOUBLE) / (c.norm * q.qnorm)
+                   AS cosine_sim
+        FROM qe c JOIN queries q ON c.label = q.label
+        WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, label, vec_id, cosine_sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {_BATCH_K}
+    ORDER BY query_id, rank
+    """,
+)
+def cosine_topk_filtered_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: each query retrieves its exact top-{_BATCH_K}
+    among ONLY the corpus vectors sharing its ``label`` — the filtered
+    ANN serving shape ("within my tenant/language/shard"). The cross
+    join of the unfiltered batch gate becomes an EQUI-join on the
+    metadata key, so at scale the predicate prunes candidates BEFORE
+    any distance arithmetic — the plan difference that separates
+    post-filtering (score everything, discard most) from true
+    filtered search.
+
+    Pins operators/similarity.cosine_topk_filtered including its tie
+    rule and the self-exclusion path, against the brute-force oracle
+    restricted by the same predicate.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import cosine_topk_filtered
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qe = emb.select("vec_id", "label", F.expr(_QVEC).alias("embedding"))
+    queries = qe.filter(F.col("vec_id") % _BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = cosine_topk_filtered(
+        qe, queries, k=_BATCH_K + 1, match_cols=("label",)
+    )
+    # self-match rides at cosine 1.0; drop and re-rank (oracle's WHERE)
+    return (
+        out.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine_sim"), "vec_id"
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _BATCH_K)
+        .select("query_id", "label", "vec_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # product quantization: two-stage ADC search gated at the exactness
 # configuration (refine ≥ corpus), recall dial property-tested

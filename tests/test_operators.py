@@ -1137,3 +1137,42 @@ def test_unicode_normalize_goldens_and_idempotence(spark):
     assert {r["id"]: r["n2"] for r in again.collect()} == nfc
     with pytest.raises(ValueError, match="form="):
         normalize_column("t", "NFX")
+
+
+def test_cosine_topk_filtered_prunes_and_misses(spark):
+    """Filtered search scores only label-matching corpus rows; a query
+    whose label matches nothing returns no rows (miss path); results
+    within a label equal unfiltered top-k run on that label's slice."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_filtered,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.9, 0.1], "a"),
+            (3, [0.0, 1.0], "b"),
+            (4, [0.1, 0.9], "b"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0], "a"), (200, [1.0, 0.0], "zz")],
+        "query_id long, embedding array<double>, label string",
+    )
+    got = cosine_topk_filtered(corpus, queries, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert by_q.get(100) == [1, 2]       # only label-a rows, ranked
+    assert 200 not in by_q               # miss path: no label match
+    # parity with unfiltered search over the label slice
+    plain = cosine_topk(
+        corpus.filter(F.col("label") == "a"),
+        queries.filter(F.col("query_id") == 100).drop("label"),
+        k=10,
+    ).collect()
+    assert [r["vec_id"] for r in plain] == [1, 2]
