@@ -1,0 +1,96 @@
+"""Iterative graph ranking: integer-exact PageRank.
+
+Net-new capability (no reference counterpart): link-graph quality
+signals are a standard ingredient of web-corpus curation (host-level
+PageRank has shipped with Common Crawl-derived corpora since the
+earliest curated releases), and the computation is the canonical
+ITERATIVE bulk-synchronous job — K rounds of (join ranks to edges,
+shuffle contributions to their target, re-aggregate). The engine's
+other fixpoints (pointer-doubling components) iterate on LABELS; this
+one iterates on WEIGHTS.
+
+Cross-engine exactness: floating-point PageRank drifts between
+engines by summation order, so the operator pins an INTEGER
+recurrence (the DSIR/temperature discipline — scaled integer units,
+floor division at every step, no float anywhere):
+
+    r_0(u)    = unit                      (1e6 — "permillion" mass)
+    inc_i(u)  = Σ_{v→u} r_i(v) // outdeg(v)
+    r_{i+1}(u) = base + (damping_pct · inc_i(u)) // 100
+
+with base = (100 − damping_pct)% of unit. Every engine that
+implements the same recurrence agrees bit for bit; headroom is
+BIGINT-safe up to ~10^11-node graphs (85·Σmass < 2^63).
+
+Scale shape: per round, ONE shuffle keyed by edge target (map-side
+combined partial sums) plus a broadcast-or-shuffle join of the
+rank table to the edge list; ranks checkpoint per round so the plan
+stays linear in K (the run_daily_build lesson, rule 5). Convergence
+monitoring at scale = Σ|r_{i+1} − r_i| as a one-row aggregate per
+round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_UNIT = 1_000_000
+PR_DAMPING_PCT = 85
+
+
+def pagerank_integer(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 5,
+    unit: int = PR_UNIT,
+    damping_pct: int = PR_DAMPING_PCT,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` rounds of the integer recurrence.
+
+    ``nodes``: one ``node`` column (every vertex, including sinks
+    that receive mass but have no out-edges — they keep their base
+    share). ``edges``: (src, dst) multiset; parallel edges count in
+    both outdeg and contribution, matching the multiset semantics of
+    the oracle construction. A node absent from ``edges.src`` simply
+    contributes nothing (its mass is not redistributed — the bounded
+    no-dangling-redistribution variant, stated so both engines
+    implement the same spec).
+    """
+    base = ((100 - damping_pct) * unit) // 100
+    out = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    ed = (
+        edges.join(out, "src")
+        .select("src", "dst", "outdeg")
+        # reused verbatim every round — one materialization
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.select(
+        "node", F.lit(int(unit)).cast("long").alias("r")
+    ).localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", F.expr("div(r, outdeg)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"div({damping_pct} * coalesce(inc, 0L), 100)"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            # keep the plan linear in n_iter (rule 5 shape)
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

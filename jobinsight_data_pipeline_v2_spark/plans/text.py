@@ -1748,3 +1748,94 @@ def build_bpe_encode_serving(spark: SparkSession, sf_dir: str):
         return _bpe_roundtrip_projection(bpe_encode(symbols, merges))
 
     return thunk
+
+
+# ---------------------------------------------------------------------------
+# integer-exact PageRank over a synthesized citation graph
+# ---------------------------------------------------------------------------
+#
+# The corpus has no link column, so the graph is synthesized in-plan
+# from doc_id (the cohort/temperature device): node u emits
+# 1 + u % 3 edges to (u*7 + j*31 + 11) mod N — varying out-degrees
+# give varying in-degrees, so ranks genuinely skew instead of
+# collapsing to the uniform fixpoint. The recurrence is the integer
+# spec from operators/graph.py: floor division at every step, no
+# floats, so both engines agree bit for bit after any number of
+# rounds.
+
+_PR_ITER = 5
+_PR_TOP = 20
+
+
+def _pagerank_oracle_sql(n_iter: int) -> str:
+    inner = (
+        "SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS inc "
+        "FROM edges e JOIN {prev} r ON e.src = r.node "
+        "JOIN outdeg d ON e.src = d.src GROUP BY 1"
+    )
+    ctes = [
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        (
+            "edges AS (SELECT node AS src, "
+            "(node * 7 + j * 31 + 11) % (SELECT n FROM tot) AS dst "
+            "FROM nodes, UNNEST(generate_series(1, 1 + node % 3)) AS t(j))"
+        ),
+        (
+            "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg "
+            "FROM edges GROUP BY 1)"
+        ),
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        body = inner.format(prev=f"r{i - 1}")
+        ctes.append(
+            f"r{i} AS (SELECT n.node, "
+            f"CAST(150000 + (85 * COALESCE(c.inc, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN ({body}) c ON n.node = c.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, r AS rank FROM r{n_iter} "
+        f"ORDER BY rank DESC, node LIMIT {_PR_TOP}"
+    )
+
+
+@register("pagerank_doc_graph", _pagerank_oracle_sql(_PR_ITER))
+def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PR_TOP} nodes by integer-exact PageRank after
+    {_PR_ITER} rounds on the synthesized citation graph — the
+    canonical iterative-weights job (join ranks to edges, shuffle
+    contributions to their targets, re-aggregate), pinned bit-exact
+    against a DuckDB oracle whose rounds are CHAINED CTEs built from
+    the same recurrence text.
+
+    Scale shape (operators/graph.py): one target-keyed shuffle per
+    round with map-side partial sums; the rank table checkpoints per
+    round so the plan stays linear in rounds; the edge+outdeg table
+    materializes once and is reused every round. The total order under
+    the LIMIT is (rank DESC, node) — node is unique.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("node")
+    )
+    from ..operators.graph import pagerank_integer
+
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    edges = (
+        docs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("node").alias("src"),
+            F.explode(F.expr("sequence(1, 1 + node % 3)")).alias("j"),
+            "__n",
+        )
+        .select(
+            "src",
+            F.expr("(src * 7 + j * 31 + 11) % __n").alias("dst"),
+        )
+    )
+    ranks = pagerank_integer(docs, edges, n_iter=_PR_ITER)
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(_PR_TOP)
+        .select("node", "rank")
+    )

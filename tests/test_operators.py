@@ -1176,3 +1176,41 @@ def test_cosine_topk_filtered_prunes_and_misses(spark):
         k=10,
     ).collect()
     assert [r["vec_id"] for r in plain] == [1, 2]
+
+
+def test_pagerank_integer_matches_reference(spark):
+    """The distributed recurrence equals a pure-Python implementation
+    of the same integer spec on a small irregular graph (parallel
+    edges, a self-loop, a sink that only receives, a source that only
+    emits)."""
+    from jobinsight_data_pipeline_v2_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    nodes = list(range(6))
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (2, 2),  # self-loop at 2
+        (3, 2), (3, 2),                           # parallel edges
+        (4, 5),                                   # 5 is a sink
+    ]
+    unit, damp, base, k = 1_000_000, 85, 150_000, 4
+
+    ranks = {u: unit for u in nodes}
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    for _ in range(k):
+        inc = {u: 0 for u in nodes}
+        for s, d in edges:
+            inc[d] += ranks[s] // outdeg[s]
+        ranks = {u: base + (damp * inc[u]) // 100 for u in nodes}
+
+    ndf = spark.createDataFrame([(u,) for u in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(ndf, edf, n_iter=k).collect()
+    }
+    assert got == ranks
+    # skew sanity: the self-loop + parallel-edge hub outranks the sink
+    assert got[2] > got[5]
