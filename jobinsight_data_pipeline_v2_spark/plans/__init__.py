@@ -72,10 +72,11 @@ PRIORITY: tuple[str, ...] = (
     "doc_quality",
     "langid_eval",
     "exact_dedup",
-    "ngram_jaccard_pairs",
+    "unicode_nfc_stats",  # r7 gate: NFC at the Arrow edge vs utf8proc
     "minhash_lsh_candidates",
     "token_histogram",
     "simhash_near_dups",
+    "cms_heavy_hitters",  # r7 gate: count-min frequency sketch (within-bound)
     "dsir_resample",  # round-7 gate: DSIR importance resampling (integer core)
     "near_dup_components",
     # curation
@@ -93,14 +94,31 @@ PRIORITY: tuple[str, ...] = (
     "etl_health_rollup",
     "asof_join_purchases",
     "range_join_windows",
-    "hourly_to_daily_rollup",
+    "pagerank_doc_graph",  # r7 gate: integer-exact iterative weights
     # sampling / packing
     "hash_split",
-    "tfidf_top_terms",
     "embed_quantize",
     "sequence_pack",
 )
 # Demoted below the driver's fold (family double-covered above):
+#   ngram_jaccard_pairs (demoted r7 for unicode_nfc_stats: the
+#     candidate-pair near-dup family keeps TWO above-fold
+#     representatives — minhash_lsh_candidates, whose MinHash
+#     machinery APPROXIMATES the same Jaccard measure, and
+#     simhash_near_dups — while normalization had none; the exact
+#     Jaccard co-occurrence stays local-gated),
+#   tfidf_top_terms (demoted r7 for cms_heavy_hitters: term
+#     statistics keep token_histogram above the fold and the
+#     df-broadcast device is plan-tested; the CMS gate adds the first
+#     FREQUENCY-sketch representative — approx_percentiles/HLL pin
+#     rank/distinct sketches, not frequency — and its exact top-25
+#     values subsume the term-ranking shape; tf-idf stays
+#     local-gated),
+#   hourly_to_daily_rollup (demoted r7 for pagerank_doc_graph: the
+#     continuous-aggregate tier composes the same windowed-agg device
+#     events_hourly pins above the fold; iterative-WEIGHTS jobs had
+#     no representative — near_dup_components iterates labels, not
+#     weighted sums; the rollup tier stays local-gated),
 #   winnow_fingerprint_pairs (demoted r7 for dsir_resample: the
 #     n-gram fingerprint/candidate-pair family keeps THREE above-fold
 #     representatives — ngram_jaccard_pairs, minhash_lsh_candidates,
