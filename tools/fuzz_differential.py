@@ -277,6 +277,15 @@ class Generator:
         if pred is None or isinstance(pred, tuple):
             return None
         neg = "NOT " if self.rng.random() < 0.3 else ""
+        if self.rng.random() < 0.4:
+            # correlated EXISTS: the aliased inner table wins bare-name
+            # resolution for the dim predicate (innermost scope, same
+            # rule both engines); the fk column is unambiguously outer
+            # because every table's columns carry its prefix
+            return (
+                f"{neg}EXISTS (SELECT 1 FROM {dim} __sub "
+                f"WHERE __sub.{dk} = {fk} AND {pred})"
+            )
         return f"{fk} {neg}IN (SELECT {dk} FROM {dim} WHERE {pred})"
 
     def _where(self, cols, base: str | None = None):
@@ -299,16 +308,17 @@ class Generator:
         shape = self.rng.random()
         frm, cols, base = self._from_clause()
         sw, dw = self._where(cols, base)
-        if shape < 0.22:  # plain filter + projection
+        if shape < 0.22:  # plain filter + projection [DISTINCT]
             n = self.rng.randrange(1, 4)
             picks = self.rng.sample(cols, min(n, len(cols)))
             exprs = [
                 self._proj(c, k, f"c{i}")
                 for i, (_, c, k) in enumerate(picks)
             ]
+            dis = "DISTINCT " if self.rng.random() < 0.3 else ""
             return (
-                f"SELECT {', '.join(e.s() for e in exprs)} FROM {frm}{sw}",
-                f"SELECT {', '.join(e.d() for e in exprs)} FROM {frm}{dw}",
+                f"SELECT {dis}{', '.join(e.s() for e in exprs)} FROM {frm}{sw}",
+                f"SELECT {dis}{', '.join(e.d() for e in exprs)} FROM {frm}{dw}",
             )
         if shape < 0.3:  # set operation over two filtered projections
             t = self.rng.choice(list(TABLES))
