@@ -451,3 +451,114 @@ def cohort_stream(events: DataFrame, anchor) -> DataFrame:
     return act.groupBy("cohort_week", "week_offset").agg(
         F.size(F.collect_set("user_id")).cast("long").alias("n_active")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2 maintenance: every change event opens a version and
+# closes its predecessor (the CDC twin of plans/events.scd2_user_history)
+# ---------------------------------------------------------------------------
+
+_SCD2_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("attr_value", StringType(), True),
+        StructField("effective_us", LongType(), True),
+        StructField("expiry_us", LongType(), True),
+        StructField("late", BooleanType(), True),
+    ]
+)
+
+_SCD2_STATE = "eff_us LONG, event_id LONG, attr_value STRING"
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Streaming SCD Type 2: each change event CLOSES the key's current
+    version (emitting it with its expiry stamped) and becomes the new
+    current — the incremental form of the batch gate's lead() window,
+    where a closed row here equals a batch row with ``expiry_ts`` set
+    and the per-key state always holds the one ``is_current`` version.
+
+    State per key is the current version's (effective_us, event_id,
+    attr_value) — three scalars, never a history buffer. Ordering
+    contract and late handling follow ``asof_stream``: per-key
+    time-ordered arrival across micro-batches is assumed (a keyed
+    Kafka partition's guarantee); within a batch rows sort by
+    (ts, event_id); any row at or behind the current version's
+    (ts, id) mark is emitted ``late=true`` with a NULL expiry and
+    does NOT disturb the chain (a retroactive mid-history insert is a
+    batch-repair concern, not a streaming one — the flag makes the
+    repair set visible). On an ordered stream the closed rows equal
+    the batch twin's closed rows bit for bit.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        cur_us, cur_id, cur_attr = (
+            state.get if state.exists else (None, None, None)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if cur_us is None:
+            late_mask = pd.Series(False, index=pdf.index)
+        else:
+            late_mask = (pdf["us"] < cur_us) | (
+                (pdf["us"] == cur_us) & (pdf["event_id"] <= cur_id)
+            )
+        late = pdf[late_mask]
+        on_time = pdf[~late_mask].sort_values(["us", "event_id"])
+        out = []
+        if len(on_time):
+            closed_attr, closed_eff, closed_exp = [], [], []
+            for us, eid, attr in zip(
+                on_time["us"], on_time["event_id"], on_time["event_type"]
+            ):
+                if cur_us is not None:
+                    closed_attr.append(cur_attr)
+                    closed_eff.append(cur_us)
+                    closed_exp.append(int(us))
+                cur_us, cur_id, cur_attr = int(us), int(eid), str(attr)
+            if closed_eff:
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": user_id,
+                            "attr_value": closed_attr,
+                            "effective_us": pd.array(
+                                closed_eff, dtype="Int64"
+                            ),
+                            "expiry_us": pd.array(closed_exp, dtype="Int64"),
+                            "late": False,
+                        }
+                    )
+                )
+            state.update((cur_us, cur_id, cur_attr))
+        if len(late):
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": user_id,
+                        "attr_value": late["event_type"].astype(str),
+                        "effective_us": late["us"].astype("Int64"),
+                        "expiry_us": pd.array(
+                            [pd.NA] * len(late), dtype="Int64"
+                        ),
+                        "late": True,
+                    }
+                )
+            )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("us", F.unix_micros("ts"))
+        .select("user_id", "event_id", "event_type", "us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SCD2_SCHEMA,
+            stateStructType=_SCD2_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -2111,3 +2111,139 @@ def test_streaming_curation_normalize_option(spark, tmp_path):
     }
     assert got[1] is True and got[3] is True
     assert got[2] is False, "form variant must hit the same state key"
+
+
+def _stage_time_ordered_event_drops(spark, tmp_path, tag, n_drops=3):
+    import time
+
+    from pyspark.sql.window import Window as W
+
+    ev = load_events(spark, SF)
+    src = os.path.join(str(tmp_path), f"{tag}_flat")
+    os.makedirs(src)
+    per = ev.count() // n_drops + 1
+    ranked = ev.withColumn(
+        "__rk", F.row_number().over(W.orderBy("ts", "event_id"))
+    ).withColumn("__b", ((F.col("__rk") - 1) / per).cast("int"))
+    for b in range(n_drops):
+        part = ranked.filter(F.col("__b") == b).drop("__rk", "__b")
+        d = os.path.join(str(tmp_path), f"{tag}_d{b}")
+        part.coalesce(1).write.parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, f"drop_{b}.parquet")
+                    os.rename(os.path.join(root, f), dst)
+                    t = time.time() + b
+                    os.utime(dst, (t, t))
+    return src, ev
+
+
+def test_streaming_scd2_equals_batch(spark, tmp_path):
+    """Twin 31 (streaming SCD2 / CDC): with per-key time-ordered
+    drops, the union of CLOSED versions equals the batch gate's
+    expired rows exactly, and the per-key state holds precisely the
+    batch gate's is_current versions (checked via each key's max
+    emitted expiry == the current version's effective ts)."""
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.events import scd2_stream
+
+    src, ev = _stage_time_ordered_event_drops(spark, tmp_path, "scd2")
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = run_stream_to_memory(spark, scd2_stream(stream), "scd2_test")
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, attr_value, effective_us, expiry_us FROM scd2_test"
+        " WHERE late = false"
+    )
+    assert spark.sql("SELECT * FROM scd2_test WHERE late = true").count() == 0
+    batch = load_all()["scd2_user_history"][0](spark, SF)
+    expected = batch.filter(F.col("expiry_ts").isNotNull()).select(
+        "user_id",
+        "attr_value",
+        F.unix_micros(F.col("effective_ts").cast("timestamp")).alias(
+            "effective_us"
+        ),
+        F.unix_micros(F.col("expiry_ts").cast("timestamp")).alias(
+            "expiry_us"
+        ),
+    )
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    # current versions: for each user the batch's is_current effective
+    # ts must equal the max expiry the stream stamped (the last close
+    # handed the chain to the still-open current version)
+    cur = {
+        r["user_id"]: r["eff"]
+        for r in batch.filter("is_current")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("effective_ts").cast("timestamp")).alias(
+                "eff"
+            ),
+        )
+        .collect()
+    }
+    last_close = {
+        r["user_id"]: r["mx"]
+        for r in got.groupBy("user_id")
+        .agg(F.max("expiry_us").alias("mx"))
+        .collect()
+    }
+    for u, mx in last_close.items():
+        assert cur[u] == mx, u
+
+
+def test_streaming_scd2_flags_late_rows(spark, tmp_path):
+    """An event at or behind the key's current version is emitted
+    late=true with NULL expiry and leaves the chain untouched."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.streaming.events import scd2_stream
+
+    land = os.path.join(str(tmp_path), "scd2_late")
+    os.makedirs(land)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string"
+    )
+    in_schema = (
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    )
+    drops = [
+        [(1, "2024-01-01 10:00:00", 7, "a", 0.0, None),
+         (2, "2024-01-01 11:00:00", 7, "b", 0.0, None)],
+        # behind the current version (11:00) -> late
+        [(3, "2024-01-01 10:30:00", 7, "c", 0.0, None)],
+        # on-time: closes 'b'
+        [(4, "2024-01-01 12:00:00", 7, "d", 0.0, None)],
+    ]
+    for i, rows in enumerate(drops):
+        df = spark.createDataFrame(rows, in_schema).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+        df.coalesce(1).write.parquet(os.path.join(land, f"d{i}"))
+        flat = os.path.join(land, f"drop_{i}.parquet")
+        for root, _, files in os.walk(os.path.join(land, f"d{i}")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    os.rename(os.path.join(root, f), flat)
+        t = time.time() + i
+        os.utime(flat, (t, t))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = run_stream_to_memory(spark, scd2_stream(stream), "scd2_late_test")
+    q.awaitTermination(120)
+    rows = {
+        (r["attr_value"], r["late"]): r
+        for r in spark.sql("SELECT * FROM scd2_late_test").collect()
+    }
+    assert ("a", False) in rows and rows[("a", False)]["expiry_us"] is not None
+    assert ("c", True) in rows and rows[("c", True)]["expiry_us"] is None
+    # the late row did not disturb the chain: 'b' closed at 12:00 by 'd'
+    b = rows[("b", False)]
+    assert b["expiry_us"] == 1704110400000000
