@@ -155,3 +155,70 @@ def scd2_merge(
         .unionByName(expired.select(cols))
         .unionByName(inserts.select(cols))
     )
+
+
+def scd2_rebuild(
+    changes: DataFrame,
+    *,
+    key: str = "user_id",
+    attr: str = "attr_value",
+    ts: str = "effective_ts",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rebuild a full SCD2 chain from change events: every event opens
+    a version, expiry = the next event's timestamp (lead window), the
+    last version per key is current. One shuffle on the business key —
+    the set-based form shared by the scd2_user_history gate.
+
+    ``order_cols`` extends the within-key order past ``ts`` (e.g. an
+    event id) so equal-timestamp events chain deterministically."""
+    w = Window.partitionBy(key).orderBy(ts, *order_cols)
+    return changes.select(
+        key,
+        attr,
+        F.col(ts).alias("effective_ts"),
+        F.lead(ts).over(w).alias("expiry_ts"),
+        F.lead(ts).over(w).isNull().alias("is_current"),
+    )
+
+
+def scd2_repair(
+    history: DataFrame,
+    late_rows: DataFrame,
+    *,
+    key: str = "user_id",
+    attr: str = "attr_value",
+    ts: str = "effective_ts",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge late-arriving change events into an SCD2 history — the
+    batch-repair path the streaming twin points at: ``scd2_stream``
+    flags an at-or-behind arrival ``late=true`` and leaves the chain
+    untouched (a retroactive mid-history insert is not a streaming
+    concern); this operator performs that insert set-based.
+
+    ``history``: the maintained chain (one row per version, with
+    ``effective_ts`` — expiry/current columns are recomputed, so
+    passing the stream's closed rows plus the current state rows, or
+    a warehouse SCD2 snapshot, both work). ``late_rows``: the flagged
+    events as (key, attr, ts). Every version collapses back to its
+    opening event, the two event sets union, and the chain rebuilds —
+    expiries around each insertion point re-stamp automatically.
+    Scale shape: one union + the rebuild window's single shuffle on
+    the business key; only keys present in ``late_rows`` change, so
+    at fleet scale the history side is pre-filtered to affected keys
+    with a broadcast semi-join and the repaired slice is upserted
+    back (the compact_partitions touch-only-the-sick discipline)."""
+    ev_hist = history.select(
+        F.col(key), F.col(attr), F.col(ts), *[F.col(c) for c in order_cols]
+    )
+    ev_late = late_rows.select(
+        F.col(key), F.col(attr), F.col(ts), *[F.col(c) for c in order_cols]
+    )
+    return scd2_rebuild(
+        ev_hist.unionByName(ev_late),
+        key=key,
+        attr=attr,
+        ts=ts,
+        order_cols=order_cols,
+    )

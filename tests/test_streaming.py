@@ -2247,3 +2247,46 @@ def test_streaming_scd2_flags_late_rows(spark, tmp_path):
     # the late row did not disturb the chain: 'b' closed at 12:00 by 'd'
     b = rows[("b", False)]
     assert b["expiry_us"] == 1704110400000000
+
+
+def test_scd2_repair_inserts_late_rows(spark):
+    """Closing the twin-31 loop: stream-flagged late rows merged into
+    the maintained chain via scd2_repair equal the batch rebuild over
+    ALL events — the mid-history insert re-stamps the surrounding
+    expiries."""
+    from jobinsight_data_pipeline_v2_spark.operators.scd2 import (
+        scd2_rebuild,
+        scd2_repair,
+    )
+
+    def T(s):
+        return F.to_timestamp(F.lit(s))
+
+    # maintained chain (what the stream produced): a@10 closed by b@11,
+    # b@11 closed by d@12, d current
+    hist = spark.createDataFrame(
+        [(7, "a", "2024-01-01 10:00:00"),
+         (7, "b", "2024-01-01 11:00:00"),
+         (7, "d", "2024-01-01 12:00:00")],
+        "user_id long, attr_value string, effective_ts string",
+    ).withColumn("effective_ts", F.to_timestamp("effective_ts"))
+    late = spark.createDataFrame(
+        [(7, "c", "2024-01-01 10:30:00")],
+        "user_id long, attr_value string, effective_ts string",
+    ).withColumn("effective_ts", F.to_timestamp("effective_ts"))
+
+    repaired = {
+        r["attr_value"]: (str(r["expiry_ts"]), r["is_current"])
+        for r in scd2_repair(hist, late).collect()
+    }
+    # 'a' now expires at the inserted 'c'; 'c' expires at 'b'
+    assert repaired["a"] == ("2024-01-01 10:30:00", False)
+    assert repaired["c"] == ("2024-01-01 11:00:00", False)
+    assert repaired["b"] == ("2024-01-01 12:00:00", False)
+    assert repaired["d"] == ("None", True)
+
+    # equivalence: repair == rebuild over the full event set
+    all_ev = hist.unionByName(late)
+    a = scd2_repair(hist, late)
+    b = scd2_rebuild(all_ev)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
