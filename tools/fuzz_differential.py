@@ -411,9 +411,15 @@ class Generator:
             order = ""
             if self.rng.random() < 0.5:
                 # total order: aggs first, then EVERY group key (the
-                # keys are a unique key of the grouped output)
-                by = [a.alias + " DESC" for a in aggs] + [k.alias
-                                                          for k in keys]
+                # keys are a unique key of the grouped output). NULL
+                # placement is EXPLICIT on every term (the window-
+                # grammar rule): Spark defaults NULLS LAST on DESC /
+                # FIRST on ASC, DuckDB the opposite — a NULL agg (SUM
+                # of an all-NULL group) or a NULL key (LEFT JOIN right
+                # side) under LIMIT would silently diverge otherwise.
+                by = [a.alias + " DESC NULLS LAST" for a in aggs] + [
+                    k.alias + " NULLS FIRST" for k in keys
+                ]
                 order = (f" ORDER BY {', '.join(by)} "
                          f"LIMIT {self.rng.randrange(1, 20)}")
             s_keys = ", ".join(e.s() for e in keys)
