@@ -85,6 +85,7 @@ def curate_corpus(
     span_l: int = _SPAN_L,
     gopher: bool = False,
     normalize: bool = False,
+    ledger: bool = False,
     metrics=None,
     run_ts=None,
 ) -> dict:
@@ -102,7 +103,13 @@ def curate_corpus(
     Unicode NFC normalization as stage 0 (operators/unicode_norm.py)
     so exact dedup and the span-gram hashes see é == e+U+0301 — form
     variants of the same text collapse instead of slipping through —
-    and adds ``n_nfc_changed`` to the report.
+    and adds ``n_nfc_changed`` to the report. ``ledger=True`` adds a
+    ``ledger`` DataFrame to the report: one (doc_id, stage) row per
+    DROPPED document naming the stage that cut it (provenance — "why
+    is my document missing from the shards"); ledger ∪ shipped
+    partitions the input exactly (tested). The frames it anti-joins
+    are the per-stage checkpoints the pipeline already materializes,
+    so the ledger adds no extra corpus passes until consumed.
     Deterministic end to end — re-running on the same
     corpus rewrites identical shards. With a ``metrics`` store, a
     failing stage records a status='failed' row naming the stage
@@ -114,8 +121,8 @@ def curate_corpus(
         return _curate_corpus(
             spark, docs, out_dir, token_budget=token_budget,
             n_shards=n_shards, span_l=span_l, gopher=gopher,
-            normalize=normalize, metrics=metrics, run_ts=run_ts,
-            stage=stage,
+            normalize=normalize, ledger=ledger, metrics=metrics,
+            run_ts=run_ts, stage=stage,
         )
     except Exception as e:
         if metrics is not None:
@@ -141,11 +148,13 @@ def _curate_corpus(
     span_l: int,
     gopher: bool,
     normalize: bool,
+    ledger: bool,
     metrics,
     run_ts,
     stage: dict,
 ) -> dict:
     report: dict = {}
+    drop_pairs: list = []  # (stage, in_frame, out_frame) for the ledger
     t0 = time.monotonic()
     stage["name"] = "exact_dedup"
     docs = docs.select("doc_id", "text").localCheckpoint(eager=False)
@@ -196,6 +205,7 @@ def _curate_corpus(
     )
     n_exact = exact.count()
     report["n_exact_kept"] = n_exact
+    drop_pairs.append(("exact_dedup", docs, exact))
     _stage(metrics, run_ts, "exact_dedup", n_input, n_exact, t0)
 
     # 2. substring-span dedup + reassembly; fully-duplicated docs
@@ -223,6 +233,7 @@ def _curate_corpus(
     # TypeError failure row (ADVICE r6).
     n_span_kept = int(span_stats["kept"] or 0)
     report["n_span_kept"] = n_span_kept
+    drop_pairs.append(("substring_dedup", exact, deduped))
     report["span_tokens_removed"] = int(span_stats["removed"] or 0)
     _stage(metrics, run_ts, "substring_dedup", n_exact, n_span_kept, t1)
 
@@ -272,6 +283,7 @@ def _curate_corpus(
         n_gopher = ruled.count()
         report["n_gopher_kept"] = n_gopher
         _stage(metrics, run_ts, "gopher_rules", n_span_kept, n_gopher, t2b)
+        drop_pairs.append(("gopher_rules", scrubbed, ruled))
         scrubbed = ruled
         gate_in = n_gopher
 
@@ -287,6 +299,7 @@ def _curate_corpus(
     )
     n_quality = scored.count()
     report["n_quality_kept"] = n_quality
+    drop_pairs.append(("quality_gate", scrubbed, scored))
     _stage(
         metrics, run_ts, "quality_gate", gate_in, n_quality, t3
     )
@@ -324,6 +337,7 @@ def _curate_corpus(
     ).collect()[0]
     report["n_selected"] = int(sel["n"])
     report["selected_tokens"] = int(sel["t"] or 0)
+    drop_pairs.append(("token_budget", scored, final))
     _stage(metrics, run_ts, "token_budget", n_quality, int(sel["n"]), t4)
 
     # 6. sharded sink: deterministic interleave, shard=N/ parquet dirs
@@ -336,4 +350,15 @@ def _curate_corpus(
     report["n_shards"] = n_shards
     report["out_dir"] = out_dir
     _stage(metrics, run_ts, "write_shards", int(sel["n"]), int(sel["n"]), t5)
+    if ledger:
+        parts = [
+            in_df.select("doc_id")
+            .join(out_df.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("stage", F.lit(name))
+            for name, in_df, out_df in drop_pairs
+        ]
+        led = parts[0]
+        for p in parts[1:]:
+            led = led.unionByName(p)
+        report["ledger"] = led
     return report

@@ -238,3 +238,44 @@ def test_curate_corpus_from_orc_ingest_matches_direct(spark, tmp_path):
     a = spark.read.parquet(str(tmp_path / "shards_orc"))
     b = spark.read.parquet(str(tmp_path / "shards_direct"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_curate_corpus_ledger_partitions_the_input(spark, tmp_path):
+    """ledger=True: every input doc is EITHER shipped or appears in
+    the ledger exactly once with the stage that dropped it; stage
+    names match the funnel arithmetic."""
+    docs = _docs(spark)
+    out = str(tmp_path / "shards")
+    r = curate_corpus(spark, docs, out, n_shards=2, ledger=True)
+    led = r["ledger"]
+    shipped = spark.read.parquet(out).select("doc_id")
+    n_in = docs.count()
+    assert led.count() + shipped.count() == n_in
+    assert led.join(shipped, "doc_id").count() == 0
+    assert led.select("doc_id").distinct().count() == led.count()
+    by_stage = {
+        row["stage"]: row["n"]
+        for row in led.groupBy("stage").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_stage.get("exact_dedup", 0) == n_in - r["n_exact_kept"]
+    assert by_stage.get("substring_dedup", 0) == (
+        r["n_exact_kept"] - r["n_span_kept"]
+    )
+    assert by_stage.get("quality_gate", 0) == (
+        r["n_span_kept"] - r["n_quality_kept"]
+    )
+    assert "token_budget" not in by_stage  # no budget: nothing cut there
+
+
+def test_curate_corpus_ledger_budget_stage(spark, tmp_path):
+    """With a tight token budget the ledger attributes the cut docs to
+    the token_budget stage."""
+    docs = _docs(spark)
+    out = str(tmp_path / "shards_b")
+    r = curate_corpus(
+        spark, docs, out, n_shards=2, token_budget=500, ledger=True
+    )
+    cut = (
+        r["ledger"].filter(F.col("stage") == "token_budget").count()
+    )
+    assert cut == r["n_quality_kept"] - r["n_selected"] > 0
