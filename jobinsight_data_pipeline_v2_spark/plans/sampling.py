@@ -795,10 +795,13 @@ def write_training_shards(
     out_dir: str,
     id_col: str = "doc_id",
     n_shards: int = _SHUFFLE_SHARDS,
+    fmt: str = "parquet",
 ) -> None:
-    """Materialize the corpus as ``shard=N/`` parquet dirs whose row
+    """Materialize the corpus as ``shard=N/`` dirs whose row
     order IS the deterministic interleave — the file set a trainer's
-    data loader streams sequentially.
+    data loader streams sequentially. ``fmt`` picks the file format
+    (``parquet`` default, ``orc`` for ORC-consuming trainers/
+    warehouses — both preserve in-file row order).
 
     Scale shape: attach payloads to the shard/pos assignment (an
     id-keyed join — both sides hash on the id, AQE co-partitions),
@@ -817,7 +820,8 @@ def write_training_shards(
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(out_dir)
+        .format(fmt)
+        .save(out_dir)
     )
 
 

@@ -279,3 +279,22 @@ def test_curate_corpus_ledger_budget_stage(spark, tmp_path):
         r["ledger"].filter(F.col("stage") == "token_budget").count()
     )
     assert cut == r["n_quality_kept"] - r["n_selected"] > 0
+
+
+def test_write_training_shards_orc_format(spark, tmp_path):
+    """fmt='orc': same shard assignment and in-file order as the
+    parquet sink, readable back via the ORC reader."""
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        write_training_shards,
+    )
+
+    docs = _docs(spark).limit(60).withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    )
+    p_out = str(tmp_path / "shards_pq")
+    o_out = str(tmp_path / "shards_orc")
+    write_training_shards(docs, p_out, n_shards=3)
+    write_training_shards(docs, o_out, n_shards=3, fmt="orc")
+    a = spark.read.parquet(p_out)
+    b = spark.read.orc(o_out)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
