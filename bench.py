@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "orc_roundtrip",  # S17 ingest: partitioned ORC write + columnar read-back
     "leakage_safe_split",  # component-keyed 80/10/10, no near-dup straddle
     "temperature_mixture",  # T5 alpha=1/2 source mixing, exact isqrt core
+    # round 7 continuation (4th session)
+    "srp_lsh_pairs",  # hyperplane-LSH near-dup pairs over embeddings
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -1387,3 +1387,223 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(d1).unionByName(d2)
     return semdedup_groups(corpus).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# SRP (signed-random-projection / hyperplane) LSH near-dup pairs
+# ---------------------------------------------------------------------------
+# The oracle-gated face of the hyperplane-LSH family
+# (operators/similarity.py lsh_bucket/lsh_topk is the xxhash64
+# production twin, property-tested — xxhash64 has no DuckDB
+# equivalent, so the gate derives its ±1 plane weights from md5, the
+# simhash convention). 64 hyperplanes over the 64-dim quantized
+# vectors; signature carried as two non-negative 32-bit halves
+# (sig_lo, sig_hi); pigeonhole banding (4 × 16 bits: any pair within
+# hamming 6 could still miss — LSH recall is probabilistic BY DESIGN
+# and both engines compute the identical deterministic outcome).
+#
+# Projection shape (measured, rule-10 nuance): the 64 dots are ONE
+# interpreted transform-fold over the literal weight matrix (4096
+# mult-adds/row), checkpointed, then the two signature halves are 64
+# cheap element_at CASE terms over the materialized dots array. The
+# "clever" alternative — unrolling every sign bit into a flat
+# 2048-element_at codegen sum (the simhash 2·c>n analog) — measured
+# 4.9 s vs 0.93 s warm in one session: each run's fresh checkpoint
+# RDD makes the 2.6 MB generated class a codegen-cache MISS, so
+# Janino recompiles the monster every invocation, dwarfing any
+# per-row win. Interpretation beats giant codegen here. Zero shuffle
+# before the band self-join either way.
+#
+# Gate data note (the semantic_dedup device): the driver embeddings
+# are iid (max natural cosine ~0.6 → SRP hamming ~Binomial(64, .35)
+# at best, never ≤ 6), so near-duplicates are synthesized IN-PLAN on
+# both sides: every vec_id % 7 == 0 vector gets a +5000-per-component
+# copy whose per-plane shift is 5000·Σw_h ≪ the dot's natural spread —
+# expected hamming ≈ 1, well under the 6 cutoff, while random pairs
+# that share a band still sit near hamming 32 and are filtered.
+
+_SRP_PLANES = 64
+_SRP_MAX_HAMMING = 6
+_SRP_PERT = 5_000
+_SRP_OFF = 10_000_000
+
+
+def srp_weights(n_planes: int = _SRP_PLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplane weights: sign = first hex digit of
+    md5("srp-{plane}-{dim}") < '8'. CPython md5 == Spark md5 == DuckDB
+    md5 (the functions/hashing.py agreement), so the matrix can be
+    compiled into BOTH plans as literals and never hashed at runtime."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"srp-{h}-{d}".encode()).hexdigest()[0] < "8"
+            else -1
+            for d in range(dim)
+        ]
+        for h in range(n_planes)
+    ]
+
+
+def srp_sign_exprs(dots_col: str = "ds") -> tuple[str, str]:
+    """(sig_lo, sig_hi) Spark SQL expression texts over a MATERIALIZED
+    per-plane dot-product array — 32 element_at CASE terms per half
+    (see the projection-shape module note)."""
+
+    def half(off: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN element_at({dots_col}, {p + off + 1}) > 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE 0L END)"
+            for p in range(32)
+        )
+
+    return half(0), half(32)
+
+
+_SRP_W = srp_weights()
+_SRP_W_SPARK = (
+    "array("
+    + ", ".join(
+        "array(" + ", ".join(f"{v}L" for v in row) + ")" for row in _SRP_W
+    )
+    + ")"
+)
+_SRP_W_SQL = (
+    "["
+    + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in _SRP_W)
+    + "]"
+)
+
+
+@register(
+    "srp_lsh_pairs",
+    f"""
+    WITH base AS (
+        SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, qv FROM base
+        UNION ALL
+        SELECT vec_id + {_SRP_OFF}, list_transform(qv, x -> x + {_SRP_PERT})
+        FROM base WHERE vec_id % 7 = 0
+    ),
+    dots AS (
+        SELECT vec_id,
+               list_transform({_SRP_W_SQL}, w ->
+                   list_sum(list_transform(list_zip(qv, w),
+                                           p -> p[1] * p[2]))) AS ds
+        FROM corpus
+    ),
+    bits AS (
+        SELECT vec_id, p, CASE WHEN ds[p + 1] > 0 THEN 1 ELSE 0 END AS b
+        FROM dots, UNNEST(generate_series(0, 63)) AS t(p)
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN b = 1 AND p < 32
+                             THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+                   AS sig_lo,
+               CAST(SUM(CASE WHEN b = 1 AND p >= 32
+                             THEN (1::BIGINT << (p - 32)) ELSE 0 END)
+                    AS BIGINT) AS sig_hi
+        FROM bits GROUP BY 1
+    ),
+    banded AS (
+        SELECT vec_id, sig_lo, sig_hi, band,
+               CASE WHEN band = 0 THEN sig_lo & 65535
+                    WHEN band = 1 THEN (sig_lo >> 16) & 65535
+                    WHEN band = 2 THEN sig_hi & 65535
+                    ELSE (sig_hi >> 16) & 65535 END AS band_val
+        FROM sigs, UNNEST(generate_series(0, 3)) AS t(band)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.sig_lo AS la, a.sig_hi AS ha,
+               b.sig_lo AS lb, b.sig_hi AS hb
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+                     AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT)
+               AS hamming
+    FROM pairs
+    WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+              <= {_SRP_MAX_HAMMING}
+    ORDER BY 1, 2
+    """,
+)
+def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-duplicate pairs over embeddings
+    (+ in-plan synthesized near-dups, see module note): 64-bit SRP
+    signature → 4×16-bit band self-join → hamming ≤ {_SRP_MAX_HAMMING}
+    verify. Candidate generation is linear in corpus size (never
+    all-pairs); the corpus shuffles only for the band join.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = emb.select("vec_id", F.expr(_QVEC).alias("qv"))
+    dup = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + _SRP_OFF).alias("vec_id"),
+        F.expr(f"transform(qv, x -> x + {_SRP_PERT})").alias("qv"),
+    )
+    # the 64 dots materialize once — the sign bits reference them
+    # per-position (rule 10/14: plan tests assert on this subtree
+    # BEFORE the boundary)
+    dots = (
+        base.unionByName(dup)
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform({_SRP_W_SPARK}, w -> "
+                "aggregate(zip_with(qv, w, (x, y) -> x * y), 0L, "
+                "(acc, v) -> acc + v))"
+            ).alias("ds"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lo, hi = srp_sign_exprs()
+    sigs = dots.select(
+        "vec_id", F.expr(lo).alias("sig_lo"), F.expr(hi).alias("sig_hi")
+    )
+    banded = sigs.select(
+        "vec_id",
+        "sig_lo",
+        "sig_hi",
+        F.explode(F.expr("sequence(0, 3)")).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            "CASE WHEN band = 0 THEN sig_lo & 65535 "
+            "WHEN band = 1 THEN (sig_lo >> 16) & 65535 "
+            "WHEN band = 2 THEN sig_hi & 65535 "
+            "ELSE (sig_hi >> 16) & 65535 END"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.sig_lo").alias("la"),
+            F.col("a.sig_hi").alias("ha"),
+            F.col("b.sig_lo").alias("lb"),
+            F.col("b.sig_hi").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.expr("bit_count(la ^ lb) + bit_count(ha ^ hb)").cast("long"),
+        )
+        .filter(F.col("hamming") <= _SRP_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

@@ -814,3 +814,53 @@ def test_orc_scan_pushdown_and_partition_pruning(spark, tmp_path):
     # required-field null filter evaluates it) and must not be read
     schema_line = [l for l in p.splitlines() if "ReadSchema" in l][0]
     assert "source" not in schema_line
+
+
+def test_srp_signature_subtree_and_python_agreement(spark):
+    """srp_lsh_pairs' signature pipeline (inside the gate's checkpoint
+    boundary, so asserted directly — rule 14): the dot/sign subtree is
+    fully narrow (zero Exchange before the band self-join), and the
+    packed signature halves agree bit-for-bit with a pure-Python
+    reference of the published SRP construction."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.plans.vectors import (
+        _SRP_W,
+        _SRP_W_SPARK,
+        srp_sign_exprs,
+    )
+
+    vecs = spark.range(20).select(
+        "id",
+        F.expr(
+            "transform(sequence(1, 64), "
+            "d -> cast((id + 7) * d % 2001 - 1000 as bigint))"
+        ).alias("qv"),
+    )
+    dots = vecs.select(
+        "id",
+        F.expr(
+            f"transform({_SRP_W_SPARK}, w -> "
+            "aggregate(zip_with(qv, w, (x, y) -> x * y), 0L, "
+            "(acc, v) -> acc + v))"
+        ).alias("ds"),
+    )
+    lo, hi = srp_sign_exprs()
+    sigs = dots.select(
+        "id", F.expr(lo).alias("sig_lo"), F.expr(hi).alias("sig_hi")
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    assert "Exchange" not in sigs._jdf.queryExecution().explainString(mode)
+    got = {r["id"]: (r["sig_lo"], r["sig_hi"]) for r in sigs.collect()}
+    for i in range(20):
+        qv = [(i + 7) * d % 2001 - 1000 for d in range(1, 65)]
+        dots_ref = [
+            sum(q * w for q, w in zip(qv, _SRP_W[h])) for h in range(64)
+        ]
+        lo_ref = sum(1 << h for h in range(32) if dots_ref[h] > 0)
+        hi_ref = sum(
+            1 << (h - 32) for h in range(32, 64) if dots_ref[h] > 0
+        )
+        assert got[i] == (lo_ref, hi_ref), i
