@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "temperature_mixture",  # T5 alpha=1/2 source mixing, exact isqrt core
     # round 7 continuation (4th session)
     "srp_lsh_pairs",  # hyperplane-LSH near-dup pairs over embeddings
+    "attribution_pairs",  # view->purchase interval join (stream-stream twin)
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -997,3 +997,72 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cohort_matrix(act)
+
+
+# ---------------------------------------------------------------------------
+# View→purchase attribution pairs (the stream-stream-join family's
+# batch face; streaming/events.attribution_stream is the twin — the
+# engine's one double-watermarked stream-stream interval join)
+# ---------------------------------------------------------------------------
+
+_ATTR_HORIZON_HOURS = 12
+
+
+@register(
+    "attribution_pairs",
+    f"""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS purchase_value
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL {_ATTR_HORIZON_HOURS} HOUR
+    """,
+)
+def attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (view, purchase) pair of the same user with the purchase
+    inside ({_ATTR_HORIZON_HOURS}h after the view] — multi-touch
+    attribution's candidate set (last/first-touch reduce over it with
+    the asof_join_purchases gate's window device).
+
+    Scale shape: an EQUI-join on user_id with the time range as
+    residual — one shuffle per side on a uniform key, never a
+    cartesian or a per-user window over the whole horizon. The
+    interval arithmetic stays on the microsecond-exact ntz wall
+    clock (the sessionize convention).
+    """
+    ev = load_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts")
+            + F.expr(f"INTERVAL {_ATTR_HORIZON_HOURS} HOUR")
+        ),
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -562,3 +562,74 @@ def scd2_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join: view→purchase attribution
+# (the twin of plans/events.attribution_pairs — the engine's
+# double-watermarked stream-stream join; every other streaming join in
+# the package is stream-static)
+# ---------------------------------------------------------------------------
+
+
+def attribution_stream(
+    events: DataFrame,
+    horizon_hours: int = 12,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """(view, purchase) pairs of the same user with the purchase inside
+    (horizon after the view] — the streaming twin of the
+    attribution_pairs gate, expressed as Spark's native stream-stream
+    inner join with BOTH sides watermarked and the time bound in the
+    join condition, so the runtime derives state-eviction thresholds
+    itself: a buffered view is dropped once the purchase-side watermark
+    passes view_ts + horizon (no future purchase can match it), and
+    state is O(events inside the horizon), not O(stream length).
+
+    Late-data contract (pinned as MEASURED by test, this Spark): join
+    inputs are NOT pre-filtered by event time and state eviction lags
+    the watermark by one micro-batch — a late purchase arriving in the
+    very next batch after a watermark jump can still match
+    not-yet-evicted view state; once any further batch commits the
+    advanced watermark, the view is gone and the late purchase emits
+    nothing. Phantom pairs against evicted state are impossible. The
+    watermark columns are one-time casts of the ntz event time (rule:
+    watermarks need TimestampType); the emitted view_ts/purchase_ts
+    stay on the ntz wall clock, bit-identical to the batch gate.
+    """
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("ts").cast("timestamp").alias("v_event_ts"),
+        )
+        .withWatermark("v_event_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+            F.col("ts").cast("timestamp").alias("p_event_ts"),
+        )
+        .withWatermark("p_event_ts", watermark)
+    )
+    return v.join(
+        p,
+        F.expr(
+            "user_id = p_user AND p_event_ts > v_event_ts "
+            f"AND p_event_ts <= v_event_ts + INTERVAL {horizon_hours} HOURS"
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -2290,3 +2290,114 @@ def test_scd2_repair_inserts_late_rows(spark):
     a = scd2_repair(hist, late)
     b = scd2_rebuild(all_ev)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_attribution_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (the package's one double-watermarked
+    join): with time-ordered drops, the union of emitted pairs must
+    equal the attribution_pairs batch gate exactly."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.events import (
+        attribution_stream,
+    )
+
+    ev = load_events(spark, SF)
+    src = os.path.join(str(tmp_path), "attr_flat")
+    os.makedirs(src)
+    rows = ev.count()
+    per = rows // 3 + 1
+    from pyspark.sql.window import Window as W
+
+    ranked = ev.withColumn(
+        "__rk", F.row_number().over(W.orderBy("ts", "event_id"))
+    ).withColumn("__b", ((F.col("__rk") - 1) / per).cast("int"))
+    for b in range(3):
+        part = ranked.filter(F.col("__b") == b).drop("__rk", "__b")
+        d = os.path.join(str(tmp_path), f"attr_d{b}")
+        part.coalesce(1).write.parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, f"drop_{b}.parquet")
+                    os.rename(os.path.join(root, f), dst)
+                    t = time.time() + b
+                    os.utime(dst, (t, t))
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = run_stream_to_memory(
+        spark, attribution_stream(stream), "attr_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, view_id, purchase_id, view_ts, purchase_ts,"
+        " purchase_value FROM attr_test"
+    )
+    expected = load_all()["attribution_pairs"][0](spark, SF)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0, (
+        f"stream/batch diverge: {got.count()} vs {expected.count()}"
+    )
+
+
+def test_attribution_stream_drops_late_purchase(spark, tmp_path):
+    """Late-data contract (pinned as measured): state eviction lags the
+    watermark by one micro-batch and join INPUTS are not pre-filtered
+    by event time — so a late purchase arriving one batch after the
+    watermark jump can still match not-yet-evicted view state, but
+    once a further batch has committed the advanced watermark the view
+    is evicted and the late purchase emits nothing (no phantom pairs
+    against evicted state)."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.streaming.events import (
+        attribution_stream,
+    )
+
+    src = os.path.join(str(tmp_path), "late_flat")
+    os.makedirs(src)
+    mk = (
+        "SELECT CAST({eid} AS BIGINT) AS event_id,"
+        " TIMESTAMP_NTZ'{ts}' AS ts, CAST(7 AS BIGINT) AS user_id,"
+        " '{et}' AS event_type, CAST(10.0 AS DOUBLE) AS value,"
+        " '' AS props"
+    )
+    batches = [
+        # batch 0: the view + an in-horizon purchase (one pair emits)
+        mk.format(eid=1, ts="2024-01-01 00:00:00", et="view")
+        + " UNION ALL "
+        + mk.format(eid=2, ts="2024-01-01 01:00:00", et="purchase"),
+        # batch 1: far-future events push both watermarks way past the
+        # view's eviction threshold (view_ts + horizon + delay)
+        mk.format(eid=3, ts="2024-01-20 00:00:00", et="view")
+        + " UNION ALL "
+        + mk.format(eid=4, ts="2024-01-20 00:30:00", et="purchase"),
+        # batch 2: one more batch so the jumped watermark actually
+        # COMMITS an eviction pass (eviction lags one micro-batch);
+        # >12h after batch 1 so no cross-batch pair forms
+        mk.format(eid=6, ts="2024-01-21 00:00:00", et="view")
+        + " UNION ALL "
+        + mk.format(eid=7, ts="2024-01-21 00:30:00", et="purchase"),
+        # batch 3: a LATE purchase inside batch 0's horizon — its view
+        # is now evicted, so nothing emits
+        mk.format(eid=5, ts="2024-01-01 02:00:00", et="purchase"),
+    ]
+    for b, sql in enumerate(batches):
+        d = os.path.join(str(tmp_path), f"late_d{b}")
+        spark.sql(sql).coalesce(1).write.parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, f"drop_{b}.parquet")
+                    os.rename(os.path.join(root, f), dst)
+                    t = time.time() + b
+                    os.utime(dst, (t, t))
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = run_stream_to_memory(
+        spark, attribution_stream(stream), "attr_late_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT view_id, purchase_id FROM attr_late_test ORDER BY 1, 2"
+    ).collect()
+    assert [(r[0], r[1]) for r in got] == [(1, 2), (3, 4), (6, 7)], got
