@@ -1160,3 +1160,83 @@ def approx_percentiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ps")[2].alias("p99"),
         within.cast("int").alias("within_rank_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout cells (operators/layout.py — data-skipping family).
+# The gate pins the Morton arithmetic cross-engine: min-max bucketing
+# of two order dimensions into 16-bit lanes, bit interleave (ONE SQL
+# text shared verbatim by both engines), then per-cell aggregates over
+# the top 6 z-bits — the same cells zorder_write clusters files by.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_CELL_SHIFT = 26  # 32-bit zkey >> 26 → 64 cells
+
+
+def _zorder_cells_sql(div_op: str) -> str:
+    from ..operators.layout import minmax_bucket_sql, zorder_interleave_sql
+
+    ux = minmax_bucket_sql("x", "minx", "maxx", _Z_BITS, div_op)
+    uy = minmax_bucket_sql("y", "miny", "maxy", _Z_BITS, div_op)
+    z = zorder_interleave_sql("ux", "uy", _Z_BITS)
+    return f"""
+    WITH b AS (
+        SELECT o_orderkey,
+               CAST(o_custkey AS BIGINT) AS x,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    mm AS (
+        SELECT MIN(x) AS minx, MAX(x) AS maxx,
+               MIN(y) AS miny, MAX(y) AS maxy
+        FROM b
+    ),
+    u AS (
+        SELECT o_orderkey, {ux} AS ux, {uy} AS uy FROM b, mm
+    ),
+    z AS (
+        SELECT o_orderkey, ux, uy, {z} AS zkey FROM u
+    )
+    SELECT zkey >> {_Z_CELL_SHIFT} AS zcell,
+           COUNT(*) AS n_orders,
+           CAST(MIN(zkey) AS BIGINT) AS min_z,
+           CAST(MAX(zkey) AS BIGINT) AS max_z,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM z
+    GROUP BY 1
+    """
+
+
+@register("zorder_cells", _zorder_cells_sql("//"))
+def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-cell rollup over orders clustered on
+    (o_custkey, o_totalprice-cents): per top-6-bit z-cell the row
+    count, z-range and key sum. Pins operators/layout.py's interleave
+    + bucketing arithmetic against the oracle (the interleave SQL text
+    is literally shared; only the integer-division operator differs).
+
+    Scale shape: one global min/max row broadcast back, a narrow
+    z-value projection, one group-by on the cell key — the exact plan
+    zorder_write runs before its single range exchange.
+    """
+    from ..operators.layout import zorder_keys
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("__cents"),
+    )
+    keyed = zorder_keys(orders, "o_custkey", "__cents", _Z_BITS)
+    return (
+        keyed.withColumn(
+            "zcell", F.expr(f"__zkey >> {_Z_CELL_SHIFT}")
+        )
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("__zkey").alias("min_z"),
+            F.max("__zkey").alias("max_z"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+    )
