@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "srp_lsh_pairs",  # hyperplane-LSH near-dup pairs over embeddings
     "attribution_pairs",  # view->purchase interval join (stream-stream twin)
     "zorder_cells",  # Morton z-cell rollup (data-skipping layout family)
+    "borda_fusion",  # integer Borda rank fusion of two retriever lists
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

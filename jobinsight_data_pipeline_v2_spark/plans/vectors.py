@@ -1607,3 +1607,137 @@ def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-fusion hybrid retrieval (Borda): fuse two retrievers' ranked
+# lists by integer rank points — the standard multi-query / hybrid
+# (dense + dense-variant) fusion shape, RRF's integer-exact sibling
+# (RRF's 1/(k+rank) fractions are a cross-engine float hazard; Borda
+# points N−rank carry identical information for fusion and stay in
+# BIGINT).
+# ---------------------------------------------------------------------------
+
+_FUSE_Q_A = 0  # first query vector (the cosine_topk convention)
+_FUSE_Q_B = 1  # second query vector (a reformulation / variant)
+_FUSE_N = 50  # per-retriever candidate depth
+_FUSE_K = 10  # fused top-k
+
+
+@register(
+    "borda_fusion",
+    f"""
+    WITH qa AS (
+        SELECT {_SQL_QVEC} AS qv FROM embeddings WHERE vec_id = {_FUSE_Q_A}
+    ),
+    qb AS (
+        SELECT {_SQL_QVEC} AS qv FROM embeddings WHERE vec_id = {_FUSE_Q_B}
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               CAST({_sql_dot(_E_QVEC, 'qa.qv')} AS DOUBLE)
+                   / (sqrt(CAST({_sql_dot(_E_QVEC, _E_QVEC)} AS DOUBLE))
+                      * sqrt(CAST({_sql_dot('qa.qv', 'qa.qv')} AS DOUBLE)))
+                   AS cos_a,
+               CAST({_sql_dot(_E_QVEC, 'qb.qv')} AS DOUBLE)
+                   / (sqrt(CAST({_sql_dot(_E_QVEC, _E_QVEC)} AS DOUBLE))
+                      * sqrt(CAST({_sql_dot('qb.qv', 'qb.qv')} AS DOUBLE)))
+                   AS cos_b
+        FROM embeddings e, qa, qb
+        WHERE e.vec_id NOT IN ({_FUSE_Q_A}, {_FUSE_Q_B})
+    ),
+    top_a AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_a DESC, vec_id)
+                   AS rank_a
+        FROM (SELECT vec_id, cos_a FROM scored
+              ORDER BY cos_a DESC, vec_id LIMIT {_FUSE_N})
+    ),
+    top_b AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_b DESC, vec_id)
+                   AS rank_b
+        FROM (SELECT vec_id, cos_b FROM scored
+              ORDER BY cos_b DESC, vec_id LIMIT {_FUSE_N})
+    ),
+    fused AS (
+        SELECT COALESCE(a.vec_id, b.vec_id) AS vec_id,
+               a.rank_a AS rank_a, b.rank_b AS rank_b,
+               COALESCE({_FUSE_N} - a.rank_a, 0)
+                   + COALESCE({_FUSE_N} - b.rank_b, 0) AS borda
+        FROM top_a a FULL OUTER JOIN top_b b ON a.vec_id = b.vec_id
+    )
+    SELECT vec_id, rank_a, rank_b, CAST(borda AS BIGINT) AS borda
+    FROM fused
+    ORDER BY borda DESC, vec_id
+    LIMIT {_FUSE_K}
+    """,
+)
+def borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused top-{_FUSE_K} over two retrievers (cosine against query
+    vectors {_FUSE_Q_A} and {_FUSE_Q_B}): per retriever the top-{_FUSE_N}
+    candidates ranked (cosine desc, vec_id), Borda points
+    {_FUSE_N}−rank summed across lists (absent → 0), ties broken by
+    vec_id.
+
+    Scale shape: ONE narrow corpus pass scores both queries (the
+    query pair rides a broadcast cross join), each list is a global
+    TakeOrdered({_FUSE_N}) — no corpus shuffle — and ranking/fusion
+    runs on two {_FUSE_N}-row frames (the bounded-window device:
+    windows only ever see candidate-depth rows, never the corpus).
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qa = (
+        emb.filter(F.col("vec_id") == _FUSE_Q_A)
+        .select(F.expr(_QVEC).alias("qa"))
+    )
+    qb = (
+        emb.filter(F.col("vec_id") == _FUSE_Q_B)
+        .select(F.expr(_QVEC).alias("qb"))
+    )
+    scored = (
+        emb.filter(~F.col("vec_id").isin(_FUSE_Q_A, _FUSE_Q_B))
+        .select("vec_id", F.expr(_QVEC).alias("qv"))
+        .crossJoin(F.broadcast(qa))
+        .crossJoin(F.broadcast(qb))
+        .select(
+            "vec_id",
+            (
+                _dot("qv", "qa").cast("double")
+                / (
+                    F.sqrt(_dot("qv", "qv").cast("double"))
+                    * F.sqrt(_dot("qa", "qa").cast("double"))
+                )
+            ).alias("cos_a"),
+            (
+                _dot("qv", "qb").cast("double")
+                / (
+                    F.sqrt(_dot("qv", "qv").cast("double"))
+                    * F.sqrt(_dot("qb", "qb").cast("double"))
+                )
+            ).alias("cos_b"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    def ranked(col: str, out: str) -> DataFrame:
+        top = scored.orderBy(F.col(col).desc(), "vec_id").limit(_FUSE_N)
+        w = Window.orderBy(F.col(col).desc(), "vec_id")
+        return top.select(
+            "vec_id", F.row_number().over(w).cast("long").alias(out)
+        )
+
+    a, b = ranked("cos_a", "rank_a"), ranked("cos_b", "rank_b")
+    fused = (
+        a.join(b, "vec_id", "full_outer")
+        .select(
+            "vec_id",
+            "rank_a",
+            "rank_b",
+            (
+                F.coalesce(F.lit(_FUSE_N) - F.col("rank_a"), F.lit(0))
+                + F.coalesce(F.lit(_FUSE_N) - F.col("rank_b"), F.lit(0))
+            )
+            .cast("long")
+            .alias("borda"),
+        )
+    )
+    return fused.orderBy(F.col("borda").desc(), "vec_id").limit(_FUSE_K)
