@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "attribution_pairs",  # view->purchase interval join (stream-stream twin)
     "zorder_cells",  # Morton z-cell rollup (data-skipping layout family)
     "borda_fusion",  # integer Borda rank fusion of two retriever lists
+    "gap_fill_daily",  # calendar spine + zero fill + carry-forward recency
+    "triangle_counts",  # degree-oriented triangle counting (graph motifs)
+    "fuzzy_name_match",  # FastSS deletion-neighborhood entity resolution
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

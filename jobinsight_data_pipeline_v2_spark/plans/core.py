@@ -1240,3 +1240,111 @@ def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("sum_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string match via deletion-neighborhood blocking (FastSS,
+# k=1): the approximate-string-matching / entity-resolution family —
+# dirty records probed against a clean master. Every string emits
+# itself plus its single-deletion variants as blocking keys; any two
+# strings within edit distance 1 share a key (substitution → both
+# delete that position; insert/delete → the shorter string IS a
+# deletion of the longer), so the candidate join is key-equi and
+# linear in data size — never all-pairs — and a levenshtein verify
+# removes blocking false positives (a shared deletion key does not
+# imply distance 1, e.g. transpositions).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_name_match",
+    """
+    WITH clean AS (
+        SELECT DISTINCT c_name AS w FROM customer WHERE c_name IS NOT NULL
+    ),
+    dirty AS (
+        SELECT c_custkey AS did,
+               substr(c_name, 1, c_custkey % length(c_name))
+               || substr(c_name, c_custkey % length(c_name) + 2) AS w
+        FROM customer
+        WHERE c_name IS NOT NULL AND c_custkey % 3 = 0
+    ),
+    ck AS (
+        SELECT DISTINCT w,
+               CASE WHEN j = 0 THEN w
+                    ELSE substr(w, 1, j - 1) || substr(w, j + 1)
+               END AS k
+        FROM clean, UNNEST(generate_series(0, length(w))) AS t(j)
+    ),
+    dk AS (
+        SELECT DISTINCT did, w,
+               CASE WHEN j = 0 THEN w
+                    ELSE substr(w, 1, j - 1) || substr(w, j + 1)
+               END AS k
+        FROM dirty, UNNEST(generate_series(0, length(w))) AS t(j)
+    ),
+    cand AS (
+        SELECT DISTINCT d.did, d.w AS dirty_name, c.w AS clean_name
+        FROM dk d JOIN ck c ON d.k = c.k
+    )
+    SELECT did, dirty_name, clean_name,
+           CAST(levenshtein(dirty_name, clean_name) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(dirty_name, clean_name) <= 1
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by fuzzy lookup: every third customer's name
+    with one character deleted at a key-derived position (the in-plan
+    dirty-record synthesis) matched against the clean name master at
+    edit distance <= 1 via deletion-neighborhood blocking.
+
+    Scale shape: (len+1) blocking keys per string, deduped PER STRING
+    before the join (a run of m repeated characters otherwise emits
+    the same deletion key m times and candidates inflate m_a*m_b-fold
+    — measured 5x on the zero-padded names), one ASYMMETRIC equi join
+    (dirty probe vs clean build) on the xxhash64 of the key (rule 13:
+    shuffle 8-byte ints, never strings; a hash collision only mints a
+    candidate the levenshtein verify removes, so the result is
+    collision-proof by construction), distinct candidate dedup, and
+    the verify runs on the candidate-sized set only.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_name").isNotNull()
+    )
+    clean = cust.select(F.col("c_name").alias("w")).distinct()
+    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("did"),
+        F.expr(
+            "concat(substring(c_name, 1, c_custkey % length(c_name)), "
+            "substring(c_name, c_custkey % length(c_name) + 2))"
+        ).alias("w"),
+    )
+    key_expr = (
+        "xxhash64(CASE WHEN j = 0 THEN w "
+        "ELSE concat(substring(w, 1, j - 1), substring(w, j + 1)) END)"
+    )
+    ck = (
+        clean.select(
+            "w", F.explode(F.expr("sequence(0, length(w))")).alias("j")
+        )
+        .select(F.col("w").alias("clean_name"), F.expr(key_expr).alias("kh"))
+        .distinct()
+    )
+    dk = (
+        dirty.select(
+            "did", "w", F.explode(F.expr("sequence(0, length(w))")).alias("j")
+        )
+        .select(
+            "did",
+            F.col("w").alias("dirty_name"),
+            F.expr(key_expr).alias("kh"),
+        )
+        .distinct()
+    )
+    cand = dk.join(ck, "kh").select(
+        "did", "dirty_name", "clean_name"
+    ).distinct()
+    return cand.withColumn(
+        "dist", F.levenshtein("dirty_name", "clean_name").cast("long")
+    ).filter(F.col("dist") <= 1)

@@ -1066,3 +1066,96 @@ def attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         "purchase_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap fill / daily resample (time-series family: spine
+# generation + zero fill + carry-forward recency)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_daily",
+    f"""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+    ),
+    daily AS (
+        SELECT user_id, d, COUNT(*) AS n, {{sqlsum}} AS tv
+        FROM e GROUP BY 1, 2
+    ),
+    mm AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e),
+    idx AS (
+        SELECT unnest(generate_series(0, (SELECT d1 - d0 FROM mm))) AS i
+    ),
+    spine AS (
+        SELECT u.user_id, (SELECT d0 FROM mm) + CAST(i AS INTEGER) AS day
+        FROM (SELECT DISTINCT user_id FROM e) u, idx
+    ),
+    filled AS (
+        SELECT s.user_id, s.day, dl.n, dl.tv
+        FROM spine s
+        LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.day = dl.d
+    ),
+    ff AS (
+        SELECT user_id, day, n, tv,
+               MAX(CASE WHEN n IS NOT NULL THEN day END)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS UNBOUNDED PRECEDING) AS last_active
+        FROM filled
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           COALESCE(tv, 0.0) AS total_value,
+           CAST(day - last_active AS BIGINT) AS days_since_activity
+    FROM ff
+    """.format(sqlsum=_sql_sum("value")),
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily series over the events span: a generated
+    calendar spine (every user × every day), activity days joined on,
+    gaps zero-filled, and a carry-forward recency column
+    (days_since_activity; NULL before a user's first event).
+
+    The resample/gap-fill shape every time-series store ships
+    (generate_series + ffill): the spine is users × a DAYS-sized
+    generated array (days ≪ data, broadcast), the fill is one left
+    join on (user, day), and carry-forward is a running MAX over a
+    CASE — no IGNORE NULLS dependence, same single exchange as the
+    sessionize window.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    daily = ev.groupBy("user_id", "d").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("value").alias("tv")
+    )
+    days = (
+        ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias(
+                "day"
+            )
+        )
+    )
+    spine = ev.select("user_id").distinct().crossJoin(F.broadcast(days))
+    filled = spine.join(
+        daily.withColumnRenamed("d", "day"), ["user_id", "day"], "left"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_active = F.max(
+        F.when(F.col("n").isNotNull(), F.col("day"))
+    ).over(w)
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+        F.datediff(F.col("day"), last_active)
+        .cast("long")
+        .alias("days_since_activity"),
+    )

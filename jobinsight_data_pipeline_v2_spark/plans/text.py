@@ -1839,3 +1839,95 @@ def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PR_TOP)
         .select("node", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# degree-oriented triangle counting over the synthesized doc graph
+# (operators/graph.triangle_counts_per_node; the pagerank chords plus
+# a 2-chord ring so triangles exist at every SF — the chords alone
+# close almost none on this modular graph)
+# ---------------------------------------------------------------------------
+
+_TRI_TOP = 25
+
+
+@register(
+    "triangle_counts",
+    f"""
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    chords AS (
+        SELECT node AS src,
+               (node * 7 + j * 31 + 11) % (SELECT n FROM tot) AS dst
+        FROM nodes, UNNEST(generate_series(1, 1 + node % 3)) AS t(j)
+    ),
+    ring AS (
+        SELECT node AS src, (node + j) % (SELECT n FROM tot) AS dst
+        FROM nodes, UNNEST(generate_series(1, 2)) AS t(j)
+    ),
+    edges AS (SELECT * FROM chords UNION ALL SELECT * FROM ring),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src != dst
+    ),
+    tri AS (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pern AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT u AS node FROM tri
+              UNION ALL SELECT v FROM tri
+              UNION ALL SELECT w FROM tri)
+        GROUP BY 1
+    )
+    SELECT node, n_triangles FROM pern
+    ORDER BY n_triangles DESC, node
+    LIMIT {_TRI_TOP}
+    """,
+)
+def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TRI_TOP} nodes by triangle participation on the
+    synthesized doc graph (pagerank chords + a 2-chord ring).
+
+    The Spark side runs the DEGREE-ORIENTED algorithm
+    (operators/graph.triangle_counts_per_node — wedge fan-out bounded
+    by arboricity, the shape that survives power-law degree skew);
+    the oracle enumerates the same triangles id-ordered with three
+    plain joins — each triangle is counted exactly once either way,
+    so the per-node credits match bit for bit. Total order under the
+    LIMIT: (n_triangles DESC, node), node unique.
+    """
+    from ..operators.graph import triangle_counts_per_node
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("node")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    base = docs.crossJoin(F.broadcast(tot))
+    chords = base.select(
+        F.col("node").alias("src"),
+        F.explode(F.expr("sequence(1, 1 + node % 3)")).alias("j"),
+        "__n",
+    ).select("src", F.expr("(src * 7 + j * 31 + 11) % __n").alias("dst"))
+    ring = base.select(
+        F.col("node").alias("src"),
+        F.explode(F.expr("sequence(1, 2)")).alias("j"),
+        "__n",
+    ).select("src", F.expr("(src + j) % __n").alias("dst"))
+    und = (
+        chords.unionByName(ring)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    return (
+        triangle_counts_per_node(und)
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(_TRI_TOP)
+    )
