@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "gap_fill_daily",  # calendar spine + zero fill + carry-forward recency
     "triangle_counts",  # degree-oriented triangle counting (graph motifs)
     "fuzzy_name_match",  # FastSS deletion-neighborhood entity resolution
+    "assoc_rules",  # market-basket confidence/lift, integer ppm ranking
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -1348,3 +1348,112 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn(
         "dist", F.levenshtein("dirty_name", "clean_name").cast("long")
     ).filter(F.col("dist") <= 1)
+
+
+# ---------------------------------------------------------------------------
+# Association rules over order baskets (market-basket family):
+# pair supports by within-basket self-join, confidence/lift as
+# deterministic integer parts-per-million (floor division — the DSIR
+# integer discipline; float ratios are a cross-engine hash hazard).
+# ---------------------------------------------------------------------------
+
+_ASSOC_MIN_SUP = 3
+_ASSOC_TOP = 25
+
+
+@register(
+    "assoc_rules",
+    f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+    item AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b2.l_partkey AS pb,
+               CAST(COUNT(*) AS BIGINT) AS s_ab
+        FROM b a
+        JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                 AND a.l_partkey != b2.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.pa, p.pb, p.s_ab,
+           ia.s AS s_a, ib.s AS s_b,
+           CAST((p.s_ab * 1000000) // ia.s AS BIGINT) AS conf_ppm,
+           CAST((p.s_ab * (SELECT n FROM tot) * 1000000)
+                    // (ia.s * ib.s) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN item ia ON p.pa = ia.l_partkey
+    JOIN item ib ON p.pb = ib.l_partkey
+    WHERE p.s_ab >= {_ASSOC_MIN_SUP}
+    ORDER BY conf_ppm DESC, pa, pb
+    LIMIT {_ASSOC_TOP}
+    """,
+)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_ASSOC_TOP} association rules a→b over order baskets
+    (distinct parts per order): pair support ≥ {_ASSOC_MIN_SUP},
+    ranked by integer confidence (s_ab·10⁶ // s_a) with lift
+    (s_ab·N·10⁶ // (s_a·s_b)) — both deterministic floor divisions,
+    never float ratios.
+
+    Scale shape: baskets dedupe once and checkpoint (three consumers:
+    the pair self-join twice + item supports); pair generation is a
+    basket-keyed equi self-join (work = Σ|basket|², bounded by basket
+    size ~4 here; the capped _cooccur_pairs device is the guard for
+    heavy-tailed baskets); item supports broadcast onto the
+    pair-support table; total order under the LIMIT is
+    (conf_ppm DESC, pa, pb) — (pa, pb) unique.
+    """
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    tot = b.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("__n")
+    )
+    item = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    a2, b2 = b.alias("a"), b.alias("b2")
+    pairs = (
+        a2.join(
+            b2,
+            (F.col("a.l_orderkey") == F.col("b2.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b2.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b2.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("s_ab"))
+        .filter(F.col("s_ab") >= _ASSOC_MIN_SUP)
+    )
+    ia = F.broadcast(
+        item.select(F.col("l_partkey").alias("pa"), F.col("s").alias("s_a"))
+    )
+    ib = F.broadcast(
+        item.select(F.col("l_partkey").alias("pb"), F.col("s").alias("s_b"))
+    )
+    return (
+        pairs.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pa",
+            "pb",
+            "s_ab",
+            "s_a",
+            "s_b",
+            F.expr("(s_ab * 1000000) div s_a").cast("long").alias("conf_ppm"),
+            F.expr("(s_ab * __n * 1000000) div (s_a * s_b)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.desc("conf_ppm"), "pa", "pb")
+        .limit(_ASSOC_TOP)
+    )
