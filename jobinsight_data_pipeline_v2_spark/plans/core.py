@@ -1256,6 +1256,25 @@ def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def fastss_key_rows(
+    df: DataFrame, name_col: str, out_col: str = "kh"
+) -> DataFrame:
+    """One row per (input row, DISTINCT blocking key hash): the FastSS
+    k=1 key set — the string itself plus every single-deletion variant
+    — hashed to 64 bits and deduped IN-ROW (array_distinct before the
+    explode), so repeated-character runs never inflate the key stream
+    and the builder is STREAM-SAFE (no dedup shuffle, no state; rule
+    20's scan-variant discipline). Shared by the fuzzy_name_match gate
+    and streaming/curation.fuzzy_match_stream."""
+    keys = (
+        f"array_distinct(transform(sequence(0, length({name_col})), "
+        f"j -> xxhash64(CASE WHEN j = 0 THEN {name_col} "
+        f"ELSE concat(substring({name_col}, 1, j - 1), "
+        f"substring({name_col}, j + 1)) END)))"
+    )
+    return df.select("*", F.explode(F.expr(keys)).alias(out_col))
+
+
 @register(
     "fuzzy_name_match",
     """
@@ -1320,28 +1339,8 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "substring(c_name, c_custkey % length(c_name) + 2))"
         ).alias("w"),
     )
-    key_expr = (
-        "xxhash64(CASE WHEN j = 0 THEN w "
-        "ELSE concat(substring(w, 1, j - 1), substring(w, j + 1)) END)"
-    )
-    ck = (
-        clean.select(
-            "w", F.explode(F.expr("sequence(0, length(w))")).alias("j")
-        )
-        .select(F.col("w").alias("clean_name"), F.expr(key_expr).alias("kh"))
-        .distinct()
-    )
-    dk = (
-        dirty.select(
-            "did", "w", F.explode(F.expr("sequence(0, length(w))")).alias("j")
-        )
-        .select(
-            "did",
-            F.col("w").alias("dirty_name"),
-            F.expr(key_expr).alias("kh"),
-        )
-        .distinct()
-    )
+    ck = fastss_key_rows(clean, "w").withColumnRenamed("w", "clean_name")
+    dk = fastss_key_rows(dirty, "w").withColumnRenamed("w", "dirty_name")
     cand = dk.join(ck, "kh").select(
         "did", "dirty_name", "clean_name"
     ).distinct()

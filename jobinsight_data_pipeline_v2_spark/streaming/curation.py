@@ -855,3 +855,51 @@ def temperature_stream(docs: DataFrame, rates: dict[str, int]) -> DataFrame:
     from ..plans.sampling import temperature_decisions
 
     return temperature_decisions(docs, rates)
+
+
+def fuzzy_match_stream(
+    dirty: DataFrame,
+    clean: DataFrame,
+    max_dist: int = 1,
+) -> DataFrame:
+    """(did, dirty_name, clean_name, dist): ONLINE entity resolution —
+    a stream of dirty records probed against the static clean master
+    via FastSS deletion-neighborhood blocking (twin of the
+    fuzzy_name_match gate's lookup).
+
+    ``dirty`` is a stream of (did, dirty_name); ``clean`` a static
+    frame with a clean_name column. The static key side is
+    materialized + broadcast (stream-static statics re-evaluate every
+    micro-batch — the bloom twin lesson). Blocking keys are built
+    in-row and array_distinct'd BEFORE the explode
+    (plans/core.fastss_key_rows — stream-safe, no dedup shuffle), so
+    the only remaining duplicate source is one (dirty, clean) pair
+    sharing several DIFFERENT key strings (possible between
+    same-length strings, e.g. transposition-adjacent digits);
+    dropDuplicates collapses those — state is O(emitted matches),
+    match-sized not stream-sized, and empty whenever probes are
+    strictly shorter/longer than the master (pure insert/delete
+    matching, the gate's configuration)."""
+    from ..plans.core import fastss_key_rows
+
+    ck = F.broadcast(
+        fastss_key_rows(
+            clean.select("clean_name").distinct(), "clean_name"
+        ).localCheckpoint()
+    )
+    dk = fastss_key_rows(
+        dirty.select("did", F.col("dirty_name")), "dirty_name"
+    )
+    return (
+        dk.join(ck, "kh")
+        .select(
+            "did",
+            "dirty_name",
+            "clean_name",
+            F.levenshtein("dirty_name", "clean_name")
+            .cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .dropDuplicates(["did", "clean_name"])
+    )

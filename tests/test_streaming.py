@@ -2401,3 +2401,58 @@ def test_attribution_stream_drops_late_purchase(spark, tmp_path):
         "SELECT view_id, purchase_id FROM attr_late_test ORDER BY 1, 2"
     ).collect()
     assert [(r[0], r[1]) for r in got] == [(1, 2), (3, 4), (6, 7)], got
+
+
+def test_fuzzy_match_stream_equals_batch(spark, tmp_path):
+    """Online entity resolution (twin 33): dirty records replayed in
+    three drops against the static clean master emit exactly the
+    fuzzy_name_match gate's lookup rows."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        fuzzy_match_stream,
+    )
+    from jobinsight_data_pipeline_v2_spark.tables import load_table
+
+    cust = load_table(spark, SF, "customer").filter(
+        F.col("c_name").isNotNull()
+    )
+    clean = cust.select(F.col("c_name").alias("clean_name"))
+    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("did"),
+        F.expr(
+            "concat(substring(c_name, 1, c_custkey % length(c_name)), "
+            "substring(c_name, c_custkey % length(c_name) + 2))"
+        ).alias("dirty_name"),
+    )
+    src = os.path.join(str(tmp_path), "fuzzy_flat")
+    os.makedirs(src)
+    for b in range(3):
+        part = dirty.filter(F.pmod(F.col("did"), F.lit(3)) == b)
+        d = os.path.join(str(tmp_path), f"fuzzy_d{b}")
+        part.coalesce(1).write.parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, f"drop_{b}.parquet")
+                    os.rename(os.path.join(root, f), dst)
+                    t = time.time() + b
+                    os.utime(dst, (t, t))
+    stream = spark.readStream.schema("did long, dirty_name string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    from jobinsight_data_pipeline_v2_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+
+    handle = run_stream_to_memory(
+        spark, fuzzy_match_stream(stream, clean), "fuzzy_test"
+    )
+    handle.awaitTermination(120)
+    got = spark.sql(
+        "SELECT did, dirty_name, clean_name, dist FROM fuzzy_test"
+    )
+    expected = load_all()["fuzzy_name_match"][0](spark, SF)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0, f"{got.count()} vs {expected.count()}"
