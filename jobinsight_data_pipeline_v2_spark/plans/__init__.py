@@ -74,14 +74,14 @@ PRIORITY: tuple[str, ...] = (
     "exact_dedup",
     "unicode_nfc_stats",  # r7 gate: NFC at the Arrow edge vs utf8proc
     "minhash_lsh_candidates",
-    "token_histogram",
+    "fuzzy_name_match",  # r7 gate: FastSS entity resolution (new family)
     "simhash_near_dups",
     "cms_heavy_hitters",  # r7 gate: count-min frequency sketch (within-bound)
     "dsir_resample",  # round-7 gate: DSIR importance resampling (integer core)
     "near_dup_components",
     # curation
     "pii_scrub",
-    "repetition_stats",
+    "assoc_rules",  # r7 gate: market-basket rules (new family)
     "decontaminate",
     "curation_funnel",
     # events / temporal
@@ -97,7 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "pagerank_doc_graph",  # r7 gate: integer-exact iterative weights
     # sampling / packing
     "hash_split",
-    "embed_quantize",
+    "zorder_cells",  # r7 gate: Morton data-skipping layout (new family)
     "sequence_pack",
 )
 # Demoted below the driver's fold (family double-covered above):
@@ -108,11 +108,28 @@ PRIORITY: tuple[str, ...] = (
 #     simhash_near_dups — while normalization had none; the exact
 #     Jaccard co-occurrence stays local-gated),
 #   tfidf_top_terms (demoted r7 for cms_heavy_hitters: term
-#     statistics keep token_histogram above the fold and the
-#     df-broadcast device is plan-tested; the CMS gate adds the first
-#     FREQUENCY-sketch representative — approx_percentiles/HLL pin
-#     rank/distinct sketches, not frequency — and its exact top-25
-#     values subsume the term-ranking shape; tf-idf stays
+#     statistics are pinned above the fold by cms_heavy_hitters'
+#     exact top-25 token counts and the df-broadcast device is
+#     plan-tested; the CMS gate adds the first FREQUENCY-sketch
+#     representative — approx_percentiles/HLL pin rank/distinct
+#     sketches, not frequency — and its exact top-25 values subsume
+#     the term-ranking shape; tf-idf stays local-gated),
+#   token_histogram (demoted r7 s4 for fuzzy_name_match: token
+#     counting's exact per-term counts are pinned above the fold by
+#     cms_heavy_hitters — the same explode→count shape with exact
+#     top-25 values — while approximate-string matching / entity
+#     resolution had NO representative; the histogram stays
+#     local-gated),
+#   repetition_stats (demoted r7 s4 for assoc_rules: the repetition
+#     gate battery runs INSIDE curation_funnel, which is above the
+#     fold (its repetition stage uses the same in-row run-length
+#     fold), while market-basket co-occurrence rules had NO
+#     representative; stays local-gated),
+#   embed_quantize (demoted r7 s4 for zorder_cells: the 1e6 integer
+#     quantization it pins runs IN-PLAN inside every above-fold
+#     vector gate — cosine_topk_batch, ivf_topk_learned,
+#     ivfpq_topk_probed all quantize embeddings the same way — while
+#     the data-skipping layout family had NO representative; stays
 #     local-gated),
 #   hourly_to_daily_rollup (demoted r7 for pagerank_doc_graph: the
 #     continuous-aggregate tier composes the same windowed-agg device
