@@ -288,6 +288,30 @@ class Generator:
             )
         return f"{fk} {neg}IN (SELECT {dk} FROM {dim} WHERE {pred})"
 
+    def _scalar_subquery(self, cols) -> str | None:
+        """int_col <op> (SELECT MIN/MAX/COUNT ... FROM other [WHERE]) —
+        an uncorrelated scalar subquery; an empty inner relation yields
+        NULL → UNKNOWN → row filtered, identically in both engines."""
+        ints = [x for x in cols if x[2] == "i"]
+        if not ints:
+            return None
+        _, c, _ = self.rng.choice(ints)
+        t2 = self.rng.choice(list(TABLES))
+        t2_cols = [(t2, c2, k2) for c2, k2 in TABLES[t2].items()]
+        pred = self._pred(t2_cols)
+        if isinstance(pred, tuple):
+            pred = None
+        where = f" WHERE {pred}" if pred else ""
+        op = self.rng.choice(["<", "<=", ">", ">="])
+        if self.rng.random() < 0.4:
+            return f"{c} {op} (SELECT COUNT(*) FROM {t2}{where})"
+        ints2 = [x for x in t2_cols if x[2] == "i"]
+        if not ints2:
+            return None
+        _, c2, _ = self.rng.choice(ints2)
+        fn = self.rng.choice(["MIN", "MAX"])
+        return f"{c} {op} (SELECT {fn}({c2}) FROM {t2}{where})"
+
     def _where(self, cols, base: str | None = None):
         """Returns (spark_where, duck_where) — identical text except
         NTZ-vs-naive timestamp literals."""
@@ -295,6 +319,10 @@ class Generator:
                              for _ in range(self.rng.randrange(3))) if p]
         if base is not None and self.rng.random() < 0.2:
             sub = self._in_subquery(base)
+            if sub:
+                preds.append(sub)
+        if self.rng.random() < 0.15:
+            sub = self._scalar_subquery(cols)
             if sub:
                 preds.append(sub)
         sp = [p[0] if isinstance(p, tuple) else p for p in preds]
@@ -496,7 +524,7 @@ class Generator:
                 f"SELECT {pk} AS pk, {part_s.d()}, "
                 f"CAST({agg_d} AS BIGINT) AS w FROM {t}{dw}",
             )
-        if variant < 0.9:  # running sum/count, explicit ROWS frame
+        if variant < 0.85:  # running sum/count, explicit ROWS frame
             frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
             ints = [x for x in cols if x[2] == "i"]
             if ints and self.rng.random() < 0.7:
@@ -513,6 +541,18 @@ class Generator:
                 f"CAST({w_s} AS BIGINT) AS run FROM {t}{sw}",
                 f"SELECT {pk} AS pk, {part_s.d()}, "
                 f"CAST({w_d} AS BIGINT) AS run FROM {t}{dw}",
+            )
+        if variant < 0.92:  # ntile over the total order
+            k = self.rng.randrange(2, 6)
+            w_s = (f"ntile({k}) OVER (PARTITION BY {part_s.spark} "
+                   f"{order})")
+            w_d = (f"ntile({k}) OVER (PARTITION BY {part_s.duck} "
+                   f"{order})")
+            return (
+                f"SELECT {pk} AS pk, {part_s.s()}, "
+                f"CAST({w_s} AS BIGINT) AS nt FROM {t}{sw}",
+                f"SELECT {pk} AS pk, {part_s.d()}, "
+                f"CAST({w_d} AS BIGINT) AS nt FROM {t}{dw}",
             )
         # lag/lead over the total order; value restricted to exact kinds
         fn = self.rng.choice(["lag", "lead"])
