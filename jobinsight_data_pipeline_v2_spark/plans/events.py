@@ -1127,18 +1127,23 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).select(
         "user_id", F.to_date("ts").alias("d"), "value"
     )
-    daily = ev.groupBy("user_id", "d").agg(
-        F.count(F.lit(1)).alias("n"), dec_sum("value").alias("tv")
+    # ONE events scan: the spine's day bounds and user set both derive
+    # from the (users × active days)-sized daily aggregate, which
+    # checkpoints because three consumers read it (rule 12)
+    daily = (
+        ev.groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("tv"))
+        .localCheckpoint(eager=False)
     )
     days = (
-        ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
         .select(
             F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias(
                 "day"
             )
         )
     )
-    spine = ev.select("user_id").distinct().crossJoin(F.broadcast(days))
+    spine = daily.select("user_id").distinct().crossJoin(F.broadcast(days))
     filled = spine.join(
         daily.withColumnRenamed("d", "day"), ["user_id", "day"], "left"
     )

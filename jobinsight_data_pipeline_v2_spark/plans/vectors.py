@@ -1715,6 +1715,10 @@ def borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("cos_b"),
         )
+        # both ranked() TakeOrdered branches consume this subtree —
+        # materialize the scoring pass once (rule 12), or the
+        # interpreted dot folds run twice per execution
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql.window import Window
 

@@ -861,11 +861,15 @@ def fuzzy_match_stream(
     dirty: DataFrame,
     clean: DataFrame,
     max_dist: int = 1,
+    ts_col: str | None = None,
+    horizon: str | None = None,
 ) -> DataFrame:
     """(did, dirty_name, clean_name, dist): ONLINE entity resolution —
     a stream of dirty records probed against the static clean master
     via FastSS deletion-neighborhood blocking (twin of the
-    fuzzy_name_match gate's lookup).
+    fuzzy_name_match gate's lookup). ``max_dist`` must be 1: the k=1
+    deletion neighborhood only GENERATES distance-≤1 candidates, so a
+    larger verify threshold would silently under-report (raises).
 
     ``dirty`` is a stream of (did, dirty_name); ``clean`` a static
     frame with a clean_name column. The static key side is
@@ -875,31 +879,46 @@ def fuzzy_match_stream(
     (plans/core.fastss_key_rows — stream-safe, no dedup shuffle), so
     the only remaining duplicate source is one (dirty, clean) pair
     sharing several DIFFERENT key strings (possible between
-    same-length strings, e.g. transposition-adjacent digits);
-    dropDuplicates collapses those — state is O(emitted matches),
-    match-sized not stream-sized, and empty whenever probes are
-    strictly shorter/longer than the master (pure insert/delete
-    matching, the gate's configuration)."""
+    same-length strings, e.g. transposition-adjacent digits; never
+    when probes are strictly shorter/longer than the master, the
+    gate's pure insert/delete configuration).
+
+    Those duplicates are collapsed by a dedup whose STATE STORES EVERY
+    EMITTED KEY: without ``ts_col`` this is the finite-verification
+    configuration (plain dropDuplicates — state grows with total
+    matches; fine for a drained replay, not for an unbounded feed).
+    For production pass ``ts_col`` + ``horizon``:
+    dropDuplicatesWithinWatermark evicts keys once the watermark
+    passes them, bounding state to the in-horizon match set."""
     from ..plans.core import fastss_key_rows
 
+    if max_dist != 1:
+        raise ValueError(
+            "fuzzy_match_stream: FastSS k=1 blocking generates only "
+            f"distance-<=1 candidates; max_dist={max_dist} would "
+            "silently miss matches"
+        )
+    if (ts_col is None) != (horizon is None):
+        raise ValueError("ts_col and horizon must be provided together")
     ck = F.broadcast(
         fastss_key_rows(
             clean.select("clean_name").distinct(), "clean_name"
         ).localCheckpoint()
     )
-    dk = fastss_key_rows(
-        dirty.select("did", F.col("dirty_name")), "dirty_name"
-    )
+    carry = ["did", "dirty_name"] + ([ts_col] if ts_col else [])
+    dk = fastss_key_rows(dirty.select(*carry), "dirty_name")
+    matched = dk.join(ck, "kh").select(
+        *carry,
+        "clean_name",
+        F.levenshtein("dirty_name", "clean_name").cast("long").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+    if ts_col is None:
+        return matched.select(
+            "did", "dirty_name", "clean_name", "dist"
+        ).dropDuplicates(["did", "clean_name"])
     return (
-        dk.join(ck, "kh")
-        .select(
-            "did",
-            "dirty_name",
-            "clean_name",
-            F.levenshtein("dirty_name", "clean_name")
-            .cast("long")
-            .alias("dist"),
-        )
-        .filter(F.col("dist") <= max_dist)
-        .dropDuplicates(["did", "clean_name"])
+        matched.withColumn("__wm", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__wm", horizon)
+        .dropDuplicatesWithinWatermark(["did", "clean_name"])
+        .select("did", "dirty_name", "clean_name", "dist")
     )

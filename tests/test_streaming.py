@@ -2315,15 +2315,7 @@ def test_attribution_stream_equals_batch(spark, tmp_path):
     ).withColumn("__b", ((F.col("__rk") - 1) / per).cast("int"))
     for b in range(3):
         part = ranked.filter(F.col("__b") == b).drop("__rk", "__b")
-        d = os.path.join(str(tmp_path), f"attr_d{b}")
-        part.coalesce(1).write.parquet(d)
-        for root, _, files in os.walk(d):
-            for f in files:
-                if f.endswith(".parquet"):
-                    dst = os.path.join(src, f"drop_{b}.parquet")
-                    os.rename(os.path.join(root, f), dst)
-                    t = time.time() + b
-                    os.utime(dst, (t, t))
+        _write_drop(part, tmp_path, src, f"attr_drop_{b}", time.time() + b)
     stream = read_events_stream(spark, src, max_files_per_trigger=1)
     q = run_stream_to_memory(
         spark, attribution_stream(stream), "attr_test"
@@ -2383,15 +2375,9 @@ def test_attribution_stream_drops_late_purchase(spark, tmp_path):
         mk.format(eid=5, ts="2024-01-01 02:00:00", et="purchase"),
     ]
     for b, sql in enumerate(batches):
-        d = os.path.join(str(tmp_path), f"late_d{b}")
-        spark.sql(sql).coalesce(1).write.parquet(d)
-        for root, _, files in os.walk(d):
-            for f in files:
-                if f.endswith(".parquet"):
-                    dst = os.path.join(src, f"drop_{b}.parquet")
-                    os.rename(os.path.join(root, f), dst)
-                    t = time.time() + b
-                    os.utime(dst, (t, t))
+        _write_drop(
+            spark.sql(sql), tmp_path, src, f"late_drop_{b}", time.time() + b
+        )
     stream = read_events_stream(spark, src, max_files_per_trigger=1)
     q = run_stream_to_memory(
         spark, attribution_stream(stream), "attr_late_test"
@@ -2430,15 +2416,7 @@ def test_fuzzy_match_stream_equals_batch(spark, tmp_path):
     os.makedirs(src)
     for b in range(3):
         part = dirty.filter(F.pmod(F.col("did"), F.lit(3)) == b)
-        d = os.path.join(str(tmp_path), f"fuzzy_d{b}")
-        part.coalesce(1).write.parquet(d)
-        for root, _, files in os.walk(d):
-            for f in files:
-                if f.endswith(".parquet"):
-                    dst = os.path.join(src, f"drop_{b}.parquet")
-                    os.rename(os.path.join(root, f), dst)
-                    t = time.time() + b
-                    os.utime(dst, (t, t))
+        _write_drop(part, tmp_path, src, f"fuzzy_drop_{b}", time.time() + b)
     stream = spark.readStream.schema("did long, dirty_name string").option(
         "maxFilesPerTrigger", 1
     ).parquet(src)
@@ -2456,3 +2434,58 @@ def test_fuzzy_match_stream_equals_batch(spark, tmp_path):
     expected = load_all()["fuzzy_name_match"][0](spark, SF)
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0, f"{got.count()} vs {expected.count()}"
+
+
+def test_fuzzy_match_stream_watermarked_branch(spark, tmp_path):
+    """The production (ts_col + horizon) branch: watermarked dedup
+    emits the same match set on an on-time feed, and max_dist != 1
+    raises (FastSS k=1 blocking cannot serve a larger verify bound)."""
+    import time
+
+    import pytest
+
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        fuzzy_match_stream,
+    )
+
+    clean = spark.sql(
+        "SELECT explode(array('alpha', 'alphb', 'gamma')) AS clean_name"
+    )
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_match_stream(clean, clean, max_dist=2)
+    rows = [
+        (1, "alph", "2024-01-01 00:00:00"),
+        (2, "gamm", "2024-01-01 01:00:00"),
+        (3, "zzzzz", "2024-01-02 00:00:00"),
+    ]
+    src = os.path.join(str(tmp_path), "fwm_flat")
+    for b, (did, w, ts) in enumerate(rows):
+        df = spark.sql(
+            f"SELECT CAST({did} AS BIGINT) AS did, '{w}' AS dirty_name,"
+            f" TIMESTAMP_NTZ'{ts}' AS ts"
+        )
+        _write_drop(df, tmp_path, src, f"fwm_drop_{b}", time.time() + b)
+    stream = spark.readStream.schema(
+        "did long, dirty_name string, ts timestamp_ntz"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    from jobinsight_data_pipeline_v2_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+
+    q = run_stream_to_memory(
+        spark,
+        fuzzy_match_stream(stream, clean, ts_col="ts", horizon="1 hour"),
+        "fwm_test",
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in spark.sql(
+            "SELECT did, dirty_name, clean_name, dist FROM fwm_test"
+        ).collect()
+    )
+    assert got == [
+        (1, "alph", "alpha", 1),
+        (1, "alph", "alphb", 1),
+        (2, "gamm", "gamma", 1),
+    ], got
