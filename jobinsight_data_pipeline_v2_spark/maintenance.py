@@ -314,6 +314,7 @@ def compact_partitions(
     layer: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
+    zorder_cols: tuple[str, str] | None = None,
 ) -> dict[str, dict]:
     """Small-file compaction over a date-partitioned parquet layer.
 
@@ -344,6 +345,16 @@ def compact_partitions(
     bytes}}; compaction preserves rows exactly (tested) but not
     intra-file ordering — callers that rely on an order must sort at
     read time (every engine consumer already does).
+
+    ``zorder_cols=(a, b)`` clusters WHILE compacting (the OPTIMIZE
+    ZORDER BY shape): the rewrite range-partitions + sorts on the
+    Morton z-value of the two columns (operators/layout.py) instead of
+    a plain repartition — same single rewrite the compaction already
+    pays, and every output file's parquet footer becomes a tight
+    rectangle in both dimensions, so post-compaction scans with
+    predicates on either column skip files at the metadata level.
+    Healthy partitions are still never touched: clustering rides the
+    fragmentation trigger, it does not add one.
     """
     root = root.rstrip("/")
     layer_path = f"{root}/{layer}"
@@ -372,12 +383,19 @@ def compact_partitions(
             n_out = max(1, -(-nbytes // target_file_bytes))  # ceil
             tmp_path = f"{layer_path}/.compact_tmp_ingest_date={d}"
             fs, tp = _fs(spark, tmp_path)
-            (
-                spark.read.parquet(part_path)
-                .repartition(n_out)
-                .write.mode("overwrite")
-                .parquet(tmp_path)
-            )
+            part_df = spark.read.parquet(part_path)
+            if zorder_cols is None:
+                out_df = part_df.repartition(n_out)
+            else:
+                from .operators.layout import zorder_keys
+
+                out_df = (
+                    zorder_keys(part_df, zorder_cols[0], zorder_cols[1])
+                    .repartitionByRange(n_out, "__zkey")
+                    .sortWithinPartitions("__zkey")
+                    .drop("__ux", "__uy", "__zkey")
+                )
+            out_df.write.mode("overwrite").parquet(tmp_path)
             _, pp = _fs(spark, part_path)
             old_path = f"{layer_path}/.compact_old_ingest_date={d}"
             _, op = _fs(spark, old_path)

@@ -116,3 +116,55 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     back = spark.read.parquet(zdir)
     assert back.exceptAll(orders).count() == 0
     assert orders.exceptAll(back).count() == 0
+
+
+def test_compact_with_zorder_clusters_while_compacting(spark, tmp_path):
+    """OPTIMIZE ZORDER BY shape: a fragmented partition compacted with
+    zorder_cols comes back with fewer files, exact rows, tight
+    per-file bounding boxes in BOTH cluster columns, and healthy
+    partitions untouched."""
+    from jobinsight_data_pipeline_v2_spark.maintenance import (
+        _partition_bytes_and_files,
+        compact_partitions,
+    )
+
+    root = str(tmp_path)
+    frag_day, healthy_day = "2026-05-01", "2026-05-02"
+    rows = spark.range(4000).select(
+        F.col("id"),
+        F.expr("id * 131 % 10000").alias("x"),
+        F.expr("id * 7919 % 10000").alias("y"),
+    )
+    rows.repartition(12).write.mode("overwrite").parquet(
+        f"{root}/staging/ingest_date={frag_day}"
+    )
+    rows.coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/staging/ingest_date={healthy_day}"
+    )
+    _, healthy_files = _partition_bytes_and_files(
+        spark, f"{root}/staging/ingest_date={healthy_day}"
+    )
+    report = compact_partitions(
+        spark,
+        root,
+        "staging",
+        target_file_bytes=16 * 1024,
+        zorder_cols=("x", "y"),
+    )
+    assert set(report) == {frag_day}
+    assert report[frag_day]["files_after"] < 12
+    part = f"{root}/staging/ingest_date={frag_day}"
+    back = spark.read.parquet(part)
+    assert back.exceptAll(rows).count() == 0
+    assert rows.exceptAll(back).count() == 0
+    boxes = _file_boxes(part, "x", "y")
+    if len(boxes) >= 2:
+        area = _mean_area(boxes, 10000.0, 10000.0)
+        assert area < 1.5 / len(boxes) + 0.15, (
+            f"compacted files not z-clustered: {area:.3f} over "
+            f"{len(boxes)} files"
+        )
+    _, healthy_after = _partition_bytes_and_files(
+        spark, f"{root}/staging/ingest_date={healthy_day}"
+    )
+    assert healthy_after == healthy_files
