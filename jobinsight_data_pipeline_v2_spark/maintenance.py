@@ -396,23 +396,99 @@ def compact_partitions(
                     .drop("__ux", "__uy", "__zkey")
                 )
             out_df.write.mode("overwrite").parquet(tmp_path)
-            _, pp = _fs(spark, part_path)
-            old_path = f"{layer_path}/.compact_old_ingest_date={d}"
-            _, op = _fs(spark, old_path)
-            if not fs.rename(pp, op):
-                fs.delete(tp, True)
-                raise IOError(f"compaction swap-out refused for {part_path}")
-            if not fs.rename(tp, pp):
-                # put the old data back before failing — never leave the
-                # partition hidden when we can still restore it
-                fs.rename(op, pp)
-                raise IOError(f"compaction swap-in refused for {part_path}")
-            fs.delete(op, True)
+            _swap_partition(spark, layer_path, d, tmp_path, part_path)
             _, files_after = _partition_bytes_and_files(spark, part_path)
             report[d] = {
                 "files_before": nfiles,
                 "files_after": files_after,
                 "bytes": nbytes,
+            }
+        return report
+    finally:
+        _release_compact_lock(spark, lock_fs, lock, lock_token)
+
+
+def _swap_partition(
+    spark: SparkSession, layer_path: str, d: str, tmp_path: str, part_path: str
+) -> None:
+    """Two-rename atomic partition swap (shared by compaction and
+    targeted deletion): move the live partition aside, move the
+    rewritten tmp in, delete the old — every rename's return value
+    checked, and a refused swap-in restores the old data before
+    failing so the partition is never left hidden. Crash recovery is
+    `_recover_compactions` (both callers use the same `.compact_*`
+    naming, so a half-done swap from either replays identically)."""
+    fs, tp = _fs(spark, tmp_path)
+    _, pp = _fs(spark, part_path)
+    old_path = f"{layer_path}/.compact_old_ingest_date={d}"
+    _, op = _fs(spark, old_path)
+    if not fs.rename(pp, op):
+        fs.delete(tp, True)
+        raise IOError(f"partition swap-out refused for {part_path}")
+    if not fs.rename(tp, pp):
+        # put the old data back before failing — never leave the
+        # partition hidden when we can still restore it
+        fs.rename(op, pp)
+        raise IOError(f"partition swap-in refused for {part_path}")
+    fs.delete(op, True)
+
+
+def delete_rows(
+    spark: SparkSession,
+    root: str,
+    layer: str,
+    predicate: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, dict]:
+    """Targeted row deletion (right-to-erasure / GDPR delete) over a
+    date-partitioned parquet layer: rewrite ONLY the partitions that
+    contain rows matching ``predicate`` (a Spark SQL boolean
+    expression), keeping everything else byte-untouched.
+
+    Scale shape: the per-partition existence probe is a pushed-filter
+    scan with LIMIT 1 — parquet row-group stats usually answer it from
+    footers (O(metadata) for clean partitions, which at 100 TB is
+    almost all of them); a dirty partition pays exactly one rewrite at
+    compaction-healthy file sizes and swaps in atomically
+    (`_swap_partition` — the compaction rename discipline, same
+    crash-recovery replay). The whole sweep runs under the layer's
+    single-writer `.compact_lock`.
+
+    Returns {date: {rows_deleted, files_after}}. Deleting every row of
+    a partition leaves an empty (zero-data-file) partition directory —
+    readers see zero rows, the layout stays enumerable.
+    """
+    root = root.rstrip("/")
+    layer_path = f"{root}/{layer}"
+    fs0, lp0 = _fs(spark, layer_path)
+    if not fs0.exists(lp0):
+        return {}
+    import time as _time
+
+    lock_fs, lock, lock_token = _acquire_compact_lock(spark, layer_path)
+    try:
+        _recover_compactions(spark, layer_path)
+        report: dict[str, dict] = {}
+        for d in _list_date_partitions(spark, layer_path):
+            lock_fs.setTimes(lock, int(_time.time() * 1000), -1)
+            part_path = f"{layer_path}/ingest_date={d}"
+            part_df = spark.read.parquet(part_path)
+            if part_df.filter(predicate).limit(1).count() == 0:
+                continue  # clean partition: footer-answered, untouched
+            keep = part_df.filter(f"NOT ({predicate})")
+            n_before = part_df.count()
+            nbytes, _ = _partition_bytes_and_files(spark, part_path)
+            n_out = max(1, -(-nbytes // target_file_bytes))  # ceil
+            tmp_path = f"{layer_path}/.compact_tmp_ingest_date={d}"
+            keep.repartition(n_out).write.mode("overwrite").parquet(
+                tmp_path
+            )
+            _swap_partition(spark, layer_path, d, tmp_path, part_path)
+            n_after = spark.read.parquet(part_path).count()
+            _, files_after = _partition_bytes_and_files(spark, part_path)
+            report[d] = {
+                "rows_deleted": n_before - n_after,
+                "files_after": files_after,
             }
         return report
     finally:

@@ -282,3 +282,67 @@ def test_streaming_duration_parser():
     # ts_col and horizon must travel together
     with _pytest.raises(ValueError, match="together"):
         segment_dedup_stream(None, ts_col="ts")
+
+
+def test_delete_rows_rewrites_only_dirty_partitions(spark, tmp_path):
+    """Right-to-erasure: only partitions containing matching rows are
+    rewritten; matching rows vanish, everything else survives exactly,
+    clean partitions stay byte-untouched, and the sweep is idempotent.
+    Deleting every row of a partition leaves a readable empty one."""
+    from jobinsight_data_pipeline_v2_spark.maintenance import (
+        _partition_bytes_and_files,
+        delete_rows,
+    )
+
+    root = str(tmp_path)
+    dirty, clean, doomed = "2026-06-01", "2026-06-02", "2026-06-03"
+    spark.range(100).select(
+        F.col("id").alias("user_id"), F.lit("a").alias("v")
+    ).coalesce(2).write.parquet(f"{root}/staging/ingest_date={dirty}")
+    # clean ids are ≡ 2 (mod 10): no row can match the predicate
+    spark.range(100).select(
+        (F.col("id") * 10 + 2).alias("user_id"), F.lit("b").alias("v")
+    ).coalesce(1).write.parquet(f"{root}/staging/ingest_date={clean}")
+    spark.range(400, 410).select(
+        F.col("id").alias("user_id"), F.lit("c").alias("v")
+    ).coalesce(1).write.parquet(f"{root}/staging/ingest_date={doomed}")
+    clean_stat = _partition_bytes_and_files(
+        spark, f"{root}/staging/ingest_date={clean}"
+    )
+
+    report = delete_rows(
+        spark, root, "staging", "user_id % 10 = 7 OR v = 'c'"
+    )
+    assert set(report) == {dirty, doomed}
+    assert report[dirty]["rows_deleted"] == 10
+    assert report[doomed]["rows_deleted"] == 10
+    back = spark.read.parquet(f"{root}/staging/ingest_date={dirty}")
+    assert back.count() == 90
+    assert back.filter("user_id % 10 = 7").count() == 0
+    # the doomed partition emptied but stays readable
+    assert (
+        spark.read.parquet(f"{root}/staging/ingest_date={doomed}").count()
+        == 0
+    )
+    # clean partition byte-untouched
+    assert (
+        _partition_bytes_and_files(
+            spark, f"{root}/staging/ingest_date={clean}"
+        )
+        == clean_stat
+    )
+    # idempotent: nothing left to delete
+    assert (
+        delete_rows(spark, root, "staging", "user_id % 10 = 7 OR v = 'c'")
+        == {}
+    )
+    # no tmp/old debris
+    fs_listing = {
+        s.getPath().getName()
+        for s in spark._jvm.org.apache.hadoop.fs.Path(
+            f"{root}/staging"
+        ).getFileSystem(spark._jsc.hadoopConfiguration()).listStatus(
+            spark._jvm.org.apache.hadoop.fs.Path(f"{root}/staging")
+        )
+    }
+    assert not any(n.startswith(".compact") for n in fs_listing)
