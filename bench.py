@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "triangle_counts",  # degree-oriented triangle counting (graph motifs)
     "fuzzy_name_match",  # FastSS deletion-neighborhood entity resolution
     "assoc_rules",  # market-basket confidence/lift, integer ppm ranking
+    "schema_evolution_roundtrip",  # mergeSchema read across generations
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -536,6 +536,7 @@ def _jsonl_gate_dir(sf_dir: str) -> str:
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "warc"))
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "csv"))
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "orc"))
+    _GATE_DIRS_CREATED.add(d.replace("jsonl", "schev"))
     return d
 
 
@@ -2178,3 +2179,75 @@ def ppl_train_model(docs: DataFrame, target_pred) -> dict[str, int]:
         .collect()
     )
     return {r["bg"]: int(r["cls"]) for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution read (S-family): a layer whose drops evolved —
+# later batches carry columns earlier batches lack — read back as ONE
+# frame with mergeSchema, missing columns null-backfilled.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "schema_evolution_roundtrip",
+    """
+    SELECT CASE WHEN doc_id % 2 = 0 THEN '<pre-evolution>'
+                ELSE 'lang:' || COALESCE(lang, '<null>') END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents split into two parquet generations — v1 drops carry
+    (doc_id, text, n_chars); v2 drops additionally carry (lang,
+    schema_v) — read back as ONE frame with ``mergeSchema``, then
+    aggregated per bucket, v1 rows identified by their null-backfilled
+    schema_v. The ordering-independent roundtrip device
+    (jsonl_roundtrip): the ORACLE recomputes the aggregates from the
+    pristine documents view and the %2 split constant — DuckDB never
+    reads the exported files, so a dropped row, a mis-backfilled
+    column, or a generation read with the wrong schema fails the hash.
+
+    Scale shape: schema merge is a FOOTER operation (one task per file
+    footer at planning time), the data scan stays columnar and narrow;
+    null backfill costs nothing (absent column chunks simply aren't
+    read).
+    """
+    import os
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    d = _jsonl_gate_dir(sf_dir).replace("jsonl", "schev")
+    evolved = os.path.join(d, "evolved")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "n_chars"
+    )
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "text",
+        "n_chars",
+        "lang",
+        F.lit(2).alias("schema_v"),
+    )
+    v1.write.mode("overwrite").parquet(evolved)
+    v2.write.mode("append").parquet(evolved)
+    back = spark.read.option("mergeSchema", "true").parquet(evolved)
+    return (
+        back.select(
+            F.when(F.col("schema_v").isNull(), "<pre-evolution>")
+            .otherwise(F.concat(F.lit("lang:"), F.coalesce("lang", F.lit("<null>"))))
+            .alias("bucket"),
+            "n_chars",
+            "doc_id",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("bucket")
+    )
