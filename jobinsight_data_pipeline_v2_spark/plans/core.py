@@ -1456,3 +1456,59 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("conf_ppm"), "pa", "pb")
         .limit(_ASSOC_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide → long) — the inverse of the A11 pivot family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_monthly_metrics",
+    f"""
+    WITH wide AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT order_month, metric, value FROM (
+        SELECT order_month, 'n_orders' AS metric, n_orders AS value
+        FROM wide
+        UNION ALL
+        SELECT order_month, 'n_customers', n_customers FROM wide
+        UNION ALL
+        SELECT order_month, 'revenue_cents', revenue_cents FROM wide
+    )
+    """,
+)
+def unpivot_monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order metrics unpivoted to (month, metric, value) long
+    format — the inverse of the A11 pivot family, the shape metric
+    stores and plotting layers ingest. Spark side uses the native
+    ``unpivot`` (melt) operator; the oracle states the same relation
+    as a UNION ALL. All-BIGINT values (revenue in cents) keep the
+    long column exactly typed.
+
+    Scale shape: unpivot is a narrow row-expansion (k output rows per
+    input row, no shuffle) on top of the single monthly aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    return wide.unpivot(
+        ids=["order_month"],
+        values=["n_orders", "n_customers", "revenue_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
