@@ -238,3 +238,96 @@ def test_ppl_ladder_clamp16_is_clamped_floor_log2(pairs):
     )
     got = [r[0] for r in duckdb.execute(sql).fetchall()]
     assert got == [ref(n, d) for n, d in pairs]
+
+
+# ---------------------------------------------------------------------------
+# FastSS k=1 blocking completeness (plans/core.fastss_key_rows spec):
+# ANY two strings within edit distance 1 share at least one blocking
+# key (the string itself ∪ its single-deletion variants) — the
+# property that makes the fuzzy-match candidate join lossless at the
+# verify bound. Pure-Python mirror of the SQL key builder.
+# ---------------------------------------------------------------------------
+
+
+def _fastss_keys(w: str) -> set[str]:
+    return {w} | {w[:i] + w[i + 1 :] for i in range(len(w))}
+
+
+_WORD = st.text(alphabet="ab0", min_size=1, max_size=8)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_WORD, st.data())
+def test_fastss_k1_blocking_is_complete(w, data):
+    op = data.draw(st.sampled_from(["sub", "ins", "del"]))
+    ch = data.draw(st.sampled_from("ab0"))
+    if op == "sub":
+        i = data.draw(st.integers(0, len(w) - 1))
+        v = w[:i] + ch + w[i + 1 :]
+    elif op == "ins":
+        i = data.draw(st.integers(0, len(w)))
+        v = w[:i] + ch + w[i:]
+    else:
+        i = data.draw(st.integers(0, len(w) - 1))
+        v = w[:i] + w[i + 1 :]
+    # v is within edit distance 1 of w (possibly 0) → keys must overlap
+    assert _fastss_keys(w) & _fastss_keys(v), (w, v, op)
+
+
+# ---------------------------------------------------------------------------
+# Degree-oriented triangle counting == brute force on random graphs
+# (operators/graph.triangle_counts_per_node spec, pure-Python mirror:
+# orientation by packed (deg, id) key, wedge enumeration, closing
+# lookup — the exact algorithm the Spark plan runs).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        max_size=25,
+    )
+)
+def test_degree_oriented_triangles_match_brute_force(raw_edges):
+    from collections import Counter
+    from itertools import combinations
+
+    und = {(min(a, b), max(a, b)) for a, b in raw_edges}
+    nodes = {n for e in und for n in e}
+    # brute force: every vertex triple with all three edges present
+    brute = Counter()
+    for u, v, w in combinations(sorted(nodes), 3):
+        if (
+            (u, v) in und
+            and (v, w) in und
+            and (u, w) in und
+        ):
+            brute[u] += 1
+            brute[v] += 1
+            brute[w] += 1
+    # degree-oriented mirror
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    okey = {n: (deg[n] << 32) + n for n in nodes}
+    oriented = {
+        (a, b) if okey[a] < okey[b] else (b, a) for a, b in und
+    }
+    by_src: dict[int, list[int]] = {}
+    for s, d in oriented:
+        by_src.setdefault(s, []).append(d)
+    got = Counter()
+    for u, outs in by_src.items():
+        outs = sorted(outs, key=lambda n: okey[n])
+        for i in range(len(outs)):
+            for j in range(i + 1, len(outs)):
+                v, w = outs[i], outs[j]
+                if (v, w) in oriented:
+                    got[u] += 1
+                    got[v] += 1
+                    got[w] += 1
+    assert got == brute, (sorted(und), dict(got), dict(brute))
