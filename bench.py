@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "assoc_rules",  # market-basket confidence/lift, integer ppm ranking
     "schema_evolution_roundtrip",  # mergeSchema read across generations
     "unpivot_monthly_metrics",  # native unpivot (melt) vs UNION-ALL oracle
+    "validation_counters",  # A9/A10 rule battery, one conditional-agg scan
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -1512,3 +1512,100 @@ def unpivot_monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# A9/A10 — validation counters as ONE conditional-aggregate scan
+# (quality/validators.py business_rule_violations re-expressed over
+# the testdata schema so the family is oracle-gated, not tests-only).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "validation_counters",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS qty_nonpositive,
+           CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS price_negative,
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS discount_oob,
+           CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_bad,
+           CAST(SUM(CASE WHEN l_linestatus NOT IN ('O', 'F')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS linestatus_bad,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphan_lines,
+           CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                AS BIGINT) AS ship_before_order,
+           CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+                AS BIGINT) AS qty_suspicious,
+           CASE WHEN 20 * (SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                           + SUM(CASE WHEN l_extendedprice < 0
+                                      THEN 1 ELSE 0 END)
+                           + SUM(CASE WHEN o_orderkey IS NULL
+                                      THEN 1 ELSE 0 END)
+                           + SUM(CASE WHEN l_shipdate < o_orderdate
+                                      THEN 1 ELSE 0 END)) < COUNT(*)
+                THEN 'healthy'
+                WHEN 10 * (SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                           + SUM(CASE WHEN l_extendedprice < 0
+                                      THEN 1 ELSE 0 END)
+                           + SUM(CASE WHEN o_orderkey IS NULL
+                                      THEN 1 ELSE 0 END)
+                           + SUM(CASE WHEN l_shipdate < o_orderdate
+                                      THEN 1 ELSE 0 END)) < COUNT(*)
+                THEN 'warning' ELSE 'unhealthy' END AS health
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def validation_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A9/A10 validation battery over the testdata schema: eight
+    rule counters (hard violations + referential orphans + a
+    suspicious tier) in ONE conditional-aggregate scan, plus the
+    health verdict via integer cross-multiplied thresholds
+    (20·hard < total ⇔ <5% healthy, 10·hard < total ⇔ <10% warning —
+    the quality/validators.py contract, never a float rate). The
+    ship-before-order rule fires on ~47% of this synthetic corpus, so
+    the battery and the verdict are non-vacuous at every SF.
+
+    Scale shape: one fact scan, the orders date broadcast-joined (or
+    shuffled at true scale on the uniform orderkey), every counter a
+    map-side-combined sum — the validator cost model is one pass
+    regardless of rule count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    hard = (
+        c(F.col("l_quantity") <= 0)
+        + c(F.col("l_extendedprice") < 0)
+        + c(F.col("o_orderkey").isNull())
+        + c(F.col("l_shipdate") < F.col("o_orderdate"))
+    )
+    total = F.count(F.lit(1))
+    return j.agg(
+        total.cast("long").alias("total"),
+        c(F.col("l_quantity") <= 0).alias("qty_nonpositive"),
+        c(F.col("l_extendedprice") < 0).alias("price_negative"),
+        c((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)).alias(
+            "discount_oob"
+        ),
+        c(~F.col("l_returnflag").isin("A", "N", "R")).alias(
+            "returnflag_bad"
+        ),
+        c(~F.col("l_linestatus").isin("O", "F")).alias("linestatus_bad"),
+        c(F.col("o_orderkey").isNull()).alias("orphan_lines"),
+        c(F.col("l_shipdate") < F.col("o_orderdate")).alias(
+            "ship_before_order"
+        ),
+        c(F.col("l_quantity") > 45).alias("qty_suspicious"),
+        F.when(20 * hard < total, "healthy")
+        .when(10 * hard < total, "warning")
+        .otherwise("unhealthy")
+        .alias("health"),
+    )
