@@ -382,7 +382,6 @@ def compact_partitions(
                 continue  # average file already healthy
             n_out = max(1, -(-nbytes // target_file_bytes))  # ceil
             tmp_path = f"{layer_path}/.compact_tmp_ingest_date={d}"
-            fs, tp = _fs(spark, tmp_path)
             part_df = spark.read.parquet(part_path)
             if zorder_cols is None:
                 out_df = part_df.repartition(n_out)
@@ -445,14 +444,21 @@ def delete_rows(
     contain rows matching ``predicate`` (a Spark SQL boolean
     expression), keeping everything else byte-untouched.
 
+    Deletion is TRUE-only: a row where the predicate evaluates NULL is
+    KEPT (three-valued logic must never destroy data it did not
+    positively match — review r7 s4).
+
     Scale shape: the per-partition existence probe is a pushed-filter
     scan with LIMIT 1 — parquet row-group stats usually answer it from
     footers (O(metadata) for clean partitions, which at 100 TB is
-    almost all of them); a dirty partition pays exactly one rewrite at
-    compaction-healthy file sizes and swaps in atomically
-    (`_swap_partition` — the compaction rename discipline, same
-    crash-recovery replay). The whole sweep runs under the layer's
-    single-writer `.compact_lock`.
+    almost all of them); a dirty partition pays one counting scan plus
+    one rewrite sized by the SURVIVING bytes (a 99%-delete must not
+    shatter the remainder into small-file compaction bait) and swaps
+    in atomically (`_swap_partition` — the compaction rename
+    discipline, same crash-recovery replay). Dataless partition dirs
+    (crashed-writer debris) are skipped like compaction skips them.
+    The whole sweep runs under the layer's single-writer
+    `.compact_lock`.
 
     Returns {date: {rows_deleted, files_after}}. Deleting every row of
     a partition leaves an empty (zero-data-file) partition directory —
@@ -472,22 +478,36 @@ def delete_rows(
         for d in _list_date_partitions(spark, layer_path):
             lock_fs.setTimes(lock, int(_time.time() * 1000), -1)
             part_path = f"{layer_path}/ingest_date={d}"
+            nbytes, _ = _partition_bytes_and_files(spark, part_path)
+            if nbytes == 0:
+                continue  # dataless dir (crashed writer debris): skip
             part_df = spark.read.parquet(part_path)
             if part_df.filter(predicate).limit(1).count() == 0:
                 continue  # clean partition: footer-answered, untouched
-            keep = part_df.filter(f"NOT ({predicate})")
-            n_before = part_df.count()
-            nbytes, _ = _partition_bytes_and_files(spark, part_path)
-            n_out = max(1, -(-nbytes // target_file_bytes))  # ceil
+            # ONE full scan gives both counts; deletion is TRUE-only —
+            # a NULL-evaluating predicate keeps its row (three-valued
+            # logic must never destroy data it did not positively match)
+            counts = part_df.agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(
+                    F.when(F.expr(predicate), 1).otherwise(0)
+                ).alias("matched"),
+            ).collect()[0]
+            n_total, n_match = counts["total"], int(counts["matched"] or 0)
+            keep = part_df.filter(f"NOT coalesce(({predicate}), false)")
+            # size output files by the SURVIVING bytes, not the
+            # pre-delete bytes — a 99%-delete must not shatter the
+            # remainder into compaction bait
+            kept_bytes = nbytes * (n_total - n_match) // max(n_total, 1)
+            n_out = max(1, -(-kept_bytes // target_file_bytes))  # ceil
             tmp_path = f"{layer_path}/.compact_tmp_ingest_date={d}"
             keep.repartition(n_out).write.mode("overwrite").parquet(
                 tmp_path
             )
             _swap_partition(spark, layer_path, d, tmp_path, part_path)
-            n_after = spark.read.parquet(part_path).count()
             _, files_after = _partition_bytes_and_files(spark, part_path)
             report[d] = {
-                "rows_deleted": n_before - n_after,
+                "rows_deleted": n_match,
                 "files_after": files_after,
             }
         return report

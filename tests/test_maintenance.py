@@ -346,3 +346,33 @@ def test_delete_rows_rewrites_only_dirty_partitions(spark, tmp_path):
         )
     }
     assert not any(n.startswith(".compact") for n in fs_listing)
+
+
+def test_delete_rows_keeps_null_evaluating_rows(spark, tmp_path):
+    """Three-valued logic guard (review r7 s4): a row where the
+    predicate evaluates NULL must be KEPT, not destroyed alongside the
+    TRUE matches; rows_deleted counts only positive matches. Dataless
+    partition dirs are skipped, not fatal."""
+    import os
+
+    from jobinsight_data_pipeline_v2_spark.maintenance import delete_rows
+
+    root = str(tmp_path)
+    spark.sql(
+        "SELECT * FROM VALUES (CAST(7 AS BIGINT), 'a'),"
+        " (CAST(NULL AS BIGINT), 'b'), (CAST(3 AS BIGINT), 'c')"
+        " t(user_id, v)"
+    ).coalesce(1).write.parquet(f"{root}/staging/ingest_date=2026-07-01")
+    # a dataless partition dir (crashed-writer debris) must be skipped
+    os.makedirs(f"{root}/staging/ingest_date=2026-07-02")
+    report = delete_rows(spark, root, "staging", "user_id = 7")
+    assert report == {
+        "2026-07-01": {"rows_deleted": 1, "files_after": 1}
+    }, report
+    back = spark.read.parquet(f"{root}/staging/ingest_date=2026-07-01")
+    got = sorted((r.user_id, r.v) for r in back.collect()
+                 if r.user_id is not None)
+    assert got == [(3, "c")]
+    assert back.filter("user_id IS NULL").count() == 1, (
+        "NULL-evaluating row was destroyed"
+    )

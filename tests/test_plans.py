@@ -454,6 +454,11 @@ def test_registry_bench_and_coverage_stay_in_sync():
     assert m and int(m.group(1)) == len(reg), (
         f"COVERAGE.md claims {m and m.group(1)} gates, registry has {len(reg)}"
     )
+    readme = open("/root/repo/README.md").read()
+    m = re.search(r"(\d+) registered queries", readme)
+    assert m and int(m.group(1)) == len(reg), (
+        f"README.md claims {m and m.group(1)} gates, registry has {len(reg)}"
+    )
 
 
 def test_cohort_retention_plan(spark):
