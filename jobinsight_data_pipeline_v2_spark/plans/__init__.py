@@ -53,7 +53,7 @@ PRIORITY: tuple[str, ...] = (
     # a count cap nor a time budget can cut them again
     "chunk_documents",
     "shuffle_shards",  # deterministic corpus-shuffle family
-    "cosine_topk_batch",
+    "validation_counters",  # r7 s4: A9/A10 rule battery, oracle face
     "ivf_topk_learned",  # IVF search family (learned quantizer config)
     "jsonl_roundtrip",  # round-6 gate: S15 source path pinned end-to-end
     "png_decode_stats",  # round-7 gate: REAL stdlib PNG decode at the Arrow edge
@@ -125,6 +125,13 @@ PRIORITY: tuple[str, ...] = (
 #     fold (its repetition stage uses the same in-row run-length
 #     fold), while market-basket co-occurrence rules had NO
 #     representative; stays local-gated),
+#   cosine_topk_batch (demoted r7 s4 for validation_counters: the ANN
+#     family keeps TWO above-fold representatives — ivf_topk_learned,
+#     whose nprobe=all config returns the EXACT top-k values this gate
+#     pins, and ivfpq_topk_probed, which pins the batched approximate
+#     serving shape — while the A9/A10 validation-aggregate family had
+#     no oracle face at all; the batched-exact variant stays
+#     local-gated),
 #   embed_quantize (demoted r7 s4 for zorder_cells: the 1e6 integer
 #     quantization it pins runs IN-PLAN inside every above-fold
 #     vector gate — cosine_topk_batch, ivf_topk_learned,
