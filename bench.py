@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "schema_evolution_roundtrip",  # mergeSchema read across generations
     "unpivot_monthly_metrics",  # native unpivot (melt) vs UNION-ALL oracle
     "validation_counters",  # A9/A10 rule battery, one conditional-agg scan
+    "cusum_drift_days",  # sequential change-point (CUSUM), integer core
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

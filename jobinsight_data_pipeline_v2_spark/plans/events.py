@@ -1164,3 +1164,91 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since_activity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (sequential change-point family): the one-sided
+# cumulative-sum recurrence S_t = max(0, S_{t-1} + x_t − k), all
+# integer. The reference value k is set 10% under the mean so genuine
+# upward drift accumulates (and the flags are non-vacuous at every SF);
+# the alarm threshold is 2× the mean. A RECURSIVE definition on the
+# oracle side (chained self-join CTE) vs an in-row aggregate fold on
+# the Spark side — the pagerank pairing, at day granularity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cusum_drift_days",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    idx AS (SELECT d, n, row_number() OVER (ORDER BY d) AS rn FROM daily),
+    mean AS (SELECT CAST(SUM(n) // COUNT(*) AS BIGINT) AS m FROM daily),
+    cs(rn, s) AS (
+        SELECT 1, GREATEST(0, (SELECT n FROM idx WHERE rn = 1)
+                               - (SELECT 9 * m // 10 FROM mean))
+        UNION ALL
+        SELECT cs.rn + 1,
+               GREATEST(0, cs.s + i.n - (SELECT 9 * m // 10 FROM mean))
+        FROM cs JOIN idx i ON i.rn = cs.rn + 1
+    )
+    SELECT strftime(i.d, '%Y-%m-%d') AS day, i.n AS n_events,
+           CAST(cs.s AS BIGINT) AS cusum,
+           cs.s > (SELECT 2 * m FROM mean) AS drift
+    FROM idx i JOIN cs ON i.rn = cs.rn
+    ORDER BY day
+    """,
+)
+def cusum_drift_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day one-sided CUSUM drift statistic over daily event volume
+    — S_t = max(0, S_{t−1} + n_t − k) with k = ⌊0.9·mean⌋ and alarm at
+    S_t > 2·mean, fully integer (no float mean, no sqrt — the
+    anomaly_days discipline, but SEQUENTIAL: the statistic carries
+    memory, so a slow drift alarms even when no single day would).
+
+    Scale shape: the series has DAYS-many points regardless of corpus
+    size, so after the one distributed daily aggregation the
+    recurrence runs in-row over a days-sized collected array (one
+    aggregate fold; the documented matrix-sized exception to the
+    no-global-collect rule — same as the cohort matrix).
+    """
+    ev = load_events(spark, sf_dir).select(F.to_date("ts").alias("d"))
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mean = daily.agg(
+        F.expr("CAST(SUM(n) div COUNT(*) AS BIGINT)").alias("m")
+    )
+    arr = (
+        daily.crossJoin(F.broadcast(mean))
+        .groupBy("m")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("d", "n"))
+            ).alias("xs")
+        )
+    )
+    folded = arr.select(
+        "m",
+        F.expr(
+            "aggregate(xs, "
+            "named_struct('s', 0L, 'out', "
+            "  cast(array() as array<struct<d: date, n: bigint, s: bigint>>)), "
+            "(acc, x) -> named_struct("
+            "  's', greatest(0L, acc.s + x.n - (9L * m div 10)), "
+            "  'out', concat(acc.out, array(named_struct("
+            "    'd', x.d, 'n', x.n, "
+            "    's', greatest(0L, acc.s + x.n - (9L * m div 10)))))), "
+            "acc -> acc.out)"
+        ).alias("out"),
+    )
+    return (
+        folded.select("m", F.explode("out").alias("r"))
+        .select(
+            F.date_format("r.d", "yyyy-MM-dd").alias("day"),
+            F.col("r.n").alias("n_events"),
+            F.col("r.s").alias("cusum"),
+            (F.col("r.s") > 2 * F.col("m")).alias("drift"),
+        )
+        .orderBy("day")
+    )
