@@ -1252,3 +1252,19 @@ def cusum_drift_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def cusum_reference(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(k_ref, alarm) for the CUSUM recurrence, trained from a batch
+    reference window — the servable artifact the streaming twin
+    compiles into its plan (the temperature_stream device: online
+    CUSUM needs a FIXED reference value; the batch gate's in-plan mean
+    is not knowable online)."""
+    ev = load_events(spark, sf_dir).select(F.to_date("ts").alias("d"))
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    m = int(
+        daily.agg(
+            F.expr("CAST(SUM(n) div COUNT(*) AS BIGINT)").alias("m")
+        ).first()["m"]
+    )
+    return 9 * m // 10, 2 * m

@@ -633,3 +633,95 @@ def attribution_stream(
         "purchase_ts",
         "purchase_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# online CUSUM drift monitor (twin of plans/events.cusum_drift_days;
+# k_ref/alarm trained offline by plans/events.cusum_reference — the
+# temperature_stream served-artifact device)
+# ---------------------------------------------------------------------------
+
+_CUSUM_SCHEMA = StructType(
+    [
+        StructField("day_int", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("cusum", LongType(), True),
+        StructField("drift", BooleanType(), True),
+        StructField("late", BooleanType(), True),
+    ]
+)
+
+_CUSUM_STATE = "open_day LONG, cnt LONG, s LONG"
+
+
+def cusum_stream(events: DataFrame, k_ref: int, alarm: int) -> DataFrame:
+    """(day, n_events, cusum, drift, late): one-sided CUSUM over daily
+    event volume on a LIVE stream — S_t = max(0, S_{t−1} + n_t − k_ref),
+    alarm at S_t > alarm, both constants trained offline
+    (plans/events.cusum_reference).
+
+    State is THREE scalars for the whole series (open day, its running
+    count, the statistic); a day emits when the first event of a LATER
+    day arrives (closed-day semantics — the last open day stays in
+    state, exactly the frontier contract of asof_stream). Events
+    arriving behind the open day flag ``late=true`` with their own
+    day's count and a NULL statistic — surfaced, never silently folded
+    into an already-closed day. Assumes time-ordered arrival per the
+    Kafka-partition contract; per-metric keys replace the constant
+    group key in production (state O(series), not O(events))."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        open_day, cnt, s = state.get if state.exists else (None, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        out = []
+        late = pdf[pdf["day_int"] < (open_day if open_day is not None else -(1 << 60))]
+        if len(late):
+            for day, grp in late.groupby("day_int"):
+                out.append((int(day), int(len(grp)), None, None, True))
+        on_time = pdf[pdf["day_int"] >= (open_day if open_day is not None else -(1 << 60))]
+        for day in sorted(on_time["day_int"].unique()):
+            day = int(day)
+            n_day = int((on_time["day_int"] == day).sum())
+            if open_day is None:
+                open_day, cnt = day, n_day
+                continue
+            if day == open_day:
+                cnt += n_day
+                continue
+            s = max(0, s + cnt - k_ref)
+            out.append((open_day, cnt, s, s > alarm, False))
+            open_day, cnt = day, n_day
+        state.update((open_day, cnt, s))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["day_int", "n_events", "cusum", "drift", "late"],
+            )
+
+    closed = (
+        events.withColumn(
+            "day_int",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long"),
+        )
+        .select("day_int", F.lit(1).alias("__series"))
+        .groupBy("__series")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_CUSUM_SCHEMA,
+            stateStructType=_CUSUM_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return closed.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_int").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n_events",
+        "cusum",
+        "drift",
+        "late",
+    )

@@ -2489,3 +2489,57 @@ def test_fuzzy_match_stream_watermarked_branch(spark, tmp_path):
         (1, "alph", "alphb", 1),
         (2, "gamm", "gamma", 1),
     ], got
+
+
+def test_cusum_stream_equals_batch_closed_days(spark, tmp_path):
+    """Online CUSUM (twin 34): with k_ref/alarm trained offline
+    (cusum_reference) and events replayed in time-ordered drops, the
+    closed-day rows equal the batch gate on every day except the last
+    (which stays open in state — the frontier contract), and nothing
+    flags late on an ordered feed."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.plans.events import (
+        cusum_reference,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.events import (
+        cusum_stream,
+    )
+
+    k_ref, alarm = cusum_reference(spark, SF)
+    ev = load_events(spark, SF)
+    src = os.path.join(str(tmp_path), "cusum_flat")
+    rows = ev.count()
+    per = rows // 3 + 1
+    from pyspark.sql.window import Window as W
+
+    ranked = ev.withColumn(
+        "__rk", F.row_number().over(W.orderBy("ts", "event_id"))
+    ).withColumn("__b", ((F.col("__rk") - 1) / per).cast("int"))
+    for b in range(3):
+        part = ranked.filter(F.col("__b") == b).drop("__rk", "__b")
+        _write_drop(part, tmp_path, src, f"cusum_drop_{b}", time.time() + b)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = run_stream_to_memory(
+        spark, cusum_stream(stream, k_ref, alarm), "cusum_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT day, n_events, cusum, drift FROM cusum_test"
+        " WHERE NOT late ORDER BY day"
+    ).collect()
+    assert spark.sql(
+        "SELECT COUNT(*) FROM cusum_test WHERE late"
+    ).first()[0] == 0
+    batch = (
+        load_all()["cusum_drift_days"][0](spark, SF).orderBy("day").collect()
+    )
+    assert len(got) == len(batch) - 1  # last day still open in state
+    for g, b in zip(got, batch[:-1]):
+        assert (g.day, g.n_events, g.cusum, g.drift) == (
+            b.day,
+            b.n_events,
+            b.cusum,
+            b.drift,
+        ), (g, b)
