@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "unpivot_monthly_metrics",  # native unpivot (melt) vs UNION-ALL oracle
     "validation_counters",  # A9/A10 rule battery, one conditional-agg scan
     "cusum_drift_days",  # sequential change-point (CUSUM), integer core
+    # round 7 continuation (5th session)
+    "fim_transform",  # fill-in-the-middle rewrite + losslessness proof
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -1022,3 +1022,190 @@ def temperature_decisions(docs: DataFrame, rates: dict[str, int]) -> DataFrame:
         .withColumn("bucket", _bucket("doc_id", 1000))
         .withColumn("kept", F.col("bucket") < F.col("rate_permille"))
     )
+
+
+# ---------------------------------------------------------------------------
+# fill-in-the-middle (FIM) transform — training-objective data prep
+# ---------------------------------------------------------------------------
+
+_FIM_MIN_TOKENS = 4
+_FIM_PRE, _FIM_SUF, _FIM_MID = "<PRE>", "<SUF>", "<MID>"
+
+
+def _fim_pivot(salt: str, span: F.Column) -> F.Column:
+    """Deterministic offset in [0, span) from md5 of 'doc_id:salt' —
+    the hash_split membership device, salted per pivot so the two
+    pivots are independent."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":" + salt)
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % span
+    )
+
+
+def fim_rows(docs: DataFrame) -> DataFrame:
+    """FIM (PSM-mode) rewrite of each document at token granularity
+    (Bavarian et al. 2022: "Efficient Training of Language Models to
+    Fill in the Middle"): two deterministic pivots 1 <= a < b <= n-1
+    split the token list into non-empty prefix/middle/suffix, emitted
+    as '<PRE> prefix <SUF> suffix <MID> middle'. Documents under
+    {_FIM_MIN_TOKENS} tokens pass through untransformed (pivots 0).
+
+    Stateless narrow projection — no shuffle, no state — so the SAME
+    code is the streaming twin's plan (streaming/curation.fim_stream).
+    The `lossless` column recomputes, in-plan, that reordering the
+    three spans back reproduces the canonical token stream (the
+    invariant that makes FIM a training-safe rewrite). The token array
+    is consumed only by whole-array slices/joins (single-reference
+    consumers — rule 10's safe shape; no per-position access, so no
+    checkpoint is needed and the stream twin is legal under rule 20).
+    """
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    sized = toks.select("doc_id", "t", F.size("t").alias("n"))
+    long_enough = F.col("n") >= _FIM_MIN_TOKENS
+    piv = sized.withColumn(
+        "a",
+        F.when(long_enough, (F.lit(1) + _fim_pivot("a", F.col("n") - 2)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    ).withColumn(
+        "b",
+        F.when(
+            long_enough,
+            F.col("a") + 1 + _fim_pivot("b", F.col("n") - 1 - F.col("a")),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    parts = piv.select(
+        "doc_id",
+        "n",
+        "a",
+        "b",
+        F.expr("slice(t, 1, a)").alias("p"),
+        F.expr("slice(t, a + 1, b - a)").alias("m"),
+        F.expr("slice(t, b + 1, n - b)").alias("s"),
+        "t",
+    )
+    built = parts.select(
+        "doc_id",
+        "n",
+        "a",
+        "b",
+        F.when(
+            F.col("n") >= _FIM_MIN_TOKENS,
+            F.concat(
+                F.lit(_FIM_PRE + " "),
+                F.array_join("p", " "),
+                F.lit(" " + _FIM_SUF + " "),
+                F.array_join("s", " "),
+                F.lit(" " + _FIM_MID + " "),
+                F.array_join("m", " "),
+            ),
+        )
+        .otherwise(F.array_join("t", " "))
+        .alias("fim"),
+        F.when(
+            F.col("n") >= _FIM_MIN_TOKENS,
+            F.array_join(F.concat("p", "m", "s"), " "),
+        )
+        .otherwise(F.array_join("t", " "))
+        .alias("rebuilt"),
+        F.array_join("t", " ").alias("canon"),
+    )
+    return built.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("a").cast("long").alias("pivot_a"),
+        F.col("b").cast("long").alias("pivot_b"),
+        F.md5(F.col("fim").cast("binary")).alias("fim_hash"),
+        F.length("fim").cast("long").alias("fim_chars"),
+        (
+            F.md5(F.col("rebuilt").cast("binary"))
+            == F.md5(F.col("canon").cast("binary"))
+        ).alias("lossless"),
+    )
+
+
+_FIM_PIVOT_SQL_A = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 8))::BIGINT"
+)
+_FIM_PIVOT_SQL_B = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':b'), 1, 8))::BIGINT"
+)
+
+
+@register(
+    "fim_transform",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, t, len(t) AS n FROM toks
+    ),
+    piv1 AS (
+        SELECT doc_id, t, n,
+               CASE WHEN n >= {_FIM_MIN_TOKENS}
+                    THEN 1 + ({_FIM_PIVOT_SQL_A} % (n - 2))
+                    ELSE 0 END AS a
+        FROM sized
+    ),
+    piv2 AS (
+        SELECT doc_id, t, n, a,
+               CASE WHEN n >= {_FIM_MIN_TOKENS}
+                    THEN a + 1 + ({_FIM_PIVOT_SQL_B} % (n - 1 - a))
+                    ELSE 0 END AS b
+        FROM piv1
+    ),
+    parts AS (
+        SELECT doc_id, t, n, a, b,
+               list_slice(t, 1, a)     AS p,
+               list_slice(t, a + 1, b) AS m,
+               list_slice(t, b + 1, n) AS s
+        FROM piv2
+    ),
+    built AS (
+        SELECT doc_id, n, a, b,
+               CASE WHEN n >= {_FIM_MIN_TOKENS} THEN
+                   '{_FIM_PRE} ' || array_to_string(p, ' ')
+                   || ' {_FIM_SUF} ' || array_to_string(s, ' ')
+                   || ' {_FIM_MID} ' || array_to_string(m, ' ')
+               ELSE array_to_string(t, ' ') END AS fim,
+               CASE WHEN n >= {_FIM_MIN_TOKENS}
+                    THEN array_to_string(p || m || s, ' ')
+                    ELSE array_to_string(t, ' ') END AS rebuilt,
+               array_to_string(t, ' ') AS canon
+        FROM parts
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(a AS BIGINT) AS pivot_a,
+           CAST(b AS BIGINT) AS pivot_b,
+           md5(fim)          AS fim_hash,
+           CAST(length(fim) AS BIGINT) AS fim_chars,
+           md5(rebuilt) = md5(canon)   AS lossless
+    FROM built
+    ORDER BY doc_id
+    """,
+)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle rewrite of every document, with an in-plan
+    losslessness proof. See fim_rows for the transform; this gate pins
+    the pivot selection (md5-derived, replay/retry-stable — no rand()),
+    the exact sentinel framing, and the reassembly invariant across
+    engines. Reference analogue: none (net-new training-data op).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return fim_rows(docs).orderBy("doc_id")

@@ -30,6 +30,19 @@ def chunk_stream(docs: DataFrame) -> DataFrame:
     return chunk_transform(docs)
 
 
+def fim_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, pivot_a, pivot_b, fim_hash, fim_chars,
+    lossless) per streaming document — the batch fim_transform gate's
+    rows (minus its presentation sort). Pivots are md5-derived pure
+    functions of the row, so replays/retries rewrite identically, and
+    the transform is a stateless narrow projection (append mode, zero
+    state store; rule-20-safe — the token array has only whole-array
+    consumers, no per-position access)."""
+    from ..plans.sampling import fim_rows
+
+    return fim_rows(docs)
+
+
 def funnel_stream(docs: DataFrame) -> DataFrame:
     """(lang, n_docs, pass_len, pass_lang, kept, kept_chars): the
     per-language curation-funnel report, updating as documents arrive.

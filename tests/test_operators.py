@@ -1214,3 +1214,74 @@ def test_pagerank_integer_matches_reference(spark):
     assert got == ranks
     # skew sanity: the self-loop + parallel-edge hub outranks the sink
     assert got[2] > got[5]
+
+
+# ---------------------------------------------------------------------------
+# fill-in-the-middle transform (plans/sampling.fim_rows)
+# ---------------------------------------------------------------------------
+
+
+def test_fim_rows_semantics(spark):
+    """Pivot bounds, sentinel framing, short-doc passthrough, and the
+    losslessness invariant on hand-built docs."""
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import fim_rows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # n=6, rewritten
+            (2, "one two three"),  # n=3 < 4, passthrough
+            (3, "a  b   c d"),  # multi-space: canonicalized to 4 toks
+            (4, ""),  # empty text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in fim_rows(docs).collect()}
+
+    # long doc: 1 <= a < b <= n-1 (all three spans non-empty)
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6
+    assert 1 <= r1["pivot_a"] < r1["pivot_b"] <= 5
+    assert r1["lossless"] is True
+
+    # short doc: untouched canonical text, zero pivots
+    import hashlib
+
+    r2 = rows[2]
+    assert (r2["pivot_a"], r2["pivot_b"]) == (0, 0)
+    assert r2["fim_hash"] == hashlib.md5(b"one two three").hexdigest()
+    assert r2["lossless"] is True
+
+    # multi-space doc: token canonicalization, still lossless
+    r3 = rows[3]
+    assert r3["n_tokens"] == 4
+    assert r3["lossless"] is True
+
+    # empty doc: passthrough of the empty canonical string
+    r4 = rows[4]
+    assert r4["n_tokens"] == 0
+    assert r4["fim_hash"] == hashlib.md5(b"").hexdigest()
+    assert r4["lossless"] is True
+
+
+def test_fim_rows_sentinel_structure(spark):
+    """The rewritten text is exactly '<PRE> p <SUF> s <MID> m' with the
+    three spans sliced at the emitted pivots."""
+    import hashlib
+
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import fim_rows
+
+    text = "t0 t1 t2 t3 t4 t5 t6 t7"
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    r = fim_rows(docs).collect()[0]
+    toks = text.split(" ")
+    a, b = r["pivot_a"], r["pivot_b"]
+    expected = (
+        "<PRE> "
+        + " ".join(toks[:a])
+        + " <SUF> "
+        + " ".join(toks[b:])
+        + " <MID> "
+        + " ".join(toks[a:b])
+    )
+    assert r["fim_hash"] == hashlib.md5(expected.encode()).hexdigest()
+    assert r["fim_chars"] == len(expected)

@@ -869,3 +869,13 @@ def test_srp_signature_subtree_and_python_agreement(spark):
             1 << (h - 32) for h in range(32, 64) if dots_ref[h] > 0
         )
         assert got[i] == (lo_ref, hi_ref), i
+
+
+def test_fim_transform_narrow(spark):
+    """FIM is a stateless narrow rewrite: no join, no aggregate, no
+    hash exchange — only the presentation sort's range exchange may
+    appear. This is what licenses the verbatim streaming twin."""
+    p = _plan(spark, "fim_transform")
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    assert "Exchange hashpartitioning" not in p, p

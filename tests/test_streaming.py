@@ -2543,3 +2543,27 @@ def test_cusum_stream_equals_batch_closed_days(spark, tmp_path):
             b.cusum,
             b.drift,
         ), (g, b)
+
+
+def test_streaming_fim_equals_batch(spark, tmp_path):
+    """Stateless FIM rewrite: the streamed union of per-batch rows
+    equals the batch fim_transform gate exactly (pivots are pure
+    functions of the row, so batch boundaries cannot move them)."""
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        fim_stream,
+    )
+
+    src, docs = _stage_doc_drops(spark, tmp_path, ["doc_id", "text"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(spark, fim_stream(stream), "fim_test")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM fim_test")
+    expected = load_all()["fim_transform"][0](spark, SF)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() > 0
