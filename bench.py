@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "cusum_drift_days",  # sequential change-point (CUSUM), integer core
     # round 7 continuation (5th session)
     "fim_transform",  # fill-in-the-middle rewrite + losslessness proof
+    "url_canonical_dedup",  # crawl-URL canonicalize + keep-min dedup
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -2251,3 +2251,166 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (crawl-ingest family)
+# ---------------------------------------------------------------------------
+
+# Engine-shared synthesis: every 4 consecutive doc_ids are the SAME
+# logical page in a different disguise (scheme/host case, www. prefix,
+# default port, utm_*/fbclid tracking params, param order, fragment) —
+# the variant axes a real Common-Crawl URL deduper must collapse.
+# Pages where page % 11 = 0 sit on a NON-default port (:8080) in every
+# variant, pinning that canonicalization keeps real ports while
+# stripping default ones. Pure ||/CASE/CAST text, identical in Spark
+# and DuckDB.
+_URL_PAGE_SQL = "CAST(floor(doc_id / 4) AS BIGINT)"
+_URL_SQL = f"""
+    CASE doc_id % 4
+      WHEN 0 THEN __scheme || '://www.ex' || __dom || '.com' || __xport
+                  || __path || '?id=' || __pg
+      WHEN 1 THEN upper(__scheme) || '://EX' || __dom || '.COM'
+                  || (CASE WHEN __xport <> '' THEN __xport
+                           ELSE __defport END)
+                  || __path || '?utm_source=feed&id=' || __pg || '#top'
+      WHEN 2 THEN __scheme || '://ex' || __dom || '.com' || __xport
+                  || __path || '?id=' || __pg || '&utm_campaign=x'
+      ELSE        __scheme || '://WwW.ex' || __dom || '.com' || __xport
+                  || __path || '?fbclid=xyz&id=' || __pg
+    END
+"""
+# the per-page pieces the CASE above references
+_URL_PIECES_SQL = {
+    "__pg": f"CAST({_URL_PAGE_SQL} AS STRING)",
+    "__dom": f"CAST({_URL_PAGE_SQL} % 7 AS STRING)",
+    "__scheme": f"CASE WHEN {_URL_PAGE_SQL} % 3 = 0 THEN 'https' ELSE 'http' END",
+    "__defport": f"CASE WHEN {_URL_PAGE_SQL} % 3 = 0 THEN ':443' ELSE ':80' END",
+    "__xport": f"CASE WHEN {_URL_PAGE_SQL} % 11 = 0 THEN ':8080' ELSE '' END",
+    "__path": f"'/p/' || CAST({_URL_PAGE_SQL} AS STRING)",
+}
+
+
+def _url_synth_sql() -> str:
+    """The synthesized URL as one self-contained SQL expression (the
+    __pieces inlined), shared verbatim by both engines."""
+    sql = _URL_SQL
+    for k, v in _URL_PIECES_SQL.items():
+        sql = sql.replace(k, f"({v})")
+    return sql
+
+
+def canonical_url_columns(urls: DataFrame) -> DataFrame:
+    """(url, canonical_url): crawl-style URL canonicalization —
+    lowercase scheme+host, strip a leading 'www.', strip the fragment,
+    strip DEFAULT ports only (:80 http / :443 https), drop utm_* and
+    fbclid tracking params, sort the survivors. Narrow projection;
+    patterns go through the Column API, never a SQL string literal
+    (rule 4). ``urls`` needs a string column ``url``."""
+    scheme = F.lower(F.parse_url("url", F.lit("PROTOCOL")))
+    auth = F.parse_url("url", F.lit("AUTHORITY"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(auth, F.lit(r":[0-9]+$"), F.lit(""))),
+        F.lit(r"^www\."),
+        F.lit(""),
+    )
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    path = F.parse_url("url", F.lit("PATH"))
+    query = F.coalesce(F.parse_url("url", F.lit("QUERY")), F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: ~(p.like("utm_%") | p.like("fbclid%")) & (p != ""),
+        )
+    )
+    qq = F.array_join(kept, "&")
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when((port != "") & ~default_port, F.concat(F.lit(":"), port)).otherwise(
+            F.lit("")
+        ),
+        path,
+        F.when(qq != "", F.concat(F.lit("?"), qq)).otherwise(F.lit("")),
+    )
+    return urls.withColumn("canonical_url", canon)
+
+
+@register(
+    "url_canonical_dedup",
+    f"""
+    WITH urls AS (
+        SELECT doc_id, {_url_synth_sql()} AS url FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+               regexp_extract(url, '^[a-zA-Z]+://([^/?#]*)', 1) AS auth,
+               regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query
+        FROM urls
+    ),
+    hp AS (
+        SELECT doc_id, scheme, path, query,
+               regexp_replace(
+                   lower(regexp_replace(auth, ':[0-9]+$', '')),
+                   '^www\\.', '') AS host,
+               regexp_extract(auth, ':([0-9]+)$', 1) AS port
+        FROM parsed
+    ),
+    q AS (
+        SELECT doc_id, scheme, host, port, path,
+               array_to_string(list_sort(list_filter(
+                   string_split(query, '&'),
+                   p -> NOT (p LIKE 'utm_%' OR p LIKE 'fbclid%')
+                        AND p <> '')), '&') AS qq
+        FROM hp
+    ),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://' || host ||
+               CASE WHEN port <> ''
+                         AND NOT ((scheme = 'http' AND port = '80')
+                                  OR (scheme = 'https' AND port = '443'))
+                    THEN ':' || port ELSE '' END ||
+               path ||
+               CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS canonical_url
+        FROM q
+    )
+    SELECT canonical_url,
+           COUNT(*)        AS n_variants,
+           MIN(doc_id)     AS keeper_doc_id
+    FROM canon
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL dedup: canonicalize, group, keep the min doc_id.
+
+    The step every Common-Crawl-scale pipeline runs before fetching or
+    re-processing a page twice. URLs are synthesized in-plan from
+    doc_id (engine-shared SQL text — 4 disguises per logical page:
+    case, www., default port, tracking params, param order, fragment),
+    canonicalized by canonical_url_columns (Spark parse_url; the
+    oracle re-derives the same algebra with regexps), and collapsed by
+    canonical string. Scale shape: narrow parse projection + ONE
+    shuffle on the canonical hash key — identical to exact_dedup.
+    Reference analogue: none (net-new crawl-ingest op).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr(_url_synth_sql()).alias("url")
+    )
+    canon = canonical_url_columns(docs)
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )

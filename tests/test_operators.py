@@ -1285,3 +1285,37 @@ def test_fim_rows_sentinel_structure(spark):
     )
     assert r["fim_hash"] == hashlib.md5(expected.encode()).hexdigest()
     assert r["fim_chars"] == len(expected)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (plans/corpus.canonical_url_columns)
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_columns(spark):
+    """Canonicalization algebra on adversarial URLs: case, www.,
+    default vs real ports, tracking params, param order, fragments,
+    and the no-query/no-port identity cases."""
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        canonical_url_columns,
+    )
+
+    cases = [
+        # (raw, expected canonical)
+        ("http://www.Ex.com/a?b=2&a=1", "http://ex.com/a?a=1&b=2"),
+        ("HTTP://EX.COM:80/a?a=1&b=2#frag", "http://ex.com/a?a=1&b=2"),
+        ("https://ex.com:443/a", "https://ex.com/a"),
+        ("https://ex.com:8443/a", "https://ex.com:8443/a"),
+        ("http://ex.com/a?utm_source=x&a=1&fbclid=y", "http://ex.com/a?a=1"),
+        ("http://ex.com/a?utm_source=x", "http://ex.com/a"),
+        ("http://ex.com/a", "http://ex.com/a"),
+        # :80 under https is NOT a default port — kept
+        ("https://ex.com:80/a", "https://ex.com:80/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["canonical_url"]
+        for r in canonical_url_columns(df).collect()
+    }
+    for raw, want in cases:
+        assert got[raw] == want, f"{raw}: {got[raw]} != {want}"

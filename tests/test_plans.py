@@ -879,3 +879,17 @@ def test_fim_transform_narrow(spark):
     assert "Join" not in p
     assert "HashAggregate" not in p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_url_canonical_dedup_one_exchange(spark):
+    """URL dedup is exact_dedup's shape: a narrow parse projection and
+    ONE hash exchange (the canonical-key groupBy) before the
+    presentation sort — no joins, no second shuffle."""
+    p = _plan(spark, "url_canonical_dedup")
+    assert "Join" not in p
+    # formatted mode prints the partitioning as an Arguments: line, so
+    # count the partitioning spec itself (round-robin spread + the one
+    # canonical-key hash + the presentation range sort are the only
+    # exchanges)
+    n_hash = p.count("hashpartitioning")
+    assert n_hash == 1, p
