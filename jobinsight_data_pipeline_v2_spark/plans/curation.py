@@ -836,3 +836,166 @@ def unicode_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn-verified card-number scrub (PII hardening)
+# ---------------------------------------------------------------------------
+
+# A bare [0-9]{16} regex redacts order ids and timestamps along with
+# card numbers; production PII scrubbers verify the Luhn checksum
+# before redacting. The checksum is integer-exact and, at a FIXED
+# 16-digit width, unrolls to 16 explicit terms (rule 10: constant-trip
+# folds in the hot path are unrolled, never lambda-interpreted) —
+# SQL text shared verbatim by both engines.
+
+
+def _luhn_terms_sql(col: str, n_digits: int) -> str:
+    """Sum of Luhn-folded digits of the leftmost n_digits of ``col``.
+
+    Standard Luhn over a 16-wide number doubles every second digit
+    moving left FROM the check digit — i.e. the ODD 1-based positions
+    from the left. The same parity holds for the 15-digit base (the
+    check digit at position 16 is even), so one generator serves both
+    the synthesis (n=15) and the verify (n=16)."""
+    terms = []
+    for i in range(1, n_digits + 1):
+        d = f"CAST(substring({col}, {i}, 1) AS INT)"
+        if i % 2 == 1:
+            terms.append(f"(CASE WHEN 2*{d} > 9 THEN 2*{d} - 9 ELSE 2*{d} END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+# 15-digit base synthesized from the key (two lpad'd key mixes)
+_CARD_BASE_SQL = (
+    "lpad(CAST((c_custkey * 2654435761) % 1000000000 AS STRING), 9, '0')"
+    " || lpad(CAST((c_custkey * 40503) % 1000000 AS STRING), 6, '0')"
+)
+
+# the Luhn-correct check digit for that base; customers where
+# custkey % 3 = 0 carry a VALID card, everyone else the same base with
+# a deliberately broken check digit (+5 mod 10 can never be correct),
+# and custkey % 5 = 0 profiles carry no number at all.
+_CARD_SQL = f"""
+    CASE WHEN c_custkey % 5 = 0 THEN ''
+         ELSE ({_CARD_BASE_SQL})
+              || CAST(CASE WHEN c_custkey % 3 = 0
+                           THEN (10 - (({_luhn_terms_sql(f'({_CARD_BASE_SQL})', 15)}) % 10)) % 10
+                           ELSE ((10 - (({_luhn_terms_sql(f'({_CARD_BASE_SQL})', 15)}) % 10)) % 10 + 5) % 10
+                      END AS STRING)
+    END
+"""
+
+_CARD_PROFILE_SQL = "c_name || ' card ' || __card || ' seg ' || segment"
+
+
+@register(
+    "luhn_card_scrub",
+    f"""
+    WITH carded AS (
+        SELECT c_mktsegment AS segment, c_name,
+               {_CARD_SQL} AS __card
+        FROM customer
+    ),
+    profiles AS (
+        SELECT segment, {_CARD_PROFILE_SQL} AS profile FROM carded
+    ),
+    found AS (
+        SELECT segment, profile,
+               regexp_extract(profile, '[0-9]{{16}}', 0) AS cand
+        FROM profiles
+    ),
+    verified AS (
+        SELECT segment, profile, cand,
+               CASE WHEN cand <> ''
+                    THEN ({_luhn_terms_sql('cand', 16)}) % 10 = 0
+                    ELSE false END AS luhn_ok
+        FROM found
+    ),
+    scrubbed AS (
+        SELECT segment, cand, luhn_ok,
+               CASE WHEN luhn_ok THEN replace(profile, cand, '[CARD]')
+                    ELSE profile END AS redacted,
+               profile
+        FROM verified
+    )
+    SELECT segment,
+           COUNT(*) AS n_profiles,
+           CAST(SUM(CASE WHEN cand <> '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates,
+           CAST(SUM(CASE WHEN luhn_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_luhn_valid,
+           CAST(SUM(length(profile) - length(redacted)) AS BIGINT)
+               AS removed_chars,
+           CAST(SUM(length(redacted)) AS BIGINT) AS redacted_chars
+    FROM scrubbed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def luhn_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Card-number scrub with Luhn verification before redaction.
+
+    Candidates come from the 16-digit regex; only checksum-valid ones
+    are redacted (the broken-check decoys pin that the verify really
+    gates the replace — a regex-only scrubber would redact them too
+    and fail removed_chars). Narrow projection + one 5-group agg —
+    pii_scrub's shape with an integer checksum bolted on; the 16-term
+    Luhn fold is unrolled into codegen. Reference analogue:
+    src/processing/data_processing.py's cleaning pass (file:line cited
+    at functions/cleaning.py) has no checksum step — net-new hardening.
+    """
+    cust = spread(load_table(spark, sf_dir, "customer"))
+    carded = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_name",
+        F.expr(_CARD_SQL).alias("__card"),
+    )
+    profiles = carded.select(
+        "segment", F.expr(_CARD_PROFILE_SQL).alias("profile")
+    )
+    found = profiles.select(
+        "segment",
+        "profile",
+        F.regexp_extract("profile", "[0-9]{16}", 0).alias("cand"),
+    )
+    verified = found.select(
+        "segment",
+        "profile",
+        "cand",
+        F.expr(
+            f"CASE WHEN cand <> '' THEN ({_luhn_terms_sql('cand', 16)}) % 10 = 0"
+            " ELSE false END"
+        ).alias("luhn_ok"),
+    )
+    scrubbed = verified.select(
+        "segment",
+        "cand",
+        "luhn_ok",
+        "profile",
+        F.when(
+            F.col("luhn_ok"),
+            F.expr("replace(profile, cand, '[CARD]')"),
+        )
+        .otherwise(F.col("profile"))
+        .alias("redacted"),
+    )
+    return (
+        scrubbed.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_profiles"),
+            F.sum(F.when(F.col("cand") != "", 1).otherwise(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.sum(F.when(F.col("luhn_ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_luhn_valid"),
+            F.sum(F.length("profile") - F.length("redacted"))
+            .cast("long")
+            .alias("removed_chars"),
+            F.sum(F.length("redacted")).cast("long").alias("redacted_chars"),
+        )
+        .orderBy("segment")
+    )

@@ -169,3 +169,44 @@ def test_bloom_filter_no_false_negatives_and_fp_monitor(spark):
         / 20000
     )
     assert fp_small > _BLOOM_FP_BOUND, fp_small
+
+
+def test_luhn_verify_known_vectors(spark):
+    """The unrolled 16-term Luhn fold agrees with the published test
+    vectors (4111111111111111 valid; any single-digit perturbation
+    invalid) and with a pure-Python reference on random 16-digit
+    strings."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.plans.curation import (
+        _luhn_terms_sql,
+    )
+
+    def luhn_ok(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(s):  # i 0-based from the LEFT, len 16
+            d = int(ch)
+            if i % 2 == 0:  # odd 1-based positions are doubled
+                d = d * 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    import random
+
+    rng = random.Random(7)
+    cards = ["4111111111111111", "4111111111111112", "1234567812345670"]
+    cards += ["".join(rng.choice("0123456789") for _ in range(16)) for _ in range(50)]
+    df = spark.createDataFrame([(c,) for c in cards], "cand string")
+    got = {
+        r["cand"]: r["ok"]
+        for r in df.select(
+            "cand",
+            F.expr(f"({_luhn_terms_sql('cand', 16)}) % 10 = 0").alias("ok"),
+        ).collect()
+    }
+    assert got["4111111111111111"] is True
+    assert got["4111111111111112"] is False
+    for c in cards:
+        assert got[c] == luhn_ok(c), c
