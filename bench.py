@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "fim_transform",  # fill-in-the-middle rewrite + losslessness proof
     "url_canonical_dedup",  # crawl-URL canonicalize + keep-min dedup
     "luhn_card_scrub",  # checksum-gated card redaction (PII hardening)
+    "mad_outlier_days",  # robust median/MAD volume flags, rank-exact
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

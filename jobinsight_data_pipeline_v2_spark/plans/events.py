@@ -1268,3 +1268,102 @@ def cusum_reference(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
         ).first()["m"]
     )
     return 9 * m // 10, 2 * m
+
+
+# ---------------------------------------------------------------------------
+# robust volume outliers (median / MAD): the 2-sigma flag's robust twin
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_outlier_days",
+    """
+    WITH daily AS (
+        SELECT strftime(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                             AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT COUNT(*) AS n FROM daily),
+    ranked AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, day) AS rn
+        FROM daily
+    ),
+    med AS (
+        SELECT cents AS med FROM ranked, g WHERE rn = (n + 1) // 2
+    ),
+    devs AS (
+        SELECT d.day, d.n_events, d.cents, m.med,
+               abs(d.cents - m.med) AS dev
+        FROM daily d, med m
+    ),
+    ranked2 AS (
+        SELECT dev, ROW_NUMBER() OVER (ORDER BY dev, day) AS rn
+        FROM devs
+    ),
+    mad AS (
+        SELECT dev AS mad FROM ranked2, g WHERE rn = (n + 1) // 2
+    )
+    SELECT day, n_events, cents,
+           med  AS median_cents,
+           dev  AS deviation_cents,
+           mad.mad AS mad_cents,
+           dev > 3 * mad.mad AS is_outlier
+    FROM devs, mad
+    ORDER BY day
+    """,
+)
+def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume outliers: |x − median| > 3·MAD.
+
+    anomaly_days' mean/σ flags move when the outlier itself inflates
+    the variance; the median/MAD pair is the standard robust
+    replacement (breakdown point 50%). Both medians are EXACT lower
+    medians picked by rank — value at row_number (n+1) div 2 under a
+    (value, day) total order — so there is no float percentile and no
+    interpolation to disagree across engines. The global windows run
+    on the days-sized frame (the documented matrix-size exception);
+    the two one-row stats frames broadcast back over the daily rows.
+    """
+    events = load_events(spark, sf_dir)
+    daily = events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    daily = daily.localCheckpoint(eager=False)  # 3 consumers below
+    g = daily.agg(F.count(F.lit(1)).alias("n"))
+    w_med = Window.orderBy("cents", "day")
+    med = (
+        daily.withColumn("rn", F.row_number().over(w_med))
+        .crossJoin(F.broadcast(g))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("cents").alias("med"))
+    )
+    devs = daily.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med"))
+    )
+    devs = devs.localCheckpoint(eager=False)  # MAD rank + output consumer
+    w_mad = Window.orderBy("dev", "day")
+    mad = (
+        devs.withColumn("rn", F.row_number().over(w_mad))
+        .crossJoin(F.broadcast(g))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("dev").alias("mad"))
+    )
+    return (
+        devs.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n_events",
+            "cents",
+            F.col("med").alias("median_cents"),
+            F.col("dev").alias("deviation_cents"),
+            F.col("mad").alias("mad_cents"),
+            (F.col("dev") > 3 * F.col("mad")).alias("is_outlier"),
+        )
+        .orderBy("day")
+    )
