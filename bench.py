@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "url_canonical_dedup",  # crawl-URL canonicalize + keep-min dedup
     "luhn_card_scrub",  # checksum-gated card redaction (PII hardening)
     "mad_outlier_days",  # robust median/MAD volume flags, rank-exact
+    "xml_roundtrip",  # S18 ingest: line-framed XML write + from_xml read-back
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

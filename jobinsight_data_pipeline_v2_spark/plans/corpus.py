@@ -537,6 +537,7 @@ def _jsonl_gate_dir(sf_dir: str) -> str:
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "csv"))
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "orc"))
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "schev"))
+    _GATE_DIRS_CREATED.add(d.replace("jsonl", "xml"))
     return d
 
 
@@ -2414,3 +2415,104 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# XML ingest round trip (oracle gate for the S18 source path)
+# ---------------------------------------------------------------------------
+
+_XML_MALFORMED = (
+    "<doc><doc_id>900000000</doc_id><text>truncated",
+    "this line is not xml at all",
+    # a type-failed field corrupts the whole row under from_xml
+    # (probed — unlike from_csv's per-field NULL)
+    "<doc><doc_id>abc</doc_id><text>bad id type</text></doc>",
+)
+_XML_MISSING_ID = "<doc><text>orphan, no id</text><lang>vi</lang></doc>"
+_XML_MISSING_TEXT = "<doc><doc_id>900000001</doc_id><lang>vi</lang></doc>"
+# a VALID injected line whose text round-trips through entity escapes;
+# raw text 'a &<tag> b' = 10 chars, declared n_chars 12 on purpose so
+# the two lengths cannot be conflated
+_XML_ENTITY_LINE = (
+    "<doc><doc_id>900000002</doc_id><text>a &amp;&lt;tag&gt; b</text>"
+    "<lang>xx</lang><source>inj</source><n_chars>12</n_chars></doc>"
+)
+
+
+@register(
+    "xml_roundtrip",
+    """
+    SELECT 'lang:' || COALESCE(lang, '<null>') AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(len(text)) AS BIGINT) AS tchars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT 'lang:xx', CAST(1 AS BIGINT), CAST(12 AS BIGINT),
+           CAST(10 AS BIGINT), CAST(900000002 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:malformed_xml', CAST(3 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:doc_id', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:text', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ORDER BY bucket
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → line-framed XML → ``read_xml_docs`` → aggregates,
+    with injected garbage that must land in quarantine and one valid
+    entity-escaped line that must decode — the S18 source path pinned
+    end to end against the pristine parquet table (the jsonl_roundtrip
+    oracle device: DuckDB never reads the files, so corruption, drops,
+    duplication, mis-quarantine, or a broken entity decode all fail
+    the value hash). text-length AND id sums ride along so an escaping
+    bug cannot hide behind the carried n_chars.
+    """
+    import os
+
+    from ..sources.xml_source import format_doc_xml, read_xml_docs
+
+    out = _jsonl_gate_dir(sf_dir).replace("jsonl", "xml")
+    docs_src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    format_doc_xml(docs_src).write.mode("overwrite").text(out)
+    with open(os.path.join(out, "zz_injected.xml"), "w") as f:
+        for line in (
+            *_XML_MALFORMED,
+            _XML_MISSING_ID,
+            _XML_MISSING_TEXT,
+            _XML_ENTITY_LINE,
+        ):
+            f.write(line + "\n")
+    docs, quar = read_xml_docs(spark, out)
+    by_lang = docs.groupBy(
+        F.concat(F.lit("lang:"), F.coalesce("lang", F.lit("<null>"))).alias(
+            "bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.length("text")).alias("tchars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    by_reason = (
+        quar.groupBy(
+            F.concat(F.lit("quarantine:"), F.col("reason")).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            "n",
+            F.lit(0).cast("long").alias("chars"),
+            F.lit(0).cast("long").alias("tchars"),
+            F.lit(0).cast("long").alias("id_sum"),
+        )
+    )
+    return by_lang.unionByName(by_reason).orderBy("bucket")

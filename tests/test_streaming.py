@@ -2567,3 +2567,45 @@ def test_streaming_fim_equals_batch(spark, tmp_path):
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0
     assert got.count() > 0
+
+
+def test_streaming_xml_equals_batch(spark, tmp_path):
+    """XML corpus-drop stream (twin 36): typed docs AND quarantine
+    streamed out of newly landed line-framed XML dumps equal the batch
+    reader's partition exactly (the read_jsonl_stream device over the
+    shared _partition_xml_lines parse)."""
+    from jobinsight_data_pipeline_v2_spark.sources.xml_source import (
+        read_xml_docs,
+        read_xml_stream,
+    )
+
+    land = os.path.join(str(tmp_path), "xml_landing")
+    os.makedirs(land)
+    dumps = [
+        ["<doc><doc_id>1</doc_id><text>hello &amp; bye</text><lang>en</lang></doc>",
+         "<doc><doc_id>zz</doc_id><text>bad id</text></doc>"],
+        ["<doc><doc_id>2</doc_id><text>xin chào</text></doc>",
+         "<doc><text>no id</text></doc>"],
+        ["<doc><doc_id>7</doc_id><lang>en</lang></doc>",
+         "<doc><doc_id>3</doc_id><text>third dump</text></doc>"],
+    ]
+    for i, lines in enumerate(dumps):
+        with open(os.path.join(land, f"dump_{i}.xml"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    docs_s, quar_s = read_xml_stream(spark, land, max_files_per_trigger=1)
+    q1 = run_stream_to_memory(spark, docs_s, "xml_docs_stream")
+    q2 = run_stream_to_memory(spark, quar_s, "xml_quar_stream")
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    got_docs = spark.sql("SELECT * FROM xml_docs_stream")
+    got_quar = spark.sql("SELECT * FROM xml_quar_stream")
+    exp_docs, exp_quar = read_xml_docs(spark, land)
+    for got, exp in ((got_docs, exp_docs), (got_quar, exp_quar)):
+        sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
+        assert sym == 0
+    assert got_docs.count() == 3 and got_quar.count() == 3
+    # the entity decode happened on the stream path too
+    assert any(
+        r.text == "hello & bye" for r in got_docs.collect()
+    )

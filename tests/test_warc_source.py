@@ -267,3 +267,56 @@ def test_csv_source_partitions_input_exactly(spark, tmp_path):
     )
 
     assert classifier_score(docs).count() == 2
+
+
+def test_xml_source_partitions_input_exactly(spark, tmp_path):
+    """Every input XML line lands in exactly one of (docs, quarantine),
+    and the writer's entity escaping round-trips adversarial text
+    through format_doc_xml -> read_xml_docs byte-identically."""
+    import os as _os
+
+    from jobinsight_data_pipeline_v2_spark.sources.xml_source import (
+        format_doc_xml,
+        read_xml_docs,
+    )
+
+    lines = [
+        "<doc><doc_id>1</doc_id><text>hello world</text><lang>en</lang>"
+        "<source>s0</source><n_chars>11</n_chars></doc>",
+        "<doc><doc_id>2</doc_id><text>xin chào</text></doc>",  # sparse
+        "<doc><doc_id>3</doc_id><text>truncated",       # malformed
+        "not xml at all",                                # malformed
+        "<doc><doc_id>zzz</doc_id><text>t</text></doc>",  # type fail -> corrupt
+        "<doc><text>no id</text></doc>",                 # missing doc_id
+        "<doc><doc_id>5</doc_id></doc>",                 # missing text
+    ]
+    p = _os.path.join(str(tmp_path), "corpus.xml")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    docs, quarantine = read_xml_docs(spark, p)
+    got = {r.doc_id: r for r in docs.collect()}
+    assert set(got) == {1, 2}
+    assert got[1].lang == "en" and got[2].lang is None
+    q = [r.reason for r in quarantine.collect()]
+    assert sorted(q) == [
+        "malformed_xml", "malformed_xml", "malformed_xml",
+        "missing:doc_id", "missing:text",
+    ]
+    assert docs.count() + quarantine.count() == len(lines)
+    assert any("not xml" in r.line for r in quarantine.collect())
+
+    # escape round trip: &, <, >, quotes, unicode, entity look-alikes
+    evil = [
+        (10, "a & b < c > d", "en", "s", 13),
+        (11, "&amp; literal entity text &lt;doc&gt;", "vi", "s", 37),
+        (12, "</text><doc_id>666</doc_id><text>injection", "en", "s", 42),
+    ]
+    src = spark.createDataFrame(
+        evil, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = _os.path.join(str(tmp_path), "written")
+    format_doc_xml(src).write.text(out)
+    back, quar2 = read_xml_docs(spark, out)
+    assert quar2.count() == 0
+    got2 = {r.doc_id: r.text for r in back.collect()}
+    assert got2 == {i: t for i, t, *_ in evil}
