@@ -147,6 +147,12 @@ BENCH_QUERIES = [
     "luhn_card_scrub",  # checksum-gated card redaction (PII hardening)
     "mad_outlier_days",  # robust median/MAD volume flags, rank-exact
     "xml_roundtrip",  # S18 ingest: line-framed XML write + from_xml read-back
+    # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
+    # cost is K rounds of fixed per-round job overhead on candidate-
+    # sized frames (~10s wall at ANY sf — scheduling, not data); the
+    # candidate-generation scan it rides on is already measured by
+    # cosine_topk_batch, and the iterative family is benched via
+    # semantic_dedup.
     # ivfpq_topk_exact is deliberately NOT benched: its gate config
     # (nprobe=all + refine=all) is the exactness ceiling of a
     # composition whose two halves (ivf_topk_learned, pq_topk_rerank)

@@ -1745,3 +1745,208 @@ def borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("borda").desc(), "vec_id").limit(_FUSE_K)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (Carbonell & Goldstein 1998) — retrieval
+# diversity over the exact candidate set
+# ---------------------------------------------------------------------------
+
+_MMR_QUERY_MOD = 401  # the cosine_topk_batch query-batch device
+_MMR_CAND = 12
+_MMR_K = 5
+
+
+def _mmr_oracle_sql() -> str:
+    """K chained CTE rounds (the pagerank device): greedy MMR with
+    λ = 1/2 on exact integer inner products — round r picks, per
+    query, the unselected candidate maximizing s_q − max_{j∈S} s_ij
+    (ties → vec_id asc)."""
+    head = f"""
+    WITH qe AS (
+        SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, qv AS q FROM qe
+        WHERE vec_id % {_MMR_QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST({_sql_dot('c.qv', 'q.q')} AS BIGINT) AS s_q, c.qv
+        FROM qe c, queries q WHERE c.vec_id != q.query_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id, s_q, qv FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY s_q DESC, vec_id) AS rn
+            FROM scored)
+        WHERE rn <= {_MMR_CAND}
+    ),
+    pairs AS (
+        SELECT a.query_id, a.vec_id AS av, b.vec_id AS bv,
+               CAST({_sql_dot('a.qv', 'b.qv')} AS BIGINT) AS s_ab
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+    ),
+    pick1 AS (
+        SELECT query_id, vec_id, s_q, CAST(0 AS BIGINT) AS penalty,
+               CAST(1 AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY s_q DESC, vec_id) AS rn
+              FROM cand)
+        WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, vec_id FROM pick1)"""
+    rounds = []
+    for r in range(2, _MMR_K + 1):
+        rounds.append(f""",
+    pen{r} AS (
+        SELECT c.query_id, c.vec_id, c.s_q,
+               CAST(MAX(p.s_ab) AS BIGINT) AS penalty
+        FROM cand c
+        JOIN pairs p ON p.query_id = c.query_id AND p.av = c.vec_id
+        JOIN sel{r - 1} s ON s.query_id = p.query_id AND s.vec_id = p.bv
+        LEFT JOIN sel{r - 1} x
+          ON x.query_id = c.query_id AND x.vec_id = c.vec_id
+        WHERE x.vec_id IS NULL
+        GROUP BY 1, 2, 3
+    ),
+    pick{r} AS (
+        SELECT query_id, vec_id, s_q, penalty, CAST({r} AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY s_q - penalty DESC, vec_id) AS rn
+              FROM pen{r})
+        WHERE rn = 1
+    ),
+    sel{r} AS (
+        SELECT query_id, vec_id FROM sel{r - 1}
+        UNION ALL SELECT query_id, vec_id FROM pick{r}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM pick{r}" for r in range(1, _MMR_K + 1)
+    )
+    return (
+        head
+        + "".join(rounds)
+        + f"\n    SELECT * FROM ({union}) ORDER BY query_id, rank"
+    )
+
+
+@register("mmr_topk", _mmr_oracle_sql())
+def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR re-ranking of the exact top-{_MMR_CAND} candidates:
+    {_MMR_K} picks per query maximizing relevance − max-similarity-to-
+    already-picked (λ = 1/2, so the tradeoff is one integer subtract).
+
+    Similarities are exact quantized inner products (this module's
+    integer discipline) — no float in any comparison, so the greedy
+    argmax is bit-stable across engines and partitionings. Scale
+    shape: ONE corpus scan builds the candidate set (query batch
+    broadcasts, per-query window top-N); everything after — pair
+    sims, {_MMR_K} greedy rounds — runs on candidate-sized frames
+    (batch × {_MMR_CAND} rows), i.e. driver-trivial at any corpus
+    size. The candidate and pair frames are lazily checkpointed (rule
+    12: each feeds every round).
+    """
+    from pyspark.sql.window import Window
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qe = emb.select("vec_id", F.expr(_QVEC).alias("qv"))
+    queries = qe.filter(F.col("vec_id") % _MMR_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q")
+    )
+    scored = (
+        qe.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _dot("qv", "q").cast("long").alias("s_q"),
+            "qv",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s_q"), "vec_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_CAND)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # pairs + every greedy round
+    )
+    pairs = (
+        cand.alias("a")
+        .join(
+            cand.alias("b"),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("av"),
+            F.col("b.vec_id").alias("bv"),
+            _dot("a.qv", "b.qv").cast("long").alias("s_ab"),
+        )
+        .localCheckpoint(eager=False)  # one consumer per round
+    )
+    cand_slim = cand.select("query_id", "vec_id", "s_q")
+    return mmr_greedy(cand_slim, pairs, _MMR_K).orderBy("query_id", "rank")
+
+
+def mmr_greedy(cand_slim: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
+    """The greedy MMR selection over a prepared candidate set:
+    ``cand_slim`` is (query_id, vec_id, s_q), ``pairs`` is
+    (query_id, av, bv, s_ab) with a row for EVERY ordered candidate
+    pair of a query. Returns (query_id, vec_id, s_q, penalty, rank)
+    for k rounds of argmax(s_q − max_{j∈picked} s_aj), ties broken on
+    vec_id. Extracted so unit tests can feed synthetic candidates."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("s_q"), "vec_id")
+    pick = (
+        cand_slim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            "s_q",
+            F.lit(0).cast("long").alias("penalty"),
+            F.lit(1).cast("long").alias("rank"),
+        )
+    )
+    picks = [pick]
+    sel = pick.select("query_id", "vec_id")
+    for r in range(2, k + 1):
+        pen_tbl = (
+            pairs.join(
+                sel.withColumnRenamed("vec_id", "bv"), ["query_id", "bv"]
+            )
+            .groupBy("query_id", F.col("av").alias("vec_id"))
+            .agg(F.max("s_ab").cast("long").alias("penalty"))
+        )
+        pen = cand_slim.join(sel, ["query_id", "vec_id"], "left_anti").join(
+            pen_tbl, ["query_id", "vec_id"]
+        )
+        w_r = Window.partitionBy("query_id").orderBy(
+            F.desc(F.col("s_q") - F.col("penalty")), "vec_id"
+        )
+        pick_r = (
+            pen.withColumn("rn", F.row_number().over(w_r))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                "s_q",
+                "penalty",
+                F.lit(r).cast("long").alias("rank"),
+            )
+            # rule 12: pick_r feeds BOTH the output union and (via sel)
+            # two consumers in every later round — without a boundary
+            # the round plans re-expand 2^K-fold
+            .localCheckpoint(eager=False)
+        )
+        picks.append(pick_r)
+        sel = sel.unionByName(pick_r.select("query_id", "vec_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1319,3 +1319,58 @@ def test_canonical_url_columns(spark):
     }
     for raw, want in cases:
         assert got[raw] == want, f"{raw}: {got[raw]} != {want}"
+
+
+# ---------------------------------------------------------------------------
+# MMR greedy selection (plans/vectors.mmr_greedy)
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_greedy_prefers_diversity(spark):
+    """A near-duplicate of the top hit must NOT be picked second even
+    though it has the second-best relevance; a pure-Python greedy
+    reference agrees on every rank."""
+    from jobinsight_data_pipeline_v2_spark.plans.vectors import mmr_greedy
+
+    # candidates: 1 (rel 100), 2 (rel 99, near-dup of 1: sim 98),
+    # 3 (rel 60, dissimilar), 4 (rel 50, dissimilar)
+    cand = [(7, 1, 100), (7, 2, 99), (7, 3, 60), (7, 4, 50)]
+    sims = {(1, 2): 98, (1, 3): 5, (1, 4): 4, (2, 3): 6, (2, 4): 7, (3, 4): 3}
+    pair_rows = []
+    for (a, b), s in sims.items():
+        pair_rows += [(7, a, b, s), (7, b, a, s)]
+    cdf = spark.createDataFrame(cand, "query_id long, vec_id long, s_q long")
+    pdf = spark.createDataFrame(
+        pair_rows, "query_id long, av long, bv long, s_ab long"
+    )
+    got = {
+        r["rank"]: (r["vec_id"], r["penalty"])
+        for r in mmr_greedy(cdf, pdf, 4).collect()
+    }
+    # rank 1: best relevance. rank 2: 3 wins (60-5=55) over the
+    # near-dup 2 (99-98=1) and 4 (50-4=46). rank 3: picked={1,3}, so
+    # pen(4)=max(4,3)=4 → 46 beats 2's 99-98=1. rank 4: 2 remains
+    # with pen max(98,6,7)=98.
+    assert got[1] == (1, 0)
+    assert got[2] == (3, 5)
+    assert got[3] == (4, 4)
+    assert got[4] == (2, 98)
+
+    # pure-Python greedy agrees (the spec, not the example)
+    def ref(cands, sims_sym, k):
+        picked, out = [], []
+        rel = {v: s for _, v, s in cands}
+        rest = sorted(rel)
+        for r in range(1, k + 1):
+            best = None
+            for v in rest:
+                pen = max((sims_sym[tuple(sorted((v, p)))] for p in picked), default=0)
+                key = (-(rel[v] - pen), v)
+                if best is None or key < best[0]:
+                    best = (key, v, pen)
+            out.append((r, best[1], best[2]))
+            picked.append(best[1])
+            rest.remove(best[1])
+        return {r: (v, p if r > 1 else 0) for r, v, p in out}
+
+    assert got == ref(cand, sims, 4)
