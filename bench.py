@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "luhn_card_scrub",  # checksum-gated card redaction (PII hardening)
     "mad_outlier_days",  # robust median/MAD volume flags, rank-exact
     "xml_roundtrip",  # S18 ingest: line-framed XML write + from_xml read-back
+    "inverted_index_postings",  # capped posting-list build (search index)
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

@@ -1931,3 +1931,94 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "node")
         .limit(_TRI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# inverted-index build: capped posting lists per term (search-index
+# artifact family)
+# ---------------------------------------------------------------------------
+
+_POSTING_CAP = 8
+_POSTING_TERMS = 100
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    td AS (
+        SELECT term, doc_id, COUNT(*) AS tf_d FROM toks GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT term, doc_id FROM (
+            SELECT term, doc_id, row_number() OVER (
+                PARTITION BY term ORDER BY doc_id) AS rn
+            FROM td)
+        WHERE rn <= {_POSTING_CAP}
+    ),
+    postings AS (
+        SELECT term,
+               md5(array_to_string(list_sort(list(doc_id)), ',')) AS head_hash,
+               COUNT(*) AS head_len
+        FROM capped GROUP BY 1
+    ),
+    stats AS (
+        SELECT term, COUNT(*) AS df, CAST(SUM(tf_d) AS BIGINT) AS tf
+        FROM td GROUP BY 1
+    )
+    SELECT s.term, s.df, s.tf,
+           CAST(p.head_len AS BIGINT) AS head_len,
+           p.head_hash
+    FROM stats s JOIN postings p ON s.term = p.term
+    ORDER BY s.df DESC, s.term
+    LIMIT {_POSTING_TERMS}
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per term, document frequency, total
+    term frequency, and the CAPPED head of its sorted posting list
+    (first {_POSTING_CAP} doc_ids, content-hashed).
+
+    The retrieval-infra sibling of token_histogram: what a search/
+    BM25 layer materializes from a corpus. The cap is the scale story
+    — a stopword's posting list is corpus-sized, so rows are cut to
+    the per-term head with a window BEFORE any collect_list: at most
+    {_POSTING_CAP} rows per term ever reach the list aggregation,
+    making the build skew-proof (the same hot-key discipline as the
+    winnowing fingerprint cap). Shuffles: (term, doc) pre-agg with
+    map-side combine, then term-keyed stats/head aggs off that one
+    deduped frame. Top-{_POSTING_TERMS} by (df desc, term) is a total
+    order.
+    """
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+    td = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf_d"))
+    td = td.localCheckpoint(eager=False)  # stats + capped-head consumers
+    w = Window.partitionBy("term").orderBy("doc_id")
+    capped = (
+        td.select("term", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _POSTING_CAP)
+    )
+    postings = capped.groupBy("term").agg(
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").cast(
+                "binary"
+            )
+        ).alias("head_hash"),
+        F.count(F.lit(1)).cast("long").alias("head_len"),
+    )
+    stats = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf_d").cast("long").alias("tf"),
+    )
+    return (
+        stats.join(postings, "term")
+        .select("term", "df", "tf", "head_len", "head_hash")
+        .orderBy(F.desc("df"), "term")
+        .limit(_POSTING_TERMS)
+    )
