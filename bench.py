@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "mad_outlier_days",  # robust median/MAD volume flags, rank-exact
     "xml_roundtrip",  # S18 ingest: line-framed XML write + from_xml read-back
     "inverted_index_postings",  # capped posting-list build (search index)
+    "source_overlap_matrix",  # pairwise source-vocab Jaccard audit
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

@@ -2516,3 +2516,89 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return by_lang.unionByName(by_reason).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# cross-source vocabulary overlap matrix (corpus-audit family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_overlap_matrix",
+    f"""
+    WITH toks AS (
+        SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    st AS (SELECT DISTINCT source, token FROM toks),
+    sizes AS (SELECT source, COUNT(*) AS v FROM st GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_common
+        FROM st a JOIN st b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           sa.v AS v_a, sb.v AS v_b, i.n_common,
+           CAST((1000000 * i.n_common)
+                // (sa.v + sb.v - i.n_common) AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources: |V_a|,
+    |V_b|, |V_a ∩ V_b|, and Jaccard as an integer ppm floor division —
+    the dataset-audit matrix a curation team reads before mixing
+    sources (near-identical vocabularies → redundant source; tiny
+    overlap → domain shift).
+
+    Shape: one (source, token) distinct (map-side combined), then a
+    token-keyed self-join whose fan-out per token is bounded by
+    |sources|² (a hot token exists in every source, never in more),
+    then sources²-sized joins against the broadcast size table. The
+    distinct frame is checkpointed once for its three consumers.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(F.expr(_TOKENS)).alias("token")
+    )
+    st = toks.distinct().localCheckpoint(eager=False)  # sizes + a + b
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    inter = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("v").alias("v_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("v").alias("v_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "v_a",
+            "v_b",
+            "n_common",
+            F.expr(
+                "CAST((1000000 * n_common) div (v_a + v_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
