@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "xml_roundtrip",  # S18 ingest: line-framed XML write + from_xml read-back
     "inverted_index_postings",  # capped posting-list build (search index)
     "source_overlap_matrix",  # pairwise source-vocab Jaccard audit
+    "vocab_growth_daily",  # Heaps-law novelty curve per ingest batch
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

@@ -2602,3 +2602,76 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth / novelty-rate audit (Heaps-law curve per batch)
+# ---------------------------------------------------------------------------
+
+_VOCAB_DAYS = 30
+
+
+@register(
+    "vocab_growth_daily",
+    f"""
+    WITH toks AS (
+        SELECT doc_id % {_VOCAB_DAYS} AS day,
+               unnest({_SQL_TOKENS}) AS token
+        FROM documents
+    ),
+    dt AS (SELECT DISTINCT day, token FROM toks),
+    first_seen AS (SELECT token, MIN(day) AS d0 FROM dt GROUP BY 1),
+    per_day AS (SELECT day, COUNT(*) AS n_distinct FROM dt GROUP BY 1),
+    new_per_day AS (SELECT d0 AS day, COUNT(*) AS n_new
+                    FROM first_seen GROUP BY 1),
+    joined AS (
+        SELECT p.day, p.n_distinct, COALESCE(n.n_new, 0) AS n_new
+        FROM per_day p LEFT JOIN new_per_day n ON n.day = p.day
+    )
+    SELECT day, n_distinct, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab,
+           CAST((1000000 * n_new) // n_distinct AS BIGINT) AS novelty_ppm
+    FROM joined
+    ORDER BY day
+    """,
+)
+def vocab_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth across ingest batches: per batch (day =
+    doc_id % {_VOCAB_DAYS}, the in-plan synthesis device), the number
+    of distinct tokens seen, how many were NEVER seen in an earlier
+    batch, the cumulative vocabulary, and the novelty rate in ppm —
+    the Heaps-law audit that tells a crawl operator when new data
+    stops adding new language (and a dedup operator when it should).
+
+    Shape: one (day, token) distinct with map-side combine feeds both
+    the token-keyed first-seen min and the day-keyed distinct counts;
+    everything after runs on days-sized frames (the global running sum
+    included — the documented matrix-size exception).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        (F.col("doc_id") % _VOCAB_DAYS).alias("day"),
+        F.explode(F.expr(_TOKENS)).alias("token"),
+    )
+    dt = toks.distinct().localCheckpoint(eager=False)  # 2 consumers
+    first_seen = dt.groupBy("token").agg(F.min("day").alias("d0"))
+    per_day = dt.groupBy("day").agg(F.count(F.lit(1)).alias("n_distinct"))
+    new_per_day = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    joined = per_day.join(new_per_day, "day", "left").select(
+        "day",
+        "n_distinct",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day",
+        "n_distinct",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
+        F.expr("CAST((1000000 * n_new) div n_distinct AS BIGINT)").alias(
+            "novelty_ppm"
+        ),
+    ).orderBy("day")
