@@ -70,12 +70,12 @@ PRIORITY: tuple[str, ...] = (
     "salted_returnflag_rollup",
     # text / dedup
     "doc_quality",
-    "langid_eval",
+    "fim_transform",  # r7 s5: FIM training rewrite + losslessness proof
     "exact_dedup",
     "unicode_nfc_stats",  # r7 gate: NFC at the Arrow edge vs utf8proc
     "minhash_lsh_candidates",
     "fuzzy_name_match",  # r7 gate: FastSS entity resolution (new family)
-    "simhash_near_dups",
+    "url_canonical_dedup",  # r7 s5: crawl-URL canonicalize + keep-min dedup
     "cms_heavy_hitters",  # r7 gate: count-min frequency sketch (within-bound)
     "dsir_resample",  # round-7 gate: DSIR importance resampling (integer core)
     "near_dup_components",
@@ -101,6 +101,23 @@ PRIORITY: tuple[str, ...] = (
     "sequence_pack",
 )
 # Demoted below the driver's fold (family double-covered above):
+#   langid_eval (demoted r7 s5 for fim_transform: language gating is
+#     pinned above the fold by curation_funnel, whose language stage
+#     runs the SAME n-gram LID device, and doc_quality carries the
+#     adjacent quality battery; the training-objective rewrite family
+#     (FIM) had NO representative; langid stays local-gated),
+#   simhash_near_dups (demoted r7 s5 for url_canonical_dedup: the
+#     candidate-pair near-dup family keeps minhash_lsh_candidates,
+#     near_dup_components, and fuzzy_name_match above the fold, and
+#     simhash's SWAR vote device is plan-asserted; crawl-URL
+#     canonicalization dedup had NO representative; stays local-gated),
+#   mmr_topk / xml_roundtrip / luhn_card_scrub / mad_outlier_days /
+#   inverted_index_postings / source_overlap_matrix /
+#   vocab_growth_daily (born below the fold, r7 s5: their families
+#     hold above-fold representatives — ANN serving by
+#     ivf_topk_learned/ivfpq_topk_probed, sources by jsonl_roundtrip,
+#     PII by pii_scrub, volume anomalies by anomaly_days, term stats
+#     by cms_heavy_hitters, monitoring rollups by etl_health_rollup),
 #   ngram_jaccard_pairs (demoted r7 for unicode_nfc_stats: the
 #     candidate-pair near-dup family keeps TWO above-fold
 #     representatives — minhash_lsh_candidates, whose MinHash
