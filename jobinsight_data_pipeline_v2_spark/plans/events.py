@@ -1367,3 +1367,68 @@ def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# native session_window vs the classic lag/sum sessionizer (operator
+# alignment gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_native",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL {_GAP_SECONDS} SECOND
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL {_GAP_SECONDS} SECOND AS TIMESTAMP)
+               AS session_end,
+           COUNT(*) AS n_events, {_sql_sum('value')} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window run in batch, pinned against
+    the classic lag/boundary/running-sum sessionizer as the oracle —
+    an operator-alignment gate: the native state-backed gap-session
+    operator and the window-function formulation must assign identical
+    sessions (same starts, same ends = last event + gap, same member
+    counts and value sums) on ties and back-to-back boundaries.
+
+    session_window needs TimestampType, so the ntz event time is cast
+    once (wall clock preserved on the ntz→ts→ntz round trip — the
+    rule-8 convention the streaming twins already use). One shuffle on
+    user_id; the session merge happens inside the native operator.
+    """
+    events = load_events(spark, sf_dir)
+    out = (
+        events.withColumn("ts_t", F.col("ts").cast("timestamp"))
+        .groupBy(
+            F.session_window("ts_t", f"{_GAP_SECONDS} seconds").alias("win"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("session_value"),
+        )
+    )
+    return out.select(
+        "user_id",
+        F.col("win.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("win.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
