@@ -935,3 +935,57 @@ def fuzzy_match_stream(
         .dropDuplicatesWithinWatermark(["did", "clean_name"])
         .select("did", "dirty_name", "clean_name", "dist")
     )
+
+
+def url_dedup_stream(
+    urls: DataFrame,
+    ts_col: str | None = None,
+    horizon: str | None = None,
+) -> DataFrame:
+    """(sk, doc_id, url_idx, kept, late): crawl-frontier URL dedup over
+    a stream — canonicalize each arriving URL (the batch
+    url_canonical_dedup algebra, shared via canonical_url_columns) and
+    keep only the first arrival per canonical string. State per
+    distinct canonical URL: ONE long (the winning doc_id), keyed by
+    xxhash64 of the canonical string so raw URLs never shuffle or sit
+    in the state store (rule 13; collisions are harmless for dedup-
+    grouping semantics, the _shingle_key convention). ord = doc_id, so
+    on an ordered feed the kept set equals the batch gate's
+    keeper_doc_id set exactly (min doc_id wins within AND across
+    batches). The production path passes ``ts_col`` + ``horizon``:
+    URLs unseen for the horizon expire and the next copy re-crawls —
+    exactly the frontier-refresh contract a crawler wants (twin 37;
+    the segment_dedup_stream TTL discipline).
+    """
+    from ..plans.corpus import canonical_url_columns
+
+    if (ts_col is None) != (horizon is None):
+        raise ValueError("ts_col and horizon must be provided together")
+
+    if ts_col is None:
+        base = canonical_url_columns(urls)
+        rows = base.select(
+            F.xxhash64("canonical_url").alias("sk"),
+            "doc_id",
+            F.lit(0).cast("long").alias("url_idx"),
+            F.col("doc_id").alias("ord"),
+        )
+        timeout = GroupStateTimeout.NoTimeout
+        ttl_ms = None
+    else:
+        wm = urls.withColumn(
+            "__ts", F.col(ts_col).cast("timestamp")
+        ).withWatermark("__ts", horizon)
+        base = canonical_url_columns(wm)
+        rows = base.select(
+            F.xxhash64("canonical_url").alias("sk"),
+            "doc_id",
+            F.lit(0).cast("long").alias("url_idx"),
+            F.col("doc_id").alias("ord"),
+            "__ts",
+            F.unix_millis("__ts").alias("__ts_ms"),
+        )
+        timeout = GroupStateTimeout.EventTimeTimeout
+        ttl_ms = _duration_ms(horizon)
+
+    return _first_arrival_decisions(rows, "url_idx", timeout, ttl_ms)

@@ -2609,3 +2609,84 @@ def test_streaming_xml_equals_batch(spark, tmp_path):
     assert any(
         r.text == "hello & bye" for r in got_docs.collect()
     )
+
+
+def test_streaming_url_dedup_equals_batch(spark, tmp_path):
+    """URL frontier dedup (twin 37): streamed first-arrival decisions
+    over the gate's synthesized URL disguises keep exactly the batch
+    url_canonical_dedup keeper set (ord = doc_id ⇒ min doc_id wins
+    within and across micro-batches on an ordered feed)."""
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        _url_synth_sql,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        url_dedup_stream,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.expr(_url_synth_sql()).alias("url"))
+    )
+    src = os.path.join(str(tmp_path), "url_flat")
+    # ordered drops: doc_id ranges per file so arrival order == doc_id
+    import time
+
+    now = time.time()
+    n = docs.count()
+    for b, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(spark, url_dedup_stream(stream), "url_dedup_t")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM url_dedup_t")
+    batch = load_all()["url_canonical_dedup"][0](spark, SF)
+    keepers = {r["keeper_doc_id"] for r in batch.collect()}
+    kept = {r["doc_id"] for r in got.filter("kept").collect()}
+    assert kept == keepers
+    assert got.count() == n
+    assert got.filter("late").count() == 0
+
+
+def test_streaming_url_dedup_ttl_wiring(spark, tmp_path):
+    """url_dedup_stream production path: ts_col+horizon wire the
+    EventTimeTimeout branch (decisions unchanged on an ordered
+    single-pass feed); mismatched args raise."""
+    import pytest as _pytest
+
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        url_dedup_stream,
+    )
+
+    with _pytest.raises(ValueError):
+        url_dedup_stream(spark.range(1).select(F.lit("u").alias("url")), ts_col="ts")
+
+    rows = [
+        (1, "http://ex.com/a?utm_source=x", "2024-01-01 00:00:00"),
+        (2, "HTTP://EX.COM:80/a", "2024-01-01 00:01:00"),
+        (3, "http://ex.com/b", "2024-01-01 00:02:00"),
+    ]
+    src = os.path.join(str(tmp_path), "url_ttl")
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df.coalesce(1).write.parquet(os.path.join(src, "d0"))
+    stream = (
+        spark.readStream.schema("doc_id long, url string, ts timestamp_ntz")
+        .parquet(os.path.join(src, "*"))
+    )
+    q = run_stream_to_memory(
+        spark, url_dedup_stream(stream, ts_col="ts", horizon="1 hour"),
+        "url_ttl_t",
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.kept for r in spark.sql("SELECT * FROM url_ttl_t").collect()}
+    # 1 and 2 canonicalize identically -> first wins; 3 is its own page
+    assert got == {1: True, 2: False, 3: True}
