@@ -2307,21 +2307,34 @@ def canonical_url_columns(urls: DataFrame) -> DataFrame:
     strip DEFAULT ports only (:80 http / :443 https), drop utm_* and
     fbclid tracking params, sort the survivors. Narrow projection;
     patterns go through the Column API, never a SQL string literal
-    (rule 4). ``urls`` needs a string column ``url``."""
-    scheme = F.lower(F.parse_url("url", F.lit("PROTOCOL")))
-    auth = F.parse_url("url", F.lit("AUTHORITY"))
+    (rule 4). ``urls`` needs a string column ``url``.
+
+    Parsing is try_parse_url: an unparseable URL yields a NULL
+    canonical (concat is null-propagating) instead of killing the
+    scan — a crawl frontier receives garbage by definition, and
+    parse_url THROWS on it in Spark 4 (review r7 s5). Tracking-param
+    matching is startswith, not LIKE: LIKE's `_` is a single-char
+    wildcard, so 'utm_%' would also strip legitimate 'utm=1'/'utmX=…'
+    params and conflate distinct URLs (review r7 s5)."""
+    scheme = F.lower(F.try_parse_url("url", F.lit("PROTOCOL")))
+    auth = F.try_parse_url("url", F.lit("AUTHORITY"))
     host = F.regexp_replace(
         F.lower(F.regexp_replace(auth, F.lit(r":[0-9]+$"), F.lit(""))),
         F.lit(r"^www\."),
         F.lit(""),
     )
     port = F.regexp_extract(auth, r":([0-9]+)$", 1)
-    path = F.parse_url("url", F.lit("PATH"))
-    query = F.coalesce(F.parse_url("url", F.lit("QUERY")), F.lit(""))
+    path = F.try_parse_url("url", F.lit("PATH"))
+    query = F.coalesce(F.try_parse_url("url", F.lit("QUERY")), F.lit(""))
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
-            lambda p: ~(p.like("utm_%") | p.like("fbclid%")) & (p != ""),
+            lambda p: ~(
+                p.startswith("utm_")
+                | p.startswith("fbclid=")
+                | (p == F.lit("fbclid"))
+            )
+            & (p != ""),
         )
     )
     qq = F.array_join(kept, "&")
@@ -2367,7 +2380,9 @@ def canonical_url_columns(urls: DataFrame) -> DataFrame:
         SELECT doc_id, scheme, host, port, path,
                array_to_string(list_sort(list_filter(
                    string_split(query, '&'),
-                   p -> NOT (p LIKE 'utm_%' OR p LIKE 'fbclid%')
+                   p -> NOT (starts_with(p, 'utm_')
+                             OR starts_with(p, 'fbclid=')
+                             OR p = 'fbclid')
                         AND p <> '')), '&') AS qq
         FROM hp
     ),
@@ -2638,7 +2653,7 @@ _VOCAB_DAYS = 30
 )
 def vocab_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary growth across ingest batches: per batch (day =
-    doc_id % {_VOCAB_DAYS}, the in-plan synthesis device), the number
+    doc_id % 30, the in-plan synthesis device), the number
     of distinct tokens seen, how many were NEVER seen in an earlier
     batch, the cumulative vocabulary, and the novelty rate in ppm —
     the Heaps-law audit that tells a crawl operator when new data

@@ -877,13 +877,16 @@ _CARD_BASE_SQL = (
 # the Luhn-correct check digit for that base; customers where
 # custkey % 3 = 0 carry a VALID card, everyone else the same base with
 # a deliberately broken check digit (+5 mod 10 can never be correct),
-# and custkey % 5 = 0 profiles carry no number at all.
+# and custkey % 5 = 0 profiles carry no number at all. The base is a
+# NAMED COLUMN (__base) computed once in a prior projection — inlining
+# _CARD_BASE_SQL into each of the 15 Luhn terms would restate the
+# lpad||lpad expression ~90 times (review r7 s5).
 _CARD_SQL = f"""
     CASE WHEN c_custkey % 5 = 0 THEN ''
-         ELSE ({_CARD_BASE_SQL})
+         ELSE __base
               || CAST(CASE WHEN c_custkey % 3 = 0
-                           THEN (10 - (({_luhn_terms_sql(f'({_CARD_BASE_SQL})', 15)}) % 10)) % 10
-                           ELSE ((10 - (({_luhn_terms_sql(f'({_CARD_BASE_SQL})', 15)}) % 10)) % 10 + 5) % 10
+                           THEN (10 - (({_luhn_terms_sql('__base', 15)}) % 10)) % 10
+                           ELSE ((10 - (({_luhn_terms_sql('__base', 15)}) % 10)) % 10 + 5) % 10
                       END AS STRING)
     END
 """
@@ -894,10 +897,13 @@ _CARD_PROFILE_SQL = "c_name || ' card ' || __card || ' seg ' || segment"
 @register(
     "luhn_card_scrub",
     f"""
-    WITH carded AS (
-        SELECT c_mktsegment AS segment, c_name,
-               {_CARD_SQL} AS __card
+    WITH based AS (
+        SELECT c_mktsegment AS segment, c_name, c_custkey,
+               {_CARD_BASE_SQL} AS __base
         FROM customer
+    ),
+    carded AS (
+        SELECT segment, c_name, {_CARD_SQL} AS __card FROM based
     ),
     profiles AS (
         SELECT segment, {_CARD_PROFILE_SQL} AS profile FROM carded
@@ -948,10 +954,14 @@ def luhn_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     at functions/cleaning.py) has no checksum step — net-new hardening.
     """
     cust = spread(load_table(spark, sf_dir, "customer"))
-    carded = cust.select(
+    based = cust.select(
         F.col("c_mktsegment").alias("segment"),
         "c_name",
-        F.expr(_CARD_SQL).alias("__card"),
+        "c_custkey",
+        F.expr(_CARD_BASE_SQL).alias("__base"),
+    )
+    carded = based.select(
+        "segment", "c_name", F.expr(_CARD_SQL).alias("__card")
     )
     profiles = carded.select(
         "segment", F.expr(_CARD_PROFILE_SQL).alias("profile")

@@ -1060,7 +1060,7 @@ def fim_rows(docs: DataFrame) -> DataFrame:
     Fill in the Middle"): two deterministic pivots 1 <= a < b <= n-1
     split the token list into non-empty prefix/middle/suffix, emitted
     as '<PRE> prefix <SUF> suffix <MID> middle'. Documents under
-    {_FIM_MIN_TOKENS} tokens pass through untransformed (pivots 0).
+    4 tokens pass through untransformed (pivots 0).
 
     Stateless narrow projection — no shuffle, no state — so the SAME
     code is the streaming twin's plan (streaming/curation.fim_stream).

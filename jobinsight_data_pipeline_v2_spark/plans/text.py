@@ -1979,17 +1979,17 @@ _POSTING_TERMS = 100
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: per term, document frequency, total
     term frequency, and the CAPPED head of its sorted posting list
-    (first {_POSTING_CAP} doc_ids, content-hashed).
+    (first 8 doc_ids, content-hashed).
 
     The retrieval-infra sibling of token_histogram: what a search/
     BM25 layer materializes from a corpus. The cap is the scale story
     — a stopword's posting list is corpus-sized, so rows are cut to
     the per-term head with a window BEFORE any collect_list: at most
-    {_POSTING_CAP} rows per term ever reach the list aggregation,
+    8 rows per term ever reach the list aggregation,
     making the build skew-proof (the same hot-key discipline as the
     winnowing fingerprint cap). Shuffles: (term, doc) pre-agg with
     map-side combine, then term-keyed stats/head aggs off that one
-    deduped frame. Top-{_POSTING_TERMS} by (df desc, term) is a total
+    deduped frame. Top-100 by (df desc, term) is a total
     order.
     """
     from pyspark.sql.window import Window

@@ -1835,8 +1835,8 @@ def _mmr_oracle_sql() -> str:
 
 @register("mmr_topk", _mmr_oracle_sql())
 def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy MMR re-ranking of the exact top-{_MMR_CAND} candidates:
-    {_MMR_K} picks per query maximizing relevance − max-similarity-to-
+    """Greedy MMR re-ranking of the exact top-12 candidates:
+    5 picks per query maximizing relevance − max-similarity-to-
     already-picked (λ = 1/2, so the tradeoff is one integer subtract).
 
     Similarities are exact quantized inner products (this module's
@@ -1844,8 +1844,8 @@ def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is bit-stable across engines and partitionings. Scale
     shape: ONE corpus scan builds the candidate set (query batch
     broadcasts, per-query window top-N); everything after — pair
-    sims, {_MMR_K} greedy rounds — runs on candidate-sized frames
-    (batch × {_MMR_CAND} rows), i.e. driver-trivial at any corpus
+    sims, 5 greedy rounds — runs on candidate-sized frames
+    (batch × 12 rows), i.e. driver-trivial at any corpus
     size. The candidate and pair frames are lazily checkpointed (rule
     12: each feeds every round).
     """

@@ -29,10 +29,16 @@ from .jsonl_source import DOC_SCHEMA
 
 def xml_escape(col: Column) -> Column:
     """Escape &, <, > for XML text content (``&`` first, or the other
-    entities' own ampersands would double-escape)."""
+    entities' own ampersands would double-escape), plus CR/LF as
+    numeric character references — a literal newline in a field would
+    break the one-element-per-LINE framing contract and make the
+    round trip silently lose the document (review r7 s5; from_xml
+    decodes &#10;/&#13; back, probed)."""
     out = F.replace(col, F.lit("&"), F.lit("&amp;"))
     out = F.replace(out, F.lit("<"), F.lit("&lt;"))
-    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    out = F.replace(out, F.lit("\r"), F.lit("&#13;"))
+    return F.replace(out, F.lit("\n"), F.lit("&#10;"))
 
 
 def format_doc_xml(docs: DataFrame, schema: StructType = DOC_SCHEMA) -> DataFrame:

@@ -956,6 +956,13 @@ def url_dedup_stream(
     URLs unseen for the horizon expire and the next copy re-crawls —
     exactly the frontier-refresh contract a crawler wants (twin 37;
     the segment_dedup_stream TTL discipline).
+
+    Unparseable URLs canonicalize to NULL (try_parse_url — garbage
+    must never kill the frontier). They are routed AROUND the state
+    machine and emitted kept=false, late=false with a NULL sk via a
+    stateless union branch — visible, never silent, and never
+    colliding onto one shared xxhash64(NULL) frontier key (review
+    r7 s5).
     """
     from ..plans.corpus import canonical_url_columns
 
@@ -964,12 +971,6 @@ def url_dedup_stream(
 
     if ts_col is None:
         base = canonical_url_columns(urls)
-        rows = base.select(
-            F.xxhash64("canonical_url").alias("sk"),
-            "doc_id",
-            F.lit(0).cast("long").alias("url_idx"),
-            F.col("doc_id").alias("ord"),
-        )
         timeout = GroupStateTimeout.NoTimeout
         ttl_ms = None
     else:
@@ -977,15 +978,24 @@ def url_dedup_stream(
             "__ts", F.col(ts_col).cast("timestamp")
         ).withWatermark("__ts", horizon)
         base = canonical_url_columns(wm)
-        rows = base.select(
-            F.xxhash64("canonical_url").alias("sk"),
-            "doc_id",
-            F.lit(0).cast("long").alias("url_idx"),
-            F.col("doc_id").alias("ord"),
-            "__ts",
-            F.unix_millis("__ts").alias("__ts_ms"),
-        )
         timeout = GroupStateTimeout.EventTimeTimeout
         ttl_ms = _duration_ms(horizon)
 
-    return _first_arrival_decisions(rows, "url_idx", timeout, ttl_ms)
+    valid = base.filter(F.col("canonical_url").isNotNull())
+    cols = [
+        F.xxhash64("canonical_url").alias("sk"),
+        F.col("doc_id"),
+        F.lit(0).cast("long").alias("url_idx"),
+        F.col("doc_id").alias("ord"),
+    ]
+    if ts_col is not None:
+        cols += [F.col("__ts"), F.unix_millis("__ts").alias("__ts_ms")]
+    decided = _first_arrival_decisions(valid.select(*cols), "url_idx", timeout, ttl_ms)
+    malformed = base.filter(F.col("canonical_url").isNull()).select(
+        F.lit(None).cast("long").alias("sk"),
+        F.col("doc_id"),
+        F.lit(0).cast("long").alias("url_idx"),
+        F.lit(False).alias("kept"),
+        F.lit(False).alias("late"),
+    )
+    return decided.unionByName(malformed)

@@ -1311,6 +1311,14 @@ def test_canonical_url_columns(spark):
         ("http://ex.com/a", "http://ex.com/a"),
         # :80 under https is NOT a default port — kept
         ("https://ex.com:80/a", "https://ex.com:80/a"),
+        # LIKE-wildcard traps (review r7 s5): utm=1 / utmost / fbclid_x
+        # are NOT tracking params and must survive
+        ("http://ex.com/a?utm=1", "http://ex.com/a?utm=1"),
+        ("http://ex.com/a?utmost=x&a=1", "http://ex.com/a?a=1&utmost=x"),
+        ("http://ex.com/a?fbclid_x=1", "http://ex.com/a?fbclid_x=1"),
+        ("http://ex.com/a?fbclid=zz&a=1", "http://ex.com/a?a=1"),
+        # garbage must canonicalize to NULL, not kill the scan
+        ("not a url at all", None),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = {

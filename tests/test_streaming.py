@@ -2671,6 +2671,9 @@ def test_streaming_url_dedup_ttl_wiring(spark, tmp_path):
         (1, "http://ex.com/a?utm_source=x", "2024-01-01 00:00:00"),
         (2, "HTTP://EX.COM:80/a", "2024-01-01 00:01:00"),
         (3, "http://ex.com/b", "2024-01-01 00:02:00"),
+        # garbage must flow through the stateless malformed branch
+        # (kept=false, NULL sk), never kill the micro-batch
+        (4, "not a url at all", "2024-01-01 00:03:00"),
     ]
     src = os.path.join(str(tmp_path), "url_ttl")
     os.makedirs(src)
@@ -2687,6 +2690,9 @@ def test_streaming_url_dedup_ttl_wiring(spark, tmp_path):
         "url_ttl_t",
     )
     q.awaitTermination(120)
-    got = {r.doc_id: r.kept for r in spark.sql("SELECT * FROM url_ttl_t").collect()}
-    # 1 and 2 canonicalize identically -> first wins; 3 is its own page
-    assert got == {1: True, 2: False, 3: True}
+    out_rows = spark.sql("SELECT * FROM url_ttl_t").collect()
+    got = {r.doc_id: r.kept for r in out_rows}
+    # 1 and 2 canonicalize identically -> first wins; 3 is its own
+    # page; 4 is unparseable -> visible, not kept, NULL frontier key
+    assert got == {1: True, 2: False, 3: True, 4: False}
+    assert [r.sk for r in out_rows if r.doc_id == 4] == [None]

@@ -310,6 +310,9 @@ def test_xml_source_partitions_input_exactly(spark, tmp_path):
         (10, "a & b < c > d", "en", "s", 13),
         (11, "&amp; literal entity text &lt;doc&gt;", "vi", "s", 37),
         (12, "</text><doc_id>666</doc_id><text>injection", "en", "s", 42),
+        # newlines would break the one-element-per-line framing
+        # without the &#10;/&#13; escapes (review r7 s5)
+        (13, "line1\nline2\r\nline3", "en", "s", 18),
     ]
     src = spark.createDataFrame(
         evil, "doc_id long, text string, lang string, source string, n_chars long"
