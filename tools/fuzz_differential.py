@@ -373,6 +373,65 @@ class Generator:
                 f"SELECT {', '.join(e.s() for e in aggs)} FROM {frm}{sw}",
                 f"SELECT {', '.join(e.d() for e in aggs)} FROM {frm}{dw}",
             )
+        if shape < 0.46:  # LATERAL explode / UNNEST over token arrays
+            # Spark: LATERAL VIEW explode(...); DuckDB: unnest(...) in
+            # an inner projection — same rowset (one row per non-empty
+            # whitespace token), grouped by token. Preds mix doc-level
+            # columns with token-level ones (both apply post-explode).
+            toks_s = "filter(split(text, ' '), t -> t != '')"
+            toks_d = "list_filter(string_split(text, ' '), t -> t != '')"
+            dcols = [
+                ("documents", c, k) for c, k in TABLES["documents"].items()
+            ]
+            preds_s, preds_d = [], []
+            p = self._pred(dcols)
+            if p:
+                ps, pd = p if isinstance(p, tuple) else (p, p)
+                preds_s.append(ps)
+                preds_d.append(pd)
+            if self.rng.random() < 0.5:
+                tp = self.rng.choice(
+                    [
+                        f"length(token) >= {self.rng.randrange(2, 6)}",
+                        f"token >= '{self.rng.choice('abcdefgklmnpqrstw')}'",
+                    ]
+                )
+                preds_s.append(tp)
+                preds_d.append(tp)
+            sw2 = f" WHERE {' AND '.join(preds_s)}" if preds_s else ""
+            dw2 = f" WHERE {' AND '.join(preds_d)}" if preds_d else ""
+            aggs = ["COUNT(*) AS n"]
+            if self.rng.random() < 0.6:
+                aggs.append("COUNT(DISTINCT d.doc_id) AS nd")
+            if self.rng.random() < 0.5:
+                aggs.append(
+                    self.rng.choice(
+                        [
+                            "CAST(SUM(d.n_chars) AS BIGINT) AS s1",
+                            "CAST(SUM(d.doc_id) AS BIGINT) AS s1",
+                            "CAST(MIN(d.doc_id) AS BIGINT) AS s1",
+                        ]
+                    )
+                )
+            having = ""
+            if self.rng.random() < 0.3:
+                having = f" HAVING COUNT(*) > {self.rng.randrange(1, 4)}"
+            order = ""
+            if self.rng.random() < 0.5:
+                # total order: token is a unique key of the grouped
+                # output and never NULL (empty tokens are filtered)
+                order = (
+                    " ORDER BY n DESC NULLS LAST, token NULLS FIRST"
+                    f" LIMIT {self.rng.randrange(1, 30)}"
+                )
+            proj = "token, " + ", ".join(aggs)
+            return (
+                f"SELECT {proj} FROM documents d "
+                f"LATERAL VIEW explode({toks_s}) tv AS token"
+                f"{sw2} GROUP BY token{having}{order}",
+                f"SELECT {proj} FROM (SELECT *, unnest({toks_d}) AS token"
+                f" FROM documents) d{dw2} GROUP BY token{having}{order}",
+            )
         if shape < 0.85:  # group by [having] [order+limit]
             nk = self.rng.randrange(1, 3)
             picks = self.rng.sample(cols, min(nk, len(cols)))
