@@ -2022,3 +2022,95 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "term")
         .limit(_POSTING_TERMS)
     )
+
+
+# ---------------------------------------------------------------------------
+# ranked keyword search: integer-idf retrieval over the corpus (the
+# inverted index's serve path)
+# ---------------------------------------------------------------------------
+
+_SEARCH_TERMS = ("spark", "join", "window", "merge", "the")
+_SEARCH_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _SEARCH_TERMS) + ")"
+_SEARCH_K = 20
+_IDF_CLAMP = 16
+
+
+def _idf_ladder_sql(n: str, df: str) -> str:
+    """floor(log2(n/df)) as a cross-multiplied BIGINT CASE ladder (the
+    DSIR device): weight w ⇔ df·2^w ≤ n < df·2^(w+1), clamped at
+    {_IDF_CLAMP} — no float log, no boundary drift at powers of two."""
+    branches = [
+        f"WHEN {n} >= {df} * {1 << w} THEN {w}"
+        for w in range(_IDF_CLAMP, 0, -1)
+    ]
+    return "CASE " + " ".join(branches) + " ELSE 0 END"
+
+
+@register(
+    "keyword_search_ranked",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term IN {_SEARCH_TERMS_SQL}
+        GROUP BY 1, 2
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    weights AS (
+        SELECT term, COUNT(*) AS df,
+               {_idf_ladder_sql('(SELECT n FROM n_docs)', 'COUNT(*)')} AS w
+        FROM hits GROUP BY term
+    ),
+    scored AS (
+        SELECT h.doc_id,
+               CAST(SUM(h.tf * w.w) AS BIGINT) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM hits h JOIN weights w ON h.term = w.term
+        GROUP BY 1
+    )
+    SELECT doc_id, score, n_terms
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_SEARCH_K}
+    """,
+)
+def keyword_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked keyword retrieval: score = Σ tf(doc, t) · floor-log2
+    idf(t) over the query terms, top-{_SEARCH_K} under a (score desc,
+    doc_id) total order.
+
+    The serve path the inverted_index_postings artifact exists for —
+    with the idf weight as an integer CASE ladder (the DSIR device),
+    so ranking is bit-stable with no float log anywhere. Shape: the
+    term filter lands right after the token explode (the scan carries
+    only query-term rows into the (doc, term) pre-agg), df/weights are
+    a terms-sized table that broadcasts, and the final score agg keys
+    on doc_id. One corpus scan, hash-uniform shuffles only.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+    hits = (
+        toks.filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hits = hits.localCheckpoint(eager=False)  # weights + scoring consumer
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    weights = (
+        hits.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select("term", F.expr(_idf_ladder_sql("n", "df")).alias("w"))
+    )
+    return (
+        hits.join(F.broadcast(weights), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).cast("long").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_SEARCH_K)
+    )
