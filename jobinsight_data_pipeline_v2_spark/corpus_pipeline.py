@@ -85,6 +85,7 @@ def curate_corpus(
     span_l: int = _SPAN_L,
     gopher: bool = False,
     normalize: bool = False,
+    fim: bool = False,
     ledger: bool = False,
     metrics=None,
     run_ts=None,
@@ -103,7 +104,12 @@ def curate_corpus(
     Unicode NFC normalization as stage 0 (operators/unicode_norm.py)
     so exact dedup and the span-gram hashes see é == e+U+0301 — form
     variants of the same text collapse instead of slipping through —
-    and adds ``n_nfc_changed`` to the report. ``ledger=True`` adds a
+    and adds ``n_nfc_changed`` to the report. ``fim=True`` reframes
+    each SHIPPED document as '<PRE> p <SUF> s <MID> m'
+    (plans/sampling.fim_texts, the oracle-gated fim_transform's text)
+    after selection — budget accounting stays in original tokens, the
+    rewrite drops nothing, and ``n_fim_rewritten`` is reported (docs
+    under the FIM minimum pass through unframed). ``ledger=True`` adds a
     ``ledger`` DataFrame to the report: one (doc_id, stage) row per
     DROPPED document naming the stage that cut it (provenance — "why
     is my document missing from the shards"); ledger ∪ shipped
@@ -121,7 +127,7 @@ def curate_corpus(
         return _curate_corpus(
             spark, docs, out_dir, token_budget=token_budget,
             n_shards=n_shards, span_l=span_l, gopher=gopher,
-            normalize=normalize, ledger=ledger, metrics=metrics,
+            normalize=normalize, fim=fim, ledger=ledger, metrics=metrics,
             run_ts=run_ts, stage=stage,
         )
     except Exception as e:
@@ -148,6 +154,7 @@ def _curate_corpus(
     span_l: int,
     gopher: bool,
     normalize: bool,
+    fim: bool,
     ledger: bool,
     metrics,
     run_ts,
@@ -339,6 +346,25 @@ def _curate_corpus(
     report["selected_tokens"] = int(sel["t"] or 0)
     drop_pairs.append(("token_budget", scored, final))
     _stage(metrics, run_ts, "token_budget", n_quality, int(sel["n"]), t4)
+
+    # 5b. optional FIM rewrite: reframe each shipped doc as
+    #     '<PRE> p <SUF> s <MID> m' (plans/sampling.fim_texts — the
+    #     oracle-gated fim_transform's text). Runs AFTER selection so
+    #     n_tokens/budget accounting stays in original tokens (the
+    #     rewrite only reorders them plus 3 sentinels); docs under the
+    #     FIM minimum pass through, so the stage drops nothing.
+    if fim:
+        stage["name"] = "fim_rewrite"
+        from .plans.sampling import fim_texts
+
+        final = (
+            fim_texts(final.select("doc_id", "text"))
+            .join(final.select("doc_id", "n_tokens"), "doc_id")
+            .localCheckpoint(eager=False)
+        )
+        report["n_fim_rewritten"] = final.filter(
+            F.col("text").startswith("<PRE> ")
+        ).count()
 
     # 6. sharded sink: deterministic interleave, shard=N/ parquet dirs
     t5 = time.monotonic()

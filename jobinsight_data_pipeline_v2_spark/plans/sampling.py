@@ -1071,6 +1071,31 @@ def fim_rows(docs: DataFrame) -> DataFrame:
     consumers — rule 10's safe shape; no per-position access, so no
     checkpoint is needed and the stream twin is legal under rule 20).
     """
+    built = _fim_built(docs)
+    return built.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("a").cast("long").alias("pivot_a"),
+        F.col("b").cast("long").alias("pivot_b"),
+        F.md5(F.col("fim").cast("binary")).alias("fim_hash"),
+        F.length("fim").cast("long").alias("fim_chars"),
+        (
+            F.md5(F.col("rebuilt").cast("binary"))
+            == F.md5(F.col("canon").cast("binary"))
+        ).alias("lossless"),
+    )
+
+
+def fim_texts(docs: DataFrame) -> DataFrame:
+    """(doc_id, text): the FIM-framed text itself — what a training
+    pipeline ships to shards (curate_corpus(fim=True)). Same transform
+    as fim_rows, emitting the string instead of its hash."""
+    return _fim_built(docs).select("doc_id", F.col("fim").alias("text"))
+
+
+def _fim_built(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, a, b, fim, rebuilt, canon): the shared FIM rewrite
+    frame behind fim_rows (gate/stream) and fim_texts (pipeline)."""
     toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
     sized = toks.select("doc_id", "t", F.size("t").alias("n"))
     long_enough = F.col("n") >= _FIM_MIN_TOKENS
@@ -1124,18 +1149,7 @@ def fim_rows(docs: DataFrame) -> DataFrame:
         .alias("rebuilt"),
         F.array_join("t", " ").alias("canon"),
     )
-    return built.select(
-        "doc_id",
-        F.col("n").cast("long").alias("n_tokens"),
-        F.col("a").cast("long").alias("pivot_a"),
-        F.col("b").cast("long").alias("pivot_b"),
-        F.md5(F.col("fim").cast("binary")).alias("fim_hash"),
-        F.length("fim").cast("long").alias("fim_chars"),
-        (
-            F.md5(F.col("rebuilt").cast("binary"))
-            == F.md5(F.col("canon").cast("binary"))
-        ).alias("lossless"),
-    )
+    return built
 
 
 _FIM_PIVOT_SQL_A = (

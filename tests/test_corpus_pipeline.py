@@ -298,3 +298,36 @@ def test_write_training_shards_orc_format(spark, tmp_path):
     a = spark.read.parquet(p_out)
     b = spark.read.orc(o_out)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_curate_corpus_fim_rewrite(spark, tmp_path):
+    """fim=True reframes every shipped long doc as '<PRE> … <SUF> …
+    <MID> …' after selection: same doc set and token accounting as the
+    plain run, text replaced by the oracle-gated fim_transform's
+    framing, short docs untouched."""
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import fim_texts
+
+    docs = _docs(spark)
+    plain_out = str(tmp_path / "plain")
+    fim_out = str(tmp_path / "fim")
+    r_plain = curate_corpus(spark, docs, plain_out, n_shards=2)
+    r_fim = curate_corpus(spark, docs, fim_out, n_shards=2, fim=True)
+
+    # the rewrite drops nothing and keeps selection identical
+    for k in ("n_input", "n_exact_kept", "n_quality_kept", "n_selected",
+              "selected_tokens"):
+        assert r_fim[k] == r_plain[k], k
+    plain = spark.read.parquet(plain_out).select("doc_id", "text", "n_tokens")
+    fimmed = spark.read.parquet(fim_out).select("doc_id", "text")
+    assert fimmed.count() == plain.count()
+
+    # shipped text == fim_texts of the plain shipped text, doc for doc
+    expected = fim_texts(plain.select("doc_id", "text"))
+    joined = fimmed.alias("g").join(expected.alias("e"), "doc_id")
+    assert joined.filter("g.text != e.text").count() == 0
+    assert r_fim["n_fim_rewritten"] == (
+        fimmed.filter(F.col("text").startswith("<PRE> ")).count()
+    )
+    # long docs are framed, short ones pass through
+    n_long = plain.filter(F.col("n_tokens") >= 4).count()
+    assert r_fim["n_fim_rewritten"] == n_long
