@@ -1950,3 +1950,81 @@ def mmr_greedy(cand_slim: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# contrastive negative sampling: deterministic hash-ranked negatives
+# per anchor, label-excluded
+# ---------------------------------------------------------------------------
+
+_NEG_ANCHOR_MOD = 401  # the query-batch device
+_NEG_K = 4
+
+
+@register(
+    "contrastive_negatives",
+    f"""
+    WITH anchors AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label
+        FROM embeddings WHERE vec_id % {_NEG_ANCHOR_MOD} = 0
+    ),
+    ranked AS (
+        SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+               row_number() OVER (
+                   PARTITION BY a.anchor_id
+                   ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                               || CAST(e.vec_id AS VARCHAR)),
+                            e.vec_id) AS rank
+        FROM anchors a JOIN embeddings e
+          ON e.label != a.anchor_label
+    )
+    SELECT anchor_id, CAST(rank AS BIGINT) AS rank, neg_id, neg_label
+    FROM ranked WHERE rank <= {_NEG_K}
+    ORDER BY anchor_id, rank
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair negative sampling: for each anchor, the
+    top-{_NEG_K} candidates ranked by md5(anchor:candidate) among rows
+    with a DIFFERENT label — the in-batch-negatives builder a
+    contrastive training pipeline runs, made deterministic (md5 rank =
+    uniform without-replacement draw that replays identically on
+    retries/backfills; the hash_split discipline) and leakage-safe
+    (label exclusion keeps positives out of the negative set).
+
+    Shape: the anchors-sized table broadcasts onto ONE corpus scan
+    (the label != condition rides the broadcast nested loop the same
+    way cosine_topk_filtered's equi-prune does, but inverted);
+    per-anchor top-k is a window over anchor partitions — parallelism
+    = batch size. Ties on the 128-bit hash are broken by vec_id, so
+    the order is total.
+    """
+    from pyspark.sql.window import Window
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    anchors = emb.filter(F.col("vec_id") % _NEG_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    joined = cands.crossJoin(F.broadcast(anchors)).filter(
+        F.col("neg_label") != F.col("anchor_label")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit(":"),
+                F.col("neg_id").cast("string"),
+            ).cast("binary")
+        ),
+        "neg_id",
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _NEG_K)
+        .select("anchor_id", "rank", "neg_id", "neg_label")
+        .orderBy("anchor_id", "rank")
+    )
