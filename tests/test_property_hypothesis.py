@@ -331,3 +331,42 @@ def test_degree_oriented_triangles_match_brute_force(raw_edges):
                     got[v] += 1
                     got[w] += 1
     assert got == brute, (sorted(und), dict(got), dict(brute))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        # df <= n (a term's doc frequency can't exceed the doc count)
+        st.tuples(st.integers(1, 10**12), st.integers(1, 10**12)).map(
+            lambda p: (max(p), min(p))
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_idf_ladder_is_clamped_floor_log2(pairs):
+    """keyword_search_ranked's idf weight ladder must equal
+    floor(log2(n/df)) clamped to [0, 16] — executed as the ACTUAL SQL
+    text in DuckDB against an exact integer reference."""
+    import duckdb
+
+    from jobinsight_data_pipeline_v2_spark.plans.text import (
+        _IDF_CLAMP,
+        _idf_ladder_sql,
+    )
+
+    def ref(n: int, df: int) -> int:
+        c = 0
+        while df << (c + 1) <= n:
+            c += 1
+        return min(_IDF_CLAMP, c)
+
+    values = ", ".join(
+        f"(CAST({n} AS BIGINT), CAST({d} AS BIGINT))" for n, d in pairs
+    )
+    sql = (
+        f"SELECT {_idf_ladder_sql('n', 'df')} FROM "
+        f"(VALUES {values}) t(n, df)"
+    )
+    got = [r[0] for r in duckdb.execute(sql).fetchall()]
+    assert got == [ref(n, d) for n, d in pairs]
