@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "session_window_native",  # built-in session_window vs lag/sum oracle
     "keyword_search_ranked",  # integer-idf ranked retrieval (serve path)
     "contrastive_negatives",  # hash-ranked label-excluded negatives
+    "phrase_match_stats",  # adjacent-token phrase retrieval, in-row
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

@@ -2114,3 +2114,96 @@ def keyword_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(_SEARCH_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# phrase matching: exact 2-token phrase occurrences, fully in-row
+# ---------------------------------------------------------------------------
+
+_PHRASES = ("spark join", "merge sort", "the fast")
+
+
+@register(
+    "phrase_match_stats",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 2 THEN
+                   list_transform(
+                       list_zip(list_slice(t, 1, len(t) - 1),
+                                list_slice(t, 2, len(t))),
+                       p -> p[1] || ' ' || p[2])
+               ELSE [] END AS bigrams
+        FROM toks
+    ),
+    per_doc AS (
+        SELECT doc_id, ph.phrase,
+               len(list_filter(bigrams, b -> b = ph.phrase)) AS cnt
+        FROM pairs, (SELECT unnest({list(_PHRASES)!r}) AS phrase) ph
+    )
+    SELECT phrase,
+           CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+    FROM per_doc
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def phrase_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase (adjacent-token) matching: per query phrase, how
+    many documents contain it and how many times — the positional
+    retrieval primitive a bare term index can't answer.
+
+    Fully in-row: adjacent bigrams come from zip_with over two
+    whole-array slices (never per-position element_at on a built
+    array — rule 10's O(n²) trap), the per-phrase count is one
+    filter+size per phrase, and the only shuffle is the 3-row final
+    agg. Docs under 2 tokens contribute empty bigram lists (guarded —
+    slice with a negative length throws).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(t) >= 2 THEN"
+            " zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+            " (x, y) -> concat(x, ' ', y))"
+            " ELSE array() END"
+        ).alias("bigrams"),
+    )
+    def _match(phrase: str):
+        # a 2-arg lambda would make PySpark pass the array INDEX as
+        # the second argument, shadowing a default-arg phrase binding
+        return lambda b: b == F.lit(phrase)
+
+    counted = bigrams.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("phrase"),
+                        F.size(
+                            F.filter(F.col("bigrams"), _match(p))
+                        ).alias("cnt"),
+                    )
+                    for p in _PHRASES
+                ]
+            )
+        ).alias("m"),
+    ).select("doc_id", "m.phrase", "m.cnt")
+    return (
+        counted.groupBy("phrase")
+        .agg(
+            F.sum(F.when(F.col("cnt") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs"),
+            F.sum("cnt").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("phrase")
+    )
