@@ -556,17 +556,23 @@ class Generator:
                 f"SELECT pk, p, CAST(rn AS BIGINT) AS rn FROM ({inner_d}) "
                 f"WHERE rn <= {rn}",
             )
-        if variant < 0.55:  # rank/dense_rank — ties are value-stable
-            fn = self.rng.choice(["rank", "dense_rank"])
+        if variant < 0.55:  # rank family — ties are value-stable.
+            # percent_rank/cume_dist emit DOUBLE, but both are exact
+            # divisions of IDENTICAL integer operands (rank/peers/n),
+            # so the bits agree across engines — the cosine device.
+            fn = self.rng.choice(
+                ["rank", "dense_rank", "percent_rank", "cume_dist"]
+            )
+            cast = "BIGINT" if fn in ("rank", "dense_rank") else "DOUBLE"
             w_s = (f"{fn}() OVER (PARTITION BY {part_s.spark} "
                    f"ORDER BY {ocol} NULLS FIRST)")
             w_d = (f"{fn}() OVER (PARTITION BY {part_s.duck} "
                    f"ORDER BY {ocol} NULLS FIRST)")
             return (
                 f"SELECT {pk} AS pk, {part_s.s()}, "
-                f"CAST({w_s} AS BIGINT) AS rnk FROM {t}{sw}",
+                f"CAST({w_s} AS {cast}) AS rnk FROM {t}{sw}",
                 f"SELECT {pk} AS pk, {part_s.d()}, "
-                f"CAST({w_d} AS BIGINT) AS rnk FROM {t}{dw}",
+                f"CAST({w_d} AS {cast}) AS rnk FROM {t}{dw}",
             )
         if variant < 0.75:  # frame-free whole-partition aggregate
             ints = [x for x in cols if x[2] == "i"]
