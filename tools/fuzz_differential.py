@@ -234,6 +234,36 @@ class Generator:
             return Expr(
                 f"SUM({c})", f"CAST(SUM({c}) AS BIGINT)", "i", alias
             )
+        if choice < 0.85:
+            # max_by/min_by keyed on a unique pk (ties impossible →
+            # deterministic). The value column comes from the SAME
+            # table as the pk: under a LEFT join, dim-side values can
+            # be NULL, and DuckDB's arg_max SKIPS null arguments while
+            # Spark's max_by returns them — a real semantic divergence
+            # this generator must not manufacture.
+            pks = [
+                (t, c)
+                for t, c, k in table_cols
+                if UNIQUE_PK.get(t) == c
+            ]
+            if pks:
+                pt, pk = self.rng.choice(pks)
+                vals = [
+                    (c2, k2)
+                    for t2, c2, k2 in table_cols
+                    if t2 == pt and c2 != pk and k2 in ("i", "s")
+                ]
+                if vals:
+                    v, vkind = self.rng.choice(vals)
+                    s_fn, d_fn = self.rng.choice(
+                        [("MAX_BY", "arg_max"), ("MIN_BY", "arg_min")]
+                    )
+                    return Expr(
+                        f"{s_fn}({v}, {pk})",
+                        f"{d_fn}({v}, {pk})",
+                        vkind,
+                        alias,
+                    )
         fn = self.rng.choice(["MIN", "MAX"])
         if kind in ("t", "n"):
             return Expr(
