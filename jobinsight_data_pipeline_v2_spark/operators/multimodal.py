@@ -132,18 +132,21 @@ def media_exact_dedup(features: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> list[float]:
-    """REAL image decode (pure-stdlib PNG codec, operators/png.py):
-    payload → [width, height, channels, mean_ch0, mean_ch1, ...] —
+    """REAL image decode (pure-stdlib codecs — PNG via operators/
+    png.py, 24-bit BI_RGB BMP via operators/bmp.py, dispatched on the
+    magic bytes): payload → [width, height, channels, mean_ch0, …] —
     the feature vector a production thumbnail pipeline extracts.
 
-    Pass as ``decode_fn`` to :func:`extract_features`; non-PNG or
-    corrupt payloads raise inside the decoder and surface as
-    ``features = NULL`` rows (the quarantine convention). Audio/video
-    codecs (librosa/pyav) are still environment-blocked — PNG is the
-    format whose baseline profile is decodable with zlib alone."""
-    from .png import decode_png
+    Pass as ``decode_fn`` to :func:`extract_features`; unknown-format
+    or corrupt payloads raise inside the decoder and surface as
+    ``features = NULL`` rows (the quarantine convention). Compressed
+    codecs beyond these (JPEG etc.) remain environment-blocked."""
+    if payload[:2] == b"BM":
+        from .bmp import decode_bmp as _dec
+    else:
+        from .png import decode_png as _dec
 
-    width, height, ch, px = decode_png(payload)
+    width, height, ch, px = _dec(payload)
     n = max(width * height, 1)
     sums = [0] * ch
     for i, b in enumerate(px):

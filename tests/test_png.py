@@ -223,3 +223,92 @@ def test_extract_features_with_real_decode(spark):
     # content addressing still works over PNG bytes
     n = feats.filter(F.length(F.col("content_sha256")) == 64).count()
     assert n == 21
+
+
+def test_bmp_spec_goldens():
+    """Each direction pinned independently against hand-assembled
+    bytes (the png.py discipline — compensating bugs cannot hide in
+    round trips): a 2x1 image, red then green, bottom-up storage with
+    2 pad bytes per row."""
+    import struct
+
+    from jobinsight_data_pipeline_v2_spark.operators.bmp import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rgb = bytes((255, 0, 0, 0, 255, 0))  # red, green (top-down RGB)
+    enc = encode_bmp(2, 1, rgb)
+    # header goldens
+    assert enc[:2] == b"BM"
+    assert struct.unpack_from("<I", enc, 10)[0] == 54  # pixel offset
+    assert struct.unpack_from("<i", enc, 18)[0] == 2  # width
+    assert struct.unpack_from("<i", enc, 22)[0] == 1  # height
+    assert struct.unpack_from("<H", enc, 28)[0] == 24  # bpp
+    # pixel golden: BGR order + 2 pad bytes to the 4-byte stride
+    assert enc[54:62] == bytes((0, 0, 255, 0, 255, 0, 0, 0))
+
+    # decode golden from hand-assembled bytes (NOT the encoder's)
+    hand = (
+        b"BM" + struct.pack("<IHHI", 62, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 0, 0, 0, 0)
+        + bytes((0, 0, 255, 0, 255, 0, 0, 0))
+    )
+    assert decode_bmp(hand) == (2, 1, 3, rgb)
+
+    # top-down (negative height) variant decodes identically
+    hand_td = (
+        b"BM" + struct.pack("<IHHI", 62, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 24, 0, 8, 0, 0, 0, 0)
+        + bytes((0, 0, 255, 0, 255, 0, 0, 0))
+    )
+    assert decode_bmp(hand_td) == (2, 1, 3, rgb)
+
+
+def test_bmp_roundtrip_and_rejects():
+    import pytest
+
+    from jobinsight_data_pipeline_v2_spark.operators.bmp import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rgb = bytes((i * 7) % 256 for i in range(5 * 3 * 3))  # 5x3
+    assert decode_bmp(encode_bmp(5, 3, rgb)) == (5, 3, 3, rgb)
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp")
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(5, 3, rgb)[:-4])  # truncated pixels
+    # 8-bit palette profile is out of scope and must raise loudly
+    import struct as _s
+
+    pal = (
+        b"BM" + _s.pack("<IHHI", 100, 0, 0, 54)
+        + _s.pack("<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, 8, 0, 0, 0, 0)
+        + b"\x00" * 46
+    )
+    with pytest.raises(ValueError):
+        decode_bmp(pal)
+
+
+def test_decode_image_dispatches_bmp(spark):
+    """extract_features with the REAL decode_image over a BMP payload:
+    features = [w, h, 3, mean_r, mean_g, mean_b]."""
+    from jobinsight_data_pipeline_v2_spark.operators.bmp import encode_bmp
+    from jobinsight_data_pipeline_v2_spark.operators.multimodal import (
+        decode_image,
+        extract_features,
+    )
+
+    rgb = bytes((10, 20, 30, 50, 60, 70))  # 2x1
+    payload = encode_bmp(2, 1, rgb)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload)), (2, "image", bytearray(b"junk"))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_features(media, decode_fn=decode_image).collect()
+    }
+    assert rows[1].features == [2.0, 1.0, 3.0, 30.0, 40.0, 50.0]
+    assert rows[2].features is None  # junk quarantines as NULL
