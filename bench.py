@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "contrastive_negatives",  # hash-ranked label-excluded negatives
     "phrase_match_stats",  # adjacent-token phrase retrieval, in-row
     "lsh_quality_audit",  # minhash candidates vs exact-Jaccard truth
+    "business_days_histogram",  # weekday closed form + dow divergence pin
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

@@ -1432,3 +1432,93 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# business-day arithmetic: weekday counting via a shared closed form,
+# pinning each engine's DIFFERENT native day-of-week function
+# ---------------------------------------------------------------------------
+
+# f(d) = weekdays in [epoch-Monday, d): 5 full weeks + min(rem, 5),
+# k = days since Monday 1970-01-05. Identical arithmetic text in both
+# engines; only the datediff rendering differs.
+_BDAY_F_SPARK = (
+    "(5 * (datediff({d}, DATE '1970-01-05') div 7)"
+    " + least(datediff({d}, DATE '1970-01-05') % 7, 5))"
+)
+_BDAY_F_DUCK = (
+    "(5 * (datediff('day', DATE '1970-01-05', {d}) // 7)"
+    " + least(datediff('day', DATE '1970-01-05', {d}) % 7, 5))"
+)
+
+
+@register(
+    "business_days_histogram",
+    f"""
+    WITH spans AS (
+        SELECT o_orderkey, o_orderdate,
+               o_orderdate + INTERVAL (o_orderkey % 40) DAY AS due_date,
+               CAST(o_orderkey % 40 AS BIGINT) AS cal_days
+        FROM orders
+    ),
+    counted AS (
+        SELECT o_orderkey, cal_days,
+               {_BDAY_F_DUCK.format(d='due_date')}
+                   - {_BDAY_F_DUCK.format(d='o_orderdate')} AS bdays,
+               CASE WHEN isodow(o_orderdate) IN (6, 7) THEN 1 ELSE 0 END
+                   AS weekend_start
+        FROM spans
+    )
+    SELECT CAST(bdays AS BIGINT) AS business_days,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cal_days) AS BIGINT) AS sum_cal_days,
+           CAST(SUM(weekend_start) AS BIGINT) AS n_weekend_starts
+    FROM counted
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def business_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business days between order date and an in-plan synthesized due
+    date (order_key % 40 calendar days out), histogrammed — the SLA /
+    lead-time arithmetic every operational warehouse carries.
+
+    Weekday counting is the closed form f(due) − f(start) with
+    f(d) = 5·(k div 7) + min(k mod 7, 5), k = days since a fixed
+    Monday — pure integer date arithmetic, no per-day iteration, no
+    calendar UDF. The weekend-start column is the DIVERGENCE PIN:
+    Spark's dayofweek (Sunday=1) and DuckDB's isodow (Monday=1) are
+    DIFFERENT functions whose weekend predicates must agree — an
+    off-by-one in either engine's rendering fails the hash. Narrow
+    projection + one histogram-sized agg.
+    """
+    from ..tables import load_table, spread
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    spans = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.expr(
+            "date_add(o_orderdate, CAST(o_orderkey % 40 AS INT))"
+        ).alias("due_date"),
+        (F.col("o_orderkey") % 40).cast("long").alias("cal_days"),
+    )
+    counted = spans.select(
+        "cal_days",
+        (
+            F.expr(_BDAY_F_SPARK.format(d="due_date"))
+            - F.expr(_BDAY_F_SPARK.format(d="o_orderdate"))
+        ).alias("bdays"),
+        F.when(F.dayofweek("o_orderdate").isin(1, 7), 1)
+        .otherwise(0)
+        .alias("weekend_start"),
+    )
+    return (
+        counted.groupBy(F.col("bdays").cast("long").alias("business_days"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cal_days").cast("long").alias("sum_cal_days"),
+            F.sum("weekend_start").cast("long").alias("n_weekend_starts"),
+        )
+        .orderBy("business_days")
+    )
