@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "phrase_match_stats",  # adjacent-token phrase retrieval, in-row
     "lsh_quality_audit",  # minhash candidates vs exact-Jaccard truth
     "business_days_histogram",  # weekday closed form + dow divergence pin
+    "edit_distance_histogram",  # native-vs-native levenshtein pin
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

@@ -1009,3 +1009,56 @@ def luhn_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance differential: native levenshtein vs native levenshtein
+# ---------------------------------------------------------------------------
+
+# engine-shared perturbation of c_name (||/substring/replace/CASE only)
+_LEV_PERTURB_SQL = """
+    CASE c_custkey % 4
+      WHEN 0 THEN substring(c_name, 1, length(c_name) - 2)
+      WHEN 1 THEN c_name || '#x'
+      WHEN 2 THEN replace(c_name, '0', 'O')
+      ELSE        c_name
+    END
+"""
+
+
+@register(
+    "edit_distance_histogram",
+    f"""
+    WITH pairs AS (
+        SELECT c_name AS a, {_LEV_PERTURB_SQL} AS b FROM customer
+    )
+    SELECT CAST(levenshtein(a, b) AS BIGINT) AS distance,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(length(b)) AS BIGINT) AS sum_len_b
+    FROM pairs
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def edit_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-vs-native edit distance: Spark's levenshtein() and
+    DuckDB's levenshtein() must agree on every perturbation class
+    (2-char truncation, 2-char append, multi-site substitution,
+    identity) — the scalar the fuzzy-match verifier leans on, pinned
+    directly as a cross-engine differential. Narrow scan + a
+    distances-sized histogram agg.
+    """
+    cust = spread(load_table(spark, sf_dir, "customer"))
+    pairs = cust.select(
+        F.col("c_name").alias("a"), F.expr(_LEV_PERTURB_SQL).alias("b")
+    )
+    return (
+        pairs.groupBy(
+            F.levenshtein("a", "b").cast("long").alias("distance")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.length("b")).cast("long").alias("sum_len_b"),
+        )
+        .orderBy("distance")
+    )
