@@ -1609,3 +1609,84 @@ def validation_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unhealthy")
         .alias("health"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification: cumulative-revenue-share classes over a
+# fixed-cardinality key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "abc_brand_classes",
+    """
+    WITH rev AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT brand, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, brand
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cents) OVER () AS total
+        FROM rev
+    )
+    SELECT brand, cents,
+           CAST((1000000 * cum) // total AS BIGINT) AS cum_ppm,
+           CASE WHEN 10 * cum <= 7 * total THEN 'A'
+                WHEN 10 * cum <= 9 * total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    ORDER BY cents DESC, brand
+    """,
+)
+def abc_brand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of brands by cumulative revenue
+    share: A while cum ≤ 70% of total, B to 90%, else C — with the
+    thresholds as integer cross-multiplications (10·cum ≤ 7·total) and
+    the share as an integer ppm floor division, so the class boundary
+    never touches a float. Revenue rides the cents/BIGINT discipline.
+
+    Scale shape: the corpus-sized work is ONE hash agg onto the
+    fixed-25-value brand key (map-side combined); the running-share
+    window and the grand total run on that 25-row frame — global
+    windows are legitimate when the key cardinality is a constant of
+    the schema, the cohort-matrix exception. Total order under the
+    window and the output sort: (cents desc, brand).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    rev = rev.localCheckpoint(eager=False)  # window + total consumers
+    w_cum = Window.orderBy(F.desc("cents"), "brand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "brand",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    return ranked.select(
+        "brand",
+        "cents",
+        F.expr("CAST((1000000 * cum) div total AS BIGINT)").alias("cum_ppm"),
+        F.when(10 * F.col("cum") <= 7 * F.col("total"), "A")
+        .when(10 * F.col("cum") <= 9 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    ).orderBy(F.desc("cents"), "brand")
