@@ -109,7 +109,11 @@ def curate_corpus(
     (plans/sampling.fim_texts, the oracle-gated fim_transform's text)
     after selection — budget accounting stays in original tokens, the
     rewrite drops nothing, and ``n_fim_rewritten`` is reported (docs
-    under the FIM minimum pass through unframed). ``ledger=True`` adds a
+    under the FIM minimum pass through UNFRAMED but, like every FIM
+    output, token-canonicalized: the transform is token-level by
+    construction, so all shipped text is single-space joined — a
+    multi-space short doc differs byte-wise from the fim=False run by
+    design). ``ledger=True`` adds a
     ``ledger`` DataFrame to the report: one (doc_id, stage) row per
     DROPPED document naming the stage that cut it (provenance — "why
     is my document missing from the shards"); ledger ∪ shipped
@@ -355,16 +359,21 @@ def _curate_corpus(
     #     FIM minimum pass through, so the stage drops nothing.
     if fim:
         stage["name"] = "fim_rewrite"
-        from .plans.sampling import fim_texts
+        from .plans.sampling import _FIM_MIN_TOKENS, fim_texts
 
+        # count framed docs from the FRAMING PREDICATE (token count),
+        # never by sniffing the output text — a crawled doc whose raw
+        # text happens to start with '<PRE> ' must not count (review
+        # r7 s5). n_tokens is the same whitespace-token count the
+        # transform splits on.
+        report["n_fim_rewritten"] = final.filter(
+            F.col("n_tokens") >= _FIM_MIN_TOKENS
+        ).count()
         final = (
             fim_texts(final.select("doc_id", "text"))
             .join(final.select("doc_id", "n_tokens"), "doc_id")
             .localCheckpoint(eager=False)
         )
-        report["n_fim_rewritten"] = final.filter(
-            F.col("text").startswith("<PRE> ")
-        ).count()
 
     # 6. sharded sink: deterministic interleave, shard=N/ parquet dirs
     t5 = time.monotonic()

@@ -58,6 +58,10 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     )
     if hdr_size < _HDR_INFO:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if off < _HDR_FILE + hdr_size:
+        # a pixel offset pointing INTO the headers would silently
+        # decode header bytes as pixels (review r7 s5) — quarantine
+        raise ValueError(f"BMP pixel offset {off} inside the headers")
     if planes != 1 or bpp != 24 or comp != 0:
         raise ValueError(
             f"unsupported BMP profile (planes={planes}, bpp={bpp}, "

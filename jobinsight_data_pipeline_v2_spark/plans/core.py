@@ -1684,7 +1684,14 @@ def abc_brand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "brand",
         "cents",
-        F.expr("CAST((1000000 * cum) div total AS BIGINT)").alias("cum_ppm"),
+        # ppm through DECIMAL(38,0): 1e6 * cum on LongType wraps once
+        # total revenue passes ~9.2e12 cents (~sf0.4) while the
+        # oracle's HUGEINT stays exact (review r7 s5) — the
+        # anomaly_days headroom discipline, on a 25-row frame
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(cum AS DECIMAL(38,0)))"
+            " div CAST(total AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("cum_ppm"),
         F.when(10 * F.col("cum") <= 7 * F.col("total"), "A")
         .when(10 * F.col("cum") <= 9 * F.col("total"), "B")
         .otherwise("C")

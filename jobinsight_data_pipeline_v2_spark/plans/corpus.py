@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from ..tables import load_table, spread
 from . import register
 from .text import (
+    _dsir_class_case,
     _BAND_SIZE,
     _MINHASH_COEFFS,
     _MINHASH_P,
@@ -1672,17 +1673,8 @@ _DSIR_CLAMP = 8  # class range [-8, 8]
 _DSIR_TARGET_LANG = "en"
 
 
-def _dsir_class_case(num: str, den: str, clamp: int = _DSIR_CLAMP) -> str:
-    """CASE ladder computing floor(log2(num/den)) clamped to
-    [-clamp, clamp], using only integer multiply/compare — identical
-    text runs on Spark SQL and DuckDB."""
-    parts = []
-    for c in range(clamp, -1, -1):
-        parts.append(f"WHEN {num} >= {den} * {1 << c} THEN {c}")
-    for c in range(1, clamp):
-        parts.append(f"WHEN {num} * {1 << c} >= {den} THEN {-c}")
-    return "CASE " + " ".join(parts) + f" ELSE {-clamp} END"
-
+# _dsir_class_case lives in plans/text.py (shared ladder builder);
+# callers here pass clamp=_DSIR_CLAMP explicitly.
 
 _DSIR_NUM = f"(t_n + 1) * (r_tot + {_DSIR_B})"
 _DSIR_DEN = f"(r_n + 1) * (t_tot + {_DSIR_B})"

@@ -2029,21 +2029,24 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inverted index's serve path)
 # ---------------------------------------------------------------------------
 
+def _dsir_class_case(num: str, den: str, clamp: int = 8) -> str:
+    """CASE ladder computing floor(log2(num/den)) clamped to
+    [-clamp, clamp], using only integer multiply/compare — identical
+    text runs on Spark SQL and DuckDB. Shared by the DSIR importance
+    ladder, the perplexity buckets (clamp 16), and the keyword-search
+    idf weights (df <= n, so only the non-negative branches fire)."""
+    parts = []
+    for c in range(clamp, -1, -1):
+        parts.append(f"WHEN {num} >= {den} * {1 << c} THEN {c}")
+    for c in range(1, clamp):
+        parts.append(f"WHEN {num} * {1 << c} >= {den} THEN {-c}")
+    return "CASE " + " ".join(parts) + f" ELSE {-clamp} END"
+
+
 _SEARCH_TERMS = ("spark", "join", "window", "merge", "the")
 _SEARCH_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _SEARCH_TERMS) + ")"
 _SEARCH_K = 20
 _IDF_CLAMP = 16
-
-
-def _idf_ladder_sql(n: str, df: str) -> str:
-    """floor(log2(n/df)) as a cross-multiplied BIGINT CASE ladder (the
-    DSIR device): weight w ⇔ df·2^w ≤ n < df·2^(w+1), clamped at
-    {_IDF_CLAMP} — no float log, no boundary drift at powers of two."""
-    branches = [
-        f"WHEN {n} >= {df} * {1 << w} THEN {w}"
-        for w in range(_IDF_CLAMP, 0, -1)
-    ]
-    return "CASE " + " ".join(branches) + " ELSE 0 END"
 
 
 @register(
@@ -2060,7 +2063,7 @@ def _idf_ladder_sql(n: str, df: str) -> str:
     n_docs AS (SELECT COUNT(*) AS n FROM documents),
     weights AS (
         SELECT term, COUNT(*) AS df,
-               {_idf_ladder_sql('(SELECT n FROM n_docs)', 'COUNT(*)')} AS w
+               {_dsir_class_case('(SELECT n FROM n_docs)', 'COUNT(*)', _IDF_CLAMP)} AS w
         FROM hits GROUP BY term
     ),
     scored AS (
@@ -2102,7 +2105,7 @@ def keyword_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n))
-        .select("term", F.expr(_idf_ladder_sql("n", "df")).alias("w"))
+        .select("term", F.expr(_dsir_class_case("n", "df", _IDF_CLAMP)).alias("w"))
     )
     return (
         hits.join(F.broadcast(weights), "term")

@@ -312,3 +312,21 @@ def test_decode_image_dispatches_bmp(spark):
     }
     assert rows[1].features == [2.0, 1.0, 3.0, 30.0, 40.0, 50.0]
     assert rows[2].features is None  # junk quarantines as NULL
+
+
+def test_bmp_rejects_offset_inside_headers():
+    """A corrupt pixel offset pointing into the headers must raise,
+    not decode header bytes as pixels (review r7 s5)."""
+    import struct
+
+    import pytest
+
+    from jobinsight_data_pipeline_v2_spark.operators.bmp import decode_bmp
+
+    bad = (
+        b"BM" + struct.pack("<IHHI", 62, 0, 0, 14)  # offset 14 < 54
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 0, 0, 0, 0)
+        + bytes(8)
+    )
+    with pytest.raises(ValueError):
+        decode_bmp(bad)

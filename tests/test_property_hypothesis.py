@@ -352,7 +352,7 @@ def test_idf_ladder_is_clamped_floor_log2(pairs):
 
     from jobinsight_data_pipeline_v2_spark.plans.text import (
         _IDF_CLAMP,
-        _idf_ladder_sql,
+        _dsir_class_case,
     )
 
     def ref(n: int, df: int) -> int:
@@ -365,7 +365,7 @@ def test_idf_ladder_is_clamped_floor_log2(pairs):
         f"(CAST({n} AS BIGINT), CAST({d} AS BIGINT))" for n, d in pairs
     )
     sql = (
-        f"SELECT {_idf_ladder_sql('n', 'df')} FROM "
+        f"SELECT {_dsir_class_case('n', 'df', _IDF_CLAMP)} FROM "
         f"(VALUES {values}) t(n, df)"
     )
     got = [r[0] for r in duckdb.execute(sql).fetchall()]
