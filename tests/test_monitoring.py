@@ -306,3 +306,64 @@ def test_grafana_recent_quality_checks_match_duckdb(metrics_run):
     assert sorted(mine.columns) == cols
     assert _rows(mine, cols) == _rows(oracle, cols)
     assert len(mine) == 5
+
+
+def test_three_lifecycles_share_one_health_surface(spark, tmp_path):
+    """Warehouse day + IVF index day + corpus curation all report into
+    ONE MetricsStore, and the health rollup sees all three dag_ids —
+    the single-pane-of-glass contract the reference's Grafana stack
+    assumes (every lifecycle's work lands in etl_metrics)."""
+    import datetime as dt
+
+    from jobinsight_data_pipeline_v2_spark.corpus_pipeline import (
+        curate_corpus,
+    )
+    from jobinsight_data_pipeline_v2_spark.index_pipeline import (
+        run_index_day,
+    )
+    from jobinsight_data_pipeline_v2_spark.pipelines import run_day
+    from jobinsight_data_pipeline_v2_spark.quality.monitoring import (
+        MetricsStore,
+        vw_etl_health,
+    )
+    from jobinsight_data_pipeline_v2_spark.storage import WarehouseStorage
+    from tests.test_pipelines import _raw
+
+    ms = MetricsStore(spark, str(tmp_path / "metrics"))
+    as_of = dt.datetime(2026, 3, 3, 8)
+
+    # 1. warehouse day
+    storage = WarehouseStorage(spark, str(tmp_path / "wh"))
+    run_day(
+        spark, storage, _raw(spark, dt.date(2026, 3, 3)),
+        dt.date(2026, 3, 3), as_of, metrics=ms,
+    )
+
+    # 2. index day (bootstrap generation 0)
+    vecs = spark.createDataFrame(
+        [
+            (i, [int(((i % 4) == j)) * 1_000_000 for j in range(8)])
+            for i in range(40)
+        ],
+        "vec_id: long, embedding: array<long>",
+    )
+    run_index_day(
+        spark, str(tmp_path / "ivf"), vecs, "2026-03-03",
+        metrics=ms, run_ts=as_of, k=2, kmeans_iters=2, train_sample_mod=1,
+    )
+
+    # 3. corpus curation
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    curate_corpus(
+        spark, docs.select("doc_id", "text"),
+        str(tmp_path / "shards"), metrics=ms, run_ts=as_of,
+    )
+
+    etl = ms.etl_metrics()
+    dags = {r["dag_id"] for r in etl.select("dag_id").distinct().collect()}
+    assert {"pipeline", "index_maintenance", "corpus_curation"} <= dags, dags
+    # the rollup view covers every lifecycle, all success
+    health = vw_etl_health(etl, as_of + dt.timedelta(hours=1)).collect()
+    seen = {r["dag_id"] for r in health}
+    assert dags == seen
+    assert all(r["success_runs"] == r["total_runs"] for r in health), health
