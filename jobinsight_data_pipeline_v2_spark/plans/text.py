@@ -2169,6 +2169,14 @@ def phrase_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice with a negative length throws).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return phrase_report(docs).orderBy("phrase")
+
+
+def phrase_count_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, phrase, cnt): per-document occurrence counts for every
+    query phrase — the stateless narrow transform shared by the batch
+    gate and streaming.curation.phrase_stream. ``docs`` needs
+    (doc_id, text)."""
     toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
     bigrams = toks.select(
         "doc_id",
@@ -2179,12 +2187,13 @@ def phrase_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE array() END"
         ).alias("bigrams"),
     )
+
     def _match(phrase: str):
         # a 2-arg lambda would make PySpark pass the array INDEX as
         # the second argument, shadowing a default-arg phrase binding
         return lambda b: b == F.lit(phrase)
 
-    counted = bigrams.select(
+    return bigrams.select(
         "doc_id",
         F.explode(
             F.array(
@@ -2200,15 +2209,20 @@ def phrase_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m"),
     ).select("doc_id", "m.phrase", "m.cnt")
+
+
+def phrase_report(docs: DataFrame) -> DataFrame:
+    """The phrase-stats aggregation over phrase_count_rows — complete-
+    mode state on a stream equals the batch gate (minus its
+    presentation sort)."""
     return (
-        counted.groupBy("phrase")
+        phrase_count_rows(docs).groupBy("phrase")
         .agg(
             F.sum(F.when(F.col("cnt") > 0, 1).otherwise(0))
             .cast("long")
             .alias("n_docs"),
             F.sum("cnt").cast("long").alias("n_occurrences"),
         )
-        .orderBy("phrase")
     )
 
 

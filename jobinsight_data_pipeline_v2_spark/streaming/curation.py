@@ -999,3 +999,16 @@ def url_dedup_stream(
         F.lit(False).alias("late"),
     )
     return decided.unionByName(malformed)
+
+
+def phrase_stream(docs: DataFrame) -> DataFrame:
+    """(phrase, n_docs, n_occurrences): the phrase-retrieval report
+    updating as documents arrive — the batch phrase_match_stats gate's
+    aggregation over the shared stateless phrase_count_rows transform
+    (twin 38). In complete mode the final state equals the batch gate
+    row for row; the per-doc counting is fully in-row (rule-20-safe:
+    bigrams come from whole-array slices, never per-position access),
+    so the only state is the phrases-sized aggregation."""
+    from ..plans.text import phrase_report
+
+    return phrase_report(docs)

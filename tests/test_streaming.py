@@ -2696,3 +2696,29 @@ def test_streaming_url_dedup_ttl_wiring(spark, tmp_path):
     # page; 4 is unparseable -> visible, not kept, NULL frontier key
     assert got == {1: True, 2: False, 3: True, 4: False}
     assert [r.sk for r in out_rows if r.doc_id == 4] == [None]
+
+
+def test_streaming_phrase_equals_batch(spark, tmp_path):
+    """Phrase retrieval (twin 38): complete-mode final state over
+    streamed document drops equals the batch phrase_match_stats gate
+    row for row."""
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        phrase_stream,
+    )
+
+    src, docs = _stage_doc_drops(spark, tmp_path, ["doc_id", "text"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, phrase_stream(stream), "phrase_test", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM phrase_test")
+    expected = load_all()["phrase_match_stats"][0](spark, SF)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() == 3
