@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "business_days_histogram",  # weekday closed form + dow divergence pin
     "edit_distance_histogram",  # native-vs-native levenshtein pin
     "abc_brand_classes",  # Pareto cumulative-share classes, integer bounds
+    "collocation_pmi",  # integer-PMI collocations (shared ladder)
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

@@ -2490,3 +2490,112 @@ def lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN (1000000 * tp) div n_true_pairs ELSE 0 END AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation extraction: integer PMI classes over adjacent bigrams
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 50
+_PMI_CLAMP = 16
+
+
+@register(
+    "collocation_pmi",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    uni AS (
+        SELECT u.token AS w, COUNT(*) AS c_w
+        FROM toks, UNNEST(t) AS u(token)
+        GROUP BY 1
+    ),
+    n_tok AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM uni),
+    bi AS (
+        SELECT p.bg[1] AS a, p.bg[2] AS b, COUNT(*) AS c_ab
+        FROM (
+            SELECT unnest(list_zip(list_slice(t, 1, len(t) - 1),
+                                   list_slice(t, 2, len(t)))) AS bg
+            FROM toks WHERE len(t) >= 2
+        ) p
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT bi.a, bi.b, bi.c_ab,
+               {_dsir_class_case('(bi.c_ab * n_tok.n)', '(ua.c_w * ub.c_w)', _PMI_CLAMP)}
+                   AS pmi_class
+        FROM bi
+        JOIN uni ua ON ua.w = bi.a
+        JOIN uni ub ON ub.w = bi.b
+        CROSS JOIN n_tok
+        WHERE bi.c_ab >= {_PMI_MIN_COUNT}
+    )
+    SELECT a || ' ' || b AS bigram,
+           CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(pmi_class AS BIGINT) AS pmi_class
+    FROM scored
+    ORDER BY pmi_class DESC, c_ab DESC, bigram
+    LIMIT {_PMI_TOP}
+    """,
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: adjacent bigrams ranked by pointwise
+    mutual information, with PMI as the INTEGER class
+    floor(log2(c_ab·N / (c_a·c_b))) via the shared cross-multiplied
+    CASE ladder (the DSIR device, third consumer) — no float log, so
+    the ranking is bit-stable. Bigrams under {_PMI_MIN_COUNT}
+    occurrences are cut (the standard noise floor); top-{_PMI_TOP}
+    under a (class desc, count desc, bigram) total order.
+
+    Shape: bigram construction is the in-row zip device (whole-array
+    slices), counts are map-side-combined aggs on hash-uniform keys,
+    and the unigram table is vocabulary-sized — it joins twice onto
+    the bigram counts (broadcastable at any corpus size). BIGINT
+    headroom: c_ab·N needs c_ab·N < 2^63/2^{_PMI_CLAMP} ≈ 1.4e14 —
+    right-shift both sides beyond (the DSIR note).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    toks = toks.localCheckpoint(eager=False)  # unigram + bigram consumers
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    uni = uni.localCheckpoint(eager=False)  # total + two joins
+    n_tok = uni.agg(F.sum("c_w").cast("long").alias("n"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1),"
+                    " slice(t, 2, size(t) - 1), (x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
+    scored = (
+        bi.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.expr(
+                _dsir_class_case("(c_ab * n)", "(c_a * c_b)", _PMI_CLAMP)
+            )
+            .cast("long")
+            .alias("pmi_class"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_class"), F.desc("c_ab"), "bigram"
+    ).limit(_PMI_TOP)
