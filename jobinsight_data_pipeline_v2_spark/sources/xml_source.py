@@ -45,7 +45,13 @@ def format_doc_xml(docs: DataFrame, schema: StructType = DOC_SCHEMA) -> DataFram
     """One self-contained ``<doc>…</doc>`` element per row, as a
     single-column frame ready for the text writer. NULL fields omit
     their element (the reader's missing-field path), string fields are
-    entity-escaped; the projection is fully narrow."""
+    entity-escaped; the projection is fully narrow.
+
+    Empty-string contract (PROBED, ADVICE r7): ``from_xml`` parses an
+    empty element ``<text></text>`` to the EMPTY STRING, not NULL — a
+    valid doc with empty text round-trips intact and never hits the
+    ``missing:<field>`` quarantine path (only an OMITTED element does).
+    Pinned by the empty-text row in the partition test."""
     parts: list[Column] = [F.lit("<doc>")]
     for field in schema.fields:
         val = F.col(field.name).cast("string")

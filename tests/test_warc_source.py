@@ -289,14 +289,19 @@ def test_xml_source_partitions_input_exactly(spark, tmp_path):
         "<doc><doc_id>zzz</doc_id><text>t</text></doc>",  # type fail -> corrupt
         "<doc><text>no id</text></doc>",                 # missing doc_id
         "<doc><doc_id>5</doc_id></doc>",                 # missing text
+        # empty element: from_xml parses <text></text> to the EMPTY
+        # STRING, not NULL (probed, ADVICE r7) — valid doc, no
+        # missing:text mis-quarantine
+        "<doc><doc_id>6</doc_id><text></text></doc>",
     ]
     p = _os.path.join(str(tmp_path), "corpus.xml")
     with open(p, "w") as f:
         f.write("\n".join(lines) + "\n")
     docs, quarantine = read_xml_docs(spark, p)
     got = {r.doc_id: r for r in docs.collect()}
-    assert set(got) == {1, 2}
+    assert set(got) == {1, 2, 6}
     assert got[1].lang == "en" and got[2].lang is None
+    assert got[6].text == ""  # empty string survives, never NULL
     q = [r.reason for r in quarantine.collect()]
     assert sorted(q) == [
         "malformed_xml", "malformed_xml", "malformed_xml",
