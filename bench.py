@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "edit_distance_histogram",  # native-vs-native levenshtein pin
     "abc_brand_classes",  # Pareto cumulative-share classes, integer bounds
     "collocation_pmi",  # integer-PMI collocations (shared ladder)
+    # round 8 additions
+    "html_main_content",  # generic boilerplate removal at the Arrow edge
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

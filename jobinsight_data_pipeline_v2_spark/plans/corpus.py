@@ -2682,3 +2682,134 @@ def vocab_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ppm"
         ),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# generic HTML main-content extraction (boilerplate removal) — the
+# crawl-to-corpus front door (sources/html_extract.py), oracle-gated
+# ---------------------------------------------------------------------------
+#
+# Pages are synthesized IN-PLAN from each document's pristine text:
+# the body is the doc's tokens chunked into 8-word <p> paragraphs,
+# wrapped in a full chrome battery that exercises every extractor
+# rule — tag pruning (<nav>, <footer>, <script>, <style>, <head>),
+# class/id boilerplate pruning (class="header-menu", id="ad-banner"),
+# the link-density drop (a 7-word <p> with 6 anchor words), the
+# min-words drop (a 2-word <p>), and a KEPT block containing a link
+# (9 words, 1 anchor word — pins that links alone don't drop a
+# block). The oracle recomputes the kept text closed-form from the
+# pristine parquet tokens + the injection constants and NEVER parses
+# HTML — any extractor defect (mis-pruned chrome, wrong block
+# segmentation, word-order loss, density off-by-one) breaks the md5.
+#
+# Scale shape: page synthesis is a narrow JVM-side projection; the
+# extractor is one stateless Arrow-batched mapInPandas (one page =
+# one row, no shuffle); the only exchange is the presentation sort.
+
+_HX_CHUNK = 8
+_HX_KEPT_CONST = "alpha beta gamma delta epsilon zeta eta theta iota"
+# chrome around the body — every element here must be dropped by the
+# extractor; the kept-with-link <p> is the one survivor
+_HX_PREFIX = (
+    "<html><head><title>Doc</title><script>var x = 1;</script>"
+    "<style>p { color: red }</style></head><body>"
+    '<nav><a href="/">Home</a> <a href="/jobs">Jobs</a></nav>'
+    '<div class="header-menu"><a href="/login">Login</a>'
+    ' <a href="/signup">Sign up</a></div>'
+    "<p>alpha beta gamma delta epsilon zeta eta theta"
+    ' <a href="/ref">iota</a></p>'
+)
+_HX_SUFFIX = (
+    '<p><a href="/promo">click here for great deals now</a> buy</p>'
+    "<p>too short</p>"
+    '<div id="ad-banner">Buy now cheap deals today friend</div>'
+    "<footer>Copyright 2026 All rights reserved forever</footer>"
+    "</body></html>"
+)
+
+
+@register(
+    "html_main_content",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, ci,
+               list_slice(t, ci * {_HX_CHUNK} + 1,
+                          ci * {_HX_CHUNK} + {_HX_CHUNK}) AS ch
+        FROM toks,
+             UNNEST(generate_series(0, (len(t) + {_HX_CHUNK} - 1)
+                                       // {_HX_CHUNK} - 1)) AS u(ci)
+    ),
+    kept AS (
+        SELECT doc_id, ci, array_to_string(ch, ' ') AS btext,
+               len(ch) AS nw
+        FROM chunks WHERE len(ch) >= 5
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(btext, chr(10) ORDER BY ci) AS body,
+               COUNT(*) AS nb,
+               CAST(SUM(nw) AS BIGINT) AS nwords
+        FROM kept GROUP BY doc_id
+    ),
+    dims AS (
+        SELECT t.doc_id,
+               len(t.t) % {_HX_CHUNK} AS rem,
+               a.body, a.nb, a.nwords
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(1 + COALESCE(nb, 0) AS BIGINT) AS n_blocks_kept,
+           CAST(2 + CASE WHEN rem BETWEEN 1 AND 4 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_blocks_dropped,
+           CAST(9 + COALESCE(nwords, 0) AS BIGINT) AS n_words_kept,
+           md5(CASE WHEN body IS NULL THEN '{_HX_KEPT_CONST}'
+                    ELSE '{_HX_KEPT_CONST}' || chr(10) || body
+               END) AS content_md5
+    FROM dims
+    ORDER BY doc_id
+    """,
+)
+def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL boilerplate removal end-to-end: synthesize a chrome-heavy
+    page around each document's text in-plan, run the generic
+    main-content extractor (sources/html_extract.py) at the Arrow
+    edge, and pin kept-block counts + the extracted-text md5 against
+    the oracle's closed-form recomputation from the pristine tokens
+    (the png_decode_stats device — the oracle never parses HTML)."""
+    from ..sources.html_extract import extract_main_text
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    body = F.expr(
+        "array_join(transform("
+        f"  sequence(0, (size(t) - 1) div {_HX_CHUNK}),"
+        "  ci -> concat('<p>',"
+        f"    array_join(slice(t, ci * {_HX_CHUNK} + 1, {_HX_CHUNK}), ' '),"
+        "    '</p>')), '')"
+    )
+    pages = docs.select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    ).select(
+        "doc_id",
+        # every doc has >= 1 token at every SF, but guard the
+        # sequence(0, -1) COUNTS-DOWN trap anyway (CLAUDE.md rule 4)
+        F.when(F.size("t") == 0, F.lit(_HX_PREFIX + _HX_SUFFIX))
+        .otherwise(F.concat(F.lit(_HX_PREFIX), body, F.lit(_HX_SUFFIX)))
+        .alias("html"),
+    )
+    out = extract_main_text(pages)
+    n_words = F.size(
+        F.filter(
+            F.split(F.regexp_replace("text", "\n", " "), " "),
+            lambda x: x != "",
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_blocks_kept").cast("long").alias("n_blocks_kept"),
+        F.col("n_blocks_dropped").cast("long").alias("n_blocks_dropped"),
+        n_words.cast("long").alias("n_words_kept"),
+        F.md5("text").alias("content_md5"),
+    ).orderBy("doc_id")

@@ -112,9 +112,16 @@ _VOID_TAGS = {
 
 
 class _Node:
-    """One element of the mini-DOM."""
+    """One element of the mini-DOM.
 
-    __slots__ = ("tag", "attrs", "children", "parent", "texts")
+    ``texts``/``children`` keep the historical split shape the selector
+    engine and ``get_text`` consume; ``flow`` additionally records the
+    ORIGINAL interleaving of text and child elements (("text", str) /
+    ("node", _Node) entries in document order) — the main-content
+    extractor (html_extract.py) needs in-order traversal to emit words
+    in reading order, which the split lists cannot reconstruct."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "texts", "flow")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent):
         self.tag = tag
@@ -122,6 +129,7 @@ class _Node:
         self.children: list[_Node] = []
         self.parent = parent
         self.texts: list[str] = []
+        self.flow: list[tuple] = []
 
     @property
     def classes(self) -> set[str]:
@@ -160,12 +168,14 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         node = _Node(tag, dict(attrs), self._stack[-1])
         self._stack[-1].children.append(node)
+        self._stack[-1].flow.append(("node", node))
         if tag not in _VOID_TAGS:
             self._stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
         node = _Node(tag, dict(attrs), self._stack[-1])
         self._stack[-1].children.append(node)
+        self._stack[-1].flow.append(("node", node))
 
     def handle_endtag(self, tag):
         # close the nearest matching open tag (tolerates sloppy HTML)
@@ -176,6 +186,7 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data):
         self._stack[-1].texts.append(data)
+        self._stack[-1].flow.append(("text", data))
 
 
 def _dom(html: str) -> _Node:

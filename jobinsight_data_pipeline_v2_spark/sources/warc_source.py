@@ -275,6 +275,7 @@ def write_warc_archive(
     payload_col: str = "payload",
     date: str = "2026-01-01T00:00:00Z",
     gzip_every_other: bool = True,
+    http_content_type: str = "text/plain; charset=utf-8",
 ) -> DataFrame:
     """Export (uri, payload) rows as WARC response archives — one file
     per partition, the unit real crawlers emit and ``read_warc_records``
@@ -290,6 +291,9 @@ def write_warc_archive(
     Returns a (file, n_records) frame; the caller drains it to execute
     the write. Empty partitions write nothing. The caller owns dir
     lifecycle (cleanup/uniqueness) — files ACCUMULATE otherwise.
+    ``http_content_type`` sets the HTTP envelope's Content-Type
+    (``text/html; charset=utf-8`` makes the archive replayable through
+    ``warc_html_payloads``, which filters on it).
 
     DEPLOYMENT CONSTRAINT: tasks write through Python ``open()``/
     ``os.rename()``, so ``out_dir`` must be a filesystem shared by
@@ -321,9 +325,10 @@ def write_warc_archive(
                 pid = int(p)
                 enc = ("" if body is None else str(body)).encode("utf-8")
                 http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
-                    + b"Content-Length: " + str(len(enc)).encode() + b"\r\n\r\n"
-                    + enc
+                    b"HTTP/1.1 200 OK\r\nContent-Type: "
+                    + http_content_type.encode("utf-8")
+                    + b"\r\nContent-Length: " + str(len(enc)).encode()
+                    + b"\r\n\r\n" + enc
                 )
                 head = (
                     "WARC/1.0\r\n"
