@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "collocation_pmi",  # integer-PMI collocations (shared ladder)
     # round 8 additions
     "html_main_content",  # generic boilerplate removal at the Arrow edge
+    "jpeg_decode_stats",  # REAL stdlib baseline-JPEG decode (T.81)
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

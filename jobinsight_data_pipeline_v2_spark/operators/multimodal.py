@@ -133,14 +133,34 @@ def media_exact_dedup(features: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes) -> list[float]:
     """REAL image decode (pure-stdlib codecs — PNG via operators/
-    png.py, 24-bit BI_RGB BMP via operators/bmp.py, dispatched on the
-    magic bytes): payload → [width, height, channels, mean_ch0, …] —
-    the feature vector a production thumbnail pipeline extracts.
+    png.py, 24-bit BI_RGB BMP via operators/bmp.py, baseline JPEG via
+    operators/jpeg.py, dispatched on the magic bytes): payload →
+    [width, height, channels, mean_ch0, …] — the feature vector a
+    production thumbnail pipeline extracts. JPEG components convert
+    through the deterministic rounded BT.601 surface
+    (operators/jpeg.ycbcr_to_rgb) so channels mean R/G/B for every
+    format.
 
     Pass as ``decode_fn`` to :func:`extract_features`; unknown-format
     or corrupt payloads raise inside the decoder and surface as
-    ``features = NULL`` rows (the quarantine convention). Compressed
-    codecs beyond these (JPEG etc.) remain environment-blocked."""
+    ``features = NULL`` rows (the quarantine convention)."""
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg, ycbcr_to_rgb
+
+        width, height, nc, planes = decode_jpeg(payload)
+        n = max(width * height, 1)
+        if nc == 1:
+            tot = sum(v for row in planes[0] for v in row)
+            return [float(width), float(height), 1.0, tot / n]
+        sums = [0, 0, 0]
+        for y in range(height):
+            ry, rcb, rcr = planes[0][y], planes[1][y], planes[2][y]
+            for x in range(width):
+                r, g, b = ycbcr_to_rgb(ry[x], rcb[x], rcr[x])
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
+        return [float(width), float(height), 3.0] + [s / n for s in sums]
     if payload[:2] == b"BM":
         from .bmp import decode_bmp as _dec
     else:

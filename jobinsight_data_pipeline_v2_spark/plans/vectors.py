@@ -2028,3 +2028,130 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "rank", "neg_id", "neg_label")
         .orderBy("anchor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# real baseline-JPEG decode at the Arrow edge (operators/jpeg.py — the
+# dominant crawl image format; the PNG gate's compressed-codec sibling)
+# ---------------------------------------------------------------------------
+#
+# Per document a baseline JPEG is synthesized whose MCUs are each FLAT
+# (one value per component per MCU): under all-ones quantization a
+# flat block carries only its integral DC coefficient 8·(v−128), so
+# the full pipeline — canonical Huffman tables read from DHT, DC
+# differential decode, dequant, IDCT, 4:2:0 chroma upsampling — is
+# bit-exact and the oracle pins decoded component sums CLOSED-FORM
+# from the generation constants alone (it never sees a JPEG byte).
+# Even docs encode 4:4:4, odd docs 4:2:0 — both sampling layouts and
+# both MCU geometries run in one gate. MCU value v_c(mx,my) =
+# base_c + mx + 2·my with base_c = (doc_id·(c+1)) % 64 + 16: DC
+# differences exercise every sign, values stay far from the 0/255
+# clamp. The AC/run-length half of the entropy layer has no flat-block
+# coverage by construction — tests/test_jpeg.py pins it against an
+# independent numpy IDCT reference on random blocks instead.
+# Scale shape: one narrow mapInPandas over doc_id, no shuffle.
+
+_JPEG_NX_MOD, _JPEG_NY_MOD = 3, 2  # nx = 2 + d%3 MCUs, ny = 2 + d%2
+
+
+def _jpeg_stats_batches(it):
+    """doc_id batches → synthesize flat-MCU JPEG → REAL decode → sums."""
+    import pandas as pd
+
+    from ..operators.jpeg import decode_jpeg, encode_jpeg
+
+    for pdf in it:
+        out = {k: [] for k in
+               ("doc_id", "width", "height", "subsampling",
+                "y_sum", "cb_sum", "cr_sum")}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            nx, ny = 2 + d % _JPEG_NX_MOD, 2 + d % _JPEG_NY_MOD
+            two = d % 2 == 1
+            mcu = 16 if two else 8
+            w, h = nx * mcu, ny * mcu
+            base = [(d * (c + 1)) % 64 + 16 for c in range(3)]
+
+            def plane(c, size):
+                return [
+                    [base[c] + (x // size) + 2 * (y // size)
+                     for x in range(nx * size)]
+                    for y in range(ny * size)
+                ]
+
+            planes = (
+                [plane(0, 16), plane(1, 8), plane(2, 8)]
+                if two
+                else [plane(0, 8), plane(1, 8), plane(2, 8)]
+            )
+            payload = encode_jpeg(planes, "420" if two else "444")
+            dw, dh, nc, dec = decode_jpeg(payload)
+            sums = [sum(v for row in p for v in row) for p in dec]
+            out["doc_id"].append(d)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["subsampling"].append("420" if two else "444")
+            out["y_sum"].append(sums[0])
+            out["cb_sum"].append(sums[1])
+            out["cr_sum"].append(sums[2])
+        yield pd.DataFrame(out)
+
+
+def _jpeg_sum_sql(c: int) -> str:
+    """Closed-form decoded component sum: every MCU contributes
+    mcu² · (base_c + mx + 2·my) once chroma is upsampled to full
+    resolution, so Σ = mcu²·(nx·ny·base + ny·nx(nx−1)/2 + nx·ny(ny−1))."""
+    base = f"((doc_id * {c + 1}) % 64 + 16)"
+    return (
+        f"CAST(mcu * mcu * (nx * ny * {base}"
+        f" + ny * (nx * (nx - 1) // 2)"
+        f" + nx * ny * (ny - 1)) AS BIGINT)"
+    )
+
+
+@register(
+    "jpeg_decode_stats",
+    f"""
+    WITH dims AS (
+        SELECT doc_id,
+               2 + doc_id % {_JPEG_NX_MOD} AS nx,
+               2 + doc_id % {_JPEG_NY_MOD} AS ny,
+               CASE WHEN doc_id % 2 = 1 THEN 16 ELSE 8 END AS mcu
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(nx * mcu AS BIGINT) AS width,
+           CAST(ny * mcu AS BIGINT) AS height,
+           CASE WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END
+               AS subsampling,
+           {_jpeg_sum_sql(0)} AS y_sum,
+           {_jpeg_sum_sql(1)} AS cb_sum,
+           {_jpeg_sum_sql(2)} AS cr_sum
+    FROM dims
+    ORDER BY doc_id
+    """,
+)
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end: per document a flat-MCU
+    JPEG (4:4:4 even docs / 4:2:0 odd docs) is synthesized and decoded
+    by the stdlib codec (operators/jpeg.py) inside one Arrow-batched
+    mapInPandas; the output pins decoded dimensions + per-component
+    pixel sums against the oracle's closed-form recomputation (which
+    never decodes — any defect in Huffman table construction, DC
+    differential decode, dequant, the IDCT, or chroma upsampling
+    breaks the hash)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("width", LongType(), False),
+            StructField("height", LongType(), False),
+            StructField("subsampling", StringType(), False),
+            StructField("y_sum", LongType(), False),
+            StructField("cb_sum", LongType(), False),
+            StructField("cr_sum", LongType(), False),
+        ]
+    )
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    return docs.mapInPandas(_jpeg_stats_batches, schema).orderBy("doc_id")
