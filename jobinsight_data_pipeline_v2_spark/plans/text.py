@@ -1757,6 +1757,65 @@ def build_bpe_encode_serving(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) tokenizer round trip — the second
+# tokenizer family (operators/unigram.py), same oracle device as BPE
+# ---------------------------------------------------------------------------
+
+_UNI_VOCAB = 48
+_UNI_ROUNDS = 2
+_UNI_MAX_PIECE = 4
+
+
+@register(
+    "unigram_encode_roundtrip",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+           md5(list_aggregate({_SQL_TOKENS}, 'string_agg', ' '))
+               AS recon_md5
+    FROM documents
+    WHERE len({_SQL_TOKENS}) > 0
+    ORDER BY doc_id
+    """,
+)
+def unigram_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a {_UNI_VOCAB}-piece unigram-LM vocabulary on the
+    doc_id%4==0 quarter ({_UNI_ROUNDS} hard-EM rounds, pieces ≤
+    {_UNI_MAX_PIECE} chars — operators/unigram.py), Viterbi-encode the
+    WHOLE corpus fully in-row (scores ride as a constant-folded map
+    literal; zero shuffle), and prove the encode loss-free per
+    document: ▁-marked pieces reconstruct the exact token stream,
+    hash-matched against the pristine text (the bpe_encode_roundtrip
+    device — what the recon hash deliberately does NOT pin is
+    segmentation optimality; tests/test_operators.py pins the Viterbi
+    DP against an independent pure-Python reference for that half).
+    """
+    from ..operators.unigram import unigram_encode, unigram_train
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = unigram_train(
+        docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text"),
+        vocab_size=_UNI_VOCAB,
+        n_rounds=_UNI_ROUNDS,
+        max_piece_len=_UNI_MAX_PIECE,
+    )
+    symbols = docs.select(
+        F.col("doc_id").alias("id"), F.expr(_TOKENS).alias("s")
+    ).filter(F.size("s") > 0)
+    enc = unigram_encode(symbols, vocab, _UNI_MAX_PIECE)
+    recon = F.expr("trim(replace(concat_ws('', pieces), '▁', ' '))")
+    return (
+        enc.select("id", recon.alias("recon"))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.size(F.split("recon", " ")).cast("long").alias("n_tok"),
+            F.md5(F.col("recon").cast("binary")).alias("recon_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # integer-exact PageRank over a synthesized citation graph
 # ---------------------------------------------------------------------------
 #
