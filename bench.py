@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "html_main_content",  # generic boilerplate removal at the Arrow edge
     "jpeg_decode_stats",  # REAL stdlib baseline-JPEG decode (T.81)
     "unigram_encode_roundtrip",  # SentencePiece unigram LM train+encode
+    "salted_hot_join",  # selective salted join: only hot keys fan out
+    "hll_distinct_bounds",  # own-register HLL distinct, mergeable
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

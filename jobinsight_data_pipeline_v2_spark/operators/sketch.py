@@ -91,3 +91,96 @@ def cms_estimate(
         .withColumn(out_col, F.expr(f"least({probes})"))
         .drop("__cms")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: fixed-memory distinct counting (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+#
+# The cardinality sibling of the CMS above, same discipline: registers
+# build in-plan from xxhash64 (map-side-combined max per slot — a hot
+# group never concentrates raw rows on a reducer, only <= m register
+# rows), sketches over disjoint splits merge by slot-wise MAX, and
+# gates emit EXACT counts plus a within-bound flag (hash values and
+# the float estimate never reach an oracle hash). Rank extraction is
+# an integer CASE ladder (bit_length via comparisons), so registers
+# are bit-stable; floats appear only in the final estimate, which
+# feeds flags. Spark's own approx_count_distinct is HLL++ behind a
+# black box — this surface exists for when the REGISTERS are the
+# artifact: persisted per ingest batch and merged across days without
+# re-reading data, the shape a 100 TB dedup-accounting pipeline needs.
+
+HLL_P = 8  # 2^p registers
+_HLL_W_BITS = 64  # hash width; rank runs over the bits above the slot
+
+
+def _bit_length_case(expr: str, max_bits: int) -> str:
+    """Integer bit_length(expr) as a CASE ladder (no clz builtin)."""
+    parts = [
+        f"WHEN {expr} >= {1 << (b - 1)} THEN {b}"
+        for b in range(max_bits, 0, -1)
+    ]
+    return "CASE " + " ".join(parts) + " ELSE 0 END"
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P,
+) -> DataFrame:
+    """(group_cols…, slot, rank): per-group HLL register table.
+    slot = low ``p`` bits of xxhash64(key); rank = 1 + leading zeros
+    of the remaining ``64-p`` bits (the all-zero suffix maps to the
+    maximum rank). At most 2^p rows per group regardless of input
+    size; absent slots mean register value 0."""
+    m = 1 << p
+    wbits = _HLL_W_BITS - p
+    w = f"shiftrightunsigned(xxhash64({key_col}), {p})"
+    rank = f"({wbits + 1} - ({_bit_length_case(w, wbits)}))"
+    return (
+        df.select(
+            *group_cols,
+            F.expr(f"pmod(xxhash64({key_col}), {m})").alias("slot"),
+            F.expr(rank).cast("int").alias("r"),
+        )
+        .groupBy(*group_cols, "slot")
+        .agg(F.max("r").alias("rank"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame,
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Slot-wise max — registers from disjoint (or overlapping) splits
+    merge losslessly into the union's registers."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "slot")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P,
+) -> DataFrame:
+    """Register table → (group_cols…, hll_est double): the standard
+    HLL estimator with the small-range linear-counting correction
+    (raw ≤ 2.5m with empty registers → m·ln(m/V)). Floats are
+    confined here — estimates feed within-bound flags, never an
+    oracle hash."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr("pow(0.5, rank)")).alias("__z_present"),
+        F.count(F.lit(1)).alias("__n_present"),
+    )
+    z = F.col("__z_present") + (F.lit(m) - F.col("__n_present"))
+    raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("__n_present")  # empty registers
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("hll_est"))

@@ -119,6 +119,78 @@ def salted_join(
     return salted.join(replicated, [key, "__salt"], how).drop("__salt")
 
 
+def _replicate_hot(
+    small: DataFrame, hot: DataFrame, key: str, n_salts: int
+) -> DataFrame:
+    """Small side of a selective salted join: rows on a detected-hot
+    key replicate over every salt; every other row passes once with
+    salt 0. ``hot`` must be the broadcastable (key, __hot) marker."""
+    return (
+        small.join(hot, key, "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.col("__hot").isNotNull(),
+                    F.expr(f"sequence(0, {n_salts - 1})"),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("__hot")
+    )
+
+
+def selective_salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join that spends the replication budget ONLY on
+    detected hot keys (``detect_hot_keys`` output, or any (key, …)
+    frame): skewed rows on a hot key spread over ``n_salts`` join
+    partitions, small-side rows on a hot key replicate ``n_salts``×,
+    and the cold long tail joins exactly as an unsalted shuffle join
+    — its shuffle volume is unchanged (salt 0 both sides), no
+    second-phase traffic, no union (one join, one plan). This is what
+    replaces blanket ``salted_join`` replication at 100 TB: blanket
+    salting multiplies the ENTIRE small side when only a handful of
+    keys are hot.
+
+    Exactness: every row routes through exactly one (key, salt) pair
+    on each side, so inner/left multiplicities (and left-join NULL
+    rows for unmatched keys) are identical to the plain join — pinned
+    by the ``salted_hot_join`` oracle gate. Join types that preserve
+    the skewed side's multiplicity only (``_SALTABLE_JOINS``), same
+    contract as ``salted_join``.
+    """
+    if how not in _SALTABLE_JOINS:
+        raise ValueError(
+            f"selective_salted_join: how={how!r} would duplicate "
+            f"unmatched small-side rows; allowed: {_SALTABLE_JOINS}"
+        )
+    hot = F.broadcast(
+        hot_keys.select(F.col("key").alias(key)).withColumn(
+            "__hot", F.lit(1)
+        )
+    )
+    marked = (
+        skewed.join(hot, key, "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot").isNotNull(), _row_salt(skewed, n_salts)
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__hot")
+    )
+    return marked.join(
+        _replicate_hot(small, hot, key, n_salts), [key, "__salt"], how
+    ).drop("__salt")
+
+
 def approx_monthly_stats(orders: DataFrame, rsd: float = 0.02) -> DataFrame:
     """A1's scale variant: approx_count_distinct (HLL++) replaces exact
     distinct counts — constant memory per group, one pass, no distinct

@@ -1729,3 +1729,77 @@ def abc_brand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     ).orderBy(F.desc("cents"), "brand")
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct-count sketch as an ARTIFACT (VERDICT r7 ask #6): the
+# CMS gate's cardinality sibling — operators/sketch.py hll_registers/
+# hll_merge/hll_estimate, exact values in the hash, in-plan flag
+# ---------------------------------------------------------------------------
+
+_HLL_TOL_FRAC = 4  # |est - exact| * 4 <= exact  (25% bound, ~4 sigma)
+_HLL_TOL_FLOOR = 3.0  # tiny-cardinality cushion (the approx gate rule)
+
+
+@register(
+    "hll_distinct_bounds",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           1 AS hll_within_bound
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def hll_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct counting through the engine's OWN HLL
+    registers (operators/sketch.py — not Spark's black-box
+    approx_count_distinct): per month, registers build in-plan from
+    xxhash64 with an integer rank ladder, the float estimator (with
+    linear-counting small-range correction) runs register-side only,
+    and the emitted values are the EXACT distinct counts plus an
+    in-plan within-25% flag — sketch values never reach the value
+    hash (the approx_monthly_stats device). Register mergeability
+    (slot-wise max of split sketches == whole-corpus sketch) is
+    unit-tested in tests/test_skew.py; persisted per-batch registers
+    merging across days without re-reading data is the artifact shape
+    a 100 TB dedup-accounting pipeline needs.
+    """
+    from ..operators.sketch import hll_estimate, hll_registers
+
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_custkey",
+        )
+        .distinct()
+        # exact count + register build both consume this (rule 12)
+        .localCheckpoint(eager=False)
+    )
+    exact = pairs.groupBy("order_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    est = hll_estimate(
+        hll_registers(pairs, "o_custkey", ("order_month",)),
+        ("order_month",),
+    )
+    tol = F.greatest(
+        F.col("n_customers") / F.lit(_HLL_TOL_FRAC),
+        F.lit(_HLL_TOL_FLOOR),
+    )
+    return (
+        exact.join(est, "order_month")
+        .select(
+            "order_month",
+            "n_customers",
+            F.when(
+                F.abs(F.col("hll_est") - F.col("n_customers")) <= tol,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("hll_within_bound"),
+        )
+        .orderBy("order_month")
+    )

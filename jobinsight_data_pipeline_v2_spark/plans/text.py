@@ -968,6 +968,109 @@ def cms_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# selective salted JOIN (the aggregation gate's join sibling — VERDICT
+# r7 ask #5: big×big equi-join where ONLY detected-hot keys fan out)
+# ---------------------------------------------------------------------------
+#
+# Same in-plan 50%-hot key device as cms_hot_key_agg; the dim side is
+# synthesized from the distinct keys with a deterministic attribute
+# and deliberately MISSING every key whose numeric suffix % 7 == 3, so
+# the gate pins left-join multiplicity AND the NULL path through the
+# salted plan. The suffix parse is guarded by a CASE (the 'hot' key
+# has no numeric suffix; SQL gives no short-circuit guarantee across
+# OR, so the cast must be unreachable on that row in BOTH engines).
+
+_DIM_SUFFIX = (
+    "CASE WHEN key = 'hot' THEN NULL "
+    "ELSE CAST(substr(key, 2, 10) AS BIGINT) END"
+)
+_DIM_ATTR = f"length(key) * 100 + coalesce(({_DIM_SUFFIX}) % 50, 7)"
+_DIM_KEEP = f"key = 'hot' OR ({_DIM_SUFFIX}) % 7 != 3"
+
+
+@register(
+    "salted_hot_join",
+    f"""
+    WITH keyed AS (
+        SELECT {_HOT_KEY_SQL} AS key, doc_id FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keyed),
+    dim AS (
+        SELECT key, CAST({_DIM_ATTR} AS BIGINT) AS attr
+        FROM (SELECT DISTINCT key FROM keyed)
+        WHERE {_DIM_KEEP}
+    ),
+    agg AS (
+        SELECT k.key,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(k.doc_id) AS BIGINT) AS id_sum,
+               MIN(d.attr) AS attr
+        FROM keyed k LEFT JOIN dim d USING (key)
+        GROUP BY 1
+    )
+    SELECT key, n_rows, id_sum, attr,
+           CASE WHEN 1000 * n_rows
+                     >= {_HOT_SHARE_PERMILLE} * (SELECT n FROM tot)
+                THEN 1 ELSE 0 END AS was_salted
+    FROM agg
+    ORDER BY key
+    """,
+)
+def salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive skew JOIN path end to end: a count-min sketch
+    detects the hot keys (``detect_hot_keys``) and the fact⋈dim join
+    salts ONLY those (``operators/skew.selective_salted_join``) — hot
+    facts spread over 16 join partitions with the dim row replicated
+    to meet them, while the cold tail joins unsalted (salt 0 both
+    sides, shuffle volume unchanged). The joined values are exact
+    regardless of salting, so the oracle pins the plain-join relation
+    (left multiplicity + NULL attrs for the missing-dim keys) AND the
+    detection decision via ``was_salted`` == the exact ≥ 10% share
+    predicate (the cms_hot_key_agg contract)."""
+    from ..operators.skew import detect_hot_keys, selective_salted_join
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        F.expr(_HOT_KEY_SPARK).alias("key"), "doc_id"
+    # sketch passes + the join itself consume this subtree (rule 12)
+    ).localCheckpoint(eager=False)
+    dim = (
+        keyed.select("key")
+        .distinct()
+        .filter(F.expr(_DIM_KEEP))
+        .select("key", F.expr(_DIM_ATTR).cast("long").alias("attr"))
+    )
+    hot = detect_hot_keys(
+        keyed, "key", min_share_permille=_HOT_SHARE_PERMILLE
+    ).localCheckpoint(eager=False)  # salting decision + the flag join
+    joined = selective_salted_join(
+        keyed, dim, "key", hot, n_salts=16, how="left"
+    )
+    agg = joined.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.min("attr").cast("long").alias("attr"),
+    )
+    flag = F.broadcast(
+        hot.select("key").withColumn("__hot", F.lit(1))
+    )
+    return (
+        agg.join(flag, "key", "left")
+        .select(
+            "key",
+            "n_rows",
+            "id_sum",
+            "attr",
+            F.when(F.col("__hot").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("was_salted"),
+        )
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup pairs (md5-based, oracle-checked)
 # ---------------------------------------------------------------------------
 #

@@ -135,3 +135,131 @@ def test_selective_salted_agg_rejects_unknown_merge(spark):
         selective_salted_agg(
             df, "key", {"n": F.count(F.lit(1))}, hot, merge={"n": "median"}
         )
+
+
+def test_selective_salted_join_equals_plain_join(spark):
+    """Inner and left results (values AND multiplicities, including
+    NULL rows for dim-missing keys) match the unsalted join exactly;
+    only detected-hot rows fan out."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.operators.skew import (
+        selective_salted_join,
+    )
+
+    rows = [("hot", i) for i in range(40)] + [
+        (f"k{i % 5}", 100 + i) for i in range(20)
+    ]
+    fact = spark.createDataFrame(rows, "key string, v long")
+    # dim misses k3 entirely; duplicates are NOT in the contract (dim
+    # is a dimension table), but multiplicity of the fact side is
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k1", 3), ("k2", 4), ("k4", 6)],
+        "key string, attr long",
+    )
+    hot = spark.createDataFrame([("hot",)], "key string")
+
+    for how in ("inner", "left"):
+        got = (
+            selective_salted_join(fact, dim, "key", hot, n_salts=4, how=how)
+            .groupBy("key")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("sv"),
+                F.min("attr").alias("a"),
+            )
+            .collect()
+        )
+        exp = (
+            fact.join(dim, "key", how)
+            .groupBy("key")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("sv"),
+                F.min("attr").alias("a"),
+            )
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, exp)), how
+    # left keeps the dim-missing key with NULL attr
+    left = selective_salted_join(fact, dim, "key", hot, n_salts=4, how="left")
+    k3 = left.filter("key = 'k3'").collect()
+    assert len(k3) == 4 and all(r.attr is None for r in k3)
+
+
+def test_replicate_hot_fans_out_only_hot_rows(spark):
+    """The small side replicates n_salts x for hot keys and exactly
+    once (salt 0) for cold keys — the selective budget the operator
+    exists for."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.operators.skew import (
+        _replicate_hot,
+    )
+
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k1", 3)], "key string, attr long"
+    )
+    hot = F.broadcast(
+        spark.createDataFrame([("hot",)], "key string").withColumn(
+            "__hot", F.lit(1)
+        )
+    )
+    rep = _replicate_hot(dim, hot, "key", n_salts=8)
+    got = {
+        r.key: (r.n, r.mn, r.mx)
+        for r in rep.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__salt").alias("mn"),
+            F.max("__salt").alias("mx"),
+        )
+        .collect()
+    }
+    assert got["hot"] == (8, 0, 7)
+    assert got["k0"] == (1, 0, 0) and got["k1"] == (1, 0, 0)
+
+
+def test_selective_salted_join_rejects_right_joins(spark):
+    import pytest
+
+    from jobinsight_data_pipeline_v2_spark.operators.skew import (
+        selective_salted_join,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "key string, v long")
+    hot = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError, match="allowed"):
+        selective_salted_join(df, df, "key", hot, how="right")
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    """Slot-wise max of split sketches equals the whole-corpus sketch
+    (the mergeability that makes registers a persistable artifact),
+    and the estimator lands within the gate's 25% bound on real
+    cardinalities including the linear-counting small range."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    n = 3000
+    df = spark.createDataFrame(
+        [(i, f"user{i % 1100}") for i in range(n)], "i long, key string"
+    )
+    whole = hll_registers(df, "key")
+    half_a = hll_registers(df.filter("i % 2 = 0"), "key")
+    half_b = hll_registers(df.filter("i % 2 = 1"), "key")
+    merged = hll_merge(half_a, half_b)
+    a = {(r.slot): r.rank for r in whole.collect()}
+    b = {(r.slot): r.rank for r in merged.collect()}
+    assert a == b
+    est = hll_estimate(whole).collect()[0].hll_est
+    assert abs(est - 1100) <= 1100 / 4
+    # small range: linear counting keeps tiny cardinalities tight
+    tiny = hll_registers(df.filter("i < 7"), "key")
+    est_t = hll_estimate(tiny).collect()[0].hll_est
+    assert abs(est_t - 7) <= 3.0
