@@ -404,3 +404,299 @@ def _curate_corpus(
             led = led.unionByName(p)
         report["ledger"] = led
     return report
+
+
+# ---------------------------------------------------------------------------
+# incremental curation lifecycle (VERDICT r7 ask #7): the standing-
+# corpus story — daily batches dedup exactly AND near against
+# persisted state, shippable docs append as immutable day partitions
+# ---------------------------------------------------------------------------
+#
+# State layout under ``root`` (every day dir immutable, tmp+rename
+# atomic — the run_index_day pattern):
+#
+#   corpus/ingest_day=D/   shipped (curated) documents of day D
+#   state/exact/ingest_day=D/   xxhash64 text hashes of day D's
+#                               exact-kept docs
+#   state/bands/ingest_day=D/   MinHash band signatures (band,
+#                               band_key) of ALL of day D's exact-kept
+#                               docs — kept AND near-dropped, because
+#                               the one-shot rule compares every doc
+#                               against every SMALLER doc that reached
+#                               the band stage, not only survivors
+#
+# Dedup contract (first-arrival == keep-min, the segment_dedup_stream
+# convention): a doc is exact-dropped iff its text hash appeared on an
+# earlier day or a smaller doc_id in its batch; near-dropped iff any
+# of its LSH bands collides with an earlier day's doc or a smaller
+# doc_id in its batch. When days partition doc_id ranges in arrival
+# order, N incremental days produce EXACTLY the corpus of one
+# run_curation_day over the union — the equivalence the multi-day
+# test pins byte-for-byte through the shard writer.
+#
+# Scale shape: the daily batch is small by construction — its band
+# rows and hashes broadcast against the standing state, which only
+# ever STREAMS through anti-joins (never shuffles on corpus size);
+# within-batch dedup shuffles on uniform 64-bit hashes; state appends
+# are batch-sized. Cost per day is linear in standing-corpus size with
+# batch-sized shuffle volume — the cross_dedup shape made a lifecycle.
+
+_CUR_SHINGLE = 4
+_CUR_HASHES = 32
+_CUR_BAND_SIZE = 8
+
+
+def _write_day_partition(
+    spark: SparkSession, df: DataFrame, layer_dir: str, day: str
+) -> None:
+    """Tmp-write + one atomic rename into ``layer_dir/ingest_day=day``
+    (hidden while in flight, immutable once promoted; a replayed day
+    raises instead of silently double-ingesting)."""
+    import uuid
+
+    from .maintenance import _fs
+
+    tmp = f"{layer_dir}/.tmp-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp)
+    fs, src = _fs(spark, tmp)
+    _, dst = _fs(spark, f"{layer_dir}/ingest_day={day}")
+    if fs.exists(dst):
+        fs.delete(src, True)
+        raise IOError(f"curation day already ingested: {dst}")
+    if not fs.rename(src, dst):
+        raise IOError(f"atomic promotion refused: {src} -> {dst}")
+
+
+def _read_layer(spark: SparkSession, layer_dir: str) -> DataFrame | None:
+    from .maintenance import _fs
+
+    fs, p = _fs(spark, layer_dir)
+    if not fs.exists(p):
+        return None
+    days = [
+        s.getPath().getName()
+        for s in fs.listStatus(p)
+        if s.getPath().getName().startswith("ingest_day=")
+    ]
+    if not days:
+        return None
+    return spark.read.option("basePath", layer_dir).parquet(
+        *[f"{layer_dir}/{d}" for d in sorted(days)]
+    )
+
+
+def _batch_band_rows(batch: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) over a (doc_id, text) frame — the
+    production xxhash64 MinHash banding (operators/dedup.band_rows,
+    byte-compatible across days so persisted state stays probeable)."""
+    from .operators.dedup import (
+        band_rows,
+        minhash_signatures,
+        shingle,
+        tokenize,
+    )
+
+    sh = shingle(tokenize(batch), "doc_id", n=_CUR_SHINGLE)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=_CUR_HASHES)
+    return band_rows(sig, "doc_id", band_size=_CUR_BAND_SIZE)
+
+
+def run_curation_day(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    day: str,
+    *,
+    classify: bool = True,
+    metrics=None,
+    run_ts=None,
+) -> dict:
+    """One day of incremental curation over a (doc_id, text) batch;
+    with a ``metrics`` store a failing stage records a status='failed'
+    row naming the stage before re-raising (the lifecycle rule)."""
+    stage = {"name": "input"}
+    try:
+        return _run_curation_day(
+            spark, root, batch, day,
+            classify=classify, metrics=metrics, run_ts=run_ts,
+            stage=stage,
+        )
+    except Exception as e:
+        if metrics is not None:
+            from .index_pipeline import _record_lifecycle_failure
+
+            _record_lifecycle_failure(
+                metrics,
+                "corpus_curation_incremental",
+                stage["name"],
+                f"curation_{day}",
+                e,
+                run_ts,
+            )
+        raise
+
+
+def _cur_stage(metrics, run_ts, task, n_in, n_out, t0):
+    if metrics is None:
+        return
+    import datetime as _dt
+
+    ts = run_ts if run_ts is not None else _dt.datetime.now()
+    metrics.record_etl(
+        dag_id="corpus_curation_incremental",
+        task_id=task,
+        status="success",
+        duration_seconds=time.monotonic() - t0,
+        rows_in=n_in,
+        rows_out=n_out,
+        started_at=ts,
+        completed_at=ts,
+    )
+
+
+def _run_curation_day(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    day: str,
+    *,
+    classify: bool,
+    metrics,
+    run_ts,
+    stage: dict,
+) -> dict:
+    corpus_dir = f"{root}/corpus"
+    exact_dir = f"{root}/state/exact"
+    bands_dir = f"{root}/state/bands"
+    report: dict = {"day": day}
+
+    t0 = time.monotonic()
+    stage["name"] = "exact_dedup"
+    src = batch.select(
+        "doc_id", "text", F.xxhash64("text").alias("__th")
+    ).localCheckpoint(eager=False)
+    report["n_input"] = src.count()
+    # within-batch keep-min on the text hash …
+    w = Window.partitionBy("__th")
+    batch_first = (
+        src.withColumn("__mn", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__mn"))
+        .drop("__mn")
+    )
+    # … then against the standing exact state (batch side is small:
+    # broadcast it, stream the state through one anti-join probe)
+    prior_exact = _read_layer(spark, exact_dir)
+    if prior_exact is not None:
+        seen = prior_exact.select("__th").distinct()
+        batch_first = batch_first.join(seen, "__th", "left_anti")
+    exact_kept = batch_first.localCheckpoint(eager=False)
+    n_exact = exact_kept.count()
+    report["n_exact_kept"] = n_exact
+    _cur_stage(metrics, run_ts, "exact_dedup", report["n_input"], n_exact, t0)
+
+    t1 = time.monotonic()
+    stage["name"] = "near_dedup"
+    bands = _batch_band_rows(
+        exact_kept.select("doc_id", "text")
+    ).localCheckpoint(eager=False)  # state append + two dedup probes
+    # within batch: a doc survives iff it is the min doc_id of EVERY
+    # band group it belongs to (first-arrival == keep-min)
+    bw = Window.partitionBy("band", "band_key")
+    within_hit = (
+        bands.withColumn("__mn", F.min("doc_id").over(bw))
+        .filter(F.col("doc_id") > F.col("__mn"))
+        .select("doc_id")
+        .distinct()
+    )
+    prior_bands = _read_layer(spark, bands_dir)
+    if prior_bands is not None:
+        cross_hit = (
+            F.broadcast(bands.select("doc_id", "band", "band_key"))
+            .join(prior_bands, ["band", "band_key"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        near_hits = within_hit.unionByName(cross_hit).distinct()
+    else:
+        near_hits = within_hit
+    near_kept = exact_kept.join(
+        near_hits, "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
+    n_near = near_kept.count()
+    report["n_near_kept"] = n_near
+    _cur_stage(metrics, run_ts, "near_dedup", n_exact, n_near, t1)
+
+    t2 = time.monotonic()
+    stage["name"] = "classify"
+    if classify:
+        scored = classifier_score(near_kept.select("doc_id", "text"))
+        shippable = near_kept.join(
+            scored.filter("keep").select("doc_id"), "doc_id"
+        ).localCheckpoint(eager=False)
+    else:
+        shippable = near_kept
+    n_ship = shippable.count()
+    report["n_shipped"] = n_ship
+    _cur_stage(metrics, run_ts, "classify", n_near, n_ship, t2)
+
+    t3 = time.monotonic()
+    stage["name"] = "append_state"
+    # state first, corpus last: a crash between the two leaves a day
+    # whose state exists but whose corpus doesn't — the replay raises
+    # on the state dir, never double-ships (documented recovery: wipe
+    # the day's state dirs and re-run)
+    _write_day_partition(
+        spark, exact_kept.select("__th"), exact_dir, day
+    )
+    _write_day_partition(
+        spark, bands.select("band", "band_key"), bands_dir, day
+    )
+    _write_day_partition(
+        spark,
+        shippable.select("doc_id", "text"),
+        corpus_dir,
+        day,
+    )
+    _cur_stage(metrics, run_ts, "append_state", n_ship, n_ship, t3)
+    report["ledger"] = (
+        src.select("doc_id")
+        .join(exact_kept.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("stage", F.lit("exact_dedup"))
+        .unionByName(
+            exact_kept.select("doc_id")
+            .join(near_kept.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("stage", F.lit("near_dedup"))
+        )
+        .unionByName(
+            near_kept.select("doc_id")
+            .join(shippable.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("stage", F.lit("classify"))
+        )
+    )
+    return report
+
+
+def load_standing_corpus(spark: SparkSession, root: str) -> DataFrame:
+    """Every shipped (doc_id, text) across all ingested days."""
+    out = _read_layer(spark, f"{root}/corpus")
+    if out is None:
+        raise FileNotFoundError(f"no curated days under {root}/corpus")
+    return out.select("doc_id", "text")
+
+
+def ship_standing_shards(
+    spark: SparkSession, root: str, out_dir: str, n_shards: int = 8
+) -> None:
+    """Materialize the standing corpus as training shards — the
+    deterministic interleave writer, so the same accumulated doc set
+    always produces byte-identical shard files regardless of how many
+    days built it (pinned by the multi-day equivalence test)."""
+    docs = load_standing_corpus(spark, root)
+    n_tok = F.size(F.expr("filter(split(text, ' '), t -> t != '')"))
+    write_training_shards(
+        docs.select(
+            "doc_id", n_tok.cast("long").alias("n_tokens"), "text"
+        ),
+        out_dir,
+        n_shards=n_shards,
+    )

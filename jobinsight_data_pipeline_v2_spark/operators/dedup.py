@@ -60,16 +60,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_rows(
     signatures: DataFrame, id_col: str, band_size: int = 8
 ) -> DataFrame:
-    """(id_a, id_b, n_shared_bands) — banding join over signature slices.
-
-    Band key = xxhash64 of the band's ordered minhash slice; documents
-    sharing any band key are candidate near-dups. Join keys are
-    uniformly distributed hashes → no skew at any corpus size.
-    """
-    bands = (
+    """(id, band, band_key) — LSH banding of a signature matrix. Band
+    key = xxhash64 of the band's ordered minhash slice; rows sharing
+    (band, band_key) are candidate near-dups. Shared by the pair join
+    below and the incremental curation lifecycle, whose standing-state
+    band signatures must be byte-compatible across days."""
+    return (
         signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy(id_col, "band")
         .agg(
@@ -84,6 +83,17 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, band_size: int = 8
+) -> DataFrame:
+    """(id_a, id_b, n_shared_bands) — banding join over signature slices.
+
+    Join keys are uniformly distributed hashes → no skew at any
+    corpus size.
+    """
+    bands = band_rows(signatures, id_col, band_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
