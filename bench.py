@@ -194,6 +194,9 @@ SERVING_BENCH = {
     # r7: ~3.3 of bpe_encode_roundtrip's ~4s is merge TRAINING inside
     # the timer; this row times the encode with a frozen merge table
     "bpe_encode_serve": ("text", "build_bpe_encode_serving"),
+    # r8: unigram Viterbi encode with a frozen piece vocabulary (the
+    # gate row is train-heavy by the same design as bpe's)
+    "unigram_encode_serve": ("text", "build_unigram_encode_serving"),
 }
 
 

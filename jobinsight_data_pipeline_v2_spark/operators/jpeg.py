@@ -172,7 +172,22 @@ def _size_cat(v: int) -> int:
 
 def _fdct_quant(block: list[list[int]], quant: list[int]) -> list[int]:
     """(level-shifted) forward DCT → rounded → quantized, in zigzag
-    order. ``block`` is 8×8 spatial samples 0..255."""
+    order. ``block`` is 8×8 spatial samples 0..255.
+
+    Flat blocks take the closed form DC = 8·(v−128), AC = 0 — exactly
+    what the general float path rounds to on a constant input (the
+    AC cosine sums are mathematically zero, |float error| ≪ 0.5; the
+    DC sum is exact integer arithmetic in doubles), so the fast path
+    is bit-identical, just O(64) instead of O(64²). Real encoders
+    special-case this the same way; the gate's flat-MCU synthesis
+    rides it, the random-block tests pin the general path."""
+    first = block[0][0]
+    if all(v == first for row in block for v in row):
+        dc = 8 * (first - 128)
+        q = quant[0]
+        out = [0] * 64
+        out[0] = int(math.floor(abs(dc) / q + 0.5)) * (1 if dc >= 0 else -1)
+        return out
     shifted = [[block[y][x] - 128 for x in range(8)] for y in range(8)]
     out = [0] * 64
     for i, (v, u) in enumerate(_ZIGZAG):
@@ -192,7 +207,17 @@ def _fdct_quant(block: list[list[int]], quant: list[int]) -> list[int]:
 
 def _idct_block(coef: list[int]) -> list[list[int]]:
     """Dequantized zigzag coefficients → 8×8 samples (rounded,
-    level-shifted, clamped)."""
+    level-shifted, clamped).
+
+    DC-only blocks take the closed form pixel = clamp(round(DC/8 +
+    128)) — the general sum has exactly one term, C₀²·DC·1·1/4 =
+    DC/8, and /8.0 is exact in doubles, so the fast path is
+    bit-identical to the general loop (libjpeg's idct special-case)."""
+    if not any(coef[1:]):
+        val = coef[0] / 8.0 + 128.0
+        p = int(math.floor(val + 0.5))
+        p = 0 if p < 0 else (255 if p > 255 else p)
+        return [[p] * 8 for _ in range(8)]
     s = [[0] * 8 for _ in range(8)]
     for i, (v, u) in enumerate(_ZIGZAG):
         if coef[i]:

@@ -67,7 +67,8 @@ PRIORITY: tuple[str, ...] = (
     "date_dimension",
     "cohort_retention",  # round-5 gate: weekly retention triangle
     "anomaly_days",  # round-4 gate: exact-integer 2σ volume flags
-    "salted_returnflag_rollup",
+    "salted_hot_join",  # r8: adaptive selective salted JOIN (detection +
+    #   hot-only fan-out + exact left-join values; the skew family's face)
     # text / dedup
     "doc_quality",
     "fim_transform",  # r7 s5: FIM training rewrite + losslessness proof
@@ -88,7 +89,8 @@ PRIORITY: tuple[str, ...] = (
     "events_hourly",
     "sessionize",
     "scd2_user_history",
-    "events_json_props",
+    "html_main_content",  # r8: generic boilerplate removal (new family,
+    #   the r7 judge's top ask — crawl-to-corpus front door)
     "carry_forward_day",
     "archive_age_scan",
     "etl_health_rollup",
@@ -101,6 +103,30 @@ PRIORITY: tuple[str, ...] = (
     "sequence_pack",
 )
 # Demoted below the driver's fold (family double-covered above):
+#   events_json_props (demoted r8 for html_main_content: JSON
+#     extraction is pinned above the fold by jsonl_roundtrip — the
+#     full from_json path with corrupt-record quarantine — and the
+#     events family keeps events_hourly, sessionize, scd2_user_history,
+#     carry_forward_day and archive_age_scan above; generic HTML
+#     main-content extraction had NO representative; the props
+#     projection stays local-gated),
+#   salted_returnflag_rollup (demoted r8 for salted_hot_join: the
+#     skew family's above-fold face becomes the ADAPTIVE path —
+#     CMS detection + selective salted JOIN with exact left-join
+#     values and the was_salted contract — which strictly supersedes
+#     the blanket two-phase salted agg's algebra (same partial/merge
+#     decomposition, pinned locally by cms_hot_key_agg and the
+#     salted_agg property tests); the blanket rollup stays
+#     local-gated),
+#   jpeg_decode_stats / unigram_encode_roundtrip / hll_distinct_bounds
+#     (born below the fold, r8: media decode is represented above by
+#     png_decode_stats (the JPEG gate shares its closed-form-oracle
+#     device), the tokenizer family by bpe_pair_counts (the unigram
+#     roundtrip uses the bpe_encode_roundtrip oracle device and its
+#     Viterbi core is reference-differential-tested), and the
+#     approx/sketch family by approx_percentiles + cms_heavy_hitters
+#     (HLL adds the distinct-count register artifact, mergeability
+#     unit-tested)),
 #   langid_eval (demoted r7 s5 for fim_transform: language gating is
 #     pinned above the fold by curation_funnel, whose language stage
 #     runs the SAME n-gram LID device, and doc_quality carries the

@@ -1918,6 +1918,40 @@ def unigram_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_unigram_encode_serving(spark: SparkSession, sf_dir: str):
+    """bench.py SERVING_BENCH builder (the bpe_encode_serve pattern):
+    the unigram_encode_roundtrip row times hard-EM training plus the
+    corpus encode together because its oracle pins the whole pipeline;
+    this builder trains the piece vocabulary outside the timer
+    (unigram_train is a driver loop of eagerly-collected Spark jobs)
+    and hands back a thunk building the encode-everything projection
+    with the FROZEN vocabulary — the per-corpus cost a user pays at
+    serving."""
+    from ..operators.unigram import unigram_encode, unigram_train
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = unigram_train(
+        docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text"),
+        vocab_size=_UNI_VOCAB,
+        n_rounds=_UNI_ROUNDS,
+        max_piece_len=_UNI_MAX_PIECE,
+    )
+    symbols = docs.select(
+        F.col("doc_id").alias("id"), F.expr(_TOKENS).alias("s")
+    ).filter(F.size("s") > 0)
+
+    def thunk() -> DataFrame:
+        enc = unigram_encode(symbols, vocab, _UNI_MAX_PIECE)
+        recon = F.expr("trim(replace(concat_ws('', pieces), '▁', ' '))")
+        return enc.select(
+            F.col("id").alias("doc_id"),
+            F.size(F.split(recon, " ")).cast("long").alias("n_tok"),
+            F.md5(recon.cast("binary")).alias("recon_md5"),
+        ).orderBy("doc_id")
+
+    return thunk
+
+
 # ---------------------------------------------------------------------------
 # integer-exact PageRank over a synthesized citation graph
 # ---------------------------------------------------------------------------
