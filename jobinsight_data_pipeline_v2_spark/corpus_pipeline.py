@@ -583,12 +583,21 @@ def _run_curation_day(
         .filter(F.col("doc_id") == F.col("__mn"))
         .drop("__mn")
     )
-    # … then against the standing exact state (batch side is small:
-    # broadcast it, stream the state through one anti-join probe)
+    # … then against the standing exact state. Shape (cross_dedup):
+    # the BATCH side broadcasts into an inner probe so the
+    # corpus-scale state only STREAMS (never shuffles); the hit set is
+    # batch-sized, so the final anti-join is broadcastable again.
     prior_exact = _read_layer(spark, exact_dir)
     if prior_exact is not None:
-        seen = prior_exact.select("__th").distinct()
-        batch_first = batch_first.join(seen, "__th", "left_anti")
+        hits = (
+            prior_exact.join(
+                F.broadcast(batch_first.select("__th").distinct()),
+                "__th",
+            )
+            .select("__th")
+            .distinct()
+        )
+        batch_first = batch_first.join(hits, "__th", "left_anti")
     exact_kept = batch_first.localCheckpoint(eager=False)
     n_exact = exact_kept.count()
     report["n_exact_kept"] = n_exact
@@ -610,9 +619,14 @@ def _run_curation_day(
     )
     prior_bands = _read_layer(spark, bands_dir)
     if prior_bands is not None:
+        # inner probe with the BATCH side broadcast (build side), so
+        # the standing band state streams through exactly once — a
+        # left_semi would put the build on the corpus-scale side
         cross_hit = (
-            F.broadcast(bands.select("doc_id", "band", "band_key"))
-            .join(prior_bands, ["band", "band_key"], "left_semi")
+            prior_bands.join(
+                F.broadcast(bands.select("doc_id", "band", "band_key")),
+                ["band", "band_key"],
+            )
             .select("doc_id")
             .distinct()
         )
