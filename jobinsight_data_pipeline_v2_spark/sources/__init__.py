@@ -7,6 +7,10 @@ into RAW_JOBS rows inside Spark, and the WARC archive source
 same pipeline.
 """
 
+from .html_extract import (  # noqa: F401
+    extract_main_content,
+    extract_main_text,
+)
 from .html_source import html_pages_to_raw_jobs, parse_html  # noqa: F401
 from .jsonl_source import read_jsonl_docs, read_jsonl_stream  # noqa: F401
 from .warc_source import (  # noqa: F401
