@@ -1449,17 +1449,20 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("items"),
         ).alias("items")
     )
+    # the self-pair cut runs as a codegen'd predicate AFTER the
+    # Generate — a filter() lambda would evaluate interpreted per
+    # struct (rule 10)
     pairs = (
         checked.select(
             F.explode(
                 F.expr(
-                    "filter(flatten(transform(items,"
+                    "flatten(transform(items,"
                     " x -> transform(items,"
-                    " y -> named_struct('pa', x, 'pb', y)))),"
-                    " p -> p.pa != p.pb)"
+                    " y -> named_struct('pa', x, 'pb', y))))"
                 )
             ).alias("p")
         )
+        .filter(F.col("p.pa") != F.col("p.pb"))
         .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).cast("long").alias("s_ab"))
         .filter(F.col("s_ab") >= _ASSOC_MIN_SUP)
