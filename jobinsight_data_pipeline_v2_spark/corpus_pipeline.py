@@ -57,14 +57,22 @@ from .plans.sampling import select_token_budget, write_training_shards
 _BUDGET_CLASSES = 16
 
 
-def _stage(metrics, run_ts, task: str, n_in: int, n_out: int, t0: float):
+def _stage(
+    metrics,
+    run_ts,
+    task: str,
+    n_in: int,
+    n_out: int,
+    t0: float,
+    dag_id: str = "corpus_curation",
+):
     if metrics is None:
         return
     import datetime as _dt
 
     ts = run_ts if run_ts is not None else _dt.datetime.now()
     metrics.record_etl(
-        dag_id="corpus_curation",
+        dag_id=dag_id,
         task_id=task,
         status="success",
         duration_seconds=time.monotonic() - t0,
@@ -444,6 +452,31 @@ def _curate_corpus(
 _CUR_SHINGLE = 4
 _CUR_HASHES = 32
 _CUR_BAND_SIZE = 8
+_CUR_TMP_STALE_MS = 60 * 60 * 1000  # the index lifecycle's threshold
+
+
+def _sweep_stale_curation_tmp(spark: SparkSession, root: str) -> None:
+    """Remove crashed runs' hidden tmp dirs under every curation layer
+    (stale only — a live concurrent writer's fresh tmp is left alone).
+    The index lifecycle sweeps the same pattern (review r8: a driver
+    crash between write and rename would otherwise strand a full
+    day's parquet forever; _read_layer ignores tmp dirs, so this is
+    space hygiene, never correctness)."""
+    import time as _time
+
+    from .maintenance import _fs
+
+    now = _time.time() * 1000
+    for layer in ("corpus", "state/exact", "state/bands"):
+        fs, p = _fs(spark, f"{root}/{layer}")
+        if not fs.exists(p):
+            continue
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if name.startswith(".tmp-") and (
+                now - status.getModificationTime() > _CUR_TMP_STALE_MS
+            ):
+                fs.delete(status.getPath(), True)
 
 
 def _write_day_partition(
@@ -536,22 +569,12 @@ def run_curation_day(
         raise
 
 
-def _cur_stage(metrics, run_ts, task, n_in, n_out, t0):
-    if metrics is None:
-        return
-    import datetime as _dt
+_INC_DAG = "corpus_curation_incremental"
 
-    ts = run_ts if run_ts is not None else _dt.datetime.now()
-    metrics.record_etl(
-        dag_id="corpus_curation_incremental",
-        task_id=task,
-        status="success",
-        duration_seconds=time.monotonic() - t0,
-        rows_in=n_in,
-        rows_out=n_out,
-        started_at=ts,
-        completed_at=ts,
-    )
+
+def _cur_stage(metrics, run_ts, task, n_in, n_out, t0):
+    """The shared recorder under the incremental lifecycle's dag_id."""
+    _stage(metrics, run_ts, task, n_in, n_out, t0, dag_id=_INC_DAG)
 
 
 def _run_curation_day(
@@ -565,6 +588,7 @@ def _run_curation_day(
     run_ts,
     stage: dict,
 ) -> dict:
+    _sweep_stale_curation_tmp(spark, root)
     corpus_dir = f"{root}/corpus"
     exact_dir = f"{root}/state/exact"
     bands_dir = f"{root}/state/bands"

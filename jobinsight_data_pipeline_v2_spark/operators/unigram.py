@@ -133,11 +133,14 @@ def unigram_encode(
     """(id, s: array<string> words) → (id, pieces: array<string>):
     Viterbi segmentation of every word, word-begin pieces prefixed
     with ▁. One narrow zero-shuffle projection (streaming-safe — the
-    scores ride as a constant-folded map literal)."""
+    scores ride as a constant-folded map literal). Empty-string words
+    contribute no pieces (guarded: an unguarded length-0 word would
+    drive sequence(1, 0) DOWN into element_at(acc, 0) — rule 4;
+    review r8)."""
+    marked = _marked_word_pieces_sql("w", vocab, max_piece_len)
     expr = (
         "flatten(transform(s, w -> "
-        + _marked_word_pieces_sql("w", vocab, max_piece_len)
-        + "))"
+        f"if(length(w) = 0, slice(array(''), 1, 0), {marked})))"
     )
     return symbols.select("id", F.expr(expr).alias("pieces"))
 

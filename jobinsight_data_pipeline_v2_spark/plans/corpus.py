@@ -2789,14 +2789,36 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"    array_join(slice(t, ci * {_HX_CHUNK} + 1, {_HX_CHUNK}), ' '),"
         "    '</p>')), '')"
     )
+    # The synthesized body splices RAW corpus tokens between <p> tags:
+    # a token containing an HTML metacharacter would make the parser
+    # and the closed-form oracle diverge on data, not code. Enforce
+    # the precondition in-plan (review r8) — a future testdata vocab
+    # with '<'/'&'/'>' fails loudly instead of hash-mismatching.
+    guard = F.coalesce(
+        F.assert_true(
+            ~F.col("text").rlike("[<>&]"),
+            F.lit(
+                "html_main_content: document text contains an HTML "
+                "metacharacter — the unescaped page synthesis would "
+                "diverge from the closed-form oracle; entity-escape "
+                "the body build before re-enabling this corpus"
+            ),
+        ).cast("string"),
+        F.lit(""),
+    )
     pages = docs.select(
-        "doc_id", F.expr(_TOKENS).alias("t")
+        "doc_id",
+        F.expr(_TOKENS).alias("t"),
+        guard.alias("__g"),
     ).select(
         "doc_id",
         # every doc has >= 1 token at every SF, but guard the
         # sequence(0, -1) COUNTS-DOWN trap anyway (CLAUDE.md rule 4)
         F.when(F.size("t") == 0, F.lit(_HX_PREFIX + _HX_SUFFIX))
-        .otherwise(F.concat(F.lit(_HX_PREFIX), body, F.lit(_HX_SUFFIX)))
+        .otherwise(
+            F.concat(F.lit(_HX_PREFIX), F.col("__g"), body,
+                     F.lit(_HX_SUFFIX))
+        )
         .alias("html"),
     )
     out = extract_main_text(pages)

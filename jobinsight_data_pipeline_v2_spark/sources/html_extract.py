@@ -169,6 +169,17 @@ def extract_main_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
     Stateless mapInPandas: works identically on batch and streaming
     frames, Arrow-batched, no shuffle."""
     carry = [f for f in pages.schema.fields if f.name != html_col]
+    clash = {"text", "n_blocks_kept", "n_blocks_dropped"} & {
+        f.name for f in carry
+    }
+    if clash:
+        raise ValueError(
+            f"extract_main_text: pass-through columns {sorted(clash)} "
+            "collide with the extractor's output columns — rename them "
+            "before extraction (a duplicate name would silently "
+            "shadow the carried values and break downstream column "
+            "resolution)"
+        )
     schema = StructType(
         list(carry)
         + [

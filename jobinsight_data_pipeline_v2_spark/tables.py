@@ -125,7 +125,14 @@ def spread(df: DataFrame) -> DataFrame:
     src = getattr(df, "_spread_src_bytes", None)
     if src is not None:
         est_splits = max(1, -(-src // _max_partition_bytes(df.sparkSession)))
-        return df.repartition(n) if est_splits < n else df
+        out = df.repartition(n) if est_splits < n else df
+        # repartition() returns a NEW DataFrame without the Python
+        # attribute — downstream size gates (tfidf's df broadcast,
+        # leakage_safe_split's label broadcast) read it off spread()'s
+        # OUTPUT, and losing it here silently disabled their
+        # known-small branch (review r8)
+        out._spread_src_bytes = src  # type: ignore[attr-defined]
+        return out
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df

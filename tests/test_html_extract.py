@@ -199,3 +199,13 @@ def test_extract_main_text_streaming_wiring(spark, tmp_path):
     got = spark.sql("select * from hx_stream").collect()
     assert len(got) == 1 and got[0].n_blocks_kept == 2
     assert got[0].text.startswith("alpha beta")
+
+
+def test_extract_main_text_rejects_column_collisions(spark):
+    """Pass-through columns named like the extractor's outputs raise
+    up front instead of producing a duplicate-name schema."""
+    pages = spark.createDataFrame(
+        [(1, "old", "<p>a</p>")], "doc_id long, text string, html string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        extract_main_text(pages)

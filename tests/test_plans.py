@@ -893,3 +893,17 @@ def test_url_canonical_dedup_one_exchange(spark):
     # exchanges)
     n_hash = p.count("hashpartitioning")
     assert n_hash == 1, p
+
+
+def test_spread_preserves_source_size_hint(spark):
+    """spread()'s repartition must carry _spread_src_bytes onto its
+    output — the broadcast size gates (tfidf, leakage_safe_split) read
+    it there, and losing it silently disabled their known-small branch
+    (review r8)."""
+    from jobinsight_data_pipeline_v2_spark.tables import load_table, spread
+
+    df = load_table(spark, SF, "documents")
+    src = getattr(df, "_spread_src_bytes", None)
+    assert src is not None and src > 0
+    out = spread(df)
+    assert getattr(out, "_spread_src_bytes", None) == src

@@ -171,3 +171,14 @@ def test_unigram_encode_streaming_wiring(spark, tmp_path):
     got = {r.id: r.pieces for r in spark.sql("select * from uni_stream").collect()}
     batch = {r.id: r.pieces for r in unigram_encode(syms, vocab, 4).collect()}
     assert got == batch
+
+
+def test_encode_tolerates_empty_words(spark):
+    """An empty-string word contributes no pieces instead of driving
+    sequence(1, 0) into element_at(acc, 0) (rule 4; review r8)."""
+    vocab = [("a", -1), ("b", -2)]
+    df = spark.createDataFrame(
+        [(1, ["ab", "", "ba"])], "id long, s array<string>"
+    )
+    rows = unigram_encode(df, vocab, max_piece_len=2).collect()
+    assert rows[0].pieces == ["▁a", "b", "▁b", "a"]
