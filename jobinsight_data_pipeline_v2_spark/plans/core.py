@@ -1806,3 +1806,162 @@ def hll_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity release: privacy-preserving aggregation (new family, r8)
+# ---------------------------------------------------------------------------
+#
+# The release gate every data-sharing pipeline needs: per-group stats
+# publish ONLY when the quasi-identifier group has >= k members;
+# under-k groups GENERALIZE one level up the identifier hierarchy
+# (sub-cohort -> nation), and what still cannot meet k is SUPPRESSED
+# into a single residual row — counts are conserved across the three
+# levels, so nothing silently disappears. Two devices keep ALL THREE
+# branches populated at every scale factor (a fixed k with growing
+# data suppresses nothing eventually): sub-cohort cardinality varies
+# per nation (1 + (nation % 8) * 8 subgroups, 1..57 — synthesized
+# skew), and k is IN-PLAN adaptive, max(4, total // 25) = the mean
+# nation size, so roughly half the nations sit under k at any volume.
+# Integer-exact: balances in cents, counts, integer k, no floats.
+#
+# Scale shape: two hash aggregations over the same pre-aggregated
+# group frame (group count is bounded by the identifier hierarchy, not
+# the corpus) + a nations-sized regroup; k is a one-row broadcast.
+# One customer scan.
+
+_KANON_K_FLOOR = 4
+_KANON_K_DIV = 25  # k = max(floor, total // 25): the mean nation size
+
+
+@register(
+    "k_anonymity_release",
+    f"""
+    WITH base AS (
+        SELECT n.n_name,
+               c.c_custkey % (1 + (c.c_nationkey % 8) * 8) AS sub,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    kv AS (
+        SELECT greatest({_KANON_K_FLOOR},
+                        COUNT(*) // {_KANON_K_DIV}) AS k
+        FROM base
+    ),
+    g1 AS (
+        SELECT n_name, sub, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(bal) AS BIGINT) AS bal_cents
+        FROM base GROUP BY 1, 2
+    ),
+    lvl1 AS (
+        SELECT 'qid' AS level, n_name, CAST(sub AS BIGINT) AS sub,
+               n, bal_cents
+        FROM g1 WHERE n >= (SELECT k FROM kv)
+    ),
+    rest1 AS (
+        SELECT n_name, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+        FROM g1 WHERE n < (SELECT k FROM kv) GROUP BY 1
+    ),
+    lvl2 AS (
+        SELECT 'nation' AS level, n_name, CAST(-1 AS BIGINT) AS sub,
+               n, bal_cents
+        FROM rest1 WHERE n >= (SELECT k FROM kv)
+    ),
+    lvl3 AS (
+        SELECT 'suppressed' AS level, '*' AS n_name,
+               CAST(-1 AS BIGINT) AS sub,
+               CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(bal_cents), 0) AS BIGINT) AS bal_cents
+        FROM rest1 WHERE n < (SELECT k FROM kv)
+        HAVING COUNT(*) > 0
+    )
+    SELECT * FROM lvl1
+    UNION ALL SELECT * FROM lvl2
+    UNION ALL SELECT * FROM lvl3
+    ORDER BY level, n_name, sub
+    """,
+)
+def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous aggregate release (k = {_KANON_K}): publish
+    (nation, sub-cohort) balance aggregates only for groups with ≥ k
+    members, generalize under-k groups to nation level, suppress the
+    remainder into one residual row. Counts are conserved across the
+    ladder (released + generalized + suppressed == all customers —
+    pinned by the oracle's exact integers). The identifier hierarchy
+    walk is the standard Samarati/Sweeney generalization semantics as
+    set operations over ONE pre-aggregated group frame."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select(
+        "n_name",
+        (F.col("c_custkey")
+         % (F.lit(1) + (F.col("c_nationkey") % 8) * 8)).alias("sub"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal"),
+    ).localCheckpoint(eager=False)  # the k total + the group agg
+    kv = base.agg(
+        F.greatest(
+            F.lit(_KANON_K_FLOOR),
+            F.expr(f"count(*) div {_KANON_K_DIV}"),
+        ).alias("__k")
+    )
+    g1 = (
+        base.groupBy("n_name", "sub")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal").cast("long").alias("bal_cents"),
+        )
+        .crossJoin(F.broadcast(kv))
+        # three consumers: lvl1 filter + the under-k regroup (rule 12)
+        .localCheckpoint(eager=False)
+    )
+    lvl1 = g1.filter(F.col("n") >= F.col("__k")).select(
+        F.lit("qid").alias("level"),
+        "n_name",
+        F.col("sub").cast("long").alias("sub"),
+        "n",
+        "bal_cents",
+    )
+    rest1 = (
+        g1.filter(F.col("n") < F.col("__k"))
+        .groupBy("n_name")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+            F.first("__k").alias("__k"),
+        )
+        .localCheckpoint(eager=False)  # lvl2 filter + suppressed agg
+    )
+    lvl2 = rest1.filter(F.col("n") >= F.col("__k")).select(
+        F.lit("nation").alias("level"),
+        "n_name",
+        F.lit(-1).cast("long").alias("sub"),
+        "n",
+        "bal_cents",
+    )
+    lvl3 = (
+        rest1.filter(F.col("n") < F.col("__k"))
+        .agg(
+            F.count(F.lit(1)).alias("__g"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.sum("bal_cents"), F.lit(0))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        .filter(F.col("__g") > 0)
+        .select(
+            F.lit("suppressed").alias("level"),
+            F.lit("*").alias("n_name"),
+            F.lit(-1).cast("long").alias("sub"),
+            "n",
+            "bal_cents",
+        )
+    )
+    return (
+        lvl1.unionByName(lvl2)
+        .unionByName(lvl3)
+        .orderBy("level", "n_name", "sub")
+    )

@@ -1522,3 +1522,99 @@ def business_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("business_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time correct dimension join (feature-store semantics, r8):
+# facts joined to the SCD2 version VALID AT fact time — the W1 history
+# composed with an interval-containment join
+# ---------------------------------------------------------------------------
+#
+# The correctness property every feature store / training-data build
+# needs: an example assembled for time t must see attribute values as
+# they were AT t (joining current values leaks the future into
+# training). History = the user's profile-change stream ('signup'/
+# 'click' events as the change feed), versioned by the same
+# lead()-window device as scd2_user_history; facts = purchases.
+# eff <= t < expiry makes the version intervals partition [first, ∞)
+# per user, so each fact matches AT MOST one version (purchases
+# before a user's first change keep NULL — the left-join contract);
+# duplicate-timestamp versions collapse to empty intervals and can
+# never double-match.
+#
+# Scale shape: one window over the (filtered, far smaller) change
+# stream, then an EQUI-join on user_id with the containment as a
+# residual predicate — per-user fan-out is bounded by that user's
+# version count, never a cross product. Both filters push to the scan.
+
+
+@register(
+    "point_in_time_join",
+    """
+    WITH hist AS (
+        SELECT user_id, event_type AS attr_value, ts AS eff,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS exp
+        FROM events WHERE event_type IN ('signup', 'click')
+    ),
+    facts AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id,
+           CAST(f.ts AS TIMESTAMP) AS purchase_ts,
+           h.attr_value,
+           CAST(h.eff AS TIMESTAMP) AS version_since
+    FROM facts f
+    LEFT JOIN hist h
+      ON f.user_id = h.user_id
+     AND h.eff <= f.ts
+     AND (h.exp IS NULL OR f.ts < h.exp)
+    ORDER BY f.event_id
+    """,
+)
+def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correct join: every purchase sees the profile
+    version valid AT its timestamp (eff ≤ t < expiry over the
+    lead()-built SCD2 history), never a later one — the feature-store
+    composition of W1 with an interval-containment join."""
+    events = load_events(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # history + facts split one scan
+    hist = (
+        events.filter(F.col("event_type").isin("signup", "click"))
+        .select(
+            F.col("user_id").alias("h_user"),
+            F.col("event_id").alias("h_eid"),
+            F.col("event_type").alias("attr_value"),
+            F.col("ts").alias("eff"),
+        )
+        # tie-break on event_id exactly like the oracle: with
+        # duplicated timestamps the EMPTY interval must land on the
+        # same version in both engines, or attr_value diverges
+        .withColumn(
+            "exp",
+            F.lead("eff").over(
+                Window.partitionBy("h_user").orderBy("eff", "h_eid")
+            ),
+        )
+        .drop("h_eid")
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = facts.join(
+        hist,
+        (F.col("user_id") == F.col("h_user"))
+        & (F.col("eff") <= F.col("purchase_ts"))
+        & (F.col("exp").isNull() | (F.col("purchase_ts") < F.col("exp"))),
+        "left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        "attr_value",
+        F.col("eff").alias("version_since"),
+    ).orderBy("event_id")
