@@ -1012,3 +1012,19 @@ def phrase_stream(docs: DataFrame) -> DataFrame:
     from ..plans.text import phrase_report
 
     return phrase_report(docs)
+
+
+def extract_stream(spark, path_glob: str, **kwargs) -> DataFrame:
+    """Crawl front door as a stream (twin 39): newly landed WARC
+    archives → HTML payloads → generic main-content extraction —
+    read_warc_stream through the IDENTICAL stateless batch transforms
+    (warc_html_payloads is a narrow projection,
+    sources/html_extract.extract_main_text is one Arrow-batched
+    mapInPandas), so stream rows equal batch rows file for file. The
+    landing-prefix shape a production crawler feeds curation from."""
+    from ..sources.html_extract import extract_main_text
+    from ..sources.warc_source import read_warc_stream, warc_html_payloads
+
+    return extract_main_text(
+        warc_html_payloads(read_warc_stream(spark, path_glob, **kwargs))
+    )

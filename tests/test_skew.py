@@ -263,3 +263,35 @@ def test_hll_registers_merge_and_estimate(spark):
     tiny = hll_registers(df.filter("i < 7"), "key")
     est_t = hll_estimate(tiny).collect()[0].hll_est
     assert abs(est_t - 7) <= 3.0
+
+
+def test_hll_registers_persist_and_merge_across_days(spark, tmp_path):
+    """The artifact story: per-ingest-day registers written to parquet,
+    read back, and merged must equal the whole-corpus sketch — union
+    cardinality answered WITHOUT re-reading data."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 900}") for i in range(2500)], "i long, key string"
+    )
+    days = [df.filter(f"i % 3 = {d}") for d in range(3)]
+    for d, frame in enumerate(days):
+        hll_registers(frame, "key").write.parquet(
+            str(tmp_path / f"regs/day={d}")
+        )
+    merged = None
+    for d in range(3):
+        regs = spark.read.parquet(str(tmp_path / f"regs/day={d}"))
+        merged = regs if merged is None else hll_merge(merged, regs)
+    whole = hll_registers(df, "key")
+    a = {r.slot: r.rank for r in whole.collect()}
+    b = {r.slot: r.rank for r in merged.collect()}
+    assert a == b
+    est = hll_estimate(merged).collect()[0].hll_est
+    assert abs(est - 900) <= 900 / 4

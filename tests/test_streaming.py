@@ -2722,3 +2722,57 @@ def test_streaming_phrase_equals_batch(spark, tmp_path):
     sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert sym == 0
     assert got.count() == 3
+
+
+def test_extract_stream_equals_batch(spark, tmp_path):
+    """Crawl front door as a stream (39th twin): WARC landing prefix →
+    HTML payloads → main-content extraction, row-for-row equal to the
+    batch path over the same archives."""
+    import pyspark.sql.functions as F
+
+    from jobinsight_data_pipeline_v2_spark.sources.html_extract import (
+        extract_main_text,
+    )
+    from jobinsight_data_pipeline_v2_spark.sources.warc_source import (
+        read_warc_records,
+        warc_html_payloads,
+        write_warc_archive,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        extract_stream,
+    )
+
+    pages = [
+        (
+            f"https://e.org/{i}",
+            "<html><body><nav><a href='/'>Home</a></nav>"
+            f"<p>{' '.join(f'w{i}x{j}' for j in range(12))}</p>"
+            "<footer>Copyright 2026 example rights here</footer>"
+            "</body></html>",
+        )
+        for i in range(4)
+    ]
+    recs = spark.createDataFrame(
+        pages, "target_uri string, payload string"
+    ).repartition(2)
+    land = str(tmp_path / "landing")
+    write_warc_archive(
+        recs, land, http_content_type="text/html; charset=utf-8"
+    ).count()
+
+    out = extract_stream(spark, f"{land}/*", max_files_per_trigger=1)
+    assert out.isStreaming
+    q = run_stream_to_memory(spark, out, "extract_stream_test")
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT url, text, n_blocks_kept, n_blocks_dropped "
+        "FROM extract_stream_test"
+    )
+    batch = extract_main_text(
+        warc_html_payloads(read_warc_records(spark, f"{land}/*"))
+    ).select("url", "text", "n_blocks_kept", "n_blocks_dropped")
+    assert got.exceptAll(batch).count() + batch.exceptAll(got).count() == 0
+    rows = {r.url: r for r in got.collect()}
+    assert len(rows) == 4
+    assert all(r.n_blocks_kept == 1 and r.text.startswith("w") 
+               for r in rows.values())
