@@ -88,3 +88,41 @@ def archive_split(df: DataFrame, cutoff_ts) -> tuple[DataFrame, DataFrame]:
     )
     kept = df.filter((F.col("crawled_at") >= cutoff) | F.col("crawled_at").isNull())
     return kept, archived
+
+
+def merge_rollup_delta(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental view maintenance for an additive rollup: apply a
+    SIGNED delta aggregate (inserts +1 / deletes −1 / updates as
+    −old +new, pre-aggregated per group) to the materialized state
+    without touching base data. FULL OUTER on the group keys — a
+    delta may create a new group or empty an existing one; groups
+    whose maintained count reaches zero are dropped (an emptied group
+    must disappear exactly like a recompute). Cost is
+    O(|state| + |delta groups|), never O(base).
+
+    Additivity is the contract: every maintained column must be a
+    SUM/COUNT (signed-delta-mergeable); MIN/MAX are not maintainable
+    this way and must recompute."""
+    d = delta
+    for c in [count_col] + sum_cols:
+        d = d.withColumnRenamed(c, f"__d_{c}")
+    merged = state.join(d, keys, "full_outer")
+    out_cols = [
+        (
+            F.coalesce(F.col(c), F.lit(0))
+            + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+        )
+        .cast("long")
+        .alias(c)
+        for c in [count_col] + sum_cols
+    ]
+    return (
+        merged.select(*keys, *out_cols)
+        .filter(F.col(count_col) > 0)
+    )

@@ -1965,3 +1965,106 @@ def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lvl3)
         .orderBy("level", "n_name", "sub")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance (new family, r8): a materialized rollup
+# maintained from a signed CDC delta, proven == full recompute
+# ---------------------------------------------------------------------------
+#
+# The production shape a warehouse pays for daily: the monthly rollup
+# is MATERIALIZED once over the base, then a change batch (inserts,
+# deletes, updates synthesized in-plan from o_orderkey residues)
+# applies as a pre-aggregated SIGNED delta through
+# operators/merge.merge_rollup_delta — cost O(state + delta), the base
+# is never rescanned. The oracle recomputes the rollup from the
+# EFFECTIVE final table (base − deletes − update-olds ∪ inserts ∪
+# update-news), so any maintenance defect — double-applied update,
+# missed delete, a group emptied but not dropped, a new group not
+# created — breaks the hash. All-integer (cents, signed counts).
+#
+# CDC partition of orders by o_orderkey residues (disjoint by
+# construction): %10==0 → the INSERT batch (not in base); of the
+# base, %7==3 → DELETE, %7==5 → UPDATE (+$10.00 on the new version,
+# same group — the −old/+new pair must net exactly +1000 per row).
+
+_IVM_UPDATE_CENTS = 1000
+
+
+@register(
+    "ivm_monthly_rollup",
+    f"""
+    WITH base AS (
+        SELECT * FROM orders WHERE o_orderkey % 10 != 0
+    ),
+    final AS (
+        SELECT o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM base WHERE o_orderkey % 7 NOT IN (3, 5)
+        UNION ALL
+        SELECT o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+                   + {_IVM_UPDATE_CENTS} AS cents
+        FROM base WHERE o_orderkey % 7 = 5
+        UNION ALL
+        SELECT o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM final
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def ivm_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance end to end: materialize the
+    monthly (count, revenue) rollup over the base, build the signed
+    delta aggregate from the CDC batch (+1 inserts, −1 deletes,
+    −old/+new updates), and merge it into the state with
+    operators/merge.merge_rollup_delta — the maintained rollup must
+    equal the oracle's full recompute of the effective table."""
+    from ..operators.merge import merge_rollup_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    ).localCheckpoint(eager=False)  # base rollup + three delta slices
+    base = orders.filter(F.col("o_orderkey") % 10 != 0)
+    state = base.groupBy("order_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "order_month", F.lit(1).alias("op"), F.col("cents").alias("val")
+    )
+    deletes = base.filter(F.col("o_orderkey") % 7 == 3).select(
+        "order_month", F.lit(-1).alias("op"), F.col("cents").alias("val")
+    )
+    upd = base.filter(F.col("o_orderkey") % 7 == 5)
+    upd_old = upd.select(
+        "order_month", F.lit(-1).alias("op"), F.col("cents").alias("val")
+    )
+    upd_new = upd.select(
+        "order_month",
+        F.lit(1).alias("op"),
+        (F.col("cents") + _IVM_UPDATE_CENTS).alias("val"),
+    )
+    delta = (
+        inserts.unionByName(deletes)
+        .unionByName(upd_old)
+        .unionByName(upd_new)
+        .groupBy("order_month")
+        .agg(
+            F.sum("op").cast("long").alias("n"),
+            F.sum(F.col("op") * F.col("val"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    return merge_rollup_delta(
+        state, delta, ["order_month"], ["revenue_cents"]
+    ).orderBy("order_month")

@@ -1382,3 +1382,31 @@ def test_mmr_greedy_prefers_diversity(spark):
         return {r: (v, p if r > 1 else 0) for r, v, p in out}
 
     assert got == ref(cand, sims, 4)
+
+
+def test_merge_rollup_delta_edges(spark):
+    """IVM edge semantics: a delta can create a brand-new group, empty
+    an existing one (the group must disappear like a recompute), and
+    net an update to exactly -old+new."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.operators.merge import (
+        merge_rollup_delta,
+    )
+
+    state = spark.createDataFrame(
+        [("a", 2, 100), ("b", 1, 50), ("c", 3, 300)],
+        "k string, n long, v long",
+    )
+    # a: +1 insert of 10; b: -1 delete (empties); d: new group;
+    # c: update one row 100 -> 120 (net n 0, v +20)
+    delta = spark.createDataFrame(
+        [("a", 1, 10), ("b", -1, -50), ("d", 2, 70), ("c", 0, 20)],
+        "k string, n long, v long",
+    )
+    got = {
+        r.k: (r.n, r.v)
+        for r in merge_rollup_delta(state, delta, ["k"], ["v"]).collect()
+    }
+    assert got == {"a": (3, 110), "c": (3, 320), "d": (2, 70)}
+    assert "b" not in got  # emptied group dropped
