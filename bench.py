@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "k_anonymity_release",  # k-anonymous release ladder (privacy family)
     "point_in_time_join",  # feature-store point-in-time SCD2 join
     "ivm_monthly_rollup",  # incremental view maintenance vs recompute
+    "log_histogram_quantiles",  # mergeable rank sketch, whole-hash-pinned
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

@@ -184,3 +184,66 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(raw)
     return agg.select(*group_cols, est.alias("hll_est"))
+
+
+# ---------------------------------------------------------------------------
+# log2-bucket quantile histogram: the rank sibling of CMS/HLL above
+# ---------------------------------------------------------------------------
+#
+# Fixed-memory quantile summaries with EXACT counts and power-of-two
+# value resolution: bucket(v) = floor(log2(v)) for v >= 1 (integer
+# CASE ladder, never float log), <= ~64 buckets per group regardless
+# of input size. Unlike GK/t-digest the structure is deterministic
+# and merge is plain bucket-wise ADDITION — per-ingest-batch
+# histograms persist and answer union quantiles (to within their
+# bucket bounds) without re-reading data, and every number in the
+# artifact is integer-exact, so gates hash-pin the WHOLE histogram
+# rather than flag an approximation.
+
+QHIST_MAX_BITS = 48
+
+
+def qhist_bucket_sql(expr: str, max_bits: int = QHIST_MAX_BITS) -> str:
+    """floor(log2(expr)) for expr >= 1 as an integer CASE ladder —
+    IDENTICAL text runs on Spark SQL and DuckDB (the DSIR device), so
+    the gate's oracle computes the same buckets bit for bit."""
+    return f"({_bit_length_case(expr, max_bits)} - 1)"
+
+
+def qhist_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group_cols…, bucket, cnt): per-group log2 histogram over a
+    positive integer column (values < 1 raise in-plan — a quantile
+    artifact silently mis-bucketing zeros would corrupt every merge
+    downstream)."""
+    guarded = F.coalesce(
+        F.assert_true(
+            F.col(value_col) >= 1,
+            F.lit(
+                f"qhist_build: {value_col} < 1 — log2 buckets are "
+                "defined for positive integers; shift or filter first"
+            ),
+        ).cast("bigint"),
+        F.lit(0),
+    )
+    bucket = F.expr(qhist_bucket_sql(value_col)) + guarded
+    return (
+        df.select(*group_cols, bucket.cast("int").alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def qhist_merge(
+    a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Bucket-wise sum — histograms over disjoint splits merge into
+    exactly the union's histogram."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -2068,3 +2068,100 @@ def ivm_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_rollup_delta(
         state, delta, ["order_month"], ["revenue_cents"]
     ).orderBy("order_month")
+
+
+# ---------------------------------------------------------------------------
+# log2-bucket quantile histogram gate: the rank member of the sketch
+# trio (CMS frequency / HLL cardinality / qhist rank), hash-pinned
+# WHOLE because every number in the artifact is integer-exact
+# ---------------------------------------------------------------------------
+
+_QH_QS = ((1, 2, "is_p50"), (9, 10, "is_p90"), (99, 100, "is_p99"))
+
+
+from ..operators.sketch import qhist_bucket_sql as _qh_bucket_sql
+_QH_BUCKET = _qh_bucket_sql("c")
+_QH_FLAGS = ",\n           ".join(
+    f"CAST(CASE WHEN cum - cnt < (({num} * n) + {den} - 1) // {den} "
+    f"AND (({num} * n) + {den} - 1) // {den} <= cum "
+    f"THEN 1 ELSE 0 END AS INTEGER) AS {name}"
+    for num, den, name in _QH_QS
+)
+
+
+@register(
+    "log_histogram_quantiles",
+    # plain string assembled from the SHARED ladder builder
+    # (operators/sketch.qhist_bucket_sql) — identical bucket text in
+    # both engines; an f-string literal cannot hold the CASE ladder
+    """
+    WITH cents AS (
+        SELECT o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    hist AS (
+        SELECT status,
+               """ + _QH_BUCKET + """ AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cents GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT status, bucket, cnt,
+               CAST(SUM(cnt) OVER (
+                   PARTITION BY status ORDER BY bucket
+               ) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY status) AS BIGINT) AS n
+        FROM hist
+    )
+    SELECT status, CAST(bucket AS BIGINT) AS bucket, cnt, cum,
+           """ + _QH_FLAGS + """
+    FROM cum
+    ORDER BY status, bucket
+    """,
+)
+def log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile summary through the engine's OWN mergeable histogram
+    (operators/sketch.qhist_build — integer log2 buckets, ≤ 64 rows
+    per group at any scale, merge = bucket-wise add): per order
+    status, the full (bucket, count, cumulative) table with the
+    bucket that holds each of p50/p90/p99 flagged by integer rank
+    arithmetic (rank = ceil(q·n) via (num·n + den − 1) div den;
+    bucket b holds it iff cum_prev < rank ≤ cum). Every emitted
+    number is integer-exact, so the oracle hash-pins the WHOLE
+    artifact — no within-bound flag needed, unlike GK/t-digest."""
+    from ..operators.sketch import qhist_build
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+    )
+    hist = qhist_build(cents, "c", ("status",))
+    w_cum = (
+        Window.partitionBy("status")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("status")
+    cum = hist.select(
+        "status",
+        F.col("bucket").cast("long").alias("bucket"),
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    flags = [
+        (
+            (F.col("cum") - F.col("cnt")
+             < F.expr(f"(({num} * n) + {den} - 1) div {den}"))
+            & (F.expr(f"(({num} * n) + {den} - 1) div {den}")
+               <= F.col("cum"))
+        )
+        .cast("int")
+        .alias(name)
+        for num, den, name in _QH_QS
+    ]
+    return cum.select(
+        "status", "bucket", "cnt", "cum", *flags
+    ).orderBy("status", "bucket")

@@ -152,22 +152,65 @@ def extract_blocks(html: str) -> list[dict]:
     return blocks
 
 
-def extract_main_content(html: str) -> tuple[str, int, int]:
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+
+def rescue_headings(blocks: list[dict]) -> list[dict]:
+    """jusText's near-good smoothing for the one case the flat rule
+    battery systematically misclassifies: a SHORT heading immediately
+    followed by a kept block is part of the content, not chrome
+    ("Installation" above its paragraph). Rescue a dropped h1–h6 block
+    iff it has ≥ 1 word, satisfies the link-density rule, and the NEXT
+    block in document order is kept AFTER smoothing — the reverse pass
+    cascades through consecutive headings (h2 over a rescued h3 over a
+    kept paragraph all survive, matching real page nesting). One
+    deterministic reverse pass; returns new dicts (input untouched),
+    rescued blocks carry ``rescued: True``."""
+    out: list[dict] = []
+    next_kept = False
+    for b in reversed(blocks):
+        nb = dict(b)
+        if (
+            not nb["kept"]
+            and nb["tag"] in _HEADING_TAGS
+            and nb["n_words"] >= 1
+            and LINK_NUM * nb["n_link_words"] <= nb["n_words"]
+            and next_kept
+        ):
+            nb["kept"] = True
+            nb["rescued"] = True
+        next_kept = nb["kept"]
+        out.append(nb)
+    out.reverse()
+    return out
+
+
+def extract_main_content(
+    html: str, keep_headings: bool = False
+) -> tuple[str, int, int]:
     """(main_text, n_blocks_kept, n_blocks_dropped): kept blocks in
-    document order, newline-joined."""
+    document order, newline-joined. ``keep_headings=True`` applies the
+    jusText near-good smoothing (``rescue_headings``)."""
     blocks = extract_blocks(html)
+    if keep_headings:
+        blocks = rescue_headings(blocks)
     kept = [b["text"] for b in blocks if b["kept"]]
     return "\n".join(kept), len(kept), len(blocks) - len(kept)
 
 
-def extract_main_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
+def extract_main_text(
+    pages: DataFrame,
+    html_col: str = "html",
+    keep_headings: bool = False,
+) -> DataFrame:
     """Distributed boilerplate removal: every column of ``pages``
     except ``html_col`` passes through; the page itself is replaced by
     (``text``, ``n_blocks_kept``, ``n_blocks_dropped``). One page =
     one output row (pages with zero kept blocks emit empty text, so
     downstream quality gates — not silent drops — decide their fate).
-    Stateless mapInPandas: works identically on batch and streaming
-    frames, Arrow-batched, no shuffle."""
+    ``keep_headings=True`` applies the jusText near-good smoothing
+    (``rescue_headings``). Stateless mapInPandas: works identically
+    on batch and streaming frames, Arrow-batched, no shuffle."""
     carry = [f for f in pages.schema.fields if f.name != html_col]
     clash = {"text", "n_blocks_kept", "n_blocks_dropped"} & {
         f.name for f in carry
@@ -197,7 +240,10 @@ def extract_main_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
             out = {n: pdf[n] for n in carry_names}
             texts, n_kept, n_drop = [], [], []
             for h in pdf[html_col]:
-                t, k, d = extract_main_content(h if h is not None else "")
+                t, k, d = extract_main_content(
+                    h if h is not None else "",
+                    keep_headings=keep_headings,
+                )
                 texts.append(t)
                 n_kept.append(k)
                 n_drop.append(d)

@@ -209,3 +209,46 @@ def test_extract_main_text_rejects_column_collisions(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         extract_main_text(pages)
+
+
+def test_heading_rescue_smoothing():
+    """keep_headings: a short heading directly above a kept paragraph
+    is rescued (jusText near-good semantics); a heading above a
+    DROPPED block, a link-heavy heading, and a trailing heading are
+    not."""
+    from jobinsight_data_pipeline_v2_spark.sources.html_extract import (
+        rescue_headings,
+    )
+
+    html = (
+        "<h2>Installation</h2>"
+        "<p>run the installer with six words here</p>"
+        "<h2>Dead section</h2>"
+        "<p>too short</p>"
+        '<h3><a href="/x">Linked heading</a></h3>'
+        "<p>another kept paragraph of exactly seven words</p>"
+        "<h2>Trailing heading</h2>"
+    )
+    text_off, k_off, _ = extract_main_content(html)
+    assert text_off.startswith("run the installer")
+    assert k_off == 2  # no headings without the option
+    text_on, k_on, d_on = extract_main_content(html, keep_headings=True)
+    assert text_on.split("\n")[0] == "Installation"
+    assert "Dead section" not in text_on
+    assert "Linked heading" not in text_on  # fails the link rule
+    assert "Trailing heading" not in text_on  # nothing kept after it
+    assert k_on == 3 and d_on == 4
+    # rescue CASCADES through consecutive headings (h2 above a rescued
+    # h3 above a kept paragraph — the reverse pass propagates
+    # kept-ness, matching the h1/h2/paragraph nesting real pages have)
+    blocks = rescue_headings(
+        [
+            {"tag": "h2", "text": "a", "n_words": 1, "n_link_words": 0,
+             "kept": False},
+            {"tag": "h3", "text": "b", "n_words": 1, "n_link_words": 0,
+             "kept": False},
+            {"tag": "p", "text": "c d e f g", "n_words": 5,
+             "n_link_words": 0, "kept": True},
+        ]
+    )
+    assert [b["kept"] for b in blocks] == [True, True, True]

@@ -295,3 +295,31 @@ def test_hll_registers_persist_and_merge_across_days(spark, tmp_path):
     assert a == b
     est = hll_estimate(merged).collect()[0].hll_est
     assert abs(est - 900) <= 900 / 4
+
+
+def test_qhist_merge_and_guard(spark):
+    """Bucket-wise addition of split histograms equals the whole
+    histogram; non-positive values fail loudly in-plan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        qhist_build,
+        qhist_merge,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 37) % 5000) for i in range(4000)],
+        "i long, v long",
+    )
+    whole = qhist_build(df, "v")
+    merged = qhist_merge(
+        qhist_build(df.filter("i % 2 = 0"), "v"),
+        qhist_build(df.filter("i % 2 = 1"), "v"),
+    )
+    a = {r.bucket: r.cnt for r in whole.collect()}
+    b = {r.bucket: r.cnt for r in merged.collect()}
+    assert a == b and sum(a.values()) == 4000
+    bad = spark.createDataFrame([(0,)], "v long")
+    with pytest.raises(Exception, match="qhist_build"):
+        qhist_build(bad, "v").collect()
