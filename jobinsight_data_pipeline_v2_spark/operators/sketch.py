@@ -219,12 +219,20 @@ def qhist_build(
     positive integer column (values < 1 raise in-plan — a quantile
     artifact silently mis-bucketing zeros would corrupt every merge
     downstream)."""
+    # both range ends guarded loudly: values past the ladder's top
+    # rung would SILENTLY land in the top bucket (confirmed: 2^48 →
+    # bucket 47) and corrupt every merged artifact downstream —
+    # exactly the failure the v < 1 guard exists to prevent (review
+    # r8, second pass)
     guarded = F.coalesce(
         F.assert_true(
-            F.col(value_col) >= 1,
+            (F.col(value_col) >= 1)
+            & (F.col(value_col) < F.lit(1 << QHIST_MAX_BITS)),
             F.lit(
-                f"qhist_build: {value_col} < 1 — log2 buckets are "
-                "defined for positive integers; shift or filter first"
+                f"qhist_build: {value_col} outside [1, 2^"
+                f"{QHIST_MAX_BITS}) — log2 buckets are defined for "
+                "positive integers under the ladder's top rung; "
+                "shift/filter first or widen QHIST_MAX_BITS"
             ),
         ).cast("bigint"),
         F.lit(0),

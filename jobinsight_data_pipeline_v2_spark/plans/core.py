@@ -1883,7 +1883,9 @@ _KANON_K_DIV = 25  # k = max(floor, total // 25): the mean nation size
     """,
 )
 def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymous aggregate release (k = {_KANON_K}): publish
+    """k-anonymous aggregate release (k IN-PLAN adaptive:
+    max(_KANON_K_FLOOR, total // _KANON_K_DIV) — the mean nation
+    size, so the three branches stay populated at any volume): publish
     (nation, sub-cohort) balance aggregates only for groups with ≥ k
     members, generalize under-k groups to nation level, suppress the
     remainder into one residual row. Counts are conserved across the
@@ -1915,7 +1917,7 @@ def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal").cast("long").alias("bal_cents"),
         )
         .crossJoin(F.broadcast(kv))
-        # three consumers: lvl1 filter + the under-k regroup (rule 12)
+        # two consumers: the lvl1 filter + the under-k regroup (rule 12)
         .localCheckpoint(eager=False)
     )
     lvl1 = g1.filter(F.col("n") >= F.col("__k")).select(
