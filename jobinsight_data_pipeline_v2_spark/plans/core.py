@@ -1406,7 +1406,11 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint (three consumers: basket collect + item supports +
     total); pair generation is IN-ROW from the collected per-order
     item set (one groupBy on l_orderkey replaces the basket-keyed
-    self-join — same Σ|basket|² work, one fewer shuffle), and the
+    self-join — same Σ|basket|² work, one fewer shuffle; measured
+    A/B at sf0.1 in one session: self-join best 1.14s vs in-row 1.46s
+    — collect_set buffering costs ~0.3s at toy scale, but the in-row
+    form moves strictly less shuffle volume, which is what matters at
+    100 TB), and the
     basket size is ENFORCED in-plan at {_ASSOC_MAX_BASKET} items via
     assert_true: a heavy-tailed basket distribution fails loudly
     instead of silently emitting k² pairs per hot basket. Item
