@@ -118,6 +118,16 @@ PRIORITY: tuple[str, ...] = (
 #     decomposition, pinned locally by cms_hot_key_agg and the
 #     salted_agg property tests); the blanket rollup stays
 #     local-gated),
+#   k_anonymity_release / point_in_time_join / ivm_monthly_rollup /
+#   log_histogram_quantiles (born below the fold, r8 second wave:
+#     the privacy release ladder's aggregation devices are pinned
+#     above by monthly_stats/region_rollup and its PII-adjacent
+#     family by pii_scrub; point-in-time composes the above-fold
+#     scd2_user_history + asof_join_purchases devices; IVM's
+#     signed-delta merge composes upsert_classify's change
+#     classification with the rollup family; the quantile histogram's
+#     sketch family keeps approx_percentiles + cms_heavy_hitters
+#     above — all four stay locally oracle-gated at 3 SFs),
 #   jpeg_decode_stats / unigram_encode_roundtrip / hll_distinct_bounds
 #     (born below the fold, r8: media decode is represented above by
 #     png_decode_stats (the JPEG gate shares its closed-form-oracle
