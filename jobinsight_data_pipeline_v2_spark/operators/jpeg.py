@@ -1,21 +1,34 @@
-"""Pure-stdlib baseline JPEG codec (ITU-T T.81): the dominant crawl
-image format, decoded for the multimodal path without PIL/libjpeg.
+"""Pure-stdlib JPEG codec (ITU-T T.81): the dominant crawl image
+format, decoded for the multimodal path without PIL/libjpeg.
 
-Scope — baseline sequential DCT, 8-bit, Huffman entropy coding:
+Scope — 8-bit Huffman DCT, baseline sequential (SOF0) AND
+progressive (SOF2):
 
 - grayscale (1 component) and YCbCr (3 components), 4:4:4 and 4:2:0
 - general DHT parsing (BITS/HUFFVAL canonical construction, any
-  conforming table — Annex K or otherwise), multi-slot DC/AC tables
-- general DQT (8-bit tables), zigzag ordering
-- the full entropy layer: DC differential coding with RECEIVE/EXTEND,
-  AC run-length symbols (EOB, ZRL, (run,size)), byte stuffing
-  (FF 00), marker framing (SOI/APPn/COM skip/DQT/SOF0/DHT/SOS/EOI)
+  conforming table — Annex K or otherwise), multi-slot DC/AC tables,
+  tables redefinable between scans
+- the full baseline entropy layer: DC differential coding with
+  RECEIVE/EXTEND, AC run-length symbols (EOB, ZRL, (run,size)), byte
+  stuffing (FF 00), marker framing (SOI/APPn/COM skip/DQT/SOF/DHT/
+  SOS/EOI), 0xFF fill bytes between segments skipped per B.1.1.2
+- the full progressive entropy layer (T.81 G.1.2): spectral
+  selection (Ss..Se bands, AC scans single-component), successive
+  approximation (DC point transform = arithmetic shift + one
+  refinement bit per block per pass; AC first passes with EOBn
+  end-of-band run coding, AC refinement passes with newly-nonzero
+  ±2^Al insertions and correction bits on already-nonzero
+  coefficients — the jdphuff algorithm, implemented independently on
+  both sides and pinned by hand-built bitstream goldens)
 - dequantize → de-zigzag → separable float IDCT → round half away
-  from zero → level shift → clamp, per T.81 A.3.3
-- progressive (SOF2), arithmetic coding, DNL, restart intervals and
-  non-multiple-of-MCU dimensions raise ``ValueError`` — out of the
-  declared subset, a decode task must fail loudly, never emit
-  garbage pixels (the operators/png.py contract).
+  from zero → level shift → clamp, per T.81 A.3.3; decode accumulates
+  quantized coefficients across scans and transforms once at EOI
+- arithmetic coding, lossless/hierarchical SOFs, DNL, restart
+  intervals and non-multiple-of-MCU dimensions raise ``ValueError``
+  — out of the declared subset, a decode task must fail loudly,
+  never emit garbage pixels (the operators/png.py contract).
+  Standalone markers (RSTn/TEM) in the header raise an explicit
+  diagnostic instead of being misparsed as length-bearing segments.
 
 ``decode_jpeg`` runs at the Arrow edge inside
 ``operators.multimodal.decode_image`` (magic-byte dispatch). The
@@ -26,23 +39,30 @@ either way.
 
 ``encode_jpeg`` is the deterministic synthesizer used by tests and
 the ``jpeg_decode_stats`` gate. It writes its OWN canonical Huffman
-tables into DHT (all 12 DC categories at 4 bits; all 162 AC symbols
-at 8 bits — valid prefix codes the decoder must build from the file,
-exactly as it would Annex K's) and defaults to all-ones quantization
-tables, under which an image whose 8×8 blocks are each FLAT decodes
+tables into DHT (all 12 DC categories at 4 bits; all 162 baseline AC
+symbols — plus the 14 EOBn symbols when progressive — at 8 bits:
+valid prefix codes the decoder must build from the file, exactly as
+it would Annex K's) and defaults to all-ones quantization tables,
+under which an image whose 8×8 blocks are each FLAT decodes
 bit-exactly (a flat block has only a DC coefficient, 8·(v−128),
-integral — quantization and the IDCT round-trip are lossless on it).
-That exactness is what lets the gate's oracle pin decoded channel
-sums closed-form without ever seeing a codec byte. Encode and decode
-are implemented independently (encoder writes spec structures, the
+integral — quantization and the IDCT round-trip are lossless on it,
+and progressive transmission of a coefficient is lossless by
+construction). That exactness is what lets the gate's oracle pin
+decoded channel sums closed-form without ever seeing a codec byte.
+``progressive=True`` emits an SOF2 scan script exercising both
+progressive dimensions: an Al=1 DC first scan + DC refinement, then
+per component two spectral bands (1..5, 6..63) sent at Al=2 and
+refined twice (Ah=2→Al=1, Ah=1→Al=0). Encode and decode are
+implemented independently (encoder writes spec structures, the
 decoder parses them from the byte stream) and the tests pin each
 direction with hand-computed micro-goldens plus an independent
 numpy IDCT reference, so a compensating bug cannot hide in the
-round-trip.
+round-trip; progressive and baseline encodings of the same planes
+must decode pixel-identically (same quantized coefficients).
 
 Reference analog: none in the reference tree — this is the
-north-star multimodal scope (VERDICT r7 ask #2), the JPEG sibling of
-``operators/png.py``.
+north-star multimodal scope (VERDICT r7 ask #2 baseline, r8 ask #1
+progressive), the JPEG sibling of ``operators/png.py``.
 """
 
 from __future__ import annotations
@@ -78,13 +98,17 @@ _C = [1 / math.sqrt(2)] + [1.0] * 7
 # DC: all 12 size categories at code length 4
 _ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
 _ENC_DC_VALS = list(range(12))
-# AC: EOB + 160 (run,size) + ZRL, all at code length 8
+# AC baseline: EOB + 160 (run,size) + ZRL, all at code length 8
 _ENC_AC_BITS = [0] * 7 + [162] + [0] * 8
 _ENC_AC_VALS = (
     [0x00]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)]
     + [0xF0]
 )
+# AC progressive: the baseline 162 plus EOB1..EOB14 ((r<<4)|0), still
+# all at 8 bits — 176 ≤ 256 codes, a valid canonical table
+_ENC_AC_BITS_PROG = [0] * 7 + [176] + [0] * 8
+_ENC_AC_VALS_PROG = _ENC_AC_VALS + [r << 4 for r in range(1, 15)]
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -282,19 +306,162 @@ def _encode_block(
     return coef[0]
 
 
+# ---------------------------------------------------------------------------
+# progressive scan emission (T.81 G.1.2) — encoder side
+# ---------------------------------------------------------------------------
+
+
+class _AcScanState:
+    """Cross-block state of one progressive AC scan: the pending
+    end-of-band run and (refinement passes only) the correction bits
+    that must trail the next emitted symbol."""
+
+    def __init__(self, w: _BitWriter, ac_codes: dict) -> None:
+        self.w = w
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits riding the EOB run
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac_codes[r << 4]
+            self.w.write(code, ln)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.write(b, 1)
+        self.pending = []
+
+
+def _encode_dc_first(coef: list[int], pred: int, al: int,
+                     w: _BitWriter, dc_codes: dict) -> int:
+    """DC first pass: diff of the point-transformed (arithmetic shift
+    right by Al) DC, category + magnitude bits. Returns new predictor
+    (in the shifted domain)."""
+    dc = coef[0] >> al
+    diff = dc - pred
+    t = _size_cat(diff)
+    code, length = dc_codes[t]
+    w.write(code, length)
+    if t:
+        mag = diff if diff >= 0 else diff + (1 << t) - 1
+        w.write(mag, t)
+    return dc
+
+
+def _encode_ac_first(coef: list[int], ss: int, se: int, al: int,
+                     st: _AcScanState) -> None:
+    """AC first pass over one block: run-length over the point-
+    transformed band with EOBn end-of-band run accumulation."""
+    w, ac = st.w, st.ac_codes
+    run = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        v = coef[k]
+        # AC point transform truncates toward zero (G.1.2.2)
+        t = (v >> al) if v >= 0 else -((-v) >> al)
+        if t == 0:
+            run += 1
+            continue
+        st.flush_eobrun()
+        while run > 15:
+            zc, zl = ac[0xF0]
+            w.write(zc, zl)
+            run -= 16
+        s = _size_cat(t)
+        code, length = ac[(run << 4) | s]
+        w.write(code, length)
+        mag = t if t >= 0 else t + (1 << s) - 1
+        w.write(mag, s)
+        run = 0
+        emitted = True
+    if run > 0 or not emitted:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _encode_ac_refine(coef: list[int], ss: int, se: int, al: int,
+                      st: _AcScanState) -> None:
+    """AC refinement pass over one block (the jdphuff/jcphuff
+    algorithm): newly-nonzero coefficients (|v|>>Al == 1) emit
+    (run,1) symbols + a sign bit; already-nonzero coefficients
+    contribute one correction bit each, buffered until the next
+    symbol (or the EOB run) so the decoder reads them in the same
+    order it walks the band."""
+    w, ac = st.w, st.ac_codes
+    absv = [0] * (se + 1)
+    eob = ss - 1  # index of the LAST newly-nonzero coefficient
+    for k in range(ss, se + 1):
+        a = abs(coef[k]) >> al
+        absv[k] = a
+        if a == 1:
+            eob = k
+    run = 0
+    br: list[int] = []  # correction bits awaiting the next symbol
+    for k in range(ss, se + 1):
+        a = absv[k]
+        if a == 0:
+            run += 1
+            continue
+        # emit required ZRLs BEFORE classifying this coefficient
+        # (libjpeg order: a ZRL's 16 consumed zeros may precede a
+        # history coefficient, whose correction bit must then ride
+        # the NEXT symbol — not this ZRL); zeros fold into the EOB
+        # run instead when no newly-nonzero coefficient follows
+        while run > 15 and k <= eob:
+            st.flush_eobrun()
+            zc, zl = ac[0xF0]
+            w.write(zc, zl)
+            run -= 16
+            for b in br:
+                w.write(b, 1)
+            br = []
+        if a > 1:
+            # history: already nonzero before this pass — one
+            # correction bit (bit Al of the magnitude = a & 1), does
+            # NOT count in the zero-history run
+            br.append(a & 1)
+            continue
+        # newly nonzero at this approximation level
+        st.flush_eobrun()
+        code, length = ac[(run << 4) | 1]
+        w.write(code, length)
+        w.write(1 if coef[k] > 0 else 0, 1)
+        for b in br:
+            w.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
 def encode_jpeg(
     planes: list[list[list[int]]],
     subsampling: str = "444",
     quant_luma: list[int] | None = None,
     quant_chroma: list[int] | None = None,
+    progressive: bool = False,
 ) -> bytes:
-    """Component planes → baseline JPEG bytes.
+    """Component planes → JPEG bytes (baseline SOF0, or progressive
+    SOF2 with ``progressive=True``).
 
     ``planes`` is ``[Y]`` (grayscale) or ``[Y, Cb, Cr]`` given at
     their NATURAL resolutions: for 4:2:0 the chroma planes are
     half-size in both dimensions; for 4:4:4 all three match. Y
     dimensions must be a multiple of 8 (4:4:4 / grayscale) or 16
-    (4:2:0). Quant tables are in zigzag order, default all ones."""
+    (4:2:0). Quant tables are in zigzag order, default all ones.
+
+    The progressive scan script is fixed (see module docstring): it
+    transmits the SAME quantized coefficients as the baseline path —
+    decoding either encoding of the same planes is pixel-identical —
+    while exercising spectral selection, DC/AC successive
+    approximation, EOBn run coding and correction bits."""
     ql = quant_luma or [1] * 64
     qc = quant_chroma or [1] * 64
     n_comp = len(planes)
@@ -315,7 +482,32 @@ def encode_jpeg(
                 raise ValueError("chroma plane dims mismatch subsampling")
 
     dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    if progressive:
+        ac_codes = _canonical_codes(_ENC_AC_BITS_PROG, _ENC_AC_VALS_PROG)
+    else:
+        ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    quants = [ql] + [qc] * (n_comp - 1)
+    samp = [(2, 2)] if two else [(1, 1)]
+    if n_comp == 3:
+        samp = samp + [(1, 1), (1, 1)]
+    mcus_x = w_y // mcu
+    mcus_y = h_y // mcu
+
+    # quantize every block up front (zigzag order), per component
+    coefs: list[list[list[list[int]]]] = []
+    for ci in range(n_comp):
+        hi, vi = samp[ci]
+        bx_n, by_n = mcus_x * hi, mcus_y * vi
+        p = planes[ci]
+        comp = []
+        for by in range(by_n):
+            row = []
+            for bx in range(bx_n):
+                blk = [p[by * 8 + y][bx * 8 : bx * 8 + 8] for y in range(8)]
+                row.append(_fdct_quant(blk, quants[ci]))
+            comp.append(row)
+        coefs.append(comp)
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -327,7 +519,7 @@ def encode_jpeg(
     seg(0xDB, bytes([0x00]) + bytes(ql))
     if n_comp == 3:
         seg(0xDB, bytes([0x01]) + bytes(qc))
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     comps = bytearray()
     if n_comp == 1:
         comps += bytes([1, 0x11, 0])
@@ -336,52 +528,107 @@ def encode_jpeg(
         comps += bytes([1, yhv, 0])
         comps += bytes([2, 0x11, 1])
         comps += bytes([3, 0x11, 1])
-    seg(0xC0, struct.pack(">BHHB", 8, h_y, w_y, n_comp) + bytes(comps))
+    seg(0xC2 if progressive else 0xC0,
+        struct.pack(">BHHB", 8, h_y, w_y, n_comp) + bytes(comps))
     # DHT: DC 0, AC 0 (+ DC 1, AC 1 for color)
+    ac_bits = _ENC_AC_BITS_PROG if progressive else _ENC_AC_BITS
+    ac_vals = _ENC_AC_VALS_PROG if progressive else _ENC_AC_VALS
     dht = bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
-    dht += bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+    dht += bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
     if n_comp == 3:
         dht += bytes([0x01]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
-        dht += bytes([0x11]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+        dht += bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals)
     seg(0xC4, dht)
-    # SOS
-    sos = bytearray([n_comp])
-    if n_comp == 1:
-        sos += bytes([1, 0x00])
-    else:
-        sos += bytes([1, 0x00, 2, 0x11, 3, 0x11])
-    sos += bytes([0, 63, 0])
-    seg(0xDA, bytes(sos))
 
-    w = _BitWriter()
-    preds = [0] * n_comp
-    quants = [ql] + [qc] * (n_comp - 1)
+    def sos_header(comp_ids: list[int], ss: int, se: int,
+                   ah: int, al: int) -> None:
+        body = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            t = 0 if cid == 1 else 1
+            body += bytes([cid, (t << 4) | t])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(body))
 
-    def emit(ci: int, bx: int, by: int) -> None:
-        p = planes[ci]
-        blk = [p[by * 8 + y][bx * 8 : bx * 8 + 8] for y in range(8)]
-        coef = _fdct_quant(blk, quants[ci])
-        preds[ci] = _encode_block(coef, preds[ci], w, dc_codes, ac_codes)
+    def mcu_blocks(ci: int):
+        """Block (by, bx) sequence of component ci in interleaved
+        MCU order (generator per MCU position)."""
+        hi, vi = samp[ci]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for dy in range(vi):
+                    for dx in range(hi):
+                        yield my * vi + dy, mx * hi + dx
 
-    mcus_x = w_y // mcu
-    mcus_y = h_y // mcu
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if n_comp == 1:
-                emit(0, mx, my)
-            elif two:
-                for dy in range(2):
-                    for dx in range(2):
-                        emit(0, mx * 2 + dx, my * 2 + dy)
-                emit(1, mx, my)
-                emit(2, mx, my)
-            else:
-                emit(0, mx, my)
-                emit(1, mx, my)
-                emit(2, mx, my)
-    w.flush()
-    out.extend(w.out)
-    out.extend(b"\xff\xd9")  # EOI
+    if not progressive:
+        sos_header(list(range(1, n_comp + 1)), 0, 63, 0, 0)
+        w = _BitWriter()
+        preds = [0] * n_comp
+        its = [mcu_blocks(ci) for ci in range(n_comp)]
+        for _my in range(mcus_y):
+            for _mx in range(mcus_x):
+                for ci in range(n_comp):
+                    hi, vi = samp[ci]
+                    for _ in range(hi * vi):
+                        by, bx = next(its[ci])
+                        preds[ci] = _encode_block(
+                            coefs[ci][by][bx], preds[ci], w,
+                            dc_codes, ac_codes,
+                        )
+        w.flush()
+        out.extend(w.out)
+        out.extend(b"\xff\xd9")
+        return bytes(out)
+
+    # --- progressive scan script ---
+    all_ids = list(range(1, n_comp + 1))
+
+    def dc_scan(ah: int, al: int) -> None:
+        sos_header(all_ids, 0, 0, ah, al)
+        w = _BitWriter()
+        preds = [0] * n_comp
+        its = [mcu_blocks(ci) for ci in range(n_comp)]
+        for _my in range(mcus_y):
+            for _mx in range(mcus_x):
+                for ci in range(n_comp):
+                    hi, vi = samp[ci]
+                    for _ in range(hi * vi):
+                        by, bx = next(its[ci])
+                        c = coefs[ci][by][bx]
+                        if ah == 0:
+                            preds[ci] = _encode_dc_first(
+                                c, preds[ci], al, w, dc_codes
+                            )
+                        else:
+                            w.write((c[0] >> al) & 1, 1)
+        w.flush()
+        out.extend(w.out)
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> None:
+        sos_header([ci + 1], ss, se, ah, al)
+        w = _BitWriter()
+        st = _AcScanState(w, ac_codes)
+        comp = coefs[ci]
+        for row in comp:  # raster order over the component's blocks
+            for c in row:
+                if ah == 0:
+                    _encode_ac_first(c, ss, se, al, st)
+                else:
+                    _encode_ac_refine(c, ss, se, al, st)
+        st.flush_eobrun()
+        w.flush()
+        out.extend(w.out)
+
+    dc_scan(0, 1)
+    dc_scan(1, 0)
+    bands = [(1, 5), (6, 63)]
+    for ss, se in bands:
+        for ci in range(n_comp):
+            ac_scan(ci, ss, se, 0, 2)
+    for ah, al in ((2, 1), (1, 0)):
+        for ss, se in bands:
+            for ci in range(n_comp):
+                ac_scan(ci, ss, se, ah, al)
+    out.extend(b"\xff\xd9")
     return bytes(out)
 
 
@@ -419,25 +666,125 @@ class _HuffTable:
         raise ValueError("invalid Huffman code in scan")
 
 
+def _decode_ac_refine_block(coef: list[int], ss: int, se: int, al: int,
+                            r: _BitReader, ac_t: _HuffTable,
+                            eobrun: int) -> int:
+    """One block of an AC successive-approximation refinement scan
+    (T.81 G.1.2.3 / jdphuff decode_mcu_AC_refine): already-nonzero
+    coefficients read one correction bit each as the band is walked;
+    (run,1) symbols insert newly-nonzero ±2^Al values after `run`
+    zero-HISTORY positions; EOBn starts an end-of-band run during
+    which remaining nonzero coefficients still take correction bits.
+    Returns the outstanding eobrun."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_t.decode(r)
+            run, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if run < 15:
+                    # NOTE: unlike the first-pass decode, the count
+                    # INCLUDES the current block — the tail below must
+                    # still read correction bits for its remaining
+                    # nonzero coefficients before decrementing
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.receive(run)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                newval = p1 if r.read_bit() else m1
+            # advance over `run` zero-history positions, refining
+            # nonzero coefficients passed along the way
+            while k <= se:
+                if coef[k] != 0:
+                    if r.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("AC refinement index overrun")
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if r.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Position of the next marker (the 0xFF byte) at/after pos,
+    skipping entropy padding and 0xFF fill bytes."""
+    n = len(payload)
+    while pos < n:
+        if payload[pos] == 0xFF and pos + 1 < n:
+            nxt = payload[pos + 1]
+            if nxt == 0x00:
+                pos += 2  # stuffed byte, not a marker
+                continue
+            if nxt == 0xFF:
+                pos += 1  # fill byte
+                continue
+            return pos
+        pos += 1
+    raise ValueError("missing EOI (no marker after scan)")
+
+
 def decode_jpeg(
     payload: bytes,
 ) -> tuple[int, int, int, list[list[list[int]]]]:
     """JPEG bytes → (width, height, n_components, planes), every plane
     upsampled to full width×height (2×2 replication for 4:2:0 chroma).
-    Raises ``ValueError`` on corruption or out-of-subset features."""
+    Baseline (SOF0) and progressive (SOF2) Huffman streams; raises
+    ``ValueError`` on corruption or out-of-subset features.
+
+    Decoding accumulates QUANTIZED coefficients per block across
+    scans (one scan for baseline; the full scan script for
+    progressive — DC first/refine, AC spectral bands at successive
+    approximation levels) and runs dequant+IDCT once at EOI, so both
+    paths share one transform and baseline output is bit-identical
+    to the pre-progressive implementation."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], _HuffTable] = {}
-    frame = None  # (h, w, [(cid, hi, vi, tq)])
-    scan = None  # ([(cid, td, ta)], entropy_pos)
-    while pos + 4 <= len(payload):
+    frame = None  # (h, w, [(cid, hi, vi, tq)], progressive)
+    coefs: list[list[list[list[int]]]] = []  # [ci][by][bx][64], quantized
+    dims: list[tuple[int, int]] = []  # blocks (bx_n, by_n) per component
+    mcus_x = mcus_y = 0
+    saw_eoi = False
+
+    while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill bytes before a marker (B.1.1.2)
+        if pos + 2 > len(payload):
+            raise ValueError("truncated marker")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            raise ValueError(
+                f"standalone marker FF{marker:02X} (TEM/RSTn) unsupported"
+            )
+        if pos + 4 > len(payload):
+            raise ValueError("truncated segment header")
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
         if len(body) != ln - 2:
@@ -463,7 +810,9 @@ def decode_jpeg(
                     raise ValueError("truncated DHT")
                 htabs[(tc, th)] = _HuffTable(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
             prec, h, w_, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision")
@@ -472,71 +821,108 @@ def decode_jpeg(
                 cid = body[6 + ci * 3]
                 hv = body[7 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 0xF, body[8 + ci * 3]))
-            frame = (h, w_, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+            frame = (h, w_, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            allowed = {(1, 1)}
+            if len(comps) == 3:
+                allowed = {(1, 1), (2, 2)}
+            if (hmax, vmax) not in allowed or any(
+                (c[1], c[2]) != (1, 1) for c in comps[1:]
+            ):
+                raise ValueError("only 4:4:4 / 4:2:0 sampling in subset")
+            mcu_w, mcu_h = 8 * hmax, 8 * vmax
+            if w_ % mcu_w or h % mcu_h:
+                raise ValueError("dimensions must be multiples of the MCU")
+            mcus_x, mcus_y = w_ // mcu_w, h // mcu_h
+            for cid, hi, vi, tq in comps:
+                bx_n, by_n = mcus_x * hi, mcus_y * vi
+                dims.append((bx_n, by_n))
+                coefs.append(
+                    [[[0] * 64 for _ in range(bx_n)] for _ in range(by_n)]
+                )
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"SOF{marker - 0xC0}: only baseline sequential (SOF0)"
+                f"SOF{marker - 0xC0}: only baseline (SOF0) and"
+                " progressive (SOF2) Huffman DCT"
             )
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
+        elif marker == 0xDC:
+            raise ValueError("DNL unsupported")
         elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            h, w_, comps, progressive = frame
             ns = body[0]
             scomps = []
             for ci in range(ns):
                 cid = body[1 + ci * 2]
                 tt = body[2 + ci * 2]
                 scomps.append((cid, tt >> 4, tt & 0xF))
-            scan = (scomps, pos + 2 + ln)
-            break  # entropy-coded data follows
-        # APPn / COM / others: skip
-        pos += 2 + ln
-    if frame is None or scan is None:
-        raise ValueError("missing SOF0 or SOS")
-    h, w_, comps = frame
-    scomps, epos = scan
-    if [c[0] for c in comps] != [c[0] for c in scomps]:
-        raise ValueError("scan/frame component mismatch")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    allowed = {(1, 1)}
-    if len(comps) == 3:
-        allowed = {(1, 1), (2, 2)}
-    if (hmax, vmax) not in allowed or any(
-        (c[1], c[2]) != (1, 1) for c in comps[1:]
-    ):
-        raise ValueError("only 4:4:4 / 4:2:0 sampling in subset")
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    if w_ % mcu_w or h % mcu_h:
-        raise ValueError("dimensions must be multiples of the MCU")
-    mcus_x, mcus_y = w_ // mcu_w, h // mcu_h
+            ss, se, ahl = body[1 + ns * 2 : 4 + ns * 2]
+            ah, al = ahl >> 4, ahl & 0xF
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("bad baseline scan parameters")
+            epos = pos + 2 + ln
+            cids = [c[0] for c in comps]
+            try:
+                sidx = [cids.index(sc[0]) for sc in scomps]
+            except ValueError:
+                raise ValueError("scan references unknown component")
+            r = _BitReader(payload, epos)
 
-    # per-component raw (subsampled) planes
-    raw: list[list[list[int]]] = []
-    for cid, hi, vi, tq in comps:
-        raw.append(
-            [[0] * (mcus_x * 8 * hi) for _ in range(mcus_y * 8 * vi)]
-        )
-    r = _BitReader(payload, epos)
-    preds = [0] * len(comps)
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, (cid, hi, vi, tq) in enumerate(comps):
-                td, ta = scomps[ci][1], scomps[ci][2]
-                dc_t = htabs.get((0, td))
-                ac_t = htabs.get((1, ta))
-                q = qtabs.get(tq)
-                if dc_t is None or ac_t is None or q is None:
-                    raise ValueError("scan references undefined table")
-                for dy in range(vi):
-                    for dx in range(hi):
-                        coef = [0] * 64
-                        t = dc_t.decode(r)
-                        if t > 11:
-                            raise ValueError("bad DC size category")
-                        diff = _extend(r.receive(t), t)
-                        preds[ci] += diff
-                        coef[0] = preds[ci] * q[0]
+            if ss == 0:  # DC scan (baseline full scan also enters here)
+                if se != 0 and progressive:
+                    raise ValueError("progressive DC scan must have Se=0")
+                preds = [0] * len(sidx)
+                interleaved = len(sidx) > 1
+                if interleaved:
+                    # MCU order over the scan's components
+                    order: list[tuple[int, int, int]] = []
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            for j, ci in enumerate(sidx):
+                                _, hi, vi, _ = comps[ci]
+                                for dy in range(vi):
+                                    for dx in range(hi):
+                                        order.append(
+                                            (j, my * vi + dy, mx * hi + dx)
+                                        )
+                else:
+                    ci = sidx[0]
+                    bx_n, by_n = dims[ci]
+                    order = [
+                        (0, by, bx)
+                        for by in range(by_n)
+                        for bx in range(bx_n)
+                    ]
+                for j, by, bx in order:
+                    ci = sidx[j]
+                    coef = coefs[ci][by][bx]
+                    if progressive and ah != 0:
+                        if r.read_bit():
+                            coef[0] |= 1 << al
+                        continue
+                    td = scomps[j][1]
+                    dc_t = htabs.get((0, td))
+                    if dc_t is None:
+                        raise ValueError("scan references undefined table")
+                    t = dc_t.decode(r)
+                    if t > 11:
+                        raise ValueError("bad DC size category")
+                    diff = _extend(r.receive(t), t)
+                    preds[j] += diff
+                    coef[0] = preds[j] << al
+                    if not progressive:
+                        # baseline: AC follows in the same data unit
+                        ta = scomps[j][2]
+                        ac_t = htabs.get((1, ta))
+                        if ac_t is None:
+                            raise ValueError(
+                                "scan references undefined table"
+                            )
                         k = 1
                         while k < 64:
                             rs = ac_t.decode(r)
@@ -551,15 +937,81 @@ def decode_jpeg(
                             k += run
                             if k > 63:
                                 raise ValueError("AC index overrun")
-                            coef[k] = _extend(r.receive(s), s) * q[k]
+                            coef[k] = _extend(r.receive(s), s)
                             k += 1
-                        blk = _idct_block(coef)
-                        by0 = (my * vi + dy) * 8
-                        bx0 = (mx * hi + dx) * 8
-                        plane = raw[ci]
-                        for y in range(8):
-                            row = plane[by0 + y]
-                            row[bx0 : bx0 + 8] = blk[y]
+            else:  # progressive AC scan
+                if not progressive:
+                    raise ValueError("AC band scan in baseline stream")
+                if len(sidx) != 1:
+                    raise ValueError("progressive AC scan must be"
+                                     " single-component")
+                if not (1 <= ss <= se <= 63):
+                    raise ValueError("bad spectral band")
+                ci = sidx[0]
+                ta = scomps[0][2]
+                ac_t = htabs.get((1, ta))
+                if ac_t is None:
+                    raise ValueError("scan references undefined table")
+                bx_n, by_n = dims[ci]
+                eobrun = 0
+                for by in range(by_n):
+                    for bx in range(bx_n):
+                        coef = coefs[ci][by][bx]
+                        if ah != 0:
+                            eobrun = _decode_ac_refine_block(
+                                coef, ss, se, al, r, ac_t, eobrun
+                            )
+                            continue
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = ac_t.decode(r)
+                            run, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += r.receive(run)
+                                break
+                            k += run
+                            if k > se:
+                                raise ValueError("AC index overrun")
+                            coef[k] = _extend(r.receive(s), s) << al
+                            k += 1
+            # scan decoded: resume the marker loop at the terminator
+            pos = _next_marker(payload, r.pos)
+            continue
+        # APPn / COM / others: skip
+        pos += 2 + ln
+
+    if frame is None:
+        raise ValueError("missing SOF")
+    if not coefs or not saw_eoi:
+        raise ValueError("missing SOS or EOI")
+    h, w_, comps, progressive = frame
+
+    # dequantize + IDCT every block, assemble subsampled planes
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    raw: list[list[list[int]]] = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        q = qtabs.get(tq)
+        if q is None:
+            raise ValueError("frame references undefined quant table")
+        bx_n, by_n = dims[ci]
+        plane = [[0] * (bx_n * 8) for _ in range(by_n * 8)]
+        for by in range(by_n):
+            for bx in range(bx_n):
+                c = coefs[ci][by][bx]
+                blk = _idct_block([c[i] * q[i] for i in range(64)])
+                for y in range(8):
+                    plane[by * 8 + y][bx * 8 : bx * 8 + 8] = blk[y]
+        raw.append(plane)
+
     # upsample every plane to full resolution (nearest)
     planes: list[list[list[int]]] = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):

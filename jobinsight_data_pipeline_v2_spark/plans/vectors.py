@@ -2043,12 +2043,19 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-exact and the oracle pins decoded component sums CLOSED-FORM
 # from the generation constants alone (it never sees a JPEG byte).
 # Even docs encode 4:4:4, odd docs 4:2:0 — both sampling layouts and
-# both MCU geometries run in one gate. MCU value v_c(mx,my) =
+# both MCU geometries run in one gate. doc_id % 3 == 0 docs encode
+# PROGRESSIVE (SOF2: the full scan script — DC point transform +
+# refinement, per-component spectral bands at two successive-
+# approximation levels), the rest baseline SOF0, so the progressive
+# entropy layer runs under the same closed-form oracle (progressive
+# transmission of a coefficient is lossless, flat-MCU exactness
+# carries over unchanged). MCU value v_c(mx,my) =
 # base_c + mx + 2·my with base_c = (doc_id·(c+1)) % 64 + 16: DC
 # differences exercise every sign, values stay far from the 0/255
 # clamp. The AC/run-length half of the entropy layer has no flat-block
 # coverage by construction — tests/test_jpeg.py pins it against an
-# independent numpy IDCT reference on random blocks instead.
+# independent numpy IDCT reference on random blocks (baseline ==
+# progressive pixel equality) plus hand-assembled bitstream goldens.
 # Scale shape: one narrow mapInPandas over doc_id, no shuffle.
 
 _JPEG_NX_MOD, _JPEG_NY_MOD = 3, 2  # nx = 2 + d%3 MCUs, ny = 2 + d%2
@@ -2062,12 +2069,13 @@ def _jpeg_stats_batches(it):
 
     for pdf in it:
         out = {k: [] for k in
-               ("doc_id", "width", "height", "subsampling",
+               ("doc_id", "width", "height", "subsampling", "mode",
                 "y_sum", "cb_sum", "cr_sum")}
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
             nx, ny = 2 + d % _JPEG_NX_MOD, 2 + d % _JPEG_NY_MOD
             two = d % 2 == 1
+            prog = d % 3 == 0
             mcu = 16 if two else 8
             w, h = nx * mcu, ny * mcu
             base = [(d * (c + 1)) % 64 + 16 for c in range(3)]
@@ -2084,13 +2092,16 @@ def _jpeg_stats_batches(it):
                 if two
                 else [plane(0, 8), plane(1, 8), plane(2, 8)]
             )
-            payload = encode_jpeg(planes, "420" if two else "444")
+            payload = encode_jpeg(
+                planes, "420" if two else "444", progressive=prog
+            )
             dw, dh, nc, dec = decode_jpeg(payload)
             sums = [sum(v for row in p for v in row) for p in dec]
             out["doc_id"].append(d)
             out["width"].append(dw)
             out["height"].append(dh)
             out["subsampling"].append("420" if two else "444")
+            out["mode"].append("progressive" if prog else "baseline")
             out["y_sum"].append(sums[0])
             out["cb_sum"].append(sums[1])
             out["cr_sum"].append(sums[2])
@@ -2124,6 +2135,8 @@ def _jpeg_sum_sql(c: int) -> str:
            CAST(ny * mcu AS BIGINT) AS height,
            CASE WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END
                AS subsampling,
+           CASE WHEN doc_id % 3 = 0 THEN 'progressive' ELSE 'baseline'
+               END AS mode,
            {_jpeg_sum_sql(0)} AS y_sum,
            {_jpeg_sum_sql(1)} AS cb_sum,
            {_jpeg_sum_sql(2)} AS cr_sum
@@ -2132,14 +2145,16 @@ def _jpeg_sum_sql(c: int) -> str:
     """,
 )
 def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG decode end-to-end: per document a flat-MCU
-    JPEG (4:4:4 even docs / 4:2:0 odd docs) is synthesized and decoded
+    """REAL JPEG decode end-to-end: per document a flat-MCU JPEG
+    (4:4:4 even docs / 4:2:0 odd docs; PROGRESSIVE SOF2 for doc_id %
+    3 == 0, baseline SOF0 otherwise) is synthesized and decoded
     by the stdlib codec (operators/jpeg.py) inside one Arrow-batched
     mapInPandas; the output pins decoded dimensions + per-component
     pixel sums against the oracle's closed-form recomputation (which
     never decodes — any defect in Huffman table construction, DC
-    differential decode, dequant, the IDCT, or chroma upsampling
-    breaks the hash)."""
+    differential decode, the progressive scan accumulation (point
+    transforms, EOBn runs, refinement bits), dequant, the IDCT, or
+    chroma upsampling breaks the hash)."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     schema = StructType(
@@ -2148,6 +2163,7 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("width", LongType(), False),
             StructField("height", LongType(), False),
             StructField("subsampling", StringType(), False),
+            StructField("mode", StringType(), False),
             StructField("y_sum", LongType(), False),
             StructField("cb_sum", LongType(), False),
             StructField("cr_sum", LongType(), False),
