@@ -51,15 +51,17 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
-def _list_date_partitions(spark: SparkSession, layer_path: str) -> list[str]:
-    """ingest_date values present as partition directories, sorted."""
+def _list_date_partitions(
+    spark: SparkSession, layer_path: str, part_col: str = "ingest_date"
+) -> list[str]:
+    """``part_col`` values present as partition directories, sorted."""
     fs, p = _fs(spark, layer_path)
     if not fs.exists(p):
         return []
     out = []
     for status in fs.listStatus(p):
         name = status.getPath().getName()
-        if status.isDirectory() and name.startswith("ingest_date="):
+        if status.isDirectory() and name.startswith(f"{part_col}="):
             out.append(name.split("=", 1)[1])
     return sorted(out)
 
@@ -161,10 +163,12 @@ def _partition_bytes_and_files(spark: SparkSession, path: str) -> tuple[int, int
     return total, files
 
 
-def _recover_compactions(spark: SparkSession, layer_path: str) -> list[str]:
+def _recover_compactions(
+    spark: SparkSession, layer_path: str, part_col: str = "ingest_date"
+) -> list[str]:
     """Finish or roll back swaps a crashed prior compaction left behind.
 
-    Invariant of the swap below: ``.compact_old_ingest_date=d`` exists
+    Invariant of the swap below: ``.compact_old_{part_col}=d`` exists
     only during the window between the two renames, and the new data
     (``.compact_tmp``) is always complete before that window opens. So:
     old present + partition missing → the crash hit mid-swap: restore
@@ -180,16 +184,16 @@ def _recover_compactions(spark: SparkSession, layer_path: str) -> list[str]:
     recovered = []
     for status in fs.listStatus(lp):
         name = status.getPath().getName()
-        if name.startswith(".compact_old_ingest_date="):
+        if name.startswith(f".compact_old_{part_col}="):
             d = name.split("=", 1)[1]
-            _, pp = _fs(spark, f"{layer_path}/ingest_date={d}")
+            _, pp = _fs(spark, f"{layer_path}/{part_col}={d}")
             if not fs.exists(pp):
                 if not fs.rename(status.getPath(), pp):
                     raise IOError(f"compaction recovery failed for {d}")
             else:
                 fs.delete(status.getPath(), True)
             recovered.append(d)
-        elif name.startswith(".compact_tmp_ingest_date="):
+        elif name.startswith(f".compact_tmp_{part_col}="):
             fs.delete(status.getPath(), True)
         elif name.startswith(".compact_lock_broken_"):
             # tombstone from a stale-lock break that crashed between
@@ -315,6 +319,7 @@ def compact_partitions(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
     zorder_cols: tuple[str, str] | None = None,
+    part_col: str = "ingest_date",
 ) -> dict[str, dict]:
     """Small-file compaction over a date-partitioned parquet layer.
 
@@ -365,23 +370,23 @@ def compact_partitions(
 
     lock_fs, lock, lock_token = _acquire_compact_lock(spark, layer_path)
     try:
-        _recover_compactions(spark, layer_path)
+        _recover_compactions(spark, layer_path, part_col)
         report: dict[str, dict] = {}
-        for d in _list_date_partitions(spark, layer_path):
+        for d in _list_date_partitions(spark, layer_path, part_col):
             # refresh the lock mtime between partitions so a
             # many-partition run never looks abandoned; DURING one
             # partition's rewrite the mtime cannot move, which is why
             # the stale threshold must exceed the worst
             # single-partition rewrite (see _COMPACT_LOCK_STALE_MS)
             lock_fs.setTimes(lock, int(_time.time() * 1000), -1)
-            part_path = f"{layer_path}/ingest_date={d}"
+            part_path = f"{layer_path}/{part_col}={d}"
             nbytes, nfiles = _partition_bytes_and_files(spark, part_path)
             if nfiles < min_files_to_compact or nbytes == 0:
                 continue
             if nbytes / nfiles >= target_file_bytes / 2:
                 continue  # average file already healthy
             n_out = max(1, -(-nbytes // target_file_bytes))  # ceil
-            tmp_path = f"{layer_path}/.compact_tmp_ingest_date={d}"
+            tmp_path = f"{layer_path}/.compact_tmp_{part_col}={d}"
             part_df = spark.read.parquet(part_path)
             if zorder_cols is None:
                 out_df = part_df.repartition(n_out)
@@ -395,7 +400,9 @@ def compact_partitions(
                     .drop("__ux", "__uy", "__zkey")
                 )
             out_df.write.mode("overwrite").parquet(tmp_path)
-            _swap_partition(spark, layer_path, d, tmp_path, part_path)
+            _swap_partition(
+                spark, layer_path, d, tmp_path, part_path, part_col
+            )
             _, files_after = _partition_bytes_and_files(spark, part_path)
             report[d] = {
                 "files_before": nfiles,
@@ -408,18 +415,20 @@ def compact_partitions(
 
 
 def _swap_partition(
-    spark: SparkSession, layer_path: str, d: str, tmp_path: str, part_path: str
+    spark: SparkSession, layer_path: str, d: str, tmp_path: str,
+    part_path: str, part_col: str = "ingest_date",
 ) -> None:
     """Two-rename atomic partition swap (shared by compaction and
     targeted deletion): move the live partition aside, move the
     rewritten tmp in, delete the old — every rename's return value
     checked, and a refused swap-in restores the old data before
     failing so the partition is never left hidden. Crash recovery is
-    `_recover_compactions` (both callers use the same `.compact_*`
-    naming, so a half-done swap from either replays identically)."""
+    `_recover_compactions` (all callers use the same `.compact_*`
+    naming per partition column, so a half-done swap from any of
+    them replays identically)."""
     fs, tp = _fs(spark, tmp_path)
     _, pp = _fs(spark, part_path)
-    old_path = f"{layer_path}/.compact_old_ingest_date={d}"
+    old_path = f"{layer_path}/.compact_old_{part_col}={d}"
     _, op = _fs(spark, old_path)
     if not fs.rename(pp, op):
         fs.delete(tp, True)
@@ -438,6 +447,7 @@ def delete_rows(
     layer: str,
     predicate: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    part_col: str = "ingest_date",
 ) -> dict[str, dict]:
     """Targeted row deletion (right-to-erasure / GDPR delete) over a
     date-partitioned parquet layer: rewrite ONLY the partitions that
@@ -473,11 +483,11 @@ def delete_rows(
 
     lock_fs, lock, lock_token = _acquire_compact_lock(spark, layer_path)
     try:
-        _recover_compactions(spark, layer_path)
+        _recover_compactions(spark, layer_path, part_col)
         report: dict[str, dict] = {}
-        for d in _list_date_partitions(spark, layer_path):
+        for d in _list_date_partitions(spark, layer_path, part_col):
             lock_fs.setTimes(lock, int(_time.time() * 1000), -1)
-            part_path = f"{layer_path}/ingest_date={d}"
+            part_path = f"{layer_path}/{part_col}={d}"
             nbytes, _ = _partition_bytes_and_files(spark, part_path)
             if nbytes == 0:
                 continue  # dataless dir (crashed writer debris): skip
@@ -500,11 +510,13 @@ def delete_rows(
             # remainder into compaction bait
             kept_bytes = nbytes * (n_total - n_match) // max(n_total, 1)
             n_out = max(1, -(-kept_bytes // target_file_bytes))  # ceil
-            tmp_path = f"{layer_path}/.compact_tmp_ingest_date={d}"
+            tmp_path = f"{layer_path}/.compact_tmp_{part_col}={d}"
             keep.repartition(n_out).write.mode("overwrite").parquet(
                 tmp_path
             )
-            _swap_partition(spark, layer_path, d, tmp_path, part_path)
+            _swap_partition(
+                spark, layer_path, d, tmp_path, part_path, part_col
+            )
             _, files_after = _partition_bytes_and_files(spark, part_path)
             report[d] = {
                 "rows_deleted": n_match,
