@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "point_in_time_join",  # feature-store point-in-time SCD2 join
     "ivm_monthly_rollup",  # incremental view maintenance vs recompute
     "log_histogram_quantiles",  # mergeable rank sketch, whole-hash-pinned
+    # round 9 additions
+    "avro_roundtrip",  # S19 ingest: stdlib OCF write + sync-resync read-back
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

@@ -539,6 +539,7 @@ def _jsonl_gate_dir(sf_dir: str) -> str:
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "orc"))
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "schev"))
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "xml"))
+    _GATE_DIRS_CREATED.add(d.replace("jsonl", "avro"))
     return d
 
 
@@ -752,6 +753,124 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_orc_corpus(late, out, mode="append")
     docs, quar = read_orc_docs(spark, out)
+    by_lang = docs.groupBy(
+        F.concat(F.lit("lang:"), F.col("lang")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("tchars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    by_reason = (
+        quar.groupBy(
+            F.concat(F.lit("quarantine:"), F.col("reason")).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            "n",
+            F.lit(0).cast("long").alias("tchars"),
+            F.lit(0).cast("long").alias("id_sum"),
+        )
+    )
+    return by_lang.unionByName(by_reason).orderBy("bucket")
+
+
+# Avro gate injection constants: two good lang=zz docs bracketing a
+# hand-built corrupt block (the one AFTER it proves sync-marker
+# resync recovers the file tail), two required-field-null rows for the
+# row-level quarantine path, and one junk container.
+_AVRO_GOOD_A = {"doc_id": 900000101, "text": "avro doc before bad block",
+                "lang": "zz", "source": "inj", "n_chars": 25}
+_AVRO_GOOD_B = {"doc_id": 900000102, "text": "avro doc after bad block",
+                "lang": "zz", "source": "inj", "n_chars": 24}
+_AVRO_MISSING_TEXT = {"doc_id": 900000103, "text": None, "lang": "en",
+                      "source": "inj", "n_chars": 0}
+_AVRO_MISSING_ID = {"doc_id": None, "text": "orphan avro row",
+                    "lang": "en", "source": "inj", "n_chars": 15}
+
+
+@register(
+    "avro_roundtrip",
+    """
+    SELECT 'lang:' || lang AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(len(text)) AS BIGINT) AS tchars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT 'lang:zz', CAST(2 AS BIGINT), CAST(49 AS BIGINT),
+           CAST(1800000203 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:bad_container:ValueError', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:corrupt_block', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:doc_id', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:text', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ORDER BY bucket
+    """,
+)
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → distributed Avro container export (half the files
+    deflate-coded) → injected damage → ``read_avro_docs`` →
+    aggregates: the S19 Kafka-ecosystem interchange source pinned end
+    to end against the pristine parquet table (the ``jsonl_roundtrip``
+    oracle device — DuckDB never reads the exported files).
+
+    What is pinned beyond the write/read round trip preserving every
+    row (per-lang counts, text lengths, id sums): (a) BLOCK-level
+    quarantine with sync-marker RESYNC — the injected file carries a
+    good block, a hand-built undecodable block, then another good
+    block, and both good rows must reappear while exactly one
+    corrupt_block row quarantines (losing the tail would drop the
+    second zz doc and break the lang:zz sums); (b) an unreadable
+    container (bad magic) quarantines once as bad_container;
+    (c) required-field NULLs land row-level as missing:<field>.
+    Both output frames are projections of ONE binaryFile scan +
+    one Arrow-batched decode (sources/avro_source.py).
+    """
+    import os
+
+    from ..sources.avro_source import (
+        DOC_AVRO_SCHEMA,
+        _enc_long,
+        _enc_record,
+        encode_avro_container,
+        read_avro_docs,
+        write_avro_archive,
+    )
+
+    out = _jsonl_gate_dir(sf_dir).replace("jsonl", "avro")
+    docs_src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_avro_archive(docs_src.repartition(8), out).collect()
+
+    # injected container: good block / undecodable block / good block /
+    # required-null block — hand-framed around a fixed sync marker
+    sync = b"avro-gate-sync!!"
+    head = encode_avro_container(
+        [_AVRO_GOOD_A], DOC_AVRO_SCHEMA, "null", sync=sync
+    )
+    bad_block = _enc_long(1) + _enc_long(5) + b"\xff" * 5 + sync
+    enc_b = _enc_record(DOC_AVRO_SCHEMA, _AVRO_GOOD_B)
+    block_b = _enc_long(1) + _enc_long(len(enc_b)) + enc_b + sync
+    enc_m = _enc_record(DOC_AVRO_SCHEMA, _AVRO_MISSING_TEXT) + _enc_record(
+        DOC_AVRO_SCHEMA, _AVRO_MISSING_ID
+    )
+    block_m = _enc_long(2) + _enc_long(len(enc_m)) + enc_m + sync
+    with open(os.path.join(out, "zz_injected.avro"), "wb") as f:
+        f.write(head + bad_block + block_b + block_m)
+    with open(os.path.join(out, "zz_junk.avro"), "wb") as f:
+        f.write(b"JUNK not an avro container at all")
+
+    docs, quar = read_avro_docs(spark, out)
     by_lang = docs.groupBy(
         F.concat(F.lit("lang:"), F.col("lang")).alias("bucket")
     ).agg(

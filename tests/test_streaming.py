@@ -2776,3 +2776,60 @@ def test_extract_stream_equals_batch(spark, tmp_path):
     assert len(rows) == 4
     assert all(r.n_blocks_kept == 1 and r.text.startswith("w") 
                for r in rows.values())
+
+
+def test_streaming_avro_equals_batch(spark, tmp_path):
+    """Avro corpus-drop stream (twin 40): typed docs AND quarantine
+    streamed out of newly landed containers equal the batch reader's
+    split exactly, one file per micro-batch — including a corrupt
+    middle block whose tail RESYNCS (the shared _partition_containers
+    decode, so batch == stream row for row)."""
+    from jobinsight_data_pipeline_v2_spark.sources.avro_source import (
+        DOC_AVRO_SCHEMA,
+        encode_avro_container,
+        read_avro_docs,
+        read_avro_stream,
+    )
+
+    land = os.path.join(str(tmp_path), "avro_landing")
+    os.makedirs(land)
+
+    def mk(i, text, lang="en"):
+        return {"doc_id": i, "text": text, "lang": lang, "source": "s",
+                "n_chars": len(text) if text else 0}
+
+    drops = [
+        [mk(1, "hello world"), mk(2, "xin chao", "vi")],
+        [mk(3, None), {"doc_id": None, "text": "no id", "lang": "en",
+                       "source": "s", "n_chars": 5}],
+        [mk(4, "third drop", "de"), mk(5, "fifth doc")],
+    ]
+    sync = b"stream-avro-sync"
+    for i, rows in enumerate(drops):
+        codec = "deflate" if i % 2 else "null"
+        data = bytearray(
+            encode_avro_container(rows, DOC_AVRO_SCHEMA, codec,
+                                  rows_per_block=1, sync=sync)
+        )
+        if i == 2:
+            # flip the FIRST data block's first payload byte (header
+            # sync + 16, then 1-byte count + 1-byte size varints):
+            # doc 4 quarantines as corrupt_block, doc 5 resyncs back
+            data[data.index(sync) + 18] ^= 0xFF
+        with open(os.path.join(land, f"drop_{i}.avro"), "wb") as f:
+            f.write(bytes(data))
+
+    docs_s, quar_s = read_avro_stream(spark, land, max_files_per_trigger=1)
+    q1 = run_stream_to_memory(spark, docs_s, "avro_docs_stream")
+    q2 = run_stream_to_memory(spark, quar_s, "avro_quar_stream")
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    got_docs = spark.sql("SELECT * FROM avro_docs_stream")
+    got_quar = spark.sql("SELECT * FROM avro_quar_stream")
+    exp_docs, exp_quar = read_avro_docs(spark, land)
+    for got, exp in ((got_docs, exp_docs), (got_quar, exp_quar)):
+        sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
+        assert sym == 0
+    assert got_quar.count() >= 3  # 2 row-level + >=1 corrupt block
+    reasons = {r["reason"] for r in got_quar.collect()}
+    assert reasons == {"missing:text", "missing:doc_id", "corrupt_block"}
