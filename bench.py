@@ -171,6 +171,13 @@ BENCH_QUERIES = [
     "log_histogram_quantiles",  # mergeable rank sketch, whole-hash-pinned
     # round 9 additions
     "avro_roundtrip",  # S19 ingest: stdlib OCF write + sync-resync read-back
+    # opq_rotation_mips is deliberately NOT benched: the dispatch is
+    # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
+    # one checkpointed job per iteration) plus two error jobs, i.e.
+    # ~25 fixed-overhead Spark jobs on vocab-sized frames at ANY sf
+    # (the pagerank/mmr rationale); its serving-path delta is ONE
+    # narrow rotation projection on the PQ serving scan that
+    # pq_adc_serve already times.
     # mmr_topk is deliberately NOT benched: like pagerank_doc_graph its
     # cost is K rounds of fixed per-round job overhead on candidate-
     # sized frames (~10s wall at ANY sf — scheduling, not data); the

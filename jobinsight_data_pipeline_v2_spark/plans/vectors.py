@@ -1107,6 +1107,176 @@ def ivfpq_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OPQ rotation readiness (VERDICT r8 ask #4): structured embeddings +
+# the measured rotation dispatch (operators/rotation.py)
+# ---------------------------------------------------------------------------
+#
+# The testdata embeddings are iid across dims, where an orthogonal
+# rotation provably cannot help PQ (error ratio ≈ 1 — the r6 open-ideas
+# note). This gate synthesizes a STRUCTURED table in-plan — a decaying
+# variance ramp, component scale 2^(block index), the eigenvalue-
+# spectrum shape OPQ exists for — and pins both halves of the dispatch:
+#
+#   (a) rotation_helps: opq_train_dispatch trains plain AND rotated
+#       codebooks and compares exact integer quantization errors
+#       (rotated lives at scale² = 8, so the test is
+#       err_rot < 8·err_plain); on the ramp the measured ratio is
+#       ~0.25 at every SF, so the flag is robustly TRUE and the oracle
+#       pins it as a constant. (The property tests pin the other two
+#       shapes: iid ≈ no-op, one-outlier-per-block → rotation LOSES
+#       and the dispatch must keep plain.)
+#   (b) the refine=all ceiling stays bit-exact THROUGH the rotation:
+#       the emitted top-5 per query flows corpus→rotate→pq_encode→ADC
+#       shortlist (uncut)→integer-dot re-rank in ROTATED space, and
+#       dot(R x, R y) = 8·dot(x, y) exactly, so `score = dot_rot div 8`
+#       must equal the oracle's PLAIN-space integer MIPS dot, ties and
+#       all. Any non-orthogonality, scale slip, or row loss in the
+#       rotated pipeline breaks the hash.
+#
+# Integer headroom: ramp components ≤ round(.35·1e3)·2^7 ≈ 4.5e4,
+# rotated ≤ 8× — dots ≤ 64·(3.6e5)² ≈ 8.3e15 < 2^63 (rerank accumulates
+# in LONG); per-row quantization error ≤ 3.3e13 (exact in the double
+# dot), corpus sums in BIGINT (≤ ~1.7e18 at sf0.1).
+
+_OPQ_QMOD = 1000          # queries: vec_id % _OPQ_QMOD == _OPQ_QSEL
+_OPQ_QSEL = 7
+_OPQ_TOPK = 5
+
+
+def _ramp_vec_spark() -> str:
+    b = "cast(round(cast(x as double) * 1000.0) as bigint)"
+    parts = [
+        f"transform(slice(embedding, {blk * 8 + 1}, 8), x -> ({b}) * {1 << blk}L)"
+        for blk in range(8)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _ramp_vec_sql() -> str:
+    b = "CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)"
+    parts = [
+        f"list_transform(embedding[{blk * 8 + 1}:{blk * 8 + 8}],"
+        f" x -> ({b}) * {1 << blk})"
+        for blk in range(8)
+    ]
+    return " || ".join(parts)
+
+
+@register(
+    "opq_rotation_mips",
+    f"""
+    WITH s AS (
+        SELECT vec_id, {_ramp_vec_sql()} AS sv FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, sv AS qv FROM s
+        WHERE vec_id % {_OPQ_QMOD} = {_OPQ_QSEL}
+    ),
+    scored AS (
+        SELECT q.query_id, s.vec_id,
+               CAST({_sql_dot('s.sv', 'q.qv')} AS BIGINT) AS score
+        FROM s, q
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score,
+           TRUE AS rotation_helps
+    FROM ranked
+    WHERE rank <= {_OPQ_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def opq_rotation_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ rotation dispatch over ramp-structured embeddings: exact
+    integer MIPS top-{_OPQ_TOPK} per query served THROUGH the rotated
+    PQ pipeline at the refine=all ceiling (scores re-based to plain
+    space by the exact ÷8), plus the measured rotation_helps flag
+    (rotated quantization error < 8 × plain — the OPQ objective,
+    all-integer). See the block comment above for the full device."""
+    from ..operators.rotation import (
+        hadamard_rotate,
+        opq_train_dispatch,
+    )
+    from ..operators.similarity import (
+        _pq_dims,
+        pq_adc_scores,
+        pq_encode,
+        pq_query_luts,
+    )
+    from pyspark.sql.window import Window
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id", F.expr(_ramp_vec_spark()).alias("sv")
+    ).localCheckpoint(eager=False)
+
+    disp = opq_train_dispatch(
+        base, n_sub=8, codes=16, vec_col="sv", id_col="vec_id"
+    )
+    cb = disp["cb"].localCheckpoint(eager=False)
+    dims = _pq_dims(cb)
+
+    # the serving path runs in the winning space — on this corpus the
+    # dispatch picks ROTATED (the flag the oracle pins), so corpus and
+    # queries rotate with the dispatch's (block, seed)
+    space = (
+        hadamard_rotate(base, "sv", None, 64, disp["block"], disp["seed"])
+        if disp["rotated"]
+        else base
+    ).localCheckpoint(eager=False)
+    queries = space.filter(
+        F.col("vec_id") % _OPQ_QMOD == _OPQ_QSEL
+    ).select(F.col("vec_id").alias("query_id"), F.col("sv").alias("qv"))
+
+    coded = pq_encode(space, cb, "sv", "vec_id", dims=dims).localCheckpoint(
+        eager=False
+    )
+    luts = pq_query_luts(queries, cb, "qv", dims=dims)
+    # refine = ALL: the ADC shortlist is kept uncut, then re-ranked by
+    # the exact integer dot in rotated space — the exactness ceiling
+    shortlist = pq_adc_scores(coded, luts, dims).select("query_id", "id")
+    rer = (
+        shortlist.join(
+            space.select(F.col("vec_id").alias("id"), F.col("sv").alias("cv")),
+            "id",
+        )
+        .join(
+            F.broadcast(queries.select("query_id", "qv")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "aggregate(zip_with(cv, qv, (x, y) -> x * y), 0L,"
+                " (acc, v) -> acc + v)"
+            ).alias("__dot_rot"),
+        )
+    )
+    scale = disp["block"] if disp["rotated"] else 1
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__dot_rot"), F.col("vec_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _OPQ_TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            F.expr(f"__dot_rot div {scale}").alias("score"),
+            F.lit(bool(disp["rotated"])).alias("rotation_helps"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # train/serve split for the bench (VERDICT r4 #3): the pq/ivf GATES
 # deliberately include quantizer training so the oracle pins the whole
 # pipeline, but a user's steady-state cost is the serving scan against
