@@ -309,27 +309,42 @@ def main() -> None:
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = sum(timings.values())
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # index-build (train + materialize) seconds paid
-                # OUTSIDE the timed serving rows above — the gate rows
-                # (pq_topk_rerank, ivf_topk_learned) still measure the
-                # full train+serve pipeline end-to-end
-                "serving_index_build": train_secs,
-                # methodology note: since round 2 queries drain through
-                # the noop sink (full plan: sorts, windows, every
-                # column). Round-1 numbers used count(), which let
-                # Catalyst prune work — not directly comparable.
-                "drain": "noop-full-plan",
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # index-build (train + materialize) seconds paid
+        # OUTSIDE the timed serving rows above — the gate rows
+        # (pq_topk_rerank, ivf_topk_learned) still measure the
+        # full train+serve pipeline end-to-end
+        "serving_index_build": train_secs,
+        # methodology note: since round 2 queries drain through
+        # the noop sink (full plan: sorts, windows, every
+        # column). Round-1 numbers used count(), which let
+        # Catalyst prune work — not directly comparable.
+        "drain": "noop-full-plan",
+    }
+    print(json.dumps(payload))
+    # Also persist the FULL per-query JSON next to the repo (VERDICT
+    # r8 ask #5): the driver stores only a truncated stdout tail (and
+    # its parse has recorded null since r7), so round-over-round
+    # like-for-like comparisons need a stable, committed artifact.
+    # Row counts ride along — a timing delta with a row-count delta is
+    # data, not regression.
+    try:
+        local = dict(payload)
+        local["row_counts"] = row_counts
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(local, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"# BENCH_LOCAL.json not written: {e}", file=sys.stderr)
     spark.stop()
 
 

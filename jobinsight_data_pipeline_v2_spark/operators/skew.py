@@ -147,10 +147,12 @@ def selective_salted_join(
     hot_keys: DataFrame,
     n_salts: int = 16,
     how: str = "inner",
+    hot_key_col: str = "key",
 ) -> DataFrame:
     """Skew-safe equi-join that spends the replication budget ONLY on
-    detected hot keys (``detect_hot_keys`` output, or any (key, …)
-    frame): skewed rows on a hot key spread over ``n_salts`` join
+    detected hot keys (``detect_hot_keys`` output — whose key column
+    is named ``key`` — or any frame, with ``hot_key_col`` naming its
+    key column; ADVICE r8): skewed rows on a hot key spread over ``n_salts`` join
     partitions, small-side rows on a hot key replicate ``n_salts``×,
     and the cold long tail joins exactly as an unsalted shuffle join
     — its shuffle volume is unchanged (salt 0 both sides), no
@@ -171,8 +173,14 @@ def selective_salted_join(
             f"selective_salted_join: how={how!r} would duplicate "
             f"unmatched small-side rows; allowed: {_SALTABLE_JOINS}"
         )
+    if hot_key_col not in hot_keys.columns:
+        raise ValueError(
+            f"selective_salted_join: hot_keys frame has no column "
+            f"{hot_key_col!r} (columns: {hot_keys.columns}); pass "
+            "hot_key_col= for a differently-named key column"
+        )
     hot = F.broadcast(
-        hot_keys.select(F.col("key").alias(key)).withColumn(
+        hot_keys.select(F.col(hot_key_col).alias(key)).withColumn(
             "__hot", F.lit(1)
         )
     )

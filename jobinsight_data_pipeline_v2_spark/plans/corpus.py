@@ -2913,14 +2913,19 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the closed-form oracle diverge on data, not code. Enforce
     # the precondition in-plan (review r8) — a future testdata vocab
     # with '<'/'&'/'>' fails loudly instead of hash-mismatching.
+    # NULL-aware predicate (ADVICE r8): rlike(NULL) is NULL and
+    # assert_true treats non-true as failure — without the IS NOT NULL
+    # conjunct a corpus with NULL text would fail with the misleading
+    # metacharacter message instead of naming the actual violation.
     guard = F.coalesce(
         F.assert_true(
-            ~F.col("text").rlike("[<>&]"),
+            F.col("text").isNotNull() & ~F.col("text").rlike("[<>&]"),
             F.lit(
-                "html_main_content: document text contains an HTML "
-                "metacharacter — the unescaped page synthesis would "
-                "diverge from the closed-form oracle; entity-escape "
-                "the body build before re-enabling this corpus"
+                "html_main_content: document text is NULL or contains "
+                "an HTML metacharacter — the unescaped page synthesis "
+                "would diverge from the closed-form oracle; drop NULL "
+                "docs / entity-escape the body build before re-enabling "
+                "this corpus"
             ),
         ).cast("string"),
         F.lit(""),

@@ -277,22 +277,38 @@ class Generator:
     # --- query shapes -------------------------------------------------------
 
     def _from_clause(self) -> tuple[str, list[tuple[str, str, str]], str]:
-        """Random FROM with 0-2 join hops; (sql, usable cols, base)."""
+        """Random FROM over the join graph: chains (lineitem→orders→
+        customer→nation→region), STAR fan-outs (a fact joined to
+        several of its dims at once — the BI shape, r8 ask #6), and
+        mixtures of both, each hop independently INNER or LEFT (LEFT
+        exercises the null-introducing path: 3-valued predicates, null
+        group keys, null-skipping aggregates). A table joins at most
+        once (nation is reachable via customer AND supplier — a repeat
+        would need aliases). Returns (sql, usable cols, base)."""
         t = self.rng.choice(list(TABLES))
         sql = t
         cols = [(t, c, k) for c, k in TABLES[t].items()]
-        cur = t
-        for _ in range(self.rng.randrange(3)):
-            hops = JOINS.get(cur)
+        joined = {t}
+        frontier = [t]
+        while frontier:
+            cur = frontier.pop(0)
+            hops = [h for h in JOINS.get(cur, []) if h[0] not in joined]
             if not hops:
-                break
-            dim, fk, dk = self.rng.choice(hops)
-            # LEFT joins exercise the null-introducing path (3-valued
-            # predicates, null group keys, null-skipping aggregates)
-            jt = "LEFT JOIN" if self.rng.random() < 0.3 else "JOIN"
-            sql += f" {jt} {dim} ON {fk} = {dk}"
-            cols += [(dim, c, k) for c, k in TABLES[dim].items()]
-            cur = dim
+                continue
+            if cur == t and len(hops) >= 2 and self.rng.random() < 0.35:
+                picks = self.rng.sample(
+                    hops, self.rng.randrange(2, len(hops) + 1)
+                )
+            elif self.rng.random() < 0.55:
+                picks = [self.rng.choice(hops)]
+            else:
+                picks = []
+            for dim, fk, dk in picks:
+                jt = "LEFT JOIN" if self.rng.random() < 0.3 else "JOIN"
+                sql += f" {jt} {dim} ON {fk} = {dk}"
+                cols += [(dim, c, k) for c, k in TABLES[dim].items()]
+                joined.add(dim)
+                frontier.append(dim)
         return sql, cols, t
 
     def _in_subquery(self, base: str) -> str | None:
@@ -403,7 +419,57 @@ class Generator:
                 f"SELECT {', '.join(e.s() for e in aggs)} FROM {frm}{sw}",
                 f"SELECT {', '.join(e.d() for e in aggs)} FROM {frm}{dw}",
             )
-        if shape < 0.46:  # LATERAL explode / UNNEST over token arrays
+        if shape < 0.5:  # FROM-clause derived table (LIMIT + total order)
+            # the other BI-tool shape (r8 ask #6): an inner top-k over
+            # a unique-pk table — ORDER BY (ocol NULLS FIRST, pk) is a
+            # TOTAL order, so the LIMIT k row SET is deterministic —
+            # then joins/aggregates composed on top of the derived
+            # table. SELECT * keeps original column names visible, so
+            # outer predicates/aggregates reuse the shared helpers.
+            t = self.rng.choice(list(UNIQUE_PK))
+            pk = UNIQUE_PK[t]
+            tcols = [(t, c, k) for c, k in TABLES[t].items()]
+            _, ocol, _ = self.rng.choice(tcols)
+            sw_i, dw_i = self._where(tcols)
+            lim = self.rng.randrange(5, 200)
+            inner = (f" ORDER BY {ocol} NULLS FIRST, {pk} LIMIT {lim})"
+                     " dt")
+            dt_s = f"(SELECT * FROM {t}{sw_i}{inner}"
+            dt_d = f"(SELECT * FROM {t}{dw_i}{inner}"
+            cols2 = list(tcols)
+            join_sql = ""
+            hops = JOINS.get(t, [])
+            if hops and self.rng.random() < 0.6:
+                dim, fk, dk = self.rng.choice(hops)
+                jt = "LEFT JOIN" if self.rng.random() < 0.3 else "JOIN"
+                join_sql = f" {jt} {dim} ON {fk} = {dk}"
+                cols2 += [(dim, c, k) for c, k in TABLES[dim].items()]
+            so, do = self._where(cols2)
+            aggs = [self._agg(cols2, i)
+                    for i in range(self.rng.randrange(1, 3))]
+            if self.rng.random() < 0.5:  # global aggregate over dt⋈dim
+                return (
+                    f"SELECT {', '.join(e.s() for e in aggs)} "
+                    f"FROM {dt_s}{join_sql}{so}",
+                    f"SELECT {', '.join(e.d() for e in aggs)} "
+                    f"FROM {dt_d}{join_sql}{do}",
+                )
+            _, gc_, gk = self.rng.choice(cols2)
+            key = self._group_exprs(gc_, gk, "g0")
+            order = ""
+            if self.rng.random() < 0.5:
+                by = [a.alias + " DESC NULLS LAST" for a in aggs] + [
+                    "g0 NULLS FIRST"
+                ]
+                order = (f" ORDER BY {', '.join(by)} "
+                         f"LIMIT {self.rng.randrange(1, 20)}")
+            return (
+                f"SELECT {key.s()}, {', '.join(e.s() for e in aggs)} "
+                f"FROM {dt_s}{join_sql}{so} GROUP BY {key.spark}{order}",
+                f"SELECT {key.d()}, {', '.join(e.d() for e in aggs)} "
+                f"FROM {dt_d}{join_sql}{do} GROUP BY {key.duck}{order}",
+            )
+        if shape < 0.56:  # LATERAL explode / UNNEST over token arrays
             # Spark: LATERAL VIEW explode(...); DuckDB: unnest(...) in
             # an inner projection — same rowset (one row per non-empty
             # whitespace token), grouped by token. Preds mix doc-level
