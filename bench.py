@@ -210,6 +210,14 @@ SERVING_BENCH = {
     # r8: unigram Viterbi encode with a frozen piece vocabulary (the
     # gate row is train-heavy by the same design as bpe's)
     "unigram_encode_serve": ("text", "build_unigram_encode_serving"),
+    # r9: WordPiece greedy-longest-match encode with a frozen vocab.
+    # The wordpiece_encode_roundtrip GATE row is deliberately not in
+    # BENCH_QUERIES: its cost is the 24-round likelihood-rescored
+    # training loop — ~50 driver-collected jobs over the Heaps-bounded
+    # word dictionary, CONSTANT in sf (the pagerank fixed-overhead
+    # rationale; likelihood rescoring forbids bpe-style merge
+    # batching) — while the corpus-scale half is exactly this row.
+    "wordpiece_encode_serve": ("text", "build_wordpiece_encode_serving"),
 }
 
 

@@ -1952,6 +1952,92 @@ def build_unigram_encode_serving(spark: SparkSession, sf_dir: str):
     return thunk
 
 
+_WP_MERGES = 24
+
+
+@register(
+    "wordpiece_encode_roundtrip",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+           md5(list_aggregate({_SQL_TOKENS}, 'string_agg', ' '))
+               AS recon_md5
+    FROM documents
+    WHERE len({_SQL_TOKENS}) > 0
+    ORDER BY doc_id
+    """,
+)
+def wordpiece_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a WordPiece vocabulary on the doc_id%4==0 quarter
+    ({_WP_MERGES} likelihood-ranked merges, exact integer
+    cross-multiplied ratios — operators/wordpiece.py, the THIRD
+    tokenizer family), greedy-longest-match encode the WHOLE corpus
+    fully in-row (vocab compiled as a map literal; zero shuffle), and
+    prove the encode loss-free per document: word boundaries recover
+    from the ##-continuation convention (a bare piece starts a word),
+    so stripping ## and re-spacing reconstructs the exact token
+    stream, hash-matched against the pristine text (the bpe/unigram
+    roundtrip device). An [UNK] anywhere would break the hash — the
+    gate corpus alphabet is covered by construction; the UNK path is
+    unit-tested. What the hash does NOT pin is greedy-match choice;
+    tests pin that against a pure-Python reference."""
+    from ..operators.wordpiece import wordpiece_encode, wordpiece_train
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = wordpiece_train(
+        docs.filter(F.col("doc_id") % 4 == 0).select("text"),
+        n_merges=_WP_MERGES,
+    )
+    symbols = docs.select(
+        F.col("doc_id").alias("id"), F.expr(_TOKENS).alias("s")
+    ).filter(F.size("s") > 0)
+    enc = wordpiece_encode(symbols, vocab)
+    recon = F.expr(
+        "trim(concat_ws('', transform(pieces, p -> "
+        "if(startswith(p, '##'), substr(p, 3), concat(' ', p)))))"
+    )
+    return (
+        enc.select("id", recon.alias("recon"))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.size(F.split("recon", " ")).cast("long").alias("n_tok"),
+            F.md5(F.col("recon").cast("binary")).alias("recon_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def build_wordpiece_encode_serving(spark: SparkSession, sf_dir: str):
+    """bench.py SERVING_BENCH builder (the bpe/unigram pattern): train
+    the WordPiece vocabulary outside the timer, return a thunk
+    building the encode-everything projection with the FROZEN
+    vocabulary."""
+    from ..operators.wordpiece import wordpiece_encode, wordpiece_train
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = wordpiece_train(
+        docs.filter(F.col("doc_id") % 4 == 0).select("text"),
+        n_merges=_WP_MERGES,
+    )
+    symbols = docs.select(
+        F.col("doc_id").alias("id"), F.expr(_TOKENS).alias("s")
+    ).filter(F.size("s") > 0)
+
+    def thunk() -> DataFrame:
+        enc = wordpiece_encode(symbols, vocab)
+        recon = F.expr(
+            "trim(concat_ws('', transform(pieces, p -> "
+            "if(startswith(p, '##'), substr(p, 3), concat(' ', p)))))"
+        )
+        return enc.select(
+            F.col("id").alias("doc_id"),
+            F.size(F.split(recon, " ")).cast("long").alias("n_tok"),
+            F.md5(recon.cast("binary")).alias("recon_md5"),
+        ).orderBy("doc_id")
+
+    return thunk
+
+
 # ---------------------------------------------------------------------------
 # integer-exact PageRank over a synthesized citation graph
 # ---------------------------------------------------------------------------
