@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "log_histogram_quantiles",  # mergeable rank sketch, whole-hash-pinned
     # round 9 additions
     "avro_roundtrip",  # S19 ingest: stdlib OCF write + sync-resync read-back
+    "skipgram_pairs",  # word2vec (center, context) data-prep pass
+    "table_profile",  # ANALYZE-style column stats, one scan + Expand
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

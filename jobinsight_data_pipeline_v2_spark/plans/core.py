@@ -2171,3 +2171,91 @@ def log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.select(
         "status", "bucket", "cnt", "cum", *flags
     ).orderBy("status", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# table profiling (ANALYZE TABLE-style column statistics): the
+# data-quality / CBO-stats collection pass every warehouse runs after
+# ingest. ONE scan computes per-column null counts, exact distinct
+# counts, and min/max (rendered to strings so heterogeneous columns
+# share a schema: ints via CAST, dates via the ISO device), then the
+# one-row aggregate explodes into one row per column. Exact
+# COUNT(DISTINCT x) per column makes Spark plan an Expand (input ×
+# n_columns before partial aggregation) — correct for the gate's
+# exactness pin; the 100 TB production variant swaps in
+# approx_count_distinct / the mergeable HLL artifact
+# (hll_distinct_bounds) column-for-column, same output shape.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_orderdate", "date"),
+]
+
+
+def _profile_oracle_sql() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "date":
+            mn = f"strftime(MIN({c}), '%Y-%m-%d')"
+            mx = f"strftime(MAX({c}), '%Y-%m-%d')"
+        else:
+            mn = f"CAST(MIN({c}) AS VARCHAR)"
+            mx = f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_s, {mx} AS max_s FROM orders"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@register("table_profile", _profile_oracle_sql())
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profile of the orders table in ONE scan:
+    (col_name, n_rows, n_nulls, n_distinct, min_s, max_s) per profiled
+    column — the ANALYZE-TABLE pass (see the block comment for the
+    exact-vs-HLL scale tradeoff)."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"__nd_{c}"))
+        if kind == "date":
+            aggs.append(
+                F.date_format(F.min(c), "yyyy-MM-dd").alias(f"__mn_{c}")
+            )
+            aggs.append(
+                F.date_format(F.max(c), "yyyy-MM-dd").alias(f"__mx_{c}")
+            )
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"__mn_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"__mx_{c}"))
+    one = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_s"),
+                F.col(f"__mx_{c}").alias("max_s"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    )

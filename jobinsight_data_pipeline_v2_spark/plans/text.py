@@ -1952,6 +1952,71 @@ def build_unigram_encode_serving(spark: SparkSession, sf_dir: str):
     return thunk
 
 
+# ---------------------------------------------------------------------------
+# skip-gram training pairs (word2vec / fastText data prep): for every
+# center token, its contexts within ±window — the (center, context)
+# multiset an embedding trainer consumes. Fully in-row pair
+# construction (positions × clamped window, center excluded) → explode
+# → ONE map-side-combined count; no window function, no self-join, no
+# shuffle before the count. Top-k under a total order (n desc, center,
+# context). Scale shape: output rows ≤ 2·window·corpus_tokens,
+# counting collapses to vocab² keys map-side — the classic word2vec
+# data-prep pass.
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 3
+_SG_TOPK = 60
+
+
+@register(
+    "skipgram_pairs",
+    f"""
+    WITH t AS (
+        SELECT {_SQL_TOKENS} AS toks FROM documents
+    ),
+    pos AS (
+        SELECT toks, unnest(generate_series(1, len(toks))) AS i FROM t
+    ),
+    pairs AS (
+        SELECT toks[i] AS center, toks[j.j] AS context
+        FROM pos,
+             unnest(generate_series(greatest(1, i - {_SG_WINDOW}),
+                                    least(len(toks), i + {_SG_WINDOW})))
+                 AS j(j)
+        WHERE j.j != i
+    )
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY center, context
+    ORDER BY n DESC, center, context
+    LIMIT {_SG_TOPK}
+    """,
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts within ±{_SG_WINDOW}
+    tokens — word2vec's training-data pass. Pairs build IN-ROW (one
+    nested transform over positions with a clamped window slice, the
+    center excluded), explode once, and collapse in ONE
+    map-side-combined count; top-{_SG_TOPK} under a total order."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs_expr = (
+        f"flatten(transform(sequence(1, size(toks)), i -> "
+        f"transform(filter(sequence(greatest(1, i - {_SG_WINDOW}), "
+        f"least(size(toks), i + {_SG_WINDOW})), j -> j != i), "
+        f"j -> struct(element_at(toks, i) AS center, "
+        f"element_at(toks, j) AS context))))"
+    )
+    return (
+        docs.select(F.expr(_TOKENS).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .groupBy("p.center", "p.context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "center", "context")
+        .limit(_SG_TOPK)
+    )
+
+
 _WP_MERGES = 24
 
 
