@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "avro_roundtrip",  # S19 ingest: stdlib OCF write + sync-resync read-back
     "skipgram_pairs",  # word2vec (center, context) data-prep pass
     "table_profile",  # ANALYZE-style column stats, one scan + Expand
+    "semantic_decontaminate",  # embedding-sim eval scrub, exact int cosine
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -1560,6 +1560,127 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# semantic decontamination (embedding-similarity eval-set scrub): the
+# modern counterpart of the n-gram/Bloom/span decon family — drop any
+# training doc whose EMBEDDING is near an eval-set vector (paraphrased
+# contamination that token overlap misses; the phi/SemDeDup-style
+# pipeline step). Benchmark = the vec_id % 997 == 7 slice (eval sets
+# are small — it BROADCASTS); corpus scans ONCE against it, per-pair
+# cosine >= τ tested as an EXACT integer predicate:
+#     dot > 0  AND  100·dot² >= 81·‖a‖²·‖b‖²      (τ = 0.9)
+# with the squares in DECIMAL(38,0) / HUGEINT (dot ≤ ~8e12 on the
+# quantized vectors, so dot² ≈ 6e25 needs the wide type; no float
+# compare anywhere). This corpus is iid (max natural cosine ~0.6), so
+# contamination is synthesized IN-PLAN on the corpus side: an exact
+# clone (+_DECON_OFF_1) and a +300-per-dim near-clone (+_DECON_OFF_2)
+# of every benchmark vector — both must flag, everything else must
+# not, and the oracle recomputes every pair. Scale shape: broadcast
+# join + map-side-combined per-doc count; the production variant
+# replaces brute force with the IVF/PQ probe for the shortlist and
+# this exact predicate as the verifier.
+# ---------------------------------------------------------------------------
+
+_DECON_MOD, _DECON_SEL = 997, 7
+_DECON_OFF_1, _DECON_OFF_2 = 2_000_000, 3_000_000
+_DECON_PERT = 300
+
+
+@register(
+    "semantic_decontaminate",
+    f"""
+    WITH base AS (
+        SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings
+    ),
+    bench AS (
+        SELECT vec_id AS bid, qv AS bqv,
+               {_sql_dot('qv', 'qv')} AS n2b
+        FROM base WHERE vec_id % {_DECON_MOD} = {_DECON_SEL}
+    ),
+    corpus AS (
+        SELECT vec_id, qv FROM base
+        WHERE vec_id % {_DECON_MOD} != {_DECON_SEL}
+        UNION ALL
+        SELECT vec_id + {_DECON_OFF_1}, qv FROM base
+        WHERE vec_id % {_DECON_MOD} = {_DECON_SEL}
+        UNION ALL
+        SELECT vec_id + {_DECON_OFF_2},
+               list_transform(qv, x -> x + {_DECON_PERT})
+        FROM base WHERE vec_id % {_DECON_MOD} = {_DECON_SEL}
+    ),
+    scored AS (
+        SELECT c.vec_id,
+               SUM(CASE WHEN {_sql_dot('c.qv', 'b.bqv')} > 0
+                         AND 100 * CAST({_sql_dot('c.qv', 'b.bqv')}
+                                        AS HUGEINT)
+                               * CAST({_sql_dot('c.qv', 'b.bqv')}
+                                      AS HUGEINT)
+                             >= 81 * CAST({_sql_dot('c.qv', 'c.qv')}
+                                          AS HUGEINT) * b.n2b
+                    THEN 1 ELSE 0 END) AS n_hits
+        FROM corpus c CROSS JOIN bench b
+        GROUP BY c.vec_id
+    )
+    SELECT vec_id, (n_hits > 0) AS contaminated,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM scored
+    ORDER BY vec_id
+    """,
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training doc: does its embedding sit within cosine 0.9 of
+    ANY eval-set vector (see block comment)? Output = every corpus row
+    with its contamination flag + hit count — the kept set is pinned
+    as hard as the dropped set."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = emb.select("vec_id", F.expr(_QVEC).alias("qv"))
+    is_bench = F.col("vec_id") % _DECON_MOD == _DECON_SEL
+    bench = base.filter(is_bench).select(
+        F.col("vec_id").alias("bid"),
+        F.col("qv").alias("bqv"),
+        _dot("qv", "qv").alias("n2b"),
+    )
+    corpus = (
+        base.filter(~is_bench)
+        .unionByName(
+            base.filter(is_bench).select(
+                (F.col("vec_id") + _DECON_OFF_1).alias("vec_id"), "qv"
+            )
+        )
+        .unionByName(
+            base.filter(is_bench).select(
+                (F.col("vec_id") + _DECON_OFF_2).alias("vec_id"),
+                F.expr(f"transform(qv, x -> x + {_DECON_PERT})").alias(
+                    "qv"
+                ),
+            )
+        )
+    )
+    pair_dot = _dot("qv", "bqv")
+    hit = (
+        (pair_dot > 0)
+        & (
+            F.lit(100).cast("decimal(38,0)")
+            * pair_dot.cast("decimal(38,0)")
+            * pair_dot.cast("decimal(38,0)")
+            >= F.lit(81).cast("decimal(38,0)")
+            * _dot("qv", "qv").cast("decimal(38,0)")
+            * F.col("n2b").cast("decimal(38,0)")
+        )
+    ).cast("int")
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .groupBy("vec_id")
+        .agg(F.sum(hit).alias("__h"))
+        .select(
+            "vec_id",
+            (F.col("__h") > 0).alias("contaminated"),
+            F.col("__h").cast("long").alias("n_hits"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SRP (signed-random-projection / hyperplane) LSH near-dup pairs
 # ---------------------------------------------------------------------------
 # The oracle-gated face of the hyperplane-LSH family

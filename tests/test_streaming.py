@@ -2833,3 +2833,65 @@ def test_streaming_avro_equals_batch(spark, tmp_path):
     assert got_quar.count() >= 3  # 2 row-level + >=1 corrupt block
     reasons = {r["reason"] for r in got_quar.collect()}
     assert reasons == {"missing:text", "missing:doc_id", "corrupt_block"}
+
+
+def test_streaming_wordpiece_and_skipgram_projections(spark, tmp_path):
+    """The wordpiece encode and skip-gram pair builders are claimed
+    streaming-safe (narrow projections, vocab as a constant-folded map
+    literal, no rule-10 checkpoint dependence) — prove it: the same
+    transform over a file stream equals the batch result row for row."""
+    from jobinsight_data_pipeline_v2_spark.operators.wordpiece import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    land = os.path.join(str(tmp_path), "wp_landing")
+    rows = [
+        (1, "stream batch spark scan"),
+        (2, "scan scan stream sort"),
+        (3, "sort merge batch batch"),
+    ]
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(land)
+    batch = spark.read.parquet(land)
+    vocab = wordpiece_train(batch, n_merges=8)
+
+    toks = "filter(split(text, ' '), t -> t != '')"
+
+    def wp(df):
+        syms = df.select(
+            F.col("doc_id").alias("id"), F.expr(toks).alias("s")
+        )
+        return wordpiece_encode(syms, vocab).select(
+            "id", F.expr("concat_ws('|', pieces)").alias("joined")
+        )
+
+    def sg(df):
+        pairs_expr = (
+            "flatten(transform(sequence(1, size(tk)), i -> "
+            "transform(filter(sequence(greatest(1, i - 2), "
+            "least(size(tk), i + 2)), j -> j != i), "
+            "j -> struct(element_at(tk, i) AS c, "
+            "element_at(tk, j) AS x))))"
+        )
+        return df.select(
+            "doc_id", F.expr(toks).alias("tk")
+        ).select("doc_id", F.expr(pairs_expr).alias("ps"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q1 = run_stream_to_memory(spark, wp(stream), "wp_stream")
+    q2 = run_stream_to_memory(spark, sg(stream), "sg_stream")
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    for view, builder in (("wp_stream", wp), ("sg_stream", sg)):
+        got = spark.sql(f"SELECT * FROM {view}")
+        exp = builder(batch)
+        sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
+        assert sym == 0, view
+    assert spark.sql("SELECT * FROM wp_stream").count() == 3
