@@ -126,3 +126,86 @@ def merge_rollup_delta(
         merged.select(*keys, *out_cols)
         .filter(F.col(count_col) > 0)
     )
+
+
+def merge_minmax_delta(
+    state: DataFrame,
+    inserts: DataFrame,
+    deletes: DataFrame,
+    effective: DataFrame,
+    keys: list[str],
+    val_col: str = "v",
+) -> DataFrame:
+    """Incremental view maintenance for a (count, MIN, MAX) rollup —
+    the NON-additive half ``merge_rollup_delta`` declares out of
+    scope. Inserts maintain bounds for free (new_min = least(old,
+    ins_min)); a DELETE can only break a bound when it removes an
+    extremal value, so groups split into:
+
+    - CLEAN: no delete touched a bound (del_min > state_min AND
+      del_max < state_max) — bounds survive, inserts fold in, zero
+      base I/O;
+    - DIRTY: some delete hit a bound (del_min <= state_min OR
+      del_max >= state_max — conservative on ties: deleting ONE of
+      two equal minima doesn't move the bound, but proving that
+      needs the base, so ties rescan) — ONLY these groups recompute,
+      via a semi-join-pruned scan of the post-CDC ``effective``
+      table (at scale: partition pruning on the group key makes this
+      O(dirty partitions), the delete_rows discipline).
+
+    ``state`` is (keys, n, mn, mx); ``inserts``/``deletes`` are
+    per-group (keys, n, mn, mx) aggregates of the CDC batch (updates
+    enter as delete-old + insert-new); ``effective`` is the post-CDC
+    base (keys, ``val_col``). Returns (keys, n, mn, mx, rescanned) —
+    counts maintained additively, emptied groups dropped, new groups
+    (insert-only) created clean. The ``ivm_minmax_rollup`` gate pins
+    the whole dispatch against a full recompute, including WHICH
+    groups rescanned.
+    """
+    ins = inserts
+    for c in ("n", "mn", "mx"):
+        ins = ins.withColumnRenamed(c, f"__i_{c}")
+    del_ = deletes
+    for c in ("n", "mn", "mx"):
+        del_ = del_.withColumnRenamed(c, f"__d_{c}")
+    merged = state.join(ins, keys, "full_outer").join(
+        del_, keys, "full_outer"
+    )
+    n_new = (
+        F.coalesce(F.col("n"), F.lit(0))
+        + F.coalesce(F.col("__i_n"), F.lit(0))
+        - F.coalesce(F.col("__d_n"), F.lit(0))
+    ).cast("long")
+    dirty = (
+        F.col("__d_n").isNotNull()
+        & (
+            (F.col("__d_mn") <= F.col("mn"))
+            | (F.col("__d_mx") >= F.col("mx"))
+        )
+    )
+    marked = merged.select(
+        *keys,
+        n_new.alias("__n_new"),
+        F.coalesce(dirty, F.lit(False)).alias("__dirty"),
+        F.least(F.col("mn"), F.col("__i_mn")).alias("__mn_clean"),
+        F.greatest(F.col("mx"), F.col("__i_mx")).alias("__mx_clean"),
+    ).filter(F.col("__n_new") > 0).localCheckpoint(eager=False)
+    clean = marked.filter(~F.col("__dirty")).select(
+        *keys,
+        F.col("__n_new").alias("n"),
+        F.col("__mn_clean").alias("mn"),
+        F.col("__mx_clean").alias("mx"),
+        F.lit(False).alias("rescanned"),
+    )
+    dirty_keys = marked.filter(F.col("__dirty")).select(*keys)
+    rescanned = (
+        effective.join(F.broadcast(dirty_keys), keys)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(val_col).alias("mn"),
+            F.max(val_col).alias("mx"),
+        )
+        .withColumn("rescanned", F.lit(True))
+    )
+    return clean.unionByName(rescanned)

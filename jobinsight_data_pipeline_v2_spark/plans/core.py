@@ -2077,6 +2077,115 @@ def ivm_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVM for MIN/MAX (the non-additive half, r9): deletes can break a
+# bound, so maintenance DISPATCHES — groups whose deletes stayed
+# strictly inside the bounds keep them (zero base I/O), groups where a
+# delete hit a bound rescan from the post-CDC table through a
+# key-pruned semi join (operators/merge.merge_minmax_delta). Same CDC
+# residue classes as ivm_monthly_rollup; the oracle recomputes
+# EVERYTHING from the effective table INCLUDING which groups must
+# rescan (the dispatch rule re-derived in SQL), so a wrong clean/dirty
+# split fails the hash even when the values happen to survive.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivm_minmax_rollup",
+    f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m') AS order_month,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    base AS (SELECT * FROM o WHERE o_orderkey % 10 != 0),
+    st AS (
+        SELECT order_month, MIN(cents) AS s_mn, MAX(cents) AS s_mx
+        FROM base GROUP BY 1
+    ),
+    dels AS (
+        SELECT order_month, MIN(cents) AS d_mn, MAX(cents) AS d_mx
+        FROM base WHERE o_orderkey % 7 IN (3, 5) GROUP BY 1
+    ),
+    final AS (
+        SELECT order_month, cents FROM base
+        WHERE o_orderkey % 7 NOT IN (3, 5)
+        UNION ALL
+        SELECT order_month, cents + {_IVM_UPDATE_CENTS} FROM base
+        WHERE o_orderkey % 7 = 5
+        UNION ALL
+        SELECT order_month, cents FROM o WHERE o_orderkey % 10 = 0
+    )
+    SELECT f.order_month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(f.cents) AS BIGINT) AS mn,
+           CAST(MAX(f.cents) AS BIGINT) AS mx,
+           COALESCE(MIN(d.d_mn <= s.s_mn OR d.d_mx >= s.s_mx), FALSE)
+               AS rescanned
+    FROM final f
+    LEFT JOIN st s ON f.order_month = s.order_month
+    LEFT JOIN dels d ON f.order_month = d.order_month
+    GROUP BY f.order_month
+    ORDER BY f.order_month
+    """,
+)
+def ivm_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the monthly (count, MIN, MAX) price rollup through a
+    CDC batch with merge_minmax_delta's clean/dirty dispatch (see
+    block comment); output = maintained state + per-group rescanned
+    flag, hash-pinned against the oracle's full recompute."""
+    from ..operators.merge import merge_minmax_delta
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    ).localCheckpoint(eager=False)  # state + delta slices + effective
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    state = base.groupBy("order_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+    )
+    upd = base.filter(F.col("o_orderkey") % 7 == 5)
+    ins_rows = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select("order_month", "cents")
+        .unionByName(
+            upd.select(
+                "order_month",
+                (F.col("cents") + _IVM_UPDATE_CENTS).alias("cents"),
+            )
+        )
+    )
+    del_rows = base.filter(F.col("o_orderkey") % 7 == 3).select(
+        "order_month", "cents"
+    ).unionByName(upd.select("order_month", "cents"))
+
+    def _agg(rows):
+        return rows.groupBy("order_month").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        )
+
+    effective = (
+        base.filter(
+            (F.col("o_orderkey") % 7 != 3) & (F.col("o_orderkey") % 7 != 5)
+        )
+        .select("order_month", "cents")
+        .unionByName(ins_rows)
+    )
+    out = merge_minmax_delta(
+        state, _agg(ins_rows), _agg(del_rows), effective,
+        ["order_month"], "cents",
+    )
+    return out.select(
+        "order_month", "n", "mn", "mx", "rescanned"
+    ).orderBy("order_month")
+
+
+# ---------------------------------------------------------------------------
 # log2-bucket quantile histogram gate: the rank member of the sketch
 # trio (CMS frequency / HLL cardinality / qhist rank), hash-pinned
 # WHOLE because every number in the artifact is integer-exact

@@ -1410,3 +1410,65 @@ def test_merge_rollup_delta_edges(spark):
     }
     assert got == {"a": (3, 110), "c": (3, 320), "d": (2, 70)}
     assert "b" not in got  # emptied group dropped
+
+
+def test_merge_minmax_delta_dispatch(spark):
+    """IVM MIN/MAX maintenance: clean groups keep bounds with zero
+    rescan, bound-hitting deletes rescan only their group, equal-value
+    (tie) deletes rescan conservatively, emptied groups drop, and
+    insert-only new groups appear clean."""
+    from jobinsight_data_pipeline_v2_spark.operators.merge import (
+        merge_minmax_delta,
+    )
+
+    # base: g1 = {1, 5, 9}, g2 = {2, 8}, g3 = {4}
+    state = spark.createDataFrame(
+        [("g1", 3, 1, 9), ("g2", 2, 2, 8), ("g3", 1, 4, 4)],
+        "k string, n long, mn long, mx long",
+    )
+    # deletes: g1 loses interior 5 (clean); g2 loses its max 8
+    # (dirty); g3 loses its only row (emptied)
+    deletes = spark.createDataFrame(
+        [("g1", 1, 5, 5), ("g2", 1, 8, 8), ("g3", 1, 4, 4)],
+        "k string, n long, mn long, mx long",
+    )
+    # inserts: g1 gains 0 (new min, still clean); g4 is a new group
+    inserts = spark.createDataFrame(
+        [("g1", 1, 0, 0), ("g4", 2, 7, 11)],
+        "k string, n long, mn long, mx long",
+    )
+    effective = spark.createDataFrame(
+        [("g1", 1), ("g1", 9), ("g1", 0), ("g2", 2),
+         ("g4", 7), ("g4", 11)],
+        "k string, v long",
+    )
+    got = {
+        r.k: (r.n, r.mn, r.mx, r.rescanned)
+        for r in merge_minmax_delta(
+            state, inserts, deletes, effective, ["k"], "v"
+        ).collect()
+    }
+    assert got == {
+        "g1": (3, 0, 9, False),   # clean: bounds survive + insert min
+        "g2": (1, 2, 2, True),    # dirty: max deleted → rescanned
+        "g4": (2, 7, 11, False),  # new group, insert-only
+    }
+    assert "g3" not in got        # emptied group dropped
+
+    # tie case: deleting ONE of two equal minima — conservative rescan
+    state2 = spark.createDataFrame(
+        [("t", 3, 1, 9)], "k string, n long, mn long, mx long"
+    )
+    dels2 = spark.createDataFrame(
+        [("t", 1, 1, 1)], "k string, n long, mn long, mx long"
+    )
+    ins2 = spark.createDataFrame(
+        [], "k string, n long, mn long, mx long"
+    )
+    eff2 = spark.createDataFrame(
+        [("t", 1), ("t", 9)], "k string, v long"
+    )
+    row = merge_minmax_delta(
+        state2, ins2, dels2, eff2, ["k"], "v"
+    ).collect()[0]
+    assert (row.n, row.mn, row.mx, row.rescanned) == (2, 1, 9, True)
