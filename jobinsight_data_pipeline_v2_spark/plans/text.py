@@ -2017,6 +2017,90 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# word2vec negative-sampling table: the companion artifact to
+# skipgram_pairs — noise-distribution weights ∝ count^(3/4) (Mikolov
+# et al.'s smoothing, which damps stopword dominance without flattening
+# the distribution). The 3/4 power is realized as COMPOSED EXACT
+# integer square roots, w = isqrt(f · isqrt(f)) (f^(1/2)·f^(1/4) at
+# integer floors — deterministic in both engines; the temperature
+# gate's isqrt correction device applied twice, so a perfect-square
+# boundary can never round differently), then ppm shares of the total
+# weight by integer floor division. Vocabulary-sized end to end after
+# ONE map-side-combined token count.
+# ---------------------------------------------------------------------------
+
+_NEG_TOPK = 40
+
+
+def _isqrt_steps(n_expr: str, out: str) -> str:
+    """Three-step exact integer sqrt (floor) of ``n_expr`` as SQL text
+    shared VERBATIM by both engines: float sqrt, then two integer
+    corrections that fix any boundary rounding."""
+    return (
+        f"CAST(floor(sqrt(CAST({n_expr} AS DOUBLE))) AS BIGINT)"
+        f" AS __w0_{out}",
+        f"__w0_{out} - CASE WHEN __w0_{out} * __w0_{out} > {n_expr}"
+        f" THEN 1 ELSE 0 END AS __w1_{out}",
+        f"__w1_{out} + CASE WHEN (__w1_{out} + 1) * (__w1_{out} + 1)"
+        f" <= {n_expr} THEN 1 ELSE 0 END AS {out}",
+    )
+
+
+@register(
+    "negative_sampling_table",
+    f"""
+    WITH f AS (
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents)
+        GROUP BY 1
+    ),
+    s1a AS (SELECT token, f, {_isqrt_steps('f', 's1')[0]} FROM f),
+    s1b AS (SELECT token, f, {_isqrt_steps('f', 's1')[1]} FROM s1a),
+    s1 AS (SELECT token, f, {_isqrt_steps('f', 's1')[2]} FROM s1b),
+    wa AS (SELECT token, f, s1, {_isqrt_steps('f * s1', 'w')[0]} FROM s1),
+    wb AS (SELECT token, f, s1, {_isqrt_steps('f * s1', 'w')[1]} FROM wa),
+    w AS (SELECT token, f, {_isqrt_steps('f * s1', 'w')[2]} FROM wb),
+    tot AS (SELECT SUM(w) AS tw FROM w)
+    SELECT token, f, w,
+           CAST((w * 1000000) // tw AS BIGINT) AS prob_ppm
+    FROM w CROSS JOIN tot
+    ORDER BY f DESC, token
+    LIMIT {_NEG_TOPK}
+    """,
+)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per token: corpus frequency f, the integer-exact ^(3/4)
+    smoothing weight w = isqrt(f·isqrt(f)), and its ppm share of the
+    noise distribution — word2vec's negative-sampling artifact (see
+    block comment). Top-{_NEG_TOPK} under a total order."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    f_tab = (
+        docs.select(F.explode(F.expr(_TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    for n_expr, out in (("f", "s1"), ("f * s1", "w")):
+        for step in _isqrt_steps(n_expr, out):
+            expr, alias = step.rsplit(" AS ", 1)
+            f_tab = f_tab.withColumn(alias, F.expr(expr))
+    w_tab = f_tab.select("token", "f", "w").localCheckpoint(eager=False)
+    tot = w_tab.agg(F.sum("w").alias("tw"))
+    return (
+        w_tab.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "f",
+            "w",
+            F.expr("CAST((w * 1000000) div tw AS BIGINT)").alias(
+                "prob_ppm"
+            ),
+        )
+        .orderBy(F.desc("f"), "token")
+        .limit(_NEG_TOPK)
+    )
+
+
 _WP_MERGES = 24
 
 
