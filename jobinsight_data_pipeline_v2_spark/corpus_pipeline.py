@@ -802,7 +802,7 @@ def compact_curation_state(
     until the next run re-merges them away (the merge is ``distinct``).
     Runs under the layer's single-writer ``.compact_lock``.
 
-    Returns {layer: {days_merged, rows, files_after}}.
+    Returns {layer: {days_merged, files_after}}.
     """
     from .maintenance import (
         _acquire_compact_lock,

@@ -767,6 +767,7 @@ def decode_jpeg(
     dims: list[tuple[int, int]] = []  # blocks (bx_n, by_n) per component
     mcus_x = mcus_y = 0
     saw_eoi = False
+    saw_sos = False
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -983,6 +984,7 @@ def decode_jpeg(
                             coef[k] = _extend(r.receive(s), s) << al
                             k += 1
             # scan decoded: resume the marker loop at the terminator
+            saw_sos = True
             pos = _next_marker(payload, r.pos)
             continue
         # APPn / COM / others: skip
@@ -990,7 +992,10 @@ def decode_jpeg(
 
     if frame is None:
         raise ValueError("missing SOF")
-    if not coefs or not saw_eoi:
+    # coefs exists from SOF on — the guard must key on a DECODED scan,
+    # or a truncated file with no entropy data would fabricate an
+    # all-gray image from the zero coefficients (review r9)
+    if not saw_sos or not saw_eoi:
         raise ValueError("missing SOS or EOI")
     h, w_, comps, progressive = frame
 

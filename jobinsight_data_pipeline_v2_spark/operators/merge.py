@@ -176,12 +176,15 @@ def merge_minmax_delta(
         + F.coalesce(F.col("__i_n"), F.lit(0))
         - F.coalesce(F.col("__d_n"), F.lit(0))
     ).cast("long")
-    dirty = (
-        F.col("__d_n").isNotNull()
-        & (
-            (F.col("__d_mn") <= F.col("mn"))
-            | (F.col("__d_mx") >= F.col("mx"))
-        )
+    # state-ABSENT groups with same-batch deletes (insert + update of
+    # the same row in one CDC batch) have NULL state bounds: the bound
+    # comparisons are NULL there, and a coalesce-to-clean would fold
+    # the deleted values into least/greatest — rescan them instead
+    # (review r9)
+    dirty = F.col("__d_n").isNotNull() & (
+        F.col("mn").isNull()
+        | (F.col("__d_mn") <= F.col("mn"))
+        | (F.col("__d_mx") >= F.col("mx"))
     )
     marked = merged.select(
         *keys,

@@ -849,6 +849,23 @@ def write_training_shards(
 # doc_id % 15 (8/4/2/1 shares — the cohort_retention synthesis
 # precedent); production calls group by the real source column.
 
+def isqrt_steps(n_expr: str, out: str) -> tuple[str, str, str]:
+    """Three-step exact integer sqrt (floor) of ``n_expr`` as SQL text
+    shared VERBATIM by both engines and by every isqrt consumer
+    (temperature mixing, the negative-sampling ^(3/4) table): float
+    sqrt, then two integer corrections that fix any boundary rounding.
+    ONE builder so the cross-engine-exactness device cannot drift
+    (the floor-log2 ladder consolidation rule, review r9)."""
+    return (
+        f"CAST(floor(sqrt(CAST({n_expr} AS DOUBLE))) AS BIGINT)"
+        f" AS __w0_{out}",
+        f"__w0_{out} - CASE WHEN __w0_{out} * __w0_{out} > {n_expr}"
+        f" THEN 1 ELSE 0 END AS __w1_{out}",
+        f"__w1_{out} + CASE WHEN (__w1_{out} + 1) * (__w1_{out} + 1)"
+        f" <= {n_expr} THEN 1 ELSE 0 END AS {out}",
+    )
+
+
 _MIX_GRP_SQL = (
     "CASE WHEN doc_id % 15 < 8 THEN 'a' WHEN doc_id % 15 < 12 THEN 'b' "
     "WHEN doc_id % 15 < 14 THEN 'c' ELSE 'd' END"
@@ -921,17 +938,12 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = grouped.groupBy("grp").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    ws = counts
+    for step in isqrt_steps("n", "w"):
+        expr, alias = step.rsplit(" AS ", 1)
+        ws = ws.withColumn(alias, F.expr(expr))
     ws = (
-        counts.withColumn(
-            "w0", F.expr("cast(floor(sqrt(cast(n as double))) as bigint)")
-        )
-        .withColumn(
-            "w1", F.expr("w0 - if(w0 * w0 > n, 1, 0)")
-        )
-        .withColumn(
-            "w", F.expr("w1 + if((w1 + 1) * (w1 + 1) <= n, 1, 0)")
-        )
-        .select("grp", "n", "w")
+        ws.select("grp", "n", "w")
         # w_min scalar + rate join consumers; group-sized
         .localCheckpoint(eager=False)
     )

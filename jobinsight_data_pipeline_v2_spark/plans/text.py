@@ -2033,18 +2033,9 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEG_TOPK = 40
 
 
-def _isqrt_steps(n_expr: str, out: str) -> str:
-    """Three-step exact integer sqrt (floor) of ``n_expr`` as SQL text
-    shared VERBATIM by both engines: float sqrt, then two integer
-    corrections that fix any boundary rounding."""
-    return (
-        f"CAST(floor(sqrt(CAST({n_expr} AS DOUBLE))) AS BIGINT)"
-        f" AS __w0_{out}",
-        f"__w0_{out} - CASE WHEN __w0_{out} * __w0_{out} > {n_expr}"
-        f" THEN 1 ELSE 0 END AS __w1_{out}",
-        f"__w1_{out} + CASE WHEN (__w1_{out} + 1) * (__w1_{out} + 1)"
-        f" <= {n_expr} THEN 1 ELSE 0 END AS {out}",
-    )
+# ONE isqrt-correction builder serves every consumer (review r9) —
+# it lives next to its first consumer, the temperature gate
+from .sampling import isqrt_steps as _isqrt_steps  # noqa: E402
 
 
 @register(

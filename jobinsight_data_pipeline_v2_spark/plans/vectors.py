@@ -1663,10 +1663,15 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             * pair_dot.cast("decimal(38,0)")
             * pair_dot.cast("decimal(38,0)")
             >= F.lit(81).cast("decimal(38,0)")
-            * _dot("qv", "qv").cast("decimal(38,0)")
+            * F.col("__n2c").cast("decimal(38,0)")
             * F.col("n2b").cast("decimal(38,0)")
         )
     ).cast("int")
+    # hoist the corpus row's self-norm BEFORE the crossJoin (the
+    # bloom_probe hoist discipline): inside the hit predicate it would
+    # re-run the 64-element interpreted fold once per benchmark vector
+    # per row (review r9)
+    corpus = corpus.withColumn("__n2c", _dot("qv", "qv"))
     return (
         corpus.crossJoin(F.broadcast(bench))
         .groupBy("vec_id")

@@ -222,6 +222,12 @@ class _Reader:
             shift += 7
             if shift > 63:
                 raise ValueError("varint too long")
+        if zz >> 64:
+            # a conforming varint never exceeds 64 zigzag bits; an
+            # out-of-range value must quarantine its BLOCK here, not
+            # crash the whole task later at the Arrow long conversion
+            # (review r9)
+            raise ValueError("varint overflows 64 bits")
         return (zz >> 1) ^ -(zz & 1)
 
     def read_bytes(self) -> bytes:

@@ -203,3 +203,28 @@ def test_spark_write_read_roundtrip_and_quarantine(spark, tmp_path):
             head = fh.read(4096)
         metas.add(b"deflate" in head)
     assert metas == {True, False}
+
+
+def test_oversized_varint_quarantines_block_not_task():
+    """Review r9: a varint decoding past 64 bits (10 bytes of 0xFF…)
+    must quarantine its block — an out-of-range Python int would
+    otherwise crash the Arrow long conversion for the whole file."""
+    sync = b"0123456789abcdef"
+    good = encode_avro_container(
+        [_ROWS[0]], DOC_AVRO_SCHEMA, "null", sync=sync
+    )
+    # block: 1 record, 10 payload bytes forming a >64-bit varint
+    bad_payload = b"\xff" * 9 + b"\x7f"
+    bad = (
+        _enc_long(1) + _enc_long(len(bad_payload)) + bad_payload + sync
+    )
+    enc = _enc_record(DOC_AVRO_SCHEMA, _ROWS[2])
+    tail = _enc_long(1) + _enc_long(len(enc)) + enc + sync
+    evs = list(_decode_container("f", good + bad + tail))
+    kinds = [(e[0], e[2] if e[0] == "quarantine" else e[2]["doc_id"])
+             for e in evs]
+    assert kinds == [
+        ("row", _ROWS[0]["doc_id"]),
+        ("quarantine", "corrupt_block"),
+        ("row", _ROWS[2]["doc_id"]),
+    ]

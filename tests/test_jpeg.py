@@ -438,3 +438,15 @@ def test_ycbcr_to_rgb_spec_points():
     assert ycbcr_to_rgb(255, 128, 128) == (255, 255, 255)
     assert ycbcr_to_rgb(128, 128, 228) == (255, 57, 128)  # R clamps
     assert ycbcr_to_rgb(50, 255, 128) == (50, 6, 255)
+
+
+def test_scanless_jpeg_raises_not_gray():
+    """Review r9: a file with SOF+EOI but NO SOS must raise — the
+    coefficient store exists from SOF on, and keying the guard on it
+    would fabricate an all-gray image from zero coefficients."""
+    data = encode_jpeg([[[50] * 8 for _ in range(8)]])
+    # strip the SOS segment + entropy data: keep everything up to the
+    # SOS marker, then append EOI
+    sos = data.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="missing SOS"):
+        decode_jpeg(data[:sos] + b"\xff\xd9")

@@ -1472,3 +1472,28 @@ def test_merge_minmax_delta_dispatch(spark):
         state2, ins2, dels2, eff2, ["k"], "v"
     ).collect()[0]
     assert (row.n, row.mn, row.mx, row.rescanned) == (2, 1, 9, True)
+
+
+def test_merge_minmax_delta_state_absent_group_with_deletes(spark):
+    """Review r9: a group ABSENT from state that gets an insert plus a
+    same-batch update (delete-old + insert-new) must RESCAN — the
+    clean path would fold the deleted value into the bounds."""
+    from jobinsight_data_pipeline_v2_spark.operators.merge import (
+        merge_minmax_delta,
+    )
+
+    state = spark.createDataFrame(
+        [], "k string, n long, mn long, mx long"
+    )
+    # new row v=1 inserted then updated to 5 within the batch
+    inserts = spark.createDataFrame(
+        [("g", 2, 1, 5)], "k string, n long, mn long, mx long"
+    )
+    deletes = spark.createDataFrame(
+        [("g", 1, 1, 1)], "k string, n long, mn long, mx long"
+    )
+    effective = spark.createDataFrame([("g", 5)], "k string, v long")
+    row = merge_minmax_delta(
+        state, inserts, deletes, effective, ["k"], "v"
+    ).collect()[0]
+    assert (row.n, row.mn, row.mx, row.rescanned) == (1, 5, 5, True)

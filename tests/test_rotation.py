@@ -58,7 +58,7 @@ def test_rotation_components():
         assert srcs == set(range(8))
     s = rotation_signs(64)
     assert set(s) <= {-1, 1} and s == rotation_signs(64)
-    assert s != rotation_signs(64, seed="other") or True  # determinism only
+    assert s != rotation_signs(64, seed="other")
 
 
 def test_spark_expr_matches_python_reference(spark):
