@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "semantic_decontaminate",  # embedding-sim eval scrub, exact int cosine
     "ivm_minmax_rollup",  # IVM for MIN/MAX: clean/dirty rescan dispatch
     "negative_sampling_table",  # word2vec noise table, composed isqrt
+    "span_corruption",  # T5 span-masking rewrite + parse-back proof
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

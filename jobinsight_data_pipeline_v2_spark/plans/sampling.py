@@ -1235,3 +1235,197 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     return fim_rows(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T5/UL2 span corruption — FIM's sibling training objective: mask
+# deterministic token spans with numbered sentinels, emit (input,
+# target) where input carries <Xk> placeholders and target carries
+# '<Xk> span-k' runs. Spans are WINDOW-PARTITIONED (one candidate span
+# per 8-token window, start = md5 bucket % 6, length = 1 + md5 % 3, so
+# a span can never cross a window) — that makes every statistic a
+# CLOSED FORM both engines compute without sequential state, while the
+# Spark side still builds the real strings. Losslessness is proven by
+# PARSING the two output strings back together (input tokens walked
+# with a sentinel counter, target split on the sentinel pattern) —
+# never by reusing the intermediate arrays, so the proof covers the
+# actual emitted encoding. Fully in-row, zero shuffle (the fim_rows
+# shape); in-plan NULL-aware precondition rejects corpus text that
+# contains the sentinel pattern itself.
+# ---------------------------------------------------------------------------
+
+_SC_W = 8  # window size (tokens)
+_SC_SMOD = 6  # span start bucket
+_SC_LMOD = 3  # span length = 1 + bucket % 3
+
+
+def _sc_bucket_spark(salt: str, mod: int) -> str:
+    return (
+        "cast(conv(substring(md5(cast(concat(cast(doc_id as string), "
+        f"':', cast(w as string), ':{salt}') as binary)), 1, 8), 16, 10) "
+        f"as bigint) % {mod}"
+    )
+
+
+def _sc_bucket_sql(salt: str, mod: int) -> str:
+    return (
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        f"CAST(w AS VARCHAR) || ':{salt}'), 1, 8))::BIGINT % {mod}"
+    )
+
+
+@register(
+    "span_corruption",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ),
+    wins AS (
+        SELECT doc_id, n,
+               unnest(generate_series(0, (n - 1) // {_SC_W})) AS w
+        FROM sized
+    ),
+    per AS (
+        SELECT doc_id, n, w,
+               least({_SC_W}, n - w * {_SC_W}) AS len_w,
+               {_sc_bucket_sql('s', _SC_SMOD)} AS s_w,
+               1 + ({_sc_bucket_sql('l', _SC_LMOD)}) AS l_w
+        FROM wins
+    ),
+    sp AS (
+        SELECT doc_id, n,
+               CASE WHEN s_w < len_w THEN 1 ELSE 0 END AS has,
+               CASE WHEN s_w < len_w
+                    THEN least(l_w, len_w - s_w) ELSE 0 END AS c
+        FROM per
+    ),
+    agg AS (
+        SELECT doc_id, MAX(n) AS n, SUM(has) AS ns, SUM(c) AS nc
+        FROM sp GROUP BY 1
+    )
+    SELECT a.doc_id,
+           CAST(a.n AS BIGINT) AS n_tok,
+           CAST(a.ns AS BIGINT) AS n_spans,
+           CAST(a.nc AS BIGINT) AS n_corrupted,
+           md5(array_to_string(s.t, ' ')) AS recon_md5
+    FROM agg a JOIN sized s ON a.doc_id = s.doc_id
+    ORDER BY a.doc_id
+    """,
+)
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption with a parse-back losslessness proof
+    (see block comment): per doc the span statistics (closed-form in
+    the oracle) plus the md5 of the text RECONSTRUCTED from the
+    emitted (input, target) strings — which must equal the canonical
+    token stream's hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    built = span_corruption_texts(docs)
+    # losslessness by PARSING the emitted strings: walk input tokens,
+    # splice target segment k at the k-th sentinel (segments from
+    # splitting target on the sentinel pattern, order = emission order)
+    recon = (
+        "aggregate(split(input, ' '), "
+        "named_struct('i', 0, 'acc', cast(array() as array<string>)), "
+        "(st, tok) -> if(tok rlike '^<X[0-9]+>$', "
+        "named_struct('i', st.i + 1, 'acc', concat(st.acc, "
+        "split(trim(element_at(split(target, '<X[0-9]+>'), st.i + 2)), "
+        "' '))), "
+        "named_struct('i', st.i, 'acc', concat(st.acc, array(tok)))), "
+        "st -> concat_ws(' ', st.acc))"
+    )
+    return (
+        built.select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_corrupted").cast("long").alias("n_corrupted"),
+            F.md5(F.expr(recon).cast("binary")).alias("recon_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def span_corruption_texts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, n_spans, n_corrupted, input, target): the
+    span-corruption transform itself — what a T5-style pipeline ships
+    (the fim_texts sibling). Deterministic md5-driven spans, fully
+    in-row; see the gate's block comment."""
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("text").isNotNull()
+            & ~F.col("text").rlike("<X[0-9]+>"),
+            F.lit(
+                "span_corruption: document text is NULL or contains "
+                "the sentinel pattern <Xk> — the parse-back proof "
+                "would splice at a corpus token"
+            ),
+        ).cast("string"),
+        F.lit(""),
+    )
+    sized = (
+        docs.select(
+            "doc_id",
+            F.expr(_TOKENS).alias("t"),
+            guard.alias("__g"),
+        )
+        .select("doc_id", "t", F.size("t").alias("n"), "__g")
+        .filter(F.col("n") > 0)
+        .localCheckpoint(eager=False)  # several string consumers below
+    )
+    ws = (
+        f"transform(sequence(0, (n - 1) div {_SC_W}), w -> named_struct("
+        f"'len_w', least({_SC_W}, n - w * {_SC_W}), "
+        f"'s', {_sc_bucket_spark('s', _SC_SMOD)}, "
+        f"'l', 1 + ({_sc_bucket_spark('l', _SC_LMOD)})))"
+    )
+    parts = (
+        "transform(sequence(1, size(ws)), i -> named_struct("
+        "'has', element_at(ws, i).s < element_at(ws, i).len_w, "
+        "'k', size(filter(slice(ws, 1, i - 1), "
+        "x -> x.s < x.len_w)), "
+        f"'pre', slice(t, (i - 1) * {_SC_W} + 1, "
+        "least(element_at(ws, i).s, element_at(ws, i).len_w)), "
+        "'span', if(element_at(ws, i).s < element_at(ws, i).len_w, "
+        f"slice(t, (i - 1) * {_SC_W} + element_at(ws, i).s + 1, "
+        "least(element_at(ws, i).l, "
+        "element_at(ws, i).len_w - element_at(ws, i).s)), "
+        "slice(t, 1, 0)), "
+        f"'post', slice(t, (i - 1) * {_SC_W} + element_at(ws, i).s + "
+        "least(element_at(ws, i).l, greatest(0, "
+        "element_at(ws, i).len_w - element_at(ws, i).s)) + 1, "
+        "greatest(0, element_at(ws, i).len_w - element_at(ws, i).s - "
+        "least(element_at(ws, i).l, "
+        "element_at(ws, i).len_w - element_at(ws, i).s)))))"
+    )
+    sent = "concat('<X', cast(p.k as string), '>')"
+    input_str = (
+        "concat_ws(' ', flatten(transform(parts, p -> concat(p.pre, "
+        f"if(p.has, array({sent}), slice(t, 1, 0)), p.post))))"
+    )
+    target_str = (
+        "concat_ws(' ', flatten(transform(filter(parts, p -> p.has), "
+        f"p -> concat(array({sent}), p.span))))"
+    )
+    return sized.select(
+        "doc_id",
+        "t",
+        "n",
+        F.expr(ws).alias("ws"),
+    ).select(
+        "doc_id",
+        "t",
+        "n",
+        F.expr(parts).alias("parts"),
+    ).select(
+        "doc_id",
+        F.col("n").alias("n_tok"),
+        F.expr("size(filter(parts, p -> p.has))").alias("n_spans"),
+        F.expr(
+            "aggregate(parts, 0, (a, p) -> a + size(p.span))"
+        ).alias("n_corrupted"),
+        F.expr(input_str).alias("input"),
+        F.expr(target_str).alias("target"),
+    ).localCheckpoint(eager=False)  # consumers read both strings

@@ -1497,3 +1497,57 @@ def test_merge_minmax_delta_state_absent_group_with_deletes(spark):
         state, inserts, deletes, effective, ["k"], "v"
     ).collect()[0]
     assert (row.n, row.mn, row.mx, row.rescanned) == (1, 5, 5, True)
+
+
+def test_span_corruption_positions_match_python_mirror(spark):
+    """The hash gate pins span STATISTICS + parse-back losslessness;
+    this golden pins the exact span POSITIONS and sentinel framing of
+    the emitted (input, target) strings against an independent
+    pure-Python mirror of the window/bucket arithmetic."""
+    import hashlib
+
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        _SC_LMOD,
+        _SC_SMOD,
+        _SC_W,
+        span_corruption_texts,
+    )
+
+    def bucket(doc_id, w, salt, mod):
+        h = hashlib.md5(f"{doc_id}:{w}:{salt}".encode()).hexdigest()[:8]
+        return int(h, 16) % mod
+
+    def mirror(doc_id, toks):
+        inp, tgt, k = [], [], 0
+        n = len(toks)
+        for w in range((n - 1) // _SC_W + 1):
+            win = toks[w * _SC_W : w * _SC_W + _SC_W]
+            s = bucket(doc_id, w, "s", _SC_SMOD)
+            l = 1 + bucket(doc_id, w, "l", _SC_LMOD)
+            if s < len(win):
+                span = win[s : s + l]
+                inp += win[:s] + [f"<X{k}>"] + win[s + len(span):]
+                tgt += [f"<X{k}>"] + span
+                k += 1
+            else:
+                inp += win
+        return " ".join(inp), " ".join(tgt)
+
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p q r"),
+        (2, "one two three"),
+        (3, "solo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.input, r.target, r.n_spans, r.n_corrupted)
+        for r in span_corruption_texts(docs).collect()
+    }
+    for doc_id, text in rows:
+        toks = text.split()
+        e_in, e_tg = mirror(doc_id, toks)
+        g_in, g_tg, n_spans, n_corr = got[doc_id]
+        assert g_in == e_in, (doc_id, g_in, e_in)
+        assert g_tg == e_tg, (doc_id, g_tg, e_tg)
+        assert n_spans == e_tg.count("<X")
+        assert n_corr == len(e_tg.split()) - n_spans if e_tg else 0
