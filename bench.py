@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "ivm_minmax_rollup",  # IVM for MIN/MAX: clean/dirty rescan dispatch
     "negative_sampling_table",  # word2vec noise table, composed isqrt
     "span_corruption",  # T5 span-masking rewrite + parse-back proof
+    "quality_keeper_dedup",  # best-copy keeper over near-dup components
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

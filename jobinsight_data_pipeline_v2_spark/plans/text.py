@@ -1626,6 +1626,72 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# quality-keeper dedup: resolve each near-dup component to its BEST
+# copy instead of its first. Every dedup gate so far keeps min-id
+# (first arrival) — correct for incremental streams, but a batch
+# release pipeline keeps the HIGHEST-QUALITY copy (here: longest text,
+# the common heuristic — a truncated mirror loses to the full page),
+# ties to min doc_id. Third consumer of the shared _COMPONENTS_CTE
+# closure, so the component semantics cannot desynchronize. Scale
+# shape: the labels table is edge-bounded; quality joins in from the
+# corpus once; one component-keyed aggregate with min_by (no window
+# over the corpus).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_keeper_dedup",
+    f"""
+    WITH RECURSIVE {_COMPONENTS_CTE},
+    m AS (
+        SELECT l.component, l.id, len(d.text) AS q
+        FROM labels l JOIN documents d ON l.id = d.doc_id
+    ),
+    ranked AS (
+        SELECT component, id, q,
+               row_number() OVER (
+                   PARTITION BY component ORDER BY q DESC, id
+               ) AS rn
+        FROM m
+    )
+    SELECT r.component,
+           CAST(c.n_members AS BIGINT) AS n_members,
+           r.id AS keeper_id,
+           CAST(r.q AS BIGINT) AS keeper_len
+    FROM ranked r
+    JOIN (SELECT component, COUNT(*) AS n_members FROM m GROUP BY 1) c
+      USING (component)
+    WHERE r.rn = 1
+    ORDER BY r.component
+    """,
+)
+def quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup component: the quality keeper — longest text, ties
+    to min doc_id — plus the member count (see block comment). The
+    keeper pick is an integer-exact min_by over a struct key; the
+    oracle re-derives it with a windowed rank over the same closure."""
+    from ..operators.dedup import component_min_labels
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.length("text").cast("long").alias("q")
+    )
+    edges = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    labels = component_min_labels(edges).withColumnRenamed("id", "doc_id")
+    m = labels.join(docs, "doc_id")
+    return (
+        m.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.expr("min_by(doc_id, struct(-q, doc_id))").alias("keeper_id"),
+            F.max("q").alias("keeper_len"),
+        )
+        .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
 # leakage-safe train/val/test split (component-keyed assignment)
 # ---------------------------------------------------------------------------
 #
