@@ -1348,11 +1348,17 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def span_corruption_texts(docs: DataFrame) -> DataFrame:
+def span_corruption_texts(
+    docs: DataFrame, stream_safe: bool = False
+) -> DataFrame:
     """(doc_id, n_tok, n_spans, n_corrupted, input, target): the
     span-corruption transform itself — what a T5-style pipeline ships
     (the fim_texts sibling). Deterministic md5-driven spans, fully
-    in-row; see the gate's block comment."""
+    in-row; see the gate's block comment. ``stream_safe=True`` skips
+    the localCheckpoint boundaries (STREAMING frames cannot
+    checkpoint, rule 20 — the consumers here are all single-reference,
+    so the rebuild under projection collapse is a constant factor, not
+    the rule-10 O(n²) trap); batch == stream row for row (tested)."""
     guard = F.coalesce(
         F.assert_true(
             F.col("text").isNotNull()
@@ -1373,8 +1379,11 @@ def span_corruption_texts(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "t", F.size("t").alias("n"), "__g")
         .filter(F.col("n") > 0)
-        .localCheckpoint(eager=False)  # several string consumers below
     )
+    if not stream_safe:
+        sized = sized.localCheckpoint(
+            eager=False
+        )  # several string consumers below
     ws = (
         f"transform(sequence(0, (n - 1) div {_SC_W}), w -> named_struct("
         f"'len_w', least({_SC_W}, n - w * {_SC_W}), "
@@ -1409,7 +1418,7 @@ def span_corruption_texts(docs: DataFrame) -> DataFrame:
         "concat_ws(' ', flatten(transform(filter(parts, p -> p.has), "
         f"p -> concat(array({sent}), p.span))))"
     )
-    return sized.select(
+    out = sized.select(
         "doc_id",
         "t",
         "n",
@@ -1428,4 +1437,5 @@ def span_corruption_texts(docs: DataFrame) -> DataFrame:
         ).alias("n_corrupted"),
         F.expr(input_str).alias("input"),
         F.expr(target_str).alias("target"),
-    ).localCheckpoint(eager=False)  # consumers read both strings
+    )
+    return out if stream_safe else out.localCheckpoint(eager=False)

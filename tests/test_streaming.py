@@ -2895,3 +2895,37 @@ def test_streaming_wordpiece_and_skipgram_projections(spark, tmp_path):
         sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
         assert sym == 0, view
     assert spark.sql("SELECT * FROM wp_stream").count() == 3
+
+
+def test_streaming_span_corruption_equals_batch(spark, tmp_path):
+    """span_corruption_texts(stream_safe=True) on a file stream equals
+    the batch transform row for row — the T5 objective rewrite is a
+    stateless narrow projection (twin of the fim_stream contract)."""
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        span_corruption_texts,
+    )
+
+    land = os.path.join(str(tmp_path), "span_landing")
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p q r"),
+        (2, "one two three four five"),
+        (3, "solo doc"),
+    ]
+    for r in rows:
+        spark.createDataFrame([r], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(land)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = run_stream_to_memory(
+        spark, span_corruption_texts(stream, stream_safe=True),
+        "span_stream",
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM span_stream")
+    exp = span_corruption_texts(spark.read.parquet(land))
+    sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
+    assert sym == 0 and got.count() == 3
