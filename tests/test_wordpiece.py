@@ -121,3 +121,82 @@ def test_word_boundary_recovery_from_flat_stream(spark):
         .collect()[0]["r"]
     )
     assert recon == "spark scan sort spark sort scan"
+
+
+def _py_wordpiece_train(texts, n_merges):
+    """Independent pure-Python WordPiece trainer: same likelihood
+    objective, same tie rule — the bpe merge-for-merge discipline."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                words[w] += 1
+    syms = {
+        w: [w[0]] + ["##" + ch for ch in w[1:]] for w in words
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        uni = Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for sym in s:
+                uni[sym] += c
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = None
+        for (a, b), c in pairs.items():
+            cand = (c, uni[a], uni[b], a, b)
+            if best is None:
+                best = cand
+                continue
+            lhs = cand[0] * best[1] * best[2]
+            rhs = best[0] * cand[1] * cand[2]
+            if lhs > rhs or (lhs == rhs and cand[3:] < best[3:]):
+                best = cand
+        c, ca, cb, a, b = best
+        merges.append((a, b))
+        m = a + (b[2:] if b.startswith("##") else b)
+        for w in syms:
+            s = syms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_trainer_matches_python_reference_merge_for_merge(spark):
+    """Spark trainer == independent pure-Python trainer on varied
+    corpora, merge for merge (ranking, ties, and the left-to-right
+    greedy application all pinned)."""
+    import random
+
+    rng = random.Random(23)
+    alphabet = "abcdefg"
+    for trial in range(4):
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(1, 7)))
+                for _ in range(rng.randrange(3, 12))
+            )
+            for _ in range(6)
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        stats: dict = {}
+        wordpiece_train(docs, n_merges=8, stats=stats)
+        got = [(a, b) for a, b, *_ in stats["merges"]]
+        want = _py_wordpiece_train(texts, 8)
+        assert got == want, (trial, got, want)
