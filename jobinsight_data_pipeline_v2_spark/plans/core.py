@@ -2368,3 +2368,124 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped winsorization (robust feature engineering): clip a metric at
+# its per-group EXACT p5/p95 rank values before aggregating — the
+# standard outlier-robust preprocessing for price/amount features.
+# Bounds are RANK-exact (value at row_number ceil(0.05·n) under a
+# (value, pk) total order — the mad_outlier_days discipline, no float
+# percentile), so both engines agree bit-for-bit; money stays in
+# integer cents. Plan shape: ONE exchange on the group key — row
+# numbers and the per-group count ride one sorted WindowExec, the
+# bound extraction is a frame-free window over the same partitioning
+# (no second shuffle), and the clip + sums collapse in the final
+# group aggregate.
+# ---------------------------------------------------------------------------
+
+_WINSOR_LO_PCT, _WINSOR_HI_PCT = 5, 95
+
+
+@register(
+    "winsorized_prices",
+    f"""
+    WITH o AS (
+        SELECT o_orderstatus AS status, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    ranked AS (
+        SELECT status, o_orderkey, cents,
+               row_number() OVER (
+                   PARTITION BY status ORDER BY cents, o_orderkey
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY status) AS n
+        FROM o
+    ),
+    marked AS (
+        SELECT status, cents, n,
+               (n * {_WINSOR_LO_PCT} + 99) // 100 AS lo_rank,
+               (n * {_WINSOR_HI_PCT} + 99) // 100 AS hi_rank,
+               rn
+        FROM ranked
+    ),
+    bounds AS (
+        SELECT status, cents, n,
+               MAX(CASE WHEN rn = lo_rank THEN cents END)
+                   OVER (PARTITION BY status) AS lo,
+               MAX(CASE WHEN rn = hi_rank THEN cents END)
+                   OVER (PARTITION BY status) AS hi
+        FROM marked
+    )
+    SELECT status,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(lo) AS BIGINT) AS lo_cents,
+           CAST(MAX(hi) AS BIGINT) AS hi_cents,
+           CAST(SUM(least(greatest(cents, lo), hi)) AS BIGINT)
+               AS clipped_sum_cents,
+           CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high
+    FROM bounds
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-status: exact rank-based p{_WINSOR_LO_PCT}/p{_WINSOR_HI_PCT}
+    winsorization bounds, the clipped revenue sum in cents, and how
+    many rows each side clipped (see block comment for the one-
+    exchange plan shape)."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w_ord = W.partitionBy("status").orderBy("cents", "o_orderkey")
+    w_part = W.partitionBy("status")
+    ranked = o.select(
+        "status",
+        "cents",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_part).alias("n"),
+    ).select(
+        "status",
+        "cents",
+        "rn",
+        "n",
+        F.expr(f"(n * {_WINSOR_LO_PCT} + 99) div 100").alias("lo_rank"),
+        F.expr(f"(n * {_WINSOR_HI_PCT} + 99) div 100").alias("hi_rank"),
+    )
+    bounds = ranked.select(
+        "status",
+        "cents",
+        "n",
+        F.max(F.when(F.col("rn") == F.col("lo_rank"), F.col("cents")))
+        .over(w_part)
+        .alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("hi_rank"), F.col("cents")))
+        .over(w_part)
+        .alias("hi"),
+    )
+    return (
+        bounds.groupBy("status")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("lo").cast("long").alias("lo_cents"),
+            F.max("hi").cast("long").alias("hi_cents"),
+            F.sum(F.expr("least(greatest(cents, lo), hi)"))
+            .cast("long")
+            .alias("clipped_sum_cents"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+        )
+        .orderBy("status")
+    )
