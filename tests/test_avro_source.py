@@ -228,3 +228,52 @@ def test_oversized_varint_quarantines_block_not_task():
         ("quarantine", "corrupt_block"),
         ("row", _ROWS[2]["doc_id"]),
     ]
+
+
+def test_reader_tolerates_writer_schema_drift(spark, tmp_path):
+    """Avro producers evolve: a container whose writer schema carries
+    an EXTRA field (decoded and dropped) or OMITS an optional field
+    (reads as NULL) must still land its rows — the resolution a
+    Kafka-ecosystem reader needs. Field matching is by NAME from the
+    embedded writer schema, never by position."""
+    import os
+
+    extra_schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": ["null", "long"]},
+            {"name": "crawl_ts", "type": ["null", "long"]},  # extra
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "source", "type": ["null", "string"]},
+            {"name": "n_chars", "type": ["null", "long"]},
+        ],
+    }
+    slim_schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "doc_id", "type": ["null", "long"]},  # reordered
+        ],
+    }
+    out = str(tmp_path / "drift")
+    os.makedirs(out)
+    with open(os.path.join(out, "a.avro"), "wb") as f:
+        f.write(encode_avro_container(
+            [{"doc_id": 1, "crawl_ts": 999, "text": "wide row",
+              "lang": "en", "source": "s", "n_chars": 8}],
+            extra_schema,
+        ))
+    with open(os.path.join(out, "b.avro"), "wb") as f:
+        f.write(encode_avro_container(
+            [{"text": "slim row", "doc_id": 2}], slim_schema,
+        ))
+    docs, quar = read_avro_docs(spark, out)
+    got = {r.doc_id: (r.text, r.lang, r.n_chars) for r in docs.collect()}
+    assert got == {
+        1: ("wide row", "en", 8),
+        2: ("slim row", None, None),  # omitted optionals read as NULL
+    }
+    assert quar.count() == 0
