@@ -2489,3 +2489,88 @@ def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (forensic data quality): the classic
+# fabricated-numbers screen — compare each amount column's first
+# significant digit distribution against Benford's law. The law's
+# expected shares are IRRATIONAL (log10(1+1/d)), so they enter BOTH
+# plans as the same pre-computed integer ppm literals and every
+# comparison is integer arithmetic: observed ppm by floor division,
+# conformance = |obs − benford| within a literal tolerance band. One
+# map-side-combined count over the scan; a 100 TB audit is the same
+# single pass.
+# ---------------------------------------------------------------------------
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — computed once, shared as
+# literals so no engine evaluates a log
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                51153, 45757)
+_BENFORD_TOL_PPM = 60000
+
+
+def _benford_cases(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {p}"
+        for d, p in enumerate(_BENFORD_PPM, start=1)
+    )
+    return f"CASE {col} {whens} END"
+
+
+@register(
+    "benford_price_audit",
+    f"""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT digit, n,
+           CAST((n * 1000000) // t AS BIGINT) AS obs_ppm,
+           CAST({_benford_cases('digit')} AS BIGINT) AS benford_ppm,
+           (abs((n * 1000000) // t - {_benford_cases('digit')})
+                <= {_BENFORD_TOL_PPM}) AS conforms
+    FROM counts CROSS JOIN tot
+    ORDER BY digit
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs
+    Benford's law (integer ppm both sides; see block comment). The
+    gate pins the audit computation — this synthetic corpus is
+    roughly uniform, so non-conformance on most digits is the
+    EXPECTED, pinned outcome."""
+    o = load_table(spark, sf_dir, "orders").filter("o_totalprice > 0")
+    digits = o.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST((n * 1000000) div t AS BIGINT)").alias("obs_ppm"),
+            F.expr(f"CAST({_benford_cases('digit')} AS BIGINT)").alias(
+                "benford_ppm"
+            ),
+            F.expr(
+                f"abs((n * 1000000) div t - {_benford_cases('digit')})"
+                f" <= {_BENFORD_TOL_PPM}"
+            ).alias("conforms"),
+        )
+        .orderBy("digit")
+    )

@@ -1551,3 +1551,14 @@ def test_span_corruption_positions_match_python_mirror(spark):
         assert g_tg == e_tg, (doc_id, g_tg, e_tg)
         assert n_spans == e_tg.count("<X")
         assert n_corr == len(e_tg.split()) - n_spans if e_tg else 0
+
+
+def test_benford_ppm_literals_match_log10():
+    """The shared integer ppm literals ARE Benford's law (the oracle
+    and the plan both consume them; neither evaluates a log)."""
+    import math
+
+    from jobinsight_data_pipeline_v2_spark.plans.core import _BENFORD_PPM
+
+    for d in range(1, 10):
+        assert _BENFORD_PPM[d - 1] == round(math.log10(1 + 1 / d) * 1e6)
