@@ -911,6 +911,8 @@ def decode_jpeg(
                 " progressive (SOF2) Huffman DCT"
             )
         elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDC:
             raise ValueError("DNL unsupported")

@@ -1364,9 +1364,10 @@ def span_corruption_texts(
             F.col("text").isNotNull()
             & ~F.col("text").rlike("<X[0-9]+>"),
             F.lit(
-                "span_corruption: document text is NULL or contains "
-                "the sentinel pattern <Xk> — the parse-back proof "
-                "would splice at a corpus token"
+                "span_corruption: document text contains the sentinel "
+                "pattern <Xk> — the parse-back proof would splice at a "
+                "corpus token (NULL-text docs are dropped by the "
+                "empty-token filter before this guard)"
             ),
         ).cast("string"),
         F.lit(""),
@@ -1422,15 +1423,22 @@ def span_corruption_texts(
         "doc_id",
         "t",
         "n",
+        "__g",
         F.expr(ws).alias("ws"),
     ).select(
         "doc_id",
         "t",
         "n",
+        "__g",
         F.expr(parts).alias("parts"),
     ).select(
         "doc_id",
-        F.col("n").alias("n_tok"),
+        # fold the precondition into a KEPT column (the simhash guard
+        # convention): as a free-standing column it is dead after this
+        # select, and with stream_safe=True there is no checkpoint to
+        # keep it alive — Catalyst pruning would delete the assert
+        # (review r9 pass 2). length('') = 0, so values are unchanged.
+        (F.col("n") + F.length("__g")).alias("n_tok"),
         F.expr("size(filter(parts, p -> p.has))").alias("n_spans"),
         F.expr(
             "aggregate(parts, 0, (a, p) -> a + size(p.span))"

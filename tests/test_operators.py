@@ -1550,7 +1550,7 @@ def test_span_corruption_positions_match_python_mirror(spark):
         assert g_in == e_in, (doc_id, g_in, e_in)
         assert g_tg == e_tg, (doc_id, g_tg, e_tg)
         assert n_spans == e_tg.count("<X")
-        assert n_corr == len(e_tg.split()) - n_spans if e_tg else 0
+        assert n_corr == ((len(e_tg.split()) - n_spans) if e_tg else 0)
 
 
 def test_benford_ppm_literals_match_log10():

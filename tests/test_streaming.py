@@ -2929,3 +2929,31 @@ def test_streaming_span_corruption_equals_batch(spark, tmp_path):
     exp = span_corruption_texts(spark.read.parquet(land))
     sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
     assert sym == 0 and got.count() == 3
+
+
+def test_streaming_span_guard_survives_pruning(spark, tmp_path):
+    """Review r9 pass 2: the sentinel precondition must fire on a
+    STREAM too — folded into n_tok, it survives column pruning even
+    without the batch path's checkpoint."""
+    from pyspark.sql.utils import StreamingQueryException
+
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        span_corruption_texts,
+    )
+
+    land = os.path.join(str(tmp_path), "span_guard")
+    spark.createDataFrame(
+        [(1, "evil <X0> token doc")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(land)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(land)
+    )
+    q = run_stream_to_memory(
+        spark, span_corruption_texts(stream, stream_safe=True),
+        "span_guard_stream",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(StreamingQueryException, match="sentinel"):
+        q.awaitTermination(120)
+        raise AssertionError("guard did not fire")
