@@ -2574,3 +2574,106 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set-overlap estimate (the intersection face of the sketch trio):
+# mergeable registers answer |A∪B| directly (slot-wise max), and
+# inclusion–exclusion turns that into an INTERSECTION estimate without
+# re-reading either side — the dedup-accounting question ("how many
+# customers do these two segments share?") a register archive must
+# answer at 100 TB. p=8 registers put the union's relative error
+# around 1.04/√256 ≈ 6.5%; the intersection inherits error on the
+# UNION scale, so the in-plan flag bounds |est∩ − exact∩| by a
+# quarter of the exact UNION (plus the tiny-cardinality floor).
+# Exact values fill the hash; floats stay in the flag (the HLL gate's
+# device).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_overlap_bounds",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderstatus = 'F'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderstatus = 'O')
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT COUNT(*) FROM
+                 (SELECT o_custkey FROM a UNION
+                  SELECT o_custkey FROM b)) AS BIGINT) AS n_union,
+           CAST((SELECT COUNT(*) FROM a JOIN b USING (o_custkey))
+                AS BIGINT) AS n_overlap,
+           1 AS union_within_bound,
+           1 AS overlap_within_bound
+    """,
+)
+def hll_overlap_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sizes of two customer segments (orders with status F /
+    status O), their union and intersection, plus in-plan flags that
+    the engine's OWN merged-register HLL union estimate and the
+    inclusion–exclusion intersection estimate sit within the union-
+    scale bound (see block comment). Registers never re-read the
+    data: the union estimate comes from hll_merge of the two
+    segments' register tables."""
+    from ..operators.sketch import hll_estimate, hll_merge, hll_registers
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def seg(status: str):
+        return (
+            orders.filter(F.col("o_orderstatus") == status)
+            .select("o_custkey")
+            .distinct()
+            .localCheckpoint(eager=False)  # exact count + registers
+        )
+
+    a, b = seg("F"), seg("O")
+    n_a = a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    n_b = b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    n_union = (
+        a.unionByName(b)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+    )
+    n_overlap = a.join(b, "o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    reg_a = hll_registers(a, "o_custkey")
+    reg_b = hll_registers(b, "o_custkey")
+    est_a = hll_estimate(reg_a).withColumnRenamed("hll_est", "est_a")
+    est_b = hll_estimate(reg_b).withColumnRenamed("hll_est", "est_b")
+    est_u = hll_estimate(hll_merge(reg_a, reg_b)).withColumnRenamed(
+        "hll_est", "est_u"
+    )
+    one = (
+        n_a.crossJoin(n_b)
+        .crossJoin(n_union)
+        .crossJoin(n_overlap)
+        .crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+    )
+    tol = F.greatest(
+        F.col("n_union") / F.lit(_HLL_TOL_FRAC), F.lit(_HLL_TOL_FLOOR)
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_overlap",
+        F.when(F.abs(F.col("est_u") - F.col("n_union")) <= tol, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("union_within_bound"),
+        F.when(
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_u"))
+                - F.col("n_overlap")
+            )
+            <= tol,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("overlap_within_bound"),
+    )
