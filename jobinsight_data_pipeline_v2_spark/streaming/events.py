@@ -725,3 +725,24 @@ def cusum_stream(events: DataFrame, k_ref: int, alarm: int) -> DataFrame:
         "drift",
         "late",
     )
+
+
+def hll_window_registers(
+    events: DataFrame, watermark: str = "2 hours", key_col: str = "user_id"
+) -> DataFrame:
+    """Streaming HLL registers per 1-hour window (twin 42 — the sketch
+    family's streaming face): the register build is itself a
+    watermark-bounded streaming aggregate (groupBy(window, slot) +
+    MAX(rank)), so per-window distinct-count sketches accumulate with
+    O(active windows × 2^p) state and NO raw-key retention — the
+    shape that answers "distinct users per hour" on an unbounded
+    stream. Emitted register rows merge downstream exactly like the
+    batch artifacts (slot-wise max, operators/sketch.hll_merge);
+    batch == stream register-for-register (tested)."""
+    from ..operators.sketch import hll_registers
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    with_win = events.withWatermark("ts", watermark).withColumn(
+        "win", F.window("ts", "1 hour")
+    )
+    return hll_registers(with_win, key_col, ("win",))

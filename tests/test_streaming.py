@@ -2957,3 +2957,60 @@ def test_streaming_span_guard_survives_pruning(spark, tmp_path):
     with _pytest.raises(StreamingQueryException, match="sentinel"):
         q.awaitTermination(120)
         raise AssertionError("guard did not fire")
+
+
+def test_streaming_hll_window_registers_equal_batch(spark, tmp_path):
+    """Twin 42: per-window HLL registers built AS a streaming
+    aggregate equal the batch registers slot-for-slot, and the
+    estimates derived from the streamed registers match the batch
+    estimates exactly (same registers → same floats)."""
+    import datetime as dt
+
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.events import (
+        hll_window_registers,
+    )
+
+    land = os.path.join(str(tmp_path), "hll_landing")
+    base = dt.datetime(2026, 3, 1, 10, 0, 0)
+    rows = []
+    for i in range(300):
+        rows.append(
+            (i, base + dt.timedelta(minutes=(i * 7) % 150), i % 40)
+        )
+    for chunk in (rows[:120], rows[120:]):
+        spark.createDataFrame(
+            chunk, "event_id long, ts timestamp, user_id long"
+        ).coalesce(1).write.mode("append").parquet(land)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = run_stream_to_memory(
+        spark, hll_window_registers(stream), "hll_reg_stream",
+        mode="complete",
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hll_reg_stream")
+
+    batch = spark.read.parquet(land).withColumn(
+        "win", F.window(F.col("ts").cast("timestamp"), "1 hour")
+    )
+    exp = hll_registers(batch, "user_id", ("win",))
+    sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
+    assert sym == 0
+    # identical registers → bit-identical estimates
+    e_got = {
+        (r.win.start, round(r.hll_est, 9))
+        for r in hll_estimate(got, ("win",)).collect()
+    }
+    e_exp = {
+        (r.win.start, round(r.hll_est, 9))
+        for r in hll_estimate(exp, ("win",)).collect()
+    }
+    assert e_got == e_exp and len(e_got) >= 2
