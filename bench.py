@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "winsorized_prices",  # rank-exact p5/p95 clipping, one exchange
     "benford_price_audit",  # first-digit forensic audit, integer ppm
     "hll_overlap_bounds",  # merged-register union + intersection est
+    "sstemmer_token_counts",  # Harman s-stemmer conflation stats
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

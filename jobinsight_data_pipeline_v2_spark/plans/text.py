@@ -2084,6 +2084,103 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S-stemmer (Harman 1991, "How effective is suffixing?"): the minimal
+# published English stemmer search indexes actually use when Porter is
+# too aggressive — exactly three ordered rules:
+#   1. -ies → -y   unless the word ends -eies / -aies
+#   2. -es  → -e   unless the word ends -aes / -ees / -oes
+#   3. -s   → ''   unless the word ends -us / -ss
+# The whole algorithm is ONE CASE ladder whose text both engines share
+# verbatim (endswith() exists in Spark ≥3.5 and DuckDB). The corpus
+# vocabulary is mostly unsuffixed, so the gate synthesizes the
+# suffixed forms IN-PLAN (token+'s'/+es'/+ies' per doc_id residue,
+# plus the exception classes) — every rule and every exception fires
+# at every SF.
+# ---------------------------------------------------------------------------
+
+
+def _sstem_case(col: str, fn: str = "endswith") -> str:
+    """The three-rule ladder; one SQL text shared by both engines up
+    to the suffix-test spelling (Spark ``endswith``, DuckDB
+    ``ends_with``)."""
+    e = fn
+    return f"""CASE
+        WHEN {e}({col}, 'ies') AND NOT {e}({col}, 'eies')
+             AND NOT {e}({col}, 'aies')
+            THEN substring({col}, 1, length({col}) - 3) || 'y'
+        WHEN {e}({col}, 'es') AND NOT {e}({col}, 'aes')
+             AND NOT {e}({col}, 'ees') AND NOT {e}({col}, 'oes')
+            THEN substring({col}, 1, length({col}) - 1)
+        WHEN {e}({col}, 's') AND NOT {e}({col}, 'us')
+             AND NOT {e}({col}, 'ss')
+            THEN substring({col}, 1, length({col}) - 1)
+        ELSE {col} END"""
+
+
+_SSTEM_TOP = 50
+# doc_id residue → suffix class appended to each of the doc's tokens:
+# the three rules plus one exception from each rule's guard list
+_SSTEM_FORMS = (
+    (0, "''"), (1, "'s'"), (2, "'es'"), (3, "'ies'"),
+    (4, "'ss'"), (5, "'us'"), (6, "'oes'"),
+)
+
+
+def _sstem_variant_sql(tok_expr: str, concat: str) -> str:
+    whens = " ".join(
+        f"WHEN {r} THEN {tok_expr} {concat} {sfx}"
+        for r, sfx in _SSTEM_FORMS
+    )
+    return f"CASE doc_id % {len(_SSTEM_FORMS)} {whens} END"
+
+
+@register(
+    "sstemmer_token_counts",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    formed AS (
+        SELECT {_sstem_variant_sql('tok', '||')} AS w FROM toks
+    ),
+    stemmed AS (
+        SELECT w, {_sstem_case('w', 'ends_with')} AS stem FROM formed
+    )
+    SELECT stem,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_surface_forms
+    FROM stemmed
+    GROUP BY stem
+    ORDER BY n DESC, stem
+    LIMIT {_SSTEM_TOP}
+    """,
+)
+def sstemmer_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harman s-stemmer over the corpus tokens + in-plan synthesized
+    suffix classes (see block comment): per stem its occurrence count
+    and how many distinct surface forms collapsed into it — the
+    conflation statistic a search index tunes stemmers by. Narrow
+    CASE-ladder projection + one count; top-{_SSTEM_TOP} total order."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("tok")
+    )
+    formed = toks.select(
+        F.expr(_sstem_variant_sql("tok", "||")).alias("w")
+    )
+    stemmed = formed.select("w", F.expr(_sstem_case("w")).alias("stem"))
+    return (
+        stemmed.groupBy("stem")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("w").cast("long").alias("n_surface_forms"),
+        )
+        .orderBy(F.desc("n"), "stem")
+        .limit(_SSTEM_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
 # word2vec negative-sampling table: the companion artifact to
 # skipgram_pairs — noise-distribution weights ∝ count^(3/4) (Mikolov
 # et al.'s smoothing, which damps stopword dominance without flattening
