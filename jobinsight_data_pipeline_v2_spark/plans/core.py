@@ -2677,3 +2677,84 @@ def hll_overlap_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("overlap_within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-rater agreement (Cohen's kappa): when a pipeline runs several
+# quality raters (a classifier, a rule battery, a human sample), raw
+# percent agreement overstates consensus — kappa corrects for the
+# agreement two raters would reach by chance from their marginals.
+# Exact integers end to end: with n docs, rater-positive counts a, b
+# and agreement count g,
+#     kappa = (n·g − pe) / (n² − pe),   pe = a·b + (n−a)(n−b)
+# emitted as ppm by one integer floor division (n ≤ 5e4 at sf0.1 →
+# n²·1e6 ≈ 2.5e15, inside BIGINT). Raters here are two REAL quality
+# signals over the corpus (char-length ≥ 150 vs token-count ≥ 30 —
+# correlated but not identical, so kappa lands strictly between 0 and
+# 1 and the correction has teeth). One conditional-aggregate scan.
+# ---------------------------------------------------------------------------
+
+_KAPPA_LEN, _KAPPA_TOK = 150, 30
+_SQL_DOC_TOKENS = "list_filter(string_split(text, ' '), t -> t != '')"
+
+
+@register(
+    "annotator_agreement",
+    f"""
+    WITH flags AS (
+        SELECT CASE WHEN length(text) >= {_KAPPA_LEN} THEN 1 ELSE 0 END
+                   AS ra,
+               CASE WHEN len({_SQL_DOC_TOKENS}) >= {_KAPPA_TOK}
+                    THEN 1 ELSE 0 END AS rb
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ra) AS BIGINT) AS n_a,
+               CAST(SUM(rb) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM flags
+    )
+    SELECT n, n_a, n_b, n_agree,
+           CAST((1000000 * (n * n_agree
+                            - (n_a * n_b + (n - n_a) * (n - n_b))))
+                // (n * n - (n_a * n_b + (n - n_a) * (n - n_b)))
+                AS BIGINT) AS kappa_ppm
+    FROM agg
+    """,
+)
+def annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two quality raters over the corpus,
+    integer-exact in ppm (see block comment) — the statistic that
+    tells a curation team whether two filters measure the same thing
+    or merely share base rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "size(filter(split(text, ' '), t -> t != ''))"
+    flags = docs.select(
+        F.expr(
+            f"CASE WHEN length(text) >= {_KAPPA_LEN} THEN 1 ELSE 0 END"
+        ).alias("ra"),
+        F.expr(
+            f"CASE WHEN {toks} >= {_KAPPA_TOK} THEN 1 ELSE 0 END"
+        ).alias("rb"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ra").cast("long").alias("n_a"),
+        F.sum("rb").cast("long").alias("n_b"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    pe = "(n_a * n_b + (n - n_a) * (n - n_b))"
+    return agg.select(
+        "n",
+        "n_a",
+        "n_b",
+        "n_agree",
+        F.expr(
+            f"CAST((1000000 * (n * n_agree - {pe}))"
+            f" div (n * n - {pe}) AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
