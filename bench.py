@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "hll_overlap_bounds",  # merged-register union + intersection est
     "sstemmer_token_counts",  # Harman s-stemmer conflation stats
     "annotator_agreement",  # Cohen's kappa between quality raters, ppm
+    "gini_revenue_audit",  # Lorenz/Gini concentration, integer ppm
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -2758,3 +2758,81 @@ def annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (n * n - {pe}) AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration audit: ONE number for "how concentrated is
+# revenue across customers" — the inequality statistic next to the
+# abc_brand_classes per-row Pareto labels. Integer-exact via the
+# rank form of the Lorenz sum: with per-customer cents x_i sorted
+# ascending (rank i = 1..n under a (cents, custkey) total order),
+#     G = Σ (2i − n − 1)·x_i  /  (n · Σ x_i)
+# emitted in ppm by one floor division. Headroom: Σ(2i−n−1)x_i ≤
+# n·Σx ≤ 1.5e5 · 9e12 cents ≈ 1.4e18 at sf0.1 ×1e6 → DECIMAL(38,0)
+# for the scaled numerator (the abc cum_ppm discipline). The rank
+# window is global over the CUSTOMER-level rollup (dimension-sized,
+# the mad_outlier_days precedent), never over order rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gini_revenue_audit",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(cents) OVER () AS total
+        FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           CAST((CAST(1000000 AS HUGEINT)
+                 * SUM(CAST((2 * i - n - 1) AS HUGEINT) * cents))
+                // (CAST(MAX(n) AS HUGEINT) * MAX(total))
+                AS BIGINT) AS gini_ppm
+    FROM ranked
+    """,
+)
+def gini_revenue_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue in exact integer ppm
+    (see block comment) — the concentration audit a marketplace runs
+    next to its Pareto class labels."""
+    from pyspark.sql.window import Window as W
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w_ord = W.orderBy("cents", "o_custkey")
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w_ord).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    num = (
+        "SUM(CAST((2 * i - n - 1) AS DECIMAL(38,0))"
+        " * CAST(cents AS DECIMAL(38,0)))"
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * {num})"
+            " div (CAST(MAX(n) AS DECIMAL(38,0))"
+            " * CAST(MAX(total) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
