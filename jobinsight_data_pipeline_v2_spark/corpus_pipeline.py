@@ -564,6 +564,7 @@ def run_curation_day(
     day: str,
     *,
     classify: bool = True,
+    gopher: bool = False,
     compact_state_after: int | None = None,
     metrics=None,
     run_ts=None,
@@ -571,6 +572,11 @@ def run_curation_day(
     """One day of incremental curation over a (doc_id, text) batch;
     with a ``metrics`` store a failing stage records a status='failed'
     row naming the stage before re-raising (the lifecycle rule).
+    ``gopher=True`` inserts the published Gopher rule battery between
+    near-dedup and the classifier (the curate_corpus stage order —
+    cheap rules cut the volume the model gate pays for), adding
+    ``n_gopher_kept`` to the report and a ``gopher_rules`` ledger
+    stage.
 
     ``compact_state_after=N`` runs ``compact_curation_state`` after the
     append whenever a state layer has accumulated at least N
@@ -581,7 +587,7 @@ def run_curation_day(
     try:
         return _run_curation_day(
             spark, root, batch, day,
-            classify=classify,
+            classify=classify, gopher=gopher,
             compact_state_after=compact_state_after,
             metrics=metrics, run_ts=run_ts,
             stage=stage,
@@ -616,6 +622,7 @@ def _run_curation_day(
     day: str,
     *,
     classify: bool,
+    gopher: bool = False,
     compact_state_after: int | None = None,
     metrics,
     run_ts,
@@ -699,18 +706,36 @@ def _run_curation_day(
     report["n_near_kept"] = n_near
     _cur_stage(metrics, run_ts, "near_dedup", n_exact, n_near, t1)
 
+    gate_in_frame, n_gate_in = near_kept, n_near
+    if gopher:
+        t1b = time.monotonic()
+        stage["name"] = "gopher_rules"
+        from .plans.text import gopher_flag_columns
+
+        ruled = (
+            gopher_flag_columns(near_kept.select("doc_id", "text"))
+            .filter("pass_gopher")
+            .select("doc_id")
+            .join(near_kept, "doc_id")
+            .localCheckpoint(eager=False)
+        )
+        n_gopher = ruled.count()
+        report["n_gopher_kept"] = n_gopher
+        _cur_stage(metrics, run_ts, "gopher_rules", n_near, n_gopher, t1b)
+        gate_in_frame, n_gate_in = ruled, n_gopher
+
     t2 = time.monotonic()
     stage["name"] = "classify"
     if classify:
-        scored = classifier_score(near_kept.select("doc_id", "text"))
-        shippable = near_kept.join(
+        scored = classifier_score(gate_in_frame.select("doc_id", "text"))
+        shippable = gate_in_frame.join(
             scored.filter("keep").select("doc_id"), "doc_id"
         ).localCheckpoint(eager=False)
     else:
-        shippable = near_kept
+        shippable = gate_in_frame
     n_ship = shippable.count()
     report["n_shipped"] = n_ship
-    _cur_stage(metrics, run_ts, "classify", n_near, n_ship, t2)
+    _cur_stage(metrics, run_ts, "classify", n_gate_in, n_ship, t2)
 
     t3 = time.monotonic()
     stage["name"] = "append_state"
@@ -766,6 +791,11 @@ def _run_curation_day(
         )
         .unionByName(
             near_kept.select("doc_id")
+            .join(gate_in_frame.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("stage", F.lit("gopher_rules"))
+        )
+        .unionByName(
+            gate_in_frame.select("doc_id")
             .join(shippable.select("doc_id"), "doc_id", "left_anti")
             .withColumn("stage", F.lit("classify"))
         )

@@ -379,3 +379,45 @@ def test_promotion_race_guard_detects_nested_rename(spark, tmp_path):
     assert not [n for n in names if n.startswith(".tmp-")]
     assert len(names) == n_before
     assert spark.read.parquet(str(dst)).count() == 3
+
+
+def test_incremental_gopher_stage_parity(spark, tmp_path):
+    """run_curation_day(gopher=True) inserts the rule battery between
+    near-dedup and the classifier (the curate_corpus stage order): a
+    rule-violating doc drops with a gopher_rules ledger row, the
+    report gains n_gopher_kept, and ledger ∪ shipped still partitions
+    the input."""
+    def text(i, n=60):
+        # ≥50 words (Gopher's count floor) of distinct per-doc tokens
+        # + the stop words Gopher requires (the synthetic wNxJ
+        # vocabulary has none on its own)
+        return (
+            " ".join(f"w{i}x{j}" for j in range(n))
+            + " the of and to is in"
+        )
+
+    # doc 90 violates Gopher's symbol/word rules (hash-mark soup);
+    # doc 91 is normal
+    batch = spark.createDataFrame(
+        [(90, "## ## ## ## ## ## ## ## ## ##"), (91, text(91))]
+        + [(i, text(i)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "root")
+    # classify=False isolates the gopher stage (the added stop words
+    # shift the toy classifier's short-token feature)
+    r = run_curation_day(
+        spark, root, batch, "2026-01-01", gopher=True, classify=False
+    )
+    assert "n_gopher_kept" in r
+    assert r["n_gopher_kept"] < r["n_near_kept"]
+    led = {(x.doc_id, x.stage) for x in r["ledger"].collect()}
+    assert (90, "gopher_rules") in led
+    shipped = {
+        x.doc_id for x in load_standing_corpus(spark, root).collect()
+    }
+    assert 90 not in shipped and 91 in shipped
+    # partition invariant holds with the extra stage
+    assert shipped | {i for i, _ in led} == {
+        x.doc_id for x in batch.collect()
+    }
