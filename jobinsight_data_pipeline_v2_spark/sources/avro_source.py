@@ -134,6 +134,8 @@ def _enc_value(typ, v) -> bytes:
             return _enc_long(idx)
         idx = next(i for i, t in enumerate(typ) if t != "null")
         return _enc_long(idx) + _enc_value(typ[idx], v)
+    if isinstance(typ, dict):  # logical-type annotation: base prim
+        return _enc_value(typ.get("type"), v)
     if typ == "null":
         return b""
     if typ in ("long", "int"):
@@ -244,6 +246,9 @@ class _Reader:
             if not 0 <= idx < len(typ):
                 raise ValueError("bad union branch")
             return self.read_value(typ[idx])
+        if isinstance(typ, dict):
+            # logical-type annotation: decode as the base primitive
+            return self.read_value(typ.get("type"))
         if typ == "null":
             return None
         if typ in ("long", "int"):
@@ -275,15 +280,30 @@ class _Reader:
         raise ValueError(f"unsupported avro type {typ!r}")
 
 
+def _prim_of(t):
+    """Resolve a type node to its primitive name: bare prims pass
+    through; dict-annotated prims — the logical-type convention, e.g.
+    {"type": "long", "logicalType": "timestamp-micros"} — resolve to
+    their base primitive (values decode as the base type; logical
+    interpretation is the consumer's). Anything else is None."""
+    if isinstance(t, str) and t in _SUPPORTED_PRIMS:
+        return t
+    if isinstance(t, dict) and t.get("type") in _SUPPORTED_PRIMS:
+        return t["type"]
+    return None
+
+
 def _schema_supported(schema) -> bool:
     if not isinstance(schema, dict) or schema.get("type") != "record":
         return False
     for f in schema.get("fields", []):
         t = f.get("type")
         if isinstance(t, list):
-            if not all(x in _SUPPORTED_PRIMS for x in t):
+            if not all(
+                x == "null" or _prim_of(x) is not None for x in t
+            ):
                 return False
-        elif t not in _SUPPORTED_PRIMS:
+        elif _prim_of(t) is None:
             return False
     return True
 

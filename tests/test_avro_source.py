@@ -277,3 +277,29 @@ def test_reader_tolerates_writer_schema_drift(spark, tmp_path):
         2: ("slim row", None, None),  # omitted optionals read as NULL
     }
     assert quar.count() == 0
+
+
+def test_logical_type_annotations_decode_as_base_primitive():
+    """Real producers annotate prims with logicalType (timestamp-
+    micros, date, …) as {"type": prim, "logicalType": …} dicts; the
+    reader must resolve them to the base primitive instead of
+    rejecting the container."""
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id",
+             "type": ["null",
+                      {"type": "long", "logicalType": "timestamp-micros"}]},
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "lang",
+             "type": {"type": "string", "logicalType": "uuid"}},
+            {"name": "source", "type": ["null", "string"]},
+            {"name": "n_chars", "type": ["null", "long"]},
+        ],
+    }
+    rows = [{"doc_id": 1690000000000000, "text": "ts doc", "lang": "en",
+             "source": "s", "n_chars": 6}]
+    data = encode_avro_container(rows, schema, "null")
+    evs = list(_decode_container("f", data))
+    assert evs == [("row", 0, rows[0])]
