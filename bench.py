@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "sstemmer_token_counts",  # Harman s-stemmer conflation stats
     "annotator_agreement",  # Cohen's kappa between quality raters, ppm
     "gini_revenue_audit",  # Lorenz/Gini concentration, integer ppm
+    "trending_priorities",  # exact half-life decay ranking (powers of 2)
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

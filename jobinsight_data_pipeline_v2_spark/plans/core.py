@@ -2836,3 +2836,69 @@ def gini_revenue_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(MAX(total) AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# trending rollup with integer exponential decay: freshness-weighted
+# popularity (the "trending" ranking every feed/search system runs)
+# with half-life decay made EXACT — each order contributes
+# 2^(26 − age_quarters) (one half-life per quarter against a fixed
+# anchor date; ages ≥ 26 quarters share weight 1), so the decayed
+# score is a BIGINT sum of powers of two, bit-identical in both
+# engines, no float pow/exp anywhere. One conditional-aggregate scan;
+# headroom 2^26 · |orders| ≈ 1e13 at sf0.1.
+# ---------------------------------------------------------------------------
+
+_TREND_ANCHOR = "2001-09-30"
+_TREND_MAXQ = 26
+
+
+@register(
+    "trending_priorities",
+    f"""
+    WITH aged AS (
+        SELECT o_orderpriority AS priority,
+               least(date_diff('day', o_orderdate,
+                               DATE '{_TREND_ANCHOR}') // 91,
+                     {_TREND_MAXQ}) AS q
+        FROM orders
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(1 << ({_TREND_MAXQ} - q)) AS BIGINT)
+               AS decayed_score,
+           CAST(row_number() OVER (
+               ORDER BY SUM(1 << ({_TREND_MAXQ} - q)) DESC, priority
+           ) AS BIGINT) AS trend_rank
+    FROM aged
+    GROUP BY priority
+    ORDER BY trend_rank
+    """,
+)
+def trending_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-weighted order-priority ranking under exact integer
+    half-life decay (see block comment): raw counts, the decayed
+    score, and the trend rank — which DIVERGES from the raw-count
+    rank whenever recent mix differs from historical mix."""
+    from pyspark.sql.window import Window as W
+
+    aged = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            f"least(datediff(DATE '{_TREND_ANCHOR}', o_orderdate)"
+            f" div 91, {_TREND_MAXQ})"
+        ).alias("q"),
+    )
+    scored = aged.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.expr(f"shiftleft(1L, {_TREND_MAXQ} - cast(q as int))"))
+        .cast("long")
+        .alias("decayed_score"),
+    )
+    w = W.orderBy(F.desc("decayed_score"), "priority")
+    return scored.select(
+        "priority",
+        "n_orders",
+        "decayed_score",
+        F.row_number().over(w).cast("long").alias("trend_rank"),
+    ).orderBy("trend_rank")
