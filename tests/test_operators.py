@@ -1562,3 +1562,88 @@ def test_benford_ppm_literals_match_log10():
 
     for d in range(1, 10):
         assert _BENFORD_PPM[d - 1] == round(math.log10(1 + 1 / d) * 1e6)
+
+
+def test_sstemmer_matches_python_reference(spark):
+    """The CASE-ladder s-stemmer == an independent pure-Python
+    transcription of Harman's three rules, over every rule and every
+    exception-guard class."""
+    from jobinsight_data_pipeline_v2_spark.plans.text import _sstem_case
+
+    def py_sstem(w):
+        if w.endswith("ies") and not (
+            w.endswith("eies") or w.endswith("aies")
+        ):
+            return w[:-3] + "y"
+        if w.endswith("es") and not (
+            w.endswith("aes") or w.endswith("ees") or w.endswith("oes")
+        ):
+            return w[:-1]
+        if w.endswith("s") and not (
+            w.endswith("us") or w.endswith("ss")
+        ):
+            return w[:-1]
+        return w
+
+    words = [
+        "queries", "eies", "aies", "babies", "stories",
+        "batches", "tables", "aes", "trees", "goes", "heroes",
+        "scans", "keys", "bus", "class", "pass", "virus",
+        "scan", "merge", "s", "es", "ies", "x",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.stem
+        for r in df.selectExpr("w", f"{_sstem_case('w')} AS stem").collect()
+    }
+    for w in words:
+        assert got[w] == py_sstem(w), (w, got[w], py_sstem(w))
+    # Harman's canonical conflations hold
+    assert got["queries"] == "query"
+    assert got["batches"] == "batche"  # -es drops ONE s (rule 2)
+    assert got["scans"] == "scan"
+    assert got["class"] == "class" and got["bus"] == "bus"
+
+
+def test_trending_decay_clamp_boundary(spark):
+    """Orders older than 26 quarters share the floor weight 1 (the
+    clamp), and a fresher mix outranks a larger stale count — the
+    divergence the gate exists to expose."""
+    from jobinsight_data_pipeline_v2_spark.plans.core import (
+        _TREND_ANCHOR,
+        _TREND_MAXQ,
+    )
+    import datetime as dt
+
+    anchor = dt.date.fromisoformat(_TREND_ANCHOR)
+    rows = []
+    # 'stale': 200 orders far older than the clamp → weight 1 each
+    for i in range(200):
+        rows.append((i, "stale", anchor - dt.timedelta(days=91 * 40)))
+    # 'fresh': 3 orders this quarter → weight 2^26 each
+    for i in range(3):
+        rows.append((1000 + i, "fresh", anchor - dt.timedelta(days=5)))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, d date"
+    ).selectExpr(
+        "o_orderkey", "o_orderpriority",
+        "CAST(d AS TIMESTAMP) AS o_orderdate",
+        "1.0 AS o_totalprice", "1 AS o_custkey",
+        "'O' AS o_orderstatus",
+    )
+    import jobinsight_data_pipeline_v2_spark.plans.core as core
+    import jobinsight_data_pipeline_v2_spark.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark_, sf, name: df
+        core.load_table = tables.load_table
+        out = {r.priority: (r.n_orders, r.decayed_score, r.trend_rank)
+               for r in core.trending_priorities(spark, "ignored").collect()}
+    finally:
+        tables.load_table = orig
+        core.load_table = orig
+    assert out["stale"] == (200, 200, 2)        # clamp: weight 1 each
+    assert out["fresh"][0] == 3
+    assert out["fresh"][1] == 3 * (1 << _TREND_MAXQ)
+    assert out["fresh"][2] == 1                 # fresh outranks stale
