@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "annotator_agreement",  # Cohen's kappa between quality raters, ppm
     "gini_revenue_audit",  # Lorenz/Gini concentration, integer ppm
     "trending_priorities",  # exact half-life decay ranking (powers of 2)
+    "rolling_wau",  # 7-day sliding DISTINCT users (bounded x7 fan-out)
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -1618,3 +1618,69 @@ def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "attr_value",
         F.col("eff").alias("version_since"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# rolling 7-day distinct users (WAU per day): the active-users metric
+# every product dashboard runs — DISTINCT over a sliding window, which
+# the sliding-SUM machinery (events_sliding_window) cannot express
+# because distincts don't subtract out. The classic exact shape: dedup
+# to (user, day) once, fan each pair out to the ≤7 window-days it
+# supports, dedup (user, window_day), count per day — one bounded ×7
+# explode instead of a per-day re-scan; output restricted to days that
+# actually have events (no trailing phantom windows).
+# ---------------------------------------------------------------------------
+
+_WAU_DAYS = 7
+
+
+@register(
+    "rolling_wau",
+    f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+        SELECT DISTINCT ud.user_id, days.d AS wday
+        FROM ud JOIN days
+          ON days.d >= ud.d
+         AND days.d < ud.d + INTERVAL {_WAU_DAYS} DAY
+    )
+    SELECT strftime(wday, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS wau
+    FROM contrib
+    GROUP BY wday
+    ORDER BY day
+    """,
+)
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per observed day: the 7-day distinct active users (WAU). The
+    Spark plan fans each deduped (user, day) pair out to its window
+    days IN-ROW (sequence over the date range, filtered to observed
+    days via a broadcast calendar) — no range join, no per-day
+    re-scan; one dedup shuffle + one count."""
+    events = load_events(spark, sf_dir)
+    ud = events.select(
+        "user_id", F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("d")
+    ).distinct()
+    ud = ud.localCheckpoint(eager=False)  # calendar + fan-out consumers
+    days = ud.select("d").distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(d, date_add(d, {_WAU_DAYS - 1}), interval 1 day)"
+            )
+        ).alias("wday"),
+    )
+    contrib = fan.join(
+        F.broadcast(days.withColumnRenamed("d", "wday")), "wday"
+    ).distinct()
+    return (
+        contrib.groupBy("wday")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+        .select(F.date_format("wday", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )
