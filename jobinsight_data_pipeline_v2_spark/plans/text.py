@@ -2711,6 +2711,131 @@ def keyword_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval: exact-rational Okapi scoring in integer ppm
+# ---------------------------------------------------------------------------
+#
+# Okapi BM25 with the standard constants as exact rationals
+# (k1 = 6/5, b = 3/4). Per-term contribution:
+#
+#   idf(t) * tf * (k1 + 1) / (tf + k1 * ((1 - b) + b * dl / avgdl))
+#
+# with avgdl = T/N (T total corpus tokens, N docs). Multiplying the
+# tf ratio through by 10*T clears every denominator:
+#
+#   num = 22 * tf * T
+#   den = 10 * T * tf + 3 * T + 9 * dl * N
+#
+# so the contribution in parts-per-million is ONE positive floor
+# division of BIGINTs — the division text is shared verbatim between
+# engines (Spark `div` == DuckDB `//` for positive operands), idf is
+# the shared floor-log2 CASE ladder, and the score is bit-stable with
+# no float anywhere. BIGINT headroom: w*22*tf*T*1e6 needs
+# tf*T < 2.6e13 (sf0.1: T ~ 5e6, tf < 1e3 — five orders of margin); a
+# 100 TB corpus shifts T right by a common k first, same ranking.
+
+
+def _bm25_contrib(divop: str) -> str:
+    return (
+        f"(w * 22 * tf * __tt * 1000000) {divop} "
+        "(10 * __tt * tf + 3 * __tt + 9 * dl * __nn)"
+    )
+
+
+@register(
+    "bm25_search_ranked",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    tot AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS __tt,
+               CAST(COUNT(*) AS BIGINT) AS __nn
+        FROM lens
+    ),
+    hits AS (
+        SELECT x.doc_id, l.dl, x.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(t) AS term FROM toks) x
+        JOIN lens l ON x.doc_id = l.doc_id
+        WHERE x.term IN {_SEARCH_TERMS_SQL}
+        GROUP BY 1, 2, 3
+    ),
+    weights AS (
+        SELECT term,
+               {_dsir_class_case('(SELECT __nn FROM tot)', 'COUNT(*)',
+                                 _IDF_CLAMP)} AS w
+        FROM hits GROUP BY term
+    ),
+    scored AS (
+        SELECT h.doc_id,
+               CAST(SUM({_bm25_contrib('//')}) AS BIGINT) AS score_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM hits h JOIN weights wt ON h.term = wt.term CROSS JOIN tot
+        GROUP BY 1
+    )
+    SELECT doc_id, score_ppm, n_terms
+    FROM scored
+    ORDER BY score_ppm DESC, doc_id
+    LIMIT {_SEARCH_K}
+    """,
+)
+def bm25_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_SEARCH_K} documents under exact-integer Okapi BM25
+    (k1 = 6/5, b = 3/4 as rationals, scores in ppm) — the
+    length-normalized, tf-saturated upgrade of keyword_search_ranked
+    and the real serve path of the inverted-index artifact.
+
+    Shape: one corpus scan carries (doc_id, dl, term) through the
+    term filter placed directly on the token explode; (doc, term)
+    pre-agg with map-side combine; idf weights are a terms-sized
+    broadcast; corpus totals (T, N) are a one-row broadcast; the final
+    agg keys on doc_id. The contribution is one positive BIGINT floor
+    division whose text both engines share — see the header comment
+    for the derivation and headroom. Total order under the LIMIT:
+    (score_ppm DESC, doc_id), doc_id unique.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    )
+    lens = docs.select(
+        "doc_id", F.size("t").cast("long").alias("dl"), "t"
+    )
+    tot = lens.agg(
+        F.sum("dl").cast("long").alias("__tt"),
+        F.count(F.lit(1)).cast("long").alias("__nn"),
+    )
+    hits = (
+        lens.select("doc_id", "dl", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    hits = hits.localCheckpoint(eager=False)  # weights + scoring consumer
+    weights = (
+        hits.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(tot.select("__nn")))
+        .select(
+            "term",
+            F.expr(_dsir_class_case("__nn", "df", _IDF_CLAMP)).alias("w"),
+        )
+    )
+    return (
+        hits.join(F.broadcast(weights), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(_bm25_contrib("div")))
+            .cast("long")
+            .alias("score_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(_SEARCH_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # phrase matching: exact 2-token phrase occurrences, fully in-row
 # ---------------------------------------------------------------------------
 
