@@ -2441,11 +2441,10 @@ def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_TOP = 25
 
-
-@register(
-    "triangle_counts",
-    f"""
-    WITH nodes AS (SELECT doc_id AS node FROM documents),
+# the synthesized-graph CTE block shared VERBATIM by the triangle and
+# link-prediction oracles (the _COMPONENTS_CTE / _span_oracle_sql
+# device: one builder, the two oracles cannot desynchronize)
+_GRAPH_UND_CTES = """nodes AS (SELECT doc_id AS node FROM documents),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
     chords AS (
         SELECT node AS src,
@@ -2460,7 +2459,43 @@ _TRI_TOP = 25
     und AS (
         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         FROM edges WHERE src != dst
-    ),
+    )"""
+
+
+def _doc_graph_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized undirected doc graph (pagerank chords + a
+    2-chord ring), as distinct id-ordered pairs (a < b) — the shared
+    builder for triangle_counts and link_prediction_scores."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("node")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    base = docs.crossJoin(F.broadcast(tot))
+    chords = base.select(
+        F.col("node").alias("src"),
+        F.explode(F.expr("sequence(1, 1 + node % 3)")).alias("j"),
+        "__n",
+    ).select("src", F.expr("(src * 7 + j * 31 + 11) % __n").alias("dst"))
+    ring = base.select(
+        F.col("node").alias("src"),
+        F.explode(F.expr("sequence(1, 2)")).alias("j"),
+        "__n",
+    ).select("src", F.expr("(src + j) % __n").alias("dst"))
+    return (
+        chords.unionByName(ring)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "triangle_counts",
+    f"""
+    WITH {_GRAPH_UND_CTES},
     tri AS (
         SELECT e1.a AS u, e1.b AS v, e2.b AS w
         FROM und e1
@@ -2493,34 +2528,92 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import triangle_counts_per_node
 
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("node")
-    )
-    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    base = docs.crossJoin(F.broadcast(tot))
-    chords = base.select(
-        F.col("node").alias("src"),
-        F.explode(F.expr("sequence(1, 1 + node % 3)")).alias("j"),
-        "__n",
-    ).select("src", F.expr("(src * 7 + j * 31 + 11) % __n").alias("dst"))
-    ring = base.select(
-        F.col("node").alias("src"),
-        F.explode(F.expr("sequence(1, 2)")).alias("j"),
-        "__n",
-    ).select("src", F.expr("(src + j) % __n").alias("dst"))
-    und = (
-        chords.unionByName(ring)
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
+    und = _doc_graph_und(spark, sf_dir)
     return (
         triangle_counts_per_node(und)
         .orderBy(F.desc("n_triangles"), "node")
         .limit(_TRI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# link prediction: common neighbors + resource-allocation index over
+# the synthesized doc graph (Zhou, Lü & Zhang 2009) — integer ppm
+# ---------------------------------------------------------------------------
+
+_LP_TOP = 25
+
+
+@register(
+    "link_prediction_scores",
+    f"""
+    WITH {_GRAPH_UND_CTES},
+    adj AS (
+        SELECT a AS w, b AS u FROM und
+        UNION ALL
+        SELECT b AS w, a AS u FROM und
+    ),
+    deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    wedge AS (
+        SELECT a1.u AS u, a2.u AS v, a1.w AS w
+        FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.u < a2.u
+    ),
+    scored AS (
+        SELECT wg.u, wg.v,
+               CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(1000000 // d.d) AS BIGINT) AS ra_ppm
+        FROM wedge wg JOIN deg d ON wg.w = d.w
+        GROUP BY 1, 2
+    )
+    SELECT s.u, s.v, s.cn, s.ra_ppm
+    FROM scored s LEFT JOIN und e ON s.u = e.a AND s.v = e.b
+    WHERE e.a IS NULL
+    ORDER BY s.ra_ppm DESC, s.cn DESC, s.u, s.v
+    LIMIT {_LP_TOP}
+    """,
+)
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_LP_TOP} predicted (missing) links on the synthesized doc
+    graph: per non-adjacent pair sharing ≥1 neighbor, the
+    common-neighbor count and the resource-allocation index
+    Σ_w 1/deg(w) — each neighbor's contribution as the exact integer
+    floor(1e6 / deg(w)), so the RA score is bit-stable with no float
+    division (the published RA/Adamic-Adar family with the engine's
+    integer-ppm discipline).
+
+    Shape: adjacency both directions (2|E| rows), a degrees agg, the
+    standard wedge self-join keyed on the shared neighbor (the
+    triangle gate's fan-out — bounded by Σ deg(w)², the same hub-cap
+    story), one (u, v) agg, and an existing-edge anti join (LEFT +
+    IS NULL on both engines). Total order under the LIMIT:
+    (ra_ppm DESC, cn DESC, u, v) — (u, v) unique.
+    """
+    und = _doc_graph_und(spark, sf_dir)
+    und = und.localCheckpoint(eager=False)  # adjacency + anti-join consumer
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("u")).unionByName(
+        und.select(F.col("b").alias("w"), F.col("a").alias("u"))
+    )
+    adj = adj.localCheckpoint(eager=False)  # degree + two wedge consumers
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a1 = adj.select("w", F.col("u").alias("u"))
+    a2 = adj.select("w", F.col("u").alias("v"))
+    wedge = a1.join(a2, "w").filter(F.col("u") < F.col("v"))
+    scored = (
+        wedge.join(deg, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(F.expr("1000000 div d")).cast("long").alias("ra_ppm"),
+        )
+    )
+    return (
+        scored.join(
+            und,
+            (scored["u"] == und["a"]) & (scored["v"] == und["b"]),
+            "left_anti",
+        )
+        .orderBy(F.desc("ra_ppm"), F.desc("cn"), "u", "v")
+        .limit(_LP_TOP)
     )
 
 
