@@ -1974,6 +1974,226 @@ def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# l-diversity release: the privacy ladder's second rung (r9)
+# ---------------------------------------------------------------------------
+#
+# Machanavajjhala et al. 2006: k-anonymity alone leaks when a released
+# group is homogeneous in the SENSITIVE attribute (everyone in the
+# group shares one segment -> membership reveals it). Distinct
+# l-diversity adds: publish only groups with >= l distinct sensitive
+# values. The ladder below re-runs the k_anonymity_release walk with
+# the l >= 3 constraint on c_mktsegment at BOTH release levels.
+#
+# The load-bearing design point: distinct counts do NOT sum across a
+# generalization step, so the whole ladder works off ONE
+# segment-granularity pre-aggregate g0 (n_name, sub, seg) — each
+# regroup recounts distinct segments as COUNT(*) over its g0 rows
+# instead of trying to combine per-group distincts. Failing-group key
+# sets are hierarchy-bounded (never customer-scale), so the
+# generalization joins broadcast.
+
+_LDIV_L = 3
+
+
+@register(
+    "l_diversity_release",
+    f"""
+    WITH base AS (
+        SELECT n.n_name,
+               c.c_custkey % (1 + (c.c_nationkey % 8) * 8) AS sub,
+               c.c_mktsegment AS seg,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    kv AS (
+        SELECT greatest({_KANON_K_FLOOR},
+                        COUNT(*) // {_KANON_K_DIV}) AS k
+        FROM base
+    ),
+    g0 AS (
+        SELECT n_name, sub, seg, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(bal) AS BIGINT) AS bal_cents
+        FROM base GROUP BY 1, 2, 3
+    ),
+    g1 AS (
+        SELECT n_name, sub, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_seg,
+               CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+        FROM g0 GROUP BY 1, 2
+    ),
+    lvl1 AS (
+        SELECT 'qid' AS level, n_name, CAST(sub AS BIGINT) AS sub,
+               n, n_seg, bal_cents
+        FROM g1
+        WHERE n >= (SELECT k FROM kv) AND n_seg >= {_LDIV_L}
+    ),
+    fail1 AS (
+        SELECT n_name, sub FROM g1
+        WHERE n < (SELECT k FROM kv) OR n_seg < {_LDIV_L}
+    ),
+    r1 AS (
+        SELECT g0.n_name, g0.seg, CAST(SUM(g0.n) AS BIGINT) AS n,
+               CAST(SUM(g0.bal_cents) AS BIGINT) AS bal_cents
+        FROM g0 JOIN fail1 f
+          ON g0.n_name = f.n_name AND g0.sub = f.sub
+        GROUP BY 1, 2
+    ),
+    g2 AS (
+        SELECT n_name, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_seg,
+               CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+        FROM r1 GROUP BY 1
+    ),
+    lvl2 AS (
+        SELECT 'nation' AS level, n_name, CAST(-1 AS BIGINT) AS sub,
+               n, n_seg, bal_cents
+        FROM g2
+        WHERE n >= (SELECT k FROM kv) AND n_seg >= {_LDIV_L}
+    ),
+    fail2 AS (
+        SELECT n_name FROM g2
+        WHERE n < (SELECT k FROM kv) OR n_seg < {_LDIV_L}
+    ),
+    r2 AS (
+        SELECT r1.seg, CAST(SUM(r1.n) AS BIGINT) AS n,
+               CAST(SUM(r1.bal_cents) AS BIGINT) AS bal_cents
+        FROM r1 JOIN fail2 f ON r1.n_name = f.n_name
+        GROUP BY 1
+    ),
+    lvl3 AS (
+        SELECT 'suppressed' AS level, '*' AS n_name,
+               CAST(-1 AS BIGINT) AS sub,
+               CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_seg,
+               CAST(COALESCE(SUM(bal_cents), 0) AS BIGINT) AS bal_cents
+        FROM r2 HAVING COUNT(*) > 0
+    )
+    SELECT * FROM lvl1
+    UNION ALL SELECT * FROM lvl2
+    UNION ALL SELECT * FROM lvl3
+    ORDER BY level, n_name, sub
+    """,
+)
+def l_diversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diverse k-anonymous release (l = {_LDIV_L} on
+    c_mktsegment, k in-plan adaptive as in k_anonymity_release): a
+    group publishes only when it has ≥ k members AND ≥ l distinct
+    sensitive values; failing groups generalize to nation and are
+    re-checked against BOTH constraints; the remainder is suppressed
+    into one residual row. Counts conserved across the ladder.
+
+    Every regroup recounts n_seg from the shared segment-granularity
+    pre-aggregate g0 (distinct counts do not sum across
+    generalization); failing-key sets are hierarchy-bounded and
+    broadcast. One customer scan."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select(
+        "n_name",
+        (F.col("c_custkey")
+         % (F.lit(1) + (F.col("c_nationkey") % 8) * 8)).alias("sub"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal"),
+    ).localCheckpoint(eager=False)  # the k total + the g0 agg
+    kv = base.agg(
+        F.greatest(
+            F.lit(_KANON_K_FLOOR),
+            F.expr(f"count(*) div {_KANON_K_DIV}"),
+        ).alias("__k")
+    )
+    g0 = (
+        base.groupBy("n_name", "sub", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal").cast("long").alias("bal_cents"),
+        )
+        # consumers: the g1 rollup + the fail1 generalization join
+        .localCheckpoint(eager=False)
+    )
+    g1 = (
+        g0.groupBy("n_name", "sub")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_seg"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .crossJoin(F.broadcast(kv))
+        .localCheckpoint(eager=False)  # lvl1 filter + fail1 keys
+    )
+    ok1 = (F.col("n") >= F.col("__k")) & (F.col("n_seg") >= _LDIV_L)
+    lvl1 = g1.filter(ok1).select(
+        F.lit("qid").alias("level"),
+        "n_name",
+        F.col("sub").cast("long").alias("sub"),
+        "n",
+        "n_seg",
+        "bal_cents",
+    )
+    fail1 = g1.filter(~ok1).select("n_name", "sub")
+    r1 = (
+        g0.join(F.broadcast(fail1), ["n_name", "sub"])
+        .groupBy("n_name", "seg")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .localCheckpoint(eager=False)  # g2 rollup + suppressed regroup
+    )
+    g2 = (
+        r1.groupBy("n_name")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_seg"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .crossJoin(F.broadcast(kv))
+        .localCheckpoint(eager=False)  # lvl2 filter + fail2 keys
+    )
+    lvl2 = g2.filter(ok1).select(
+        F.lit("nation").alias("level"),
+        "n_name",
+        F.lit(-1).cast("long").alias("sub"),
+        "n",
+        "n_seg",
+        "bal_cents",
+    )
+    fail2 = g2.filter(~ok1).select("n_name")
+    lvl3 = (
+        r1.join(F.broadcast(fail2), "n_name")
+        .groupBy("seg")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__g"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_seg"),
+            F.coalesce(F.sum("bal_cents"), F.lit(0))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        .filter(F.col("__g") > 0)
+        .select(
+            F.lit("suppressed").alias("level"),
+            F.lit("*").alias("n_name"),
+            F.lit(-1).cast("long").alias("sub"),
+            "n",
+            "n_seg",
+            "bal_cents",
+        )
+    )
+    return (
+        lvl1.unionByName(lvl2)
+        .unionByName(lvl3)
+        .orderBy("level", "n_name", "sub")
+    )
+
+
+# ---------------------------------------------------------------------------
 # incremental view maintenance (new family, r8): a materialized rollup
 # maintained from a signed CDC delta, proven == full recompute
 # ---------------------------------------------------------------------------
