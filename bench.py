@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "bm25_search_ranked",  # exact-integer Okapi BM25 retrieval (ppm)
     "link_prediction_scores",  # wedge-join CN + RA index (integer ppm)
     "l_diversity_release",  # distinct l-diversity release ladder
+    "ivm_join_view",  # delta-join IVM: dO><C + O><dC + dO><dC merge
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -2406,6 +2406,138 @@ def ivm_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVM for a JOIN view (r9): the delta-join algebra. A materialized
+# rollup over orders ⋈ customer maintained through CDC on BOTH base
+# tables:
+#
+#   Δ(O ⋈ C) = ΔO ⋈ C_old  ∪  O_old ⋈ ΔC  ∪  ΔO ⋈ ΔC
+#
+# with signed multiplicities (delete −1, insert +1, update −old/+new;
+# signs MULTIPLY in the cross term). The three delta terms aggregate
+# into one signed group delta and merge through the same
+# merge_rollup_delta as the single-table gate — cost
+# O(state + |ΔO|·⋈ + |O|·⋈broadcast(ΔC) + |Δ|²-term), never a
+# re-join of the full bases.
+#
+# CDC synthesis: orders %10==0 → INSERT batch (not in base), of the
+# base %7==3 → DELETE; customers %11==4 → UPDATE that MOVES them to
+# the next nation ((n+1) % 25) — a group-membership change, the case
+# plain rollup IVM can't see. The oracle recomputes the view from the
+# effective post-CDC tables, so a missed cross term, a wrong sign
+# product, or an unmoved group breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivm_join_view",
+    """
+    WITH o_new AS (
+        SELECT o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 != 3
+    ),
+    c_new AS (
+        SELECT c_custkey,
+               CAST(CASE WHEN c_custkey % 11 = 4
+                         THEN (c_nationkey + 1) % 25
+                         ELSE c_nationkey END AS BIGINT) AS c_nationkey
+        FROM customer
+    )
+    SELECT c.c_nationkey, o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+    FROM o_new o JOIN c_new c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the (nation, orderstatus) revenue rollup over
+    orders ⋈ customer through a CDC batch on BOTH tables via the
+    delta-join algebra (see block comment), then merge the signed
+    group delta with merge_rollup_delta — the maintained view must
+    equal the oracle's full recompute over the effective tables.
+
+    Scale shape: ΔC is update-batch-sized and BROADCASTS onto the
+    orders scan (the O⋈ΔC term never shuffles the fact side); ΔO⋈C
+    is the standard custkey equi-join; the ΔO⋈ΔC cross term is
+    batch × batch. One orders scan feeds state + both ΔO slices
+    (checkpointed), one customer scan feeds C_old + ΔC."""
+    from ..operators.merge import merge_rollup_delta
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    ).localCheckpoint(eager=False)  # state join + insert/delete slices
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("c_nationkey")
+    ).localCheckpoint(eager=False)  # state join + term1 join + ΔC
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    state = (
+        base.join(c, base["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    d_o = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_custkey", "o_orderstatus", "cents", F.lit(1).alias("s"))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 7 == 3).select(
+                "o_custkey", "o_orderstatus", "cents",
+                F.lit(-1).alias("s"),
+            )
+        )
+        .localCheckpoint(eager=False)  # term1 + term3 consumers
+    )
+    upd = c.filter(F.col("c_custkey") % 11 == 4)
+    d_c = upd.select(
+        "c_custkey", "c_nationkey", F.lit(-1).alias("cs")
+    ).unionByName(
+        upd.select(
+            "c_custkey",
+            ((F.col("c_nationkey") + 1) % 25).alias("c_nationkey"),
+            F.lit(1).alias("cs"),
+        )
+    )
+    term1 = d_o.join(c, d_o["o_custkey"] == c["c_custkey"]).select(
+        "c_nationkey", "o_orderstatus", "cents", F.col("s").alias("sign")
+    )
+    term2 = base.join(
+        F.broadcast(d_c), base["o_custkey"] == d_c["c_custkey"]
+    ).select(
+        "c_nationkey", "o_orderstatus", "cents", F.col("cs").alias("sign")
+    )
+    term3 = d_o.join(
+        F.broadcast(d_c), d_o["o_custkey"] == d_c["c_custkey"]
+    ).select(
+        "c_nationkey",
+        "o_orderstatus",
+        "cents",
+        (F.col("s") * F.col("cs")).alias("sign"),
+    )
+    delta = (
+        term1.unionByName(term2)
+        .unionByName(term3)
+        .groupBy("c_nationkey", "o_orderstatus")
+        .agg(
+            F.sum("sign").cast("long").alias("n"),
+            F.sum(F.col("sign") * F.col("cents"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    return merge_rollup_delta(
+        state, delta, ["c_nationkey", "o_orderstatus"], ["revenue_cents"]
+    ).orderBy("c_nationkey", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
 # log2-bucket quantile histogram gate: the rank member of the sketch
 # trio (CMS frequency / HLL cardinality / qhist rank), hash-pinned
 # WHOLE because every number in the artifact is integer-exact
