@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "link_prediction_scores",  # wedge-join CN + RA index (integer ppm)
     "l_diversity_release",  # distinct l-diversity release ladder
     "ivm_join_view",  # delta-join IVM: dO><C + O><dC + dO><dC merge
+    "markdown_extract_stats",  # in-plan regexp Markdown->text extraction
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -2959,3 +2959,138 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words.cast("long").alias("n_words_kept"),
         F.md5("text").alias("content_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Markdown main-content extraction (r9) — the code/docs-corpus sibling
+# of html_main_content (sources/markdown_extract.py), oracle-gated
+# ---------------------------------------------------------------------------
+#
+# Same device as the HTML gate: a Markdown document is synthesized
+# IN-PLAN around each document's pristine tokens — an ATX heading, an
+# image, a fenced code block (must be DROPPED), a constant line
+# exercising link / bold / italic / inline-code rules, the body as
+# 8-word bullet-list lines, and a trailing blockquote. The oracle
+# recomputes the extracted text closed-form from the pristine parquet
+# tokens + the injection constants and NEVER parses Markdown — a
+# mis-ordered rule (italic pairing bold's delimiters, link-before-
+# image leaving alt text), a fence leak, or a marker left behind
+# breaks the md5.
+#
+# Unlike HTML, the extractor is a PURE JVM-side regexp chain (no
+# Arrow edge): fully narrow, whole-stage-codegen, zero Python — the
+# only exchange in the gate is the presentation sort.
+
+_MDX_CHUNK = 8
+_MDX_TITLE = "Alpha Beta Gamma"
+_MDX_INLINE_SRC = (
+    "See [the docs](https://example.com/docs) for **bold** and "
+    "*italic* and `inline code` here."
+)
+_MDX_INLINE_OUT = "See the docs for bold and italic and inline code here."
+_MDX_QUOTE = "quoted trailing words here"
+_MDX_PREFIX = (
+    f"# {_MDX_TITLE}\n\n"
+    "![logo](https://example.com/logo.png)\n\n"
+    "```\nsecret code line one\nsecret code line two\n```\n\n"
+    f"{_MDX_INLINE_SRC}\n\n"
+)
+_MDX_SUFFIX = f"\n> {_MDX_QUOTE}\n"
+# title (3) + inline line (11) + quote (4) constant kept words
+_MDX_CONST_WORDS = 18
+
+
+@register(
+    "markdown_extract_stats",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, ci,
+               array_to_string(
+                   list_slice(t, ci * {_MDX_CHUNK} + 1,
+                              ci * {_MDX_CHUNK} + {_MDX_CHUNK}),
+                   ' ') AS line
+        FROM toks,
+             UNNEST(generate_series(0, (len(t) + {_MDX_CHUNK} - 1)
+                                       // {_MDX_CHUNK} - 1)) AS u(ci)
+    ),
+    body AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY ci) AS b,
+               CAST(COUNT(*) AS BIGINT) AS nc
+        FROM chunks GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(3 + COALESCE(b.nc, 0) AS BIGINT) AS n_lines_kept,
+           CAST({_MDX_CONST_WORDS} + len(t.t) AS BIGINT) AS n_words_kept,
+           md5('{_MDX_TITLE}' || chr(10) || '{_MDX_INLINE_OUT}'
+               || chr(10) || COALESCE(b.b || chr(10), '')
+               || '{_MDX_QUOTE}') AS content_md5
+    FROM toks t LEFT JOIN body b ON t.doc_id = b.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def markdown_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Markdown extraction end-to-end: synthesize a markup-heavy
+    document around each doc's text in-plan, run the in-plan regexp
+    extractor (sources/markdown_extract.py), and pin kept-line/word
+    counts + the extracted-text md5 against the oracle's closed-form
+    recomputation from the pristine tokens (the html_main_content
+    device — the oracle never parses Markdown)."""
+    from ..sources.markdown_extract import extract_markdown_text
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    body = F.expr(
+        "array_join(transform("
+        f"  sequence(0, (size(t) - 1) div {_MDX_CHUNK}),"
+        "  ci -> concat('- ',"
+        f"    array_join(slice(t, ci * {_MDX_CHUNK} + 1, {_MDX_CHUNK}),"
+        "      ' '), '\\n')), '')"
+    )
+    # tokens are spliced RAW into bullet lines: a token containing a
+    # Markdown inline metacharacter would make the extractor and the
+    # closed-form oracle diverge on data, not code (the html gate's
+    # precondition discipline; NULL-aware per ADVICE r8). Line-anchored
+    # markers (#, >, -) are inert mid-line and a leading '-' token is
+    # strip-identity, so only the inline-rule alphabet is guarded.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("text").isNotNull() & ~F.col("text").rlike("[`*\\[\\]()]"),
+            F.lit(
+                "markdown_extract_stats: document text is NULL or "
+                "contains a Markdown inline metacharacter — the raw "
+                "token splice would diverge from the closed-form "
+                "oracle; escape the body build before re-enabling "
+                "this corpus"
+            ),
+        ).cast("string"),
+        F.lit(""),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.expr(_TOKENS).alias("t"),
+        guard.alias("__g"),
+    ).select(
+        "doc_id",
+        F.when(F.size("t") == 0, F.lit(_MDX_PREFIX + _MDX_SUFFIX))
+        .otherwise(
+            F.concat(
+                F.lit(_MDX_PREFIX), F.col("__g"), body, F.lit(_MDX_SUFFIX)
+            )
+        )
+        .alias("markdown"),
+    )
+    out = extract_markdown_text(pages)
+    n_words = F.size(
+        F.filter(
+            F.split(F.regexp_replace("text", "\n", " "), " "),
+            lambda x: x != "",
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.size(F.split("text", "\n")).cast("long").alias("n_lines_kept"),
+        n_words.cast("long").alias("n_words_kept"),
+        F.md5("text").alias("content_md5"),
+    ).orderBy("doc_id")

@@ -105,6 +105,17 @@ def classifier_stream(docs: DataFrame) -> DataFrame:
     return classifier_score(docs)
 
 
+def markdown_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, markdown, text): Markdown → plain-text extraction over
+    a document stream — the batch markdown extractor verbatim
+    (sources/markdown_extract.extract_markdown_text is a pure JVM-side
+    regexp projection: stateless append mode, zero state store, no
+    Arrow edge)."""
+    from ..sources.markdown_extract import extract_markdown_text
+
+    return extract_markdown_text(docs)
+
+
 # ---------------------------------------------------------------------------
 # streaming segment dedup: corpus-wide first-occurrence state per
 # segment hash (the incremental twin of plans/corpus.segment_dedup)
