@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "l_diversity_release",  # distinct l-diversity release ladder
     "ivm_join_view",  # delta-join IVM: dO><C + O><dC + dO><dC merge
     "markdown_extract_stats",  # in-plan regexp Markdown->text extraction
+    "fwf_roundtrip",  # S20 fixed-width ingest: positions pinned by sums
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -540,6 +540,7 @@ def _jsonl_gate_dir(sf_dir: str) -> str:
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "schev"))
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "xml"))
     _GATE_DIRS_CREATED.add(d.replace("jsonl", "avro"))
+    _GATE_DIRS_CREATED.add(d.replace("jsonl", "fwf"))
     return d
 
 
@@ -3094,3 +3095,96 @@ def markdown_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words.cast("long").alias("n_words_kept"),
         F.md5("text").alias("content_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# fixed-width source round trip (S20, sources/fwf_source.py) — the
+# mainframe/ERP interchange, same oracle device as csv_roundtrip
+# ---------------------------------------------------------------------------
+
+# injected garbage, each exactly one quarantine class; widths must
+# total fwf_line_width(DOC_FWF_LAYOUT) = 42 except the short line
+_FWF_INJECTED = (
+    ("SHORT LINE", "wrong length"),  # malformed_fwf (length)
+    (
+        "  abcdefghij" + "en".ljust(8) + "inj".ljust(12) + "7".rjust(10),
+        "letters in the doc_id field",  # malformed_fwf (type fail)
+    ),
+    (
+        " " * 12 + "en".ljust(8) + "inj".ljust(12) + "7".rjust(10),
+        "blank required doc_id",  # missing:doc_id
+    ),
+    (
+        "900000001".rjust(12) + " " * 8 + "inj".ljust(12) + "7".rjust(10),
+        "blank required lang",  # missing:lang
+    ),
+)
+
+
+@register(
+    "fwf_roundtrip",
+    """
+    SELECT 'lang:' || lang AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT 'quarantine:malformed_fwf', CAST(2 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:doc_id', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:lang', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ORDER BY bucket
+    """,
+)
+def fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document metadata → fixed-width text files (the in-plan
+    overflow-guarded writer) → ``read_fwf_docs`` → aggregates, with
+    injected garbage lines that must land in quarantine (one
+    wrong-length line, one type failure inside a correctly-sized
+    line, one blank required id, one blank required lang) — the S20
+    source path pinned end to end against the pristine parquet table
+    (the csv_roundtrip oracle device: DuckDB never reads the exported
+    files). Per-lang counts + n_chars + doc-id sums reappearing
+    exactly pins both the writer's column positions and the reader's
+    slices — a one-column misalignment shifts every numeric and
+    breaks the hash.
+    """
+    import os
+
+    from ..sources.fwf_source import format_fwf_lines, read_fwf_docs
+
+    out = _jsonl_gate_dir(sf_dir).replace("jsonl", "fwf")
+    docs_src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    format_fwf_lines(docs_src).write.mode("overwrite").text(out)
+    with open(os.path.join(out, "zz_injected.txt"), "w") as f:
+        for line, _why in _FWF_INJECTED:
+            f.write(line + "\n")
+    rows, quar = read_fwf_docs(spark, out)
+    by_lang = rows.groupBy(
+        F.concat(F.lit("lang:"), F.col("lang")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    by_reason = (
+        quar.groupBy(
+            F.concat(F.lit("quarantine:"), F.col("reason")).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            "n",
+            F.lit(0).cast("long").alias("chars"),
+            F.lit(0).cast("long").alias("id_sum"),
+        )
+    )
+    return by_lang.unionByName(by_reason).orderBy("bucket")
