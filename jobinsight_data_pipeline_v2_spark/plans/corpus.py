@@ -3188,3 +3188,123 @@ def fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return by_lang.unionByName(by_reason).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# homoglyph (confusable) skeleton dedup (r9) — the spam/abuse dedup:
+# a spoofer swaps Latin letters for Cyrillic/Greek lookalikes and the
+# byte-level exact dedup goes blind. Unicode TR39 skeleton semantics
+# on a pinned confusable subset: fold confusables to their Latin
+# skeleton, lower-case, dedup keep-min on the skeleton.
+# ---------------------------------------------------------------------------
+#
+# ONE shared table drives every artifact: the Spark translate() pair,
+# the in-plan spoof synthesis (the REVERSE translation), and the
+# oracle's generated replace() chain — the three cannot desynchronize.
+# Confusables are embedded as literal UTF-8 (never chr()/char() —
+# Spark char(N) is ASCII-modulo, CLAUDE.md r7 lesson); all chosen
+# codepoints are NFC-stable single codepoints, byte-pinned by a unit
+# test.
+
+# (latin, confusable) — Cyrillic а е о р с у х і ѕ + Greek ο
+_CONFUSABLES: tuple[tuple[str, str], ...] = (
+    ("a", "а"),
+    ("e", "е"),
+    ("o", "о"),
+    ("p", "р"),
+    ("c", "с"),
+    ("y", "у"),
+    ("x", "х"),
+    ("i", "і"),
+    ("s", "ѕ"),
+    ("o", "ο"),  # Greek omicron folds to the same skeleton letter
+)
+_SKEL_SRC = "".join(c for _, c in _CONFUSABLES)
+_SKEL_DST = "".join(l for l, _ in _CONFUSABLES)
+# spoof synthesis translates latin -> confusable; Greek omicron is
+# skeleton-only (translate() maps each source char once, and 'o'
+# already maps to Cyrillic о)
+_SPOOF_SRC = "".join(dict((l, c) for l, c in _CONFUSABLES))
+_SPOOF_DST = "".join(dict((l, c) for l, c in _CONFUSABLES).values())
+_SPOOF_MOD = 9  # doc_id % 9 == 0 docs get a spoofed clone at +1000000
+
+
+def _skel_sql(col: str) -> str:
+    """DuckDB skeleton: the same fold as F.translate, generated from
+    the shared confusable table as a replace() chain."""
+    out = col
+    for latin, conf in _CONFUSABLES:
+        out = f"replace({out}, '{conf}', '{latin}')"
+    return f"lower({out})"
+
+
+def _spoof_sql(col: str) -> str:
+    """DuckDB spoof synthesis: latin -> confusable, mirroring the
+    Spark-side reverse translation."""
+    out = col
+    for latin, conf in dict(_CONFUSABLES).items():
+        out = f"replace({out}, '{latin}', '{conf}')"
+    return out
+
+
+@register(
+    "homoglyph_skeleton_dedup",
+    f"""
+    WITH unioned AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, {_spoof_sql('text')}
+        FROM documents WHERE doc_id % {_SPOOF_MOD} = 0
+    ),
+    skel AS (
+        SELECT doc_id, md5({_skel_sql('text')}) AS sk FROM unioned
+    ),
+    groups AS (
+        SELECT sk, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS group_n
+        FROM skel GROUP BY sk
+    )
+    SELECT doc_id, group_n,
+           CASE WHEN group_n > 1 THEN 1 ELSE 0 END AS spoofed
+    FROM groups
+    ORDER BY doc_id
+    """,
+)
+def homoglyph_skeleton_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-min dedup on the homoglyph SKELETON (confusables folded to
+    Latin + lowercase): spoofed clones — synthesized in-plan by the
+    REVERSE translation on doc_id % {_SPOOF_MOD} == 0 docs — collapse
+    onto their originals (group_n = 2, spoofed = 1) while byte-level
+    distinct docs survive untouched. Output = kept docs with their
+    skeleton-group size.
+
+    Shape: the skeleton is one narrow translate+lower+md5 projection
+    (the skeleton string itself never shuffles — grouping is on its
+    md5, the _shingle_key discipline); one hash agg on the skeleton
+    key. Both engines' fold AND the spoof synthesis generate from the
+    single _CONFUSABLES table."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spoofs = docs.filter(F.col("doc_id") % _SPOOF_MOD == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.translate("text", _SPOOF_SRC, _SPOOF_DST).alias("text"),
+    )
+    unioned = docs.select("doc_id", "text").unionByName(spoofs)
+    skel = unioned.select(
+        "doc_id",
+        F.md5(
+            F.lower(F.translate("text", _SKEL_SRC, _SKEL_DST)).cast("binary")
+        ).alias("sk"),
+    )
+    return (
+        skel.groupBy("sk")
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("group_n"),
+        )
+        .select(
+            "doc_id",
+            "group_n",
+            F.when(F.col("group_n") > 1, 1).otherwise(0).alias("spoofed"),
+        )
+        .orderBy("doc_id")
+    )

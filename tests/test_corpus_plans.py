@@ -409,3 +409,51 @@ def test_substring_decontaminate_benchmark_side_broadcasts(spark):
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_homoglyph_confusables_byte_pinned():
+    """The confusable literals must be the intended single NFC-stable
+    codepoints — a heredoc/editor normalization of the Cyrillic/Greek
+    chars would silently change BOTH engines' fold (the unicode_nfc
+    lesson: verify literal forms byte-wise)."""
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import _CONFUSABLES
+
+    want = {
+        "a": b"\xd0\xb0",  # CYRILLIC SMALL A
+        "e": b"\xd0\xb5",
+        "p": b"\xd1\x80",
+        "c": b"\xd1\x81",
+        "y": b"\xd1\x83",
+        "x": b"\xd1\x85",
+        "i": b"\xd1\x96",
+        "s": b"\xd1\x95",
+    }
+    got = {l: c.encode("utf-8") for l, c in _CONFUSABLES if l not in ("o",)}
+    assert got == want
+    o_forms = sorted(
+        c.encode("utf-8") for l, c in _CONFUSABLES if l == "o"
+    )
+    assert o_forms == [b"\xce\xbf", b"\xd0\xbe"]  # Greek + Cyrillic o
+    for _, c in _CONFUSABLES:
+        assert len(c) == 1  # single codepoint, no combining sequence
+
+
+def test_homoglyph_skeleton_golden(spark):
+    """A fully spoofed word folds onto its Latin original; a genuinely
+    different word does not."""
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        _SKEL_DST,
+        _SKEL_SRC,
+    )
+
+    df = spark.createDataFrame(
+        [("раураl",), ("paypal",), ("paypa1",)], "w string"
+    )
+    got = [
+        r["s"]
+        for r in df.select(
+            F.lower(F.translate("w", _SKEL_SRC, _SKEL_DST)).alias("s")
+        ).collect()
+    ]
+    assert got[0] == got[1] == "paypal"
+    assert got[2] == "paypa1"
