@@ -3308,3 +3308,105 @@ def homoglyph_skeleton_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# license detection (r9) — the code-corpus curation staple (The Stack
+# / StarCoder pipelines route files by detected license before
+# training): classify each document by the license header it carries.
+# ---------------------------------------------------------------------------
+#
+# Detector semantics (ScanCode-style, reduced to the integer core):
+# per reference license, a set of DISTINCTIVE marker words; a document
+# matches a license iff >= 80% of that license's markers appear among
+# the document's FIRST {_LIC_HEAD} tokens (licenses live in headers —
+# scanning the whole file would false-positive on quoted notices).
+# The threshold is the usual integer cross-multiplication
+# (5·hits >= 4·|set|), coverage is exact ppm.
+#
+# Headers are synthesized in-plan by doc_id residue (%4: none/mit/
+# apache/gpl) with DISJOINT marker sets, and the corpus vocabulary is
+# verifiably marker-free (31 distinct tokens, checked) — so the
+# oracle labels closed-form from the residue alone and ANY spurious
+# hit of the detector on natural text (a specificity defect) breaks
+# the hash, exactly like a missed header (a recall defect).
+
+_LIC_HEAD = 50
+_LIC_SETS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("mit", ("permission", "hereby", "granted", "sublicense",
+             "noninfringement")),
+    ("apache", ("licensed", "apache", "compliance", "governing",
+                "permissions")),
+    ("gpl", ("gnu", "general", "public", "license", "foundation")),
+)
+
+
+@register(
+    "license_detect",
+    f"""
+    SELECT CASE doc_id % 4 WHEN 1 THEN 'mit' WHEN 2 THEN 'apache'
+                           WHEN 3 THEN 'gpl' ELSE 'none' END AS license,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 0
+                         ELSE 1000000 END) AS BIGINT) AS coverage_ppm_sum
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-license document counts from the header-marker detector
+    (see block comment): docs get a license header prepended in-plan
+    by residue class, the detector re-derives the label from the
+    first {_LIC_HEAD} tokens only, and the oracle labels closed-form
+    from the residue — spurious hits and missed headers both break
+    the hash. Injected headers carry 100% marker coverage, so the
+    exact-ppm coverage sum is pinned too.
+
+    Shape: fully in-row (slice + array_intersect per license against
+    a literal marker array, the threshold as a CASE ladder); the only
+    shuffle is the 4-row final agg."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    headers = F.expr(
+        "CASE CAST(doc_id % 4 AS INT) "
+        + " ".join(
+            f"WHEN {i + 1} THEN '{' '.join(words)} '"
+            for i, (_, words) in enumerate(_LIC_SETS)
+        )
+        + " ELSE '' END"
+    )
+    docs = docs.select(
+        "doc_id", F.concat(headers, F.col("text")).alias("text")
+    )
+    head = F.slice(F.expr(_TOKENS), 1, _LIC_HEAD)
+    hits = [
+        F.size(
+            F.array_intersect(
+                head, F.array(*[F.lit(w) for w in words])
+            )
+        ).alias(f"__h_{name}")
+        for name, words in _LIC_SETS
+    ]
+    scored = docs.select("doc_id", *hits)
+    label = F.lit("none")
+    coverage = F.lit(0).cast("long")
+    for name, words in reversed(_LIC_SETS):
+        n_set = len(words)
+        hit = F.col(f"__h_{name}")
+        matched = (F.lit(5) * hit) >= (F.lit(4) * F.lit(n_set))
+        label = F.when(matched, F.lit(name)).otherwise(label)
+        coverage = F.when(
+            matched, (hit * 1000000 / F.lit(n_set)).cast("long")
+        ).otherwise(coverage)
+    return (
+        scored.select("doc_id", label.alias("license"),
+                      coverage.alias("coverage_ppm"))
+        .groupBy("license")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("coverage_ppm").cast("long").alias("coverage_ppm_sum"),
+        )
+        .orderBy("license")
+    )
