@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "fwf_roundtrip",  # S20 fixed-width ingest: positions pinned by sums
     "homoglyph_skeleton_dedup",  # confusable-skeleton spoof dedup
     "license_detect",  # header marker-set license classification
+    "chi_square_drift",  # exact-integer chi-square mix-drift monitor
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -1684,3 +1684,140 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("wday", "yyyy-MM-dd").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# categorical distribution drift (r9): exact-integer chi-square per
+# day vs the corpus-wide event-type distribution — the PSI-style
+# drift monitor an ML-ops stack runs on every feature/category
+# column, with the float log replaced by the exact chi-square form.
+# ---------------------------------------------------------------------------
+#
+# chi2(day) = Σ_cat (o − e)²/e with e = n_d·o_c/N. Clearing the
+# denominators: per cell, contribution_ppm =
+#     (1e6 · (o·N − n_d·o_c)²) // (N · n_d · o_c)
+# — one positive floor division per grid cell, summed per day.
+# Intermediates ride DECIMAL(38,0)/HUGEINT ((o·N)² can reach ~1e23 at
+# sf0.1; ×1e6 ≈ 1e29, inside 38 digits — shift counts right by a
+# common k beyond ~1e16 events). Spark's decimal `div` and DuckDB's
+# HUGEINT `//` both truncate toward zero == floor for positives (the
+# winsorize/qhist discipline).
+#
+# Drift is synthesized IN-PLAN: on month-day 07, half the events
+# (user_id % 2 = 0) recategorize to a NEW 'drifted' type — a real
+# category-mix shift whose chi-square is ~three orders above the
+# natural days' (which still carry nonzero chi2: the zero-count
+# 'drifted' cells contribute e each). The flag threshold (chi2 > 20)
+# is EFFECT-SIZE form (chi2 > n_d, i.e. the mean per-event
+# contribution exceeds 1): absolute chi-square grows linearly with
+# volume for a fixed mix shift — a constant cutoff flags every day at
+# 10x the data (measured: the zero-'drifted' cells alone charge
+# n_d·o_c/N ≈ 0.017·n_d per normal day) — while the ratio is
+# scale-free: measured drift day ~15-17, worst normal day <= 0.5 at
+# all three SFs. The oracle recomputes values AND flag.
+
+
+@register(
+    "chi_square_drift",
+    f"""
+    WITH e0 AS (
+        SELECT strftime(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                             AS DATE), '%Y-%m-%d') AS day,
+               user_id, event_type
+        FROM events
+    ),
+    base AS (
+        SELECT day,
+               CASE WHEN substr(day, 9, 2) = '07' AND user_id % 2 = 0
+                    THEN 'drifted' ELSE event_type END AS cat
+        FROM e0
+    ),
+    o AS (SELECT day, cat, CAST(COUNT(*) AS BIGINT) AS o
+          FROM base GROUP BY 1, 2),
+    nd AS (SELECT day, CAST(SUM(o) AS BIGINT) AS n_d FROM o GROUP BY 1),
+    oc AS (SELECT cat, CAST(SUM(o) AS BIGINT) AS o_c FROM o GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM o),
+    cell AS (
+        SELECT g.day, g.n_d,
+               CAST(COALESCE(c.o, 0) AS HUGEINT) * g.nn
+                   - CAST(g.n_d AS HUGEINT) * g.o_c AS dev,
+               CAST(g.nn AS HUGEINT) * g.n_d * g.o_c AS den
+        FROM (SELECT nd.day, nd.n_d, oc.cat, oc.o_c, tot.nn
+              FROM nd CROSS JOIN oc CROSS JOIN tot) g
+        LEFT JOIN o c ON g.day = c.day AND g.cat = c.cat
+    ),
+    per_day AS (
+        SELECT day, n_d AS n_events,
+               CAST(SUM((1000000 * dev * dev) // den) AS BIGINT)
+                   AS chi2_ppm
+        FROM cell GROUP BY 1, 2
+    )
+    SELECT day, n_events, chi2_ppm,
+           chi2_ppm > 1000000 * n_events AS drift_flag
+    FROM per_day
+    ORDER BY day
+    """,
+)
+def chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day chi-square of the event-type mix against the corpus
+    distribution, in exact integer ppm (see block comment), with the
+    in-plan synthesized category shift on month-day 07 and the pinned
+    drift flag.
+
+    Shape: one events scan → (day, cat) agg with map-side combine;
+    everything after runs on the (days × cats) grid — day totals,
+    category totals and N are tiny aggregates that broadcast, the
+    full grid (zero cells INCLUDED: chi-square charges an absent
+    category e per cell) is days×cats rows, and the per-day sum is a
+    grid-sized agg. No corpus-sized shuffle beyond the first."""
+    events = load_events(spark, sf_dir)
+    e0 = events.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+        "event_type",
+    )
+    base = e0.select(
+        "day",
+        F.when(
+            (F.substring("day", 9, 2) == "07") & (F.col("user_id") % 2 == 0),
+            F.lit("drifted"),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("cat"),
+    )
+    o = (
+        base.groupBy("day", "cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)  # nd/oc/tot + the grid join
+    )
+    nd = o.groupBy("day").agg(F.sum("o").cast("long").alias("n_d"))
+    oc = o.groupBy("cat").agg(F.sum("o").cast("long").alias("o_c"))
+    tot = o.agg(F.sum("o").cast("long").alias("nn"))
+    grid = nd.crossJoin(F.broadcast(oc)).crossJoin(F.broadcast(tot))
+    dec = "decimal(38,0)"
+    cell = grid.join(o, ["day", "cat"], "left").select(
+        "day",
+        "n_d",
+        (
+            F.coalesce("o", F.lit(0)).cast(dec) * F.col("nn").cast(dec)
+            - F.col("n_d").cast(dec) * F.col("o_c").cast(dec)
+        ).alias("dev"),
+        (
+            F.col("nn").cast(dec)
+            * F.col("n_d").cast(dec)
+            * F.col("o_c").cast(dec)
+        ).alias("den"),
+    )
+    per_day = cell.groupBy("day", F.col("n_d").alias("n_events")).agg(
+        F.sum(F.expr("(1000000 * dev * dev) div den"))
+        .cast("long")
+        .alias("chi2_ppm")
+    )
+    return per_day.select(
+        "day",
+        "n_events",
+        "chi2_ppm",
+        (F.col("chi2_ppm") > F.lit(1000000) * F.col("n_events")).alias(
+            "drift_flag"
+        ),
+    ).orderBy("day")
