@@ -318,6 +318,31 @@ PRIORITY: tuple[str, ...] = (
 #     is pinned above by hash_split + shuffle_shards and the
 #     per-source-rate device by mixture_sample below it; the
 #     temperature (isqrt) rate derivation stays local-gated).
+#
+# r9 continuation (this session's gates, all born below the fold):
+#   bm25_search_ranked (retrieval scoring — the floor-log2 idf ladder
+#     is pinned above by dsir_resample and the term-filtered explode
+#     shape by top_part_words; the exact-rational BM25 composition
+#     stays local-gated with keyword_search_ranked),
+#   link_prediction_scores (graph family pinned above by
+#     pagerank_doc_graph; the wedge join shape by triangle_counts),
+#   l_diversity_release (privacy ladder — k_anonymity_release is the
+#     family's richer sibling, both local-gated; the generalization
+#     walk machinery is shared),
+#   ivm_join_view (IVM family sibling of ivm_monthly_rollup — the
+#     merge_rollup_delta device is identical; the delta-join algebra
+#     stays local-gated),
+#   markdown_extract_stats (extraction family pinned above by
+#     html_main_content — same synthesis/closed-form-oracle device),
+#   fwf_roundtrip (source-roundtrip family pinned above by
+#     jsonl_roundtrip + avro_roundtrip),
+#   homoglyph_skeleton_dedup (dedup family pinned above by exact_dedup
+#     + unicode_nfc_stats' Unicode discipline),
+#   license_detect (header classification — the marker-set membership
+#     device is phrase/keyword machinery, pinned above by
+#     top_part_words; doc-residue synthesis by cohort_retention),
+#   chi_square_drift (monitoring family pinned above by anomaly_days —
+#     same DECIMAL(38)/HUGEINT cleared-denominator discipline).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
