@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "homoglyph_skeleton_dedup",  # confusable-skeleton spoof dedup
     "license_detect",  # header marker-set license classification
     "chi_square_drift",  # exact-integer chi-square mix-drift monitor
+    "cms_heavy_change",  # sketch-differencing heavy-change detection
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -342,7 +342,10 @@ PRIORITY: tuple[str, ...] = (
 #     device is phrase/keyword machinery, pinned above by
 #     top_part_words; doc-residue synthesis by cohort_retention),
 #   chi_square_drift (monitoring family pinned above by anomaly_days —
-#     same DECIMAL(38)/HUGEINT cleared-denominator discipline).
+#     same DECIMAL(38)/HUGEINT cleared-denominator discipline),
+#   cms_heavy_change (sketch family pinned above by cms_heavy_hitters —
+#     same build/probe machinery; the signed differencing stays
+#     local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

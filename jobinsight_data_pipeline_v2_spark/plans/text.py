@@ -3438,3 +3438,120 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi_class"), F.desc("c_ab"), "bigram"
     ).limit(_PMI_TOP)
+
+
+# ---------------------------------------------------------------------------
+# CMS heavy-CHANGE detection (r9): which keys' frequencies moved most
+# between two epochs — Cormode's change-detection use of the sketch
+# family (the reason CMS counters are SIGNED-mergeable: subtracting
+# two epochs' sketches estimates the delta without either epoch's
+# key table).
+# ---------------------------------------------------------------------------
+#
+# Epochs = doc_id parity; a burst is synthesized in-plan (docs with
+# doc_id % 50 == 1 emit 20 'burstkey' tokens into epoch B only — the
+# token is outside the 31-word corpus vocabulary, checked) so a real
+# changer exists at every SF. The gate follows the cms_heavy_hitters
+# device: emitted values are the EXACT top-25 deltas (total order
+# |delta| desc, token), and the sketches only decide the flag — the
+# estimated delta estB(x) − estA(x) must sit within the two-sided
+# envelope |estΔ − Δ| ≤ bound(N_A) + bound(N_B) (each side's probe
+# excess is ≤ its own max(8·N/W, 2); the two overestimates subtract).
+
+_CHG_BURST_MOD = 50
+_CHG_BURST_N = 20
+_CHG_TOKEN = "burstkey"
+
+
+@register(
+    "cms_heavy_change",
+    f"""
+    WITH toks AS (
+        SELECT doc_id % 2 AS epoch, unnest({_SQL_TOKENS}) AS token
+        FROM documents
+        UNION ALL
+        SELECT 1 AS epoch, '{_CHG_TOKEN}' AS token
+        FROM documents, UNNEST(generate_series(1, {_CHG_BURST_N})) AS u(j)
+        WHERE doc_id % {_CHG_BURST_MOD} = 1
+    ),
+    counts AS (
+        SELECT token,
+               CAST(SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM toks GROUP BY 1
+    )
+    SELECT token, n_a, n_b, n_b - n_a AS delta, 1 AS within_cms_bound
+    FROM counts
+    ORDER BY abs(n_b - n_a) DESC, token
+    LIMIT 25
+    """,
+)
+def cms_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 heavy changers between two epochs: exact per-epoch
+    counts and delta (total order |delta| desc, token), with the
+    sketch-differencing estimate flag (see block comment).
+
+    Scale shape: ONE (epoch, token) conditional-sum aggregation
+    pivots both epochs in a single shuffle; each epoch's CMS builds
+    from its slice of the distinct-key counts table and collapses to
+    a one-row broadcast; probes are 2·D unrolled element_at lookups
+    on 25 rows. At 100 TB the two sketches are per-day artifacts —
+    the delta estimate needs NEITHER day's key table, which is the
+    entire point of signed counter mergeability."""
+    from ..operators.sketch import CMS_WIDTH, cms_build, cms_estimate
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("epoch"),
+        F.explode(F.expr(_TOKENS)).alias("token"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % _CHG_BURST_MOD == 1).select(
+            F.lit(1).cast("long").alias("epoch"),
+            F.explode(
+                F.expr(f"transform(sequence(1, {_CHG_BURST_N}), "
+                       f"j -> '{_CHG_TOKEN}')")
+            ).alias("token"),
+        )
+    )
+    counts = (
+        toks.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("epoch") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("epoch") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+        # consumers: two sketch builds, two totals, the top-k
+        .localCheckpoint(eager=False)
+    )
+    cms_a = cms_build(counts.filter(F.col("n_a") > 0), "token", "n_a")
+    cms_b = cms_build(counts.filter(F.col("n_b") > 0), "token", "n_b")
+    totals = counts.agg(
+        F.sum("n_a").alias("__na"), F.sum("n_b").alias("__nb")
+    )
+    topk = (
+        counts.orderBy(F.desc(F.abs(F.col("n_b") - F.col("n_a"))), "token")
+        .limit(25)
+        .crossJoin(F.broadcast(totals))
+    )
+    probed = cms_estimate(topk, "token", cms_a, out_col="est_a")
+    probed = cms_estimate(probed, "token", cms_b, out_col="est_b")
+    bound = F.expr(
+        f"greatest(div(8 * __na, {CMS_WIDTH}), 2L)"
+        f" + greatest(div(8 * __nb, {CMS_WIDTH}), 2L)"
+    )
+    est_delta = F.col("est_b") - F.col("est_a")
+    exact_delta = F.col("n_b") - F.col("n_a")
+    return probed.select(
+        "token",
+        "n_a",
+        "n_b",
+        exact_delta.alias("delta"),
+        (F.abs(est_delta - exact_delta) <= bound)
+        .cast("int")
+        .alias("within_cms_bound"),
+    ).orderBy(F.desc(F.abs(F.col("delta"))), "token")
