@@ -432,7 +432,9 @@ class Generator:
             _, ocol, _ = self.rng.choice(tcols)
             sw_i, dw_i = self._where(tcols)
             lim = self.rng.randrange(5, 200)
-            inner = (f" ORDER BY {ocol} NULLS FIRST, {pk} LIMIT {lim})"
+            off = (f" OFFSET {self.rng.randrange(1, 50)}"
+                   if self.rng.random() < 0.4 else "")
+            inner = (f" ORDER BY {ocol} NULLS FIRST, {pk} LIMIT {lim}{off})"
                      " dt")
             dt_s = f"(SELECT * FROM {t}{sw_i}{inner}"
             dt_d = f"(SELECT * FROM {t}{dw_i}{inner}"
@@ -605,6 +607,12 @@ class Generator:
                 ]
                 order = (f" ORDER BY {', '.join(by)} "
                          f"LIMIT {self.rng.randrange(1, 20)}")
+                if self.rng.random() < 0.4:
+                    # pagination: OFFSET under the same total order —
+                    # the page a BI tool fetches is a deterministic
+                    # row SET iff the order is total (it is: aggs +
+                    # every group key). Same clause text both engines.
+                    order += f" OFFSET {self.rng.randrange(1, 10)}"
             s_keys = ", ".join(e.s() for e in keys)
             d_keys = ", ".join(e.d() for e in keys)
             s_aggs = ", ".join(e.s() for e in aggs)
