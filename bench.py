@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "license_detect",  # header marker-set license classification
     "chi_square_drift",  # exact-integer chi-square mix-drift monitor
     "cms_heavy_change",  # sketch-differencing heavy-change detection
+    "accent_fold_stats",  # NFD-strip-NFC accent fold vs strip_accents
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

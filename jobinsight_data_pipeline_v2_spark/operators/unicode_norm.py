@@ -45,3 +45,34 @@ def normalize_column(col: str | Column, form: str = "NFC") -> Column:
         )
 
     return _norm(F.col(col) if isinstance(col, str) else col)
+
+
+def fold_accents_column(col: str | Column) -> Column:
+    """Column expression: ``col`` with accents folded away — NFD
+    decomposition, combining marks (category Mn) dropped, NFC
+    recomposition. 'Hà Nội' → 'Ha Noi'; characters that are NOT
+    base+mark compositions (Đ — D WITH STROKE has no decomposition)
+    survive, matching utf8proc's ``strip_accents`` (the DuckDB oracle
+    this fold is differentially pinned against).
+
+    The search-normalization sibling of ``normalize_column``: same
+    sanctioned Arrow edge, stateless, narrow, stream-safe. NULLs pass
+    through."""
+    import pandas as pd  # noqa: F401  (Arrow edge)
+
+    @F.pandas_udf("string")
+    def _fold(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            d = unicodedata.normalize("NFD", x)
+            return unicodedata.normalize(
+                "NFC",
+                "".join(c for c in d if unicodedata.category(c) != "Mn"),
+            )
+
+        return s.map(one)
+
+    return _fold(F.col(col) if isinstance(col, str) else col)

@@ -345,7 +345,10 @@ PRIORITY: tuple[str, ...] = (
 #     same DECIMAL(38)/HUGEINT cleared-denominator discipline),
 #   cms_heavy_change (sketch family pinned above by cms_heavy_hitters —
 #     same build/probe machinery; the signed differencing stays
-#     local-gated).
+#     local-gated),
+#   accent_fold_stats (normalization family pinned above by
+#     unicode_nfc_stats — same Arrow edge and synthesis device; the
+#     strip-marks fold stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

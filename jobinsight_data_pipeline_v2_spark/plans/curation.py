@@ -1062,3 +1062,76 @@ def edit_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# accent folding (r9): the SEARCH-normalization sibling of the NFC
+# gate — DuckDB's native strip_accents (utf8proc) as the oracle
+# ---------------------------------------------------------------------------
+#
+# Matching 'Hà Nội' to a user typing 'ha noi' is the normalization
+# every search/dedup layer over Vietnamese (or any Latin-script
+# accented) data needs. Accented suffixes are synthesized IN-PLAN by
+# doc_id residue (the NFC gate's device — literal UTF-8, never
+# chr()); the output pins the EXACT folded bytes per residue class
+# (the folded suffix is a constant per class and is emitted as a
+# column), not just changed-counts — a wrong-but-different fold
+# cannot pass. The Đ case pins the must-NOT-fold path: D WITH STROKE
+# has no mark decomposition and survives in both engines.
+
+_ACC_SUFFIX_CASE = (
+    "CASE WHEN doc_id % 4 = 0 THEN ' Hà Nội' "
+    "WHEN doc_id % 4 = 1 THEN ' Đà Nẵng' "
+    "WHEN doc_id % 4 = 2 THEN ' crème brûlée' ELSE ' plain' END"
+)
+
+
+@register(
+    "accent_fold_stats",
+    f"""
+    WITH aug AS (
+        SELECT doc_id % 4 AS cls, length(text) AS tl,
+               text || {_ACC_SUFFIX_CASE} AS t
+        FROM documents
+    ),
+    norm AS (
+        SELECT cls, t, tl, strip_accents(t) AS n FROM aug
+    )
+    SELECT cls,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n <> t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           MIN(substring(n, tl + 1)) AS folded_suffix
+    FROM norm
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def accent_fold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent folding (NFD → strip combining marks → NFC) at the
+    sanctioned Arrow edge, differentially pinned against DuckDB's
+    utf8proc ``strip_accents`` — per residue class, the changed-doc
+    count AND the exact folded suffix bytes (see block comment; the
+    ASCII corpus text is fold-invariant, so the folded suffix is
+    recoverable by position). One narrow Arrow projection, then a
+    4-row aggregation."""
+    from ..operators.unicode_norm import fold_accents_column
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    aug = docs.select(
+        (F.col("doc_id") % 4).alias("cls"),
+        F.length("text").alias("tl"),
+        F.concat("text", F.expr(_ACC_SUFFIX_CASE)).alias("t"),
+    )
+    norm = aug.withColumn("n", fold_accents_column("t"))
+    return (
+        norm.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n") != F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+            F.min(F.expr("substring(n, tl + 1)")).alias("folded_suffix"),
+        )
+        .orderBy("cls")
+    )

@@ -210,3 +210,20 @@ def test_luhn_verify_known_vectors(spark):
     assert got["4111111111111112"] is False
     for c in cards:
         assert got[c] == luhn_ok(c), c
+
+
+def test_fold_accents_goldens(spark):
+    """NFD+strip-marks+NFC fold: Vietnamese diacritics fold away, a
+    non-decomposable letter (Đ, D WITH STROKE) survives, NULL passes."""
+    import pyspark.sql.functions as F
+
+    from jobinsight_data_pipeline_v2_spark.operators.unicode_norm import (
+        fold_accents_column,
+    )
+
+    df = spark.createDataFrame(
+        [("Hà Nội",), ("Đà Nẵng",), ("crème brûlée",), (None,)],
+        "s string",
+    )
+    got = [r["f"] for r in df.select(fold_accents_column("s").alias("f")).collect()]
+    assert got == ["Ha Noi", "Đa Nang", "creme brulee", None]
