@@ -93,6 +93,7 @@ def curate_corpus(
     span_l: int = _SPAN_L,
     gopher: bool = False,
     normalize: bool = False,
+    fold_accents: bool = False,
     fim: bool = False,
     ledger: bool = False,
     metrics=None,
@@ -139,7 +140,8 @@ def curate_corpus(
         return _curate_corpus(
             spark, docs, out_dir, token_budget=token_budget,
             n_shards=n_shards, span_l=span_l, gopher=gopher,
-            normalize=normalize, fim=fim, ledger=ledger, metrics=metrics,
+            normalize=normalize, fold_accents=fold_accents, fim=fim,
+            ledger=ledger, metrics=metrics,
             run_ts=run_ts, stage=stage,
         )
     except Exception as e:
@@ -166,6 +168,7 @@ def _curate_corpus(
     span_l: int,
     gopher: bool,
     normalize: bool,
+    fold_accents: bool,
     fim: bool,
     ledger: bool,
     metrics,
@@ -185,18 +188,29 @@ def _curate_corpus(
     #    and the span-gram keys downstream must never split on form.
     #    Narrow Arrow-batched projection; the changed count rides the
     #    same checkpointed frame.
-    if normalize:
+    if normalize or fold_accents:
         t00 = time.monotonic()
-        stage["name"] = "nfc_normalize"
-        from .operators.unicode_norm import normalize_column
+        from .operators.unicode_norm import (
+            fold_accents_column,
+            normalize_column,
+        )
 
+        # fold subsumes NFC (NFD -> strip marks -> NFC recompose), so
+        # the stronger kernel wins when both flags are set
+        if fold_accents:
+            st_name, chg_key = "accent_fold", "n_fold_changed"
+            kernel = fold_accents_column("text")
+        else:
+            st_name, chg_key = "nfc_normalize", "n_nfc_changed"
+            kernel = normalize_column("text", "NFC")
+        stage["name"] = st_name
         normed = (
             docs.select(
                 "doc_id",
                 F.col("text").alias("__orig"),
                 # ONE udf evaluation per row; the flag compares the
                 # materialized output column, not a second udf call
-                normalize_column("text", "NFC").alias("text"),
+                kernel.alias("text"),
             )
             .select(
                 "doc_id",
@@ -206,9 +220,9 @@ def _curate_corpus(
             .localCheckpoint(eager=False)
         )
         n_changed = normed.agg(F.sum("__chg").alias("c")).collect()[0]["c"]
-        report["n_nfc_changed"] = int(n_changed or 0)
+        report[chg_key] = int(n_changed or 0)
         docs = normed.select("doc_id", "text")
-        _stage(metrics, run_ts, "nfc_normalize", n_input, n_input, t00)
+        _stage(metrics, run_ts, st_name, n_input, n_input, t00)
         stage["name"] = "exact_dedup"
 
     # 1. exact dedup: first occurrence (min doc_id) per text hash —

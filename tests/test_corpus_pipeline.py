@@ -331,3 +331,29 @@ def test_curate_corpus_fim_rewrite(spark, tmp_path):
     # long docs are framed, short ones pass through
     n_long = plain.filter(F.col("n_tokens") >= 4).count()
     assert r_fim["n_fim_rewritten"] == n_long
+
+
+def test_curate_corpus_fold_accents_collapses_accent_variants(
+    spark, tmp_path
+):
+    """fold_accents=True upgrades stage 0 to the full accent fold:
+    accented and plain variants of the same text collapse in exact
+    dedup, the shipped text is the folded form, and the report
+    carries n_fold_changed."""
+    rows = [
+        (1, "ha noi weather report " * 15),
+        (2, "hà nội weather report " * 15),  # accent variant, same text
+        (3, "plain ascii document " * 15),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out_raw = str(tmp_path / "raw_fold")
+    r_raw = curate_corpus(spark, docs, out_raw, n_shards=1)
+    assert r_raw["n_exact_kept"] == 3
+
+    out = str(tmp_path / "folded")
+    r = curate_corpus(spark, docs, out, n_shards=1, fold_accents=True)
+    assert r["n_fold_changed"] == 1
+    assert r["n_exact_kept"] == 2
+    texts = [row["text"] for row in spark.read.parquet(out).collect()]
+    assert not any("à" in t or "ộ" in t for t in texts)
