@@ -3379,12 +3379,27 @@ def license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.select(
         "doc_id", F.concat(headers, F.col("text")).alias("text")
     )
+    return (
+        license_label_rows(docs)
+        .groupBy("license")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("coverage_ppm").cast("long").alias("coverage_ppm_sum"),
+        )
+        .orderBy("license")
+    )
+
+def license_label_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, license, coverage_ppm): the per-document header-marker
+    classification — the stateless narrow transform shared by the
+    batch gate and streaming.curation.license_stream. ``docs`` needs
+    (doc_id, text); documents WITHOUT a recognized header label
+    'none' with coverage 0."""
     head = F.slice(F.expr(_TOKENS), 1, _LIC_HEAD)
     hits = [
         F.size(
-            F.array_intersect(
-                head, F.array(*[F.lit(w) for w in words])
-            )
+            F.array_intersect(head, F.array(*[F.lit(w) for w in words]))
         ).alias(f"__h_{name}")
         for name, words in _LIC_SETS
     ]
@@ -3399,14 +3414,6 @@ def license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         coverage = F.when(
             matched, (hit * 1000000 / F.lit(n_set)).cast("long")
         ).otherwise(coverage)
-    return (
-        scored.select("doc_id", label.alias("license"),
-                      coverage.alias("coverage_ppm"))
-        .groupBy("license")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("doc_id").cast("long").alias("id_sum"),
-            F.sum("coverage_ppm").cast("long").alias("coverage_ppm_sum"),
-        )
-        .orderBy("license")
+    return scored.select(
+        "doc_id", label.alias("license"), coverage.alias("coverage_ppm")
     )

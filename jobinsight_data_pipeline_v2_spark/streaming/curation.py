@@ -105,6 +105,17 @@ def classifier_stream(docs: DataFrame) -> DataFrame:
     return classifier_score(docs)
 
 
+def license_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, license, coverage_ppm): header-marker license
+    classification over a document stream — the batch license_detect
+    gate's per-document projection verbatim
+    (plans/corpus.license_label_rows: fully in-row, stateless append
+    mode, the marker sets compiled into the plan as literals)."""
+    from ..plans.corpus import license_label_rows
+
+    return license_label_rows(docs)
+
+
 def markdown_stream(docs: DataFrame) -> DataFrame:
     """(doc_id, markdown, text): Markdown → plain-text extraction over
     a document stream — the batch markdown extractor verbatim

@@ -3014,3 +3014,37 @@ def test_streaming_hll_window_registers_equal_batch(spark, tmp_path):
         for r in hll_estimate(exp, ("win",)).collect()
     }
     assert e_got == e_exp and len(e_got) >= 2
+
+
+def test_streaming_license_labels_equal_batch(spark, tmp_path):
+    """Stateless license classification: the streamed union of
+    per-batch labels equals the batch projection row for row."""
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        license_label_rows,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        license_stream,
+    )
+
+    rows = [
+        (1, "permission hereby granted sublicense noninfringement body"),
+        (2, "licensed apache compliance governing permissions more text"),
+        (3, "gnu general public license foundation words"),
+        (4, "no header at all just words " * 20),
+        (5, "permission hereby granted but only three markers"),
+    ]
+    src = str(tmp_path / "lic_src")
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    batch.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(spark, license_stream(stream), "lic_test")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM lic_test")
+    expected = license_label_rows(batch)
+    assert got.exceptAll(expected).count() + expected.exceptAll(got).count() == 0
+    labels = {r["doc_id"]: r["license"] for r in got.collect()}
+    assert labels == {1: "mit", 2: "apache", 3: "gpl", 4: "none", 5: "none"}
