@@ -348,7 +348,10 @@ PRIORITY: tuple[str, ...] = (
 #     local-gated),
 #   accent_fold_stats (normalization family pinned above by
 #     unicode_nfc_stats — same Arrow edge and synthesis device; the
-#     strip-marks fold stays local-gated).
+#     strip-marks fold stays local-gated),
+#   priority_sample (sampling family pinned above by hash_split +
+#     shuffle_shards; the weight-proportional top-k stays
+#     local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -1447,3 +1447,64 @@ def span_corruption_texts(
         F.expr(target_str).alias("target"),
     )
     return out if stream_safe else out.localCheckpoint(eager=False)
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (r9): weighted sampling WITHOUT replacement —
+# Duffield, Lund & Thorup 2007. Each item draws a deterministic
+# uniform u_i (md5 of its key) and gets priority u_i/w_i; the k
+# smallest priorities are the sample — heavier items draw smaller
+# priorities proportionally more often, giving the
+# inclusion-probability ∝ weight property subset-sum estimators need,
+# with NO replacement bookkeeping and no sequential pass (the whole
+# thing is one top-k, embarrassingly parallel — the reservoir
+# algorithm's distributed replacement).
+# ---------------------------------------------------------------------------
+#
+# Integer discipline: u = 32-bit from the md5 hex head, priority =
+# (u · 1e6) div w exactly (u·1e6 < 2^63); ties broken by doc_id. The
+# md5-derived u is hash-VALUE semantics, so it stays md5 (the
+# minhash/winnow convention — oracle-matched), never xxhash64.
+
+_PRIO_K = 25
+
+
+@register(
+    "priority_sample",
+    f"""
+    WITH prio AS (
+        SELECT doc_id, n_chars,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT * 1000000) // n_chars AS priority
+        FROM documents
+    )
+    SELECT doc_id, n_chars, priority
+    FROM prio
+    ORDER BY priority, doc_id
+    LIMIT {_PRIO_K}
+    """,
+)
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {_PRIO_K}-item priority sample (weights = n_chars): items
+    ranked by the exact integer priority (u·1e6) div w under a
+    (priority, doc_id) total order — Duffield-Lund-Thorup weighted
+    sampling without replacement as ONE distributed top-k (see block
+    comment).
+
+    Shape: one narrow projection (md5 + one floor division) and a
+    TakeOrdered — no shuffle at all beyond the top-k collect; at
+    100 TB this is the canonical weight-proportional doc sampler
+    (quality-weighted corpus subsetting) because it needs no
+    sequential reservoir state."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                "(cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as bigint) * 1000000) div n_chars"
+            ).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(_PRIO_K)
+    )
