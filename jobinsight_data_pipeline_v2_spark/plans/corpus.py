@@ -3050,14 +3050,19 @@ def markdown_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "      ' '), '\\n')), '')"
     )
     # tokens are spliced RAW into bullet lines: a token containing a
-    # Markdown inline metacharacter would make the extractor and the
+    # Markdown metacharacter would make the extractor and the
     # closed-form oracle diverge on data, not code (the html gate's
-    # precondition discipline; NULL-aware per ADVICE r8). Line-anchored
-    # markers (#, >, -) are inert mid-line and a leading '-' token is
-    # strip-identity, so only the inline-rule alphabet is guarded.
+    # precondition discipline; NULL-aware per ADVICE r8). Guarded: the
+    # inline-rule alphabet, '>' (NOT inert — a chunk-START '>' token
+    # is exposed at line start once the bullet rule strips '- ' and
+    # the LATER blockquote rule eats it; '#' is safe because headings
+    # strip BEFORE bullets, and a leading '-' token is
+    # strip-identity), and control whitespace (an embedded newline/CR
+    # breaks the line framing itself). Found by review (r9 session).
     guard = F.coalesce(
         F.assert_true(
-            F.col("text").isNotNull() & ~F.col("text").rlike("[`*\\[\\]()]"),
+            F.col("text").isNotNull()
+            & ~F.col("text").rlike("[`*\\[\\]()>\t\n\r]"),
             F.lit(
                 "markdown_extract_stats: document text is NULL or "
                 "contains a Markdown inline metacharacter — the raw "
@@ -3221,9 +3226,14 @@ _CONFUSABLES: tuple[tuple[str, str], ...] = (
 )
 _SKEL_SRC = "".join(c for _, c in _CONFUSABLES)
 _SKEL_DST = "".join(l for l, _ in _CONFUSABLES)
-# spoof synthesis translates latin -> confusable; Greek omicron is
-# skeleton-only (translate() maps each source char once, and 'o'
-# already maps to Cyrillic о)
+# spoof synthesis translates latin -> confusable; translate() maps
+# each source char ONCE and dict() resolves duplicate keys LAST-wins,
+# so the synthesized 'o' spoof is the GREEK omicron (the later
+# entry) — the Cyrillic-о fold row is skeleton-only coverage on this
+# ASCII corpus (no synthesized clone exercises it; both engines'
+# spoof builders share the same dict, so they cannot disagree).
+# Review r9: do not "fix" the order without updating both comments —
+# reordering flips which confusable the spoof corpus exercises.
 _SPOOF_SRC = "".join(dict((l, c) for l, c in _CONFUSABLES))
 _SPOOF_DST = "".join(dict((l, c) for l, c in _CONFUSABLES).values())
 _SPOOF_MOD = 9  # doc_id % 9 == 0 docs get a spoofed clone at +1000000

@@ -2892,7 +2892,7 @@ def bm25_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lens = docs.select(
         "doc_id", F.size("t").cast("long").alias("dl"), "t"
-    )
+    ).localCheckpoint(eager=False)  # tot (x2 broadcasts) + hits consumers
     tot = lens.agg(
         F.sum("dl").cast("long").alias("__tt"),
         F.count(F.lit(1)).cast("long").alias("__nn"),

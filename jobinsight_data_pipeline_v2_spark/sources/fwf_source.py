@@ -52,20 +52,31 @@ def format_fwf_lines(
     for name, w, typ in layout:
         s = F.col(name).cast("string")
         if typ == "string":
-            # a NULL string renders as all-blank — only overflow raises
-            ok = F.coalesce(F.length(s) <= w, F.lit(True))
+            # a NULL string renders as all-blank. Raise on overflow,
+            # on embedded CR/LF (they break the one-record-per-line
+            # framing itself — the XML writer's r7 lesson), and on
+            # leading/trailing spaces (indistinguishable from pad
+            # spaces: the value would silently round-trip mutated,
+            # violating the raise-instead-of-corrupt contract).
+            ok = F.coalesce(
+                (F.length(s) <= w)
+                & ~s.rlike("[\r\n]")
+                & (s == F.trim(s)),
+                F.lit(True),
+            )
             padded = F.rpad(F.coalesce(s, F.lit("")), w, " ")
+            msg = (
+                f"fwf writer: field '{name}' overflows width {w}, "
+                "contains CR/LF, or has leading/trailing spaces — "
+                "the value would not round-trip"
+            )
         else:
             ok = s.isNotNull() & (F.length(s) <= w)
             padded = F.lpad(s, w, " ")
-        msg = (
-            f"fwf writer: field '{name}' overflows width {w}"
-            if typ == "string"
-            else (
+            msg = (
                 f"fwf writer: field '{name}' overflows width {w} or is a "
                 "NULL numeric — fixed-width positions would corrupt"
             )
-        )
         # assert_true yields NULL on success; concatenated as an
         # empty-string contribution it cannot be pruned (the
         # html_main_content guard device — an identical-branch when()
@@ -93,9 +104,10 @@ def _partition_fwf_lines(
         rawf = F.substring("line", pos, w)
         trimmed = F.trim(rawf)
         if typ == "bigint":
-            val = F.expr(
-                f"try_cast(trim(substring(line, {pos}, {w})) AS bigint)"
-            )
+            # ONE slice expression feeds both the cast and the
+            # type-fail predicate (review r9: a hand-rendered second
+            # SQL copy of the slice could drift from `trimmed`)
+            val = trimmed.try_cast("bigint")
             type_fail = type_fail | ((trimmed != "") & val.isNull())
         else:
             val = F.nullif(trimmed, F.lit(""))

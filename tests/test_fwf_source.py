@@ -118,3 +118,24 @@ def test_fwf_stream_equals_batch(spark, tmp_path):
             + batch_df.exceptAll(got).count()
             == 0
         )
+
+
+def test_writer_control_chars_raise(spark):
+    """An embedded newline would break line framing — raise (review r9)."""
+    df = spark.createDataFrame(
+        [(1, "en", "a\nb", 5)],
+        "doc_id bigint, lang string, source string, n_chars bigint",
+    )
+    with pytest.raises(Exception, match="would not round-trip"):
+        format_fwf_lines(df).collect()
+
+
+def test_writer_edge_spaces_raise(spark):
+    """Leading/trailing spaces are indistinguishable from padding and
+    would silently round-trip mutated — raise (review r9)."""
+    df = spark.createDataFrame(
+        [(1, " en", "web", 5)],
+        "doc_id bigint, lang string, source string, n_chars bigint",
+    )
+    with pytest.raises(Exception, match="would not round-trip"):
+        format_fwf_lines(df).collect()
