@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "cms_heavy_change",  # sketch-differencing heavy-change detection
     "accent_fold_stats",  # NFD-strip-NFC accent fold vs strip_accents
     "priority_sample",  # weighted sampling w/o replacement (one top-k)
+    "soundex_name_groups",  # native soundex vs transcribed oracle
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -351,7 +351,9 @@ PRIORITY: tuple[str, ...] = (
 #     strip-marks fold stays local-gated),
 #   priority_sample (sampling family pinned above by hash_split +
 #     shuffle_shards; the weight-proportional top-k stays
-#     local-gated).
+#     local-gated),
+#   soundex_name_groups (entity-resolution family pinned above by
+#     fuzzy_name_match; the phonetic blocking stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

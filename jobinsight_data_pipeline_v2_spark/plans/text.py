@@ -3555,3 +3555,113 @@ def cms_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("within_cms_bound"),
     ).orderBy(F.desc(F.abs(F.col("delta"))), "token")
+
+
+# ---------------------------------------------------------------------------
+# phonetic matching (r9): Spark's NATIVE soundex pinned against a
+# hand-transcribed SQL oracle — the phonetic sibling of the FastSS
+# fuzzy matcher (entity resolution: 'Robert' ≡ 'Rupert').
+# ---------------------------------------------------------------------------
+#
+# DuckDB has no soundex, so the oracle TRANSCRIBES the algorithm
+# Spark implements (probed on a 17-name edge battery, unit-pinned):
+# lastCode starts at the FIRST letter's code; H/W continue WITHOUT
+# updating lastCode; vowels update it to 0 without appending; a code
+# appends iff ∉ {0, lastCode}. As string algebra with no
+# backreferences (RE2 has none):
+#
+#   mapped  = translate(upper(s), A..Z, '01230127022455012623017202')
+#   no_hw   = replace(mapped, '7', '')      # H/W transparency
+#   dedup   = collapse runs of each digit   # log2 replace passes
+#   body    = iff first code ≠ 7: drop dedup's head (the first
+#             letter's own run) else keep   # Wright vs Pfister
+#   digits  = replace(body, '0', '')        # vowels only BREAK runs
+#   out     = first letter || rpad3(digits)
+#
+# Probed pins: Wright→W623 (W's 7 must NOT strip r's 6),
+# Pfister→P236 (f dedups against P), Ashcraft→A261 (s~c across h),
+# Whyte→W300, Hw→H000, Tymczak→T522, McDonald→M235.
+
+_SOUNDEX_MAP = "01230127022455012623017202"
+
+
+def _soundex_sql(col: str, max_len_log2: int = 6) -> str:
+    """The transcription above as one SQL expression — identical text
+    on Spark and DuckDB (translate/replace/upper/substring only)."""
+    m = f"translate(upper({col}), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_MAP}')"
+    s = f"replace({m}, '7', '')"
+    for d in "0123456":
+        for _ in range(max_len_log2):
+            s = f"replace({s}, '{d}{d}', '{d}')"
+    body = (
+        f"CASE WHEN substring({m}, 1, 1) = '7' THEN {s} "
+        f"ELSE substring({s}, 2) END"
+    )
+    return (
+        f"(upper(substring({col}, 1, 1)) || "
+        f"substring(replace({body}, '0', '') || '000', 1, 3))"
+    )
+
+
+_SOUNDEX_BATTERY = (
+    "Wright", "Hubert", "Whyte", "Aeiouy", "Lee", "Bob", "McDonald",
+    "OBrien", "Szczecin", "Jackson", "Tymczak", "Pfister", "Ashcraft",
+    "Honeyman", "Wu", "Hw", "Robert",
+)
+_SOUNDEX_NAME_CASE = (
+    "CASE WHEN doc_id % 3 = 0 THEN CASE CAST(doc_id % 17 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN '{n}'" for i, n in enumerate(_SOUNDEX_BATTERY)
+    )
+    + " END ELSE first_tok END"
+)
+
+
+@register(
+    "soundex_name_groups",
+    f"""
+    WITH named AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t != '')[1]
+                   AS first_tok
+        FROM documents
+    ),
+    coded AS (
+        SELECT doc_id, {_SOUNDEX_NAME_CASE} AS name FROM named
+    )
+    SELECT {_soundex_sql('name')} AS code,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM coded
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def soundex_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking groups: every third doc carries a classic
+    edge-battery surname (17 names covering the H/W transparency,
+    first-letter-dedup, vowel-break and padding rules), the rest use
+    their first corpus token — grouped by Spark's NATIVE ``soundex``
+    and pinned against the transcribed SQL oracle (see block comment;
+    DuckDB has no soundex, so this is the edit_distance_histogram
+    native-vs-reimplementation device pointed the other way).
+
+    Shape: one narrow projection (native codegen soundex) + a
+    codes-sized aggregation."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    named = docs.select(
+        "doc_id",
+        F.expr(f"{_TOKENS}[0]").alias("first_tok"),
+    )
+    coded = named.select(
+        "doc_id", F.expr(_SOUNDEX_NAME_CASE).alias("name")
+    )
+    return (
+        coded.select("doc_id", F.soundex("name").alias("code"))
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("code")
+    )

@@ -907,3 +907,31 @@ def test_spread_preserves_source_size_hint(spark):
     assert src is not None and src > 0
     out = spread(df)
     assert getattr(out, "_spread_src_bytes", None) == src
+
+
+def test_soundex_transcription_matches_native(spark):
+    """The oracle's hand-built SQL soundex must equal Spark's NATIVE
+    soundex on the 17-name edge battery (H/W transparency,
+    first-letter dedup, vowel breaks, padding) plus lowercase corpus
+    words — the transcription is the DuckDB oracle, so a divergence
+    here is a wrong oracle, not a wrong engine."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from jobinsight_data_pipeline_v2_spark.plans.text import (
+        _SOUNDEX_BATTERY,
+        _soundex_sql,
+    )
+
+    names = list(_SOUNDEX_BATTERY) + ["table", "spark", "merge", "a", "x"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    native = {
+        r["name"]: r["c"]
+        for r in df.select("name", F.soundex("name").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    for n in names:
+        got = con.execute(
+            f"SELECT {_soundex_sql('name')} FROM (SELECT '{n}' AS name)"
+        ).fetchone()[0]
+        assert got == native[n], f"{n}: sql={got} native={native[n]}"
