@@ -370,3 +370,47 @@ def test_idf_ladder_is_clamped_floor_log2(pairs):
     )
     got = [r[0] for r in duckdb.execute(sql).fetchall()]
     assert got == [ref(n, d) for n, d in pairs]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyzW", min_size=1, max_size=24),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_soundex_transcription_matches_python_reference(names):
+    """The soundex SQL transcription (the DuckDB oracle side of
+    soundex_name_groups) equals a direct pure-Python implementation of
+    the probed Spark semantics — lastCode starts at the first letter's
+    code, H/W continue WITHOUT updating it, vowels reset it to 0
+    without appending, append iff code ∉ {0, lastCode} — over random
+    alphabetic strings (far past the 17-name battery)."""
+    import duckdb
+
+    from jobinsight_data_pipeline_v2_spark.plans.text import (
+        _SOUNDEX_MAP,
+        _soundex_sql,
+    )
+
+    def ref(name: str) -> str:
+        u = name.upper()
+        code = lambda ch: _SOUNDEX_MAP[ord(ch) - ord("A")]
+        last = code(u[0])
+        out = []
+        for ch in u[1:]:
+            c = code(ch)
+            if c == "7":
+                continue
+            if c != "0" and c != last:
+                out.append(c)
+            last = c
+        return u[0] + ("".join(out) + "000")[:3]
+
+    values = ", ".join(f"('{n}')" for n in names)
+    sql = (
+        f"SELECT {_soundex_sql('name')} FROM (VALUES {values}) t(name)"
+    )
+    got = [r[0] for r in duckdb.execute(sql).fetchall()]
+    assert got == [ref(n) for n in names]
