@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "accent_fold_stats",  # NFD-strip-NFC accent fold vs strip_accents
     "priority_sample",  # weighted sampling w/o replacement (one top-k)
     "soundex_name_groups",  # native soundex vs transcribed oracle
+    "table_diff_fingerprints",  # bucketed replica-diff fingerprints
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -353,7 +353,10 @@ PRIORITY: tuple[str, ...] = (
 #     shuffle_shards; the weight-proportional top-k stays
 #     local-gated),
 #   soundex_name_groups (entity-resolution family pinned above by
-#     fuzzy_name_match; the phonetic blocking stays local-gated).
+#     fuzzy_name_match; the phonetic blocking stays local-gated),
+#   table_diff_fingerprints (verification family — the quarantine
+#     sources + ri_orphan_counts pin integrity above; the bucketed
+#     replica-diff stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -3254,3 +3254,143 @@ def trending_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decayed_score",
         F.row_number().over(w).cast("long").alias("trend_rank"),
     ).orderBy("trend_rank")
+
+
+# ---------------------------------------------------------------------------
+# distributed table diff (r9): replica/export verification WITHOUT
+# moving either table — per-bucket row counts + order-independent
+# content-hash sums; buckets that disagree localize the damage (the
+# datafold/data-diff algorithm: compare fingerprints, drill into the
+# few differing buckets).
+# ---------------------------------------------------------------------------
+#
+# Side B is synthesized in-plan from side A: doc_id % 97 == 5 rows
+# DROPPED (a replication gap) and doc_id % 89 == 3 rows TAMPERED
+# (text altered — same row count, different bytes), so both damage
+# classes appear in the output at every SF. Buckets and row hashes
+# are md5-derived (oracle-expressible, the _bucket device); the
+# per-bucket content hash is a SUM of 48-bit row hashes — commutative
+# (aggregation-order-independent on both engines) with BIGINT
+# headroom to ~2^15 rows per bucket; at fleet scale widen the sum to
+# DECIMAL(38)/HUGEINT or fold mod 2^61 (collision odds are the
+# fingerprint's usual story either way).
+
+_DIFF_BUCKETS = 64
+
+
+def _row_fp_sql(concat_expr: str) -> str:
+    return (
+        f"('0x' || substring(md5({concat_expr}), 1, 12))::BIGINT"
+    )
+
+
+@register(
+    "table_diff_fingerprints",
+    f"""
+    WITH a AS (
+        SELECT doc_id, text FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 89 = 3 THEN text || ' tampered'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 97 != 5
+    ),
+    fa AS (
+        SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                   ::BIGINT % {_DIFF_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_a,
+               CAST(SUM({_row_fp_sql("CAST(doc_id AS VARCHAR) || ':' || text")})
+                    AS BIGINT) AS fp_a
+        FROM a GROUP BY 1
+    ),
+    fb AS (
+        SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                   ::BIGINT % {_DIFF_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM({_row_fp_sql("CAST(doc_id AS VARCHAR) || ':' || text")})
+                    AS BIGINT) AS fp_b
+        FROM b GROUP BY 1
+    )
+    SELECT COALESCE(fa.bucket, fb.bucket) AS bucket,
+           CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+           CASE WHEN COALESCE(n_a, 0) = COALESCE(n_b, 0)
+                 AND COALESCE(fp_a, 0) = COALESCE(fp_b, 0)
+                THEN 1 ELSE 0 END AS matched
+    FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+    ORDER BY bucket
+    """,
+)
+def table_diff_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket diff fingerprints between a table and its damaged
+    in-plan replica (drops + tampering — see block comment): bucket
+    row counts and commutative content-hash sums, with the matched
+    flag localizing the damage to the few buckets holding affected
+    ids.
+
+    Shape: each side is one scan → one hash agg on the md5-derived
+    bucket key (≤{_DIFF_BUCKETS} groups, map-side combined — the
+    fingerprint table is what crosses the wire between replicas at
+    fleet scale, never rows); the final full-outer join is
+    buckets-sized. The hash sum is order-independent by construction,
+    so partitioning cannot affect it."""
+    from ..tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    ).localCheckpoint(eager=False)  # both sides scan the same frame
+    b = docs.filter(F.col("doc_id") % 97 != 5).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 89 == 3, F.concat("text", F.lit(" tampered"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _DIFF_BUCKETS
+    )
+    row_fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def fp(side: DataFrame, n_name: str, fp_name: str) -> DataFrame:
+        return side.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias(n_name),
+            F.sum(row_fp).cast("long").alias(fp_name),
+        )
+
+    fa = fp(docs, "n_a", "fp_a")
+    fb = fp(b, "n_b", "fp_b")
+    joined = fa.join(fb, "bucket", "full_outer")
+    z = F.lit(0).cast("long")
+    return joined.select(
+        "bucket",
+        F.coalesce("n_a", z).alias("n_a"),
+        F.coalesce("n_b", z).alias("n_b"),
+        F.when(
+            (F.coalesce("n_a", z) == F.coalesce("n_b", z))
+            & (F.coalesce("fp_a", z) == F.coalesce("fp_b", z)),
+            1,
+        )
+        .otherwise(0)
+        .alias("matched"),
+    ).orderBy("bucket")
