@@ -356,7 +356,10 @@ PRIORITY: tuple[str, ...] = (
 #     fuzzy_name_match; the phonetic blocking stays local-gated),
 #   table_diff_fingerprints (verification family — the quarantine
 #     sources + ri_orphan_counts pin integrity above; the bucketed
-#     replica-diff stays local-gated).
+#     replica-diff stays local-gated),
+#   multi_touch_attribution (events/temporal family pinned above by
+#     sessionize + asof_join_purchases; the position-credit ladder
+#     stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -1821,3 +1821,145 @@ def chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_flag"
         ),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution (r9): position-based (U-shaped 40/20/40)
+# credit assignment — the marketing-analytics staple one step past
+# attribution_pairs' last-touch interval join.
+# ---------------------------------------------------------------------------
+#
+# Pinned deterministic semantics: the conversion is the user's FIRST
+# purchase under the (ts, event_id) total order; touches are the
+# user's view/click/signup events STRICTLY before the conversion ts,
+# ranked by the same total order. Credit in exact ppm: a single touch
+# takes 1000000; two touches split 500000/500000; otherwise first and
+# last take 400000 each, the middles share 200000 by floor division,
+# and the REMAINDER goes to the last touch (conservation:
+# Σ w_ppm == 1000000 per converting user with touches — pinned by the
+# w_ppm_sum column). Attributed cents floor per touch, identical
+# division text both engines.
+
+_MTA_TOUCH_TYPES = "('view', 'click', 'signup')"
+
+
+@register(
+    "multi_touch_attribution",
+    f"""
+    WITH e AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    conv AS (
+        SELECT user_id, ts AS cts, cents AS ccents FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS prn
+            FROM e WHERE event_type = 'purchase') p
+        WHERE prn = 1
+    ),
+    touch AS (
+        SELECT t.user_id, t.event_type, c.ccents,
+               row_number() OVER (
+                   PARTITION BY t.user_id ORDER BY t.ts, t.event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY t.user_id) AS k
+        FROM e t JOIN conv c ON t.user_id = c.user_id
+        WHERE t.event_type IN {_MTA_TOUCH_TYPES} AND t.ts < c.cts
+    ),
+    w AS (
+        SELECT event_type, ccents,
+               CASE WHEN k = 1 THEN 1000000
+                    WHEN k = 2 THEN 500000
+                    WHEN rn = 1 THEN 400000
+                    WHEN rn = k THEN 400000 + 200000 % (k - 2)
+                    ELSE 200000 // (k - 2) END AS w_ppm,
+               CASE WHEN k = 1 THEN 'only' WHEN rn = 1 THEN 'first'
+                    WHEN rn = k THEN 'last' ELSE 'middle' END AS pos_class
+        FROM touch
+    )
+    SELECT event_type AS channel, pos_class,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(w_ppm) AS BIGINT) AS w_ppm_sum,
+           CAST(SUM((ccents * w_ppm) // 1000000) AS BIGINT)
+               AS attributed_cents
+    FROM w
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based multi-touch attribution per (channel, position
+    class): touch counts, ppm weight mass, and attributed conversion
+    cents (see block comment for the pinned U-shape and conservation
+    rule).
+
+    Shape: conversions = one user-keyed window over purchases only;
+    touches join the users-sized conversion table and take ONE
+    user-keyed window (rank + frame-free count share the exchange and
+    sort); the final agg is (channels × 4) rows. No self-joins, no
+    per-user collects."""
+    from pyspark.sql.window import Window
+
+    events = load_events(spark, sf_dir)
+    e = events.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("cts"),
+            F.col("cents").alias("ccents"),
+        )
+    )
+    touch = (
+        e.filter(
+            F.col("event_type").isin("view", "click", "signup")
+        )
+        .join(conv, "user_id")
+        .filter(F.col("ts") < F.col("cts"))
+        .select(
+            "user_id",
+            "event_type",
+            "ccents",
+            F.row_number().over(wp).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id"))
+            .alias("k"),
+        )
+    )
+    w_ppm = F.expr(
+        "CASE WHEN k = 1 THEN 1000000 "
+        "WHEN k = 2 THEN 500000 "
+        "WHEN rn = 1 THEN 400000 "
+        "WHEN rn = k THEN 400000 + 200000 % (k - 2) "
+        "ELSE 200000 div (k - 2) END"
+    )
+    pos = F.expr(
+        "CASE WHEN k = 1 THEN 'only' WHEN rn = 1 THEN 'first' "
+        "WHEN rn = k THEN 'last' ELSE 'middle' END"
+    )
+    return (
+        touch.select(
+            "event_type",
+            "ccents",
+            w_ppm.alias("w_ppm"),
+            pos.alias("pos_class"),
+        )
+        .groupBy(F.col("event_type").alias("channel"), "pos_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("w_ppm").cast("long").alias("w_ppm_sum"),
+            F.sum(F.expr("(ccents * w_ppm) div 1000000"))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+        .orderBy("channel", "pos_class")
+    )
