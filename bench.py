@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "soundex_name_groups",  # native soundex vs transcribed oracle
     "table_diff_fingerprints",  # bucketed replica-diff fingerprints
     "multi_touch_attribution",  # U-shaped position credit in exact ppm
+    "seasonal_decompose_daily",  # integer classical decomposition + fit
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -359,7 +359,9 @@ PRIORITY: tuple[str, ...] = (
 #     replica-diff stays local-gated),
 #   multi_touch_attribution (events/temporal family pinned above by
 #     sessionize + asof_join_purchases; the position-credit ladder
-#     stays local-gated).
+#     stays local-gated),
+#   seasonal_decompose_daily (monitoring/time-series family pinned
+#     above by anomaly_days; the decomposition stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -1963,3 +1963,125 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel", "pos_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition (r9): trend + weekday seasonal + fit over the
+# daily revenue series — the classical-decomposition core of every
+# capacity-planning/forecast stack, in EXACT integers.
+# ---------------------------------------------------------------------------
+#
+# All three components stay integer by scale-clearing instead of
+# averaging: the trend is the 7-day centered WINDOW SUM (≈ 7·level),
+# the detrended residual is resid_x7 = 7·cents − trend7_sum, the
+# weekday seasonal is the PAIR (s_sum_x7, s_n) (its mean would be a
+# float), and the in-sample fit comparison multiplies through by
+# 7·s_n:  actual_x7n = 7·s_n·cents  vs  fit_x7n = trend7_sum·s_n +
+# s_sum_x7.  err_x7n = actual − fit is the exact decomposition
+# residual. Only FULL 7-day windows emit (the centered MA is
+# undefined at the edges). Weekday = days-since-epoch-Monday % 7
+# (the business_days device: same arithmetic, each engine's own
+# datediff spelling).
+
+_SD_EPOCH = "1970-01-05"  # a Monday
+
+
+@register(
+    "seasonal_decompose_daily",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS d,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT d, cents,
+               CAST(SUM(cents) OVER w AS BIGINT) AS trend7_sum,
+               COUNT(*) OVER w AS win_n,
+               datediff('day', DATE '{_SD_EPOCH}', d) % 7 AS dow
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    full_days AS (
+        SELECT d, cents, trend7_sum, dow,
+               7 * cents - trend7_sum AS resid_x7
+        FROM win WHERE win_n = 7
+    ),
+    seasonal AS (
+        SELECT dow, CAST(SUM(resid_x7) AS BIGINT) AS s_sum_x7,
+               CAST(COUNT(*) AS BIGINT) AS s_n
+        FROM full_days GROUP BY 1
+    )
+    SELECT strftime(f.d, '%Y-%m-%d') AS day, f.cents, f.trend7_sum,
+           f.resid_x7, CAST(f.dow AS BIGINT) AS dow, s.s_sum_x7, s.s_n,
+           CAST(7 * s.s_n * f.cents AS BIGINT) AS actual_x7n,
+           CAST(f.trend7_sum * s.s_n + s.s_sum_x7 AS BIGINT) AS fit_x7n
+    FROM full_days f JOIN seasonal s ON f.dow = s.dow
+    ORDER BY day
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily revenue series in
+    exact integers (see block comment): centered 7-day trend sum,
+    scale-cleared weekday seasonal pair, and the in-sample fit
+    comparison actual_x7n vs fit_x7n — every column bit-stable across
+    engines, no float mean anywhere.
+
+    Shape: one events scan → days-sized daily agg; the centered
+    window and the weekday regroup run on the ~30-row day frame (the
+    gap_fill matrix-size exception — a global window over days, not
+    rows); the seasonal join is dow-keyed on 7 rows."""
+    from pyspark.sql.window import Window
+
+    events = load_events(spark, sf_dir)
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    win = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("trend7_sum"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        (F.datediff("d", F.lit(_SD_EPOCH).cast("date")) % 7).alias("dow"),
+    )
+    full_days = (
+        win.filter(F.col("win_n") == 7)
+        .select(
+            "d",
+            "cents",
+            "trend7_sum",
+            "dow",
+            (F.lit(7) * F.col("cents") - F.col("trend7_sum")).alias(
+                "resid_x7"
+            ),
+        )
+        .localCheckpoint(eager=False)  # seasonal agg + output join
+    )
+    seasonal = full_days.groupBy("dow").agg(
+        F.sum("resid_x7").cast("long").alias("s_sum_x7"),
+        F.count(F.lit(1)).cast("long").alias("s_n"),
+    )
+    return (
+        full_days.join(F.broadcast(seasonal), "dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "cents",
+            "trend7_sum",
+            "resid_x7",
+            F.col("dow").cast("long").alias("dow"),
+            "s_sum_x7",
+            "s_n",
+            (F.lit(7) * F.col("s_n") * F.col("cents"))
+            .cast("long")
+            .alias("actual_x7n"),
+            (F.col("trend7_sum") * F.col("s_n") + F.col("s_sum_x7"))
+            .cast("long")
+            .alias("fit_x7n"),
+        )
+        .orderBy("day")
+    )
