@@ -361,7 +361,9 @@ PRIORITY: tuple[str, ...] = (
 #     sessionize + asof_join_purchases; the position-credit ladder
 #     stays local-gated),
 #   seasonal_decompose_daily (monitoring/time-series family pinned
-#     above by anomaly_days; the decomposition stays local-gated).
+#     above by anomaly_days; the decomposition stays local-gated),
+#   event_flow_transitions (events family pinned above by sessionize;
+#     the transition matrix stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -2085,3 +2085,82 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# user-flow transition matrix (r9): Markov/Sankey counts over each
+# user's consecutive events — the product-analytics flow diagram's
+# data (where do users go after a view?), with transition shares in
+# exact ppm.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_flow_transitions",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type,
+               COALESCE(next_type, '<end>') AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ordered GROUP BY 1, 2
+    ),
+    outs AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out
+        FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           CAST((1000000 * p.n) // o.n_out AS BIGINT) AS share_ppm
+    FROM pairs p JOIN outs o ON p.from_type = o.from_type
+    ORDER BY p.from_type, p.to_type
+    """,
+)
+def event_flow_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (from → to) transition matrix over each user's event
+    sequence under the (ts, event_id) total order, with '<end>' as
+    the absorbing state and per-from shares in exact ppm (one
+    positive floor division, identical text both engines).
+
+    Shape: ONE user-keyed window (lead) — the sessionize exchange —
+    then a (types+1)²-bounded agg; the per-from totals regroup runs
+    on the tiny matrix and broadcasts back. No self-joins."""
+    from pyspark.sql.window import Window
+
+    events = load_events(spark, sf_dir)
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(wp).alias("next_type"),
+    )
+    pairs = (
+        ordered.select(
+            F.col("event_type").alias("from_type"),
+            F.coalesce("next_type", F.lit("<end>")).alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # outs regroup + output join
+    )
+    outs = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_out")
+    )
+    return (
+        pairs.join(F.broadcast(outs), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("CAST((1000000 * n) div n_out AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
