@@ -1,0 +1,255 @@
+"""Pure-stdlib GIF codec (GIF87a/89a, CompuServe spec + RFC-adjacent
+giflib conventions): palette images compressed with variable-width
+LZW. Completes the web-image codec set next to PNG (zlib/filters),
+BMP (raw BI_RGB) and JPEG (DCT/Huffman incl. progressive) behind
+``operators/multimodal.decode_image``'s magic-byte dispatch — GIF's
+LZW is the one mainstream compression family the stack did not yet
+implement.
+
+Subset: 2/4/8-bit color tables (global or local), non-interlaced,
+first image frame of a file (animated GIFs decode their first frame —
+the thumbnail-pipeline convention); extensions are skipped by their
+sub-block framing. Interlaced images raise loudly (out of subset).
+
+LZW width schedule (the historical off-by-one minefield, derived from
+first principles and pinned by hand-packed bit goldens in
+tests/test_gif.py):
+
+- Both sides start at min_code_size+1 bits after a CLEAR.
+- The ENCODER grows its width after ASSIGNING entry e when the next
+  code to assign reaches 1<<width (so the next emission is wider).
+- The DECODER adds one table entry per code RECEIVED starting with
+  the second after a CLEAR — its count lags the encoder's by exactly
+  one at equal stream position — so it grows when its own next_code
+  reaches (1<<width) − 1. Matching the two conditions keeps every
+  code boundary aligned; an equal-condition decoder desynchronizes
+  exactly at each width step (the TIFF "early change" confusion).
+- At 4096 entries the encoder emits CLEAR (at 12 bits) and resets;
+  the decoder stops adding entries at 4095 and resets on the CLEAR.
+
+Codes pack LSB-first into bytes (GIF, unlike TIFF's MSB-first), and
+the compressed stream rides ≤255-byte sub-blocks.
+"""
+
+from __future__ import annotations
+
+_MAX_CODE = 4096
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur = bytes([indices[0]])
+    for p in indices[1:]:
+        ext = cur + bytes([p])
+        if ext in table:
+            cur = ext
+            continue
+        emit(table[cur], width)
+        table[ext] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == _MAX_CODE:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([p])
+    emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit position
+    total_bits = 8 * len(data)
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            raise ValueError("gif: LZW stream truncated")
+        byte0 = pos >> 3
+        chunk = int.from_bytes(
+            data[byte0 : byte0 + (((pos & 7) + width + 7) >> 3)], "little"
+        )
+        code = (chunk >> (pos & 7)) & ((1 << width) - 1)
+        pos += width
+        return code
+
+    roots = [bytes([i]) for i in range(clear)]
+    table: list[bytes] = []
+    width = min_code_size + 1
+    next_code = eoi + 1
+    prev: bytes | None = None
+    out = bytearray()
+    while len(out) < n_expected:
+        code = read(width)
+        if code == clear:
+            table = []
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("gif: first LZW code is not a root")
+            entry = roots[code]
+        else:
+            if code < clear:
+                entry = roots[code]
+            elif code < next_code:
+                entry = table[code - eoi - 1]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("gif: LZW code beyond table")
+            if next_code < _MAX_CODE:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+    if len(out) < n_expected:
+        raise ValueError("gif: pixel data short of image size")
+    return bytes(out[:n_expected])
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: list[tuple[int, int, int]],
+) -> bytes:
+    """GIF87a bytes for a palette image: `indices` is width·height
+    color-table indexes row-major, `palette` 2..256 RGB triples (padded
+    to the next power of two)."""
+    if len(indices) != width * height:
+        raise ValueError("gif: indices length != width*height")
+    bits = 1
+    while (1 << bits) < len(palette):
+        bits += 1
+    bits = max(bits, 1)
+    n_colors = 1 << bits
+    mcs = max(bits, 2)  # LZW minimum code size is 2 by spec
+    out = bytearray(b"GIF87a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0x80 | ((bits - 1) & 7))  # GCT present, size 2^bits
+    out += b"\x00\x00"  # bg index, aspect
+    for i in range(n_colors):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes((r, g, b))
+    out.append(0x2C)  # image descriptor
+    out += b"\x00\x00\x00\x00"  # left, top
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0x00)  # no LCT, not interlaced
+    out.append(mcs)
+    stream = _lzw_encode(indices, mcs)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, 3, rgb_bytes) of the FIRST image frame.
+
+    Raises ``ValueError`` on anything outside the subset (interlace,
+    truncation, framing damage) — the fail-loudly quarantine
+    contract shared by the PNG/BMP/JPEG decoders."""
+    try:
+        return _decode_gif(payload)
+    except IndexError:
+        # a framing walk past the end is truncation, not a crash
+        raise ValueError("gif: truncated file") from None
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    pos = 6
+    sw = int.from_bytes(payload[pos : pos + 2], "little")
+    sh = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+    packed = payload[pos + 4]
+    pos += 7
+    gct: list[tuple[int, int, int]] | None = None
+    if packed & 0x80:
+        n = 1 << ((packed & 7) + 1)
+        gct = [
+            (payload[pos + 3 * i], payload[pos + 3 * i + 1],
+             payload[pos + 3 * i + 2])
+            for i in range(n)
+        ]
+        pos += 3 * n
+    del sw, sh  # logical screen size; the frame carries its own dims
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer before any image
+            raise ValueError("gif: no image data")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b:02x}")
+        iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("gif: interlaced images unsupported")
+        pal = gct
+        if ipacked & 0x80:
+            n = 1 << ((ipacked & 7) + 1)
+            pal = [
+                (payload[pos + 3 * i], payload[pos + 3 * i + 1],
+                 payload[pos + 3 * i + 2])
+                for i in range(n)
+            ]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: image without any color table")
+        mcs = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            stream += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(stream), mcs, iw * ih)
+        rgb = bytearray()
+        for i in idx:
+            if i >= len(pal):
+                raise ValueError("gif: index beyond color table")
+            rgb += bytes(pal[i])
+        return iw, ih, 3, bytes(rgb)
+    raise ValueError("gif: truncated before image data")

@@ -133,8 +133,9 @@ def media_exact_dedup(features: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes) -> list[float]:
     """REAL image decode (pure-stdlib codecs — PNG via operators/
-    png.py, 24-bit BI_RGB BMP via operators/bmp.py, baseline JPEG via
-    operators/jpeg.py, dispatched on the magic bytes): payload →
+    png.py, 24-bit BI_RGB BMP via operators/bmp.py, baseline +
+    progressive JPEG via operators/jpeg.py, LZW GIF via
+    operators/gif.py, dispatched on the magic bytes): payload →
     [width, height, channels, mean_ch0, …] — the feature vector a
     production thumbnail pipeline extracts. JPEG components convert
     through the deterministic rounded BT.601 surface
@@ -163,6 +164,8 @@ def decode_image(payload: bytes) -> list[float]:
         return [float(width), float(height), 3.0] + [s / n for s in sums]
     if payload[:2] == b"BM":
         from .bmp import decode_bmp as _dec
+    elif payload[:4] == b"GIF8":
+        from .gif import decode_gif as _dec
     else:
         from .png import decode_png as _dec
 

@@ -363,7 +363,10 @@ PRIORITY: tuple[str, ...] = (
 #   seasonal_decompose_daily (monitoring/time-series family pinned
 #     above by anomaly_days; the decomposition stays local-gated),
 #   event_flow_transitions (events family pinned above by sessionize;
-#     the transition matrix stays local-gated).
+#     the transition matrix stays local-gated),
+#   gif_decode_stats (media family pinned above by jpeg_decode_stats —
+#     same closed-form-oracle device behind the same decode_image
+#     dispatch; the LZW compression path stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -2473,3 +2473,97 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
     return docs.mapInPandas(_jpeg_stats_batches, schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# real GIF (LZW) decode at the Arrow edge (operators/gif.py — the
+# png_decode_stats device applied to the LZW compression family;
+# closed-form oracle never sees a GIF byte)
+# ---------------------------------------------------------------------------
+#
+# Per document a palette gradient GIF: index v(x, y) = b0 + x + y with
+# b0 = doc_id % 200 and even width, so v < 256 (no wrap) and the
+# channel sums close form through the palette i → (i, 255 − i, i//2):
+#   r_sum = Σv = N·b0 + H·W(W−1)/2 + W·H(H−1)/2
+#   g_sum = 255·N − r_sum
+#   b_sum = (r_sum − N/2) / 2   (⌊v/2⌋ summed: the even width makes
+#           the odd-v count exactly N/2 in every row, so the division
+#           is exact integer arithmetic)
+# Any defect in LZW coding (width schedule, KwKwK, clear handling,
+# LSB bit packing, sub-block framing) or palette application changes
+# a sum and fails the hash.
+
+_GIF_W_MOD, _GIF_H_MOD, _GIF_BASE_MOD = 7, 9, 200
+
+
+def _gif_stats_batches(it):
+    """doc_id batches → synthesize palette GIF → REAL decode → stats."""
+    import pandas as pd
+
+    from ..operators.gif import decode_gif, encode_gif
+
+    palette = [(i, 255 - i, i // 2) for i in range(256)]
+    for pdf in it:
+        out = {k: [] for k in
+               ("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w = 8 + 2 * (d % _GIF_W_MOD)  # even: the b_sum closed form
+            h = 5 + d % _GIF_H_MOD
+            b0 = d % _GIF_BASE_MOD
+            idx = bytes(b0 + x + y for y in range(h) for x in range(w))
+            dw, dh, ch, rgb = decode_gif(encode_gif(w, h, idx, palette))
+            sums = [0, 0, 0]
+            for i, b in enumerate(rgb):
+                sums[i % 3] += b
+            out["doc_id"].append(d)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["r_sum"].append(sums[0])
+            out["g_sum"].append(sums[1])
+            out["b_sum"].append(sums[2])
+        yield pd.DataFrame(out)
+
+
+@register(
+    "gif_decode_stats",
+    f"""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + 2 * (doc_id % {_GIF_W_MOD}) AS w,
+               5 + doc_id % {_GIF_H_MOD} AS h,
+               doc_id % {_GIF_BASE_MOD} AS b0
+        FROM documents
+    ),
+    sums AS (
+        SELECT doc_id, w, h,
+               CAST(w * h * b0 + h * (w * (w - 1) // 2)
+                    + w * (h * (h - 1) // 2) AS BIGINT) AS r_sum,
+               CAST(w * h AS BIGINT) AS n
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           r_sum,
+           CAST(255 * n - r_sum AS BIGINT) AS g_sum,
+           CAST((r_sum - n // 2) // 2 AS BIGINT) AS b_sum
+    FROM sums
+    ORDER BY doc_id
+    """,
+)
+def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end: per document a palette gradient GIF
+    is synthesized and decoded by the stdlib LZW codec
+    (operators/gif.py) inside one Arrow-batched mapInPandas; decoded
+    dimensions + per-channel sums are pinned against the oracle's
+    closed-form recomputation (see block comment — the oracle never
+    sees a GIF byte)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(n, LongType(), False)
+         for n in ("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")]
+    )
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    return docs.mapInPandas(_gif_stats_batches, schema).orderBy("doc_id")
