@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "seasonal_decompose_daily",  # integer classical decomposition + fit
     "event_flow_transitions",  # Markov/Sankey flow matrix, ppm shares
     "gif_decode_stats",  # REAL stdlib GIF/LZW decode at the Arrow edge
+    "readability_buckets",  # Flesch bands in integer milli-points
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -366,7 +366,10 @@ PRIORITY: tuple[str, ...] = (
 #     the transition matrix stays local-gated),
 #   gif_decode_stats (media family pinned above by jpeg_decode_stats —
 #     same closed-form-oracle device behind the same decode_image
-#     dispatch; the LZW compression path stays local-gated).
+#     dispatch; the LZW compression path stays local-gated),
+#   readability_buckets (quality family pinned above by doc_quality +
+#     dsir_resample's ladder devices; the Flesch bands stay
+#     local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

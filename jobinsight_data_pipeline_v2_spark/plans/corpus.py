@@ -3427,3 +3427,104 @@ def license_label_rows(docs: DataFrame) -> DataFrame:
     return scored.select(
         "doc_id", label.alias("license"), coverage.alias("coverage_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# readability scoring (r9): Flesch reading ease in exact integer
+# milli-points — the edu-quality filter signal (phi-style "textbook"
+# pipelines gate on readability bands).
+# ---------------------------------------------------------------------------
+#
+# FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word),
+# scale-cleared to milli-points with each ratio as ONE positive floor
+# division (identical text both engines):
+#   FRE_m = 206835 − (1015·W) div S − (84600·Y) div W
+# Sentences are synthesized at a fixed 12 tokens (the corpus has no
+# punctuation): S = ceil(W/12). Syllables = vowel-GROUP count
+# ('[aeiouy]+' runs, parity-checked Spark regexp_extract_all vs
+# DuckDB — same count on the shared battery), the standard cheap
+# approximation.
+
+_FRE_SENT = 12
+_FRE_BANDS = (
+    (90000, "very_easy"),
+    (60000, "standard"),
+    (30000, "difficult"),
+)
+
+
+def _fre_bucket_sql(score: str) -> str:
+    parts = [
+        f"WHEN {score} >= {cut} THEN '{name}'" for cut, name in _FRE_BANDS
+    ]
+    return "CASE " + " ".join(parts) + " ELSE 'very_confusing' END"
+
+
+@register(
+    "readability_buckets",
+    f"""
+    WITH stats AS (
+        SELECT doc_id,
+               CAST(len({_SQL_TOKENS}) AS BIGINT) AS w,
+               CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+                    AS BIGINT) AS y
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, w, y,
+               (w + {_FRE_SENT - 1}) // {_FRE_SENT} AS s,
+               206835 - (1015 * w) // ((w + {_FRE_SENT - 1})
+                                       // {_FRE_SENT})
+                      - (84600 * y) // w AS fre_m
+        FROM stats
+    )
+    SELECT {_fre_bucket_sql('fre_m')} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(fre_m) AS BIGINT) AS fre_m_sum,
+           CAST(SUM(y) AS BIGINT) AS syllable_sum
+    FROM scored
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def readability_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease bands over the corpus in exact integer
+    milli-points (see block comment): per band, doc counts, id and
+    score sums, and the syllable mass — every number bit-stable, no
+    float ratio anywhere.
+
+    Shape: fully narrow per-doc scoring (token size + one regex run
+    count + two floor divisions), then a 4-row band agg."""
+    toks_n = F.size(F.expr(_TOKENS)).cast("long")
+    syll = F.size(
+        F.regexp_extract_all("text", F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", toks_n.alias("w"), syll.alias("y")
+    )
+    scored = docs.select(
+        "doc_id",
+        "w",
+        "y",
+        F.expr(
+            f"206835 - (1015 * w) div ((w + {_FRE_SENT - 1}) "
+            f"div {_FRE_SENT}) - (84600 * y) div w"
+        ).alias("fre_m"),
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "y",
+            "fre_m",
+            F.expr(_fre_bucket_sql("fre_m")).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("fre_m").cast("long").alias("fre_m_sum"),
+            F.sum("y").cast("long").alias("syllable_sum"),
+        )
+        .orderBy("bucket")
+    )
