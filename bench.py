@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "event_flow_transitions",  # Markov/Sankey flow matrix, ppm shares
     "gif_decode_stats",  # REAL stdlib GIF/LZW decode at the Arrow edge
     "readability_buckets",  # Flesch bands in integer milli-points
+    "theil_sen_trend",  # robust median-of-slopes trend, sign-safe div
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

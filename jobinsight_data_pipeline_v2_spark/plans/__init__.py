@@ -369,7 +369,9 @@ PRIORITY: tuple[str, ...] = (
 #     dispatch; the LZW compression path stays local-gated),
 #   readability_buckets (quality family pinned above by doc_quality +
 #     dsir_resample's ladder devices; the Flesch bands stay
-#     local-gated).
+#     local-gated),
+#   theil_sen_trend (monitoring family pinned above by anomaly_days;
+#     the robust-slope median stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -2164,3 +2164,112 @@ def event_flow_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (r9): median of pairwise slopes over the
+# daily revenue series — the outlier-proof regression a monitoring
+# stack fits where least squares would chase one bad day.
+# ---------------------------------------------------------------------------
+#
+# Integer discipline: slopes in milli-cents/day as ONE floor division
+# per pair. A negative numerator is the cross-engine trap (Spark
+# `div` TRUNCATES toward zero, DuckDB `//` FLOORS), so the division
+# is SHIFTED non-negative first:
+#   slope_md = (1000·Δc + OFF·Δd) div Δd − OFF,   OFF = 10^13
+# (Δd ≥ 1 makes the shifted numerator positive — |1000·Δc| stays
+# orders below OFF·Δd — and floor(x + OFF) = floor(x) + OFF exactly).
+# The median is the winsorize device: lower median by row_number
+# under a (slope, i, j) total order over the ~n²/2 pair frame (days
+# are a tiny dimension — the gap_fill matrix-size exception).
+
+_TS_OFF = 10_000_000_000_000
+
+
+@register(
+    "theil_sen_trend",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS d,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT row_number() OVER (ORDER BY d) - 1 AS i, cents FROM daily
+    ),
+    pairs AS (
+        SELECT a.i AS i, b.i AS j,
+               (1000 * (b.cents - a.cents)
+                + {_TS_OFF} * (b.i - a.i)) // (b.i - a.i)
+                   - {_TS_OFF} AS slope_md
+        FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    ranked AS (
+        SELECT slope_md,
+               row_number() OVER (ORDER BY slope_md, i, j) AS rn,
+               COUNT(*) OVER () AS np
+        FROM pairs
+    )
+    SELECT CAST((SELECT COUNT(*) FROM idx) AS BIGINT) AS n_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           CAST(slope_md AS BIGINT) AS median_slope_md,
+           CASE WHEN slope_md > 0 THEN 'up'
+                WHEN slope_md < 0 THEN 'down' ELSE 'flat' END AS trend
+    FROM ranked WHERE rn = (np + 1) // 2
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Theil–Sen slope of daily revenue (lower median of all
+    pairwise slopes in milli-cents/day, exact integers — see block
+    comment for the sign-safe floor-division device) plus the trend
+    classification.
+
+    Shape: one events scan → days-sized daily agg; the pair self-join
+    and both windows run on the ~30-row/~435-pair day frames (the
+    documented matrix-size exception). At fleet scale the pair frame
+    is seasons × days², still tiny."""
+    from pyspark.sql.window import Window
+
+    events = load_events(spark, sf_dir)
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("i"),
+        "cents",
+    ).localCheckpoint(eager=False)  # both sides of the pair join + count
+    a = idx.select(F.col("i").alias("i"), F.col("cents").alias("ca"))
+    b = idx.select(F.col("i").alias("j"), F.col("cents").alias("cb"))
+    pairs = a.join(b, F.col("j") > F.col("i")).select(
+        "i",
+        "j",
+        F.expr(
+            f"(1000 * (cb - ca) + {_TS_OFF} * (j - i)) div (j - i) "
+            f"- {_TS_OFF}"
+        ).alias("slope_md"),
+    )
+    ranked = pairs.select(
+        "slope_md",
+        F.row_number()
+        .over(Window.orderBy("slope_md", "i", "j"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    n_days = idx.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("slope_md").cast("long").alias("median_slope_md"),
+            F.when(F.col("slope_md") > 0, "up")
+            .when(F.col("slope_md") < 0, "down")
+            .otherwise("flat")
+            .alias("trend"),
+        )
+    )
