@@ -37,6 +37,8 @@ _MAX_CODE = 4096
 
 
 def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    if not indices:
+        raise ValueError("gif: empty pixel stream")
     clear = 1 << min_code_size
     eoi = clear + 1
     acc = 0
@@ -148,6 +150,8 @@ def encode_gif(
     """GIF87a bytes for a palette image: `indices` is width·height
     color-table indexes row-major, `palette` 2..256 RGB triples (padded
     to the next power of two)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("gif: non-positive dimensions")
     if len(indices) != width * height:
         raise ValueError("gif: indices length != width*height")
     bits = 1

@@ -1898,8 +1898,6 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed window (rank + frame-free count share the exchange and
     sort); the final agg is (channels × 4) rows. No self-joins, no
     per-user collects."""
-    from pyspark.sql.window import Window
-
     events = load_events(spark, sf_dir)
     e = events.select(
         "event_id",
@@ -1985,17 +1983,29 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SD_EPOCH = "1970-01-05"  # a Monday
 
+# ONE daily-revenue-cents builder for the time-series gates (seasonal
+# decomposition + Theil-Sen) — SQL text and Spark plan from the same
+# definitions, the _span_oracle_sql discipline (review r9: two inline
+# copies could desynchronize on a cents-device change)
+_DAILY_CENTS_SQL = (
+    "SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d, "
+    "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    "FROM events GROUP BY 1"
+)
+
+
+def _daily_cents(events: DataFrame) -> DataFrame:
+    return events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+
 
 @register(
     "seasonal_decompose_daily",
     f"""
-    WITH daily AS (
-        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
-                   AS d,
-               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                   AS cents
-        FROM events GROUP BY 1
-    ),
+    WITH daily AS ({_DAILY_CENTS_SQL}),
     win AS (
         SELECT d, cents,
                CAST(SUM(cents) OVER w AS BIGINT) AS trend7_sum,
@@ -2033,14 +2043,8 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     window and the weekday regroup run on the ~30-row day frame (the
     gap_fill matrix-size exception — a global window over days, not
     rows); the seasonal join is dow-keyed on 7 rows."""
-    from pyspark.sql.window import Window
-
     events = load_events(spark, sf_dir)
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
-    )
+    daily = _daily_cents(events)
     w = Window.orderBy("d").rowsBetween(-3, 3)
     win = daily.select(
         "d",
@@ -2131,8 +2135,6 @@ def event_flow_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: ONE user-keyed window (lead) — the sessionize exchange —
     then a (types+1)²-bounded agg; the per-from totals regroup runs
     on the tiny matrix and broadcasts back. No self-joins."""
-    from pyspark.sql.window import Window
-
     events = load_events(spark, sf_dir)
     wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = events.select(
@@ -2189,13 +2191,7 @@ _TS_OFF = 10_000_000_000_000
 @register(
     "theil_sen_trend",
     f"""
-    WITH daily AS (
-        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
-                   AS d,
-               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                   AS cents
-        FROM events GROUP BY 1
-    ),
+    WITH daily AS ({_DAILY_CENTS_SQL}),
     idx AS (
         SELECT row_number() OVER (ORDER BY d) - 1 AS i, cents FROM daily
     ),
@@ -2230,14 +2226,8 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     and both windows run on the ~30-row/~435-pair day frames (the
     documented matrix-size exception). At fleet scale the pair frame
     is seasons × days², still tiny."""
-    from pyspark.sql.window import Window
-
     events = load_events(spark, sf_dir)
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
-    )
+    daily = _daily_cents(events)
     idx = daily.select(
         (F.row_number().over(Window.orderBy("d")) - 1).alias("i"),
         "cents",

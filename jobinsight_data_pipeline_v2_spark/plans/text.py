@@ -3587,7 +3587,15 @@ _SOUNDEX_MAP = "01230127022455012623017202"
 
 def _soundex_sql(col: str, max_len_log2: int = 6) -> str:
     """The transcription above as one SQL expression — identical text
-    on Spark and DuckDB (translate/replace/upper/substring only)."""
+    on Spark and DuckDB (translate/replace/upper/substring only).
+
+    DOMAIN: purely ALPHABETIC non-empty strings. Spark's native
+    soundex treats non-letters specially (a digit resets lastCode
+    like a vowel; a non-letter FIRST char returns the input
+    unchanged), while translate() passes them through where they are
+    indistinguishable from soundex code digits — verified divergent
+    ('w42x1' → W200 native vs W421 here). The gate enforces the
+    domain with an in-plan assert (review r9)."""
     m = f"translate(upper({col}), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_MAP}')"
     s = f"replace({m}, '7', '')"
     for d in "0123456":
@@ -3656,8 +3664,27 @@ def soundex_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = named.select(
         "doc_id", F.expr(_SOUNDEX_NAME_CASE).alias("name")
     )
+    # the transcription's domain is letters-only (see _soundex_sql):
+    # a digit/apostrophe in a future corpus token would make native
+    # and transcription diverge on DATA, not code — fail loudly
+    # instead (the html/markdown guard device; unprunable concat)
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("name").isNotNull()
+            & F.col("name").rlike("^[A-Za-z]+$"),
+            F.lit(
+                "soundex_name_groups: name outside the letters-only "
+                "domain — Spark's native soundex and the transcribed "
+                "oracle diverge on non-letter characters"
+            ),
+        ).cast("string"),
+        F.lit(""),
+    )
     return (
-        coded.select("doc_id", F.soundex("name").alias("code"))
+        coded.select(
+            "doc_id",
+            F.soundex(F.concat(guard, F.col("name"))).alias("code"),
+        )
         .groupBy("code")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -935,3 +935,24 @@ def test_soundex_transcription_matches_native(spark):
             f"SELECT {_soundex_sql('name')} FROM (SELECT '{n}' AS name)"
         ).fetchone()[0]
         assert got == native[n], f"{n}: sql={got} native={native[n]}"
+
+
+def test_soundex_gate_guard_rejects_non_letters(spark):
+    """The letters-only domain guard must FIRE on a non-alpha name —
+    the native/transcription divergence on digits is verified real
+    (review r9), so a future corpus with digit tokens must fail
+    loudly, never hash-mismatch."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("w42x1",)], "name string")
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("name").isNotNull() & F.col("name").rlike("^[A-Za-z]+$"),
+            F.lit("letters-only domain"),
+        ).cast("string"),
+        F.lit(""),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="letters-only"):
+        df.select(F.soundex(F.concat(guard, F.col("name")))).collect()
