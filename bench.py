@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "gif_decode_stats",  # REAL stdlib GIF/LZW decode at the Arrow edge
     "readability_buckets",  # Flesch bands in integer milli-points
     "theil_sen_trend",  # robust median-of-slopes trend, sign-safe div
+    "fd_profile",  # functional-dependency discovery, one Expand scan
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -371,7 +371,10 @@ PRIORITY: tuple[str, ...] = (
 #     dsir_resample's ladder devices; the Flesch bands stay
 #     local-gated),
 #   theil_sen_trend (monitoring family pinned above by anomaly_days;
-#     the robust-slope median stays local-gated).
+#     the robust-slope median stays local-gated),
+#   fd_profile (profiling family sibling of table_profile, both
+#     local-gated; the release/aggregation devices are pinned above
+#     by monthly_stats/region_rollup).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -3394,3 +3394,111 @@ def table_diff_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("matched"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency discovery (r9): the profiling step after
+# table_profile — does column A determine column B? FD(A→B) holds iff
+# COUNT(DISTINCT A) == COUNT(DISTINCT (A, B)); the violation margin
+# (n_pairs − n_lhs) says how broken a near-FD is. A derived family
+# column (brand number % 5) synthesizes a TRUE dependency in-plan, so
+# the detector is pinned on both outcomes at every SF.
+# ---------------------------------------------------------------------------
+
+_FD_FAM_SPARK = (
+    "concat('F', CAST(CAST(substring(p_brand, 7) AS INT) % 5 AS STRING))"
+)
+_FD_FAM_SQL = (
+    "'F' || CAST(CAST(substring(p_brand, 7) AS INT) % 5 AS VARCHAR)"
+)
+
+
+@register(
+    "fd_profile",
+    f"""
+    WITH base AS (
+        SELECT p_brand, p_type, p_size, p_name,
+               {_FD_FAM_SQL} AS fam
+        FROM part
+    ),
+    agg AS (
+        SELECT COUNT(DISTINCT p_brand) AS d_brand,
+               COUNT(DISTINCT (p_brand, fam)) AS d_brand_fam,
+               COUNT(DISTINCT (p_brand, p_type)) AS d_brand_type,
+               COUNT(DISTINCT p_size) AS d_size,
+               COUNT(DISTINCT (p_size, p_brand)) AS d_size_brand,
+               COUNT(DISTINCT p_name) AS d_name,
+               COUNT(DISTINCT (p_name, p_type)) AS d_name_type
+        FROM base
+    )
+    SELECT lhs, rhs,
+           CAST(n_lhs AS BIGINT) AS n_lhs,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CASE WHEN n_lhs = n_pairs THEN 1 ELSE 0 END AS fd_holds
+    FROM (
+        SELECT 'p_brand' AS lhs, 'fam' AS rhs,
+               d_brand AS n_lhs, d_brand_fam AS n_pairs FROM agg
+        UNION ALL
+        SELECT 'p_brand', 'p_type', d_brand, d_brand_type FROM agg
+        UNION ALL
+        SELECT 'p_size', 'p_brand', d_size, d_size_brand FROM agg
+        UNION ALL
+        SELECT 'p_name', 'p_type', d_name, d_name_type FROM agg
+    ) t
+    ORDER BY lhs, rhs
+    """,
+)
+def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency report over four candidate (lhs → rhs)
+    pairs of the part table: exact distinct counts, pair counts, and
+    the holds flag — brand → fam (synthesized, must hold) against
+    three natural non-dependencies (must not).
+
+    Shape: ONE scan, one aggregate with seven COUNT(DISTINCT …)
+    columns (an Expand ×7 before the partial agg — the table_profile
+    trade, with the mergeable HLL sketch as the 100 TB swap when
+    approximate FDs suffice), then a 4-row literal unpivot."""
+    from ..tables import spread
+
+    part = spread(load_table(spark, sf_dir, "part")).select(
+        "p_brand", "p_type", "p_size", "p_name",
+        F.expr(_FD_FAM_SPARK).alias("fam"),
+    )
+    agg = part.agg(
+        F.countDistinct("p_brand").alias("d_brand"),
+        F.countDistinct("p_brand", "fam").alias("d_brand_fam"),
+        F.countDistinct("p_brand", "p_type").alias("d_brand_type"),
+        F.countDistinct("p_size").alias("d_size"),
+        F.countDistinct("p_size", "p_brand").alias("d_size_brand"),
+        F.countDistinct("p_name").alias("d_name"),
+        F.countDistinct("p_name", "p_type").alias("d_name_type"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.col(nl).cast("long").alias("n_lhs"),
+                F.col(np).cast("long").alias("n_pairs"),
+            )
+            for lhs, rhs, nl, np in (
+                ("p_brand", "fam", "d_brand", "d_brand_fam"),
+                ("p_brand", "p_type", "d_brand", "d_brand_type"),
+                ("p_size", "p_brand", "d_size", "d_size_brand"),
+                ("p_name", "p_type", "d_name", "d_name_type"),
+            )
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select(
+            "r.lhs",
+            "r.rhs",
+            "r.n_lhs",
+            "r.n_pairs",
+            F.when(F.col("r.n_lhs") == F.col("r.n_pairs"), 1)
+            .otherwise(0)
+            .alias("fd_holds"),
+        )
+        .orderBy("lhs", "rhs")
+    )
