@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "readability_buckets",  # Flesch bands in integer milli-points
     "theil_sen_trend",  # robust median-of-slopes trend, sign-safe div
     "fd_profile",  # functional-dependency discovery, one Expand scan
+    "join_size_estimate",  # CMS inner-product cardinality estimate
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -374,7 +374,10 @@ PRIORITY: tuple[str, ...] = (
 #     the robust-slope median stays local-gated),
 #   fd_profile (profiling family sibling of table_profile, both
 #     local-gated; the release/aggregation devices are pinned above
-#     by monthly_stats/region_rollup).
+#     by monthly_stats/region_rollup),
+#   join_size_estimate (sketch family pinned above by
+#     cms_heavy_hitters — same build machinery; the inner-product
+#     estimator stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

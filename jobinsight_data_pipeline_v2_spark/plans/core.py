@@ -3502,3 +3502,120 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lhs", "rhs")
     )
+
+
+# ---------------------------------------------------------------------------
+# join-size estimation via CMS inner product (r9): the sketch trio's
+# OPTIMIZER use — |A ⋈_k B| = Σ_k a_k·b_k, estimated as
+# min_j Σ_pos cmsA[j][pos]·cmsB[j][pos] without either side's key
+# table (Cormode & Muthukrishnan's inner-product estimator; the
+# number a cost-based planner wants before choosing a join strategy,
+# and per-day sketches answer it across days at 100 TB).
+# ---------------------------------------------------------------------------
+#
+# The natural keys are PK-FK (every inner product degenerates to the
+# fact count), so a genuinely many-to-many key is synthesized in-plan
+# on BOTH sides: k = custkey % 97. The gate follows the cms_heavy_
+# hitters device — emitted values are the EXACT join size (and side
+# totals), the sketches only decide the flag: the estimate must sit
+# in [exact, exact + 8·N_a·N_b/W] (inner products only OVERestimate —
+# colliding keys add nonnegative cross terms — with expected excess
+# N_a·N_b/W per row and min-of-D concentration).
+
+_JSZ_MOD = 97
+
+
+@register(
+    "join_size_estimate",
+    f"""
+    WITH a AS (
+        SELECT o_custkey % {_JSZ_MOD} AS k, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT c_custkey % {_JSZ_MOD} AS k, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1
+    )
+    SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS exact_join_size,
+           CAST((SELECT SUM(n) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT SUM(n) FROM b) AS BIGINT) AS n_b,
+           1 AS within_cms_bound
+    FROM a JOIN b ON a.k = b.k
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact size of the synthesized many-to-many join
+    orders ⋈ customer on custkey % {_JSZ_MOD}, plus the CMS
+    inner-product estimate's within-bound flag (see block comment):
+    the cardinality a planner estimates from two mergeable per-side
+    sketches without touching either key table.
+
+    Shape: one count-agg per side (the keys-sized frames then drive
+    BOTH the exact product-sum join and the sketch builds), sketches
+    collapse to one-row maps, and the estimator is a ≤ D·W-entry
+    map-explode join — constant-size work after the two scans."""
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_build
+    from ..tables import spread
+
+    orders = spread(load_table(spark, sf_dir, "orders")).select(
+        (F.col("o_custkey") % _JSZ_MOD).alias("k")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % _JSZ_MOD).alias("k")
+    )
+    a = orders.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = customer.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = a.localCheckpoint(eager=False)  # exact join + sketch + total
+    b = b.localCheckpoint(eager=False)
+    exact = (
+        a.alias("a")
+        .join(b.alias("b"), "k")
+        .agg(
+            F.sum(F.col("a.n") * F.col("b.n"))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    na = a.agg(F.sum("n").cast("long").alias("n_a"))
+    nb = b.agg(F.sum("n").cast("long").alias("n_b"))
+    cms_a = cms_build(a, "k", "n")
+    cms_b = cms_build(b, "k", "n").withColumnRenamed("__cms", "__cms_b")
+    dot = (
+        cms_a.crossJoin(cms_b)
+        .select(F.explode(F.map_entries("__cms")).alias("e"), "__cms_b")
+        .select(
+            (F.col("e.key") / CMS_WIDTH).cast("long").alias("j"),
+            (
+                F.col("e.value")
+                * F.coalesce(
+                    F.element_at("__cms_b", F.col("e.key")), F.lit(0)
+                )
+            ).alias("p"),
+        )
+        .groupBy("j")
+        .agg(F.sum("p").alias("dot"))
+        .agg(F.min("dot").cast("long").alias("cms_est"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(dot))
+        .select(
+            "exact_join_size",
+            "n_a",
+            "n_b",
+            (
+                (F.col("cms_est") >= F.col("exact_join_size"))
+                & (
+                    F.col("cms_est") - F.col("exact_join_size")
+                    <= F.expr(
+                        f"greatest(div(8 * n_a * n_b, {CMS_WIDTH}), 2L)"
+                    )
+                )
+            )
+            .cast("int")
+            .alias("within_cms_bound"),
+        )
+    )
