@@ -3692,3 +3692,47 @@ def soundex_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+def bm25_train(spark: SparkSession, sf_dir: str):
+    """(weights, tt, nn): the corpus-level BM25 model — per-term
+    floor-log2 idf weights plus the (total tokens, doc count) totals —
+    collected for compiling into a serving stream's plan (the
+    ppl_train_model discipline: the collected table is TERMS-sized,
+    never corpus-sized)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    )
+    lens = docs.select(F.size("t").cast("long").alias("dl"), "t")
+    tot = lens.agg(
+        F.sum("dl").cast("long").alias("tt"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+    ).collect()[0]
+    df_rows = (
+        lens.select(F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_SEARCH_TERMS))
+        .select("term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    # document frequency, not occurrence count: recompute per doc
+    dfs = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct("t")).alias("term")
+        )
+        .filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    del df_rows
+    nn = int(tot["nn"])
+
+    def w_of(df: int) -> int:
+        c = 0
+        while df << (c + 1) <= nn:
+            c += 1
+        return min(_IDF_CLAMP, c)
+
+    weights = {r["term"]: w_of(int(r["df"])) for r in dfs}
+    return weights, int(tot["tt"]), nn

@@ -1050,3 +1050,57 @@ def extract_stream(spark, path_glob: str, **kwargs) -> DataFrame:
     return extract_main_text(
         warc_html_payloads(read_warc_stream(spark, path_glob, **kwargs))
     )
+
+
+def bm25_stream(
+    docs: DataFrame, weights: dict[str, int], tt: int, nn: int
+) -> DataFrame:
+    """(doc_id, score_ppm, n_terms): exact-integer BM25 scoring over a
+    DOCUMENT STREAM — the serving shape of plans/text.
+    bm25_search_ranked with the corpus model (per-term idf weights +
+    totals, bm25_train) COMPILED INTO THE PLAN as literals (the
+    perplexity_stream device). Per query term: one single-reference
+    size(filter(...)) tf count (rule-10-safe) and the shared
+    _bm25_contrib floor division with tt/nn inlined — a stateless
+    narrow projection, append mode, zero state store."""
+    from ..plans.text import _SEARCH_TERMS, _TOKENS
+
+    toks = docs.select(
+        "doc_id",
+        F.expr(_TOKENS).alias("t"),
+    ).select("doc_id", "t", F.size("t").cast("long").alias("dl"))
+    contribs = []
+    n_terms = []
+
+    def _is(term: str):
+        return lambda x: x == F.lit(term)
+
+    for term in _SEARCH_TERMS:
+        w = int(weights.get(term, 0))
+        tf = F.size(F.filter(F.col("t"), _is(term))).cast("long")
+        n_terms.append(F.when(tf > 0, 1).otherwise(0))
+        # the division is the gate's shared floor-division text with
+        # the model constants inlined (Spark `div`, positive operands)
+        contribs.append(
+            F.when(
+                tf > 0,
+                F.expr(
+                    f"(CAST({w} AS BIGINT) * 22 * "
+                    f"size(filter(t, x -> x = '{term}')) * {tt} * 1000000) "
+                    f"div (10 * CAST({tt} AS BIGINT) * "
+                    f"size(filter(t, x -> x = '{term}')) + 3 * {tt} "
+                    f"+ 9 * dl * {nn})"
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    nt = n_terms[0]
+    for c in n_terms[1:]:
+        nt = nt + c
+    return toks.select(
+        "doc_id",
+        score.cast("long").alias("score_ppm"),
+        nt.cast("long").alias("n_terms"),
+    )

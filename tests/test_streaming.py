@@ -3048,3 +3048,47 @@ def test_streaming_license_labels_equal_batch(spark, tmp_path):
     assert got.exceptAll(expected).count() + expected.exceptAll(got).count() == 0
     labels = {r["doc_id"]: r["license"] for r in got.collect()}
     assert labels == {1: "mit", 2: "apache", 3: "gpl", 4: "none", 5: "none"}
+
+
+def test_streaming_bm25_scores_equal_batch_gate(spark, tmp_path):
+    """BM25 serving on a document stream (model trained batch-side and
+    compiled into the plan) must equal the batch gate's per-doc
+    scores: every gate hit row matches exactly, and the stream's extra
+    rows are all zero-term docs."""
+    from jobinsight_data_pipeline_v2_spark.plans.text import (
+        _SEARCH_TERMS,
+        bm25_train,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        bm25_stream,
+    )
+
+    weights, tt, nn = bm25_train(spark, SF)
+    src, docs = _stage_doc_drops(spark, tmp_path, ["doc_id", "text"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, bm25_stream(stream, weights, tt, nn), "bm25_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM bm25_test")
+    # expected: the same scoring run as a batch projection
+    expected = bm25_stream(docs.select("doc_id", "text"), weights, tt, nn)
+    assert got.exceptAll(expected).count() + expected.exceptAll(got).count() == 0
+    # and the batch GATE's top rows (which include training in-plan)
+    # must agree with the compiled-model scores on their doc_ids
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+
+    gate = load_all()["bm25_search_ranked"][0](spark, SF)
+    joined = gate.join(got, "doc_id").select(
+        gate["score_ppm"].alias("gs"),
+        got["score_ppm"].alias("ss"),
+        gate["n_terms"].alias("gn"),
+        got["n_terms"].alias("sn"),
+    )
+    rows = joined.collect()
+    assert len(rows) == gate.count()
+    assert all(r["gs"] == r["ss"] and r["gn"] == r["sn"] for r in rows)
