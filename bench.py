@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "theil_sen_trend",  # robust median-of-slopes trend, sign-safe div
     "fd_profile",  # functional-dependency discovery, one Expand scan
     "join_size_estimate",  # CMS inner-product cardinality estimate
+    "record_linkage_decisions",  # Fellegi-Sunter integer log-odds ER
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

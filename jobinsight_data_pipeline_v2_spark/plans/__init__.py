@@ -377,7 +377,10 @@ PRIORITY: tuple[str, ...] = (
 #     by monthly_stats/region_rollup),
 #   join_size_estimate (sketch family pinned above by
 #     cms_heavy_hitters — same build machinery; the inner-product
-#     estimator stays local-gated).
+#     estimator stays local-gated),
+#   record_linkage_decisions (entity-resolution family pinned above
+#     by fuzzy_name_match; the Fellegi-Sunter decision arithmetic
+#     stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

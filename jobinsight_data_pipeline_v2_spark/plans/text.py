@@ -3736,3 +3736,123 @@ def bm25_train(spark: SparkSession, sf_dir: str):
 
     weights = {r["term"]: w_of(int(r["df"])) for r in dfs}
     return weights, int(tot["tt"]), nn
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter record linkage (r9): the published probabilistic-ER
+# decision model over three field comparators — exact match, phonetic
+# (soundex) match, and levenshtein ≤ 1 — with integer log-odds
+# weights. The capstone that composes the entity-resolution
+# primitives (fuzzy_name_match's edit distance, soundex_name_groups'
+# phonetic code) into the classic link / possible / non-link rule.
+# ---------------------------------------------------------------------------
+#
+# Weights are the floor-log2 of m/u odds for plausible published-ish
+# comparator reliabilities (m=.94/u=.06 → +4/−2 exact, m=.9/u=.11 →
+# +3/−2 phonetic, m=.85/u=.2 → +2/−1 edit), fixed integer constants —
+# the DECISION arithmetic is what the gate pins, per synthesized pair
+# class: exact copy / one-char substitution (lev 1, phonetic broken —
+# the first letter changes) / 2-char truncation / unrelated. The
+# comparator γ vector is COMPUTED per pair by both engines (Spark
+# native soundex vs the transcribed oracle; levenshtein native on
+# both), never assumed per class.
+
+_FS_W = {"exact": (4, -2), "phon": (3, -2), "lev": (2, -1)}
+_FS_LINK, _FS_NONLINK = 5, -3
+
+
+@register(
+    "record_linkage_decisions",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               COALESCE(list_filter({_SQL_TOKENS},
+                                    x -> length(x) >= 4)[1],
+                        'placeholder') AS a
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, doc_id % 4 AS cls, a,
+               CASE doc_id % 4
+                    WHEN 0 THEN a
+                    WHEN 1 THEN 'z' || substring(a, 2)
+                    WHEN 2 THEN substring(a, 1, length(a) - 2)
+                    ELSE 'zq' || a END AS b
+        FROM base
+    ),
+    gammas AS (
+        SELECT cls,
+               CASE WHEN a = b THEN {_FS_W['exact'][0]}
+                    ELSE {_FS_W['exact'][1]} END
+               + CASE WHEN {_soundex_sql('a')} = {_soundex_sql('b')}
+                      THEN {_FS_W['phon'][0]}
+                      ELSE {_FS_W['phon'][1]} END
+               + CASE WHEN levenshtein(a, b) <= 1 THEN {_FS_W['lev'][0]}
+                      ELSE {_FS_W['lev'][1]} END AS score
+        FROM pairs
+    )
+    SELECT CAST(cls AS BIGINT) AS cls,
+           CASE WHEN score >= {_FS_LINK} THEN 'link'
+                WHEN score <= {_FS_NONLINK} THEN 'non_link'
+                ELSE 'possible' END AS decision,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(score) AS BIGINT) AS score_sum
+    FROM gammas
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def record_linkage_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter decisions per synthesized pair class: the
+    integer log-odds score over (exact, soundex, levenshtein ≤ 1)
+    comparators and the link/possible/non-link rule (see block
+    comment). The Spark side scores with NATIVE soundex/levenshtein;
+    the oracle re-derives every γ with the transcribed soundex and
+    its own levenshtein — a comparator or threshold defect splits the
+    hash.
+
+    Shape: fully in-row scoring (both record fields ride the same
+    row — blocking/candidate generation is fuzzy_name_match's job),
+    then a (4 × 3)-bounded agg."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.expr(f"filter({_TOKENS}, x -> length(x) >= 4)[0]"),
+            F.lit("placeholder"),
+        ).alias("a"),
+    )
+    pairs = base.select(
+        (F.col("doc_id") % 4).alias("cls"),
+        "a",
+        F.expr(
+            "CASE CAST(doc_id % 4 AS INT) "
+            "WHEN 0 THEN a "
+            "WHEN 1 THEN concat('z', substring(a, 2)) "
+            "WHEN 2 THEN substring(a, 1, length(a) - 2) "
+            "ELSE concat('zq', a) END"
+        ).alias("b"),
+    )
+    we, wp, wl = _FS_W["exact"], _FS_W["phon"], _FS_W["lev"]
+    score = (
+        F.when(F.col("a") == F.col("b"), we[0]).otherwise(we[1])
+        + F.when(F.soundex("a") == F.soundex("b"), wp[0]).otherwise(wp[1])
+        + F.when(F.levenshtein("a", "b") <= 1, wl[0]).otherwise(wl[1])
+    )
+    return (
+        pairs.select("cls", score.alias("score"))
+        .select(
+            F.col("cls").cast("long").alias("cls"),
+            "score",
+            F.when(F.col("score") >= _FS_LINK, "link")
+            .when(F.col("score") <= _FS_NONLINK, "non_link")
+            .otherwise("possible")
+            .alias("decision"),
+        )
+        .groupBy("cls", "decision")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("score").cast("long").alias("score_sum"),
+        )
+        .orderBy("cls", "decision")
+    )
