@@ -1497,12 +1497,29 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality-weighted corpus subsetting) because it needs no
     sequential reservoir state."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # n_chars <= 0 / NULL would NULL the priority on both engines and
+    # the ORDER BY ... LIMIT diverges silently (Spark NULLS FIRST asc,
+    # DuckDB NULLS LAST) — fail loudly instead; guard folded in as a
+    # zero summand so the value is unchanged and unprunable
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("n_chars") > 0,
+            F.lit(
+                "priority_sample: n_chars must be positive — a NULL "
+                "priority sorts differently on Spark vs DuckDB"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     return (
         docs.select(
             "doc_id",
             "n_chars",
-            F.expr(
-                "(cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as bigint) * 1000000) div n_chars"
+            (
+                guard
+                + F.expr(
+                    "(cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as bigint) * 1000000) div n_chars"
+                )
             ).alias("priority"),
         )
         .orderBy("priority", "doc_id")

@@ -3822,6 +3822,26 @@ def record_linkage_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("placeholder"),
         ).alias("a"),
     )
+    # the transcribed-soundex oracle's domain is letters-only (same
+    # verified divergence as soundex_name_groups: digits reset
+    # lastCode natively but pass through translate()) — fail loudly
+    # on out-of-domain tokens instead of silently hash-mismatching
+    # (the html/markdown unprunable concat-guard device)
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("a").rlike("^[A-Za-z]+$"),
+            F.lit(
+                "record_linkage_decisions: token outside the "
+                "letters-only soundex domain — Spark's native soundex "
+                "and the transcribed oracle diverge on non-letter "
+                "characters"
+            ),
+        ).cast("string"),
+        F.lit(""),
+    )
+    base = base.select(
+        "doc_id", F.concat(guard, F.col("a")).alias("a")
+    )
     pairs = base.select(
         (F.col("doc_id") % 4).alias("cls"),
         "a",

@@ -1059,36 +1059,49 @@ def bm25_stream(
     DOCUMENT STREAM — the serving shape of plans/text.
     bm25_search_ranked with the corpus model (per-term idf weights +
     totals, bm25_train) COMPILED INTO THE PLAN as literals (the
-    perplexity_stream device). Per query term: one single-reference
-    size(filter(...)) tf count (rule-10-safe) and the shared
-    _bm25_contrib floor division with tt/nn inlined — a stateless
-    narrow projection, append mode, zero state store."""
+    perplexity_stream device). Per query term the interpreted
+    size(filter(...)) tf count is projected ONCE into a named column
+    in a prior select; score / n_terms consume only the named tf
+    columns (CollapseProject will not inline a multiply-referenced
+    non-trivial expression, so each tf evaluates once per row) — a
+    stateless narrow projection, append mode, zero state store."""
     from ..plans.text import _SEARCH_TERMS, _TOKENS
 
     toks = docs.select(
         "doc_id",
         F.expr(_TOKENS).alias("t"),
     ).select("doc_id", "t", F.size("t").cast("long").alias("dl"))
-    contribs = []
-    n_terms = []
 
     def _is(term: str):
         return lambda x: x == F.lit(term)
 
+    tf_name = {term: f"__tf_{i}" for i, term in enumerate(_SEARCH_TERMS)}
+    tfs = toks.select(
+        "doc_id",
+        "dl",
+        *[
+            F.size(F.filter(F.col("t"), _is(term)))
+            .cast("long")
+            .alias(tf_name[term])
+            for term in _SEARCH_TERMS
+        ],
+    )
+    contribs = []
+    n_terms = []
     for term in _SEARCH_TERMS:
         w = int(weights.get(term, 0))
-        tf = F.size(F.filter(F.col("t"), _is(term))).cast("long")
-        n_terms.append(F.when(tf > 0, 1).otherwise(0))
+        tf = tf_name[term]
+        n_terms.append(F.when(F.col(tf) > 0, 1).otherwise(0))
         # the division is the gate's shared floor-division text with
         # the model constants inlined (Spark `div`, positive operands)
         contribs.append(
             F.when(
-                tf > 0,
+                F.col(tf) > 0,
                 F.expr(
                     f"(CAST({w} AS BIGINT) * 22 * "
-                    f"size(filter(t, x -> x = '{term}')) * {tt} * 1000000) "
+                    f"{tf} * {tt} * 1000000) "
                     f"div (10 * CAST({tt} AS BIGINT) * "
-                    f"size(filter(t, x -> x = '{term}')) + 3 * {tt} "
+                    f"{tf} + 3 * {tt} "
                     f"+ 9 * dl * {nn})"
                 ),
             ).otherwise(F.lit(0).cast("long"))
@@ -1099,7 +1112,7 @@ def bm25_stream(
     nt = n_terms[0]
     for c in n_terms[1:]:
         nt = nt + c
-    return toks.select(
+    return tfs.select(
         "doc_id",
         score.cast("long").alias("score_ppm"),
         nt.cast("long").alias("n_terms"),
