@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "fd_profile",  # functional-dependency discovery, one Expand scan
     "join_size_estimate",  # CMS inner-product cardinality estimate
     "record_linkage_decisions",  # Fellegi-Sunter integer log-odds ER
+    # round 10 additions
+    "table_profile_approx",  # HLL-register profile: the 100 TB swap, gated
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -380,7 +380,11 @@ PRIORITY: tuple[str, ...] = (
 #     estimator stays local-gated),
 #   record_linkage_decisions (entity-resolution family pinned above
 #     by fuzzy_name_match; the Fellegi-Sunter decision arithmetic
-#     stays local-gated).
+#     stays local-gated),
+#   table_profile_approx (profiling family sibling of table_profile /
+#     fd_profile, all local-gated; the HLL-register device is pinned
+#     above by hll_distinct_bounds' fold slot sibling approx_monthly_
+#     stats — the exact→approx swap stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
