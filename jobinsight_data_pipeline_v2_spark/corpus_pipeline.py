@@ -446,6 +446,14 @@ def _curate_corpus(
 #                               the one-shot rule compares every doc
 #                               against every SMALLER doc that reached
 #                               the band stage, not only survivors
+#   state/grams/ingest_day=D/   (doc_id, sk) distinct L-gram hashes of
+#                               ALL docs that reached the substring
+#                               stage (substring=True runs only) —
+#                               kept AND fully-cut, same convention
+#   state/cells/ingest_day=D/   (doc_id, cell, vec) frozen hashed-BoW
+#                               embedding + SRP cell label of ALL docs
+#                               that reached the semantic stage
+#                               (semantic=True runs only)
 #
 # State rows carry doc_id solely as the ERASURE key (probes never read
 # it): erase_from_curation_state propagates a right-to-erasure delete
@@ -476,6 +484,17 @@ _CUR_HASHES = 32
 _CUR_BAND_SIZE = 8
 _CUR_TMP_STALE_MS = 60 * 60 * 1000  # the index lifecycle's threshold
 
+# semantic-dedup lifecycle constants (r10): hashed-BoW embedding
+# dimension, SRP cell bits, and the cosine threshold as an exact
+# integer cross-multiplication (cos >= 0.9 ⇔ 100·dot² >= 81·na·nb on
+# non-negative vectors — the semantic_decontaminate device).
+_SEM_DIM = 64
+_SEM_CELL_BITS = 6
+_SEM_COS_NUM, _SEM_COS_DEN = 9, 10  # threshold = 9/10
+
+_CUR_STATE_LAYERS = ("state/exact", "state/bands", "state/grams",
+                     "state/cells")
+
 
 def _sweep_stale_curation_tmp(spark: SparkSession, root: str) -> None:
     """Remove crashed runs' hidden tmp dirs under every curation layer
@@ -489,7 +508,7 @@ def _sweep_stale_curation_tmp(spark: SparkSession, root: str) -> None:
     from .maintenance import _fs
 
     now = _time.time() * 1000
-    for layer in ("corpus", "state/exact", "state/bands"):
+    for layer in ("corpus",) + _CUR_STATE_LAYERS:
         fs, p = _fs(spark, f"{root}/{layer}")
         if not fs.exists(p):
             continue
@@ -571,6 +590,121 @@ def _batch_band_rows(batch: DataFrame) -> DataFrame:
     return band_rows(sig, "doc_id", band_size=_CUR_BAND_SIZE)
 
 
+def _srp_weights() -> list[list[int]]:
+    """±1 hyperplane weights for the SRP cell assignment — md5-derived
+    (hash-VALUE semantics, the minhash convention) so the quantizer is
+    a frozen pure function of the vector: cell labels computed months
+    apart agree byte-for-byte, the property a persisted semantic state
+    layer requires (a batch-trained k-means would drift per day)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"srp:{j}:{k}".encode()).digest()[0] < 128
+            else -1
+            for k in range(_SEM_DIM)
+        ]
+        for j in range(_SEM_CELL_BITS)
+    ]
+
+
+def _batch_doc_vectors(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, vec, cell) over a (doc_id, text) frame — the
+    lifecycle's built-in deterministic embedding: a hashed
+    bag-of-words count vector (token → pmod(xxhash64, D) bucket, the
+    DSIR hashed-feature device) plus its SRP cell label (sign bits of
+    B fixed ±1 hyperplanes, the srp_lsh_pairs device). Both are pure
+    functions of the text, so cross-day state stays probeable; a
+    production pipeline with model embeddings swaps this projection
+    for its own (doc_id, vec) frame — everything downstream only needs
+    integer vectors plus a frozen cell function.
+
+    In-row shapes: bucket ids build ONCE per token (one xxhash64 each)
+    into a named column the per-bucket counts reference (multi-
+    referenced non-trivial projections do not collapse — the bm25
+    lesson), plane sums are zip_with folds over literal weight
+    arrays."""
+    from .plans.text import _TOKENS
+
+    w = _srp_weights()
+    buckets = docs.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"transform({_TOKENS}, x -> pmod(xxhash64(x), {_SEM_DIM}))"
+        ).alias("__bs"),
+    )
+    vec = buckets.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"transform(sequence(0, {_SEM_DIM - 1}), "
+            f"k -> cast(size(filter(__bs, b -> b = cast(k as bigint)))"
+            f" as bigint))"
+        ).alias("vec"),
+    )
+    plane_terms = []
+    for j in range(_SEM_CELL_BITS):
+        arr = ", ".join(f"{x}L" for x in w[j])
+        plane_terms.append(
+            f"if(aggregate(zip_with(vec, array({arr}), "
+            f"(x, s) -> x * s), cast(0 as bigint), (a, b) -> a + b) >= 0, "
+            f"{1 << j}, 0)"
+        )
+    return vec.select(
+        "doc_id",
+        "text",
+        "vec",
+        F.expr(" + ".join(plane_terms)).cast("long").alias("cell"),
+    )
+
+
+def _sem_hit_docs(pairs: DataFrame) -> DataFrame:
+    """(doc_id) of the LATER side of every cosine-≥-9/10 pair: input
+    is (doc_id, a_vec, b_vec) candidate pairs (a = the earlier doc,
+    doc_id = the later one). The three interpreted folds project ONCE
+    into named columns (the bm25 single-eval lesson); the threshold is
+    the exact integer cross-multiplication 100·dot² >= 81·na·nb in
+    DECIMAL(38,0) — valid because non-negative vectors make dot >= 0
+    (the dot > 0 conjunct also rejects zero-vector pseudo-matches,
+    where 0 >= 0 would otherwise pass)."""
+    scored = pairs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(zip_with(a_vec, b_vec, (x, y) -> x * y), "
+            "cast(0 as bigint), (a, b) -> a + b)"
+        ).alias("__dot"),
+        F.expr(
+            "aggregate(a_vec, cast(0 as bigint), (a, x) -> a + x * x)"
+        ).alias("__na"),
+        F.expr(
+            "aggregate(b_vec, cast(0 as bigint), (a, x) -> a + x * x)"
+        ).alias("__nb"),
+    )
+    c2 = _SEM_COS_DEN * _SEM_COS_DEN
+    n2 = _SEM_COS_NUM * _SEM_COS_NUM
+    return (
+        scored.filter(
+            (F.col("__dot") > 0)
+            & (
+                F.expr(
+                    f"cast({c2} as decimal(38,0)) "
+                    f"* cast(__dot as decimal(38,0)) "
+                    f"* cast(__dot as decimal(38,0))"
+                )
+                >= F.expr(
+                    f"cast({n2} as decimal(38,0)) "
+                    f"* cast(__na as decimal(38,0)) "
+                    f"* cast(__nb as decimal(38,0))"
+                )
+            )
+        )
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def run_curation_day(
     spark: SparkSession,
     root: str,
@@ -579,6 +713,8 @@ def run_curation_day(
     *,
     classify: bool = True,
     gopher: bool = False,
+    substring: bool = False,
+    semantic: bool = False,
     compact_state_after: int | None = None,
     metrics=None,
     run_ts=None,
@@ -592,6 +728,22 @@ def run_curation_day(
     ``n_gopher_kept`` to the report and a ``gopher_rules`` ledger
     stage.
 
+    ``substring=True`` (VERDICT r9 ask #1) inserts span-granular
+    substring dedup after near-dedup with CROSS-DAY persisted state
+    (``state/grams``): an L-gram occurrence is redundant iff its hash
+    appeared on an earlier day or at an earlier (doc, pos) within the
+    batch; redundant runs cut out of the document (fully-covered docs
+    drop), and the day's gram keys append to state so future days
+    suppress against them. ``semantic=True`` adds SemDeDup-style
+    semantic dedup with ``state/cells``: a frozen hashed-BoW embedding
+    + SRP cell label per doc (pure functions of the text — cross-day
+    stable), a doc drops iff an earlier stage-reaching doc in the SAME
+    cell has cosine >= 9/10 (within-cell only, the SemDeDup
+    approximation contract; first-arrival == keep-min, like bands).
+    Both flags must be held constant for a root's lifetime — a layer
+    that skipped days has no state for them. The N-days == one-shot
+    equivalence and erasure contracts extend to both layers (tested).
+
     ``compact_state_after=N`` runs ``compact_curation_state`` after the
     append whenever a state layer has accumulated at least N
     uncompacted day partitions — the daily driver's one-knob hygiene
@@ -602,6 +754,7 @@ def run_curation_day(
         return _run_curation_day(
             spark, root, batch, day,
             classify=classify, gopher=gopher,
+            substring=substring, semantic=semantic,
             compact_state_after=compact_state_after,
             metrics=metrics, run_ts=run_ts,
             stage=stage,
@@ -637,6 +790,8 @@ def _run_curation_day(
     *,
     classify: bool,
     gopher: bool = False,
+    substring: bool = False,
+    semantic: bool = False,
     compact_state_after: int | None = None,
     metrics,
     run_ts,
@@ -646,6 +801,8 @@ def _run_curation_day(
     corpus_dir = f"{root}/corpus"
     exact_dir = f"{root}/state/exact"
     bands_dir = f"{root}/state/bands"
+    grams_dir = f"{root}/state/grams"
+    cells_dir = f"{root}/state/cells"
     report: dict = {"day": day}
 
     t0 = time.monotonic()
@@ -720,22 +877,142 @@ def _run_curation_day(
     report["n_near_kept"] = n_near
     _cur_stage(metrics, run_ts, "near_dedup", n_exact, n_near, t1)
 
-    gate_in_frame, n_gate_in = near_kept, n_near
+    # chain of (stage_name, in_frame, out_frame) links for the ledger
+    # — built dynamically now that the middle stages are optional
+    ledger_links: list = [
+        ("exact_dedup", src, exact_kept),
+        ("near_dedup", exact_kept, near_kept),
+    ]
+    cur_frame, n_cur = near_kept, n_near
+    day_grams = None  # (doc_id, sk) distinct pairs for the state append
+    day_cells = None  # (doc_id, cell, vec) for the state append
+
+    if substring:
+        t1s = time.monotonic()
+        stage["name"] = "substring_dedup"
+        toks = doc_token_arrays(cur_frame.select("doc_id", "text"))
+        # three consumers: within-batch window, cross-day probe, state
+        # append (rule 12)
+        from .plans.corpus import span_gram_rows
+
+        grams = span_gram_rows(toks).localCheckpoint(eager=False)
+        # within-batch: an occurrence is redundant iff an earlier
+        # (doc, pos) occurrence of the same gram hash exists — the
+        # redundant_gram_positions window, shared key semantics
+        within = (
+            grams.withColumn(
+                "__first", F.min("ord").over(Window.partitionBy("sk"))
+            )
+            .filter(F.col("ord") > F.col("__first"))
+            .select("doc_id", "pos")
+        )
+        # cross-day: a gram hash in the standing state precedes every
+        # occurrence today, so ALL of today's occurrences of it are
+        # redundant. Rule-22 probe shape: state streams through an
+        # inner join against the broadcast batch key set; the hit set
+        # is batch-sized and broadcasts back.
+        prior_grams = _read_layer(spark, grams_dir)
+        if prior_grams is not None:
+            hit_sks = (
+                prior_grams.select("sk")
+                .join(F.broadcast(grams.select("sk").distinct()), "sk")
+                .select("sk")
+                .distinct()
+            )
+            cross = grams.join(
+                F.broadcast(hit_sks), "sk"
+            ).select("doc_id", "pos")
+            dup_occ = within.unionByName(cross).distinct()
+        else:
+            dup_occ = within
+        dps = dup_occ.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("pos")).alias("dps")
+        )
+        spans = cut_duplicate_spans(toks, dps).localCheckpoint(eager=False)
+        substr_kept = (
+            spans.filter(F.col("clean_text").isNotNull())
+            .select("doc_id", F.col("clean_text").alias("text"))
+            .localCheckpoint(eager=False)
+        )
+        stats = spans.agg(
+            F.sum("n_removed").alias("removed"),
+        ).collect()[0]
+        n_substr = substr_kept.count()
+        report["n_substr_kept"] = n_substr
+        report["substr_tokens_removed"] = int(stats["removed"] or 0)
+        # state rows: distinct (doc_id, sk) over ALL grams of every
+        # stage-reaching doc (kept AND fully-cut — the bands
+        # convention); doc_id is the erasure key only
+        day_grams = grams.select("doc_id", "sk").distinct()
+        ledger_links.append(("substring_dedup", cur_frame, substr_kept))
+        _cur_stage(
+            metrics, run_ts, "substring_dedup", n_cur, n_substr, t1s
+        )
+        cur_frame, n_cur = substr_kept, n_substr
+
+    if semantic:
+        t1m = time.monotonic()
+        stage["name"] = "semantic_dedup"
+        # self-join + cross probe + state append consume this (rule 12)
+        cellv = _batch_doc_vectors(
+            cur_frame.select("doc_id", "text")
+        ).localCheckpoint(eager=False)
+        a_side = cellv.select(
+            F.col("doc_id").alias("__a_id"),
+            "cell",
+            F.col("vec").alias("a_vec"),
+        )
+        b_side = cellv.select(
+            "doc_id", "cell", F.col("vec").alias("b_vec")
+        )
+        pairs = (
+            a_side.join(b_side, "cell")
+            .filter(F.col("__a_id") < F.col("doc_id"))
+            .select("doc_id", "a_vec", "b_vec")
+        )
+        prior_cells = _read_layer(spark, cells_dir)
+        if prior_cells is not None:
+            # prior docs always precede the batch; the corpus-scale
+            # state streams against the broadcast batch (rule 22)
+            cross_pairs = prior_cells.select(
+                "cell", F.col("vec").alias("a_vec")
+            ).join(
+                F.broadcast(
+                    cellv.select(
+                        "doc_id", "cell", F.col("vec").alias("b_vec")
+                    )
+                ),
+                "cell",
+            ).select("doc_id", "a_vec", "b_vec")
+            pairs = pairs.unionByName(cross_pairs)
+        sem_hits = _sem_hit_docs(pairs)
+        sem_kept = cur_frame.join(
+            sem_hits, "doc_id", "left_anti"
+        ).localCheckpoint(eager=False)
+        n_sem = sem_kept.count()
+        report["n_semantic_kept"] = n_sem
+        day_cells = cellv.select("doc_id", "cell", "vec")
+        ledger_links.append(("semantic_dedup", cur_frame, sem_kept))
+        _cur_stage(metrics, run_ts, "semantic_dedup", n_cur, n_sem, t1m)
+        cur_frame, n_cur = sem_kept, n_sem
+
+    gate_in_frame, n_gate_in = cur_frame, n_cur
     if gopher:
         t1b = time.monotonic()
         stage["name"] = "gopher_rules"
         from .plans.text import gopher_flag_columns
 
         ruled = (
-            gopher_flag_columns(near_kept.select("doc_id", "text"))
+            gopher_flag_columns(cur_frame.select("doc_id", "text"))
             .filter("pass_gopher")
             .select("doc_id")
-            .join(near_kept, "doc_id")
+            .join(cur_frame, "doc_id")
             .localCheckpoint(eager=False)
         )
         n_gopher = ruled.count()
         report["n_gopher_kept"] = n_gopher
-        _cur_stage(metrics, run_ts, "gopher_rules", n_near, n_gopher, t1b)
+        _cur_stage(metrics, run_ts, "gopher_rules", n_cur, n_gopher, t1b)
+        ledger_links.append(("gopher_rules", cur_frame, ruled))
         gate_in_frame, n_gate_in = ruled, n_gopher
 
     t2 = time.monotonic()
@@ -750,6 +1027,7 @@ def _run_curation_day(
     n_ship = shippable.count()
     report["n_shipped"] = n_ship
     _cur_stage(metrics, run_ts, "classify", n_gate_in, n_ship, t2)
+    ledger_links.append(("classify", gate_in_frame, shippable))
 
     t3 = time.monotonic()
     stage["name"] = "append_state"
@@ -766,6 +1044,10 @@ def _run_curation_day(
     _write_day_partition(
         spark, bands.select("doc_id", "band", "band_key"), bands_dir, day
     )
+    if day_grams is not None:
+        _write_day_partition(spark, day_grams, grams_dir, day)
+    if day_cells is not None:
+        _write_day_partition(spark, day_cells, cells_dir, day)
     _write_day_partition(
         spark,
         shippable.select("doc_id", "text"),
@@ -794,26 +1076,16 @@ def _run_curation_day(
             stage["name"] = "compact_state"
             report["state_compaction"] = compact_curation_state(spark, root)
             _cur_stage(metrics, run_ts, "compact_state", n_days, 1, t4)
-    report["ledger"] = (
-        src.select("doc_id")
-        .join(exact_kept.select("doc_id"), "doc_id", "left_anti")
-        .withColumn("stage", F.lit("exact_dedup"))
-        .unionByName(
-            exact_kept.select("doc_id")
-            .join(near_kept.select("doc_id"), "doc_id", "left_anti")
-            .withColumn("stage", F.lit("near_dedup"))
-        )
-        .unionByName(
-            near_kept.select("doc_id")
-            .join(gate_in_frame.select("doc_id"), "doc_id", "left_anti")
-            .withColumn("stage", F.lit("gopher_rules"))
-        )
-        .unionByName(
-            gate_in_frame.select("doc_id")
-            .join(shippable.select("doc_id"), "doc_id", "left_anti")
-            .withColumn("stage", F.lit("classify"))
-        )
-    )
+    led_parts = [
+        in_df.select("doc_id")
+        .join(out_df.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("stage", F.lit(name))
+        for name, in_df, out_df in ledger_links
+    ]
+    led = led_parts[0]
+    for p in led_parts[1:]:
+        led = led.unionByName(p)
+    report["ledger"] = led
     return report
 
 
@@ -860,7 +1132,7 @@ def compact_curation_state(
 
     root = root.rstrip("/")
     report: dict[str, dict] = {}
-    for layer in ("state/exact", "state/bands"):
+    for layer in _CUR_STATE_LAYERS:
         layer_path = f"{root}/{layer}"
         fs, lp = _fs(spark, layer_path)
         if not fs.exists(lp):
@@ -948,10 +1220,16 @@ def erase_from_curation_state(
 
     Returns {layer: delete_rows report}.
     """
-    from .maintenance import delete_rows
+    from .maintenance import _fs, delete_rows
 
     report: dict[str, dict] = {}
-    for layer in ("corpus", "state/exact", "state/bands"):
+    for layer in ("corpus",) + _CUR_STATE_LAYERS:
+        # the gram/cell layers exist only for roots running with
+        # substring=/semantic= on — skip absent layers instead of
+        # failing the whole erasure
+        fs, p = _fs(spark, f"{root.rstrip('/')}/{layer}")
+        if not fs.exists(p):
+            continue
         report[layer] = delete_rows(
             spark, root, layer, predicate, part_col="ingest_day"
         )

@@ -321,6 +321,212 @@ def test_erasure_propagates_into_state(spark, tmp_path):
         assert ta == tb, shard
 
 
+def _text(i, n=40):
+    return " ".join(f"w{i}x{j}" for j in range(n))
+
+
+def _mk_span_sem_docs(spark):
+    """Day batches with planted SUBSTRING dups (shared >= 16-token
+    runs at doc granularity: cross-day cut, within-day cut, full
+    coverage) and SEMANTIC dups (token PERMUTATIONS of earlier docs —
+    identical hashed-BoW vector and SRP cell, cosine 1, but invisible
+    to exact/near/substring dedup: every shingle and 16-gram differs)."""
+
+    def rev(i):
+        return " ".join(reversed(_text(i).split()))
+
+    def prefix_plus(i, k, tag, fresh):
+        return (
+            " ".join(_text(i).split()[:k])
+            + " "
+            + " ".join(f"{tag}y{j}" for j in range(fresh))
+        )
+
+    day1 = [(i, _text(i)) for i in range(0, 10)]
+    day2 = (
+        [(i, _text(i)) for i in range(20, 28)]
+        + [(30, _text(3))]                      # exact dup cross-day
+        + [(31, prefix_plus(4, 20, "n31", 20))] # substring cut cross-day
+        + [(32, rev(5))]                        # semantic dup cross-day
+        + [(34, rev(21))]                       # semantic dup within-day
+        + [(35, prefix_plus(22, 16, "n35", 24))]  # substring cut within-day
+    )
+    day3 = (
+        [(i, _text(i)) for i in range(40, 46)]
+        + [(50, rev(23))]                       # semantic dup cross-day
+        + [(51, _text(6) + " " + _text(7))]     # fully covered → drops
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return mk(day1), mk(day2), mk(day3)
+
+
+def test_multi_day_substring_semantic_equals_one_shot(spark, tmp_path):
+    """VERDICT r9 ask #1: with substring=True + semantic=True the
+    incremental lifecycle persists state/grams + state/cells, and N
+    days still equal one run over the union — same standing corpus
+    (including CUT text byte-for-byte), byte-identical shards, and the
+    two new stages record metrics + ledger rows."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from jobinsight_data_pipeline_v2_spark.quality.monitoring import (
+        MetricsStore,
+    )
+
+    d1, d2, d3 = _mk_span_sem_docs(spark)
+    inc_root = str(tmp_path / "inc")
+    ms = MetricsStore(spark, str(tmp_path / "metrics"))
+    reports = {}
+    for day, b in (("2026-01-01", d1), ("2026-01-02", d2),
+                   ("2026-01-03", d3)):
+        reports[day] = run_curation_day(
+            spark, inc_root, b, day, substring=True, semantic=True,
+            metrics=ms,
+        )
+    r2, r3 = reports["2026-01-02"], reports["2026-01-03"]
+    # planted outcomes: day 2 loses 30 (exact) + 32/34 (semantic) and
+    # cuts 20+16 tokens out of 31/35; day 3 loses 50 (semantic) and 51
+    # (substring full coverage, 80 tokens cut)
+    assert r2["n_exact_kept"] == 12 and r2["n_semantic_kept"] == 10
+    assert r2["substr_tokens_removed"] == 36
+    assert r3["n_substr_kept"] == 7 and r3["substr_tokens_removed"] == 80
+    assert r3["n_semantic_kept"] == 6
+    led2 = {(x.doc_id, x.stage) for x in r2["ledger"].collect()}
+    assert (32, "semantic_dedup") in led2 and (34, "semantic_dedup") in led2
+    led3 = {(x.doc_id, x.stage) for x in r3["ledger"].collect()}
+    assert (51, "substring_dedup") in led3 and (50, "semantic_dedup") in led3
+    # all four state layers have day partitions
+    for layer in ("state/exact", "state/bands", "state/grams",
+                  "state/cells"):
+        assert _state_day_dirs(inc_root, layer), layer
+    # the two new stages report into the metrics surface
+    tasks = {r.task_id for r in ms.etl_metrics().collect()
+             if r.status == "success"}
+    assert {"substring_dedup", "semantic_dedup"} <= tasks
+
+    union = d1.unionByName(d2).unionByName(d3)
+    one_root = str(tmp_path / "one")
+    run_curation_day(
+        spark, one_root, union, "2026-01-01", substring=True, semantic=True
+    )
+    inc_docs = {
+        (x.doc_id, x.text)
+        for x in load_standing_corpus(spark, inc_root).collect()
+    }
+    one_docs = {
+        (x.doc_id, x.text)
+        for x in load_standing_corpus(spark, one_root).collect()
+    }
+    assert inc_docs == one_docs
+    texts = dict(inc_docs)
+    # the cut docs shipped with exactly the fresh halves
+    assert texts[31] == " ".join(f"n31y{j}" for j in range(20))
+    assert texts[35] == " ".join(f"n35y{j}" for j in range(24))
+
+    a_dir, b_dir = str(tmp_path / "sh_inc"), str(tmp_path / "sh_one")
+    ship_standing_shards(spark, inc_root, a_dir, n_shards=2)
+    ship_standing_shards(spark, one_root, b_dir, n_shards=2)
+    for shard in ("shard=0", "shard=1"):
+        fa = sorted(glob.glob(os.path.join(a_dir, shard, "*.parquet")))
+        fb = sorted(glob.glob(os.path.join(b_dir, shard, "*.parquet")))
+        ta = [pq.read_table(f).to_pydict() for f in fa]
+        tb = [pq.read_table(f).to_pydict() for f in fb]
+        assert ta == tb, shard
+
+
+def test_gram_cell_state_compaction_and_suppression(spark, tmp_path):
+    """compact_curation_state consolidates ALL FOUR state layers;
+    substring and semantic suppression still work against the
+    consolidated base partition."""
+    d1, d2, d3 = _mk_span_sem_docs(spark)
+    root = str(tmp_path / "inc")
+    run_curation_day(spark, root, d1, "2026-01-01",
+                     substring=True, semantic=True)
+    run_curation_day(spark, root, d2, "2026-01-02",
+                     substring=True, semantic=True)
+    rep = compact_curation_state(spark, root)
+    for layer in ("state/exact", "state/bands", "state/grams",
+                  "state/cells"):
+        assert rep[layer]["days_merged"] == 2, layer
+        assert not _data_files(root, layer, "ingest_day=2026-01-01")
+        assert _data_files(root, layer, "ingest_day=0000-base")
+    r3 = run_curation_day(spark, root, d3, "2026-01-03",
+                          substring=True, semantic=True)
+    # day 3's planted cross-day drops still fire off the base partition
+    assert r3["n_substr_kept"] == 7  # 51 fully covered
+    assert r3["n_semantic_kept"] == 6  # 50 drops
+
+
+def test_erasure_propagates_into_gram_and_cell_state(spark, tmp_path):
+    """Erasure reaches state/grams + state/cells: an erased doc's
+    grams stop cutting future documents and its vector stops
+    semantic-suppressing, while surviving docs' suppression power is
+    untouched — and the post-erasure world equals a fresh run over the
+    surviving union."""
+    d1, d2, _ = _mk_span_sem_docs(spark)
+    root = str(tmp_path / "inc")
+    run_curation_day(spark, root, d1, "2026-01-01",
+                     substring=True, semantic=True)
+    run_curation_day(spark, root, d2, "2026-01-02",
+                     substring=True, semantic=True)
+
+    rep = erase_from_curation_state(spark, root, "doc_id = 9")
+    assert rep["state/grams"]["2026-01-01"]["rows_deleted"] > 0
+    assert rep["state/cells"]["2026-01-01"]["rows_deleted"] == 1
+    compact_curation_state(spark, root)
+
+    def rev(i):
+        return " ".join(reversed(_text(i).split()))
+
+    day3 = spark.createDataFrame(
+        [
+            # permutation of ERASED 9 (no other doc references 9 — day 2's
+            # 32 is rev(5), whose state row legitimately keeps suppressing): must now survive semantic
+            (60, rev(9)),
+            # 16-token prefix of ERASED 9 + fresh: must survive UNCUT
+            (61, " ".join(_text(9).split()[:16]) + " "
+             + " ".join(f"n61y{j}" for j in range(24))),
+            # permutation of SURVIVING 7: must still drop
+            (62, rev(7)),
+            # 16-token prefix of SURVIVING 8 + fresh: must still cut
+            (63, " ".join(_text(8).split()[:16]) + " "
+             + " ".join(f"n63y{j}" for j in range(24))),
+        ],
+        "doc_id long, text string",
+    )
+    r3 = run_curation_day(spark, root, day3, "2026-01-03",
+                          substring=True, semantic=True)
+    assert r3["n_semantic_kept"] == 3  # only 62 drops
+    assert r3["substr_tokens_removed"] == 16  # only 63 cut
+    texts = {
+        x.doc_id: x.text
+        for x in load_standing_corpus(spark, root).collect()
+    }
+    assert texts[60] == rev(9)  # survived, untouched
+    assert texts[61].startswith("w9x0 ")  # prefix NOT cut
+    assert 62 not in texts
+    assert texts[63] == " ".join(f"n63y{j}" for j in range(24))  # cut
+
+    # fresh run over the surviving union matches
+    survivors = (
+        d1.filter("doc_id != 9").unionByName(d2).unionByName(day3)
+    )
+    one_root = str(tmp_path / "one")
+    run_curation_day(spark, one_root, survivors, "2026-01-01",
+                     substring=True, semantic=True)
+    inc_docs = {
+        (x.doc_id, x.text)
+        for x in load_standing_corpus(spark, root).collect()
+    }
+    one_docs = {
+        (x.doc_id, x.text)
+        for x in load_standing_corpus(spark, one_root).collect()
+    }
+    assert inc_docs == one_docs
+
+
 def test_promotion_race_guard_detects_nested_rename(spark, tmp_path):
     """ADVICE r8: two same-day writers can both pass the exists()
     check; the loser's rename onto the winner's promoted dir NESTS the
