@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "record_linkage_decisions",  # Fellegi-Sunter integer log-odds ER
     # round 10 additions
     "table_profile_approx",  # HLL-register profile: the 100 TB swap, gated
+    "planned_join_rollup",  # CMS-sketch-chosen join strategy, value-invariant
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -93,6 +93,136 @@ def cms_estimate(
     )
 
 
+def cms_inner_product(
+    cms_a: DataFrame,
+    cms_b: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """One-row (cms_est long): the Cormode–Muthukrishnan inner-product
+    estimator min_j Σ_pos a[j][pos]·b[j][pos] — the equi-join output
+    cardinality |A ⋈_k B| = Σ_k a_k·b_k estimated from two one-row
+    sketches without either key table. Always an OVERestimate
+    (colliding keys add nonnegative cross terms), expected excess
+    N_a·N_b/W per hash row with min-of-D concentration. Work is a
+    ≤ D·W map-explode — constant size."""
+    b = cms_b.select(F.col("__cms").alias("__cms_b"))
+    return (
+        cms_a.crossJoin(b)
+        .select(F.explode(F.map_entries("__cms")).alias("e"), "__cms_b")
+        .select(
+            (F.col("e.key") / width).cast("long").alias("j"),
+            (
+                F.col("e.value")
+                * F.coalesce(
+                    F.element_at("__cms_b", F.col("e.key")), F.lit(0)
+                )
+            ).alias("p"),
+        )
+        .groupBy("j")
+        .agg(F.sum("p").alias("dot"))
+        .agg(F.min("dot").cast("long").alias("cms_est"))
+    )
+
+
+def save_cms(cms: DataFrame, path: str) -> None:
+    """Persist a one-row sketch as a parquet artifact — the
+    per-ingest-batch planner-statistics shape: sketches written at
+    ingest time answer join-size questions months later without
+    re-reading data (merge = slot-wise ADD of the maps)."""
+    cms.write.mode("overwrite").parquet(path)
+
+
+def load_cms(spark, path: str) -> DataFrame:
+    """Read a persisted sketch back as the one-row ``__cms`` frame."""
+    return spark.read.parquet(path)
+
+
+def _collect_cms(cms: DataFrame) -> dict[int, int]:
+    row = cms.select("__cms").collect()[0][0]
+    return dict(row) if row is not None else {}
+
+
+def cms_join_estimate(
+    cms_fact: DataFrame,
+    cms_dim: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> dict[str, int]:
+    """Driver-side planning numbers from two sketches:
+    {n_fact, n_dim, est_join_rows}. Side totals are EXACT (every key
+    adds its full weight once per hash row, so row 0 sums to N);
+    est_join_rows is the inner-product overestimate. The sketches are
+    one-row constant-size maps, so collecting them is a planner-cost
+    operation, not a data scan."""
+    a = _collect_cms(cms_fact)
+    b = _collect_cms(cms_dim)
+    n_fact = sum(v for k, v in a.items() if k < width)
+    n_dim = sum(v for k, v in b.items() if k < width)
+    est = min(
+        (
+            sum(
+                v * b.get(k, 0)
+                for k, v in a.items()
+                if j * width <= k < (j + 1) * width
+            )
+            for j in range(depth)
+        ),
+        default=0,
+    )
+    return {"n_fact": n_fact, "n_dim": n_dim, "est_join_rows": est}
+
+
+def cms_planned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on,
+    *,
+    cms_fact: DataFrame | None = None,
+    cms_dim: DataFrame | None = None,
+    broadcast_limit_rows: int = 2_000_000,
+    fanout_limit: int = 4,
+    broadcast_limit_bytes: int = 64 << 20,
+) -> tuple[DataFrame, dict]:
+    """The sketch trio's PLANNING decision (VERDICT r9 ask #4): choose
+    the physical strategy for ``fact ⋈ dim`` from persisted CMS
+    sketches over the two key distributions, falling back to source
+    file size when no sketches exist. Returns (joined, decision).
+
+    Broadcast-hash iff the dim side is small (n_dim ≤
+    broadcast_limit_rows, exact from the sketch totals) AND the
+    estimated join output does not explode (est_join_rows ≤
+    fanout_limit · n_fact — a hot many-to-many key makes the
+    broadcast build's row replication the bottleneck and the salted /
+    shuffle machinery the right tool); otherwise an explicit
+    sort-merge (``hint("merge")`` so the choice is the HELPER's, not
+    AQE's auto-broadcast). Without sketches the dim side's
+    ``_spread_src_bytes`` (the tfidf broadcast-gate device) decides
+    against ``broadcast_limit_bytes``; absent that too, the
+    conservative shuffle path wins. The decision dict records which
+    inputs drove the choice — the plan-shape tests pin that the SAME
+    side sizes flip strategy on the inner-product estimate alone."""
+    decision: dict = {"strategy": "merge", "inputs": "none"}
+    if cms_fact is not None and cms_dim is not None:
+        est = cms_join_estimate(cms_fact, cms_dim)
+        decision.update(est)
+        decision["inputs"] = "cms"
+        if est["n_dim"] <= broadcast_limit_rows and est[
+            "est_join_rows"
+        ] <= fanout_limit * max(est["n_fact"], 1):
+            decision["strategy"] = "broadcast"
+    else:
+        src = getattr(dim, "_spread_src_bytes", None)
+        if src is not None:
+            decision["inputs"] = "file_size"
+            decision["dim_bytes"] = src
+            if src <= broadcast_limit_bytes:
+                decision["strategy"] = "broadcast"
+    if decision["strategy"] == "broadcast":
+        return fact.join(F.broadcast(dim), on), decision
+    return fact.join(dim.hint("merge"), on), decision
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog: fixed-memory distinct counting (Flajolet et al. 2007)
 # ---------------------------------------------------------------------------

@@ -384,7 +384,11 @@ PRIORITY: tuple[str, ...] = (
 #   table_profile_approx (profiling family sibling of table_profile /
 #     fd_profile, all local-gated; the HLL-register device is pinned
 #     above by hll_distinct_bounds' fold slot sibling approx_monthly_
-#     stats — the exact→approx swap stays local-gated).
+#     stats — the exact→approx swap stays local-gated),
+#   planned_join_rollup (sketch family pinned above by
+#     cms_heavy_hitters; join-shape correctness pinned above by
+#     top_customers — the strategy CHOICE is plan-asserted in
+#     tests/test_skew.py and value-invariant by design).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

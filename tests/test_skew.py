@@ -323,3 +323,107 @@ def test_qhist_merge_and_guard(spark):
     bad = spark.createDataFrame([(0,)], "v long")
     with pytest.raises(Exception, match="qhist_build"):
         qhist_build(bad, "v").collect()
+
+
+def _key_counts(spark, keys):
+    return (
+        spark.createDataFrame([(int(k),) for k in keys], "k long")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def test_cms_planned_join_flips_on_inner_product(spark):
+    """The r9 ask's done-criterion: IDENTICAL side sizes choose
+    broadcast vs sort-merge on the inner-product estimate alone —
+    uniform keys (fan-out 1) broadcast, a single hot key (fan-out n)
+    trips the explosion guard into merge. Plan-asserted both ways."""
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        cms_build,
+        cms_planned_join,
+    )
+
+    n = 200
+    fact_u = spark.createDataFrame(
+        [(i % n, i) for i in range(n)], "k long, payload long"
+    )
+    dim_u = spark.createDataFrame(
+        [(i, i * 10) for i in range(n)], "k long, attr long"
+    )
+    fact_h = spark.createDataFrame(
+        [(7, i) for i in range(n)], "k long, payload long"
+    )
+    dim_h = spark.createDataFrame(
+        [(7, i * 10) for i in range(n)], "k long, attr long"
+    )
+
+    cms_fu = cms_build(_key_counts(spark, range(n)), "k", "n")
+    cms_du = cms_build(_key_counts(spark, range(n)), "k", "n")
+    cms_fh = cms_build(_key_counts(spark, [7] * n), "k", "n")
+    cms_dh = cms_build(_key_counts(spark, [7] * n), "k", "n")
+
+    j_u, d_u = cms_planned_join(
+        fact_u, dim_u.withColumnRenamed("k", "dk"),
+        fact_u.k == F.col("dk"), cms_fact=cms_fu, cms_dim=cms_du,
+    )
+    assert d_u["strategy"] == "broadcast" and d_u["inputs"] == "cms"
+    assert d_u["n_fact"] == n and d_u["n_dim"] == n
+    assert "BroadcastHashJoin" in j_u._jdf.queryExecution().executedPlan().toString()
+
+    j_h, d_h = cms_planned_join(
+        fact_h, dim_h.withColumnRenamed("k", "dk"),
+        fact_h.k == F.col("dk"), cms_fact=cms_fh, cms_dim=cms_dh,
+    )
+    assert d_h["strategy"] == "merge"
+    assert d_h["est_join_rows"] >= n * n  # the hot key's true fan-out
+    assert "SortMergeJoin" in j_h._jdf.queryExecution().executedPlan().toString()
+    # values are invariant to the choice
+    assert j_u.count() == n and j_h.count() == n * n
+
+
+def test_cms_planned_join_file_size_fallback(spark):
+    """Without sketches the decision falls back to the dim side's
+    _spread_src_bytes (the tfidf broadcast-gate device); absent that
+    too, the conservative merge path wins."""
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        cms_planned_join,
+    )
+
+    fact = spark.createDataFrame([(i, i) for i in range(10)],
+                                 "k long, p long")
+    dim = spark.createDataFrame([(i, i) for i in range(10)],
+                                "dk long, a long")
+    dim._spread_src_bytes = 1024
+    _, d_small = cms_planned_join(fact, dim, fact.k == dim.dk)
+    assert d_small == {"strategy": "broadcast", "inputs": "file_size",
+                       "dim_bytes": 1024}
+    dim._spread_src_bytes = 10 << 30
+    _, d_big = cms_planned_join(fact, dim, fact.k == dim.dk)
+    assert d_big["strategy"] == "merge"
+    dim2 = spark.createDataFrame([(i, i) for i in range(10)],
+                                 "dk long, a long")
+    _, d_none = cms_planned_join(fact, dim2, fact.k == dim2.dk)
+    assert d_none == {"strategy": "merge", "inputs": "none"}
+
+
+def test_cms_save_load_roundtrip_drives_same_decision(spark, tmp_path):
+    """Sketches persist as parquet artifacts (the per-ingest-batch
+    planner-statistics shape) and a LOADED sketch drives the identical
+    decision — totals exact, estimate unchanged."""
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        cms_build,
+        cms_join_estimate,
+        load_cms,
+        save_cms,
+    )
+
+    cms_a = cms_build(_key_counts(spark, list(range(50)) * 3), "k", "n")
+    cms_b = cms_build(_key_counts(spark, range(100)), "k", "n")
+    live = cms_join_estimate(cms_a, cms_b)
+    assert live["n_fact"] == 150 and live["n_dim"] == 100
+    assert live["est_join_rows"] >= 150  # true join size, overestimate
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    save_cms(cms_a, pa)
+    save_cms(cms_b, pb)
+    loaded = cms_join_estimate(load_cms(spark, pa), load_cms(spark, pb))
+    assert loaded == live
