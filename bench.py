@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     # round 10 additions
     "table_profile_approx",  # HLL-register profile: the 100 TB swap, gated
     "planned_join_rollup",  # CMS-sketch-chosen join strategy, value-invariant
+    "t_closeness_release",  # privacy trio rung 3: integer variational distance
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

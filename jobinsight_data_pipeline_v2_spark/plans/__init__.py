@@ -388,7 +388,10 @@ PRIORITY: tuple[str, ...] = (
 #   planned_join_rollup (sketch family pinned above by
 #     cms_heavy_hitters; join-shape correctness pinned above by
 #     top_customers — the strategy CHOICE is plan-asserted in
-#     tests/test_skew.py and value-invariant by design).
+#     tests/test_skew.py and value-invariant by design),
+#   t_closeness_release (privacy family pinned above by
+#     k_anonymity_release — same ladder machinery; the distribution-
+#     distance rung stays local-gated next to l_diversity_release).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -2194,6 +2194,292 @@ def l_diversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t-closeness release: the privacy trio's third rung (r10)
+# ---------------------------------------------------------------------------
+#
+# Li, Li & Venkatasubramanian 2007: l-diversity still leaks when a
+# group's sensitive DISTRIBUTION differs sharply from the population's
+# (skewness / similarity attacks) — t-closeness requires the group's
+# distribution to sit within distance t of the OVERALL one. For the
+# categorical sensitive attribute the distance is the variational
+# (total-variation) distance ½·Σ_s |n_s/n − N_s/N|, carried EXACTLY as
+# integers: dist ≤ ½ ⇔ D ≤ n·N where
+#   D = Σ_{s present} |n_s·N − N_s·n| + n·(N − Σ_{s present} N_s)
+# (the absent-segment tail collapses into one closed form — absent
+# segments contribute N_s·n each). Like distinct counts, D does NOT
+# sum across a generalization step, so every level recomputes it from
+# the shared segment-granularity pre-aggregate (the l-diversity
+# device).
+#
+# The sensitive attribute is synthesized in-plan: seg = c_custkey % 5.
+# Sub-cohorts use the k-anonymity hierarchy m = 1 + (nation % 8)·8 —
+# nations with nation % 8 == 3 have m = 25, which shares the factor 5,
+# so EVERY sub-cohort there fixes custkey mod 5 → a CONSTANT segment →
+# dist ≈ 4/5, failing t structurally (the skewness attack the rung
+# exists to stop); coprime-m cohorts are near-uniform mod 5 and pass.
+# Generalizing a poisoned nation restores uniformity (all residues mod
+# 25 union to uniform mod 5), so the ladder genuinely repairs at the
+# next level. Emitted dist_ppm = (1e6·D) div (2·n·N) is exact in both
+# engines (headroom: 1e6·D ≤ 4e6·(nN); fine through ~sf1, DECIMAL(38)
+# beyond).
+
+_TCLOSE_SEGS = 5
+
+
+@register(
+    "t_closeness_release",
+    f"""
+    WITH base AS (
+        SELECT n.n_name,
+               c.c_custkey % (1 + (c.c_nationkey % 8) * 8) AS sub,
+               c.c_custkey % {_TCLOSE_SEGS} AS seg,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    kv AS (
+        SELECT greatest({_KANON_K_FLOOR},
+                        COUNT(*) // {_KANON_K_DIV}) AS k,
+               CAST(COUNT(*) AS BIGINT) AS big_n
+        FROM base
+    ),
+    tot AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS ns_all
+        FROM base GROUP BY 1
+    ),
+    g0 AS (
+        SELECT n_name, sub, seg, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(bal) AS BIGINT) AS bal_cents
+        FROM base GROUP BY 1, 2, 3
+    ),
+    g1 AS (
+        SELECT n_name, sub, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+        FROM g0 GROUP BY 1, 2
+    ),
+    d1 AS (
+        SELECT g0.n_name, g0.sub,
+               CAST(SUM(abs(g0.n * (SELECT big_n FROM kv)
+                            - t.ns_all * g1.n)) AS BIGINT)
+               + CAST(MIN(g1.n) AS BIGINT)
+                 * ((SELECT big_n FROM kv)
+                    - CAST(SUM(t.ns_all) AS BIGINT)) AS d
+        FROM g0 JOIN tot t ON g0.seg = t.seg
+             JOIN g1 ON g0.n_name = g1.n_name AND g0.sub = g1.sub
+        GROUP BY 1, 2
+    ),
+    lvl1g AS (
+        SELECT g1.n_name, g1.sub, g1.n, g1.bal_cents, d1.d
+        FROM g1 JOIN d1 ON g1.n_name = d1.n_name AND g1.sub = d1.sub
+    ),
+    lvl1 AS (
+        SELECT 'qid' AS level, n_name, CAST(sub AS BIGINT) AS sub,
+               n, bal_cents,
+               CAST((1000000 * d) // (2 * n * (SELECT big_n FROM kv))
+                    AS BIGINT) AS dist_ppm
+        FROM lvl1g
+        WHERE n >= (SELECT k FROM kv)
+          AND d <= n * (SELECT big_n FROM kv)
+    ),
+    fail1 AS (
+        SELECT n_name, sub FROM lvl1g
+        WHERE n < (SELECT k FROM kv)
+           OR d > n * (SELECT big_n FROM kv)
+    ),
+    r1 AS (
+        SELECT g0.n_name, g0.seg, CAST(SUM(g0.n) AS BIGINT) AS n,
+               CAST(SUM(g0.bal_cents) AS BIGINT) AS bal_cents
+        FROM g0 JOIN fail1 f
+          ON g0.n_name = f.n_name AND g0.sub = f.sub
+        GROUP BY 1, 2
+    ),
+    g2 AS (
+        SELECT n_name, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+        FROM r1 GROUP BY 1
+    ),
+    d2 AS (
+        SELECT r1.n_name,
+               CAST(SUM(abs(r1.n * (SELECT big_n FROM kv)
+                            - t.ns_all * g2.n)) AS BIGINT)
+               + CAST(MIN(g2.n) AS BIGINT)
+                 * ((SELECT big_n FROM kv)
+                    - CAST(SUM(t.ns_all) AS BIGINT)) AS d
+        FROM r1 JOIN tot t ON r1.seg = t.seg
+             JOIN g2 ON r1.n_name = g2.n_name
+        GROUP BY 1
+    ),
+    lvl2g AS (
+        SELECT g2.n_name, g2.n, g2.bal_cents, d2.d
+        FROM g2 JOIN d2 ON g2.n_name = d2.n_name
+    ),
+    lvl2 AS (
+        SELECT 'nation' AS level, n_name, CAST(-1 AS BIGINT) AS sub,
+               n, bal_cents,
+               CAST((1000000 * d) // (2 * n * (SELECT big_n FROM kv))
+                    AS BIGINT) AS dist_ppm
+        FROM lvl2g
+        WHERE n >= (SELECT k FROM kv)
+          AND d <= n * (SELECT big_n FROM kv)
+    ),
+    fail2 AS (
+        SELECT n_name FROM lvl2g
+        WHERE n < (SELECT k FROM kv)
+           OR d > n * (SELECT big_n FROM kv)
+    ),
+    lvl3 AS (
+        SELECT 'suppressed' AS level, '*' AS n_name,
+               CAST(-1 AS BIGINT) AS sub,
+               CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(bal_cents), 0) AS BIGINT) AS bal_cents,
+               CAST(-1 AS BIGINT) AS dist_ppm
+        FROM lvl2g
+        WHERE n_name IN (SELECT n_name FROM fail2)
+        HAVING COUNT(*) > 0
+    )
+    SELECT * FROM lvl1
+    UNION ALL SELECT * FROM lvl2
+    UNION ALL SELECT * FROM lvl3
+    ORDER BY level, n_name, sub
+    """,
+)
+def t_closeness_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-close k-anonymous release (t = ½ variational distance on the
+    synthesized segment, k in-plan adaptive): a group publishes only
+    when it has ≥ k members AND its sensitive distribution sits within
+    t of the population's; failing groups generalize to nation and
+    re-check BOTH constraints; the remainder is suppressed. Distances
+    are exact integers (see block comment) and every level recomputes
+    D from the shared segment pre-aggregate — like distinct counts,
+    distribution distance does not sum across generalization.
+
+    Shape: one customer scan; the segment totals are a 5-row
+    broadcast; failing-key sets are hierarchy-bounded broadcasts."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select(
+        "n_name",
+        (F.col("c_custkey")
+         % (F.lit(1) + (F.col("c_nationkey") % 8) * 8)).alias("sub"),
+        (F.col("c_custkey") % _TCLOSE_SEGS).alias("seg"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal"),
+    ).localCheckpoint(eager=False)  # kv + tot + g0 consumers
+    kv = base.agg(
+        F.greatest(
+            F.lit(_KANON_K_FLOOR),
+            F.expr(f"count(*) div {_KANON_K_DIV}"),
+        ).alias("__k"),
+        F.count(F.lit(1)).cast("long").alias("__N"),
+    )
+    tot = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("ns_all")
+    )
+    g0 = (
+        base.groupBy("n_name", "sub", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bal").cast("long").alias("bal_cents"),
+        )
+        # consumers: g1 rollup, d1 distance agg, fail1 regroup
+        .localCheckpoint(eager=False)
+    )
+
+    def level_frame(gseg: DataFrame, keys: list[str]) -> DataFrame:
+        """(keys…, n, bal_cents, d) from segment-granularity rows —
+        the shared distance aggregation both levels run."""
+        gtot = gseg.groupBy(*keys).agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        scored = (
+            gseg.join(F.broadcast(tot), "seg")
+            .join(gtot.select(*keys, F.col("n").alias("__gn")), keys)
+            .crossJoin(F.broadcast(kv))
+            .groupBy(*keys)
+            .agg(
+                (
+                    F.sum(
+                        F.abs(
+                            F.col("n") * F.col("__N")
+                            - F.col("ns_all") * F.col("__gn")
+                        )
+                    )
+                    + F.min("__gn")
+                    * (F.min("__N") - F.sum("ns_all"))
+                )
+                .cast("long")
+                .alias("d")
+            )
+        )
+        return (
+            gtot.join(scored, keys)
+            .crossJoin(F.broadcast(kv))
+            .localCheckpoint(eager=False)  # pass filter + fail keys
+        )
+
+    ok = (F.col("n") >= F.col("__k")) & (
+        F.col("d") <= F.col("n") * F.col("__N")
+    )
+    dist_ppm = F.expr("(1000000 * d) div (2 * n * __N)").cast("long")
+    l1 = level_frame(g0, ["n_name", "sub"])
+    lvl1 = l1.filter(ok).select(
+        F.lit("qid").alias("level"),
+        "n_name",
+        F.col("sub").cast("long").alias("sub"),
+        "n",
+        "bal_cents",
+        dist_ppm.alias("dist_ppm"),
+    )
+    fail1 = l1.filter(~ok).select("n_name", "sub")
+    # regroup to (nation, seg) BEFORE the distance agg: the distance
+    # fold assumes one row per (group, seg) — per-sub rows would
+    # double-count ns_all in the absent-segment term
+    r1 = (
+        g0.join(F.broadcast(fail1), ["n_name", "sub"])
+        .groupBy("n_name", "seg")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+    )
+    l2 = level_frame(r1, ["n_name"])
+    lvl2 = l2.filter(ok).select(
+        F.lit("nation").alias("level"),
+        "n_name",
+        F.lit(-1).cast("long").alias("sub"),
+        "n",
+        "bal_cents",
+        dist_ppm.alias("dist_ppm"),
+    )
+    lvl3 = (
+        l2.filter(~ok)
+        .agg(
+            F.count(F.lit(1)).alias("__g"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.sum("bal_cents"), F.lit(0))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        .filter(F.col("__g") > 0)
+        .select(
+            F.lit("suppressed").alias("level"),
+            F.lit("*").alias("n_name"),
+            F.lit(-1).cast("long").alias("sub"),
+            "n",
+            "bal_cents",
+            F.lit(-1).cast("long").alias("dist_ppm"),
+        )
+    )
+    return (
+        lvl1.unionByName(lvl2)
+        .unionByName(lvl3)
+        .orderBy("level", "n_name", "sub")
+    )
+
+
+# ---------------------------------------------------------------------------
 # incremental view maintenance (new family, r8): a materialized rollup
 # maintained from a signed CDC delta, proven == full recompute
 # ---------------------------------------------------------------------------

@@ -162,6 +162,16 @@ class Generator:
                     f"ORDER BY md5(CAST({c} AS VARCHAR)) LIMIT 8"
                 ).fetchall()
                 self.samples[(t, c)] = [r[0] for r in rows]
+        # the per-column samples are 8 md5-ordered ROWS (identical
+        # values group under one hash) — the temporal shapes need the
+        # DISTINCT type inventory
+        self.event_types = [
+            r[0]
+            for r in con.execute(
+                f"SELECT DISTINCT event_type FROM "
+                f"'{sf_dir}/events.parquet' ORDER BY 1"
+            ).fetchall()
+        ]
         con.close()
 
     # --- projections --------------------------------------------------------
@@ -377,8 +387,130 @@ class Generator:
             return "", ""
         return " WHERE " + " AND ".join(sp), " WHERE " + " AND ".join(dp)
 
+    # --- temporal shapes (r9 ask #6) ---------------------------------------
+
+    def _events_side_preds(self):
+        """One optional extra predicate over events, split into the
+        (spark, duck) forms (ts literals differ — NTZ vs naive)."""
+        ecols = [("events", c, k) for c, k in TABLES["events"].items()
+                 if c != "event_type"]
+        p = self._pred(ecols)
+        if p is None:
+            return "", ""
+        ps, pd = p if isinstance(p, tuple) else (p, p)
+        return f" AND {ps}", f" AND {pd}"
+
+    def _asof_shape(self) -> tuple[str, str]:
+        """ASOF join: each point event matches the LATEST mark event of
+        another type at-or-before its ts for the same user. DuckDB runs
+        its NATIVE ASOF JOIN; Spark runs the engine's carry-forward
+        union device (tagged union + last_value IGNORE NULLS over
+        (ts, is_point) — marks sort before points at equal ts, the
+        '>=' tie semantics). Two INDEPENDENT implementations of the
+        same semantics — the whole point of the differential. Marks
+        dedup to MIN(event_id) per (user, ts) so the match target is
+        unique by construction (determinism rule)."""
+        mt, pt = self.rng.sample(self.event_types, 2)
+        ms, md = self._events_side_preds()
+        ps_, pd_ = self._events_side_preds()
+        left = self.rng.random() < 0.4
+        marks_s = (
+            f"SELECT user_id AS k, ts, MIN(event_id) AS mid FROM events "
+            f"WHERE event_type = '{mt}'{ms} GROUP BY user_id, ts"
+        )
+        marks_d = (
+            f"SELECT user_id AS k, ts, MIN(event_id) AS mid FROM events "
+            f"WHERE event_type = '{mt}'{md} GROUP BY user_id, ts"
+        )
+        pts_s = (
+            f"SELECT event_id, user_id AS k, ts FROM events "
+            f"WHERE event_type = '{pt}'{ps_}"
+        )
+        pts_d = (
+            f"SELECT event_id, user_id AS k, ts FROM events "
+            f"WHERE event_type = '{pt}'{pd_}"
+        )
+        jt = "ASOF LEFT JOIN" if left else "ASOF JOIN"
+        duck_rows = (
+            f"SELECT p.event_id AS pk, p.k, m.mid "
+            f"FROM ({pts_d}) p {jt} ({marks_d}) m "
+            f"ON p.k = m.k AND p.ts >= m.ts"
+        )
+        inner_filter = "" if left else " AND mid IS NOT NULL"
+        spark_rows = (
+            f"SELECT pid AS pk, k, mid FROM ("
+            f"SELECT k, is_pt, pid, "
+            f"last_value(mid, true) OVER (PARTITION BY k "
+            f"ORDER BY ts, is_pt "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mid "
+            f"FROM ("
+            f"SELECT k, ts, 0 AS is_pt, mid, CAST(NULL AS BIGINT) AS pid "
+            f"FROM ({marks_s}) "
+            f"UNION ALL "
+            f"SELECT k, ts, 1 AS is_pt, CAST(NULL AS BIGINT) AS mid, "
+            f"event_id AS pid FROM ({pts_s})"
+            f")) WHERE is_pt = 1{inner_filter}"
+        )
+        if self.rng.random() < 0.4:
+            # per-user rollup of the matches: SUM(BIGINT) rides the
+            # HUGEINT cast rule; all-NULL groups agree (NULL both)
+            agg = ("k, CAST(COUNT(*) AS BIGINT) AS n, "
+                   "CAST(COUNT(mid) AS BIGINT) AS nm, "
+                   "CAST(SUM(mid) AS BIGINT) AS sm")
+            return (
+                f"SELECT {agg} FROM ({spark_rows}) GROUP BY k",
+                f"SELECT {agg} FROM ({duck_rows}) GROUP BY k",
+            )
+        return spark_rows, duck_rows
+
+    def _range_shape(self) -> tuple[str, str]:
+        """BETWEEN range join: points fall inside per-mark time windows
+        [mark_ts, mark_ts + h hours] of the same user. The SQL text is
+        IDENTICAL both engines except the ts literals — the
+        differential exercises DuckDB's IEJoin range planner vs
+        Spark's join execution on the same semantics. Fan-out is
+        bounded by window length × per-user event rate; (pk, mid) row
+        identity is unique because windows dedup per (user, ts)."""
+        mt, pt = self.rng.sample(self.event_types, 2)
+        hours = self.rng.randrange(1, 13)
+        ms, md = self._events_side_preds()
+        ps_, pd_ = self._events_side_preds()
+
+        def q(mpred, ppred):
+            wins = (
+                f"SELECT user_id AS k, ts AS ws, "
+                f"ts + INTERVAL {hours} HOUR AS we, "
+                f"MIN(event_id) AS mid FROM events "
+                f"WHERE event_type = '{mt}'{mpred} GROUP BY user_id, ts"
+            )
+            pts = (
+                f"SELECT event_id, user_id AS k, ts FROM events "
+                f"WHERE event_type = '{pt}'{ppred}"
+            )
+            return (
+                f"SELECT p.event_id AS pk, w.mid "
+                f"FROM ({pts}) p JOIN ({wins}) w "
+                f"ON p.k = w.k AND p.ts >= w.ws AND p.ts <= w.we"
+            )
+
+        s_rows, d_rows = q(ms, ps_), q(md, pd_)
+        if self.rng.random() < 0.5:
+            agg = ("CAST(COUNT(*) AS BIGINT) AS n, "
+                   "CAST(COUNT(DISTINCT pk) AS BIGINT) AS nd, "
+                   "CAST(SUM(mid) AS BIGINT) AS sm")
+            return (
+                f"SELECT {agg} FROM ({s_rows})",
+                f"SELECT {agg} FROM ({d_rows})",
+            )
+        return s_rows, d_rows
+
     def gen(self) -> tuple[str, str]:
         """One random query -> (spark_sql, duck_sql)."""
+        r = self.rng.random()
+        if r < 0.07:
+            return self._asof_shape()
+        if r < 0.13:
+            return self._range_shape()
         shape = self.rng.random()
         frm, cols, base = self._from_clause()
         sw, dw = self._where(cols, base)
