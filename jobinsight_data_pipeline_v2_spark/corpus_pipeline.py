@@ -609,16 +609,20 @@ def _srp_weights() -> list[list[int]]:
     ]
 
 
-def _batch_doc_vectors(docs: DataFrame) -> DataFrame:
-    """(doc_id, text, vec, cell) over a (doc_id, text) frame — the
-    lifecycle's built-in deterministic embedding: a hashed
+def _batch_doc_vectors(
+    docs: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, text, [carry…], vec, cell) over a (doc_id, text)
+    frame — the lifecycle's built-in deterministic embedding: a hashed
     bag-of-words count vector (token → pmod(xxhash64, D) bucket, the
     DSIR hashed-feature device) plus its SRP cell label (sign bits of
     B fixed ±1 hyperplanes, the srp_lsh_pairs device). Both are pure
     functions of the text, so cross-day state stays probeable; a
     production pipeline with model embeddings swaps this projection
     for its own (doc_id, vec) frame — everything downstream only needs
-    integer vectors plus a frozen cell function.
+    integer vectors plus a frozen cell function. Checkpoint-free
+    narrow projections, so the SAME transform runs on streaming frames
+    (semantic_dedup_stream); ``carry`` columns ride through untouched.
 
     In-row shapes: bucket ids build ONCE per token (one xxhash64 each)
     into a named column the per-bucket counts reference (multi-
@@ -631,6 +635,7 @@ def _batch_doc_vectors(docs: DataFrame) -> DataFrame:
     buckets = docs.select(
         "doc_id",
         "text",
+        *carry,
         F.expr(
             f"transform({_TOKENS}, x -> pmod(xxhash64(x), {_SEM_DIM}))"
         ).alias("__bs"),
@@ -638,6 +643,7 @@ def _batch_doc_vectors(docs: DataFrame) -> DataFrame:
     vec = buckets.select(
         "doc_id",
         "text",
+        *carry,
         F.expr(
             f"transform(sequence(0, {_SEM_DIM - 1}), "
             f"k -> cast(size(filter(__bs, b -> b = cast(k as bigint)))"
@@ -655,6 +661,7 @@ def _batch_doc_vectors(docs: DataFrame) -> DataFrame:
     return vec.select(
         "doc_id",
         "text",
+        *carry,
         "vec",
         F.expr(" + ".join(plane_terms)).cast("long").alias("cell"),
     )

@@ -1023,6 +1023,133 @@ def url_dedup_stream(
     return decided.unionByName(malformed)
 
 
+_SEM_STREAM_STATE = "vecs ARRAY<ARRAY<BIGINT>>, max_ord LONG"
+
+
+def semantic_dedup_stream(
+    docs: DataFrame,
+    ts_col: str | None = None,
+    horizon: str | None = None,
+) -> DataFrame:
+    """(cell, doc_id, kept, late): SemDeDup-style semantic dedup over
+    a document stream — the twin of run_curation_day's semantic stage
+    (twin 47). The frozen hashed-BoW vector + SRP cell label are the
+    SAME checkpoint-free projections the batch stage runs
+    (corpus_pipeline._batch_doc_vectors — pure functions of the text,
+    so a restarted stream recomputes identical cells); state per CELL
+    is the vector list of every arrived doc in the cell (the batch
+    convention: a doc DROPPED at the stage still suppresses later
+    near-copies), and a doc keeps iff no earlier-arrived vector in its
+    cell passes the exact integer cosine-≥-9/10 test (Python ints —
+    no overflow at any vector scale). Within a micro-batch the minimum
+    doc_id decides first (the batch keep-min rule); on an ordered feed
+    the decisions equal the batch stage's row for row. A doc arriving
+    BEHIND a larger already-processed doc_id in its cell flags
+    ``late=true`` but still gets the first-arrival decision (the
+    segment-twin discipline: visible, never silent).
+
+    Without a TTL, state is O(arrived docs) per cell FOREVER — the
+    verification-twin configuration. The PRODUCTION path passes
+    ``ts_col`` + ``horizon``: EventTimeTimeout expires a cell unseen
+    for the horizon, so state is O(docs per horizon) — the
+    dropDuplicatesWithinWatermark trade, a copy after expiry is
+    re-admitted once per horizon."""
+    import pandas as pd
+
+    from ..corpus_pipeline import (
+        _SEM_COS_DEN,
+        _SEM_COS_NUM,
+        _batch_doc_vectors,
+    )
+
+    if (ts_col is None) != (horizon is None):
+        raise ValueError("ts_col and horizon must be provided together")
+
+    if ts_col is None:
+        cellv = _batch_doc_vectors(docs.select("doc_id", "text")).select(
+            "cell", "doc_id", "vec"
+        )
+        timeout = GroupStateTimeout.NoTimeout
+        ttl_ms = None
+    else:
+        staged = docs.withColumn(
+            "__ts", F.col(ts_col).cast("timestamp")
+        ).withWatermark("__ts", horizon)
+        cellv = _batch_doc_vectors(
+            staged.select("doc_id", "text", "__ts"), carry=("__ts",)
+        ).select(
+            "cell",
+            "doc_id",
+            "vec",
+            "__ts",
+            F.unix_millis("__ts").alias("__ts_ms"),
+        )
+        timeout = GroupStateTimeout.EventTimeTimeout
+        ttl_ms = _duration_ms(horizon)
+
+    c2 = _SEM_COS_DEN * _SEM_COS_DEN
+    n2 = _SEM_COS_NUM * _SEM_COS_NUM
+
+    def _similar(u: list[int], v: list[int]) -> bool:
+        dot = sum(a * b for a, b in zip(u, v))
+        if dot <= 0:
+            return False
+        na = sum(a * a for a in u)
+        nb = sum(b * b for b in v)
+        return c2 * dot * dot >= n2 * na * nb
+
+    def update(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        (cell,) = key
+        if state.exists:
+            raw_vecs, max_ord = state.get
+            vecs = [[int(x) for x in u] for u in raw_vecs]
+            max_ord = int(max_ord)
+        else:
+            vecs, max_ord = [], None
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            "doc_id"
+        )
+        out = []
+        for row in pdf.itertuples(index=False):
+            did = int(row.doc_id)
+            v = [int(x) for x in row.vec]
+            late = max_ord is not None and did < max_ord
+            kept = not any(_similar(u, v) for u in vecs)
+            out.append((int(cell), did, kept, late))
+            vecs.append(v)
+            max_ord = did if max_ord is None else max(max_ord, did)
+        state.update((vecs, max_ord))
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(
+                max(
+                    int(pdf["__ts_ms"].max()) + ttl_ms,
+                    state.getCurrentWatermarkMs() + ttl_ms,
+                )
+            )
+        yield pd.DataFrame(
+            out, columns=["cell", "doc_id", "kept", "late"]
+        )
+
+    schema = StructType(
+        [
+            StructField("cell", LongType(), True),
+            StructField("doc_id", LongType(), True),
+            StructField("kept", BooleanType(), True),
+            StructField("late", BooleanType(), True),
+        ]
+    )
+    return cellv.groupBy("cell").applyInPandasWithState(
+        update,
+        outputStructType=schema,
+        stateStructType=_SEM_STREAM_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def phrase_stream(docs: DataFrame) -> DataFrame:
     """(phrase, n_docs, n_occurrences): the phrase-retrieval report
     updating as documents arrive — the batch phrase_match_stats gate's

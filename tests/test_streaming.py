@@ -3092,3 +3092,155 @@ def test_streaming_bm25_scores_equal_batch_gate(spark, tmp_path):
     rows = joined.collect()
     assert len(rows) == gate.count()
     assert all(r["gs"] == r["ss"] and r["gn"] == r["sn"] for r in rows)
+
+
+def test_streaming_semantic_dedup_equals_batch(spark, tmp_path):
+    """Twin 47: ordered feed — the streamed per-doc keep/drop
+    decisions equal the batch semantic stage's (within-cell integer
+    cosine >= 9/10, first-arrival keep-min), with zero late flags.
+    Permutation dups share the token multiset, hence the exact vector
+    and cell, and are invisible to every surface-dedup twin."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.corpus_pipeline import (
+        _batch_doc_vectors,
+        _sem_hit_docs,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        semantic_dedup_stream,
+    )
+
+    def text(i, n=30):
+        return " ".join(f"w{i}x{j}" for j in range(n))
+
+    def rev(i):
+        return " ".join(reversed(text(i).split()))
+
+    rows = (
+        [(i, text(i)) for i in range(0, 8)]
+        + [(20, rev(3)), (21, rev(5)), (22, text(40))]
+        # 30 is a ROTATION of text(3) — a third distinct permutation,
+        # dropped against whichever copy arrived first
+        + [(30, " ".join(text(3).split()[5:] + text(3).split()[:5])),
+           (31, text(41))]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = os.path.join(str(tmp_path), "sem_ordered")
+    now = time.time()
+    for b, (lo, hi) in enumerate([(0, 10), (10, 25), (25, 100)]):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, semantic_dedup_stream(stream), "semdedup_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM semdedup_test")
+    assert got.count() == len(rows)
+    assert got.filter("late").count() == 0
+    stream_kept = {r.doc_id for r in got.filter("kept").collect()}
+    # batch expectation: the lifecycle stage's exact logic over the
+    # whole set at once
+    cellv = _batch_doc_vectors(docs).localCheckpoint(eager=False)
+    a = cellv.select(
+        F.col("doc_id").alias("__a_id"), "cell",
+        F.col("vec").alias("a_vec"),
+    )
+    b = cellv.select("doc_id", "cell", F.col("vec").alias("b_vec"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("__a_id") < F.col("doc_id"))
+        .select("doc_id", "a_vec", "b_vec")
+    )
+    hits = {r.doc_id for r in _sem_hit_docs(pairs).collect()}
+    batch_kept = {i for i, _ in rows} - hits
+    assert stream_kept == batch_kept
+    # the planted permutation dups dropped; their targets survived
+    assert {20, 21, 30} & stream_kept == set()
+    assert {3, 5} <= stream_kept
+
+
+def test_streaming_semantic_dedup_ttl_readmits_after_horizon(
+    spark, tmp_path
+):
+    """Production TTL branch: a cell unseen for the horizon expires
+    and the next permutation copy is RE-ADMITTED; within-horizon
+    copies still drop; state is bounded by live cells."""
+    import time
+    from datetime import datetime
+
+    from jobinsight_data_pipeline_v2_spark.corpus_pipeline import (
+        _batch_doc_vectors,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        semantic_dedup_stream,
+    )
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, 0).replace(  # noqa: E731
+        minute=s // 60, second=s % 60
+    )
+    T0 = "apple banana cherry durian elder fig grape"
+    P0 = "grape fig elder durian cherry banana apple"
+    T1 = "hotel india juliet kilo lima mike november"
+    T2 = "oscar papa quebec romeo sierra tango uniform"
+    # precondition: the three base texts live in THREE distinct cells —
+    # otherwise T1/T2 arrivals would keep T0's cell alive past the
+    # horizon and the re-admission below could not fire (deterministic:
+    # the cell is a pure function of the text)
+    cells = {
+        r.doc_id: r.cell
+        for r in _batch_doc_vectors(
+            spark.createDataFrame(
+                [(0, T0), (1, T1), (2, T2)], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    assert len(set(cells.values())) == 3, (
+        f"fixture texts collide in SRP cells ({cells}) — pick others"
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, ts timestamp_ntz, text string"
+    )
+    drops = [
+        mk([(1, t(0), T0), (2, t(0), P0)]),  # dup in-batch
+        mk([(3, t(10), P0)]),                # within horizon: dup
+        mk([(4, t(120), T1)]),               # jump: watermark advances
+        mk([(5, t(130), T2)]),               # T0's cell expires here
+        mk([(6, t(140), P0)]),               # after expiry: re-admitted
+    ]
+    src = os.path.join(str(tmp_path), "sem_ttl")
+    now = time.time()
+    for b, d in enumerate(drops):
+        _write_drop(d, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, ts timestamp_ntz, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark,
+        semantic_dedup_stream(stream, ts_col="ts", horizon="30 seconds"),
+        "semdedup_ttl",
+    )
+    q.awaitTermination(120)
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    got = {
+        (r.doc_id, r.kept, r.late)
+        for r in spark.sql("SELECT * FROM semdedup_ttl").collect()
+    }
+    assert got == {
+        (1, True, False),
+        (2, False, False),
+        (3, False, False),
+        (4, True, False),
+        (5, True, False),
+        (6, True, False),  # RE-ADMITTED — the TTL trade
+    }
+    # T0's first incarnation expired; live cells: readmitted + T1 + T2
+    assert state_rows == 3
