@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "table_profile_approx",  # HLL-register profile: the 100 TB swap, gated
     "planned_join_rollup",  # CMS-sketch-chosen join strategy, value-invariant
     "t_closeness_release",  # privacy trio rung 3: integer variational distance
+    "retrieval_eval_metrics",  # prec/recall/MRR/nDCG@k, integer ppm
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

@@ -391,7 +391,10 @@ PRIORITY: tuple[str, ...] = (
 #     tests/test_skew.py and value-invariant by design),
 #   t_closeness_release (privacy family pinned above by
 #     k_anonymity_release — same ladder machinery; the distribution-
-#     distance rung stays local-gated next to l_diversity_release).
+#     distance rung stays local-gated next to l_diversity_release),
+#   retrieval_eval_metrics (retrieval family pinned above by
+#     keyword_search_ranked's fold sibling devices (cms/bm25 ladders)
+#     — the offline eval metrics stay local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -3876,3 +3876,198 @@ def record_linkage_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls", "decision")
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval-evaluation metrics (new family, r10): the offline eval
+# pass every search/RAG pipeline runs over its top-k lists —
+# precision@k, recall@k, MRR, nDCG@k — ALL integer-exact. Graded
+# relevance and a noisy system ranking are synthesized in-plan
+# (rel ∈ {0,1,3} from doc_id residues — the 3-class capped to a
+# FIXED handful (doc_id < 970 residue class) so top-k must mix grades
+# at EVERY corpus size; score = 200·rel + md5-head %
+# 2500 — hash-VALUE semantics, so md5 via the priority_sample device,
+# never engine-specific hash() — class bands OVERLAP and real
+# inversions exist, so nDCG sits
+# strictly inside (0,1)). The irrational 1/log2(rank+1) discount
+# enters BOTH plans as precomputed integer ppm literals (the Benford
+# device; pinned against math.log2 in tests), gains are 2^rel − 1, and
+# every emitted metric is a positive BIGINT floor division (ppm), so
+# Spark `div` == DuckDB `//`.
+#
+# Scale shape note: ranks come from one row_number window partitioned
+# by query — exact and fine for an EVAL set (queries × corpus is
+# top-k-list-sized in practice because the candidate lists are the
+# retriever's OUTPUT); a full-corpus rerank at 100 TB would rank
+# through the cosine_topk_batch grouped-TakeOrdered device instead.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_EVAL_K = 10
+_EVAL_QUERIES = 4
+# floor(1e6 / log2(rank + 1)) for rank = 1..K
+_NDCG_W_PPM = tuple(
+    int(1_000_000 // _math.log2(r + 1)) for r in range(1, _EVAL_K + 1)
+)
+
+
+def _eval_rel_sql(q: str, d: str) -> str:
+    """Graded relevance: 3 for the sparse residue class, 1 for the
+    denser one, else 0 — identical text both engines."""
+    return (
+        f"CASE WHEN {d} < 970 AND {d} % (97 + {q}) = 0 THEN 3 "
+        f"WHEN {d} % (7 + {q}) = 0 THEN 1 ELSE 0 END"
+    )
+
+
+def _ndcg_w_case(rank: str) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W_PPM)
+    )
+    return f"CASE {rank} {whens} ELSE 0 END"
+
+
+@register(
+    "retrieval_eval_metrics",
+    f"""
+    WITH qs AS (
+        SELECT * FROM (VALUES {", ".join(f"({q})" for q in range(_EVAL_QUERIES))}) AS t(q)
+    ),
+    scored AS (
+        SELECT qs.q, d.doc_id,
+               {_eval_rel_sql("qs.q", "d.doc_id")} AS rel,
+               200 * ({_eval_rel_sql("qs.q", "d.doc_id")})
+                 + ('0x' || substring(md5(CAST(d.doc_id * 41 + qs.q
+                       AS VARCHAR)), 1, 8))::BIGINT % 2500 AS score
+        FROM documents d, qs
+    ),
+    ranked AS (
+        SELECT q, doc_id, rel,
+               row_number() OVER (
+                   PARTITION BY q ORDER BY score DESC, doc_id
+               ) AS rnk,
+               row_number() OVER (
+                   PARTITION BY q ORDER BY rel DESC, doc_id
+               ) AS irnk
+        FROM scored
+    ),
+    totals AS (
+        SELECT q, CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_rel
+        FROM scored GROUP BY 1
+    ),
+    topk AS (
+        SELECT q,
+               CAST(SUM(CASE WHEN rnk <= {_EVAL_K} AND rel > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+               CAST(MIN(CASE WHEN rel > 0 THEN rnk END) AS BIGINT)
+                   AS first_rel,
+               CAST(SUM(CASE WHEN rnk <= {_EVAL_K}
+                        THEN ((1 << rel) - 1) * ({_ndcg_w_case("rnk")})
+                        ELSE 0 END) AS BIGINT) AS dcg,
+               CAST(SUM(CASE WHEN irnk <= {_EVAL_K}
+                        THEN ((1 << rel) - 1) * ({_ndcg_w_case("irnk")})
+                        ELSE 0 END) AS BIGINT) AS idcg
+        FROM ranked GROUP BY 1
+    )
+    SELECT t.q AS query_id,
+           t.n_rel,
+           k.hits,
+           CAST((1000000 * k.hits) // {_EVAL_K} AS BIGINT) AS prec_ppm,
+           CAST((1000000 * k.hits) // t.n_rel AS BIGINT) AS recall_ppm,
+           CAST(1000000 // k.first_rel AS BIGINT) AS mrr_ppm,
+           CAST((1000000 * k.dcg) // k.idcg AS BIGINT) AS ndcg_ppm
+    FROM totals t JOIN topk k ON t.q = k.q
+    ORDER BY query_id
+    """,
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """precision@{_EVAL_K} / recall@{_EVAL_K} / MRR / nDCG@{_EVAL_K}
+    per synthesized query, every metric an exact integer ppm (see
+    block comment — the log2 discounts are shared ppm literals and the
+    final ratios positive floor divisions). The system and ideal
+    rankings ride TWO row_number windows over ONE query-partitioned
+    exchange (same partitioning, different order — one shuffle)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    qs = spark.range(_EVAL_QUERIES).select(F.col("id").alias("q"))
+    rel = F.expr(_eval_rel_sql("q", "doc_id"))
+    scored = (
+        docs.crossJoin(F.broadcast(qs))
+        .select(
+            "q",
+            "doc_id",
+            rel.alias("rel"),
+            (
+                F.lit(200) * rel
+                + F.expr(
+                    "cast(conv(substring(md5(cast(cast(doc_id * 41 + q"
+                    " as string) as binary)), 1, 8), 16, 10) as bigint)"
+                    " % 2500"
+                )
+            ).alias("score"),
+        )
+        .localCheckpoint(eager=False)  # two windows + the totals agg
+    )
+    w_sys = Window.partitionBy("q").orderBy(F.desc("score"), "doc_id")
+    w_ideal = Window.partitionBy("q").orderBy(F.desc("rel"), "doc_id")
+    ranked = scored.select(
+        "q",
+        "rel",
+        F.row_number().over(w_sys).alias("rnk"),
+        F.row_number().over(w_ideal).alias("irnk"),
+    )
+    totals = scored.groupBy("q").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel")
+    )
+    gain = F.expr("(shiftleft(1, rel) - 1)")
+    topk = ranked.groupBy("q").agg(
+        F.sum(
+            F.when((F.col("rnk") <= _EVAL_K) & (F.col("rel") > 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("hits"),
+        F.min(F.when(F.col("rel") > 0, F.col("rnk")))
+        .cast("long")
+        .alias("first_rel"),
+        F.sum(
+            F.when(
+                F.col("rnk") <= _EVAL_K,
+                gain * F.expr(_ndcg_w_case("rnk")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("irnk") <= _EVAL_K,
+                gain * F.expr(_ndcg_w_case("irnk")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("idcg"),
+    )
+    return (
+        totals.join(topk, "q")
+        .select(
+            F.col("q").cast("long").alias("query_id"),
+            "n_rel",
+            "hits",
+            F.expr(f"(1000000 * hits) div {_EVAL_K}")
+            .cast("long")
+            .alias("prec_ppm"),
+            F.expr("(1000000 * hits) div n_rel")
+            .cast("long")
+            .alias("recall_ppm"),
+            F.expr("1000000 div first_rel").cast("long").alias("mrr_ppm"),
+            F.expr("(1000000 * dcg) div idcg")
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )

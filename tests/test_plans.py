@@ -956,3 +956,19 @@ def test_soundex_gate_guard_rejects_non_letters(spark):
 
     with _pytest.raises(Exception, match="letters-only"):
         df.select(F.soundex(F.concat(guard, F.col("name")))).collect()
+
+
+def test_ndcg_weight_literals_pin_log2():
+    """The irrational 1/log2(rank+1) nDCG discounts enter both plans
+    as integer ppm literals — pin each against an independent
+    recomputation AND the floor inequality w·log2(r+1) ≤ 1e6 <
+    (w+1)·log2(r+1) (the Benford-literal discipline)."""
+    import math
+
+    from jobinsight_data_pipeline_v2_spark.plans.text import _NDCG_W_PPM
+
+    assert _NDCG_W_PPM[0] == 1_000_000  # log2(2) = 1 exactly
+    for r, w in enumerate(_NDCG_W_PPM, start=1):
+        lg = math.log2(r + 1)
+        assert w == int(1_000_000 // lg)
+        assert w * lg <= 1_000_000 < (w + 1) * lg
