@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "planned_join_rollup",  # CMS-sketch-chosen join strategy, value-invariant
     "t_closeness_release",  # privacy trio rung 3: integer variational distance
     "retrieval_eval_metrics",  # prec/recall/MRR/nDCG@k, integer ppm
+    "ks_drift_days",  # exact two-sample KS drift, effect-size flag
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

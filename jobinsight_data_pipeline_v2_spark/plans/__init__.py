@@ -394,7 +394,10 @@ PRIORITY: tuple[str, ...] = (
 #     distance rung stays local-gated next to l_diversity_release),
 #   retrieval_eval_metrics (retrieval family pinned above by
 #     keyword_search_ranked's fold sibling devices (cms/bm25 ladders)
-#     — the offline eval metrics stay local-gated).
+#     — the offline eval metrics stay local-gated),
+#   ks_drift_days (monitoring family pinned above by anomaly_days —
+#     the rank/ECDF drift statistic stays local-gated next to
+#     chi_square_drift).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
