@@ -215,6 +215,10 @@ BENCH_QUERIES = [
     "t_closeness_release",  # privacy trio rung 3: integer variational distance
     "retrieval_eval_metrics",  # prec/recall/MRR/nDCG@k, integer ppm
     "ks_drift_days",  # exact two-sample KS drift, effect-size flag
+    # kcore_membership is deliberately NOT benched: like pagerank/mmr
+    # its cost is R rounds of fixed per-round job overhead on an
+    # edges-sized frame (~10s wall at ANY sf — scheduling, not data);
+    # the iterative family is benched via semantic_dedup.
     # opq_rotation_mips is deliberately NOT benched: the dispatch is
     # TRAINING-only cost — two pq_train runs (5 Lloyd iterations each,
     # one checkpointed job per iteration) plus two error jobs, i.e.

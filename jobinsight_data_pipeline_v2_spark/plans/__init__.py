@@ -397,7 +397,10 @@ PRIORITY: tuple[str, ...] = (
 #     — the offline eval metrics stay local-gated),
 #   ks_drift_days (monitoring family pinned above by anomaly_days —
 #     the rank/ECDF drift statistic stays local-gated next to
-#     chi_square_drift).
+#     chi_square_drift),
+#   kcore_membership (graph family pinned above by
+#     pagerank_doc_graph — same fixed-round iterative device; the
+#     peeling fixpoint stays local-gated next to triangle_counts).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -4071,3 +4071,155 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (graph family, r10): iterative degree peeling —
+# the density filter a graph-curation pipeline runs before community /
+# embedding passes (nodes outside the k-core are peripheral noise).
+# A FIXED number of peel rounds (the pagerank chained-CTE device) with
+# an in-plan convergence assert: each round drops every node whose
+# degree in the CURRENT subgraph is < k; the fixpoint is the k-core.
+# The gate's graph is a HIGHER-VARIANCE variant of the shared
+# _GRAPH_UND_CTES (chords 1 + node % 6 instead of % 3 — the shared
+# graph's degrees are too uniform for a proper-subset core: k=6 peels
+# 3 nodes, k=7 cascades to empty), measured to converge in ≤ 4 rounds
+# at all three SFs with core sizes 436/500 and 4879/5000; R = 6 gives
+# two rounds of margin and the assert fails LOUDLY if a future corpus
+# needs more.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 6
+_KCORE_CMOD = 6
+
+
+def _kcore_graph_ctes() -> str:
+    return f"""nodes AS (SELECT doc_id AS node FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    chords AS (
+        SELECT node AS src,
+               (node * 7 + j * 31 + 11) % (SELECT n FROM tot) AS dst
+        FROM nodes, UNNEST(generate_series(1, 1 + node % {_KCORE_CMOD}))
+             AS t(j)
+    ),
+    ring AS (
+        SELECT node AS src, (node + j) % (SELECT n FROM tot) AS dst
+        FROM nodes, UNNEST(generate_series(1, 2)) AS t(j)
+    ),
+    edges AS (SELECT * FROM chords UNION ALL SELECT * FROM ring),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src != dst
+    )"""
+
+
+def _kcore_oracle_sql() -> str:
+    rounds = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        # every round CTE MATERIALIZED: e_r references e_{r-1} three
+        # times and DuckDB inlines plain CTEs — 3^R copies of the edge
+        # build exhausted the fd limit before materialization
+        rounds.append(
+            f"""k{r} AS MATERIALIZED (
+        SELECT x FROM (SELECT a AS x FROM e{r - 1}
+                       UNION ALL SELECT b FROM e{r - 1})
+        GROUP BY x HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT a, b FROM e{r - 1}
+        WHERE a IN (SELECT x FROM k{r}) AND b IN (SELECT x FROM k{r})
+    )"""
+        )
+    last = f"e{_KCORE_ROUNDS}"
+    return f"""
+    WITH {_kcore_graph_ctes()},
+    {", ".join(rounds)}
+    SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM (SELECT a AS x FROM {last} UNION ALL SELECT b FROM {last})
+    GROUP BY x
+    ORDER BY node
+    """
+
+
+@register("kcore_membership", _kcore_oracle_sql())
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, core_deg) for every node surviving {_KCORE_ROUNDS}
+    rounds of degree-{_KCORE_K} peeling over the synthesized
+    high-variance doc graph — the {_KCORE_K}-core, with an in-plan
+    assert that the peeling CONVERGED (every emitted degree ≥ k; a
+    graph needing more rounds fails loudly instead of shipping a
+    non-core).
+
+    Shape: edges build once (distinct id-ordered pairs) and each round
+    is one degree aggregation + two semi-join filters on the shrinking
+    edge set, checkpointed per round (two consumers + bounded lineage,
+    the pagerank/mmr discipline). At 100 TB the rounds stay
+    edge-bounded — peeling never shuffles more than the live edge
+    set, and real corpora converge in O(log-ish) rounds for fixed k;
+    a full coreness decomposition would run the same loop with k
+    escalation."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("node")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    base = docs.crossJoin(F.broadcast(tot))
+    chords = base.select(
+        F.col("node").alias("src"),
+        F.explode(F.expr(f"sequence(1, 1 + node % {_KCORE_CMOD})")).alias(
+            "j"
+        ),
+        "__n",
+    ).select("src", F.expr("(src * 7 + j * 31 + 11) % __n").alias("dst"))
+    ring = base.select(
+        F.col("node").alias("src"),
+        F.explode(F.expr("sequence(1, 2)")).alias("j"),
+        "__n",
+    ).select("src", F.expr("(src + j) % __n").alias("dst"))
+    edges = (
+        chords.unionByName(ring)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        ends = edges.select(F.col("a").alias("x")).unionByName(
+            edges.select(F.col("b").alias("x"))
+        )
+        keep = (
+            ends.groupBy("x")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= _KCORE_K)
+            .select("x")
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("x", "a"), "a")
+            .join(keep.withColumnRenamed("x", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=False)  # degree agg + next filter
+        )
+    ends = edges.select(F.col("a").alias("x")).unionByName(
+        edges.select(F.col("b").alias("x"))
+    )
+    deg = ends.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )
+    # convergence guard: a surviving node under k means R rounds were
+    # not enough — fail loudly (zero-summand fold, unprunable)
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("core_deg") >= _KCORE_K,
+            F.lit(
+                f"kcore_membership: node below degree {_KCORE_K} after "
+                f"{_KCORE_ROUNDS} peel rounds — raise _KCORE_ROUNDS"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    return deg.select(
+        "node", (F.col("core_deg") + guard).alias("core_deg")
+    ).orderBy("node")
