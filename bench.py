@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "t_closeness_release",  # privacy trio rung 3: integer variational distance
     "retrieval_eval_metrics",  # prec/recall/MRR/nDCG@k, integer ppm
     "ks_drift_days",  # exact two-sample KS drift, effect-size flag
+    "calibration_ece",  # reliability buckets + ECE, integer ppm
     # kcore_membership is deliberately NOT benched: like pagerank/mmr
     # its cost is R rounds of fixed per-round job overhead on an
     # edges-sized frame (~10s wall at ANY sf — scheduling, not data);

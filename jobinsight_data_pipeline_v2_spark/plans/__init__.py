@@ -400,7 +400,10 @@ PRIORITY: tuple[str, ...] = (
 #     chi_square_drift),
 #   kcore_membership (graph family pinned above by
 #     pagerank_doc_graph — same fixed-round iterative device; the
-#     peeling fixpoint stays local-gated next to triangle_counts).
+#     peeling fixpoint stays local-gated next to triangle_counts),
+#   calibration_ece (ML-eval family; the classifier itself is pinned
+#     above by the curation_funnel + quality gates — the calibration
+#     report stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

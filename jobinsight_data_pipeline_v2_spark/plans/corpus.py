@@ -3528,3 +3528,132 @@ def readability_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier calibration (ML-eval family, r10): the reliability
+# diagram + expected calibration error every model-gated curation
+# pipeline should run — "when the quality model says 70%, is it right
+# 70% of the time?". Confidence = the linear classifier's logit
+# clamped into ppm (conf = clamp(5e5 + 1e4·logit, 0, 1e6) — the
+# integer stand-in for a sigmoid; a real model would quantize its
+# probabilities the same way), ground truth = an INDEPENDENT quality
+# property (distinct-token ratio ≥ 2/3, cross-multiplied — correlated
+# with the model through n_distinct but not identical, so buckets
+# carry real disagreement). Ten decile buckets; per bucket the gap
+# |Σconf − 1e6·n_pos| div n, and one summary row with
+# ECE = Σ_b |Σconf_b − 1e6·pos_b| div N — every emitted number a
+# positive BIGINT floor division.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "calibration_ece",
+    f"""
+    WITH f AS (
+        SELECT doc_id,
+               len({_SQL_TOKENS}) AS n_tok,
+               len(list_distinct({_SQL_TOKENS})) AS n_distinct,
+               len(list_filter({_SQL_TOKENS}, x -> x IN {_STOP_SQL}))
+                   AS n_stop,
+               len(list_filter({_SQL_TOKENS}, x -> length(x) <= 2))
+                   AS n_short
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               least(1000000, greatest(0,
+                   500000 + 10000 * ({_W_DISTINCT} * n_distinct
+                       + {_W_STOP} * n_stop + {_W_TOK} * n_tok
+                       + {_W_SHORT} * n_short))) AS conf,
+               CASE WHEN 3 * n_distinct >= 2 * n_tok THEN 1 ELSE 0 END
+                   AS y
+        FROM f WHERE n_tok > 0
+    ),
+    b AS (
+        SELECT least(9, conf // 100000) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conf) AS BIGINT) AS conf_sum,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1
+    ),
+    per_bucket AS (
+        SELECT CAST(bucket AS BIGINT) AS bucket, n,
+               CAST(conf_sum // n AS BIGINT) AS avg_conf_ppm,
+               CAST((1000000 * n_pos) // n AS BIGINT) AS acc_ppm,
+               CAST(abs(conf_sum - 1000000 * n_pos) // n AS BIGINT)
+                   AS gap_ppm
+        FROM b
+    ),
+    summary AS (
+        SELECT CAST(-1 AS BIGINT) AS bucket,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(conf_sum) // SUM(n) AS BIGINT) AS avg_conf_ppm,
+               CAST((1000000 * SUM(n_pos)) // SUM(n) AS BIGINT)
+                   AS acc_ppm,
+               CAST(SUM(abs(conf_sum - 1000000 * n_pos)) // SUM(n)
+                    AS BIGINT) AS gap_ppm
+        FROM b
+    )
+    SELECT * FROM per_bucket
+    UNION ALL SELECT * FROM summary
+    ORDER BY bucket
+    """,
+)
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability buckets + expected calibration error for the
+    quality classifier against an independent quality label (see block
+    comment): per decile bucket (n, avg confidence, empirical accuracy,
+    gap) in exact ppm, plus the bucket=-1 summary row whose gap_ppm IS
+    the ECE.
+
+    Shape: one corpus scan through the shared classifier features, a
+    ≤10-row bucket aggregate, and a one-row rollup."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = classifier_score(docs).select(
+        F.expr(
+            "least(1000000L, greatest(0L, 500000 + 10000 * logit))"
+        ).alias("conf"),
+        F.when(
+            3 * F.col("n_distinct") >= 2 * F.col("n_tok"), 1
+        ).otherwise(0).alias("y"),
+    )
+    b = (
+        scored.groupBy(
+            F.least(F.lit(9), F.expr("conf div 100000")).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conf").cast("long").alias("conf_sum"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .localCheckpoint(eager=False)  # per-bucket rows + the summary
+    )
+    per_bucket = b.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n",
+        F.expr("conf_sum div n").cast("long").alias("avg_conf_ppm"),
+        F.expr("(1000000 * n_pos) div n").cast("long").alias("acc_ppm"),
+        F.expr("abs(conf_sum - 1000000 * n_pos) div n")
+        .cast("long")
+        .alias("gap_ppm"),
+    )
+    summary = b.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.expr("sum(conf_sum) div sum(n)")
+        .cast("long")
+        .alias("avg_conf_ppm"),
+        F.expr("(1000000 * sum(n_pos)) div sum(n)")
+        .cast("long")
+        .alias("acc_ppm"),
+        F.expr("sum(abs(conf_sum - 1000000 * n_pos)) div sum(n)")
+        .cast("long")
+        .alias("gap_ppm"),
+    ).select(
+        F.lit(-1).cast("long").alias("bucket"),
+        "n",
+        "avg_conf_ppm",
+        "acc_ppm",
+        "gap_ppm",
+    )
+    return per_bucket.unionByName(summary).orderBy("bucket")
