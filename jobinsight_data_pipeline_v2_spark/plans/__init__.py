@@ -403,7 +403,10 @@ PRIORITY: tuple[str, ...] = (
 #     peeling fixpoint stays local-gated next to triangle_counts),
 #   calibration_ece (ML-eval family; the classifier itself is pinned
 #     above by the curation_funnel + quality gates — the calibration
-#     report stays local-gated).
+#     report stays local-gated),
+#   dp_geometric_release (privacy family pinned above by
+#     k_anonymity_release — the noising mechanism stays local-gated
+#     next to the release-ladder rungs).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

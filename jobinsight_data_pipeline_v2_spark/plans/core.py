@@ -4096,3 +4096,105 @@ def planned_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# DP-style geometric release (privacy MECHANISM, r10): the trio above
+# decides WHAT may be published; this gate pins HOW a count gets
+# noised — the discrete two-sided geometric mechanism (the integer
+# Laplace, Ghosh-Roughgarden-Sundararajan), with the noise draw
+# derived DETERMINISTICALLY from a keyed md5 so the release is
+# replayable and both engines agree bit for bit. u = 1 + md5-head-31
+# bits; magnitude m = 31 − floor(log2(u)) is EXACTLY geometric(1/2)
+# on u's uniform range (P(m) = 2^−m−1 — the HLL rank trick through
+# the shared qhist ladder, identical CASE text both engines); an
+# independent md5 nibble picks the sign. ε = ln 2 per unit
+# sensitivity under true randomness; a PRODUCTION release would seed
+# from a sampled secret instead of the group key (documented — the
+# gate pins the mechanism's arithmetic, not a privacy proof), and the
+# true counts ride the hash for exactly that reason.
+# ---------------------------------------------------------------------------
+
+
+def _dp_u31(expr: str) -> str:
+    """1 + (md5 head % (2^31 − 1)) ∈ [1, 2^31 − 1] — inside the
+    31-bit ladder's exact domain; DuckDB spelling."""
+    return (
+        f"1 + ('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % 2147483647"
+    )
+
+
+def _dp_u31_spark(expr: str) -> str:
+    return (
+        f"1 + cast(conv(substring(md5(cast(cast({expr} as string) as "
+        f"binary)), 1, 8), 16, 10) as bigint) % 2147483647"
+    )
+
+
+from ..operators.sketch import qhist_bucket_sql as _qhist_ladder
+
+_DP_MAG_LADDER = _qhist_ladder("u", 31)
+
+
+@register(
+    "dp_geometric_release",
+    f"""
+    WITH g AS (
+        SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1
+    ),
+    noise AS (
+        SELECT nation, n,
+               31 - {_DP_MAG_LADDER} AS mag,
+               CASE WHEN ('0x' || substring(
+                        md5(CAST(nation * 131 + 7 AS VARCHAR)), 1, 1))
+                        ::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM (SELECT nation, n, {_dp_u31("nation")} AS u FROM g)
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, n,
+           CAST(mag AS BIGINT) AS noise_mag,
+           CAST(sgn AS BIGINT) AS noise_sign,
+           CAST(greatest(0, n + sgn * mag) AS BIGINT) AS released
+    FROM noise
+    ORDER BY nation
+    """,
+)
+def dp_geometric_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer counts through the two-sided geometric
+    mechanism with deterministic md5-seeded noise (see block comment):
+    magnitude = 31 − floor(log2(u)) over the shared qhist ladder
+    (exactly geometric(1/2)), sign from an independent md5 nibble,
+    released = max(0, n + sign·magnitude). True counts stay in the
+    hash — the gate pins the mechanism's integer arithmetic and
+    replayability, not a privacy proof."""
+    customer = load_table(spark, sf_dir, "customer")
+    g = customer.groupBy(
+        F.col("c_nationkey").cast("long").alias("nation")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qh = _DP_MAG_LADDER
+    noise = g.select(
+        "nation",
+        "n",
+        F.expr(_dp_u31_spark("nation")).alias("u"),
+        F.expr(
+            "CASE WHEN cast(conv(substring(md5(cast(cast(nation * 131 "
+            "+ 7 as string) as binary)), 1, 1), 16, 10) as bigint) % 2 "
+            "= 0 THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    ).select(
+        "nation",
+        "n",
+        (F.lit(31) - F.expr(qh)).alias("mag"),
+        "sgn",
+    )
+    return noise.select(
+        "nation",
+        "n",
+        F.col("mag").cast("long").alias("noise_mag"),
+        F.col("sgn").cast("long").alias("noise_sign"),
+        F.greatest(F.lit(0), F.col("n") + F.col("sgn") * F.col("mag"))
+        .cast("long")
+        .alias("released"),
+    ).orderBy("nation")

@@ -1023,6 +1023,32 @@ def url_dedup_stream(
     return decided.unionByName(malformed)
 
 
+def calibration_stream(docs: DataFrame) -> DataFrame:
+    """(bucket, n, conf_sum, n_pos, avg_conf_ppm, acc_ppm, gap_ppm):
+    the classifier reliability diagram updating as documents arrive —
+    twin 48, the calibration_ece gate's bucket aggregation in complete
+    mode over the SHARED calibration_buckets transform (chained
+    aggregations are unsupported on streams — the cohort lesson — so
+    the one-row ECE summary stays a consumer-side fold over the ≤ 10
+    emitted buckets; the per-bucket derived columns are plain
+    projections AFTER the agg, which streams fine). Final state equals
+    the batch gate's per-bucket rows column for column."""
+    from ..plans.corpus import calibration_buckets
+
+    b = calibration_buckets(docs)
+    return b.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n",
+        "conf_sum",
+        "n_pos",
+        F.expr("conf_sum div n").cast("long").alias("avg_conf_ppm"),
+        F.expr("(1000000 * n_pos) div n").cast("long").alias("acc_ppm"),
+        F.expr("abs(conf_sum - 1000000 * n_pos) div n")
+        .cast("long")
+        .alias("gap_ppm"),
+    )
+
+
 _SEM_STREAM_STATE = "vecs ARRAY<ARRAY<BIGINT>>, max_ord LONG"
 
 

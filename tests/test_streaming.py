@@ -3244,3 +3244,49 @@ def test_streaming_semantic_dedup_ttl_readmits_after_horizon(
     }
     # T0's first incarnation expired; live cells: readmitted + T1 + T2
     assert state_rows == 3
+
+
+def test_streaming_calibration_equals_batch(spark, tmp_path):
+    """Twin 48: the complete-mode reliability buckets equal the batch
+    calibration_ece gate's per-bucket rows column for column once all
+    documents have arrived."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        calibration_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    src = os.path.join(str(tmp_path), "calib")
+    now = time.time()
+    for b, (lo, hi) in enumerate([(0, n // 2), (n // 2, n + 1)]):
+        part = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, calibration_stream(stream), "calib_test", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT bucket, n, avg_conf_ppm, acc_ppm, gap_ppm FROM calib_test"
+    )
+    expected = (
+        load_all()["calibration_ece"][0](spark, SF)
+        .filter("bucket >= 0")
+        .select("bucket", "n", "avg_conf_ppm", "acc_ppm", "gap_ppm")
+    )
+    sym = (
+        got.exceptAll(expected).count()
+        + expected.exceptAll(got).count()
+    )
+    assert sym == 0
