@@ -406,7 +406,10 @@ PRIORITY: tuple[str, ...] = (
 #     report stays local-gated),
 #   dp_geometric_release (privacy family pinned above by
 #     k_anonymity_release — the noising mechanism stays local-gated
-#     next to the release-ladder rungs).
+#     next to the release-ladder rungs),
+#   ab_test_proportions (experimentation family; the events scan +
+#     conditional-agg devices are pinned above by validation_counters
+#     and anomaly_days — the z-test arithmetic stays local-gated).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

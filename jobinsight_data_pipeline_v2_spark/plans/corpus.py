@@ -3530,6 +3530,35 @@ def readability_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def calibration_scored(docs: DataFrame) -> DataFrame:
+    """(conf, y) per doc — the shared confidence/label projection
+    (checkpoint-free narrow, so the streaming twin runs it verbatim):
+    conf = clamp(5e5 + 1e4·logit, 0, 1e6), y = the independent
+    distinct-token-ratio label."""
+    return classifier_score(docs).select(
+        F.expr(
+            "least(1000000L, greatest(0L, 500000 + 10000 * logit))"
+        ).alias("conf"),
+        F.when(
+            3 * F.col("n_distinct") >= 2 * F.col("n_tok"), 1
+        ).otherwise(0).alias("y"),
+    )
+
+
+def calibration_buckets(docs: DataFrame) -> DataFrame:
+    """(bucket, n, conf_sum, n_pos) — ONE aggregation over the scored
+    projection, shared by the batch gate and calibration_stream (a
+    stream cannot chain a second aggregation, so the summary/ECE fold
+    stays batch-side / consumer-side)."""
+    return calibration_scored(docs).groupBy(
+        F.least(F.lit(9), F.expr("conf div 100000")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conf").cast("long").alias("conf_sum"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # classifier calibration (ML-eval family, r10): the reliability
 # diagram + expected calibration error every model-gated curation
@@ -3600,35 +3629,6 @@ def readability_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY bucket
     """,
 )
-def calibration_scored(docs: DataFrame) -> DataFrame:
-    """(conf, y) per doc — the shared confidence/label projection
-    (checkpoint-free narrow, so the streaming twin runs it verbatim):
-    conf = clamp(5e5 + 1e4·logit, 0, 1e6), y = the independent
-    distinct-token-ratio label."""
-    return classifier_score(docs).select(
-        F.expr(
-            "least(1000000L, greatest(0L, 500000 + 10000 * logit))"
-        ).alias("conf"),
-        F.when(
-            3 * F.col("n_distinct") >= 2 * F.col("n_tok"), 1
-        ).otherwise(0).alias("y"),
-    )
-
-
-def calibration_buckets(docs: DataFrame) -> DataFrame:
-    """(bucket, n, conf_sum, n_pos) — ONE aggregation over the scored
-    projection, shared by the batch gate and calibration_stream (a
-    stream cannot chain a second aggregation, so the summary/ECE fold
-    stays batch-side / consumer-side)."""
-    return calibration_scored(docs).groupBy(
-        F.least(F.lit(9), F.expr("conf div 100000")).alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("conf").cast("long").alias("conf_sum"),
-        F.sum("y").cast("long").alias("n_pos"),
-    )
-
-
 def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability buckets + expected calibration error for the
     quality classifier against an independent quality label (see block

@@ -2425,3 +2425,157 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis (experimentation family, r10): the
+# two-proportion z-test every growth/experimentation stack runs,
+# entirely in integers. Units (events) randomize into two arms by the
+# md5-head parity of event_id (hash-VALUE semantics — assignment must
+# replay); a synthesized treatment effect converts arm 1 at a lower
+# value threshold. The pooled two-proportion z² clears every
+# denominator:
+#   z² = (c1·n2 − c2·n1)²·N / (n1·n2·C·(N−C)),  N = n1+n2, C = c1+c2
+# so significance (z > 2, ~95%) is the integer predicate
+#   (c1·n2 − c2·n1)²·N > 4·n1·n2·C·(N−C)
+# carried in DECIMAL(38,0)/HUGEINT ((c·n)² reaches ~1e18 at sf0.1 and
+# grows 4 orders per 100×; the decimal keeps headroom to ~sf100).
+# z2_ppm itself is emitted as one positive floor division.
+# ---------------------------------------------------------------------------
+
+_AB_T_CONTROL = 15000  # control converts at value > 150.00
+_AB_T_TREAT = 10000  # treatment at value > 100.00 (the planted lift)
+
+
+@register(
+    "ab_test_proportions",
+    f"""
+    WITH assigned AS (
+        SELECT ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS arm,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN (arm = 0 AND cents > {_AB_T_CONTROL})
+                              OR (arm = 1 AND cents > {_AB_T_TREAT})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM assigned GROUP BY 1
+    ),
+    s AS (
+        SELECT
+            (SELECT n FROM arms WHERE arm = 0) AS n1,
+            (SELECT conv FROM arms WHERE arm = 0) AS c1,
+            (SELECT n FROM arms WHERE arm = 1) AS n2,
+            (SELECT conv FROM arms WHERE arm = 1) AS c2
+    ),
+    z AS (
+        SELECT n1, c1, n2, c2, n1 + n2 AS nn, c1 + c2 AS cc,
+               CAST(c2 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n2
+                   AS dev
+        FROM s
+    )
+    SELECT CAST(arm AS BIGINT) AS arm, n, conv,
+           CAST((1000000 * conv) // n AS BIGINT) AS rate_ppm,
+           CAST(-1 AS BIGINT) AS z2_ppm,
+           FALSE AS significant
+    FROM arms
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(nn AS BIGINT),
+           CAST(cc AS BIGINT),
+           CAST((1000000 * c2) // n2 - (1000000 * c1) // n1 AS BIGINT),
+           CAST((1000000 * dev * dev * nn)
+                // (CAST(n1 AS HUGEINT) * n2 * cc * (nn - cc))
+                AS BIGINT),
+           dev * dev * nn
+               > 4 * CAST(n1 AS HUGEINT) * n2 * cc * (nn - cc)
+    FROM z
+    ORDER BY arm
+    """,
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm conversion rows plus the arm=-1 summary: rate delta in
+    ppm, z² in ppm, and the integer z > 2 significance flag (see block
+    comment; the planted value-threshold lift is significant at all
+    three SFs). Deterministic md5 arm assignment; one events scan and
+    a 2-row aggregate."""
+    events = load_events(spark, sf_dir)
+    assigned = events.select(
+        F.expr(
+            "cast(conv(substring(md5(cast(cast(event_id as string) as "
+            "binary)), 1, 8), 16, 10) as bigint) % 2"
+        ).alias("arm"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    arms = (
+        assigned.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    ((F.col("arm") == 0) & (F.col("cents") > _AB_T_CONTROL))
+                    | ((F.col("arm") == 1) & (F.col("cents") > _AB_T_TREAT)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("conv"),
+        )
+        .localCheckpoint(eager=False)  # per-arm rows + the pivot
+    )
+    s = (
+        arms.groupBy()
+        .pivot("arm", [0, 1])
+        .agg(F.first("n").alias("n"), F.first("conv").alias("c"))
+        .select(
+            F.col("0_n").alias("n1"),
+            F.col("0_c").alias("c1"),
+            F.col("1_n").alias("n2"),
+            F.col("1_c").alias("c2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    z = s.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        (F.col("n1") + F.col("n2")).alias("nn"),
+        (F.col("c1") + F.col("c2")).alias("cc"),
+        (
+            F.col("c2").cast(dec) * F.col("n1").cast(dec)
+            - F.col("c1").cast(dec) * F.col("n2").cast(dec)
+        ).alias("dev"),
+    )
+    per_arm = arms.select(
+        F.col("arm").cast("long").alias("arm"),
+        "n",
+        "conv",
+        F.expr("(1000000 * conv) div n").cast("long").alias("rate_ppm"),
+        F.lit(-1).cast("long").alias("z2_ppm"),
+        F.lit(False).alias("significant"),
+    )
+    summary = z.select(
+        F.lit(-1).cast("long").alias("arm"),
+        (F.col("nn")).cast("long").alias("n"),
+        (F.col("cc")).cast("long").alias("conv"),
+        (
+            F.expr("(1000000 * c2) div n2") - F.expr("(1000000 * c1) div n1")
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+        F.expr(
+            f"cast((cast(1000000 as {dec}) * dev * dev * nn) div "
+            f"(cast(n1 as {dec}) * n2 * cc * (nn - cc)) as bigint)"
+        ).alias("z2_ppm"),
+        (
+            F.col("dev") * F.col("dev") * F.col("nn").cast(dec)
+            > F.lit(4).cast(dec)
+            * F.col("n1").cast(dec)
+            * F.col("n2").cast(dec)
+            * F.col("cc").cast(dec)
+            * (F.col("nn") - F.col("cc")).cast(dec)
+        ).alias("significant"),
+    )
+    return per_arm.unionByName(summary).orderBy("arm")
