@@ -92,6 +92,7 @@ def curate_corpus(
     n_shards: int = 8,
     span_l: int = _SPAN_L,
     gopher: bool = False,
+    semantic: bool = False,
     normalize: bool = False,
     fold_accents: bool = False,
     fim: bool = False,
@@ -109,7 +110,12 @@ def curate_corpus(
     doc ships). ``gopher=True`` inserts the published Gopher rule
     battery (plans/text.gopher_flag_columns) as stage 3b, before the
     classifier — rules cut the volume the model gate pays for — and
-    adds ``n_gopher_kept`` to the report. ``normalize=True`` inserts
+    adds ``n_gopher_kept`` to the report. ``semantic=True`` inserts
+    SemDeDup-style semantic dedup as stage 2b, after the substring cut
+    (the run_curation_day stage semantics: frozen hashed-BoW vector +
+    SRP cell, within-cell integer cosine ≥ 9/10, keep-min; permutation
+    near-copies that every surface stage misses drop here), adding
+    ``n_semantic_kept`` and a ``semantic_dedup`` ledger stage. ``normalize=True`` inserts
     Unicode NFC normalization as stage 0 (operators/unicode_norm.py)
     so exact dedup and the span-gram hashes see é == e+U+0301 — form
     variants of the same text collapse instead of slipping through —
@@ -140,6 +146,7 @@ def curate_corpus(
         return _curate_corpus(
             spark, docs, out_dir, token_budget=token_budget,
             n_shards=n_shards, span_l=span_l, gopher=gopher,
+            semantic=semantic,
             normalize=normalize, fold_accents=fold_accents, fim=fim,
             ledger=ledger, metrics=metrics,
             run_ts=run_ts, stage=stage,
@@ -167,6 +174,7 @@ def _curate_corpus(
     n_shards: int,
     span_l: int,
     gopher: bool,
+    semantic: bool,
     normalize: bool,
     fold_accents: bool,
     fim: bool,
@@ -269,6 +277,41 @@ def _curate_corpus(
     drop_pairs.append(("substring_dedup", exact, deduped))
     report["span_tokens_removed"] = int(span_stats["removed"] or 0)
     _stage(metrics, run_ts, "substring_dedup", n_exact, n_span_kept, t1)
+    n_cur = n_span_kept
+
+    # 2b. optional semantic dedup (SemDeDup over the frozen hashed-BoW
+    #     quantizer — the run_curation_day stage, one-shot form):
+    #     within-cell exact integer cosine ≥ 9/10, keep-min.
+    if semantic:
+        t1b = time.monotonic()
+        stage["name"] = "semantic_dedup"
+        cellv = _batch_doc_vectors(
+            deduped.select("doc_id", "text")
+        ).localCheckpoint(eager=False)  # self-join both sides (rule 12)
+        pairs = (
+            cellv.select(
+                F.col("doc_id").alias("__a_id"),
+                "cell",
+                F.col("vec").alias("a_vec"),
+            )
+            .join(
+                cellv.select(
+                    "doc_id", "cell", F.col("vec").alias("b_vec")
+                ),
+                "cell",
+            )
+            .filter(F.col("__a_id") < F.col("doc_id"))
+            .select("doc_id", "a_vec", "b_vec")
+        )
+        sem = deduped.join(
+            _sem_hit_docs(pairs), "doc_id", "left_anti"
+        ).localCheckpoint(eager=False)
+        n_sem = sem.count()
+        report["n_semantic_kept"] = n_sem
+        drop_pairs.append(("semantic_dedup", deduped, sem))
+        _stage(metrics, run_ts, "semantic_dedup", n_cur, n_sem, t1b)
+        deduped = sem
+        n_cur = n_sem
 
     # 3. PII redaction (narrow projection; counts ride the same scan)
     t2 = time.monotonic()
@@ -293,14 +336,14 @@ def _curate_corpus(
     report["pii_emails"] = int(pii["em"] or 0)
     report["pii_phones"] = int(pii["ph"] or 0)
     _stage(
-        metrics, run_ts, "pii_scrub", n_span_kept, n_span_kept, t2,
+        metrics, run_ts, "pii_scrub", n_cur, n_cur, t2,
     )
 
     # 3b. optional Gopher rule gate: the cheap published heuristics
     #     run BEFORE the model gate (the production order — rules cut
     #     the volume the classifier pays for). Narrow projection +
     #     filter; counts ride one fetch.
-    gate_in = n_span_kept
+    gate_in = n_cur
     if gopher:
         t2b = time.monotonic()
         stage["name"] = "gopher_rules"
@@ -315,7 +358,7 @@ def _curate_corpus(
         )
         n_gopher = ruled.count()
         report["n_gopher_kept"] = n_gopher
-        _stage(metrics, run_ts, "gopher_rules", n_span_kept, n_gopher, t2b)
+        _stage(metrics, run_ts, "gopher_rules", n_cur, n_gopher, t2b)
         drop_pairs.append(("gopher_rules", scrubbed, ruled))
         scrubbed = ruled
         gate_in = n_gopher

@@ -357,3 +357,35 @@ def test_curate_corpus_fold_accents_collapses_accent_variants(
     assert r["n_exact_kept"] == 2
     texts = [row["text"] for row in spark.read.parquet(out).collect()]
     assert not any("à" in t or "ộ" in t for t in texts)
+
+
+def test_curate_corpus_semantic_stage(spark, tmp_path):
+    """semantic=True drops permutation near-copies that exact,
+    near-band and substring stages all miss (same token multiset, no
+    shared 16-gram run), keeps originals, reports n_semantic_kept, and
+    the ledger names the stage."""
+    def text(i, n=40):
+        return " ".join(f"s{i}x{j}" for j in range(n))
+
+    rows = [(i, text(i)) for i in range(6)] + [
+        (20, " ".join(reversed(text(2).split()))),   # permutation of 2
+        # even/odd interleave of 4: same multiset, NO consecutive run
+        # (a plain rotation keeps a 33-token run and the substring
+        # stage rightly cuts it first)
+        (21, " ".join(text(4).split()[::2] + text(4).split()[1::2])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    r = curate_corpus(
+        spark, docs, out, n_shards=2, semantic=True, ledger=True
+    )
+    assert r["n_span_kept"] == 8  # permutations share no 16-gram
+    assert r["n_semantic_kept"] == 6
+    led = {(x.doc_id, x.stage) for x in r["ledger"].collect()}
+    assert (20, "semantic_dedup") in led and (21, "semantic_dedup") in led
+    shipped = {
+        x.doc_id for x in spark.read.parquet(out).collect()
+    }
+    assert {2, 4} <= shipped and not {20, 21} & shipped
+    # ledger ∪ shipped still partitions the input
+    assert shipped | {i for i, _ in led} == {i for i, _ in rows}
