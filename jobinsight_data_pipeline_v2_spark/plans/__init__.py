@@ -409,7 +409,10 @@ PRIORITY: tuple[str, ...] = (
 #     next to the release-ladder rungs),
 #   ab_test_proportions (experimentation family; the events scan +
 #     conditional-agg devices are pinned above by validation_counters
-#     and anomaly_days — the z-test arithmetic stays local-gated).
+#     and anomaly_days — the z-test arithmetic stays local-gated),
+#   mbox_roundtrip (source family pinned above by jsonl_roundtrip +
+#     avro_roundtrip — the mbox framing/stuffing path stays
+#     local-gated next to the other roundtrip gates).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

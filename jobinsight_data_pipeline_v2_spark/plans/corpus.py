@@ -3670,3 +3670,103 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_ppm",
     )
     return per_bucket.unionByName(summary).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# MBOX ingest round trip (S21, r10): the email-corpus source — the
+# jsonl/warc roundtrip device applied to the mbox framing (From
+# envelopes, >From stuffing, RFC-822 headers, UTF-8 8bit bodies) with
+# the avro-style ROW-level quarantine: two injected messages missing
+# required headers plus one non-mbox file must land in quarantine
+# (counted in the bucket = -1 row) without disturbing a single good
+# message's bytes. The oracle recomputes buckets from the pristine
+# parquet view + the literal injection constants — DuckDB never reads
+# a mailbox byte.
+# ---------------------------------------------------------------------------
+
+_MBOX_N_BAD = 3  # 2 missing-header messages + 1 bad container
+
+
+@register(
+    "mbox_roundtrip",
+    f"""
+    SELECT doc_id % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(length(text)) AS BIGINT) AS chars
+    FROM documents GROUP BY 1
+    UNION ALL
+    SELECT -1, {_MBOX_N_BAD}, 0, 0
+    ORDER BY 1
+    """,
+)
+def mbox_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → distributed mbox export → ``read_mbox_messages`` →
+    aggregates + quarantine count: the S21 source pinned end to end
+    (see block comment). Doc ids ride Message-ID (<doc-N@corpus>);
+    chars pins that the stuffing/framing round trip preserves every
+    body byte; the bucket = -1 row pins that exactly the injected
+    garbage quarantined (a spurious quarantine or a silently swallowed
+    message both break the hash)."""
+    import os
+    import shutil
+
+    from ..sources.mbox_source import (
+        mbox_docs,
+        mbox_quarantine,
+        read_mbox_messages,
+        write_mbox_archive,
+    )
+
+    out = _jsonl_gate_dir(sf_dir).replace("jsonl", "mbox")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    msgs = docs.select(
+        F.concat(F.lit("<doc-"), F.col("doc_id"), F.lit("@corpus>")).alias(
+            "msg_id"
+        ),
+        F.lit("corpus@example.com").alias("from_addr"),
+        F.concat(F.lit("doc "), F.col("doc_id")).alias("subject"),
+        F.col("text").alias("body"),
+    ).repartition(8)
+    write_mbox_archive(msgs, out).count()  # drain: executes the export
+    # inject: one mailbox whose messages lack required headers, and
+    # one file that is not an mbox at all
+    date = "Thu, 01 Jan 2026 00:00:00 +0000"
+    bad = (
+        f"From z@x {date}\nFrom: z@x\nSubject: no-id\n\nbody one\n"
+        f"\n"
+        f"From z@x {date}\nMessage-ID: <bad@x>\nSubject: no-from\n\n"
+        f"body two\n"
+    ).encode("utf-8")
+    with open(os.path.join(out, "part-injected.mbox"), "wb") as f:
+        f.write(bad)
+    with open(os.path.join(out, "part-garbage.mbox"), "wb") as f:
+        f.write(b"this is not a mailbox at all")
+    back = read_mbox_messages(spark, f"{out}/*").localCheckpoint(
+        eager=False
+    )  # docs + quarantine consumers
+    parsed = mbox_docs(back).select(
+        F.regexp_extract("msg_id", r"<doc-(\d+)@corpus>", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("body").alias("text"),
+    )
+    good = (
+        parsed.groupBy((F.col("doc_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(F.length("text")).cast("long").alias("chars"),
+        )
+    )
+    quar = mbox_quarantine(back).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).select(
+        F.lit(-1).cast("long").alias("bucket"),
+        "n_docs",
+        F.lit(0).cast("long").alias("id_sum"),
+        F.lit(0).cast("long").alias("chars"),
+    )
+    return good.unionByName(quar).orderBy("bucket")

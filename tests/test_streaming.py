@@ -3290,3 +3290,34 @@ def test_streaming_calibration_equals_batch(spark, tmp_path):
         + expected.exceptAll(got).count()
     )
     assert sym == 0
+
+
+def test_streaming_mbox_equals_batch(spark, tmp_path):
+    """MBOX landing stream (twin 49): messages parsed out of newly
+    landed mailbox files — one file per micro-batch — equal the batch
+    reader's rows exactly, quarantine included."""
+    from jobinsight_data_pipeline_v2_spark.sources.mbox_source import (
+        read_mbox_messages,
+        read_mbox_stream,
+    )
+    from tests.test_mbox_source import _msg
+
+    land = os.path.join(str(tmp_path), "mbox_landing")
+    os.makedirs(land)
+    with open(os.path.join(land, "a.mbox"), "wb") as f:
+        f.write(b"\n".join([_msg(0, "alpha"), _msg(1, "bravo")]))
+    with open(os.path.join(land, "b.mbox"), "wb") as f:
+        f.write(_msg(2, "no id", drop="Message-ID"))
+    with open(os.path.join(land, "c.mbox"), "wb") as f:
+        f.write(b"not a mailbox")
+
+    glob = os.path.join(land, "*")
+    stream = read_mbox_stream(spark, glob, max_files_per_trigger=1)
+    q = run_stream_to_memory(spark, stream, "mbox_stream_test")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM mbox_stream_test")
+    expected = read_mbox_messages(spark, glob)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() == 4
+    assert got.filter("reason IS NOT NULL").count() == 2
