@@ -288,21 +288,7 @@ def _curate_corpus(
         cellv = _batch_doc_vectors(
             deduped.select("doc_id", "text")
         ).localCheckpoint(eager=False)  # self-join both sides (rule 12)
-        pairs = (
-            cellv.select(
-                F.col("doc_id").alias("__a_id"),
-                "cell",
-                F.col("vec").alias("a_vec"),
-            )
-            .join(
-                cellv.select(
-                    "doc_id", "cell", F.col("vec").alias("b_vec")
-                ),
-                "cell",
-            )
-            .filter(F.col("__a_id") < F.col("doc_id"))
-            .select("doc_id", "a_vec", "b_vec")
-        )
+        pairs = _sem_candidate_pairs(cellv)
         sem = deduped.join(
             _sem_hit_docs(pairs), "doc_id", "left_anti"
         ).localCheckpoint(eager=False)
@@ -710,6 +696,26 @@ def _batch_doc_vectors(
     )
 
 
+def _sem_candidate_pairs(cellv: DataFrame) -> DataFrame:
+    """(doc_id, a_vec, b_vec) within-batch candidate pairs off a
+    (doc_id, cell, vec) frame: cell-keyed self-join, the earlier
+    (smaller doc_id) side renamed to a_vec — ONE builder shared by the
+    one-shot stage, the incremental stage and the streaming-twin test
+    (the _span_oracle_sql anti-desync discipline). Callers checkpoint
+    ``cellv`` first (self-join consumes it twice, rule 12)."""
+    a_side = cellv.select(
+        F.col("doc_id").alias("__a_id"),
+        "cell",
+        F.col("vec").alias("a_vec"),
+    )
+    b_side = cellv.select("doc_id", "cell", F.col("vec").alias("b_vec"))
+    return (
+        a_side.join(b_side, "cell")
+        .filter(F.col("__a_id") < F.col("doc_id"))
+        .select("doc_id", "a_vec", "b_vec")
+    )
+
+
 def _sem_hit_docs(pairs: DataFrame) -> DataFrame:
     """(doc_id) of the LATER side of every cosine-≥-9/10 pair: input
     is (doc_id, a_vec, b_vec) candidate pairs (a = the earlier doc,
@@ -853,6 +859,25 @@ def _run_curation_day(
     bands_dir = f"{root}/state/bands"
     grams_dir = f"{root}/state/grams"
     cells_dir = f"{root}/state/cells"
+    # the substring/semantic flags must be held constant for a root's
+    # lifetime — a day run with a flag OFF against a root whose state
+    # layer exists would silently skip both the dedup and the append,
+    # breaking N-days == one-shot with no error (review r10). Fail
+    # loudly instead (the replay-raises discipline).
+    from .maintenance import _fs as _layer_fs
+
+    for flag, flag_name, layer_dir in (
+        (substring, "substring", grams_dir),
+        (semantic, "semantic", cells_dir),
+    ):
+        if not flag:
+            fs, p = _layer_fs(spark, layer_dir)
+            if fs.exists(p):
+                raise ValueError(
+                    f"run_curation_day: root has a {layer_dir} state "
+                    f"layer but {flag_name}=False — the flag must be "
+                    "held constant for a root's lifetime"
+                )
     report: dict = {"day": day}
 
     t0 = time.monotonic()
@@ -1007,19 +1032,7 @@ def _run_curation_day(
         cellv = _batch_doc_vectors(
             cur_frame.select("doc_id", "text")
         ).localCheckpoint(eager=False)
-        a_side = cellv.select(
-            F.col("doc_id").alias("__a_id"),
-            "cell",
-            F.col("vec").alias("a_vec"),
-        )
-        b_side = cellv.select(
-            "doc_id", "cell", F.col("vec").alias("b_vec")
-        )
-        pairs = (
-            a_side.join(b_side, "cell")
-            .filter(F.col("__a_id") < F.col("doc_id"))
-            .select("doc_id", "a_vec", "b_vec")
-        )
+        pairs = _sem_candidate_pairs(cellv)
         prior_cells = _read_layer(spark, cells_dir)
         if prior_cells is not None:
             # prior docs always precede the batch; the corpus-scale

@@ -121,7 +121,15 @@ def cms_inner_product(
         )
         .groupBy("j")
         .agg(F.sum("p").alias("dot"))
-        .agg(F.min("dot").cast("long").alias("cms_est"))
+        # an EMPTY sketch map explodes to zero rows and min over zero
+        # groups is NULL — return 0 like the driver-side estimator
+        # (review r10: a NULL estimate makes within-bound flags and
+        # planner decisions three-valued)
+        .agg(
+            F.coalesce(F.min("dot"), F.lit(0))
+            .cast("long")
+            .alias("cms_est")
+        )
     )
 
 

@@ -3117,8 +3117,13 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct") / F.lit(_HLL_TOL_FRAC),
         F.lit(_HLL_TOL_FLOOR),
     )
+    # LEFT join + coalesce: an all-NULL column has no register rows
+    # and an inner join would silently DROP its profile row while the
+    # oracle still emits it (review r10); estimate 0 is correct for a
+    # zero-distinct column and sits inside the floor tolerance
     return (
-        exact.join(est, "col_name")
+        exact.join(est, "col_name", "left")
+        .withColumn("hll_est", F.coalesce("hll_est", F.lit(0.0)))
         .select(
             "col_name",
             "n_rows",

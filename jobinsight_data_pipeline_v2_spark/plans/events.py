@@ -1912,9 +1912,27 @@ def ks_drift_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared critical-value flag and the in-plan +200 location shift on
     month-day 07 (see block comment)."""
     events = load_events(spark, sf_dir)
+    # rule 27: the shared v0 floor-division text is only engine-equal
+    # for NON-NEGATIVE cents (Spark div truncates, DuckDB // floors) —
+    # a refund-bearing future corpus must fail loudly, not silently
+    # hash-diverge (the priority_sample guard device)
+    guard = F.coalesce(
+        F.assert_true(
+            F.expr("CAST(round(value * 100) AS BIGINT)") >= 0,
+            F.lit(
+                "ks_drift_days: negative value — the shared floor "
+                "division diverges between engines below zero; shift "
+                "or filter first (rule 27)"
+            ),
+        ).cast("bigint"),
+        F.lit(0),
+    )
     e0 = events.select(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-        F.expr("CAST(round(value * 100) AS BIGINT) div 100").alias("v0"),
+        (
+            guard
+            + F.expr("CAST(round(value * 100) AS BIGINT) div 100")
+        ).alias("v0"),
     )
     base = e0.select(
         "day",

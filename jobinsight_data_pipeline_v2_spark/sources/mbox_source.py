@@ -20,7 +20,12 @@ Framing rules implemented (the mboxrd convention):
   FULL mboxrd rule: one ``>`` is stripped from any ``>*From `` line,
   so stuffing round-trips at every depth);
 - messages are separated by exactly one blank line (the writer
-  guarantees it; the reader tolerates its absence).
+  guarantees it). The blank-line separator is PART of the accepted
+  framing: a foreign mbox variant without it parses its messages as
+  one concatenated body — the format's inherent ambiguity (an
+  unstuffed body line starting ``From `` is indistinguishable from an
+  envelope), resolved here the conservative way (never split inside
+  what might be a body).
 """
 
 from __future__ import annotations
@@ -245,7 +250,23 @@ def write_mbox_archive(
                 pdf["__pid"],
             ):
                 pid = int(p)
-                stuffed = _stuff("" if body is None else str(body))
+                for field, v in (("msg_id", mid), ("from_addr", frm),
+                                 ("subject", subj)):
+                    if v is not None and ("\n" in str(v) or "\r" in str(v)):
+                        raise ValueError(
+                            f"mbox writer: {field} contains a line "
+                            "break — unrepresentable in an RFC-822 "
+                            "header (raise, never mutate)"
+                        )
+                body_s = "" if body is None else str(body)
+                if "\r" in body_s:
+                    raise ValueError(
+                        "mbox writer: body contains CR — CRLF-"
+                        "tolerant readers fold it away silently; "
+                        "normalize line endings first (raise, never "
+                        "mutate)"
+                    )
+                stuffed = _stuff(body_s)
                 msg = (
                     f"From {frm} {date}\n"
                     f"Message-ID: {mid}\n"

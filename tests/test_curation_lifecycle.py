@@ -627,3 +627,23 @@ def test_incremental_gopher_stage_parity(spark, tmp_path):
     assert shipped | {i for i, _ in led} == {
         x.doc_id for x in batch.collect()
     }
+
+
+def test_flag_must_stay_constant_for_a_root(spark, tmp_path):
+    """Review r10: a day run with substring/semantic OFF against a
+    root whose state layer exists would silently skip both the dedup
+    and the append — it must raise instead."""
+    d1, _, _ = _mk_span_sem_docs(spark)
+    root = str(tmp_path / "inc")
+    run_curation_day(spark, root, d1, "2026-01-01",
+                     substring=True, semantic=True)
+    day2 = spark.createDataFrame(
+        [(100, " ".join(f"q{j}" for j in range(40)))],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="substring=False"):
+        run_curation_day(spark, root, day2, "2026-01-02",
+                         semantic=True)
+    with pytest.raises(ValueError, match="semantic=False"):
+        run_curation_day(spark, root, day2, "2026-01-02",
+                         substring=True)

@@ -111,3 +111,26 @@ def test_write_read_round_trip_spark(spark, tmp_path):
         (f"<d{i}@x>", f"subj {i}", f"body {i}\nFrom line {i}")
         for i in range(12)
     }
+
+
+def test_writer_raises_on_unrepresentable_input(spark, tmp_path):
+    """Review r10: a newline in any header would inject bogus headers
+    or split the message (a subject with a blank line + 'From '
+    round-tripped as TWO messages, losing the body); a CR in the body
+    would be folded by the CRLF-tolerant reader. Both raise — the FWF
+    writer discipline (unrepresentable → raise, never mutate)."""
+    import pytest
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows,
+            "msg_id string, from_addr string, subject string, body string",
+        )
+        write_mbox_archive(df, str(tmp_path / "out")).count()
+
+    with pytest.raises(Exception, match="line break"):
+        run([("<a@x>", "me@x", "hi\n\nFrom x", "body")])
+    with pytest.raises(Exception, match="line break"):
+        run([("<a\n@x>", "me@x", "s", "body")])
+    with pytest.raises(Exception, match="CR"):
+        run([("<a@x>", "me@x", "s", "a\r\nb")])

@@ -972,3 +972,30 @@ def test_ndcg_weight_literals_pin_log2():
         lg = math.log2(r + 1)
         assert w == int(1_000_000 // lg)
         assert w * lg <= 1_000_000 < (w + 1) * lg
+
+
+def test_table_profile_approx_keeps_all_null_column(spark, tmp_path):
+    """Review r10: an all-NULL column has no HLL register rows; the
+    inner join silently dropped its profile row while the oracle still
+    emitted it. The left join + coalesce must keep the row with
+    n_distinct 0 and the flag 1 (|0 − 0| sits inside the floor
+    tolerance)."""
+    from jobinsight_data_pipeline_v2_spark.plans.core import (
+        table_profile_approx,
+    )
+
+    sf = str(tmp_path / "sf")
+    spark.sql(
+        """SELECT id AS o_orderkey, id % 7 AS o_custkey,
+               CASE WHEN id % 2 = 0 THEN 'O' ELSE 'F' END
+                   AS o_orderstatus,
+               CAST(NULL AS STRING) AS o_orderpriority,
+               DATE '2026-01-01' AS o_orderdate,
+               CAST(1.5 AS DOUBLE) AS o_totalprice
+           FROM range(20)"""
+    ).write.parquet(f"{sf}/orders.parquet")
+    rows = {r.col_name: r for r in table_profile_approx(spark, sf).collect()}
+    assert len(rows) == 5, "all profiled columns present"
+    r = rows["o_orderpriority"]
+    assert r.n_distinct == 0 and r.n_nulls == 20
+    assert r.hll_within_bound == 1

@@ -427,3 +427,23 @@ def test_cms_save_load_roundtrip_drives_same_decision(spark, tmp_path):
     save_cms(cms_b, pb)
     loaded = cms_join_estimate(load_cms(spark, pa), load_cms(spark, pb))
     assert loaded == live
+
+
+def test_cms_inner_product_empty_sketch_is_zero(spark):
+    """Review r10: an empty sketch map explodes to zero rows and a
+    bare min() would return NULL — both estimator paths must agree on
+    0 for an empty side."""
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        cms_build,
+        cms_inner_product,
+        cms_join_estimate,
+    )
+
+    empty = cms_build(
+        spark.createDataFrame([], "k long, n long"), "k", "n"
+    )
+    full = cms_build(_key_counts(spark, range(10)), "k", "n")
+    assert cms_inner_product(empty, full).collect()[0][0] == 0
+    assert cms_inner_product(full, empty).collect()[0][0] == 0
+    est = cms_join_estimate(empty, full)
+    assert est["n_fact"] == 0 and est["est_join_rows"] == 0
