@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "dp_geometric_release",  # deterministic two-sided geometric mechanism
     "ab_test_proportions",  # two-proportion z-test, integer cleared form
     "mbox_roundtrip",  # S21 email-corpus ingest: mbox framing + stuffing
+    "fd_profile_approx",  # approximate-FD via HLL registers, flag-pinned
     # kcore_membership is deliberately NOT benched: like pagerank/mmr
     # its cost is R rounds of fixed per-round job overhead on an
     # edges-sized frame (~10s wall at ANY sf — scheduling, not data);

@@ -412,7 +412,10 @@ PRIORITY: tuple[str, ...] = (
 #     and anomaly_days — the z-test arithmetic stays local-gated),
 #   mbox_roundtrip (source family pinned above by jsonl_roundtrip +
 #     avro_roundtrip — the mbox framing/stuffing path stays
-#     local-gated next to the other roundtrip gates).
+#     local-gated next to the other roundtrip gates),
+#   fd_profile_approx (profiling family sibling of fd_profile /
+#     table_profile_approx, all local-gated; the HLL device is pinned
+#     above by approx_monthly_stats).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
