@@ -4213,9 +4213,10 @@ def dp_geometric_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rhs) candidate the lhs and (lhs, rhs) distinct counts are ALSO
 # estimated from the engine's own HLL registers built off ONE melted
 # scan (pair values join with a '|' separator the part columns cannot
-# contain), and a within-25% flag pins each estimate — at 100 TB the
-# exact 7xCOUNT(DISTINCT) Expand swaps for <= 8*2^p register rows and
-# near-FD detection runs on the estimates.
+# contain; shared lhs columns build ONE register set each — 3 lhs + 4
+# pair = 7 keys), and a within-25% flag pins each estimate — at 100 TB
+# the exact 7xCOUNT(DISTINCT) Expand swaps for <= 7*2^p register rows
+# and near-FD detection runs on the estimates.
 # ---------------------------------------------------------------------------
 
 _FD_PAIRS = (
@@ -4257,16 +4258,18 @@ def fd_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").cast("string").alias("p_name"),
         F.expr(_FD_FAM_SPARK).alias("fam"),
     ).localCheckpoint(eager=False)  # exact agg + melted registers
-    aggs = []
+    # shared lhs columns compute ONCE (fd_profile's d_brand reuse):
+    # exact counts key on the column name, not the pair
+    lhs_cols = sorted({lhs for lhs, _ in _FD_PAIRS})
+    aggs = [
+        F.countDistinct(F.col(c)).cast("long").alias(f"__l_{c}")
+        for c in lhs_cols
+    ]
     for lhs, rhs in _FD_PAIRS:
-        key = f"{lhs}__{rhs}"
-        aggs.append(
-            F.countDistinct(F.col(lhs)).cast("long").alias(f"__l_{key}")
-        )
         aggs.append(
             F.countDistinct(F.col(lhs), F.col(rhs))
             .cast("long")
-            .alias(f"__p_{key}")
+            .alias(f"__p_{lhs}__{rhs}")
         )
     one = part.agg(*aggs)
     rows = F.array(
@@ -4274,64 +4277,77 @@ def fd_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(lhs).alias("lhs"),
                 F.lit(rhs).alias("rhs"),
-                F.col(f"__l_{lhs}__{rhs}").alias("n_lhs"),
+                F.col(f"__l_{lhs}").alias("n_lhs"),
                 F.col(f"__p_{lhs}__{rhs}").alias("n_pairs"),
             )
             for lhs, rhs in _FD_PAIRS
         ]
     )
     exact = one.select(F.explode(rows).alias("r")).select("r.*")
+    # melted register input: 'l'-kind registers key on the LHS COLUMN
+    # (shared across pairs — one build per column), 'p'-kind on the
+    # pair; NULL values filtered like table_profile_approx (xxhash64
+    # of NULL is NON-null — the url_dedup_stream gotcha — and
+    # concat_ws collapses NULL components into collisions)
     melted = part.select(
         F.explode(
             F.array(
                 *[
-                    e
-                    for lhs, rhs in _FD_PAIRS
-                    for e in (
-                        F.struct(
-                            F.lit(f"{lhs}__{rhs}").alias("fd_pair"),
-                            F.lit("l").alias("kind"),
-                            F.col(lhs).cast("string").alias("v"),
-                        ),
-                        F.struct(
-                            F.lit(f"{lhs}__{rhs}").alias("fd_pair"),
-                            F.lit("p").alias("kind"),
+                    F.struct(
+                        F.lit(f"l__{c}").alias("fd_key"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in lhs_cols
+                ],
+                *[
+                    F.struct(
+                        F.lit(f"p__{lhs}__{rhs}").alias("fd_key"),
+                        F.when(
+                            F.col(lhs).isNotNull()
+                            & F.col(rhs).isNotNull(),
                             F.concat_ws(
                                 "|",
                                 F.col(lhs).cast("string"),
                                 F.col(rhs).cast("string"),
-                            ).alias("v"),
-                        ),
+                            ),
+                        ).alias("v"),
                     )
-                ]
+                    for lhs, rhs in _FD_PAIRS
+                ],
             )
         ).alias("e")
-    ).select("e.fd_pair", "e.kind", "e.v")
-    est = (
-        hll_estimate(
-            hll_registers(melted, "v", ("fd_pair", "kind")),
-            ("fd_pair", "kind"),
-        )
-        .groupBy("fd_pair")
-        .pivot("kind", ["l", "p"])
-        .agg(F.first("hll_est"))
-        .select(
-            F.col("fd_pair").alias("__pair"),
-            F.col("l").alias("__est_l"),
-            F.col("p").alias("__est_p"),
-        )
-    )
+    ).select("e.fd_key", "e.v").filter(F.col("v").isNotNull())
+    ests = hll_estimate(
+        hll_registers(melted, "v", ("fd_key",)), ("fd_key",)
+    ).localCheckpoint(eager=False)  # two joins below
     tol_l = F.greatest(
         F.col("n_lhs") / F.lit(_HLL_TOL_FRAC), F.lit(_HLL_TOL_FLOOR)
     )
     tol_p = F.greatest(
         F.col("n_pairs") / F.lit(_HLL_TOL_FRAC), F.lit(_HLL_TOL_FLOOR)
     )
+    # LEFT joins + coalesce: a register-less key must surface as an
+    # out-of-bound flag, never a dropped row (the table_profile_approx
+    # review lesson, applied here from the start)
     return (
         exact.join(
-            est,
-            F.concat_ws("__", "lhs", "rhs") == est["__pair"],
+            ests.select(
+                F.expr("substring(fd_key, 4)").alias("lhs"),
+                F.col("hll_est").alias("__est_l"),
+            ),
+            "lhs",
+            "left",
         )
+        .join(
+            ests.select(
+                F.expr("substring(fd_key, 4)").alias("__pk"),
+                F.col("hll_est").alias("__est_p"),
+            ),
+            F.concat_ws("__", "lhs", "rhs") == F.col("__pk"),
+            "left",
+        )
+        .withColumn("__est_l", F.coalesce("__est_l", F.lit(0.0)))
+        .withColumn("__est_p", F.coalesce("__est_p", F.lit(0.0)))
         .select(
             "lhs",
             "rhs",
