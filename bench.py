@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "ab_test_proportions",  # two-proportion z-test, integer cleared form
     "mbox_roundtrip",  # S21 email-corpus ingest: mbox framing + stuffing
     "fd_profile_approx",  # approximate-FD via HLL registers, flag-pinned
+    "group_priority_sample",  # per-stratum weighted top-k (one window)
     # kcore_membership is deliberately NOT benched: like pagerank/mmr
     # its cost is R rounds of fixed per-round job overhead on an
     # edges-sized frame (~10s wall at ANY sf — scheduling, not data);

@@ -415,7 +415,10 @@ PRIORITY: tuple[str, ...] = (
 #     local-gated next to the other roundtrip gates),
 #   fd_profile_approx (profiling family sibling of fd_profile /
 #     table_profile_approx, all local-gated; the HLL device is pinned
-#     above by approx_monthly_stats).
+#     above by approx_monthly_stats),
+#   group_priority_sample (sampling family pinned above by hash_split
+#     + shuffle_shards; the per-stratum weighted top-k stays
+#     local-gated next to priority_sample).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -2465,6 +2465,32 @@ _AB_T_CONTROL = 15000  # control converts at value > 150.00
 _AB_T_TREAT = 10000  # treatment at value > 100.00 (the planted lift)
 
 
+def ab_arm_counts(events: DataFrame) -> DataFrame:
+    """(arm, n, conv) — md5-parity assignment + the arm-dependent
+    conversion predicate in ONE aggregation, shared verbatim by the
+    batch gate and ab_test_stream (a stream cannot chain the summary
+    aggregation, so the z² fold stays batch/consumer-side)."""
+    assigned = events.select(
+        F.expr(
+            "cast(conv(substring(md5(cast(cast(event_id as string) as "
+            "binary)), 1, 8), 16, 10) as bigint) % 2"
+        ).alias("arm"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    return assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                ((F.col("arm") == 0) & (F.col("cents") > _AB_T_CONTROL))
+                | ((F.col("arm") == 1) & (F.col("cents") > _AB_T_TREAT)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+
+
 @register(
     "ab_test_proportions",
     f"""
@@ -2519,29 +2545,9 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     three SFs). Deterministic md5 arm assignment; one events scan and
     a 2-row aggregate."""
     events = load_events(spark, sf_dir)
-    assigned = events.select(
-        F.expr(
-            "cast(conv(substring(md5(cast(cast(event_id as string) as "
-            "binary)), 1, 8), 16, 10) as bigint) % 2"
-        ).alias("arm"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    arms = (
-        assigned.groupBy("arm")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(
-                F.when(
-                    ((F.col("arm") == 0) & (F.col("cents") > _AB_T_CONTROL))
-                    | ((F.col("arm") == 1) & (F.col("cents") > _AB_T_TREAT)),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("conv"),
-        )
-        .localCheckpoint(eager=False)  # per-arm rows + the pivot
-    )
+    arms = ab_arm_counts(events).localCheckpoint(
+        eager=False
+    )  # per-arm rows + the pivot
     s = (
         arms.groupBy()
         .pivot("arm", [0, 1])

@@ -1525,3 +1525,76 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(_PRIO_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group weighted sampling (r10): priority_sample's grouped form —
+# the Duffield-Lund-Thorup top-k run INSIDE each stratum (per-source
+# quotas: "give me the K best-weighted docs from every source"), the
+# shape a mixture-building pipeline runs per domain. Same exact
+# integer priority; the global TakeOrdered becomes ONE window ranked
+# per group under the (priority, doc_id) total order — k·|groups|
+# output rows, one exchange on the group key.
+# ---------------------------------------------------------------------------
+
+_GPRIO_K = 8
+
+
+@register(
+    "group_priority_sample",
+    f"""
+    WITH prio AS (
+        SELECT source, doc_id, n_chars,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT * 1000000) // n_chars AS priority
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars, priority,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY priority, doc_id
+               ) AS rn
+        FROM prio
+    )
+    SELECT source, doc_id, n_chars, priority
+    FROM ranked WHERE rn <= {_GPRIO_K}
+    ORDER BY source, priority, doc_id
+    """,
+)
+def group_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {_GPRIO_K}-per-source weighted sample (weights = n_chars):
+    items ranked by the exact integer priority within each source
+    under a (priority, doc_id) total order — per-stratum
+    weight-proportional sampling without replacement as one
+    group-partitioned window (see block comment). The n_chars > 0
+    guard is priority_sample's (a NULL priority would sort differently
+    across engines)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("n_chars") > 0,
+            F.lit(
+                "group_priority_sample: n_chars must be positive — a "
+                "NULL priority sorts differently on Spark vs DuckDB"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    prio = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (
+            guard
+            + F.expr(
+                "(cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as bigint) * 1000000) div n_chars"
+            )
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        prio.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GPRIO_K)
+        .select("source", "doc_id", "n_chars", "priority")
+        .orderBy("source", "priority", "doc_id")
+    )

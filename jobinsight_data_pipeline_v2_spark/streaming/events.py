@@ -746,3 +746,23 @@ def hll_window_registers(
         "win", F.window("ts", "1 hour")
     )
     return hll_registers(with_win, key_col, ("win",))
+
+
+def ab_test_stream(events: DataFrame) -> DataFrame:
+    """(arm, n, conv, rate_ppm): the experiment's per-arm conversion
+    counters updating as events arrive — twin 50, the
+    ab_test_proportions gate's arm aggregation in complete mode over
+    the SHARED plans/events.ab_arm_counts transform (chained
+    aggregations are unsupported on streams, so the pooled-z² summary
+    stays a consumer-side fold over the two emitted arm rows; rate_ppm
+    is a plain post-agg projection, which streams fine). Final state
+    equals the batch gate's per-arm rows column for column."""
+    from ..plans.events import ab_arm_counts
+
+    arms = ab_arm_counts(events)
+    return arms.select(
+        F.col("arm").cast("long").alias("arm"),
+        "n",
+        "conv",
+        F.expr("(1000000 * conv) div n").cast("long").alias("rate_ppm"),
+    )

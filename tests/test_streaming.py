@@ -3321,3 +3321,46 @@ def test_streaming_mbox_equals_batch(spark, tmp_path):
     assert sym == 0
     assert got.count() == 4
     assert got.filter("reason IS NOT NULL").count() == 2
+
+
+def test_streaming_ab_test_equals_batch(spark, tmp_path):
+    """Twin 50: the complete-mode per-arm conversion counters equal
+    the batch ab_test_proportions gate's arm rows once all events have
+    arrived."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans import load_all
+    from jobinsight_data_pipeline_v2_spark.streaming.events import (
+        ab_test_stream,
+    )
+    from jobinsight_data_pipeline_v2_spark.tables import load_events
+
+    events = load_events(spark, SF).select("event_id", "value")
+    n = events.count()
+    src = os.path.join(str(tmp_path), "ab_events")
+    now = time.time()
+    for b, (lo, hi) in enumerate([(0, n // 2), (n // 2, n + 1)]):
+        part = events.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, ab_test_stream(stream), "ab_test", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT arm, n, conv, rate_ppm FROM ab_test")
+    expected = (
+        load_all()["ab_test_proportions"][0](spark, SF)
+        .filter("arm >= 0")
+        .select("arm", "n", "conv", "rate_ppm")
+    )
+    sym = (
+        got.exceptAll(expected).count()
+        + expected.exceptAll(got).count()
+    )
+    assert sym == 0
