@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "dp_geometric_release",  # deterministic two-sided geometric mechanism
     "ab_test_proportions",  # two-proportion z-test, integer cleared form
     "mbox_roundtrip",  # S21 email-corpus ingest: mbox framing + stuffing
+    "archive_roundtrip",  # S22 zip/tar code-corpus ingest, member quarantine
     "fd_profile_approx",  # approximate-FD via HLL registers, flag-pinned
     "group_priority_sample",  # per-stratum weighted top-k (one window)
     # kcore_membership is deliberately NOT benched: like pagerank/mmr

@@ -862,22 +862,44 @@ def _run_curation_day(
     # the substring/semantic flags must be held constant for a root's
     # lifetime — a day run with a flag OFF against a root whose state
     # layer exists would silently skip both the dedup and the append,
-    # breaking N-days == one-shot with no error (review r10). Fail
-    # loudly instead (the replay-raises discipline).
+    # breaking N-days == one-shot with no error (review r10). The
+    # guard is two-directional (ADVICE r10): turning a flag ON
+    # mid-lifetime is just as silent a break — earlier days
+    # contributed no gram/cell state, so today's probe misses every
+    # prior-day duplicate. Fail loudly instead (the replay-raises
+    # discipline).
     from .maintenance import _fs as _layer_fs
 
+    def _has_day_partitions(layer_dir: str) -> bool:
+        fs, p = _layer_fs(spark, layer_dir)
+        if not fs.exists(p):
+            return False
+        return any(
+            s.getPath().getName().startswith("ingest_day=")
+            for s in fs.listStatus(p)
+        )
+
+    corpus_has_days = _has_day_partitions(corpus_dir)
     for flag, flag_name, layer_dir in (
         (substring, "substring", grams_dir),
         (semantic, "semantic", cells_dir),
     ):
-        if not flag:
-            fs, p = _layer_fs(spark, layer_dir)
-            if fs.exists(p):
-                raise ValueError(
-                    f"run_curation_day: root has a {layer_dir} state "
-                    f"layer but {flag_name}=False — the flag must be "
-                    "held constant for a root's lifetime"
-                )
+        layer_exists = _has_day_partitions(layer_dir)
+        if not flag and layer_exists:
+            raise ValueError(
+                f"run_curation_day: root has a {layer_dir} state "
+                f"layer but {flag_name}=False — the flag must be "
+                "held constant for a root's lifetime"
+            )
+        if flag and not layer_exists and corpus_has_days:
+            raise ValueError(
+                f"run_curation_day: {flag_name}=True but the root "
+                f"already has corpus day partitions and no "
+                f"{layer_dir} state layer — earlier days contributed "
+                "no state, so N-days == one-shot would silently "
+                "break; the flag must be held constant for a root's "
+                "lifetime"
+            )
     report: dict = {"day": day}
 
     t0 = time.monotonic()

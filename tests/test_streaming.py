@@ -3364,3 +3364,35 @@ def test_streaming_ab_test_equals_batch(spark, tmp_path):
         + expected.exceptAll(got).count()
     )
     assert sym == 0
+
+
+def test_streaming_archive_equals_batch(spark, tmp_path):
+    """Archive landing stream (twin 51): members parsed out of newly
+    landed ZIP/TAR containers — one file per micro-batch — equal the
+    batch reader's rows exactly, quarantine included."""
+    from tests.test_archive_source import _tar_bytes, _zip_bytes
+
+    from jobinsight_data_pipeline_v2_spark.sources.archive_source import (
+        read_archive_members,
+        read_archive_stream,
+    )
+
+    land = os.path.join(str(tmp_path), "arch_landing")
+    os.makedirs(land)
+    with open(os.path.join(land, "a.zip"), "wb") as f:
+        f.write(_zip_bytes([("x.txt", b"alpha"), ("y.txt", b"bravo")]))
+    with open(os.path.join(land, "b.tar.gz"), "wb") as f:
+        f.write(_tar_bytes([("z.txt", b"charlie")], mode="w:gz"))
+    with open(os.path.join(land, "c.zip"), "wb") as f:
+        f.write(b"not an archive")
+
+    glob = os.path.join(land, "*")
+    stream = read_archive_stream(spark, glob, max_files_per_trigger=1)
+    q = run_stream_to_memory(spark, stream, "archive_stream_test")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM archive_stream_test")
+    expected = read_archive_members(spark, glob)
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() == 4
+    assert got.filter("reason IS NOT NULL").count() == 1
