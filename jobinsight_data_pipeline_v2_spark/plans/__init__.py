@@ -421,7 +421,12 @@ PRIORITY: tuple[str, ...] = (
 #     local-gated next to priority_sample),
 #   archive_roundtrip (source family pinned above by jsonl_roundtrip +
 #     avro_roundtrip — the zip/tar container codec path stays
-#     local-gated next to the other roundtrip gates).
+#     local-gated next to the other roundtrip gates),
+#   substring_decontaminate_bloom (decontamination family pinned above
+#     by decontaminate; the span-cut chain is pinned by
+#     substring_dedup's fold sibling device — the bloom-composed
+#     variant stays local-gated next to substring_decontaminate and
+#     bloom_decontaminate).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table, spread
 from . import register
+from .curation import _BLOOM_FP_BOUND, bloom_build, bloom_probe
 from .text import (
     _dsir_class_case,
     _BAND_SIZE,
@@ -1754,6 +1755,107 @@ def substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_toks,
         benchmark_gram_positions(corpus_toks, bench_toks),
     ).orderBy("doc_id")
+
+
+@register(
+    "substring_decontaminate_bloom",
+    f"""
+    SELECT q.doc_id, q.n_tok, q.n_dup_occ, q.n_spans, q.n_removed,
+           q.clean_text, 1 AS bloom_fp_within_bound
+    FROM (
+    {_span_oracle_sql(
+        f'''bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    dups AS (
+        SELECT g.doc_id, g.pos
+        FROM grams g JOIN bench b USING (g)
+        WHERE g.doc_id % {_DECON_MOD} != 0
+    )''',
+        doc_pred=f"t.doc_id % {_DECON_MOD} != 0",
+    )}
+    ) q
+    ORDER BY q.doc_id
+    """,
+)
+def substring_decontaminate_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-granular decontamination through the Bloom-prefiltered
+    path (judge ask r10): identical semantics and VALUES as
+    ``substring_decontaminate`` — the oracle is the same direct-join
+    span chain, so a hash match proves the Bloom path loses no gram
+    occurrence (no false negatives end to end) — but the benchmark
+    L-gram set folds into ONE broadcastable bit-array row
+    (``bloom_build``) instead of a broadcast semi-join set, the shape
+    for benchmark suites whose raw gram set outgrows a broadcast
+    (COVERAGE's documented hole: ``bloom_decontaminate`` tested only
+    the 4-gram doc-DROP composition, not the ≥{_SPAN_L}-token span
+    CUT).
+
+    Composition: corpus gram stream → in-plan bit probe (prefilter,
+    no join) → exact verify join against the bench gram hashes (only
+    bloom survivors pay it — at scale this join's input is true hits
+    + bounded false positives, and the bench side is disk-backed, not
+    broadcast) → the SAME ``cut_duplicate_spans`` merge/reassembly.
+    ``bloom_fp_within_bound`` pins the filter quality in-plan (the
+    bloom_decontaminate device): exact values could mask an undersized
+    filter that prefilters nothing.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = doc_token_arrays(docs)
+    bench_toks = toks.filter(F.col("doc_id") % _DECON_MOD == 0)
+    corpus_toks = toks.filter(F.col("doc_id") % _DECON_MOD != 0)
+
+    # two consumers (bloom fold + verify join build side) — rule 12
+    bench_keys = (
+        span_gram_rows(bench_toks)
+        .select(F.col("sk").alias("hk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bloom = bloom_build(bench_keys)
+    # one corpus gram stream, two consumers (dps build + FP monitor);
+    # the probe verdict must survive a materialization boundary before
+    # any filter (rule 19)
+    marked = bloom_probe(
+        span_gram_rows(corpus_toks)
+        .select("doc_id", "pos", F.col("sk").alias("hk"))
+        .crossJoin(F.broadcast(bloom))
+    ).localCheckpoint(eager=False)
+    # exact verify: deliberately NO broadcast hint — when the bench
+    # set outgrows a broadcast this is the shuffle whose input the
+    # bloom just cut (the bloom_decontaminate shape); recomputing hits
+    # for the monitor is a filter + semi-join of checkpointed longs
+    hits = marked.filter("bh").join(bench_keys, "hk", "left_semi")
+    dup_pos = hits.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("dps")
+    )
+    totals = marked.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("bh").cast("long")).alias("n_bloom"),
+    )
+    true_tot = hits.agg(F.count(F.lit(1)).alias("n_true"))
+    flag = (
+        totals.crossJoin(true_tot)
+        .select(
+            (
+                (F.col("n_bloom") - F.col("n_true")).cast("double")
+                / F.greatest(
+                    (F.col("n_grams") - F.col("n_true")).cast("double"),
+                    F.lit(1.0),
+                )
+                <= F.lit(_BLOOM_FP_BOUND)
+            )
+            .cast("int")
+            .alias("bloom_fp_within_bound")
+        )
+    )
+    return (
+        cut_duplicate_spans(corpus_toks, dup_pos)
+        .crossJoin(F.broadcast(flag))
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
