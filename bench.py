@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "mbox_roundtrip",  # S21 email-corpus ingest: mbox framing + stuffing
     "archive_roundtrip",  # S22 zip/tar code-corpus ingest, member quarantine
     "substring_decontaminate_bloom",  # span cut through the bloom prefilter
+    "token_budget_salted",  # two-level salted prefix sums, one-hot class
     "fd_profile_approx",  # approximate-FD via HLL registers, flag-pinned
     "group_priority_sample",  # per-stratum weighted top-k (one window)
     # kcore_membership is deliberately NOT benched: like pagerank/mmr

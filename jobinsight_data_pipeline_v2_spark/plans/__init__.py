@@ -426,7 +426,10 @@ PRIORITY: tuple[str, ...] = (
 #     by decontaminate; the span-cut chain is pinned by
 #     substring_dedup's fold sibling device — the bloom-composed
 #     variant stays local-gated next to substring_decontaminate and
-#     bloom_decontaminate).
+#     bloom_decontaminate),
+#   token_budget_salted (sampling family pinned above by
+#     token_budget_select — same histogram-offset device; the salted
+#     two-level variant stays local-gated next to it).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

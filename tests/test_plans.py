@@ -632,6 +632,64 @@ def test_token_budget_select_no_global_window(spark):
     assert any("score" in l for l in window_lines), p
 
 
+def test_select_token_budget_salted_equals_unsalted(spark):
+    """salt=S output must be row-for-row identical to the unsalted
+    path across boundary budgets — including a corpus 100% in ONE
+    class (the exact shape salting exists for) and scores hot on one
+    class but cold on others."""
+    import random
+
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        select_token_budget,
+    )
+
+    rng = random.Random(7)
+    shapes = {
+        # one dominant class (95%) + a small better class
+        "dominant": [
+            (i, 2 if i % 20 == 0 else 1, rng.randint(1, 9))
+            for i in range(150)
+        ],
+        # literally one class
+        "single": [(i, 1, rng.randint(1, 9)) for i in range(120)],
+        # several classes, none hot enough to salt (fallback path)
+        "spread": [
+            (i, rng.randint(0, 9), rng.randint(1, 9)) for i in range(120)
+        ],
+        # sparse, clustered ids (range buckets skew but stay correct)
+        "clustered": [
+            (i * 1000 + (i % 3), 1, rng.randint(1, 9)) for i in range(90)
+        ],
+    }
+    for name, rows in shapes.items():
+        df = spark.createDataFrame(
+            rows, "doc_id: long, score: long, n_tokens: long"
+        ).localCheckpoint(eager=False)
+        total = sum(t for _, _, t in rows)
+        mid = total // 2
+        for budget in (0, 1, mid, mid + 1, total, total + 5):
+            plain = sorted(
+                map(tuple, select_token_budget(df, budget).collect())
+            )
+            salted = sorted(
+                map(tuple, select_token_budget(df, budget, salt=4).collect())
+            )
+            assert plain == salted, (name, budget)
+
+
+def test_token_budget_salted_plan_partitions_by_bucket(spark):
+    """The salted gate's running sums must partition by (score, salt
+    bucket) — the one-hot-class funnel is actually split — and no
+    Exchange SinglePartition appears."""
+    p = _plan(spark, "token_budget_salted")
+    assert "Exchange SinglePartition" not in p, p
+    window_lines = [
+        l for l in p.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert window_lines, p
+    assert any("__sb" in l and "score" in l for l in window_lines), p
+
+
 def test_bigram_coverage_vocab_broadcasts(spark):
     """The vocabulary side is top-V-sized by construction and must
     ride a broadcast join back onto the corpus bigram stream — a
