@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "archive_roundtrip",  # S22 zip/tar code-corpus ingest, member quarantine
     "substring_decontaminate_bloom",  # span cut through the bloom prefilter
     "token_budget_salted",  # two-level salted prefix sums, one-hot class
+    "gif_animation_stats",  # animated GIF89a compositing, per-frame sums
     "fd_profile_approx",  # approximate-FD via HLL registers, flag-pinned
     "group_priority_sample",  # per-stratum weighted top-k (one window)
     # kcore_membership is deliberately NOT benched: like pagerank/mmr

@@ -429,7 +429,11 @@ PRIORITY: tuple[str, ...] = (
 #     bloom_decontaminate),
 #   token_budget_salted (sampling family pinned above by
 #     token_budget_select — same histogram-offset device; the salted
-#     two-level variant stays local-gated next to it).
+#     two-level variant stays local-gated next to it),
+#   gif_animation_stats (media family pinned above by
+#     jpeg_decode_stats; the GIF/LZW path is local-gated by
+#     gif_decode_stats — the animation compositing layer stays
+#     local-gated next to it).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -133,3 +133,162 @@ def test_decode_image_dispatch_gif():
     feats = decode_image(encode_gif(4, 2, idx, _GRAY))
     assert feats[:3] == [4.0, 2.0, 3.0]
     assert feats[3] == pytest.approx(5.0)
+
+
+# ---------------------------------------------------------------------------
+# animated GIF89a (r11): compositing, transparency, disposal subset
+# ---------------------------------------------------------------------------
+
+from jobinsight_data_pipeline_v2_spark.operators.gif import (  # noqa: E402
+    decode_gif_frames,
+    encode_animated_gif,
+    gif_frame_splitter,
+)
+
+
+def _px(rgb: bytes, w: int, x: int, y: int) -> tuple[int, int, int]:
+    i = 3 * (y * w + x)
+    return rgb[i], rgb[i + 1], rgb[i + 2]
+
+
+def test_animated_hand_assembled_container():
+    """The decoder pinned against a HAND-ASSEMBLED GIF89a container
+    (header, GCT, graphic-control blocks, sub-rect descriptor bytes
+    all written out explicitly — only the LZW pixel streams come from
+    the already-golden-pinned encoder): 2×2 canvas, 4-color GCT,
+    bg index 3; frame 0 full [[0,1],[2,3]] disposal-2 delay 5;
+    frame 1 a 1×1 rect at (1,1) painting index 1, delay 7."""
+    pal = bytes((0, 0, 0, 10, 10, 10, 20, 20, 20, 30, 30, 30))
+    g = bytearray()
+    g += b"GIF89a"
+    g += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    g.append(0x80 | 0x01)  # GCT present, 2^(1+1)=4 entries
+    g.append(3)  # background index
+    g.append(0)  # aspect
+    g += pal
+    # frame 0: GCE disposal=2, delay=5, no transparency
+    g += bytes((0x21, 0xF9, 0x04, 2 << 2, 5, 0, 0, 0))
+    g += bytes((0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0x00))  # full 2×2 rect
+    g.append(2)  # LZW min code size
+    stream = _lzw_encode(bytes((0, 1, 2, 3)), 2)
+    g.append(len(stream))
+    g += stream
+    g.append(0)
+    # frame 1: GCE disposal=0, delay=7, transparent idx 2 (unused)
+    g += bytes((0x21, 0xF9, 0x04, 0x01, 7, 0, 2, 0))
+    g += bytes((0x2C, 1, 0, 1, 0, 1, 0, 1, 0, 0x00))  # 1×1 at (1,1)
+    g.append(2)  # LZW min code size
+    stream = _lzw_encode(bytes((1,)), 2)
+    g.append(len(stream))
+    g += stream
+    g.append(0)
+    g.append(0x3B)
+
+    w, h, frames = decode_gif_frames(bytes(g))
+    assert (w, h) == (2, 2)
+    assert [d for d, _ in frames] == [5, 7]
+    f0, f1 = frames[0][1], frames[1][1]
+    assert [_px(f0, 2, x, y) for y in (0, 1) for x in (0, 1)] == [
+        (0, 0, 0), (10, 10, 10), (20, 20, 20), (30, 30, 30)
+    ]
+    # disposal 2 on frame 0 restored the WHOLE canvas to bg index 3,
+    # then frame 1 painted only (1,1)
+    assert [_px(f1, 2, x, y) for y in (0, 1) for x in (0, 1)] == [
+        (30, 30, 30), (30, 30, 30), (30, 30, 30), (10, 10, 10)
+    ]
+
+
+def test_animated_roundtrip_transparency_and_disposal():
+    """Sub-rect pastes, transparent pixels showing prior content, and
+    restore-to-background — the gate's compositing semantics through
+    our own encoder."""
+    pal = [(i, 255 - i, i // 2) for i in range(256)]
+    grad = bytes(10 + x + y for y in range(3) for x in range(4))
+    f0 = (0, 0, 4, 3, grad, 10, 0, None, False)
+    f1 = (0, 0, 4, 1, bytes((254, 7, 254, 7)), 20, 2, 7, False)
+    f2 = (0, 1, 4, 1, bytes((253,) * 4), 30, 0, None, False)
+    w, h, frames = decode_gif_frames(
+        encode_animated_gif(4, 3, [f0, f1, f2], pal, bg_index=255)
+    )
+    assert (w, h, len(frames)) == (4, 3, 3)
+    assert [d for d, _ in frames] == [10, 20, 30]
+    reds = [
+        [rgb[i] for i in range(0, len(rgb), 3)] for _, rgb in frames
+    ]
+    assert reds[0] == [10, 11, 12, 13, 11, 12, 13, 14, 12, 13, 14, 15]
+    # odd-x transparent: the gradient shows through
+    assert reds[1] == [254, 11, 254, 13, 11, 12, 13, 14, 12, 13, 14, 15]
+    # frame 1's disposal-2 restored row 0 to bg (index 255) before f2
+    assert reds[2] == [255, 255, 255, 255, 253, 253, 253, 253,
+                       12, 13, 14, 15]
+
+
+def test_animated_interlaced_first_frame():
+    pal = [(i, i, i) for i in range(256)]
+    rows = bytes(r for r in range(10) for _ in range(4))
+    f0 = (0, 0, 4, 10, rows, 1, 0, None, True)
+    _, _, frames = decode_gif_frames(
+        encode_animated_gif(4, 10, [f0], pal)
+    )
+    rgb = frames[0][1]
+    for r in range(10):
+        assert rgb[3 * r * 4] == r, f"display row {r} wrong"
+
+
+def test_disposal_restore_previous_raises():
+    pal = [(i, i, i) for i in range(8)]
+    with pytest.raises(ValueError, match="disposal"):
+        encode_animated_gif(
+            2, 2, [(0, 0, 2, 2, bytes(4), 1, 3, None, False)], pal
+        )
+    # decoder side: flip a valid file's GCE disposal bits to 3
+    raw = bytearray(
+        encode_animated_gif(
+            2, 2, [(0, 0, 2, 2, bytes(4), 1, 0, None, False)], pal
+        )
+    )
+    i = raw.index(bytes((0x21, 0xF9, 0x04)))
+    raw[i + 3] |= 3 << 2
+    with pytest.raises(ValueError, match="disposal"):
+        decode_gif_frames(bytes(raw))
+
+
+def test_animated_rect_outside_canvas_raises():
+    pal = [(i, i, i) for i in range(8)]
+    with pytest.raises(ValueError, match="rect"):
+        encode_animated_gif(
+            2, 2, [(1, 1, 2, 2, bytes(4), 1, 0, None, False)], pal
+        )
+
+
+def test_decode_gif_frames_single_frame_matches_decode_gif():
+    idx = bytes(range(36))
+    g = encode_gif(6, 6, idx, _GRAY)
+    w, h, frames = decode_gif_frames(g)
+    assert (w, h, len(frames)) == (6, 6, 1)
+    assert frames[0][1] == decode_gif(g)[3]
+
+
+def test_gif_frame_splitter_fan_out(spark):
+    """The sample_frames 1→N fan-out (the y4m device) over animated
+    GIF payloads: one row per sampled composited frame, n_bytes =
+    3·w·h canvas RGB."""
+    from jobinsight_data_pipeline_v2_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    pal = [(i, i, i) for i in range(256)]
+    grad = bytes((x + y) % 8 for y in range(3) for x in range(4))
+    frames = [(0, 0, 4, 3, grad, 1, 0, None, False)] + [
+        (0, 0, 4, 1, bytes((f,) * 4), 1, 0, None, False)
+        for f in range(1, 4)
+    ]
+    raw = encode_animated_gif(4, 3, frames, pal)
+    media = spark.createDataFrame(
+        [(1, bytearray(raw))], "media_id long, payload binary"
+    )
+    rows = sample_frames(
+        media, every_n=2, split_fn=gif_frame_splitter
+    ).collect()
+    assert [r.frame_idx for r in rows] == [0, 2]
+    assert all(r.n_bytes == 3 * 4 * 3 for r in rows)
