@@ -647,3 +647,82 @@ def test_flag_must_stay_constant_for_a_root(spark, tmp_path):
     with pytest.raises(ValueError, match="semantic=False"):
         run_curation_day(spark, root, day2, "2026-01-02",
                          substring=True)
+
+
+def test_tombstone_gc_replay_guard_and_erasure_survive(spark, tmp_path):
+    """prune_curation_tombstones (r11): aged-out compaction tombstones
+    are removed from the state layers, too-young ones and live day
+    partitions are untouched, replay of a GC'd day STILL raises (the
+    corpus layer's day dir survives — no document ships twice), the
+    multi-day == one-shot equivalence is unchanged, and erasure still
+    propagates afterwards."""
+    import time as _time
+
+    from jobinsight_data_pipeline_v2_spark.corpus_pipeline import (
+        prune_curation_tombstones,
+    )
+
+    d1, d2, d3 = _mk_docs(spark)
+    root = str(tmp_path / "inc")
+    run_curation_day(spark, root, d1, "2026-01-01")
+    run_curation_day(spark, root, d2, "2026-01-02")
+    compact_curation_state(spark, root)
+    run_curation_day(spark, root, d3, "2026-01-03")
+
+    # too-young tombstones: untouched
+    assert prune_curation_tombstones(spark, root, max_age_ms=10**12) == {}
+    for layer in ("state/exact", "state/bands"):
+        assert len(_state_day_dirs(root, layer)) == 4  # base + 3 days
+
+    future = int(_time.time() * 1000) + 10**7
+    rep = prune_curation_tombstones(
+        spark, root, max_age_ms=1000, now_ms=future
+    )
+    for layer in ("state/exact", "state/bands"):
+        assert rep[layer] == ["2026-01-01", "2026-01-02"]
+        # base + the newest (live, data-holding) day survive
+        assert _state_day_dirs(root, layer) == [
+            "ingest_day=0000-base",
+            "ingest_day=2026-01-03",
+        ]
+        assert _data_files(root, layer, "ingest_day=2026-01-03")
+    # corpus layer never touched — all three shipped days intact
+    assert len(_state_day_dirs(root, "corpus")) == 3
+
+    # a second GC pass: the newest-day rule keeps the live day even at
+    # infinite age (it holds data anyway), nothing else to do
+    assert prune_curation_tombstones(
+        spark, root, max_age_ms=0, now_ms=future
+    ) == {}
+
+    # replay of a GC'd day still refuses before shipping anything
+    with pytest.raises(IOError, match="already ingested"):
+        run_curation_day(spark, root, d1, "2026-01-01")
+    standing = {
+        (x.doc_id, x.text)
+        for x in load_standing_corpus(spark, root).collect()
+    }
+    # the refused replay shipped nothing new
+    one_root = str(tmp_path / "one")
+    union = d1.unionByName(d2).unionByName(d3)
+    run_curation_day(spark, one_root, union, "2026-01-01")
+    one_docs = {
+        (x.doc_id, x.text)
+        for x in load_standing_corpus(spark, one_root).collect()
+    }
+    assert standing == one_docs
+
+    # erasure still propagates: doc 3 erased → a later day re-shipping
+    # its exact text is kept (suppression power gone)
+    erase_from_curation_state(spark, root, "doc_id = 3")
+
+    def text(i, n=40):
+        return " ".join(f"w{i}x{j}" for j in range(n))
+
+    d4 = spark.createDataFrame([(60, text(3))], "doc_id long, text string")
+    r4 = run_curation_day(spark, root, d4, "2026-01-04")
+    assert r4["n_shipped"] == 1
+    assert (60, text(3)) in {
+        (x.doc_id, x.text)
+        for x in load_standing_corpus(spark, root).collect()
+    }
