@@ -223,6 +223,10 @@ BENCH_QUERIES = [
     "substring_decontaminate_bloom",  # span cut through the bloom prefilter
     "token_budget_salted",  # two-level salted prefix sums, one-hot class
     "gif_animation_stats",  # animated GIF89a compositing, per-frame sums
+    "containment_pairs",  # asymmetric Broder containment, quote detection
+    "cusum_changepoint_days",  # Page CUSUM sequential drift, integer form
+    "rouge_ngram_eval",  # clipped n-gram P/R/F1 in exact ppm
+    "ivm_distinct_rollup",  # COUNT(DISTINCT) IVM via support multiset
     "fd_profile_approx",  # approximate-FD via HLL registers, flag-pinned
     "group_priority_sample",  # per-stratum weighted top-k (one window)
     # kcore_membership is deliberately NOT benched: like pagerank/mmr

@@ -128,6 +128,52 @@ def merge_rollup_delta(
     )
 
 
+def merge_distinct_support(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    mult_col: str = "m",
+    delta_col: str = "dm",
+) -> DataFrame:
+    """Incremental view maintenance for COUNT(DISTINCT): the state is
+    a SUPPORT multiset — one row per (group keys ∪ distinct-value)
+    with its multiplicity — and the delta carries signed multiplicity
+    changes per key (inserts +1 / deletes −1 / updates as −old +new,
+    pre-aggregated). FULL OUTER on the keys; rows whose maintained
+    multiplicity reaches zero are dropped (the value left the group —
+    exactly when a recompute's DISTINCT would lose it), and the
+    group's distinct count is simply the surviving row count. A
+    maintained multiplicity below zero means the delta deleted a row
+    the state never had — a CDC defect — and fails loudly via an
+    in-plan assert. Cost O(|support| + |delta keys|), never O(base).
+    """
+    merged = state.join(
+        delta.withColumnRenamed(delta_col, "__dm"), keys, "full_outer"
+    ).select(
+        *keys,
+        (
+            F.coalesce(F.col(mult_col), F.lit(0))
+            + F.coalesce(F.col("__dm"), F.lit(0))
+        )
+        .cast("long")
+        .alias(mult_col),
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            F.col(mult_col) >= 0,
+            F.lit(
+                "merge_distinct_support: multiplicity went negative — "
+                "the delta deletes a row the support never held (CDC "
+                "defect); refuse rather than undercount"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    return merged.select(
+        *keys, (F.col(mult_col) + guard).alias(mult_col)
+    ).filter(F.col(mult_col) > 0)
+
+
 def merge_minmax_delta(
     state: DataFrame,
     inserts: DataFrame,

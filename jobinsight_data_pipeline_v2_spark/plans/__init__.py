@@ -433,7 +433,19 @@ PRIORITY: tuple[str, ...] = (
 #   gif_animation_stats (media family pinned above by
 #     jpeg_decode_stats; the GIF/LZW path is local-gated by
 #     gif_decode_stats — the animation compositing layer stays
-#     local-gated next to it).
+#     local-gated next to it),
+#   containment_pairs (dedup family pinned above by
+#     minhash_lsh_candidates + exact_dedup; the asymmetric-containment
+#     arithmetic stays local-gated next to ngram_jaccard_pairs),
+#   cusum_changepoint_days (monitoring family pinned above by
+#     anomaly_days — the sequential CUSUM statistic stays local-gated
+#     next to ks_drift_days / chi_square_drift),
+#   rouge_ngram_eval (eval-metrics family; the ppm/ratio devices are
+#     pinned above by retrieval_eval_metrics' fold siblings — the
+#     clipped-multiset arithmetic stays local-gated),
+#   ivm_distinct_rollup (IVM family sibling of ivm_monthly_rollup /
+#     ivm_minmax_rollup, all local-gated; the rollup-merge device is
+#     pinned above by carry_forward_day's fold slot family).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -4366,3 +4366,102 @@ def fd_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lhs", "rhs")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVM for COUNT(DISTINCT) (r11): the non-additive-but-maintainable
+# third member of the IVM family. SUM/COUNT merge signed deltas
+# directly (ivm_monthly_rollup); MIN/MAX must dispatch to rescans
+# (ivm_minmax_rollup); DISTINCT sits between — maintainable EXACTLY
+# with a support multiset (one row per (group, value) with its
+# multiplicity), the classic multiset-counting construction. Same CDC
+# residue classes as the siblings; the update's −old/+new support pair
+# must net to zero (custkey unchanged) or the distinct count corrupts
+# — one of the defects the oracle's full recompute catches.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivm_distinct_rollup",
+    """
+    WITH base AS (
+        SELECT * FROM orders WHERE o_orderkey % 10 != 0
+    ),
+    final AS (
+        SELECT o_orderdate, o_custkey
+        FROM base WHERE o_orderkey % 7 NOT IN (3, 5)
+        UNION ALL
+        SELECT o_orderdate, o_custkey FROM base WHERE o_orderkey % 7 = 5
+        UNION ALL
+        SELECT o_orderdate, o_custkey FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM final
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def ivm_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT customer) per month maintained incrementally:
+    materialize the (month, custkey, multiplicity) support over the
+    base, apply the CDC batch as a signed multiplicity delta through
+    operators/merge.merge_distinct_support (zero-multiplicity rows
+    drop, negative raises), and read the view off the surviving
+    support — must equal the oracle's full recompute of the effective
+    table. Cost O(support + delta); the base is never rescanned.
+
+    Scale shape: the support shuffles once on (month, custkey) —
+    distinct-value cardinality, not row count; the merge is one
+    full-outer equi-join; the view agg is a map-side-combinable count
+    over the support."""
+    from ..operators.merge import merge_distinct_support
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_custkey",
+        )
+        .localCheckpoint(eager=False)  # support + three delta slices
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 != 0)
+    support = base.groupBy("order_month", "o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "order_month", "o_custkey", F.lit(1).alias("op")
+    )
+    deletes = base.filter(F.col("o_orderkey") % 7 == 3).select(
+        "order_month", "o_custkey", F.lit(-1).alias("op")
+    )
+    upd = base.filter(F.col("o_orderkey") % 7 == 5)
+    # update: +$10 on the new version — month and custkey unchanged,
+    # so the −old/+new support pair must cancel exactly
+    upd_old = upd.select(
+        "order_month", "o_custkey", F.lit(-1).alias("op")
+    )
+    upd_new = upd.select(
+        "order_month", "o_custkey", F.lit(1).alias("op")
+    )
+    delta = (
+        inserts.unionByName(deletes)
+        .unionByName(upd_old)
+        .unionByName(upd_new)
+        .groupBy("order_month", "o_custkey")
+        .agg(F.sum("op").cast("long").alias("dm"))
+        .filter(F.col("dm") != 0)
+    )
+    maintained = merge_distinct_support(
+        support, delta, ["order_month", "o_custkey"]
+    )
+    return (
+        maintained.groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_cust"),
+            F.sum("m").cast("long").alias("n_orders"),
+        )
+        .orderBy("order_month")
+    )

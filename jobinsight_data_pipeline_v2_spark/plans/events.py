@@ -2603,3 +2603,132 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("significant"),
     )
     return per_arm.unionByName(summary).orderBy("arm")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (r11): SEQUENTIAL drift — the Page
+# cumulative-sum control chart over the daily revenue series. The
+# monitoring family's missing rung: chi_square/ks_drift test each day
+# AGAINST the corpus independently; CUSUM accumulates small sustained
+# shifts until they cross a decision threshold — the canonical "data
+# pipeline output drifted 8% three weeks ago" detector.
+# ---------------------------------------------------------------------------
+#
+# Integer-exact closed form: the textbook recurrence
+# S⁺_d = max(0, S⁺_{d-1} + x_d − μ − k) unrolls to
+# S⁺_d = W_d − min_{j ≤ d} min(0, W_j) with W the running sum of
+# deviations — TWO day-frame windows (running sum + running min), no
+# fold. μ = floor mean (S div N), allowance k = μ div 20 (5%),
+# threshold h = μ; the negative side runs the mirrored deviation. A
+# +50% sustained shift is planted in-plan on month-days ≥ 20 (the
+# ks_drift synthesis convention), so both alarm paths carry real mass
+# at every SF. All arithmetic BIGINT; the one division is the positive
+# floor mean (Spark div == DuckDB // for non-negatives). Windows run
+# on the days-sized frame (the seasonal_decompose exception).
+
+_CUSUM_SHIFT_DOM = 20  # month-days >= this get the planted +30% shift
+
+
+@register(
+    "cusum_changepoint_days",
+    f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    shifted AS (
+        SELECT d,
+               CASE WHEN date_part('day', d) >= {_CUSUM_SHIFT_DOM}
+                    THEN (3 * cents) // 2 ELSE cents END AS cents
+        FROM daily
+    ),
+    params AS (
+        SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu,
+               CAST((SUM(cents) // COUNT(*)) // 20 AS BIGINT) AS k
+        FROM shifted
+    ),
+    w AS (
+        SELECT d, s.cents, p.mu, p.k,
+               CAST(SUM(s.cents - p.mu - p.k)
+                    OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS wp,
+               CAST(SUM(p.mu - p.k - s.cents)
+                    OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS wn
+        FROM shifted s, params p
+    ),
+    m AS (
+        SELECT d, cents, mu, wp, wn,
+               CAST(MIN(wp) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS mp,
+               CAST(MIN(wn) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS mn
+        FROM w
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(wp - least(0, mp) AS BIGINT) AS cusum_pos,
+           CAST(wn - least(0, mn) AS BIGINT) AS cusum_neg,
+           CAST(CASE WHEN wp - least(0, mp) > mu THEN 1 ELSE 0 END
+                AS BIGINT) AS alarm_pos,
+           CAST(CASE WHEN wn - least(0, mn) > mu THEN 1 ELSE 0 END
+                AS BIGINT) AS alarm_neg
+    FROM m
+    ORDER BY day
+    """,
+)
+def cusum_changepoint_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided integer CUSUM over the daily revenue series with a
+    planted sustained +30% shift (see block comment): per day the
+    shifted cents, both CUSUM statistics via the running-sum −
+    running-min closed form, and the alarm flags at threshold μ.
+    Shape: one events scan → days-sized daily agg; the four prefix
+    windows share ONE day-ordered sort on the tiny day frame; μ/k ride
+    a one-row broadcast."""
+    events = load_events(spark, sf_dir)
+    daily = _daily_cents(events)
+    shifted = daily.select(
+        "d",
+        F.when(
+            F.dayofmonth("d") >= _CUSUM_SHIFT_DOM,
+            F.expr("(3 * cents) div 2"),
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    ).localCheckpoint(eager=False)  # params agg + window scan
+    params = shifted.agg(
+        F.expr("sum(cents) div count(*)").cast("long").alias("mu"),
+        F.expr("(sum(cents) div count(*)) div 20").cast("long").alias("k"),
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    win = shifted.crossJoin(F.broadcast(params)).select(
+        "d",
+        "cents",
+        "mu",
+        F.sum(F.col("cents") - F.col("mu") - F.col("k"))
+        .over(w)
+        .cast("long")
+        .alias("wp"),
+        F.sum(F.col("mu") - F.col("k") - F.col("cents"))
+        .over(w)
+        .cast("long")
+        .alias("wn"),
+    )
+    m = win.select(
+        "d",
+        "cents",
+        "mu",
+        "wp",
+        "wn",
+        F.min("wp").over(w).cast("long").alias("mp"),
+        F.min("wn").over(w).cast("long").alias("mn"),
+    )
+    pos = F.col("wp") - F.least(F.lit(0), F.col("mp"))
+    neg = F.col("wn") - F.least(F.lit(0), F.col("mn"))
+    return m.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("cents").cast("long").alias("cents"),
+        pos.cast("long").alias("cusum_pos"),
+        neg.cast("long").alias("cusum_neg"),
+        (pos > F.col("mu")).cast("long").alias("alarm_pos"),
+        (neg > F.col("mu")).cast("long").alias("alarm_neg"),
+    ).orderBy("day")

@@ -4223,3 +4223,353 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.select(
         "node", (F.col("core_deg") + guard).alias("core_deg")
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# containment pairs (r11): Broder CONTAINMENT c(A,B) = |A∩B| / |min set|
+# — the asymmetric companion of resemblance/Jaccard. Quotation and
+# excerpt duplication (a doc embedded inside a longer one) sits at low
+# Jaccard but containment ≈ 1, so resemblance-threshold dedup never
+# sees it; this is the "quote detection" pass of a curation pipeline.
+# ---------------------------------------------------------------------------
+#
+# In-plan synthesis makes the contained class real at every SF: for
+# half the sampled slice a quarter-PREFIX "quote" doc (doc_id + 5e6)
+# joins the corpus — every quote shingle is a source shingle, so the
+# planted pairs sit at containment 1e6 ppm exactly (modulo the shared
+# stop-shingle cap, identical in both engines). Pairs come from the
+# same fused co-occurrence device as ngram_jaccard_pairs; containment
+# is ONE positive ppm floor division (Spark div == DuckDB // for
+# non-negatives, rule 27 not needed).
+
+_CONT_SLICE_MOD = 5  # corpus sample: doc_id % 5 == 0
+_CONT_QUOTE_MOD = 10  # quotes synthesized for doc_id % 10 == 0
+_CONT_QUOTE_BASE = 5_000_000
+_CONT_MIN_PPM = 500_000  # emit pairs at ≥ half containment
+
+
+@register(
+    "containment_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+        WHERE doc_id % {_CONT_SLICE_MOD} = 0
+    ),
+    quotes AS (
+        SELECT doc_id + {_CONT_QUOTE_BASE} AS doc_id,
+               tokens[1 : greatest(len(tokens) // 4, 4)] AS tokens
+        FROM toks
+        WHERE doc_id % {_CONT_QUOTE_MOD} = 0 AND len(tokens) >= 16
+    ),
+    all_docs AS (
+        SELECT * FROM toks UNION ALL SELECT * FROM quotes
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               list_aggregate(tokens[i : i + {_SHINGLE_N} - 1],
+                              'string_agg', ' ') AS shingle
+        FROM all_docs,
+             UNNEST(generate_series(1, len(tokens) - {_SHINGLE_N} + 1))
+                 AS t(i)
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1
+    ),
+    rare AS (
+        SELECT shingle FROM shingles GROUP BY 1
+        HAVING COUNT(*) <= {_MAX_SHINGLE_DF}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_common
+        FROM shingles a
+        JOIN rare r ON a.shingle = r.shingle
+        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.n_common AS BIGINT) AS n_common,
+               CAST(sa.n AS BIGINT) AS n_a,
+               CAST(sb.n AS BIGINT) AS n_b,
+               CAST(1000000 * p.n_common // least(sa.n, sb.n) AS BIGINT)
+                   AS containment_ppm
+        FROM pairs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, n_common, n_a, n_b, containment_ppm,
+           CASE WHEN containment_ppm >= 900000 THEN 'contained'
+                WHEN containment_ppm >= 500000 THEN 'overlap'
+                ELSE 'weak' END AS relation
+    FROM scored
+    WHERE containment_ppm >= {_CONT_MIN_PPM}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs over the sampled slice + planted
+    quarter-prefix quotes (see block comment): per candidate pair the
+    shared-rare-shingle count, both set sizes, containment of the
+    SMALLER set in ppm (one positive floor division), and the
+    contained/overlap class. Shape: the fused co-occurrence pass
+    (stop-shingle cap bounds pair fan-out), sizes broadcast — never
+    corpus×corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % _CONT_SLICE_MOD == 0
+    )
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    quotes = toks.filter(
+        (F.col("doc_id") % _CONT_QUOTE_MOD == 0) & (F.size("t") >= 16)
+    ).select(
+        (F.col("doc_id") + _CONT_QUOTE_BASE).alias("doc_id"),
+        F.expr("slice(t, 1, greatest(size(t) div 4, 4))").alias("t"),
+    )
+    # shingle SETS from rebuilt canonical text (single-space by
+    # construction — the ngram_jaccard_pairs regex equivalence);
+    # two consumers (sizes + pair stream) → checkpoint (rule 12)
+    sh_arr = (
+        toks.unionByName(quotes)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.concat_ws(" ", "t"),
+                    F.lit(_SHINGLE_RE),
+                    F.lit(1),
+                )
+            ).alias("shingles"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh_arr.select("doc_id", F.size("shingles").alias("n"))
+    grams = sh_arr.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", _shingle_key("shingle").alias("sk"))
+    pairs = (
+        _cooccur_pairs(grams, "sk", max_df=_MAX_SHINGLE_DF)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    scored = (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("sa.n").cast("long").alias("n_a"),
+            F.col("sb.n").cast("long").alias("n_b"),
+            F.expr("(1000000 * n_common) div least(sa.n, sb.n)")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+    )
+    return (
+        scored.filter(F.col("containment_ppm") >= _CONT_MIN_PPM)
+        .withColumn(
+            "relation",
+            F.when(F.col("containment_ppm") >= 900_000, F.lit("contained"))
+            .when(F.col("containment_ppm") >= 500_000, F.lit("overlap"))
+            .otherwise(F.lit("weak")),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-N evaluation (r11): clipped n-gram precision/recall/F1 — the
+# summarization/generation eval metric (Lin 2004) in exact integer
+# ppm. MULTISET semantics distinguish it from the set-based
+# containment/jaccard gates: each candidate gram occurrence scores at
+# most min(count_cand, count_ref) — repetition cannot inflate the
+# match, which is the property the clipping exists for.
+# ---------------------------------------------------------------------------
+#
+# Candidate/reference pairs synthesized in-plan over a doc_id % 7
+# slice: even docs pair the reference with its PREFIX HALF (high
+# precision, ~half recall — the extractive-summary shape); odd docs
+# with the REVERSED token stream (ROUGE-1 stays 1e6 exactly — same
+# multiset — while ROUGE-2 collapses, pinning order sensitivity AND
+# the clipping arithmetic in one class). F1 is the exact rational
+# (2·p·r) div (p + r) — positive floor division, both engines.
+
+_ROUGE_SLICE_MOD = 7
+
+
+@register(
+    "rouge_ngram_eval",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 2 AS cls, {_SQL_TOKENS} AS t
+        FROM documents
+        WHERE doc_id % {_ROUGE_SLICE_MOD} = 0
+          AND len({_SQL_TOKENS}) >= 4
+    ),
+    cand AS (
+        SELECT doc_id,
+               CASE WHEN cls = 0 THEN t[1 : (len(t) + 1) // 2]
+                    ELSE list_reverse(t) END AS t
+        FROM toks
+    ),
+    ref_uni AS (
+        SELECT doc_id, u.g, COUNT(*) AS c
+        FROM toks, UNNEST(t) AS u(g) GROUP BY 1, 2
+    ),
+    cand_uni AS (
+        SELECT doc_id, u.g, COUNT(*) AS c
+        FROM cand, UNNEST(t) AS u(g) GROUP BY 1, 2
+    ),
+    ref_bi AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM toks
+        ) GROUP BY 1, 2
+    ),
+    cand_bi AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM cand
+        ) GROUP BY 1, 2
+    ),
+    clip1 AS (
+        SELECT c.doc_id, SUM(least(c.c, COALESCE(r.c, 0))) AS clip
+        FROM cand_uni c LEFT JOIN ref_uni r USING (doc_id, g)
+        GROUP BY 1
+    ),
+    clip2 AS (
+        SELECT c.doc_id, SUM(least(c.c, COALESCE(r.c, 0))) AS clip
+        FROM cand_bi c LEFT JOIN ref_bi r USING (doc_id, g)
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT t.doc_id, t.cls,
+               CAST(k1.clip AS BIGINT) AS clip1,
+               CAST(1000000 * k1.clip // len(c.t) AS BIGINT) AS p1_ppm,
+               CAST(1000000 * k1.clip // len(t.t) AS BIGINT) AS r1_ppm,
+               CAST(k2.clip AS BIGINT) AS clip2,
+               CAST(1000000 * k2.clip // (len(c.t) - 1) AS BIGINT)
+                   AS p2_ppm,
+               CAST(1000000 * k2.clip // (len(t.t) - 1) AS BIGINT)
+                   AS r2_ppm
+        FROM toks t
+        JOIN cand c USING (doc_id)
+        JOIN clip1 k1 ON k1.doc_id = t.doc_id
+        JOIN clip2 k2 ON k2.doc_id = t.doc_id
+    )
+    SELECT doc_id, CAST(cls AS BIGINT) AS cls,
+           clip1, p1_ppm, r1_ppm,
+           CAST(CASE WHEN p1_ppm + r1_ppm = 0 THEN 0
+                ELSE (2 * p1_ppm * r1_ppm) // (p1_ppm + r1_ppm) END
+                AS BIGINT) AS f1_uni_ppm,
+           clip2, p2_ppm, r2_ppm,
+           CAST(CASE WHEN p2_ppm + r2_ppm = 0 THEN 0
+                ELSE (2 * p2_ppm * r2_ppm) // (p2_ppm + r2_ppm) END
+                AS BIGINT) AS f1_bi_ppm
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def rouge_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 in exact integer ppm per synthesized
+    (candidate, reference) pair (see block comment): clipped unigram
+    and bigram match counts, precision/recall as positive ppm floor
+    divisions over the gram totals, F1 as the exact rational.
+
+    Shape: one documents scan → token arrays checkpointed (four gram
+    consumers, rule 12); gram multiset counts are (doc, gram-hash)
+    groupBys with map-side partials; the clip joins are doc+gram
+    equi-joins on 8-byte keys; totals ride the array sizes (no extra
+    pass). Everything downstream of the scan is doc-local —
+    corpus-linear at any scale."""
+    bigrams = (
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % _ROUGE_SLICE_MOD == 0
+    )
+    toks = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 2).cast("long").alias("cls"),
+            F.expr(_TOKENS).alias("t"),
+        )
+        .filter(F.size("t") >= 4)
+        .localCheckpoint(eager=False)
+    )
+    cand = toks.select(
+        "doc_id",
+        F.when(
+            F.col("cls") == 0,
+            F.expr("slice(t, 1, (size(t) + 1) div 2)"),
+        )
+        .otherwise(F.reverse("t"))
+        .alias("t"),
+    ).localCheckpoint(eager=False)
+
+    def gram_counts(df: DataFrame, expr: str) -> DataFrame:
+        return (
+            df.select("doc_id", F.explode(F.expr(expr)).alias("g"))
+            .select("doc_id", _shingle_key("g").alias("gk"))
+            .groupBy("doc_id", "gk")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    def clipped(cand_counts: DataFrame, ref_counts: DataFrame) -> DataFrame:
+        return (
+            cand_counts.join(
+                ref_counts.withColumnRenamed("c", "rc"),
+                ["doc_id", "gk"],
+                "left",
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.least(F.col("c"), F.coalesce("rc", F.lit(0)))
+                ).alias("clip")
+            )
+        )
+
+    k1 = clipped(gram_counts(cand, "t"), gram_counts(toks, "t"))
+    k2 = clipped(gram_counts(cand, bigrams), gram_counts(toks, bigrams))
+    sizes = toks.join(
+        cand.select("doc_id", F.size("t").alias("n_cand")), "doc_id"
+    ).select("doc_id", "cls", F.size("t").alias("n_ref"), "n_cand")
+    scored = (
+        sizes.join(k1.withColumnRenamed("clip", "clip1"), "doc_id")
+        .join(k2.withColumnRenamed("clip", "clip2"), "doc_id")
+        .selectExpr(
+            "doc_id",
+            "CAST(cls AS BIGINT) AS cls",
+            "CAST(clip1 AS BIGINT) AS clip1",
+            "CAST((1000000 * clip1) div n_cand AS BIGINT) AS p1_ppm",
+            "CAST((1000000 * clip1) div n_ref AS BIGINT) AS r1_ppm",
+            "CAST(clip2 AS BIGINT) AS clip2",
+            "CAST((1000000 * clip2) div (n_cand - 1) AS BIGINT) AS p2_ppm",
+            "CAST((1000000 * clip2) div (n_ref - 1) AS BIGINT) AS r2_ppm",
+        )
+    )
+    f1 = (
+        "CAST(IF(p{n}_ppm + r{n}_ppm = 0, 0, "
+        "(2 * p{n}_ppm * r{n}_ppm) div (p{n}_ppm + r{n}_ppm)) AS BIGINT)"
+    )
+    return scored.selectExpr(
+        "doc_id",
+        "cls",
+        "clip1",
+        "p1_ppm",
+        "r1_ppm",
+        f1.format(n=1) + " AS f1_uni_ppm",
+        "clip2",
+        "p2_ppm",
+        "r2_ppm",
+        f1.format(n=2) + " AS f1_bi_ppm",
+    ).orderBy("doc_id")

@@ -1412,6 +1412,43 @@ def test_merge_rollup_delta_edges(spark):
     assert "b" not in got  # emptied group dropped
 
 
+def test_merge_distinct_support_edges(spark):
+    """COUNT(DISTINCT) support-multiset IVM: a value fully deleted
+    from a group drops its support row (distinct shrinks), a partial
+    delete keeps it, a new (group, value) appears, an update's
+    −old/+new pair cancels, and a delete of a never-held row raises
+    in-plan (CDC defect, never a silent undercount)."""
+    import pytest
+
+    from jobinsight_data_pipeline_v2_spark.operators.merge import (
+        merge_distinct_support,
+    )
+
+    state = spark.createDataFrame(
+        [("jan", 1, 2), ("jan", 2, 1), ("feb", 1, 1)],
+        "mo string, cust long, m long",
+    )
+    delta = spark.createDataFrame(
+        # jan/1: one of two rows deleted; jan/2: last row deleted;
+        # jan/3: new value; feb/1: update pair nets zero (absent from
+        # the pre-aggregated delta — modeled by NOT appearing)
+        [("jan", 1, -1), ("jan", 2, -1), ("jan", 3, 1)],
+        "mo string, cust long, dm long",
+    )
+    got = {
+        (r.mo, r.cust): r.m
+        for r in merge_distinct_support(
+            state, delta, ["mo", "cust"]
+        ).collect()
+    }
+    assert got == {("jan", 1): 1, ("jan", 3): 1, ("feb", 1): 1}
+    bad = spark.createDataFrame(
+        [("feb", 9, -1)], "mo string, cust long, dm long"
+    )
+    with pytest.raises(Exception, match="multiplicity went negative"):
+        merge_distinct_support(state, bad, ["mo", "cust"]).collect()
+
+
 def test_merge_minmax_delta_dispatch(spark):
     """IVM MIN/MAX maintenance: clean groups keep bounds with zero
     rescan, bound-hitting deletes rescan only their group, equal-value
