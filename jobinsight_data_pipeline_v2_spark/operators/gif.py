@@ -420,10 +420,12 @@ def _decode_gif_frames(
     delay_cs = 0
     disposal = 0
     tidx: int | None = None
+    saw_trailer = False
     while pos < len(payload):
         b = payload[pos]
         pos += 1
         if b == 0x3B:
+            saw_trailer = True
             break
         if b == 0x21:
             label = payload[pos]
@@ -506,6 +508,11 @@ def _decode_gif_frames(
         tidx = None
     if not frames:
         raise ValueError("gif: no image data")
+    if not saw_trailer:
+        # running off the end between frames would otherwise return a
+        # SILENT prefix of the animation (review r11) — a damaged
+        # payload must quarantine, not under-sample
+        raise ValueError("gif: truncated before trailer")
     return sw, sh, frames
 
 

@@ -4233,19 +4233,24 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sees it; this is the "quote detection" pass of a curation pipeline.
 # ---------------------------------------------------------------------------
 #
-# In-plan synthesis makes the contained class real at every SF: for
-# half the sampled slice a quarter-PREFIX "quote" doc (doc_id + 5e6)
-# joins the corpus — every quote shingle is a source shingle, so the
-# planted pairs sit at containment 1e6 ppm exactly (modulo the shared
-# stop-shingle cap, identical in both engines). Pairs come from the
-# same fused co-occurrence device as ngram_jaccard_pairs; containment
-# is ONE positive ppm floor division (Spark div == DuckDB // for
-# non-negatives, rule 27 not needed).
+# In-plan synthesis makes EVERY relation class real at every SF
+# (review r11 — natural pairs alone left 'overlap'/'weak' empty below
+# sf0.1): the %10==0 half of the sampled slice gets a quarter-PREFIX
+# "quote" doc (+5e6 — every quote shingle is a source shingle →
+# containment 1e6 exactly, modulo the shared stop-shingle cap); the
+# %10==5 half gets two MIXTURE clones, prefix-of-A ++ unique junk
+# tokens: half-A + quarter-junk (+1e7, containment ≈ 2/3 → 'overlap')
+# and quarter-A + half-junk (+1.5e7, ≈ 1/3 → 'weak'). Pairs come from
+# the same fused co-occurrence device as ngram_jaccard_pairs;
+# containment is ONE positive ppm floor division (Spark div ==
+# DuckDB // for non-negatives, rule 27 not needed).
 
 _CONT_SLICE_MOD = 5  # corpus sample: doc_id % 5 == 0
 _CONT_QUOTE_MOD = 10  # quotes synthesized for doc_id % 10 == 0
 _CONT_QUOTE_BASE = 5_000_000
-_CONT_MIN_PPM = 500_000  # emit pairs at ≥ half containment
+_CONT_OVERLAP_BASE = 10_000_000  # half-A + quarter-junk mixtures
+_CONT_WEAK_BASE = 15_000_000  # quarter-A + half-junk mixtures
+_CONT_MIN_PPM = 250_000  # emit floor BELOW the overlap cut: 'weak' has mass
 
 
 @register(
@@ -4261,8 +4266,30 @@ _CONT_MIN_PPM = 500_000  # emit pairs at ≥ half containment
         FROM toks
         WHERE doc_id % {_CONT_QUOTE_MOD} = 0 AND len(tokens) >= 16
     ),
+    mix_overlap AS (
+        SELECT doc_id + {_CONT_OVERLAP_BASE} AS doc_id,
+               list_concat(
+                   tokens[1 : len(tokens) // 2],
+                   list_transform(
+                       generate_series(1, len(tokens) // 4),
+                       i -> 'junk' || doc_id || '_' || i)) AS tokens
+        FROM toks
+        WHERE doc_id % {_CONT_QUOTE_MOD} = 5 AND len(tokens) >= 16
+    ),
+    mix_weak AS (
+        SELECT doc_id + {_CONT_WEAK_BASE} AS doc_id,
+               list_concat(
+                   tokens[1 : len(tokens) // 4],
+                   list_transform(
+                       generate_series(1, len(tokens) // 2),
+                       i -> 'junk' || doc_id || '_' || i)) AS tokens
+        FROM toks
+        WHERE doc_id % {_CONT_QUOTE_MOD} = 5 AND len(tokens) >= 16
+    ),
     all_docs AS (
         SELECT * FROM toks UNION ALL SELECT * FROM quotes
+        UNION ALL SELECT * FROM mix_overlap
+        UNION ALL SELECT * FROM mix_weak
     ),
     shingles AS (
         SELECT DISTINCT doc_id,
@@ -4325,11 +4352,26 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _CONT_QUOTE_BASE).alias("doc_id"),
         F.expr("slice(t, 1, greatest(size(t) div 4, 4))").alias("t"),
     )
+
+    def mixture(base: int, keep_den: int, junk_den: int) -> DataFrame:
+        return toks.filter(
+            (F.col("doc_id") % _CONT_QUOTE_MOD == 5) & (F.size("t") >= 16)
+        ).select(
+            (F.col("doc_id") + base).alias("doc_id"),
+            F.expr(
+                f"concat(slice(t, 1, size(t) div {keep_den}), "
+                f"transform(sequence(1, size(t) div {junk_den}), "
+                f"i -> concat('junk', doc_id, '_', i)))"
+            ).alias("t"),
+        )
+
     # shingle SETS from rebuilt canonical text (single-space by
     # construction — the ngram_jaccard_pairs regex equivalence);
     # two consumers (sizes + pair stream) → checkpoint (rule 12)
     sh_arr = (
         toks.unionByName(quotes)
+        .unionByName(mixture(_CONT_OVERLAP_BASE, 2, 4))
+        .unionByName(mixture(_CONT_WEAK_BASE, 4, 2))
         .select(
             "doc_id",
             F.array_distinct(

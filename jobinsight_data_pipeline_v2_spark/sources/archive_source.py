@@ -121,13 +121,40 @@ def _parse_zip(name: str, content: bytes) -> list[dict]:
     return rows
 
 
+def _tar_plain_bytes(content: bytes) -> bytes:
+    """Decompress the container by magic byte so the end-of-archive
+    check below can see the raw tar stream (``r:*`` would hide the
+    decompressed offsets). A corrupt compression stream raises —
+    bad_archive upstream."""
+    if content[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=io.BytesIO(content)).read()
+    if content[:3] == b"BZh":
+        import bz2
+
+        return bz2.decompress(content)
+    if content[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        return lzma.decompress(content)
+    return content
+
+
 def _parse_tar(name: str, content: bytes) -> list[dict]:
-    """Member rows of one TAR (plain or compressed — ``r:*`` sniffs).
+    """Member rows of one TAR (plain or gz/bz2/xz-compressed).
     The WHOLE member walk runs before anything is yielded: a tar that
     errors mid-iteration (truncation, corrupt header chain) must
     never contribute a silent prefix of its members, so the caller
-    converts the raise into ONE bad_archive row."""
-    tf = tarfile.open(fileobj=io.BytesIO(content), mode="r:*")
+    converts the raise into ONE bad_archive row.
+
+    Python's ``tarfile`` treats EOF at a HEADER position mid-archive
+    as a normal end of archive (review r11 — a tar truncated exactly
+    at a 512-block member boundary, or mid-way through the next
+    member's header, iterates cleanly and silently drops the tail).
+    The walk therefore verifies the spec's end-of-archive marker
+    explicitly: after the last member the stream must carry two
+    all-zero 512-byte blocks."""
+    data = _tar_plain_bytes(content)
+    tf = tarfile.open(fileobj=io.BytesIO(data), mode="r:")
     rows: list[dict] = []
     idx = 0
     for info in tf:  # raises mid-iteration → bad_archive upstream
@@ -148,14 +175,21 @@ def _parse_tar(name: str, content: bytes) -> list[dict]:
                 f"but only {len(raw)} are present (truncated archive)"
             )
         try:
-            data = _maybe_gunzip_member(info.name, raw)
-            rows.append(_row(name, idx, info.name, data, None))
+            payload = _maybe_gunzip_member(info.name, raw)
+            rows.append(_row(name, idx, info.name, payload, None))
         except Exception as e:  # corrupt .gz member
             rows.append(
                 _row(name, idx, info.name, None,
                      f"bad_member:{type(e).__name__}")
             )
         idx += 1
+    # end-of-archive marker: two zero blocks after the last member
+    tail = data[tf.offset : tf.offset + 1024]
+    if len(tail) < 1024 or any(tail):
+        raise ValueError(
+            "tar missing its end-of-archive marker — truncated at a "
+            "block/header boundary (silent member prefix forbidden)"
+        )
     return rows
 
 

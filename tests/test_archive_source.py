@@ -82,6 +82,28 @@ def test_truncated_tar_quarantines_whole_never_a_prefix():
     # without raising — the explicit size check must catch it
     rows = parse_archive_bytes("t.tar", raw[: 512 + 512])
     assert len(rows) == 1 and rows[0]["reason"].startswith("bad_archive")
+    # review r11 (repro-confirmed): tarfile treats EOF at a HEADER
+    # position mid-archive as a normal end of archive — truncation at
+    # a's padded-data end (b's header boundary) or 100 bytes into b's
+    # header silently dropped b. The end-of-archive-marker check must
+    # quarantine the whole file in both shapes.
+    a_end = 512 + 1024  # header + 600 bytes padded to 2 blocks
+    rows = parse_archive_bytes("t.tar", raw[:a_end])
+    assert len(rows) == 1 and rows[0]["reason"].startswith("bad_archive")
+    rows = parse_archive_bytes("t.tar", raw[: a_end + 100])
+    assert len(rows) == 1 and rows[0]["reason"].startswith("bad_archive")
+    # same contract through the compressed path
+    comp = gzip.compress(raw[:a_end])
+    rows = parse_archive_bytes("t.tar.gz", comp)
+    assert len(rows) == 1 and rows[0]["reason"].startswith("bad_archive")
+    # and an INTACT archive still parses clean through both paths
+    assert [r["reason"] for r in parse_archive_bytes("t.tar", raw)] == [
+        None, None,
+    ]
+    assert [
+        r["reason"]
+        for r in parse_archive_bytes("t.tar.gz", gzip.compress(raw))
+    ] == [None, None]
 
 
 def test_corrupt_zip_member_quarantines_alone():

@@ -253,6 +253,24 @@ def test_disposal_restore_previous_raises():
         decode_gif_frames(bytes(raw))
 
 
+def test_animated_truncated_between_frames_raises():
+    """Review r11 (repro-confirmed): a payload cut between frames
+    (losing later frames and the 0x3B trailer) must raise, never
+    return a silent prefix of the animation."""
+    pal = [(i, i, i) for i in range(8)]
+    f = (0, 0, 2, 2, bytes((0, 1, 2, 3)), 1, 0, None, False)
+    raw = encode_animated_gif(2, 2, [f, f], pal)
+    # find the second frame's graphic control and cut just before it
+    second = raw.index(b"\x21\xf9\x04", raw.index(b"\x21\xf9\x04") + 1)
+    with pytest.raises(ValueError, match="trailer"):
+        decode_gif_frames(raw[:second])
+    # cutting only the trailer byte also raises
+    with pytest.raises(ValueError, match="trailer"):
+        decode_gif_frames(raw[:-1])
+    # the intact file still decodes both frames
+    assert len(decode_gif_frames(raw)[2]) == 2
+
+
 def test_animated_rect_outside_canvas_raises():
     pal = [(i, i, i) for i in range(8)]
     with pytest.raises(ValueError, match="rect"):

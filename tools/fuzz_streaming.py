@@ -326,14 +326,22 @@ def run_fuzz_streaming(
                 assert mode2 == mode
                 name = f"fuzz_stream_{seed}_{i}"
                 q = run_stream_to_memory(spark, got_stream, name, mode=mode)
-                q.awaitTermination(180)
-                got = spark.sql(f"SELECT * FROM {name}")
-                rows_b, rows_s = expected.count(), got.count()
-                sym = (
-                    got.exceptAll(expected).count()
-                    + expected.exceptAll(got).count()
-                )
-                spark.catalog.dropTempView(name)
+                try:
+                    if not q.awaitTermination(300):
+                        # a partial drain would compare garbage and a
+                        # live query would leak into later iterations
+                        raise TimeoutError(
+                            "stream drain exceeded 300s (runaway guard)"
+                        )
+                    got = spark.sql(f"SELECT * FROM {name}")
+                    rows_b, rows_s = expected.count(), got.count()
+                    sym = (
+                        got.exceptAll(expected).count()
+                        + expected.exceptAll(got).count()
+                    )
+                finally:
+                    q.stop()
+                    spark.catalog.dropTempView(name)
             except Exception as e:
                 err = f"{type(e).__name__}: {e}"
             ok = err is None and sym == 0 and rows_b == rows_s
