@@ -227,8 +227,13 @@ BENCH_QUERIES = [
     "cusum_changepoint_days",  # Page CUSUM sequential drift, integer form
     "rouge_ngram_eval",  # clipped n-gram P/R/F1 in exact ppm
     "ivm_distinct_rollup",  # COUNT(DISTINCT) IVM via support multiset
+    "mann_whitney_arms",  # rank-based two-sample test, doubled-rank ints
     "fd_profile_approx",  # approximate-FD via HLL registers, flag-pinned
     "group_priority_sample",  # per-stratum weighted top-k (one window)
+    # hits_scores is deliberately NOT benched: like pagerank its cost
+    # is fixed per-round job overhead (6 half-step aggregates on an
+    # edges-sized frame); the iterative family is benched via
+    # semantic_dedup.
     # kcore_membership is deliberately NOT benched: like pagerank/mmr
     # its cost is R rounds of fixed per-round job overhead on an
     # edges-sized frame (~10s wall at ANY sf — scheduling, not data);

@@ -167,3 +167,66 @@ def triangle_counts_per_node(und: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def hits_integer(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    unit: int = PR_UNIT,
+) -> DataFrame:
+    """(node, authority, hub) after ``n_iter`` HITS rounds
+    (Kleinberg 1999) in deterministic integer arithmetic: each round
+    pulls authorities from hub mass over in-edges, re-scales to
+    ``unit`` by floor-dividing by the round's MAX (the normalization
+    step — exact same integers in any engine, no float norm), then
+    pulls hubs from the FRESH authorities over out-edges and
+    re-scales likewise. Nodes outside the update keep 0.
+
+    Scale shape (the pagerank_integer discipline): the edge table
+    materializes once; each half-step is one key-shuffled aggregate
+    with map-side partials; score tables checkpoint per round so the
+    plan stays linear in rounds; the max is a one-row broadcast.
+    """
+    ed = edges.select("src", "dst").localCheckpoint(eager=False)
+    hub = nodes.select(
+        "node", F.lit(int(unit)).cast("long").alias("s")
+    ).localCheckpoint(eager=False)
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            ed.join(hub, ed["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("s").cast("long").alias("raw"))
+        )
+        auth = _rescale(nodes, a_raw, "dst", unit)
+        h_raw = (
+            ed.join(auth, ed["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("s").cast("long").alias("raw"))
+        )
+        hub = _rescale(nodes, h_raw, "src", unit)
+    return auth.select("node", F.col("s").alias("authority")).join(
+        hub.select("node", F.col("s").alias("hub")), "node"
+    )
+
+
+def _rescale(
+    nodes: DataFrame, raw: DataFrame, key: str, unit: int
+) -> DataFrame:
+    """(node, s): raw scores floor-rescaled so the max equals
+    ``unit``; absent nodes score 0. Checkpointed — each score table
+    feeds the next half-step AND the final join (rule 12), and the
+    per-round boundary keeps the iterative plan linear."""
+    mx = raw.agg(F.max("raw").alias("mx"))
+    return (
+        nodes.join(raw, nodes["node"] == raw[key], "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            F.expr(f"({unit} * coalesce(raw, 0)) div mx")
+            .cast("long")
+            .alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )

@@ -445,7 +445,14 @@ PRIORITY: tuple[str, ...] = (
 #     clipped-multiset arithmetic stays local-gated),
 #   ivm_distinct_rollup (IVM family sibling of ivm_monthly_rollup /
 #     ivm_minmax_rollup, all local-gated; the rollup-merge device is
-#     pinned above by carry_forward_day's fold slot family).
+#     pinned above by carry_forward_day's fold slot family),
+#   mann_whitney_arms (experimentation family pinned above by
+#     anomaly_days + validation_counters' devices; the rank-statistic
+#     arithmetic stays local-gated next to ab_test_proportions and
+#     ks_drift_days),
+#   hits_scores (graph family pinned above by pagerank_doc_graph —
+#     same fixed-round iterative device; the mutual-reinforcement
+#     rescale stays local-gated next to kcore_membership).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -2732,3 +2732,169 @@ def cusum_changepoint_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pos > F.col("mu")).cast("long").alias("alarm_pos"),
         (neg > F.col("mu")).cast("long").alias("alarm_neg"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (r11): the RANK-based two-sample test — the
+# nonparametric family's missing member next to the ECDF-based KS
+# gate. Experiment analysis over a skewed metric uses U, not the
+# t/z-test, and rank statistics are exactly integer once doubled:
+# with ties at value v (count c_v, b_v values strictly below), every
+# occurrence's midrank is b_v + (c_v+1)/2, so DOUBLED rank sums
+# 2R_g = Σ_v cnt_{g,v}·(2·b_v + c_v + 1) stay BIGINT-exact, and
+# 2U_g = 2R_g − n_g(n_g+1). Identity 2U_0 + 2U_1 == 2·n_0·n_1 holds
+# by construction (both engines recompute it independently — a rank
+# or tie-handling defect breaks the hash). Effect size = the
+# common-language effect U_1/(n_0 n_1) in ppm; significance = the
+# normal approximation z² > 4 with denominators cleared in
+# DECIMAL(38)/HUGEINT (tie correction deliberately omitted — a
+# pinned, documented statistic, conservative here since ties only
+# shrink the true variance). A +$20.00 location shift is planted on
+# arm 1 (md5-parity assignment, the ab_test device) so the flag has
+# real mass at every SF.
+
+_MW_SHIFT_CENTS = 2000
+
+
+@register(
+    "mann_whitney_arms",
+    f"""
+    WITH assigned AS (
+        SELECT ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS arm,
+               CAST(round(value * 100) AS BIGINT)
+                   + CASE WHEN ('0x' || substring(
+                         md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 2
+                         = 1 THEN {_MW_SHIFT_CENTS} ELSE 0 END AS cents
+        FROM events
+    ),
+    vc AS (
+        SELECT cents, COUNT(*) AS c_v,
+               CAST(SUM(arm) AS BIGINT) AS cnt1
+        FROM assigned GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents, c_v, cnt1, c_v - cnt1 AS cnt0,
+               CAST(SUM(c_v) OVER (ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING) - c_v
+                    AS BIGINT) AS b_v
+        FROM vc
+    ),
+    sums AS (
+        SELECT CAST(SUM(cnt0) AS BIGINT) AS n0,
+               CAST(SUM(cnt1) AS BIGINT) AS n1,
+               CAST(SUM(cnt0 * (2 * b_v + c_v + 1)) AS BIGINT) AS r0_x2,
+               CAST(SUM(cnt1 * (2 * b_v + c_v + 1)) AS BIGINT) AS r1_x2
+        FROM ranked
+    ),
+    u AS (
+        SELECT n0, n1, r0_x2, r1_x2,
+               r0_x2 - n0 * (n0 + 1) AS u0_x2,
+               r1_x2 - n1 * (n1 + 1) AS u1_x2,
+               r1_x2 - n1 * (n1 + 1) - n0 * n1 AS d_x2
+        FROM sums
+    )
+    SELECT CAST(0 AS BIGINT) AS arm, n0 AS n, r0_x2 AS rank_sum_x2,
+           u0_x2 AS u_x2, CAST(-1 AS BIGINT) AS cles_ppm,
+           CAST(-1 AS BIGINT) AS z2_ppm, FALSE AS significant
+    FROM u
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), n1, r1_x2, u1_x2,
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+    FROM u
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), n0 + n1, r0_x2 + r1_x2,
+           u0_x2 + u1_x2,
+           CAST((1000000 * u1_x2) // (2 * n0 * n1) AS BIGINT),
+           CAST((1000000 * 3 * CAST(d_x2 AS HUGEINT) * d_x2)
+                // (4 * CAST(n0 AS HUGEINT) * n1 * (n0 + n1 + 1))
+                AS BIGINT),
+           3 * CAST(d_x2 AS HUGEINT) * d_x2
+               > 16 * CAST(n0 AS HUGEINT) * n1 * (n0 + n1 + 1)
+    FROM u
+    ORDER BY arm
+    """,
+)
+def mann_whitney_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm doubled rank sums + U statistics and the arm=-1
+    summary (common-language effect in ppm, cleared-denominator z²,
+    significance at z² > 4) — see block comment. Shape: one events
+    scan → distinct-value (cents) aggregate; the prefix window runs on
+    the values-sized frame (≤ ~12k rows — the seasonal_decompose
+    exception); everything after is a one-row fold."""
+    events = load_events(spark, sf_dir)
+    assigned = events.select(
+        F.expr(
+            "cast(conv(substring(md5(cast(cast(event_id as string) as "
+            "binary)), 1, 8), 16, 10) as bigint) % 2"
+        ).alias("arm"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents0"),
+    ).select(
+        "arm",
+        (
+            F.col("cents0")
+            + F.when(F.col("arm") == 1, _MW_SHIFT_CENTS).otherwise(0)
+        ).alias("cents"),
+    )
+    vc = assigned.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c_v"),
+        F.sum("arm").cast("long").alias("cnt1"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vc.select(
+        "cents",
+        "c_v",
+        "cnt1",
+        (F.col("c_v") - F.col("cnt1")).alias("cnt0"),
+        (F.sum("c_v").over(w) - F.col("c_v")).cast("long").alias("b_v"),
+    )
+    mid = F.lit(2) * F.col("b_v") + F.col("c_v") + F.lit(1)
+    u = (
+        ranked.agg(
+            F.sum("cnt0").cast("long").alias("n0"),
+            F.sum("cnt1").cast("long").alias("n1"),
+            F.sum(F.col("cnt0") * mid).cast("long").alias("r0_x2"),
+            F.sum(F.col("cnt1") * mid).cast("long").alias("r1_x2"),
+        )
+        .withColumn(
+            "u0_x2", F.expr("r0_x2 - n0 * (n0 + 1)")
+        )
+        .withColumn(
+            "u1_x2", F.expr("r1_x2 - n1 * (n1 + 1)")
+        )
+        .withColumn("d_x2", F.expr("u1_x2 - n0 * n1"))
+    )
+    dec = "decimal(38,0)"
+    arm0 = u.selectExpr(
+        "CAST(0 AS BIGINT) AS arm",
+        "n0 AS n",
+        "r0_x2 AS rank_sum_x2",
+        "u0_x2 AS u_x2",
+        "CAST(-1 AS BIGINT) AS cles_ppm",
+        "CAST(-1 AS BIGINT) AS z2_ppm",
+        "false AS significant",
+    )
+    arm1 = u.selectExpr(
+        "CAST(1 AS BIGINT) AS arm",
+        "n1 AS n",
+        "r1_x2 AS rank_sum_x2",
+        "u1_x2 AS u_x2",
+        "CAST(-1 AS BIGINT) AS cles_ppm",
+        "CAST(-1 AS BIGINT) AS z2_ppm",
+        "false AS significant",
+    )
+    summary = u.selectExpr(
+        "CAST(-1 AS BIGINT) AS arm",
+        "n0 + n1 AS n",
+        "r0_x2 + r1_x2 AS rank_sum_x2",
+        "u0_x2 + u1_x2 AS u_x2",
+        "CAST((1000000 * u1_x2) div (2 * n0 * n1) AS BIGINT) AS cles_ppm",
+        f"CAST((CAST(1000000 AS {dec}) * 3 * d_x2 * d_x2)"
+        f" div (CAST(4 AS {dec}) * n0 * n1 * (n0 + n1 + 1))"
+        " AS BIGINT) AS z2_ppm",
+        f"CAST(3 AS {dec}) * d_x2 * d_x2"
+        f" > CAST(16 AS {dec}) * n0 * n1 * (n0 + n1 + 1) AS significant",
+    )
+    return arm0.unionByName(arm1).unionByName(summary).orderBy("arm")

@@ -4615,3 +4615,92 @@ def rouge_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r2_ppm",
         f1.format(n=2) + " AS f1_bi_ppm",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (r11): the link-analysis family's second
+# eigenvector method next to PageRank — hubs point at good
+# authorities, authorities are pointed at by good hubs (Kleinberg
+# 1999). Float HITS normalizes by an L2 norm; the integer spec here
+# rescales each half-step to 1e6 by floor-dividing by the round MAX —
+# deterministic, engine-exact, oracle = chained MATERIALIZED CTE
+# rounds over the same recurrence text (the pagerank device; rule 28
+# — each round CTE is referenced by the max subquery AND the join).
+# Same synthesized citation graph as pagerank_doc_graph.
+# ---------------------------------------------------------------------------
+
+_HITS_ITER = 3
+_HITS_TOP = 20
+
+
+def _hits_oracle_sql(n_iter: int) -> str:
+    ctes = [
+        "nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents)",
+        "tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM nodes)",
+        (
+            "edges AS MATERIALIZED (SELECT node AS src, "
+            "(node * 7 + j * 31 + 11) % (SELECT n FROM tot) AS dst "
+            "FROM nodes, UNNEST(generate_series(1, 1 + node % 3)) AS t(j))"
+        ),
+        "h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS s "
+        "FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"a{i}r AS MATERIALIZED (SELECT e.dst AS node, "
+            f"CAST(SUM(h.s) AS BIGINT) AS s FROM edges e "
+            f"JOIN h{i - 1} h ON e.src = h.node GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT n.node, "
+            f"CAST((1000000 * COALESCE(r.s, 0)) "
+            f"// (SELECT MAX(s) FROM a{i}r) AS BIGINT) AS s "
+            f"FROM nodes n LEFT JOIN a{i}r r ON n.node = r.node)"
+        )
+        ctes.append(
+            f"h{i}r AS MATERIALIZED (SELECT e.src AS node, "
+            f"CAST(SUM(a.s) AS BIGINT) AS s FROM edges e "
+            f"JOIN a{i} a ON e.dst = a.node GROUP BY 1)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT n.node, "
+            f"CAST((1000000 * COALESCE(r.s, 0)) "
+            f"// (SELECT MAX(s) FROM h{i}r) AS BIGINT) AS s "
+            f"FROM nodes n LEFT JOIN h{i}r r ON n.node = r.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.node, a.s AS authority, h.s AS hub "
+        f"FROM a{n_iter} a JOIN h{n_iter} h ON a.node = h.node "
+        f"ORDER BY authority DESC, a.node LIMIT {_HITS_TOP}"
+    )
+
+
+@register("hits_scores", _hits_oracle_sql(_HITS_ITER))
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_HITS_TOP} authorities (with their hub scores) after
+    {_HITS_ITER} integer HITS rounds on the synthesized citation
+    graph (operators/graph.hits_integer — see block comment). Total
+    order under the LIMIT: (authority DESC, node), node unique."""
+    from ..operators.graph import hits_integer
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("node")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    edges = (
+        docs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("node").alias("src"),
+            F.explode(F.expr("sequence(1, 1 + node % 3)")).alias("j"),
+            "__n",
+        )
+        .select("src", F.expr("(src * 7 + j * 31 + 11) % __n").alias("dst"))
+    )
+    scores = hits_integer(docs, edges, n_iter=_HITS_ITER)
+    return (
+        scores.orderBy(F.desc("authority"), "node")
+        .limit(_HITS_TOP)
+        .select("node", "authority", "hub")
+    )
