@@ -2756,6 +2756,31 @@ def cusum_changepoint_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MW_SHIFT_CENTS = 2000
 
 
+def mw_value_counts(events: DataFrame) -> DataFrame:
+    """(cents, c_v, cnt1) — md5-parity arm assignment, the planted
+    arm-1 shift, and the distinct-value tie counts in ONE aggregation,
+    shared verbatim by the batch gate and mann_whitney_stream (a
+    stream cannot chain the rank fold, so ranks/U/z² stay
+    batch/consumer-side — the ab_arm_counts convention)."""
+    assigned = events.select(
+        F.expr(
+            "cast(conv(substring(md5(cast(cast(event_id as string) as "
+            "binary)), 1, 8), 16, 10) as bigint) % 2"
+        ).alias("arm"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents0"),
+    ).select(
+        "arm",
+        (
+            F.col("cents0")
+            + F.when(F.col("arm") == 1, _MW_SHIFT_CENTS).otherwise(0)
+        ).alias("cents"),
+    )
+    return assigned.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c_v"),
+        F.sum("arm").cast("long").alias("cnt1"),
+    )
+
+
 @register(
     "mann_whitney_arms",
     f"""
@@ -2823,23 +2848,7 @@ def mann_whitney_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the values-sized frame (≤ ~12k rows — the seasonal_decompose
     exception); everything after is a one-row fold."""
     events = load_events(spark, sf_dir)
-    assigned = events.select(
-        F.expr(
-            "cast(conv(substring(md5(cast(cast(event_id as string) as "
-            "binary)), 1, 8), 16, 10) as bigint) % 2"
-        ).alias("arm"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents0"),
-    ).select(
-        "arm",
-        (
-            F.col("cents0")
-            + F.when(F.col("arm") == 1, _MW_SHIFT_CENTS).otherwise(0)
-        ).alias("cents"),
-    )
-    vc = assigned.groupBy("cents").agg(
-        F.count(F.lit(1)).cast("long").alias("c_v"),
-        F.sum("arm").cast("long").alias("cnt1"),
-    )
+    vc = mw_value_counts(events)
     w = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

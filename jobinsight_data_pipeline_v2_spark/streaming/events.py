@@ -766,3 +766,16 @@ def ab_test_stream(events: DataFrame) -> DataFrame:
         "conv",
         F.expr("(1000000 * conv) div n").cast("long").alias("rate_ppm"),
     )
+
+
+def mann_whitney_stream(events: DataFrame) -> DataFrame:
+    """(cents, c_v, cnt1): the Mann-Whitney gate's distinct-value tie
+    counts updating as events arrive — twin 52, the
+    mann_whitney_arms gate's value aggregation in complete mode over
+    the SHARED plans/events.mw_value_counts transform (chained
+    aggregations are unsupported on streams, so the rank fold / U / z²
+    stay consumer-side — the ab_test_stream convention). Final state
+    equals the batch value-count frame row for row."""
+    from ..plans.events import mw_value_counts
+
+    return mw_value_counts(events)

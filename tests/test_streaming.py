@@ -3396,3 +3396,44 @@ def test_streaming_archive_equals_batch(spark, tmp_path):
     assert sym == 0
     assert got.count() == 4
     assert got.filter("reason IS NOT NULL").count() == 1
+
+
+def test_streaming_mann_whitney_equals_batch(spark, tmp_path):
+    """Twin 52: the complete-mode distinct-value tie counts equal the
+    batch mann_whitney_arms value aggregation once all events have
+    arrived."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans.events import (
+        mw_value_counts,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.events import (
+        mann_whitney_stream,
+    )
+    from jobinsight_data_pipeline_v2_spark.tables import load_events
+
+    events = load_events(spark, SF).select("event_id", "value")
+    n = events.count()
+    src = os.path.join(str(tmp_path), "mw_events")
+    now = time.time()
+    for b, (lo, hi) in enumerate([(0, n // 2), (n // 2, n + 1)]):
+        part = events.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+        _write_drop(part, tmp_path, src, f"drop_{b}", now + b)
+    stream = (
+        spark.readStream.schema("event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        spark, mann_whitney_stream(stream), "mw_stream", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM mw_stream")
+    expected = mw_value_counts(events)
+    sym = (
+        got.exceptAll(expected).count()
+        + expected.exceptAll(got).count()
+    )
+    assert sym == 0 and got.count() > 0
