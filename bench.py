@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "rouge_ngram_eval",  # clipped n-gram P/R/F1 in exact ppm
     "ivm_distinct_rollup",  # COUNT(DISTINCT) IVM via support multiset
     "mann_whitney_arms",  # rank-based two-sample test, doubled-rank ints
+    "epoch_upsample",  # per-source epoch repeat counts (data recipes)
     "fd_profile_approx",  # approximate-FD via HLL registers, flag-pinned
     "group_priority_sample",  # per-stratum weighted top-k (one window)
     # hits_scores is deliberately NOT benched: like pagerank its cost

@@ -452,7 +452,10 @@ PRIORITY: tuple[str, ...] = (
 #     ks_drift_days),
 #   hits_scores (graph family pinned above by pagerank_doc_graph —
 #     same fixed-round iterative device; the mutual-reinforcement
-#     rescale stays local-gated next to kcore_membership).
+#     rescale stays local-gated next to kcore_membership),
+#   epoch_upsample (sampling family pinned above by hash_split +
+#     token_budget_select's prefix device; the per-source epoch
+#     arithmetic stays local-gated next to mixture_sample).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -1754,3 +1754,122 @@ def group_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars", "priority")
         .orderBy("source", "priority", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch-aware upsampling (r11): the data-RECIPE operation every LLM
+# pre-training mix needs — "N epochs of source X" (Llama/GPT-style
+# recipes repeat high-quality sources; mixture_sample/temperature only
+# SUBSAMPLE). Per source: target tokens = (m_s · total_s) div 2 with
+# m_s = 1 + suffix % 5 (epochs 0.5 … 2.5 — the m=2 class pins the
+# exact-integer-epoch edge where the remainder is ZERO); every doc
+# repeats floor(target/total) times, plus ONE extra epoch for the
+# md5-ranked prefix of docs whose inclusive running token sum stays
+# within the remainder (the select_token_budget prefix device, applied
+# per source — deterministic, replay-stable, no rand()).
+# ---------------------------------------------------------------------------
+
+
+def epoch_repeat_counts(
+    docs: DataFrame,
+    target_num: str = "m * tot",
+    target_den: int = 2,
+) -> DataFrame:
+    """(doc_id, source, n_tokens, epochs) from (doc_id, source,
+    n_tokens, m): per-source target = (``target_num``) div
+    ``target_den`` tokens; epochs = base + remainder-prefix extra (see
+    block comment). One per-source aggregate (broadcast back) + one
+    source-partitioned window — no global sort, parallel across
+    sources; a one-hot source would take the token_budget_salted
+    treatment."""
+    totals = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("tot"), F.min("m").alias("m")
+    )
+    t = totals.select(
+        "source",
+        "tot",
+        F.expr(f"({target_num}) div {target_den}").alias("target"),
+    )
+    rk = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = docs.select(
+        "doc_id", "source", "n_tokens", rk.alias("rk")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return ranked.join(F.broadcast(t), "source").select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.expr("target div tot")
+            + F.when(
+                F.col("cum") <= F.expr("target % tot"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("epochs"),
+    )
+
+
+def upsample_rows(counts: DataFrame) -> DataFrame:
+    """(doc_id, source, epoch) — the materialized repeat stream: each
+    doc fans out ``epochs`` rows (1-based epoch index; zero-epoch docs
+    vanish). In-row sequence explode, corpus-linear."""
+    return counts.filter(F.col("epochs") > 0).select(
+        "doc_id",
+        "source",
+        F.explode(F.expr("sequence(1, epochs)")).alias("epoch"),
+    )
+
+
+@register(
+    "epoch_upsample",
+    f"""
+    WITH f AS (
+        SELECT doc_id, source,
+               CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(substring(source, 4) AS INT) % 5 + 1 AS m,
+               md5(CAST(doc_id AS VARCHAR)) AS rk
+        FROM documents
+        WHERE len({_SQL_TOKENS}) > 0
+    ),
+    t AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot,
+               (MIN(m) * CAST(SUM(n_tokens) AS BIGINT)) // 2 AS target
+        FROM f GROUP BY 1
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY rk, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM f
+    )
+    SELECT c.doc_id, c.source, c.n_tokens,
+           CAST(t.target // t.tot
+                + CASE WHEN c.cum <= t.target % t.tot THEN 1 ELSE 0 END
+                AS BIGINT) AS epochs
+    FROM c JOIN t USING (source)
+    ORDER BY c.doc_id
+    """,
+)
+def epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc epoch repeat counts for the per-source token recipe
+    (see block comment): base epochs + the md5-prefix extra, exact
+    integers, deterministic across replays. The materialized repeat
+    stream is ``upsample_rows`` (unit-tested: Σ exploded == Σ epochs);
+    the gate pins the counts."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.expr("CAST(substring(source, 4, 10) AS INT)") % 5 + 1
+        ).alias("m"),
+    ).filter(F.col("n_tokens") > 0)
+    return epoch_repeat_counts(scored).orderBy("doc_id")

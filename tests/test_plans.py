@@ -1057,3 +1057,52 @@ def test_table_profile_approx_keeps_all_null_column(spark, tmp_path):
     r = rows["o_orderpriority"]
     assert r.n_distinct == 0 and r.n_nulls == 20
     assert r.hll_within_bound == 1
+
+
+def test_upsample_rows_fan_out_matches_counts(spark):
+    """The materialized repeat stream: every doc emits exactly
+    `epochs` rows with 1-based epoch indices; zero-epoch docs vanish."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        upsample_rows,
+    )
+
+    counts = spark.createDataFrame(
+        [(1, "a", 3), (2, "a", 0), (3, "b", 1)],
+        "doc_id long, source string, epochs long",
+    )
+    rows = upsample_rows(counts).collect()
+    got = sorted((r.doc_id, r.epoch) for r in rows)
+    assert got == [(1, 1), (1, 2), (1, 3), (3, 1)]
+
+
+def test_epoch_repeat_counts_hits_targets(spark):
+    """Per-source token accounting: the repeated token total lands
+    within one max-doc of the target (prefix semantics), the m=2
+    class is EXACTLY the full corpus twice... m=2 → target = total →
+    exactly one epoch each; remainder classes repeat the md5 prefix."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_v2_spark.plans.sampling import (
+        epoch_repeat_counts,
+    )
+
+    rows = [
+        (i, f"s{i % 3}", 10 + i % 7, 1 + (i % 3) * 2) for i in range(60)
+    ]  # m in {1, 3, 5} per source → targets 0.5x, 1.5x, 2.5x
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, m long"
+    )
+    out = epoch_repeat_counts(df).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        m = 1 + int(src[1]) * 2
+        tot = sum(r.n_tokens for r in rs)
+        target = (m * tot) // 2
+        repeated = sum(r.n_tokens * r.epochs for r in rs)
+        assert target - max(r.n_tokens for r in rs) < repeated <= target, src
+        base = target // tot
+        assert all(r.epochs in (base, base + 1) for r in rs), src
