@@ -23,5 +23,5 @@ def test_fuzz_streaming_grammar_covers_all_shapes(spark, tmp_path):
     weight typo could silently drop a family from coverage)."""
     gen = StreamGenerator(spark, SF, 5, str(tmp_path / "land2"))
     shapes = {gen.gen()["shape"] for _ in range(200)}
-    assert shapes == {"stateless", "grouped", "time_window",
+    assert shapes == {"stateless", "grouped", "dedup", "time_window",
                       "static_join"}

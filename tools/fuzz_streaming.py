@@ -223,6 +223,21 @@ class StreamGenerator:
                 ],
                 "pred": self._pred(table),
             }
+        if r < 0.75:
+            # full-row dedup: first-arrival streaming semantics equal
+            # batch DISTINCT as a row SET (coarsened projections make
+            # duplicates real)
+            table = self.rng.choice(list(self.cols))
+            coarse = [
+                f"{self._group_key(table)} AS d{i}"
+                for i in range(self.rng.randrange(1, 3))
+            ]
+            return {
+                "shape": "dedup",
+                "table": table,
+                "projs": coarse,
+                "pred": self._pred(table),
+            }
         if r < 0.85:
             dur = self.rng.choice(["1 hour", "2 hours", "6 hours",
                                    "30 minutes"])
@@ -260,6 +275,8 @@ class StreamGenerator:
         shape = spec["shape"]
         if shape == "stateless":
             return df.selectExpr(*spec["projs"]), "append"
+        if shape == "dedup":
+            return df.selectExpr(*spec["projs"]).dropDuplicates(), "append"
         if shape == "grouped":
             keys = [F.expr(k) for k in spec["keys"]]
             aggs = [F.expr(a) for a in spec["aggs"]]
