@@ -1684,3 +1684,55 @@ def test_trending_decay_clamp_boundary(spark):
     assert out["fresh"][0] == 3
     assert out["fresh"][1] == 3 * (1 << _TREND_MAXQ)
     assert out["fresh"][2] == 1                 # fresh outranks stale
+
+
+def test_hits_integer_matches_pure_python(spark):
+    """hits_integer pinned against an independent pure-Python
+    implementation of the same integer spec on structured small
+    graphs — a star (one clear authority), a bipartite hub/authority
+    split, and a cycle with a chord (asymmetric scores)."""
+    from jobinsight_data_pipeline_v2_spark.operators.graph import (
+        hits_integer,
+    )
+
+    def ref(n_nodes, edges, n_iter=3, unit=1_000_000):
+        hub = {v: unit for v in range(n_nodes)}
+        auth = {}
+
+        def rescale(raw):
+            mx = max(raw.values())
+            return {
+                v: (unit * raw.get(v, 0)) // mx for v in range(n_nodes)
+            }
+
+        for _ in range(n_iter):
+            raw = {}
+            for s, d in edges:
+                raw[d] = raw.get(d, 0) + hub[s]
+            auth = rescale(raw)
+            raw = {}
+            for s, d in edges:
+                raw[s] = raw.get(s, 0) + auth[d]
+            hub = rescale(raw)
+        return auth, hub
+
+    graphs = {
+        "star": (5, [(i, 0) for i in range(1, 5)]),
+        "bipartite": (6, [(s, d) for s in (0, 1, 2) for d in (3, 4, 5)]),
+        "chorded_cycle": (5, [(i, (i + 1) % 5) for i in range(5)]
+                          + [(0, 2), (3, 2)]),
+    }
+    for name, (n, edges) in graphs.items():
+        nodes = spark.createDataFrame(
+            [(v,) for v in range(n)], "node long"
+        )
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: (r.authority, r.hub)
+            for r in hits_integer(nodes, e).collect()
+        }
+        a, h = ref(n, edges)
+        assert got == {v: (a[v], h[v]) for v in range(n)}, name
+        # the star's center is the unit authority; leaves the hubs
+        if name == "star":
+            assert got[0][0] == 1_000_000 and got[1][1] == 1_000_000

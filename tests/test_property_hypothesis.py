@@ -414,3 +414,66 @@ def test_soundex_transcription_matches_python_reference(names):
     )
     got = [r[0] for r in duckdb.execute(sql).fetchall()]
     assert got == [ref(n) for n in names]
+
+
+@given(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1,
+             max_size=60)
+)
+@settings(max_examples=300, deadline=None)
+def test_cusum_closed_form_equals_recurrence(devs):
+    """The CUSUM gate's window algebra: the Page recurrence
+    S_d = max(0, S_{d-1} + dev_d) must equal the closed form
+    W_d − min(0, min_{j≤d} W_j) with W the running deviation sum —
+    the identity the gate's two prefix windows rely on."""
+    s = 0
+    w = 0
+    mn = 0
+    for dev in devs:
+        s = max(0, s + dev)
+        w += dev
+        mn = min(mn, w)
+        assert s == w - min(0, mn)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),  # value (heavy ties)
+            st.integers(min_value=0, max_value=1),  # arm
+        ),
+        min_size=2,
+        max_size=80,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_mann_whitney_doubled_ranks_equal_midranks(rows):
+    """The gate's tie arithmetic: 2R_g = Σ_v cnt_{g,v}·(2·below_v +
+    c_v + 1) must equal twice the classic average-midrank sum, and
+    2U_0 + 2U_1 == 2·n_0·n_1."""
+    vals = sorted(r[0] for r in rows)
+    # classic midranks: rank positions are 1-based over the sorted
+    # multiset; tied values share the mean of their positions
+    midrank = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        midrank[vals[i]] = (i + 1 + j) / 2  # mean of positions i+1..j
+        i = j
+    two_r = [0, 0]
+    for v, a in rows:
+        two_r[a] += int(2 * midrank[v])
+    # the gate's formula
+    from collections import Counter
+
+    c_v = Counter(v for v, _ in rows)
+    got = [0, 0]
+    for v, a in rows:
+        below = sum(c for u, c in c_v.items() if u < v)
+        got[a] += 2 * below + c_v[v] + 1
+    assert got == two_r
+    n = [sum(1 for _, a in rows if a == g) for g in (0, 1)]
+    u = [got[g] - n[g] * (n[g] + 1) for g in (0, 1)]
+    assert u[0] + u[1] == 2 * n[0] * n[1]
