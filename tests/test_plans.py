@@ -1106,3 +1106,16 @@ def test_epoch_repeat_counts_hits_targets(spark):
         assert target - max(r.n_tokens for r in rs) < repeated <= target, src
         base = target // tot
         assert all(r.epochs in (base, base + 1) for r in rs), src
+
+
+def test_epoch_upsample_no_global_window(spark):
+    """The per-source prefix sums must partition by source — never a
+    global ordered window (W4) — and the per-source totals must ride a
+    broadcast back onto the doc frame."""
+    p = _plan(spark, "epoch_upsample")
+    assert "Exchange SinglePartition" not in p, p
+    window_lines = [
+        l for l in p.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert window_lines and all("source" in l for l in window_lines), p
+    assert "BroadcastHashJoin" in p, p
