@@ -188,6 +188,8 @@ def hits_integer(
     with map-side partials; score tables checkpoint per round so the
     plan stays linear in rounds; the max is a one-row broadcast.
     """
+    if n_iter < 1:
+        raise ValueError("hits_integer: n_iter must be >= 1")
     ed = edges.select("src", "dst").localCheckpoint(eager=False)
     hub = nodes.select(
         "node", F.lit(int(unit)).cast("long").alias("s")
@@ -215,9 +217,13 @@ def _rescale(
     nodes: DataFrame, raw: DataFrame, key: str, unit: int
 ) -> DataFrame:
     """(node, s): raw scores floor-rescaled so the max equals
-    ``unit``; absent nodes score 0. Checkpointed — each score table
-    feeds the next half-step AND the final join (rule 12), and the
+    ``unit``; absent nodes score 0. The RAW aggregate is checkpointed
+    first — the max fold and the join are two consumers, and without
+    the boundary each half-step's edges-join + sum would execute
+    twice (rule 12; review r11). The rescaled output is checkpointed
+    too — it feeds the next half-step AND the final join, and the
     per-round boundary keeps the iterative plan linear."""
+    raw = raw.localCheckpoint(eager=False)
     mx = raw.agg(F.max("raw").alias("mx"))
     return (
         nodes.join(raw, nodes["node"] == raw[key], "left")

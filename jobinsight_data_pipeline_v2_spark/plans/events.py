@@ -2830,12 +2830,13 @@ def mw_value_counts(events: DataFrame) -> DataFrame:
     UNION ALL
     SELECT CAST(-1 AS BIGINT), n0 + n1, r0_x2 + r1_x2,
            u0_x2 + u1_x2,
-           CAST((1000000 * u1_x2) // (2 * n0 * n1) AS BIGINT),
+           CAST((1000000 * CAST(u1_x2 AS HUGEINT))
+                // (2 * CAST(n0 AS HUGEINT) * n1) AS BIGINT),
            CAST((1000000 * 3 * CAST(d_x2 AS HUGEINT) * d_x2)
-                // (4 * CAST(n0 AS HUGEINT) * n1 * (n0 + n1 + 1))
+                // (CAST(n0 AS HUGEINT) * n1 * (n0 + n1 + 1))
                 AS BIGINT),
            3 * CAST(d_x2 AS HUGEINT) * d_x2
-               > 16 * CAST(n0 AS HUGEINT) * n1 * (n0 + n1 + 1)
+               > 4 * CAST(n0 AS HUGEINT) * n1 * (n0 + n1 + 1)
     FROM u
     ORDER BY arm
     """,
@@ -2874,6 +2875,10 @@ def mann_whitney_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u1_x2", F.expr("r1_x2 - n1 * (n1 + 1)")
         )
         .withColumn("d_x2", F.expr("u1_x2 - n0 * n1"))
+        # one-row fold consumed by THREE output branches (rule 12 —
+        # without the boundary each union branch re-runs the events
+        # scan + value agg + rank window; review r11)
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(38,0)"
     arm0 = u.selectExpr(
@@ -2899,11 +2904,12 @@ def mann_whitney_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n0 + n1 AS n",
         "r0_x2 + r1_x2 AS rank_sum_x2",
         "u0_x2 + u1_x2 AS u_x2",
-        "CAST((1000000 * u1_x2) div (2 * n0 * n1) AS BIGINT) AS cles_ppm",
+        f"CAST((CAST(1000000 AS {dec}) * u1_x2)"
+        f" div (CAST(2 AS {dec}) * n0 * n1) AS BIGINT) AS cles_ppm",
         f"CAST((CAST(1000000 AS {dec}) * 3 * d_x2 * d_x2)"
-        f" div (CAST(4 AS {dec}) * n0 * n1 * (n0 + n1 + 1))"
+        f" div (CAST(1 AS {dec}) * n0 * n1 * (n0 + n1 + 1))"
         " AS BIGINT) AS z2_ppm",
         f"CAST(3 AS {dec}) * d_x2 * d_x2"
-        f" > CAST(16 AS {dec}) * n0 * n1 * (n0 + n1 + 1) AS significant",
+        f" > CAST(4 AS {dec}) * n0 * n1 * (n0 + n1 + 1) AS significant",
     )
     return arm0.unionByName(arm1).unionByName(summary).orderBy("arm")

@@ -2358,20 +2358,50 @@ _PR_ITER = 5
 _PR_TOP = 20
 
 
+def _doc_graph_dir_ctes(materialized: bool = False) -> list[str]:
+    """The synthesized DIRECTED citation graph's nodes/tot/edges CTEs
+    — ONE text shared by the pagerank and HITS oracles (review r11:
+    four inline copies of the `(node*7 + j*31 + 11) % n` construction
+    could silently diverge; the undirected variants keep their own
+    _GRAPH_UND_CTES, and kcore deliberately differs via _KCORE_CMOD)."""
+    m = "MATERIALIZED " if materialized else ""
+    return [
+        f"nodes AS {m}(SELECT doc_id AS node FROM documents)",
+        f"tot AS {m}(SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        (
+            f"edges AS {m}(SELECT node AS src, "
+            "(node * 7 + j * 31 + 11) % (SELECT n FROM tot) AS dst "
+            "FROM nodes, UNNEST(generate_series(1, 1 + node % 3)) AS t(j))"
+        ),
+    ]
+
+
+def _doc_graph_dir(spark: SparkSession, sf_dir: str):
+    """(nodes, edges) — the Spark build of the same directed graph,
+    shared by pagerank_doc_graph and hits_scores."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("node")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    edges = (
+        docs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("node").alias("src"),
+            F.explode(F.expr("sequence(1, 1 + node % 3)")).alias("j"),
+            "__n",
+        )
+        .select("src", F.expr("(src * 7 + j * 31 + 11) % __n").alias("dst"))
+    )
+    return docs, edges
+
+
 def _pagerank_oracle_sql(n_iter: int) -> str:
     inner = (
         "SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS inc "
         "FROM edges e JOIN {prev} r ON e.src = r.node "
         "JOIN outdeg d ON e.src = d.src GROUP BY 1"
     )
-    ctes = [
-        "nodes AS (SELECT doc_id AS node FROM documents)",
-        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
-        (
-            "edges AS (SELECT node AS src, "
-            "(node * 7 + j * 31 + 11) % (SELECT n FROM tot) AS dst "
-            "FROM nodes, UNNEST(generate_series(1, 1 + node % 3)) AS t(j))"
-        ),
+    ctes = _doc_graph_dir_ctes() + [
         (
             "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg "
             "FROM edges GROUP BY 1)"
@@ -2406,24 +2436,9 @@ def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes once and is reused every round. The total order under
     the LIMIT is (rank DESC, node) — node is unique.
     """
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("node")
-    )
     from ..operators.graph import pagerank_integer
 
-    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    edges = (
-        docs.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("node").alias("src"),
-            F.explode(F.expr("sequence(1, 1 + node % 3)")).alias("j"),
-            "__n",
-        )
-        .select(
-            "src",
-            F.expr("(src * 7 + j * 31 + 11) % __n").alias("dst"),
-        )
-    )
+    docs, edges = _doc_graph_dir(spark, sf_dir)
     ranks = pagerank_integer(docs, edges, n_iter=_PR_ITER)
     return (
         ranks.orderBy(F.desc("rank"), "node")
@@ -4638,15 +4653,7 @@ _HITS_TOP = 20
 
 
 def _hits_oracle_sql(n_iter: int) -> str:
-    ctes = [
-        "nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents)",
-        "tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM nodes)",
-        (
-            "edges AS MATERIALIZED (SELECT node AS src, "
-            "(node * 7 + j * 31 + 11) % (SELECT n FROM tot) AS dst "
-            "FROM nodes, UNNEST(generate_series(1, 1 + node % 3)) AS t(j))"
-        ),
+    ctes = _doc_graph_dir_ctes(materialized=True) + [
         "h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS s "
         "FROM nodes)",
     ]
@@ -4683,25 +4690,14 @@ def _hits_oracle_sql(n_iter: int) -> str:
 
 @register("hits_scores", _hits_oracle_sql(_HITS_ITER))
 def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_HITS_TOP} authorities (with their hub scores) after
-    {_HITS_ITER} integer HITS rounds on the synthesized citation
-    graph (operators/graph.hits_integer — see block comment). Total
-    order under the LIMIT: (authority DESC, node), node unique."""
+    """Top-_HITS_TOP (20) authorities with their hub scores after
+    _HITS_ITER (3) integer HITS rounds on the synthesized citation
+    graph (operators/graph.hits_integer — see block comment; an
+    f-string here would not bind to __doc__). Total order under the
+    LIMIT: (authority DESC, node), node unique."""
     from ..operators.graph import hits_integer
 
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("node")
-    )
-    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    edges = (
-        docs.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("node").alias("src"),
-            F.explode(F.expr("sequence(1, 1 + node % 3)")).alias("j"),
-            "__n",
-        )
-        .select("src", F.expr("(src * 7 + j * 31 + 11) % __n").alias("dst"))
-    )
+    docs, edges = _doc_graph_dir(spark, sf_dir)
     scores = hits_integer(docs, edges, n_iter=_HITS_ITER)
     return (
         scores.orderBy(F.desc("authority"), "node")
