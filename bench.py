@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "ivm_distinct_rollup",  # COUNT(DISTINCT) IVM via support multiset
     "mann_whitney_arms",  # rank-based two-sample test, doubled-rank ints
     "epoch_upsample",  # per-source epoch repeat counts (data recipes)
+    "equidepth_histogram",  # exact equal-frequency bins by rank
+    "sorted_neighborhood_pairs",  # SNM blocking, lead-window pairs
     "fd_profile_approx",  # approximate-FD via HLL registers, flag-pinned
     "group_priority_sample",  # per-stratum weighted top-k (one window)
     # hits_scores is deliberately NOT benched: like pagerank its cost

@@ -455,7 +455,15 @@ PRIORITY: tuple[str, ...] = (
 #     rescale stays local-gated next to kcore_membership),
 #   epoch_upsample (sampling family pinned above by hash_split +
 #     token_budget_select's prefix device; the per-source epoch
-#     arithmetic stays local-gated next to mixture_sample).
+#     arithmetic stays local-gated next to mixture_sample),
+#   equidepth_histogram (profiling family pinned above by
+#     approx_percentiles / price_histogram's fold slots; the
+#     rank-derived equal-frequency bins stay local-gated next to
+#     log_histogram_quantiles),
+#   sorted_neighborhood_pairs (entity-resolution family pinned above
+#     by fuzzy_name_match; the window-blocking strategy stays
+#     local-gated next to record_linkage_decisions and
+#     soundex_name_groups).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -4465,3 +4465,173 @@ def ivm_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-DEPTH histogram (r11): the profiling family's equal-frequency
+# rung — log_histogram_quantiles pins equal-WIDTH (log2) buckets;
+# real optimizers and drift monitors want equal-frequency bins whose
+# boundaries adapt to the data. Exact by rank arithmetic: under the
+# (cents, pk) total order, bin = ((rn − 1) · k) div n gives bin
+# populations of n div k or n div k + 1 EXACTLY; boundaries are the
+# per-bin min/max. Partitioned per o_orderpriority group, so the
+# rank windows shard by group — no global sort (the winsorized_prices
+# discipline).
+# ---------------------------------------------------------------------------
+
+_EQD_BINS = 8
+
+
+@register(
+    "equidepth_histogram",
+    f"""
+    WITH c AS (
+        SELECT o_orderpriority AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT grp, cents,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY cents, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM c
+    )
+    SELECT grp,
+           CAST(((rn - 1) * {_EQD_BINS}) // n AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM r
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency histogram of order totals per priority
+    group (see block comment): {_EQD_BINS} bins per group with
+    rank-derived membership, per-bin adaptive boundaries and sums —
+    every value BIGINT, the bin rule one positive floor division.
+    Shape: one orders scan, rank + count windows sharing ONE
+    group-partitioned exchange, then a (group, bin) aggregate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    wr = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("grp")
+    r = orders.select(
+        "grp",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        r.select(
+            "grp",
+            F.expr(f"((rn - 1) * {_EQD_BINS}) div n")
+            .cast("long")
+            .alias("bin"),
+            "cents",
+        )
+        .groupBy("grp", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("cents").cast("long").alias("lo_cents"),
+            F.max("cents").cast("long").alias("hi_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("grp", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (r11): the Hernández–Stolfo merge/purge
+# method — the THIRD blocking strategy in the entity-resolution
+# toolbox next to FastSS deletion keys (fuzzy_name_match) and phonetic
+# codes (soundex_name_groups): sort on the match key, compare only
+# records within a sliding window of w positions. Catches near-dups
+# whose difference sits LATE in the string (where deletion
+# neighborhoods explode and phonetic codes collapse), at O(n·w)
+# comparisons.
+# ---------------------------------------------------------------------------
+#
+# Twins synthesized in-plan with the LAST character replaced ('q'), so
+# each twin sorts adjacent to its source (shared prefix) and the
+# window finds it at levenshtein ≤ 1 — native-vs-native levenshtein
+# verify (the edit_distance_histogram precedent). The rank runs as a
+# global window over the bounded slice; production SNM range-
+# partitions the sort key and overlaps partition boundaries by w rows
+# (SCALE.md).
+
+_SNM_W = 2  # window: compare ranks within distance w
+_SNM_MAXD = 2  # verify: emit pairs at edit distance <= 2
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    f"""
+    WITH src AS (
+        SELECT p_partkey AS k, p_name AS name FROM part
+        WHERE p_partkey % 20 = 0
+        UNION ALL
+        SELECT p_partkey + 10000000,
+               substring(p_name, 1, length(p_name) - 1) || 'q'
+        FROM part WHERE p_partkey % 40 = 0
+    ),
+    r AS (
+        SELECT k, name, ROW_NUMBER() OVER (ORDER BY name, k) AS rn
+        FROM src
+    ),
+    cand AS (
+        SELECT a.k AS k_a, b.k AS k_b, a.name AS n_a, b.name AS n_b
+        FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {_SNM_W}
+    )
+    SELECT k_a, k_b,
+           CAST(levenshtein(n_a, n_b) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(n_a, n_b) <= {_SNM_MAXD}
+    ORDER BY k_a, k_b
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched pairs from the w={_SNM_W} sorted neighborhood over the
+    sampled part names + planted last-char twins (see block comment),
+    verified at native levenshtein ≤ {_SNM_MAXD}. Shape: one rank
+    window, then the window pairs come from LEAD columns (narrow — no
+    self-join); the verify is an in-row scalar."""
+    part = load_table(spark, sf_dir, "part")
+    base = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("k"), F.col("p_name").alias("name")
+    )
+    twins = part.filter(F.col("p_partkey") % 40 == 0).select(
+        (F.col("p_partkey") + 10_000_000).alias("k"),
+        F.expr(
+            "concat(substring(p_name, 1, length(p_name) - 1), 'q')"
+        ).alias("name"),
+    )
+    w = Window.orderBy("name", "k")
+    r = base.unionByName(twins).select(
+        "k", "name", F.row_number().over(w).alias("rn")
+    )
+    pairs = None
+    for d in range(1, _SNM_W + 1):
+        p = r.select(
+            F.col("k").alias("k_a"),
+            F.col("name").alias("n_a"),
+            F.lead("k", d).over(w.orderBy("rn")).alias("k_b"),
+            F.lead("name", d).over(w.orderBy("rn")).alias("n_b"),
+        ).filter(F.col("k_b").isNotNull())
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.select(
+            "k_a",
+            "k_b",
+            F.levenshtein("n_a", "n_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= _SNM_MAXD)
+        .orderBy("k_a", "k_b")
+    )
