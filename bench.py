@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "epoch_upsample",  # per-source epoch repeat counts (data recipes)
     "equidepth_histogram",  # exact equal-frequency bins by rank
     "sorted_neighborhood_pairs",  # SNM blocking, lead-window pairs
+    "good_turing_counts",  # count-of-counts + GT rational pairs
     "fd_profile_approx",  # approximate-FD via HLL registers, flag-pinned
     "group_priority_sample",  # per-stratum weighted top-k (one window)
     # hits_scores is deliberately NOT benched: like pagerank its cost

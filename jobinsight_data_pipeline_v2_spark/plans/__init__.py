@@ -463,7 +463,10 @@ PRIORITY: tuple[str, ...] = (
 #   sorted_neighborhood_pairs (entity-resolution family pinned above
 #     by fuzzy_name_match; the window-blocking strategy stays
 #     local-gated next to record_linkage_decisions and
-#     soundex_name_groups).
+#     soundex_name_groups),
+#   good_turing_counts (LM-statistics family pinned above by
+#     bpe_pair_counts' fold slot; the count-of-counts estimator stays
+#     local-gated next to kn_lm_stats and bigram_coverage).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

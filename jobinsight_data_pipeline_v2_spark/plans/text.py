@@ -4704,3 +4704,96 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_HITS_TOP)
         .select("node", "authority", "hub")
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency statistics (r11): the OTHER classical
+# smoothing estimator next to Kneser-Ney's continuation counts
+# (kn_lm_stats) — count-of-counts N_r and the GT adjusted count
+# r* = (r+1)·N_{r+1}/N_r, kept as an exact integer rational pair
+# (numerator/denominator; the float division is the caller's last
+# step). The N_1/N total mass is the Good-Turing estimate of unseen
+# probability — the number a vocabulary-coverage monitor actually
+# watches.
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 20
+
+
+@register(
+    "good_turing_counts",
+    f"""
+    WITH tok AS (
+        SELECT unnest({_SQL_TOKENS}) AS t FROM documents
+    ),
+    tc AS (
+        SELECT t, COUNT(*) AS r FROM tok GROUP BY 1
+    ),
+    nr AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM tc WHERE r <= {_GT_MAX_R} GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM tc
+    )
+    SELECT nr.r,
+           nr.n_r,
+           CAST((nr.r + 1) * COALESCE(nx.n_r, 0) AS BIGINT)
+               AS r_star_num,
+           nr.n_r AS r_star_den,
+           CAST(1000000 * nr.r * nr.n_r // t.n_tokens AS BIGINT)
+               AS mass_ppm,
+           t.n_tokens, t.vocab
+    FROM nr
+    LEFT JOIN nr nx ON nx.r = nr.r + 1
+    CROSS JOIN tot t
+    ORDER BY nr.r
+    """,
+)
+def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts table for Good-Turing smoothing (see block
+    comment): per occurrence count r ≤ 20 the type count N_r, the
+    adjusted-count rational (r+1)·N_{r+1} / N_r as an exact integer
+    pair, and the probability mass of the r-class in ppm (r=1's row
+    IS the unseen-mass estimate). Shape: one token explode →
+    vocabulary-sized type counts → a ≤20-row count-of-counts agg; the
+    self-join for N_{r+1} and the totals ride tiny broadcasts."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tc = (
+        docs.select(F.explode(F.expr(_TOKENS)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("r"))
+        .localCheckpoint(eager=False)  # nr + totals consumers
+    )
+    nr = (
+        tc.filter(F.col("r") <= _GT_MAX_R)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    ).localCheckpoint(eager=False)  # output + the N_{r+1} self-join
+    tot = tc.agg(
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    nx = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("__nx")
+    )
+    return (
+        nr.join(F.broadcast(nx), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            ((F.col("r") + 1) * F.coalesce("__nx", F.lit(0)))
+            .cast("long")
+            .alias("r_star_num"),
+            F.col("n_r").alias("r_star_den"),
+            F.expr("(1000000 * r * n_r) div n_tokens")
+            .cast("long")
+            .alias("mass_ppm"),
+            "n_tokens",
+            "vocab",
+        )
+        .orderBy("r")
+    )
