@@ -477,3 +477,27 @@ def test_mann_whitney_doubled_ranks_equal_midranks(rows):
     n = [sum(1 for _, a in rows if a == g) for g in (0, 1)]
     u = [got[g] - n[g] * (n[g] + 1) for g in (0, 1)]
     assert u[0] + u[1] == 2 * n[0] * n[1]
+
+
+@given(
+    st.integers(min_value=1, max_value=500),  # n rows
+    st.integers(min_value=1, max_value=16),  # k bins
+)
+@settings(max_examples=300, deadline=None)
+def test_equidepth_bin_rule_populations(n, k):
+    """The rank rule bin = ((rn−1)·k) div n must produce bin
+    populations of exactly n div k or n div k + 1, cover bins
+    0..min(k,n)−1 contiguously, and be monotone in rank — the
+    equal-frequency guarantee the gate's closed form rests on."""
+    bins = [((rn - 1) * k) // n for rn in range(1, n + 1)]
+    assert bins == sorted(bins)
+    assert bins[0] == 0 and bins[-1] == ((n - 1) * k) // n <= k - 1
+    from collections import Counter
+
+    pops = Counter(bins)
+    lo = n // k
+    assert all(c in (lo, lo + 1) for c in pops.values())
+    if n >= k:
+        # with at least one row per bin the bins are contiguous 0..k−1;
+        # below that the rule scatters ranks across [0, k) by design
+        assert sorted(pops) == list(range(k))
