@@ -224,7 +224,21 @@ def _rescale(
     too — it feeds the next half-step AND the final join, and the
     per-round boundary keeps the iterative plan linear."""
     raw = raw.localCheckpoint(eager=False)
-    mx = raw.agg(F.max("raw").alias("mx"))
+    # Loud-subset convention (ADVICE r11): an edge-less / all-zero
+    # graph makes mx NULL (empty aggregate) or 0 and every score would
+    # silently become NULL via the floor division — raise instead.
+    # The guard must ride INSIDE the consumed column or Catalyst
+    # prunes it away; if(p, x, x) constant-folds to x; and `mx0 + g`
+    # null-short-circuits PAST g exactly when mx0 is NULL (the failure
+    # case).  coalesce evaluates its first argument first: assert_true
+    # yields NULL on success, so the value falls through to mx0.
+    mx = raw.agg(F.max("raw").alias("mx0")).select(
+        F.expr(
+            "coalesce(cast(assert_true(coalesce(mx0, 0) > 0,"
+            " 'hits_integer: graph has no edges (empty raw aggregate)')"
+            " as long), mx0)"
+        ).alias("mx")
+    )
     return (
         nodes.join(raw, nodes["node"] == raw[key], "left")
         .crossJoin(F.broadcast(mx))

@@ -2626,7 +2626,7 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floor mean (Spark div == DuckDB // for non-negatives). Windows run
 # on the days-sized frame (the seasonal_decompose exception).
 
-_CUSUM_SHIFT_DOM = 20  # month-days >= this get the planted +30% shift
+_CUSUM_SHIFT_DOM = 20  # month-days >= this get the planted +50% shift
 
 
 @register(
@@ -2676,7 +2676,7 @@ _CUSUM_SHIFT_DOM = 20  # month-days >= this get the planted +30% shift
 )
 def cusum_changepoint_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided integer CUSUM over the daily revenue series with a
-    planted sustained +30% shift (see block comment): per day the
+    planted sustained +50% shift (see block comment): per day the
     shifted cents, both CUSUM statistics via the running-sum −
     running-min closed form, and the alarm flags at threshold μ.
     Shape: one events scan → days-sized daily agg; the four prefix

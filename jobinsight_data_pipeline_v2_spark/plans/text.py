@@ -508,6 +508,22 @@ def _shingle_key(col: str) -> F.Column:
     return F.xxhash64(F.col(col))
 
 
+def _size_gated_broadcast(df: DataFrame, src: DataFrame) -> DataFrame:
+    """Broadcast ``df`` only while its lineage SOURCE is known small
+    (the tfidf ``_join_df_side`` rule, VERDICT r7/r11): per-doc frames
+    (shingle-set sizes, component labels) are doc-count-sized — fine
+    at sf0.1, an executor OOM when the corpus is 100 TB. Gate on the
+    measured source bytes carried by ``spread()``; past the threshold
+    return the frame un-hinted and let Catalyst/AQE pick the join from
+    its own runtime stats."""
+    from .sampling import _DF_BCAST_MAX_SRC_BYTES
+
+    src_bytes = getattr(src, "_spread_src_bytes", None)
+    if src_bytes is not None and src_bytes <= _DF_BCAST_MAX_SRC_BYTES:
+        return F.broadcast(df)
+    return df
+
+
 @register(
     "ngram_jaccard_pairs",
     f"""
@@ -590,8 +606,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = doc_sizes.alias("sa")
     sb = doc_sizes.alias("sb")
     jac = (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(
+            _size_gated_broadcast(sa, docs), F.col("doc_a") == F.col("sa.doc_id")
+        )
+        .join(
+            _size_gated_broadcast(sb, docs), F.col("doc_b") == F.col("sb.doc_id")
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -4355,11 +4375,11 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-rare-shingle count, both set sizes, containment of the
     SMALLER set in ppm (one positive floor division), and the
     contained/overlap class. Shape: the fused co-occurrence pass
-    (stop-shingle cap bounds pair fan-out), sizes broadcast — never
-    corpus×corpus."""
-    docs = spread(load_table(spark, sf_dir, "documents")).filter(
-        F.col("doc_id") % _CONT_SLICE_MOD == 0
-    )
+    (stop-shingle cap bounds pair fan-out); the doc-count-sized sizes
+    frame broadcasts only under the size gate (un-hinted shuffle join
+    past it — VERDICT r11) — never corpus×corpus."""
+    docs_src = spread(load_table(spark, sf_dir, "documents"))
+    docs = docs_src.filter(F.col("doc_id") % _CONT_SLICE_MOD == 0)
     # the four union branches all land in sh_arr's single checkpoint,
     # so the scan+split runs once per branch exactly once — an extra
     # toks boundary was A/B'd at zero gain (3.03 vs 3.01 s) and
@@ -4414,8 +4434,14 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     scored = (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(
+            _size_gated_broadcast(sa, docs_src),
+            F.col("doc_a") == F.col("sa.doc_id"),
+        )
+        .join(
+            _size_gated_broadcast(sb, docs_src),
+            F.col("doc_b") == F.col("sb.doc_id"),
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -269,15 +269,32 @@ def archive_quarantine(members: DataFrame) -> DataFrame:
     )
 
 
-def archive_text_docs(members: DataFrame) -> DataFrame:
+def archive_text_docs(
+    members: DataFrame, *, decode_flag: bool = False
+) -> DataFrame:
     """Good member rows as (source_file, member_path, text) document
     rows — UTF-8 decode via cast (narrow projection, the hop into
-    license_detect / curate_corpus)."""
-    return members.filter(F.col("reason").isNull()).select(
+    license_detect / curate_corpus).
+
+    LOSSY-DECODE CONTRACT: the cast replaces invalid UTF-8 with
+    U+FFFD (the warc ``errors='replace'`` convention — values stay
+    deterministic), so a binary member (image, compiled artifact)
+    becomes replacement-character text rather than a quarantine row.
+    Pass ``decode_flag=True`` for an extra ``lossy_decode`` boolean
+    (text re-encoded != original bytes) so binary members stay
+    visible downstream (ADVICE r11)."""
+    docs = members.filter(F.col("reason").isNull()).select(
         "source_file",
         "member_path",
         F.col("content").cast("string").alias("text"),
+        F.col("content").alias("__raw"),
     )
+    if decode_flag:
+        docs = docs.withColumn(
+            "lossy_decode",
+            F.expr("encode(text, 'UTF-8') != __raw"),
+        )
+    return docs.drop("__raw")
 
 
 def write_archive(

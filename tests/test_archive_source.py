@@ -262,3 +262,22 @@ def test_curate_corpus_from_archive_ingest_matches_direct(spark, tmp_path):
     a = spark.read.parquet(str(tmp_path / "shards_arch"))
     b = spark.read.parquet(str(tmp_path / "shards_direct"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_archive_text_docs_lossy_decode_flag(spark, tmp_path):
+    """A binary (non-UTF-8) member is NOT quarantined (the documented
+    lossy-decode contract) but decode_flag=True surfaces it: the
+    re-encoded text differs from the original bytes.  Valid-UTF-8
+    members flag False, and the flagless schema is unchanged."""
+    p = str(tmp_path / "bin.zip")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("img.bin", b"\x89PNG\xff\xfe\x00garbage\xff")
+        z.writestr("ok.txt", "xin chào".encode("utf-8"))
+    members = read_archive_members(spark, p)
+    assert archive_quarantine(members).count() == 0
+    flagged = {
+        r.member_path: r.lossy_decode
+        for r in archive_text_docs(members, decode_flag=True).collect()
+    }
+    assert flagged == {"img.bin": True, "ok.txt": False}
+    assert "lossy_decode" not in archive_text_docs(members).columns

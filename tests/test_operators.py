@@ -1736,3 +1736,19 @@ def test_hits_integer_matches_pure_python(spark):
         # the star's center is the unit authority; leaves the hubs
         if name == "star":
             assert got[0][0] == 1_000_000 and got[1][1] == 1_000_000
+
+
+def test_hits_integer_raises_on_edgeless_graph(spark):
+    """ADVICE r11: an edge-less graph makes the round-max aggregate
+    empty — hits_integer must raise loudly (assert_true) instead of
+    silently NULLing every score."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from jobinsight_data_pipeline_v2_spark.operators.graph import (
+        hits_integer,
+    )
+
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(SparkRuntimeException, match="no edges"):
+        hits_integer(nodes, edges, n_iter=1).collect()
