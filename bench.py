@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "fd_profile",  # functional-dependency discovery, one Expand scan
     "join_size_estimate",  # CMS inner-product cardinality estimate
     "record_linkage_decisions",  # Fellegi-Sunter integer log-odds ER
+    "jaro_winkler_pairs",  # exact-integer JW vs DuckDB-native differential
+    "fuzzy_name_match_k2",  # FastSS k=2 blocking, probe-bounded output
     # round 10 additions
     "table_profile_approx",  # HLL-register profile: the 100 TB swap, gated
     "planned_join_rollup",  # CMS-sketch-chosen join strategy, value-invariant

@@ -466,7 +466,15 @@ PRIORITY: tuple[str, ...] = (
 #     soundex_name_groups),
 #   good_turing_counts (LM-statistics family pinned above by
 #     bpe_pair_counts' fold slot; the count-of-counts estimator stays
-#     local-gated next to kn_lm_stats and bigram_coverage).
+#     local-gated next to kn_lm_stats and bigram_coverage),
+#   jaro_winkler_pairs (r12 — entity-resolution family pinned above
+#     by fuzzy_name_match; the hand-built exact-integer JW scorer vs
+#     DuckDB-native differential stays local-gated next to
+#     record_linkage_decisions, which consumes it as the γ_jw
+#     comparator),
+#   fuzzy_name_match_k2 (r12 — entity-resolution family pinned above
+#     by fuzzy_name_match; the depth-2 blocking rung stays local-gated
+#     next to the k=1 gate it extends).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -1257,21 +1257,53 @@ def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fastss_key_rows(
-    df: DataFrame, name_col: str, out_col: str = "kh"
+    df: DataFrame, name_col: str, out_col: str = "kh", k: int = 1
 ) -> DataFrame:
     """One row per (input row, DISTINCT blocking key hash): the FastSS
-    k=1 key set — the string itself plus every single-deletion variant
-    — hashed to 64 bits and deduped IN-ROW (array_distinct before the
-    explode), so repeated-character runs never inflate the key stream
-    and the builder is STREAM-SAFE (no dedup shuffle, no state; rule
-    20's scan-variant discipline). Shared by the fuzzy_name_match gate
-    and streaming/curation.fuzzy_match_stream."""
-    keys = (
-        f"array_distinct(transform(sequence(0, length({name_col})), "
-        f"j -> xxhash64(CASE WHEN j = 0 THEN {name_col} "
-        f"ELSE concat(substring({name_col}, 1, j - 1), "
-        f"substring({name_col}, j + 1)) END)))"
-    )
+    deletion-neighborhood key set at depth ``k`` — the string itself
+    plus every variant with up to ``k`` characters deleted — hashed to
+    64 bits and deduped IN-ROW (array_distinct before the explode), so
+    repeated-character runs never inflate the key stream and the
+    builder is STREAM-SAFE (no dedup shuffle, no state; rule 20's
+    scan-variant discipline). ed(u, v) <= k implies the depth-k
+    neighborhoods share a variant (the FastSS theorem; hypothesis-
+    pinned for k=1 AND k=2), so the candidate join stays key-equi.
+    k=2 emits ~L^2/2 keys per string — sized for name-scale strings.
+    Shared by the fuzzy_name_match gates and
+    streaming/curation.fuzzy_match_stream."""
+    c = name_col
+    if k == 1:
+        keys = (
+            f"array_distinct(transform(sequence(0, length({c})), "
+            f"j -> xxhash64(CASE WHEN j = 0 THEN {c} "
+            f"ELSE concat(substring({c}, 1, j - 1), "
+            f"substring({c}, j + 1)) END)))"
+        )
+    elif k == 2:
+        # variants as strings first, ONE hash transform at the end;
+        # if() guards Spark's sequence counting DOWN on lo > hi
+        # (rule 4) for strings shorter than 2
+        keys = f"""array_distinct(transform(concat(
+            array({c}),
+            transform(
+              if(length({c}) < 1, array(),
+                 sequence(1, cast(length({c}) as int))),
+              j -> concat(substring({c}, 1, j - 1),
+                          substring({c}, j + 1))),
+            flatten(transform(
+              if(length({c}) < 2, array(),
+                 sequence(1, cast(length({c}) as int) - 1)),
+              p -> transform(sequence(p + 1, cast(length({c}) as int)),
+                   q -> concat(substring({c}, 1, p - 1),
+                               substring({c}, p + 1, q - p - 1),
+                               substring({c}, q + 1)))))
+          ), v -> xxhash64(v)))"""
+    else:
+        raise ValueError(
+            f"fastss_key_rows: k={k} unsupported — deletion "
+            "neighborhoods are implemented for k in (1, 2); deeper "
+            "blocking multiplies key volume by another factor of L"
+        )
     return df.select("*", F.explode(F.expr(keys)).alias(out_col))
 
 
@@ -1347,6 +1379,143 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn(
         "dist", F.levenshtein("dirty_name", "clean_name").cast("long")
     ).filter(F.col("dist") <= 1)
+
+
+# ---------------------------------------------------------------------------
+# FastSS k=2 (r12): the deeper deletion-neighborhood rung —
+# distance-2 fuzzy lookup, the bound the k=1 gate's raise pointed at.
+# Candidates are aggregated per dirty record (counts by verified
+# distance + a completeness pin), NOT emitted as pairs: zero-padded
+# id-style names share 2-deletion subsequences liberally (~100
+# candidates per probe at sf0.1, measured), and the per-pair frame
+# would be output-bounded by candidate volume instead of probe volume.
+# ---------------------------------------------------------------------------
+
+# class key rides c_custkey {div} 15 so the % 15 probe slice keeps all
+# three classes populated (the r5 mixture lesson): two adjacent
+# deletions (ed 2) / one deletion (ed 1) / identity (ed 0).
+_FZ2_DIRTY_SQL = """
+    CASE (c_custkey {div} 15) % 3
+      WHEN 0 THEN substr(c_name, 1, c_custkey % (length(c_name) - 2) + 1)
+                  || substr(c_name, c_custkey % (length(c_name) - 2) + 4)
+      WHEN 1 THEN substr(c_name, 1, c_custkey % length(c_name))
+                  || substr(c_name, c_custkey % length(c_name) + 2)
+      ELSE c_name
+    END
+"""
+
+
+@register(
+    "fuzzy_name_match_k2",
+    f"""
+    WITH clean AS (
+        SELECT DISTINCT c_name AS w FROM customer WHERE c_name IS NOT NULL
+    ),
+    dirty AS (
+        SELECT c_custkey AS did, c_name AS w0,
+               {_FZ2_DIRTY_SQL.format(div="//")} AS w
+        FROM customer
+        WHERE c_name IS NOT NULL AND c_custkey % 15 = 0
+    ),
+    ck AS (
+        SELECT DISTINCT w, k FROM (
+            SELECT w, w AS k FROM clean
+            UNION ALL
+            SELECT w, substr(w, 1, j - 1) || substr(w, j + 1) AS k
+            FROM clean, UNNEST(generate_series(1, length(w))) AS t(j)
+            UNION ALL
+            SELECT w, substr(w, 1, p - 1) || substr(w, p + 1, q - p - 1)
+                      || substr(w, q + 1) AS k
+            FROM clean,
+                 UNNEST(generate_series(1, length(w) - 1)) AS t(p),
+                 UNNEST(generate_series(p + 1, length(w))) AS t2(q)
+        )
+    ),
+    dk AS (
+        SELECT DISTINCT did, w0, w, k FROM (
+            SELECT did, w0, w, w AS k FROM dirty
+            UNION ALL
+            SELECT did, w0, w, substr(w, 1, j - 1) || substr(w, j + 1) AS k
+            FROM dirty, UNNEST(generate_series(1, length(w))) AS t(j)
+            UNION ALL
+            SELECT did, w0, w,
+                   substr(w, 1, p - 1) || substr(w, p + 1, q - p - 1)
+                   || substr(w, q + 1) AS k
+            FROM dirty,
+                 UNNEST(generate_series(1, length(w) - 1)) AS t(p),
+                 UNNEST(generate_series(p + 1, length(w))) AS t2(q)
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT d.did, d.w0, d.w AS dirty_name, c.w AS clean_name
+        FROM dk d JOIN ck c ON d.k = c.k
+    ),
+    v AS (
+        SELECT *, levenshtein(dirty_name, clean_name) AS dist FROM cand
+    )
+    SELECT did, dirty_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cand,
+           CAST(SUM(CASE WHEN dist <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_d1,
+           CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_d2,
+           MAX(clean_name = w0) AS self_found
+    FROM v
+    GROUP BY did, dirty_name
+    ORDER BY did
+    """,
+)
+def fuzzy_name_match_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-2 fuzzy lookup via FastSS k=2 deletion-neighborhood
+    blocking: every 15th customer name perturbed per class (two
+    adjacent deletions / one deletion / identity) probed against the
+    clean master; per probe the candidate count, verified counts at
+    distance <= 1 and == 2, and `self_found` — the source name MUST
+    appear among the candidates (the blocking-completeness theorem,
+    ed <= k => shared depth-k variant; also hypothesis-pinned).
+
+    Scale shape: ~L^2/2 keys per string deduped in-row, the candidate
+    join shuffles 8-byte xxhash64 keys only (rule 13; collisions just
+    mint candidates the levenshtein verify re-checks), distinct
+    candidate dedup, verify + aggregate on the candidate-sized set,
+    output bounded by the PROBE count."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_name").isNotNull()
+    )
+    clean = cust.select(F.col("c_name").alias("w")).distinct()
+    dirty = cust.filter(F.col("c_custkey") % 15 == 0).select(
+        F.col("c_custkey").alias("did"),
+        F.col("c_name").alias("w0"),
+        F.expr(_FZ2_DIRTY_SQL.format(div="div")).alias("w"),
+    )
+    ck = fastss_key_rows(clean, "w", k=2).withColumnRenamed(
+        "w", "clean_name"
+    )
+    dk = fastss_key_rows(dirty, "w", k=2).withColumnRenamed(
+        "w", "dirty_name"
+    )
+    cand = (
+        dk.join(ck, "kh")
+        .select("did", "w0", "dirty_name", "clean_name")
+        .distinct()
+    )
+    v = cand.withColumn(
+        "dist", F.levenshtein("dirty_name", "clean_name").cast("long")
+    )
+    return (
+        v.groupBy("did", "dirty_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.sum(F.when(F.col("dist") <= 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_d1"),
+            F.sum(F.when(F.col("dist") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_d2"),
+            F.max(F.col("clean_name") == F.col("w0")).alias("self_found"),
+        )
+        .orderBy("did")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,8 @@ from pyspark.sql import functions as F
 from ..tables import load_table, spread
 from . import register
 from .text import _SHINGLE_RE, _SQL_TOKENS
+from .text import JW_PPM_SQL as _JW_PPM_SQL
+from .text import jw_oracle_ctes as _jw_oracle_ctes
 
 # ---------------------------------------------------------------------------
 # PII detection + redaction over customer-derived profile text
@@ -1134,4 +1136,98 @@ def accent_fold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.expr("substring(n, tl + 1)")).alias("folded_suffix"),
         )
         .orderBy("cls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (r12): hand-built in-row Spark scorer vs DuckDB NATIVE
+# ---------------------------------------------------------------------------
+#
+# The soundex_name_groups differential device, mirrored: Spark has no
+# jaro_winkler builtin, DuckDB does. The Spark side is the
+# operators/jarowinkler.py expression chain (exact-integer to the ppm
+# floor); the oracle RECOMPUTES the same integer spec via DuckDB list
+# lambdas (list_reduce with a [-1]-sentinel accumulator — DuckDB's
+# fold has no initial-value arg) AND pins the result against the
+# native float implementation per row: `native_agrees` is a literal
+# TRUE on the Spark side and |ppm − floor(1e6·native)| ≤ 1 on the
+# oracle side, so a semantic divergence from DuckDB's native scorer
+# breaks the hash even though the hashed ppm values stay exact
+# integers (the approx_percentiles in-plan-flag device; ±1 covers the
+# float→floor representability boundary). Semantics were pinned
+# against the native function on 60k generated pairs before either
+# side was written (floored transposition halves; boost only past
+# jaro 0.7; '' scores 0). Perturbation classes ride one shared CASE
+# (the edit_distance_histogram device) keyed on c_custkey div 5 so
+# the %5 slice keeps every class populated at every SF: identity,
+# last-two-char transposition, multi-site substitution, truncation,
+# full reversal (prefix 0 → no-boost path), empty (m = 0 path).
+#
+# Scale shape: one narrow customer scan; the matcher is an
+# interpreted per-row fold sized for NAME-scale strings; one
+# rule-10 checkpoint between the fold and its per-position consumers;
+# presentation sort only. No join, no agg.
+
+_JW_PERTURB_SQL = """
+    CASE ({key}) % 6
+      WHEN 0 THEN c_name
+      WHEN 1 THEN substring(c_name, 1, length(c_name) - 2)
+                  || substring(c_name, length(c_name), 1)
+                  || substring(c_name, length(c_name) - 1, 1)
+      WHEN 2 THEN replace(c_name, '0', 'O')
+      WHEN 3 THEN substring(c_name, 1, length(c_name) - 3)
+      WHEN 4 THEN reverse(c_name)
+      ELSE ''
+    END
+"""
+
+
+@register(
+    "jaro_winkler_pairs",
+    f"""
+    WITH pairs AS (
+        SELECT c_name AS name_a,
+               {_JW_PERTURB_SQL.format(key="c_custkey // 5")} AS name_b
+        FROM customer WHERE c_custkey % 5 = 0
+    ),
+    {_jw_oracle_ctes('pairs', 'name_a', 'name_b')},
+    scored AS (
+        SELECT name_a, name_b, m, t2, prefix_l,
+               ({_JW_PPM_SQL}) AS jw_ppm,
+               CASE WHEN m = 0
+                    THEN (jaro_winkler_similarity(name_a, name_b) = 0.0)
+                    ELSE abs(({_JW_PPM_SQL})
+                 - CAST(floor(1000000
+                              * jaro_winkler_similarity(name_a, name_b))
+                        AS BIGINT)) <= 1 END AS native_agrees
+        FROM __jw_counted
+    )
+    SELECT * FROM scored ORDER BY name_a
+    """,
+)
+def jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler name similarity (see block comment): per perturbed
+    customer-name pair the match count, raw transposition count,
+    common-prefix length and the EXACT-integer jw_ppm; the oracle
+    additionally pins every row against DuckDB's native
+    jaro_winkler_similarity within ±1 ppm (`native_agrees` — a
+    literal here, a comparison there)."""
+    from ..operators.jarowinkler import jaro_winkler_scored
+
+    cust = spread(load_table(spark, sf_dir, "customer")).filter(
+        F.col("c_custkey") % 5 == 0
+    )
+    pairs = cust.select(
+        F.col("c_name").alias("name_a"),
+        F.expr(_JW_PERTURB_SQL.format(key="c_custkey div 5")).alias(
+            "name_b"
+        ),
+    )
+    return (
+        jaro_winkler_scored(pairs, "name_a", "name_b")
+        .select(
+            "name_a", "name_b", "m", "t2", "prefix_l", "jw_ppm",
+            F.lit(True).alias("native_agrees"),
+        )
+        .orderBy("name_a")
     )

@@ -3784,7 +3784,12 @@ def bm25_train(spark: SparkSession, sf_dir: str):
 #
 # Weights are the floor-log2 of m/u odds for plausible published-ish
 # comparator reliabilities (m=.94/u=.06 → +4/−2 exact, m=.9/u=.11 →
-# +3/−2 phonetic, m=.85/u=.2 → +2/−1 edit), fixed integer constants —
+# +3/−2 phonetic, m=.85/u=.2 → +2/−1 edit, m=.9/u=.11 → +3/−2
+# Jaro-Winkler ≥ 0.9 — the r12 fourth comparator, scored by the
+# operators/jarowinkler.py exact-integer chain on the Spark side and
+# the shared jw_oracle_ctes transcription on the oracle side, both
+# pinned against DuckDB's NATIVE scorer by the jaro_winkler_pairs
+# gate), fixed integer constants —
 # the DECISION arithmetic is what the gate pins, per synthesized pair
 # class: exact copy / one-char substitution (lev 1, phonetic broken —
 # the first letter changes) / 2-char truncation / unrelated. The
@@ -3792,8 +3797,93 @@ def bm25_train(spark: SparkSession, sf_dir: str):
 # native soundex vs the transcribed oracle; levenshtein native on
 # both), never assumed per class.
 
-_FS_W = {"exact": (4, -2), "phon": (3, -2), "lev": (2, -1)}
+_FS_W = {"exact": (4, -2), "phon": (3, -2), "lev": (2, -1),
+         "jw": (3, -2)}
 _FS_LINK, _FS_NONLINK = 5, -3
+
+# Jaro-Winkler ppm threshold for the γ_jw comparator (0.9 — the
+# published near-match band; the jaro_winkler_pairs gate pins the
+# scorer itself against DuckDB's native implementation).
+_FS_JW_PPM = 900_000
+
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB transcription of the exact-integer Jaro-Winkler spec
+# (operators/jarowinkler.py is the Spark side; semantics pinned
+# against duckdb.jaro_winkler_similarity on 60k generated pairs).
+# ONE builder feeds the jaro_winkler_pairs gate (plans/curation.py)
+# AND the record_linkage γ_jw comparator so the two oracles cannot
+# desynchronize (the _span_oracle_sql discipline).
+# ---------------------------------------------------------------------------
+
+
+def jw_oracle_ctes(src: str, a: str, b: str, carry: str = "") -> str:
+    """CTE text ``__jw_base → __jw_matched → __jw_counted`` computing
+    (la, lb, m, t2, prefix_l) for string columns ``a``/``b`` of CTE
+    ``src``, carrying ``carry`` columns through. DuckDB's list_reduce
+    has no initial-accumulator argument, so the fold runs over
+    single-index lists prepended with a [-1] sentinel."""
+    c = (carry + ", ") if carry else ""
+    return f"""
+    __jw_base AS (
+        SELECT {c}{a}, {b}, length({a}) AS la, length({b}) AS lb,
+               greatest((greatest(length({a}), length({b})) // 2) - 1, 0)
+                   AS __w
+        FROM {src}
+    ),
+    __jw_matched AS (
+        SELECT {c}{a}, {b}, la, lb,
+               list_filter(
+                 list_reduce(
+                   list_prepend([-1], list_transform(
+                       CASE WHEN la < 1 THEN []
+                            ELSE generate_series(0, la - 1) END,
+                       i -> [i])),
+                   (acc, x) -> list_concat(acc,
+                     list_filter(
+                       [list_min(list_filter(
+                           generate_series(greatest(0, x[1] - __w),
+                                           least(lb - 1, x[1] + __w)),
+                           j -> substring({b}, j + 1, 1)
+                                    = substring({a}, x[1] + 1, 1)
+                                AND NOT list_contains(acc, j)))],
+                       v -> v IS NOT NULL))),
+                 v -> v >= 0) AS mj
+        FROM __jw_base
+    ),
+    __jw_counted AS (
+        SELECT {c}{a}, {b}, la, lb, CAST(len(mj) AS BIGINT) AS m,
+               CAST(len(list_filter(
+                   CASE WHEN len(mj) < 1 THEN []
+                        ELSE generate_series(1, len(mj)) END,
+                   k -> substring({b}, mj[k] + 1, 1)
+                        != substring({b}, list_sort(mj)[k] + 1, 1)))
+                 AS BIGINT) AS t2,
+               CAST(len(list_filter([1, 2, 3, 4],
+                   k -> k <= least(la, lb)
+                        AND substring({a}, 1, k) = substring({b}, 1, k)))
+                 AS BIGINT) AS prefix_l
+        FROM __jw_matched
+    )"""
+
+
+# exact-integer jw_ppm over __jw_counted's columns; `//` floors ==
+# Spark `div` truncation (all operands non-negative, rule 27). The
+# boost DECISION is the shared-float expression — a rational exactly
+# 7/10 must boost like the native float path does (see
+# operators/jarowinkler.py module docstring).
+JW_PPM_SQL = """
+    CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE
+      CAST((1000000 * (
+        CASE WHEN ((m / CAST(la AS DOUBLE)) + (m / CAST(lb AS DOUBLE))
+                   + ((m - t2//2) / CAST(m AS DOUBLE)))
+                  / CAST(3 AS DOUBLE) > CAST(0.7 AS DOUBLE)
+             THEN prefix_l * (3*la*lb*m)
+                  + (10 - prefix_l)
+                    * (m*m*(la+lb) + (m - t2//2)*la*lb)
+             ELSE 10 * (m*m*(la+lb) + (m - t2//2)*la*lb)
+        END)) // (10 * (3*la*lb*m)) AS BIGINT) END
+"""
 
 
 @register(
@@ -3815,6 +3905,7 @@ _FS_LINK, _FS_NONLINK = 5, -3
                     ELSE 'zq' || a END AS b
         FROM base
     ),
+    {jw_oracle_ctes('pairs', 'a', 'b', carry='cls')},
     gammas AS (
         SELECT cls,
                CASE WHEN a = b THEN {_FS_W['exact'][0]}
@@ -3823,8 +3914,11 @@ _FS_LINK, _FS_NONLINK = 5, -3
                       THEN {_FS_W['phon'][0]}
                       ELSE {_FS_W['phon'][1]} END
                + CASE WHEN levenshtein(a, b) <= 1 THEN {_FS_W['lev'][0]}
-                      ELSE {_FS_W['lev'][1]} END AS score
-        FROM pairs
+                      ELSE {_FS_W['lev'][1]} END
+               + CASE WHEN ({JW_PPM_SQL}) >= {_FS_JW_PPM}
+                      THEN {_FS_W['jw'][0]}
+                      ELSE {_FS_W['jw'][1]} END AS score
+        FROM __jw_counted
     )
     SELECT CAST(cls AS BIGINT) AS cls,
            CASE WHEN score >= {_FS_LINK} THEN 'link'
@@ -3839,12 +3933,13 @@ _FS_LINK, _FS_NONLINK = 5, -3
 )
 def record_linkage_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter decisions per synthesized pair class: the
-    integer log-odds score over (exact, soundex, levenshtein ≤ 1)
-    comparators and the link/possible/non-link rule (see block
-    comment). The Spark side scores with NATIVE soundex/levenshtein;
-    the oracle re-derives every γ with the transcribed soundex and
-    its own levenshtein — a comparator or threshold defect splits the
-    hash.
+    integer log-odds score over (exact, soundex, levenshtein ≤ 1,
+    jaro_winkler ≥ 0.9) comparators and the link/possible/non-link
+    rule (see block comment). The Spark side scores with NATIVE
+    soundex/levenshtein plus the hand-built exact-integer JW chain;
+    the oracle re-derives every γ with the transcribed soundex, its
+    own levenshtein, and the shared JW transcription — a comparator
+    or threshold defect splits the hash.
 
     Shape: fully in-row scoring (both record fields ride the same
     row — blocking/candidate generation is fuzzy_name_match's job),
@@ -3888,11 +3983,16 @@ def record_linkage_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE concat('zq', a) END"
         ).alias("b"),
     )
+    from ..operators.jarowinkler import jaro_winkler_scored
+
+    pairs = jaro_winkler_scored(pairs, "a", "b")
     we, wp, wl = _FS_W["exact"], _FS_W["phon"], _FS_W["lev"]
+    wj = _FS_W["jw"]
     score = (
         F.when(F.col("a") == F.col("b"), we[0]).otherwise(we[1])
         + F.when(F.soundex("a") == F.soundex("b"), wp[0]).otherwise(wp[1])
         + F.when(F.levenshtein("a", "b") <= 1, wl[0]).otherwise(wl[1])
+        + F.when(F.col("jw_ppm") >= _FS_JW_PPM, wj[0]).otherwise(wj[1])
     )
     return (
         pairs.select("cls", score.alias("score"))
@@ -4118,14 +4218,22 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The gate's graph is a HIGHER-VARIANCE variant of the shared
 # _GRAPH_UND_CTES (chords 1 + node % 6 instead of % 3 — the shared
 # graph's degrees are too uniform for a proper-subset core: k=6 peels
-# 3 nodes, k=7 cascades to empty), measured to converge in ≤ 4 rounds
-# at all three SFs with core sizes 436/500 and 4879/5000; R = 6 gives
-# two rounds of margin and the assert fails LOUDLY if a future corpus
-# needs more.
+# 3 nodes, k=7 cascades to empty), measured to converge in 4/3/16
+# rounds at sf0.001/0.01/1 with core sizes 436/500, 4879/5000,
+# 45823/50000; the Spark loop stops at the measured fixpoint, the
+# oracle unrolls the full R (converged rounds are no-ops), and the
+# assert fails LOUDLY if a future corpus needs more than R.
 # ---------------------------------------------------------------------------
 
 _KCORE_K = 8
-_KCORE_ROUNDS = 6
+# Peel-cascade depth is DATA-dependent, not log-bounded: measured 4
+# rounds at 500 docs, 3 at 5k, 16 at 50k (sf1 — found by the r12
+# 100× certification sweep; the convergence assert fired exactly as
+# designed). The oracle unrolls this many MATERIALIZED rounds (extra
+# rounds are no-ops once converged); the Spark side stops early at
+# the measured fixpoint (edge count unchanged) so small SFs never pay
+# the full unroll.
+_KCORE_ROUNDS = 24
 _KCORE_CMOD = 6
 
 
@@ -4221,6 +4329,7 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    n_edges = edges.count()
     for _ in range(_KCORE_ROUNDS):
         ends = edges.select(F.col("a").alias("x")).unionByName(
             edges.select(F.col("b").alias("x"))
@@ -4237,6 +4346,14 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=False)  # degree agg + next filter
         )
+        # fixpoint check: peeling only ever REMOVES edges, so an
+        # unchanged count IS convergence (one driver-sized action per
+        # round — the component_min_labels fixpoint precedent); the
+        # post-loop degree assert still guards the R-exhausted path
+        n_next = edges.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
     ends = edges.select(F.col("a").alias("x")).unionByName(
         edges.select(F.col("b").alias("x"))
     )

@@ -902,9 +902,11 @@ def fuzzy_match_stream(
     """(did, dirty_name, clean_name, dist): ONLINE entity resolution —
     a stream of dirty records probed against the static clean master
     via FastSS deletion-neighborhood blocking (twin of the
-    fuzzy_name_match gate's lookup). ``max_dist`` must be 1: the k=1
-    deletion neighborhood only GENERATES distance-≤1 candidates, so a
-    larger verify threshold would silently under-report (raises).
+    fuzzy_name_match gates' lookup). ``max_dist`` selects the blocking
+    depth — 1 or 2 (r12): the depth-k neighborhood only GENERATES
+    distance-≤k candidates, so the verify threshold and the key depth
+    must move together; deeper bounds raise (another factor of L in
+    key volume — see fastss_key_rows).
 
     ``dirty`` is a stream of (did, dirty_name); ``clean`` a static
     frame with a clean_name column. The static key side is
@@ -927,21 +929,22 @@ def fuzzy_match_stream(
     passes them, bounding state to the in-horizon match set."""
     from ..plans.core import fastss_key_rows
 
-    if max_dist != 1:
+    if max_dist not in (1, 2):
         raise ValueError(
-            "fuzzy_match_stream: FastSS k=1 blocking generates only "
-            f"distance-<=1 candidates; max_dist={max_dist} would "
-            "silently miss matches"
+            "fuzzy_match_stream: FastSS blocking is implemented for "
+            f"k in (1, 2); max_dist={max_dist} would silently miss "
+            "matches"
         )
     if (ts_col is None) != (horizon is None):
         raise ValueError("ts_col and horizon must be provided together")
     ck = F.broadcast(
         fastss_key_rows(
-            clean.select("clean_name").distinct(), "clean_name"
+            clean.select("clean_name").distinct(), "clean_name",
+            k=max_dist,
         ).localCheckpoint()
     )
     carry = ["did", "dirty_name"] + ([ts_col] if ts_col else [])
-    dk = fastss_key_rows(dirty.select(*carry), "dirty_name")
+    dk = fastss_key_rows(dirty.select(*carry), "dirty_name", k=max_dist)
     matched = dk.join(ck, "kh").select(
         *carry,
         "clean_name",

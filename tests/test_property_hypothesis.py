@@ -501,3 +501,115 @@ def test_equidepth_bin_rule_populations(n, k):
         # with at least one row per bin the bins are contiguous 0..k−1;
         # below that the rule scatters ranks across [0, k) by design
         assert sorted(pops) == list(range(k))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd Customer#013", max_size=16),
+            st.text(alphabet="abcd Customer#013", max_size=16),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_jaro_winkler_ref_matches_duckdb_native(pairs):
+    """The pure-Python Jaro-Winkler reference (the pinned semantics:
+    greedy window matching, floored transposition halves, boost only
+    past jaro 0.7, '' scores 0) agrees with DuckDB's NATIVE
+    jaro_winkler_similarity within 1 ppm on arbitrary strings — the
+    independent leg of the jaro_winkler_pairs differential."""
+    import duckdb
+    import math
+
+    from jobinsight_data_pipeline_v2_spark.operators.jarowinkler import (
+        jaro_winkler_ref,
+    )
+
+    con = duckdb.connect()
+    for a, b in pairs:
+        native = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        ppm = jaro_winkler_ref(a, b)[3]
+        assert abs(ppm - math.floor(1_000_000 * native)) <= 1, (a, b)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd#01", max_size=14),
+            st.text(alphabet="abcd#01", max_size=14),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_jw_oracle_transcription_matches_reference(pairs):
+    """The shared DuckDB JW transcription (jw_oracle_ctes +
+    JW_PPM_SQL — the oracle side of jaro_winkler_pairs AND the
+    record-linkage γ_jw comparator) reproduces the pure-Python
+    reference count-for-count (m, t2, prefix_l, jw_ppm)."""
+    import duckdb
+
+    from jobinsight_data_pipeline_v2_spark.operators.jarowinkler import (
+        jaro_winkler_ref,
+    )
+    from jobinsight_data_pipeline_v2_spark.plans.text import (
+        JW_PPM_SQL,
+        jw_oracle_ctes,
+    )
+
+    values = ", ".join(
+        "('%s','%s')" % (a.replace("'", ""), b.replace("'", ""))
+        for a, b in pairs
+    )
+    sql = f"""
+    WITH pairs AS (SELECT * FROM (VALUES {values}) t(a, b)),
+    {jw_oracle_ctes('pairs', 'a', 'b')}
+    SELECT a, b, m, t2, prefix_l, ({JW_PPM_SQL}) AS ppm
+    FROM __jw_counted
+    """
+    for a, b, m, t2, pl, ppm in duckdb.execute(sql).fetchall():
+        rm, rt2, rpl, rppm = jaro_winkler_ref(a, b)
+        if rm == 0:
+            assert m == 0 and ppm == 0, (a, b)
+        else:
+            assert (m, t2, pl, ppm) == (rm, rt2, rpl, rppm), (a, b)
+
+
+def _fastss_keys_k2(w: str) -> set[str]:
+    d1 = {w[:i] + w[i + 1 :] for i in range(len(w))}
+    d2 = {
+        w[:p] + w[p + 1 : q] + w[q + 1 :]
+        for p in range(len(w) - 1)
+        for q in range(p + 1, len(w))
+    }
+    return {w} | d1 | d2
+
+
+@settings(max_examples=400, deadline=None)
+@given(_WORD, st.data())
+def test_fastss_k2_blocking_is_complete(w, data):
+    """r12: ed(u, v) <= 2 implies the depth-2 deletion neighborhoods
+    intersect (the FastSS theorem at k=2 — the bound
+    fuzzy_name_match_k2 and fuzzy_match_stream(max_dist=2) rely on).
+    v is built from w by TWO independent random edit ops."""
+    v = w
+    for _ in range(2):
+        op = data.draw(st.sampled_from(["sub", "ins", "del", "none"]))
+        if op == "none" or (not v and op != "ins"):
+            continue
+        ch = data.draw(st.sampled_from("ab0"))
+        if op == "sub":
+            i = data.draw(st.integers(0, len(v) - 1))
+            v = v[:i] + ch + v[i + 1 :]
+        elif op == "ins":
+            i = data.draw(st.integers(0, len(v)))
+            v = v[:i] + ch + v[i:]
+        else:
+            i = data.draw(st.integers(0, len(v) - 1))
+            v = v[:i] + v[i + 1 :]
+    assert _fastss_keys_k2(w) & _fastss_keys_k2(v), (w, v)

@@ -2438,8 +2438,8 @@ def test_fuzzy_match_stream_equals_batch(spark, tmp_path):
 
 def test_fuzzy_match_stream_watermarked_branch(spark, tmp_path):
     """The production (ts_col + horizon) branch: watermarked dedup
-    emits the same match set on an on-time feed, and max_dist != 1
-    raises (FastSS k=1 blocking cannot serve a larger verify bound)."""
+    emits the same match set on an on-time feed, and max_dist > 2
+    raises (FastSS blocking is implemented for k in (1, 2) — r12)."""
     import time
 
     import pytest
@@ -2452,7 +2452,7 @@ def test_fuzzy_match_stream_watermarked_branch(spark, tmp_path):
         "SELECT explode(array('alpha', 'alphb', 'gamma')) AS clean_name"
     )
     with pytest.raises(ValueError, match="max_dist"):
-        fuzzy_match_stream(clean, clean, max_dist=2)
+        fuzzy_match_stream(clean, clean, max_dist=3)
     rows = [
         (1, "alph", "2024-01-01 00:00:00"),
         (2, "gamm", "2024-01-01 01:00:00"),
@@ -3437,3 +3437,64 @@ def test_streaming_mann_whitney_equals_batch(spark, tmp_path):
         + expected.exceptAll(got).count()
     )
     assert sym == 0 and got.count() > 0
+
+
+def test_fuzzy_match_stream_k2_equals_batch_lookup(spark, tmp_path):
+    """r12: max_dist=2 routes FastSS k=2 keys through the same
+    stream-static join — a two-deletion probe replayed as a stream
+    finds its source (and every other clean name within distance 2)
+    exactly like a batch k=2 lookup over the same frames."""
+    import time
+
+    from jobinsight_data_pipeline_v2_spark.plans.core import (
+        fastss_key_rows,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.curation import (
+        fuzzy_match_stream,
+    )
+    from jobinsight_data_pipeline_v2_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+    from jobinsight_data_pipeline_v2_spark.tables import load_table
+
+    cust = load_table(spark, SF, "customer").filter(
+        F.col("c_name").isNotNull()
+    )
+    clean = cust.select(F.col("c_name").alias("clean_name"))
+    dirty = cust.filter(F.col("c_custkey") % 15 == 0).select(
+        F.col("c_custkey").alias("did"),
+        F.expr(
+            "concat(substring(c_name, 1, 5), substring(c_name, 8))"
+        ).alias("dirty_name"),
+    )
+    src = os.path.join(str(tmp_path), "fuzzy2_flat")
+    os.makedirs(src)
+    for b in range(2):
+        part = dirty.filter(F.pmod(F.col("did"), F.lit(2)) == b)
+        _write_drop(part, tmp_path, src, f"fuzzy2_drop_{b}", time.time() + b)
+    stream = spark.readStream.schema("did long, dirty_name string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    handle = run_stream_to_memory(
+        spark, fuzzy_match_stream(stream, clean, max_dist=2), "fuzzy2_test"
+    )
+    handle.awaitTermination(120)
+    got = spark.sql(
+        "SELECT did, dirty_name, clean_name, dist FROM fuzzy2_test"
+    )
+    # batch mirror of the same k=2 lookup
+    ck = fastss_key_rows(clean, "clean_name", k=2)
+    dk = fastss_key_rows(dirty, "dirty_name", k=2)
+    expected = (
+        dk.join(ck, "kh")
+        .select("did", "dirty_name", "clean_name")
+        .distinct()
+        .withColumn(
+            "dist",
+            F.levenshtein("dirty_name", "clean_name").cast("long"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+    assert expected.filter(F.col("dist") == 2).count() > 0
+    sym = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym == 0, f"{got.count()} vs {expected.count()}"
