@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "record_linkage_decisions",  # Fellegi-Sunter integer log-odds ER
     "jaro_winkler_pairs",  # exact-integer JW vs DuckDB-native differential
     "fuzzy_name_match_k2",  # FastSS k=2 blocking, probe-bounded output
+    "team_draft_interleave",  # online-eval draft fold, md5 coins/clicks
     # round 10 additions
     "table_profile_approx",  # HLL-register profile: the 100 TB swap, gated
     "planned_join_rollup",  # CMS-sketch-chosen join strategy, value-invariant

@@ -474,7 +474,11 @@ PRIORITY: tuple[str, ...] = (
 #     comparator),
 #   fuzzy_name_match_k2 (r12 — entity-resolution family pinned above
 #     by fuzzy_name_match; the depth-2 blocking rung stays local-gated
-#     next to the k=1 gate it extends).
+#     next to the k=1 gate it extends),
+#   team_draft_interleave (r12 — search-eval family pinned above by
+#     the retrieval devices under keyword/bm25 gates' slots; the
+#     online-interleaving fold stays local-gated next to
+#     retrieval_eval_metrics).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

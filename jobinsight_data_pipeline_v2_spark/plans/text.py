@@ -4940,3 +4940,223 @@ def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+# ---------------------------------------------------------------------------
+# Team-draft interleaving (r12, judge ask #6): the ONLINE search-eval
+# family — Radlinski/Kurup/Joachims 2008. Two rankers' lists for a
+# query are interleaved by coin-flipped drafting rounds (each round
+# the coin winner picks its top not-yet-picked doc first, then the
+# other team picks), clicks are attributed to the team that
+# contributed the clicked doc, and the per-query winner is the team
+# with more clicked contributions. Everything is deterministic and
+# engine-shared: coins/clicks are md5-head residues (hash-VALUE
+# semantics — the retrieval_eval device), rankings are md5-ranked
+# candidate slices, and the sequential draft is an IN-ROW FOLD (the
+# open-ideas design: picked-list state; pointers derive from the
+# picked set) — Spark aggregate() vs DuckDB list_reduce with the
+# [-1]-sentinel accumulator (the jw_oracle_ctes device). Picks are
+# integer-encoded doc*2+team so the accumulator stays a BIGINT list;
+# a null pick (exhausted list — unreachable at pool 8 > 2*rounds)
+# drops via the single-eval array_compact/list_filter append.
+# ---------------------------------------------------------------------------
+
+_TDI_QUERIES = 8
+_TDI_POOL = 8   # ranked docs per side
+_TDI_ROUNDS = 3  # draft iterations (2 picks each)
+
+
+def _tdi_md5_head(expr: str, engine: str, mod: int) -> str:
+    if engine == "spark":
+        return (
+            f"cast(conv(substring(md5(cast(cast({expr} as string) as "
+            f"binary)), 1, 4), 16, 10) as bigint) % {mod}"
+        )
+    return (
+        f"('0x' || substring(md5(CAST(({expr}) AS VARCHAR)), 1, 4))"
+        f"::BIGINT % {mod}"
+    )
+
+
+def _tdi_fold(engine: str) -> str:
+    """The draft fold body, shared shape across engines: per round r,
+    coin -> first/second team, each pick = first element of that
+    team's list not already among the picked docs."""
+    if engine == "spark":
+        def unpicked(lst: str, acc: str) -> str:
+            return (
+                f"try_element_at(filter({lst}, d -> NOT array_contains("
+                f"transform({acc}, e -> e div 2), d)), 1)"
+            )
+
+        def app(acc: str, enc: str) -> str:
+            return f"concat({acc}, array_compact(array(cast({enc} as bigint))))"
+
+        coin = _tdi_md5_head("q * 7 + r", "spark", 2)
+        p1 = (
+            f"if({coin} = 0, ({unpicked('la', 'acc')}) * 2, "
+            f"({unpicked('lb', 'acc')}) * 2 + 1)"
+        )
+        acc1 = app("acc", p1)
+        p2 = (
+            f"if({coin} = 0, ({unpicked('lb', acc1)}) * 2 + 1, "
+            f"({unpicked('la', acc1)}) * 2)"
+        )
+        return (
+            f"aggregate(sequence(1, {_TDI_ROUNDS}), "
+            f"cast(array() as array<bigint>), "
+            f"(acc, r) -> {app(acc1, p2)})"
+        )
+
+    def unpicked(lst: str, acc: str) -> str:
+        return (
+            f"list_filter({lst}, d -> NOT list_contains("
+            f"list_transform({acc}, e -> e // 2), d))[1]"
+        )
+
+    def app(acc: str, enc: str) -> str:
+        return (
+            f"list_concat({acc}, list_filter([CAST({enc} AS BIGINT)], "
+            f"v -> v IS NOT NULL))"
+        )
+
+    coin = _tdi_md5_head("q * 7 + x[1]", "duckdb", 2)
+    p1 = (
+        f"CASE WHEN {coin} = 0 THEN ({unpicked('la', 'acc')}) * 2 "
+        f"ELSE ({unpicked('lb', 'acc')}) * 2 + 1 END"
+    )
+    acc1 = app("acc", p1)
+    p2 = (
+        f"CASE WHEN {coin} = 0 THEN ({unpicked('lb', acc1)}) * 2 + 1 "
+        f"ELSE ({unpicked('la', acc1)}) * 2 END"
+    )
+    return (
+        f"list_filter(list_reduce(list_prepend([CAST(-1 AS BIGINT)], "
+        f"list_transform(generate_series(1, {_TDI_ROUNDS}), "
+        f"r -> [CAST(r AS BIGINT)])), "
+        f"(acc, x) -> {app(acc1, p2)}), v -> v >= 0)"
+    )
+
+
+@register(
+    "team_draft_interleave",
+    f"""
+    WITH qs AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({q})" for q in range(_TDI_QUERIES))}) AS t(q)
+    ),
+    ranked AS (
+        SELECT qs.q, d.doc_id,
+               row_number() OVER (PARTITION BY qs.q ORDER BY
+                   md5(CAST(d.doc_id * 17 + qs.q AS VARCHAR)), d.doc_id)
+                   AS rka,
+               row_number() OVER (PARTITION BY qs.q ORDER BY
+                   md5(CAST(d.doc_id * 29 + qs.q AS VARCHAR)), d.doc_id)
+                   AS rkb
+        FROM documents d JOIN qs ON d.doc_id % {_TDI_QUERIES} = qs.q
+    ),
+    lists AS (
+        SELECT q,
+               list_transform(list_sort(list_filter(
+                   list(CASE WHEN rka <= {_TDI_POOL}
+                             THEN [rka, doc_id] END),
+                   v -> v IS NOT NULL)), s -> s[2]) AS la,
+               list_transform(list_sort(list_filter(
+                   list(CASE WHEN rkb <= {_TDI_POOL}
+                             THEN [rkb, doc_id] END),
+                   v -> v IS NOT NULL)), s -> s[2]) AS lb
+        FROM ranked GROUP BY q
+    ),
+    drafted AS (
+        SELECT q, {_tdi_fold("duckdb")} AS picks FROM lists
+    ),
+    scored AS (
+        SELECT q,
+               list_aggregate(list_transform(picks, e ->
+                   CASE WHEN e % 2 = 0 AND
+                        {_tdi_md5_head("(e // 2) * 13 + q", "duckdb", 3)} = 0
+                        THEN 1 ELSE 0 END), 'sum') AS clicks_a,
+               list_aggregate(list_transform(picks, e ->
+                   CASE WHEN e % 2 = 1 AND
+                        {_tdi_md5_head("(e // 2) * 13 + q", "duckdb", 3)} = 0
+                        THEN 1 ELSE 0 END), 'sum') AS clicks_b,
+               list_aggregate(list_transform(picks, e ->
+                   CAST(e AS VARCHAR)), 'string_agg', '|') AS interleave
+        FROM drafted
+    )
+    SELECT CAST(q AS BIGINT) AS query_id, interleave,
+           CAST(clicks_a AS BIGINT) AS clicks_a,
+           CAST(clicks_b AS BIGINT) AS clicks_b,
+           CASE WHEN clicks_a > clicks_b THEN 'a'
+                WHEN clicks_b > clicks_a THEN 'b'
+                ELSE 'tie' END AS winner
+    FROM scored
+    ORDER BY query_id
+    """,
+)
+def team_draft_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Team-draft interleaving per query (see block comment): the
+    md5-coin draft over two md5-ranked top-{_TDI_POOL} lists, the
+    encoded interleave, per-team attributed clicks and the winner.
+
+    Shape: one documents scan; two row_number windows share ONE
+    q-partition exchange (stacked sorts); one groupBy builds both
+    lists; the draft is a fully in-row fold on the {_TDI_QUERIES}-row
+    query frame, checkpointed before its three per-position consumers
+    (rule 10)."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", (F.col("doc_id") % _TDI_QUERIES).alias("q")
+    )
+    wa = Window.partitionBy("q").orderBy(
+        F.expr("md5(cast(cast(doc_id * 17 + q as string) as binary))"),
+        "doc_id",
+    )
+    wb = Window.partitionBy("q").orderBy(
+        F.expr("md5(cast(cast(doc_id * 29 + q as string) as binary))"),
+        "doc_id",
+    )
+    ranked = docs.select(
+        "q",
+        "doc_id",
+        F.row_number().over(wa).alias("rka"),
+        F.row_number().over(wb).alias("rkb"),
+    )
+    lists = ranked.groupBy("q").agg(
+        F.expr(
+            f"transform(sort_array(collect_list(if(rka <= {_TDI_POOL}, "
+            "struct(rka, doc_id), null))), s -> s.doc_id)"
+        ).alias("la"),
+        F.expr(
+            f"transform(sort_array(collect_list(if(rkb <= {_TDI_POOL}, "
+            "struct(rkb, doc_id), null))), s -> s.doc_id)"
+        ).alias("lb"),
+    )
+    drafted = lists.select(
+        "q", F.expr(_tdi_fold("spark")).alias("picks")
+    ).localCheckpoint(eager=False)  # fold array: 3 consumers (rule 10)
+    click = _tdi_md5_head("(e div 2) * 13 + q", "spark", 3)
+    return drafted.select(
+        F.col("q").cast("long").alias("query_id"),
+        F.expr(
+            "concat_ws('|', transform(picks, e -> cast(e as string)))"
+        ).alias("interleave"),
+        F.expr(
+            f"cast(size(filter(picks, e -> e % 2 = 0 and {click} = 0)) "
+            "as long)"
+        ).alias("clicks_a"),
+        F.expr(
+            f"cast(size(filter(picks, e -> e % 2 = 1 and {click} = 0)) "
+            "as long)"
+        ).alias("clicks_b"),
+    ).select(
+        "query_id",
+        "interleave",
+        "clicks_a",
+        "clicks_b",
+        F.when(F.col("clicks_a") > F.col("clicks_b"), "a")
+        .when(F.col("clicks_b") > F.col("clicks_a"), "b")
+        .otherwise("tie")
+        .alias("winner"),
+    ).orderBy("query_id")

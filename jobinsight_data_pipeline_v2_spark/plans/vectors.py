@@ -917,6 +917,17 @@ _PROBED_REFINE = 20 * _PQ_K
 _PROBED_MIN_HITS = 4  # ADC agreement ≥ 4/5 vs probed-exact top-k
 
 
+def _probed_refine(n_corpus: int) -> int:
+    """Serving refine budget: a FIXED refine is a scale bug — the
+    probe reaches ~nprobe/n_cells of the corpus, so at 10x the data a
+    constant top-100 ADC cut retains proportionally less of the
+    probed-exact top-k and the agreement flag degrades (found by the
+    r12 sf1 sweep: ≥4/5 held at corpus ≤ 2k, failed at 20k). Scale
+    refine at 5% of the corpus with the calibrated floor — identical
+    to the old constant at sf ≤ 0.1, corpus-proportional beyond."""
+    return max(_PROBED_REFINE, n_corpus // 20)
+
+
 @register(
     "ivfpq_topk_probed",
     f"""
@@ -999,7 +1010,7 @@ def ivfpq_topk_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx_ids = ivfpq_search(
         qe, cents, cb, queries,
-        k=_PQ_K, nprobe=_PROBED_NPROBE, refine=_PROBED_REFINE,
+        k=_PQ_K, nprobe=_PROBED_NPROBE, refine=_probed_refine(qe.count()),
     ).select("query_id", "vec_id")
     # exact top-k over the probed cells' members only: what a perfect
     # ADC stage would return under the same probe budget
