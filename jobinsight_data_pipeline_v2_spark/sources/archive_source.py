@@ -50,6 +50,8 @@ import zipfile
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ._atomic import commit_file as _commit_file
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -359,11 +361,7 @@ def write_archive(
             ) as zf:
                 for name, data in members:
                     zf.writestr(name, data)
-        _os.makedirs(out_dir, exist_ok=True)
-        tmp = _os.path.join(out_dir, f".tmp-{_uuid.uuid4().hex}")
-        with open(tmp, "wb") as f:
-            f.write(buf.getvalue())
-        _os.rename(tmp, _os.path.join(out_dir, fname))
+        _commit_file(out_dir, fname, buf.getvalue())
         yield pd.DataFrame({"file": [fname], "n_members": [len(members)]})
 
     return src.mapInPandas(

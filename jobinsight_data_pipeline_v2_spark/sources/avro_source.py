@@ -52,6 +52,8 @@ import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ._atomic import commit_file as _commit_file
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -543,15 +545,11 @@ def write_avro_archive(
         if not rows:
             return
         codec = "deflate" if deflate_every_other and pid % 2 else "null"
-        _os.makedirs(out_dir, exist_ok=True)
         data = encode_avro_container(
             rows, DOC_AVRO_SCHEMA, codec, rows_per_block
         )
         name = f"part-{pid:05d}.avro"
-        tmp = _os.path.join(out_dir, f".tmp-{_uuid.uuid4().hex}")
-        with open(tmp, "wb") as f:
-            f.write(data)
-        _os.rename(tmp, _os.path.join(out_dir, name))
+        _commit_file(out_dir, name, data)
         yield pd.DataFrame({"file": [name], "n_records": [len(rows)]})
 
     return src.mapInPandas(

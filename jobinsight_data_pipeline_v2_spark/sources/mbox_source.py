@@ -34,6 +34,8 @@ import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ._atomic import commit_file as _commit_file
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -301,11 +303,7 @@ def write_mbox_archive(
             return
         raw = b"\n".join(chunks)
         name = f"part-{pid:05d}.mbox"
-        _os.makedirs(out_dir, exist_ok=True)
-        tmp = _os.path.join(out_dir, f".tmp-{_uuid.uuid4().hex}")
-        with open(tmp, "wb") as f:
-            f.write(raw)
-        _os.rename(tmp, _os.path.join(out_dir, name))
+        _commit_file(out_dir, name, raw)
         yield pd.DataFrame({"file": [name], "n_messages": [n]})
 
     return src.mapInPandas(

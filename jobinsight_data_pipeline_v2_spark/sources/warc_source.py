@@ -37,6 +37,8 @@ import io
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ._atomic import commit_file as _commit_file
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -349,12 +351,7 @@ def write_warc_archive(
         else:
             raw = b"".join(chunks)
             name = f"part-{pid:05d}.warc"
-        # tasks may race to be first on a fresh out_dir — exist_ok
-        _os.makedirs(out_dir, exist_ok=True)
-        tmp = _os.path.join(out_dir, f".tmp-{_uuid.uuid4().hex}")
-        with open(tmp, "wb") as f:
-            f.write(raw)
-        _os.rename(tmp, _os.path.join(out_dir, name))
+        _commit_file(out_dir, name, raw)
         yield pd.DataFrame({"file": [name], "n_records": [n]})
 
     return src.mapInPandas(write_partition, schema="file string, n_records long")
