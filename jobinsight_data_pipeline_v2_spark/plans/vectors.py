@@ -1424,6 +1424,65 @@ _SEM_PERT_2 = 10_000
 _SEM_OFF_1 = 10_000_000
 _SEM_OFF_2 = 20_000_000
 
+# Corpus-scaled quantizer (r12 — found by the sf1 bench): cells from
+# the fixed-cardinality label column alone make the within-cell pair
+# work n²/10 — measured 41× wall at 10× rows. SemDeDup's own cost
+# model says the CLUSTER COUNT scales with the corpus, so the cell
+# key gains SRP sign bits: nb = min(8, floor_log2(max(n/640, 1)))
+# subdivision bits (n = corpus size computed IN-PLAN by both engines —
+# the k-anonymity adaptive-k device), cell = label·256 + (sig mod
+# 2^nb). Average cell size stays in [64, 128] at any corpus, so
+# Σ|cell|² is LINEAR in n. Plane weights are the first 8 rows of the
+# shared srp-{h}-{d} md5 matrix (srp_weights' convention), compiled
+# into both plans as literals. At sf ≤ 0.001 nb = 0 — the historical
+# single-level behavior. A planted pair can straddle a plane only if
+# the ±5000 perturbation flips a sign whose projection magnitude is
+# below ~8·5000 — rare, deterministic, and identical in both engines
+# (the cell rule is shared text), so the gate stays exact.
+
+_SEM_PLANES = 8
+_SEM_DIV = 640
+
+
+def _sem_weights() -> list[list[int]]:
+    # first _SEM_PLANES rows of srp_weights() — inlined because that
+    # helper is defined later in this module (registration order)
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"srp-{h}-{d}".encode()).hexdigest()[0] < "8"
+            else -1
+            for d in range(64)
+        ]
+        for h in range(_SEM_PLANES)
+    ]
+
+
+_SEM_W = _sem_weights()
+
+
+def _sem_sig_expr(qv: str, duck: bool) -> str:
+    """8-bit SRP signature of a quantized vector — one CASE per plane
+    over a literal-weight dot; IDENTICAL algebra both engines."""
+    terms = []
+    for p, w in enumerate(_SEM_W):
+        if duck:
+            arr = "[" + ", ".join(str(v) for v in w) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip({qv}, {arr}), "
+                "z -> z[1] * z[2]))"
+            )
+        else:
+            arr = "array(" + ", ".join(f"{v}L" for v in w) + ")"
+            dot = (
+                f"aggregate(zip_with({qv}, {arr}, (x, y) -> x * y), "
+                "0L, (a, v) -> a + v)"
+            )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
 
 def semdedup_groups(
     vectors: DataFrame,
@@ -1490,25 +1549,43 @@ def semdedup_groups(
     )
 
 
+def _sem_nb_sql(duck: bool) -> str:
+    from ..operators.sketch import qhist_bucket_sql
+
+    div = "//" if duck else "div"
+    return (
+        f"least({qhist_bucket_sql(f'greatest(n {div} {_SEM_DIV}, 1)')}, "
+        f"{_SEM_PLANES})"
+    )
+
+
 @register(
     "semantic_dedup",
     f"""
     WITH RECURSIVE base AS (
-        SELECT vec_id, label AS cell, {_SQL_QVEC} AS qv FROM embeddings
+        SELECT vec_id, label AS cell0, {_SQL_QVEC} AS qv FROM embeddings
     ),
-    corpus AS (
+    corpus AS MATERIALIZED (
         SELECT * FROM base
         UNION ALL
-        SELECT vec_id + {_SEM_OFF_1}, cell,
+        SELECT vec_id + {_SEM_OFF_1}, cell0,
                list_transform(qv, x -> x + {_SEM_PERT_1})
         FROM base WHERE vec_id % 7 = 0
         UNION ALL
-        SELECT vec_id + {_SEM_OFF_2}, cell,
+        SELECT vec_id + {_SEM_OFF_2}, cell0,
                list_transform(qv, x -> x + {_SEM_PERT_2})
         FROM base WHERE vec_id % 14 = 0
     ),
-    n AS (
-        SELECT vec_id, cell, qv,
+    nb AS MATERIALIZED (
+        SELECT {_sem_nb_sql(duck=True)} AS b
+        FROM (SELECT COUNT(*) AS n FROM corpus)
+    ),
+    n AS MATERIALIZED (
+        SELECT vec_id,
+               cell0 * 256
+                   + ({_sem_sig_expr('qv', duck=True)}
+                      % (1 << (SELECT b FROM nb))) AS cell,
+               qv,
                sqrt(CAST({_sql_dot('qv', 'qv')} AS DOUBLE)) AS norm
         FROM corpus
     ),
@@ -1535,7 +1612,7 @@ def semdedup_groups(
            COALESCE(l.grp, c.vec_id) AS grp,
            (COALESCE(l.grp, c.vec_id) = c.vec_id) AS is_keeper,
            CAST(COALESCE(s.n_group, 1) AS BIGINT) AS n_group
-    FROM corpus c
+    FROM n c
     LEFT JOIN labels l ON c.vec_id = l.id
     LEFT JOIN sizes s ON COALESCE(l.grp, c.vec_id) = s.grp
     ORDER BY c.vec_id
@@ -1547,6 +1624,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-duplicate group (minimum member id), the keeper flag, and
     the group size — groups formed only WITHIN cells by pairwise
     cosine >= {_SEM_TAU}, chains collapsed by connected components.
+    Cells are the label quantizer SUBDIVIDED by corpus-scaled SRP sign
+    bits (see the r12 block note — the sf1 fix that keeps within-cell
+    pair work linear in n; nb derives in-plan from COUNT(*), the
+    adaptive-k device, so both engines compute the identical key).
 
     The oracle resolves the identical edge set with a recursive-CTE
     transitive closure (the near_dup_components device); cosine values
@@ -1554,20 +1635,37 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     base = emb.select(
-        "vec_id", F.col("label").alias("cell"), F.expr(_QVEC).alias("qv")
+        "vec_id", F.col("label").alias("cell0"), F.expr(_QVEC).alias("qv")
     )
     d1 = base.filter(F.col("vec_id") % 7 == 0).select(
         (F.col("vec_id") + _SEM_OFF_1).alias("vec_id"),
-        "cell",
+        "cell0",
         F.expr(f"transform(qv, x -> x + {_SEM_PERT_1})").alias("qv"),
     )
     d2 = base.filter(F.col("vec_id") % 14 == 0).select(
         (F.col("vec_id") + _SEM_OFF_2).alias("vec_id"),
-        "cell",
+        "cell0",
         F.expr(f"transform(qv, x -> x + {_SEM_PERT_2})").alias("qv"),
     )
-    corpus = base.unionByName(d1).unionByName(d2)
-    return semdedup_groups(corpus).orderBy("vec_id")
+    # two consumers below (count + cell projection) — rule 12
+    corpus = (
+        base.unionByName(d1).unionByName(d2).localCheckpoint(eager=False)
+    )
+    nb = corpus.agg(F.count(F.lit(1)).alias("n")).select(
+        F.expr(_sem_nb_sql(duck=False)).alias("__nb")
+    )
+    celled = corpus.crossJoin(F.broadcast(nb)).select(
+        "vec_id",
+        (
+            F.col("cell0") * 256
+            + F.expr(
+                f"pmod({_sem_sig_expr('qv', duck=False)}, "
+                "shiftleft(1, __nb))"
+            )
+        ).alias("cell"),
+        "qv",
+    )
+    return semdedup_groups(celled).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2743,3 +2841,71 @@ def gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_gif_anim_batches, schema).orderBy(
         "doc_id", "frame"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (Gonzalez 2-approx / Sener-Savarese rule)
+# ---------------------------------------------------------------------------
+#
+# Data-pruning family member that none of the dedup/sampling gates
+# cover: pick the k points that MINIMIZE the maximum distance from any
+# corpus point to its nearest pick — the coreset rule used for
+# active-learning selection. Exact-integer squared-L2 over the shared
+# 1e6 quantization (64 dims x (2e6)^2 = 2.56e14, inside BIGINT); the
+# oracle unrolls the greedy loop as chained MATERIALIZED CTE rounds
+# (the pagerank device, rule 28) with the identical argmax rule
+# (max min-dist, ties -> min vec_id; selected points self-exclude at
+# distance 0). Below fold: the iterative-selection family's driver
+# slot is mmr_topk's ground; this pins the coverage trajectory.
+
+_KCENTER_K = 6
+
+
+def _kcenter_oracle_sql(k: int) -> str:
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(p.v, s.v), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    )
+    parts = [
+        f"WITH pts AS MATERIALIZED (SELECT vec_id, {_SQL_QVEC} AS v "
+        "FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT 1 AS round, vec_id, "
+        "CAST(0 AS BIGINT) AS mind, v FROM pts "
+        "WHERE vec_id = (SELECT MIN(vec_id) FROM pts))",
+        "s1 AS MATERIALIZED (SELECT * FROM c1)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT p.vec_id, first(p.v) AS v, "
+            f"MIN({dist}) AS mind "
+            f"FROM pts p, s{r - 1} s GROUP BY p.vec_id)"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT {r} AS round, vec_id, mind, v "
+            f"FROM p{r} ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED "
+            f"(SELECT * FROM s{r - 1} UNION ALL SELECT * FROM c{r})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT round, vec_id, mind AS min_dist_sq FROM s{k} "
+        "ORDER BY round"
+    )
+
+
+@register("kcenter_coreset", _kcenter_oracle_sql(_KCENTER_K))
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (operators/similarity.kcenter_greedy)
+    over the embeddings corpus: the full selection trajectory —
+    (round, picked vec_id, selection-time coverage radius) — pinned
+    integer-exact against the unrolled-CTE oracle. Scale shape: one
+    corpus checkpoint scanned once per round with the <=k selected
+    vectors on a broadcast; per-round argmax is TakeOrdered(1)."""
+    from ..operators.similarity import kcenter_greedy
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.expr(_QVEC).alias("v")
+    )
+    return kcenter_greedy(emb, _KCENTER_K).orderBy("round")
