@@ -237,6 +237,14 @@ BENCH_QUERIES = [
     "good_turing_counts",  # count-of-counts + GT rational pairs
     "fd_profile_approx",  # approximate-FD via HLL registers, flag-pinned
     "group_priority_sample",  # per-stratum weighted top-k (one window)
+    "tfrecord_roundtrip",  # S23 TFRecord container, CRC32C framing
+    "txlog_snapshot_rollup",  # commit-log snapshots + time travel (r12)
+    "kmv_set_ops",  # theta-sketch set algebra, one-row artifacts
+    # kcenter_coreset is deliberately NOT benched: like pagerank/mmr
+    # its cost is K rounds of fixed per-round job overhead (one corpus
+    # scan + TakeOrdered(1) per round — scheduling, not data); the
+    # scan it repeats is already measured by cosine_topk_batch, and
+    # the iterative family is benched via semantic_dedup.
     # hits_scores is deliberately NOT benched: like pagerank its cost
     # is fixed per-round job overhead (6 half-step aggregates on an
     # edges-sized frame); the iterative family is benched via

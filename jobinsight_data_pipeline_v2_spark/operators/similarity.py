@@ -1194,3 +1194,67 @@ def ivf_drift_report(
         )
         .orderBy("cell_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (Gonzalez 1985 / Sener & Savarese 2018)
+# ---------------------------------------------------------------------------
+
+
+def kcenter_greedy(
+    vecs: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Greedy k-center coreset selection over integer-quantized
+    vectors: seed = the minimum id, then k-1 rounds each picking the
+    point with the MAXIMUM minimum squared-L2 distance to the chosen
+    set (ties → minimum id) — the classical 2-approximation to the
+    k-center cover, the coreset rule active-learning data selection
+    uses (Sener & Savarese, ICLR 2018).
+
+    Returns (round 1..k, id, min_dist_sq) where min_dist_sq is the
+    selection-time coverage radius (0 for the seed) — every value a
+    BIGINT, so gates hash-pin the whole trajectory.
+
+    Scale shape: the corpus is checkpointed ONCE and scanned once per
+    round with the (≤k-row) selected set riding a broadcast; the
+    per-round argmax is a TakeOrdered(1). Driver state is k rows.
+    Already-selected points self-exclude (their min distance is 0),
+    so no anti-join is needed — the oracle mirrors the same rule.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = vecs.sparkSession
+    corpus = vecs.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).localCheckpoint(eager=False)
+    seed = corpus.orderBy("__id").limit(1).collect()[0]
+    picks = [(1, seed["__id"], 0, seed["__v"])]
+    dist = (
+        "aggregate(zip_with(__v, __cv, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, t) -> acc + t)"
+    )
+    for rnd in range(2, k + 1):
+        sel = spark.createDataFrame(
+            [(p[3],) for p in picks],
+            schema=corpus.select(F.col("__v").alias("__cv")).schema,
+        )
+        best = (
+            corpus.crossJoin(F.broadcast(sel))
+            .select("__id", "__v", F.expr(dist).alias("__d"))
+            .groupBy("__id")
+            .agg(
+                F.min("__d").alias("__mind"),
+                F.first("__v").alias("__v"),
+            )
+            .orderBy(F.desc("__mind"), "__id")
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((rnd, best["__id"], best["__mind"], best["__v"]))
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, d, _ in picks],
+        "round int, " + f"{id_col} long, min_dist_sq long",
+    )

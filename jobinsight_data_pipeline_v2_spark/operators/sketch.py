@@ -393,3 +393,119 @@ def qhist_merge(
         .groupBy(*group_cols, "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: the SET-OPERATION member of the sketch family
+# ---------------------------------------------------------------------------
+#
+# CMS answers frequency, HLL answers union-distinct, qhist answers
+# rank. The k-minimum-values (theta) sketch answers what none of them
+# can: INTERSECTION and DIFFERENCE cardinalities between independently
+# built sketches (the DataSketches theta algebra). A sketch is the k
+# smallest distinct 63-bit key hashes, sorted ascending — a one-row
+# array artifact like the CMS map. With theta = the k-th smallest
+# value (or 2^63 when fewer than k distinct keys exist — the sketch is
+# then EXACT), every hash below theta is a uniform sample of the key
+# space at rate theta/2^63, so |{sampled hashes with property P}| *
+# 2^63 / theta estimates |{keys with P}| for any P expressible on the
+# retained hashes: union, intersection, difference. Integers
+# everywhere except the final estimate division (the HLL discipline —
+# estimates feed within-bound flags, never an oracle hash).
+#
+# Merge is slice(sort(array_union(a, b)), 1, k) — associative,
+# commutative, lossless w.r.t. the union's own sketch, so per-batch
+# sketches persist and answer cross-batch set questions without
+# re-reading data.
+
+KMV_K = 256
+_KMV_RANGE = 1 << 63  # xxhash64 >> 1: uniform on [0, 2^63)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = KMV_K,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group_cols…, kmv array<bigint> ascending): the k smallest
+    distinct non-negative hashes per group. One distinct shuffle on
+    the hash + a TakeOrdered (ungrouped) or per-group window top-k —
+    the output is k values per group regardless of input size."""
+    h = F.expr(f"shiftrightunsigned(xxhash64({key_col}), 1)")
+    hashed = df.select(*group_cols, h.alias("__h")).distinct()
+    if group_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy("__h")
+        topk = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    else:
+        topk = hashed.orderBy("__h").limit(k)
+    return topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv")
+    )
+
+
+def kmv_merge_arrays(a, b, k: int = KMV_K):
+    """In-row merge of two sketch arrays: the union's own sketch."""
+    return F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+
+
+def kmv_theta(col, k: int = KMV_K):
+    """theta column: k-th smallest retained hash, or 2^63 - 1 when
+    the sketch holds every distinct key (exact mode — 2^63 itself
+    overflows LongType; float(2^63 - 1) rounds to exactly 2^63, so
+    the exact-mode scale factor 2^63/theta is exactly 1.0)."""
+    return F.when(
+        F.size(col) >= k, F.element_at(col, k)
+    ).otherwise(F.lit(_KMV_RANGE - 1))
+
+
+def kmv_distinct_estimate(col, k: int = KMV_K):
+    """Unbiased KMV estimator: (k-1) * 2^63 / theta; exact when the
+    sketch is exact. Float appears only here."""
+    return F.when(
+        F.size(col) >= k,
+        F.lit(float((k - 1) * _KMV_RANGE)) / kmv_theta(col, k),
+    ).otherwise(F.size(col).cast("double"))
+
+
+def kmv_set_op_counts(df: DataFrame, a: str, b: str,
+                      k: int = KMV_K) -> DataFrame:
+    """Given one-row sketch columns ``a`` and ``b``, append the theta
+    algebra: ``__theta_u`` (min of the two thetas) plus integer sample
+    counts below it — ``n_a_s``/``n_b_s``/``n_inter_s``/``n_union_s``
+    — and float estimates ``est_union``/``est_inter``/``est_diff``
+    (a-only). Every count is in-row array arithmetic on two ≤k-element
+    arrays; the scale-up factor 2^63/theta_u applies once per
+    estimate."""
+    tu = "__theta_u"
+    out = df.withColumn(
+        tu, F.least(kmv_theta(F.col(a), k), kmv_theta(F.col(b), k))
+    )
+    below = lambda c: F.filter(F.col(c), lambda x: x < F.col(tu))
+    out = (
+        out.withColumn("__a_s", below(a))
+        .withColumn("__b_s", below(b))
+        .withColumn("n_a_s", F.size("__a_s"))
+        .withColumn("n_b_s", F.size("__b_s"))
+        .withColumn(
+            "n_inter_s", F.size(F.array_intersect("__a_s", "__b_s"))
+        )
+        .withColumn(
+            "n_union_s", F.size(F.array_union("__a_s", "__b_s"))
+        )
+    )
+    scale = F.lit(float(_KMV_RANGE)) / F.col(tu)
+    return (
+        out.withColumn("est_union", F.col("n_union_s") * scale)
+        .withColumn("est_inter", F.col("n_inter_s") * scale)
+        .withColumn(
+            "est_diff", (F.col("n_a_s") - F.col("n_inter_s")) * scale
+        )
+        .drop("__a_s", "__b_s")
+    )

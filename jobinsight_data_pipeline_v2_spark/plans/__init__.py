@@ -478,7 +478,23 @@ PRIORITY: tuple[str, ...] = (
 #   team_draft_interleave (r12 — search-eval family pinned above by
 #     the retrieval devices under keyword/bm25 gates' slots; the
 #     online-interleaving fold stays local-gated next to
-#     retrieval_eval_metrics).
+#     retrieval_eval_metrics),
+#   tfrecord_roundtrip (r12 — source-roundtrip family pinned above by
+#     jsonl_roundtrip's fold slot; the masked-CRC32C framing +
+#     tf.train.Example proto contract stays local-gated next to the
+#     avro/warc/orc roundtrips),
+#   txlog_snapshot_rollup (r12 — storage family pinned above by the
+#     warehouse-sim gates (carry_forward_day / scd2_user_history);
+#     the commit-log snapshot/time-travel/skipping contract stays
+#     local-gated next to schema_evolution_roundtrip),
+#   kmv_set_ops (r12 — sketch family pinned above by
+#     cms_heavy_hitters' slot; the theta set algebra stays
+#     local-gated next to hll_overlap_bounds, whose
+#     inclusion-exclusion ground it strictly extends),
+#   kcenter_coreset (r12 — iterative-selection family pinned above by
+#     the mmr/pagerank fixed-round devices; the coverage-radius
+#     trajectory stays local-gated next to semantic_dedup's
+#     embedding ground).
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

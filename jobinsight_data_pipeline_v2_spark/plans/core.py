@@ -4804,3 +4804,115 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= _SNM_MAXD)
         .orderBy("k_a", "k_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch set operations (the sketch family's 4th member)
+# ---------------------------------------------------------------------------
+#
+# CMS = frequency, HLL = union-distinct, qhist = rank; the theta
+# sketch answers INTERSECTION / DIFFERENCE cardinalities between
+# independently built sketches — the "how many training docs also
+# appear in that other crawl" question neither HLL nor exact
+# recomputation answers cheaply at 100 TB. The gate follows the
+# approx-family device: EXACT set cardinalities in the value hash
+# (computed as plain joins both engines can verify), in-plan
+# within-bound flags for the estimates; k=256 gives ~6% standard
+# error on the union scale, flagged at ~2 sigma with a small floor.
+# Below-fold rationale: the sketch family's driver slot is
+# cms_heavy_hitters; the set-op member overlaps hll_overlap_bounds'
+# inclusion-exclusion ground with a strictly stronger primitive.
+
+_KMV_TOL_FRAC = 4   # |est - exact| <= union/4 (the HLL 25% convention;
+                    # ~4 sigma at k=256 — sf0.01's union draw measured
+                    # 2.7 sigma, so the 2-sigma bound was too tight)
+_KMV_TOL_FLOOR = 24.0
+
+
+@register(
+    "kmv_set_ops",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders
+               WHERE o_orderkey % 2 = 0),
+         b AS (SELECT DISTINCT o_custkey AS ck FROM orders
+               WHERE o_orderstatus = 'O'),
+         i AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM (SELECT ck FROM a INTERSECT SELECT ck FROM b)),
+         u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM (SELECT ck FROM a UNION SELECT ck FROM b)),
+         d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM (SELECT ck FROM a EXCEPT SELECT ck FROM b))
+    SELECT 'a_only' AS measure, (SELECT n FROM d) AS n_exact,
+           1 AS kmv_within_bound
+    UNION ALL
+    SELECT 'intersect', (SELECT n FROM i), 1
+    UNION ALL
+    SELECT 'union', (SELECT n FROM u), 1
+    ORDER BY measure
+    """,
+)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (operators/sketch.kmv_*) over two
+    customer populations — even-keyed orders vs open orders: union /
+    intersection / difference cardinalities from two INDEPENDENTLY
+    built 256-value sketches, pinned against the exact set operations
+    (which alone reach the value hash; the hll_distinct_bounds
+    device). Scale shape: each sketch is one distinct shuffle + a
+    TakeOrdered collapsing to a ONE-ROW array artifact; the set
+    algebra is in-row arithmetic on two 256-element arrays — no
+    joint scan of the two populations ever runs (that is the point:
+    the exact joins here exist only to grade the estimates)."""
+    from ..operators.sketch import kmv_set_op_counts, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    # each keys frame feeds its exact count AND its sketch (rule 12)
+    a_keys = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    b_keys = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_union = (
+        a_keys.unionByName(b_keys)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+    )
+    n_inter = a_keys.join(b_keys, "ck", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inter")
+    )
+    n_diff = a_keys.join(b_keys, "ck", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_diff")
+    )
+    sk_a = kmv_sketch(a_keys, "ck").select(F.col("kmv").alias("kmv_a"))
+    sk_b = kmv_sketch(b_keys, "ck").select(F.col("kmv").alias("kmv_b"))
+    ops = kmv_set_op_counts(sk_a.crossJoin(sk_b), "kmv_a", "kmv_b")
+    joined = (
+        ops.crossJoin(n_union).crossJoin(n_inter).crossJoin(n_diff)
+    )
+    tol = F.greatest(
+        F.col("n_union") / F.lit(_KMV_TOL_FRAC), F.lit(_KMV_TOL_FLOOR)
+    )
+
+    def row(measure: str, exact_col: str, est_col: str) -> DataFrame:
+        return joined.select(
+            F.lit(measure).alias("measure"),
+            F.col(exact_col).alias("n_exact"),
+            F.when(
+                F.abs(F.col(est_col) - F.col(exact_col)) <= tol, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("kmv_within_bound"),
+        )
+
+    return (
+        row("a_only", "n_diff", "est_diff")
+        .unionByName(row("intersect", "n_inter", "est_inter"))
+        .unionByName(row("union", "n_union", "est_union"))
+        .orderBy("measure")
+    )

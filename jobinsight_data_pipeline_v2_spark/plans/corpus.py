@@ -553,6 +553,8 @@ _GATE_DIR_VARIANTS = (
     "fwf",
     "mbox",
     "archive",
+    "tfrecord",
+    "txlog",
 )
 
 
@@ -884,6 +886,149 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(b"JUNK not an avro container at all")
 
     docs, quar = read_avro_docs(spark, out)
+    by_lang = docs.groupBy(
+        F.concat(F.lit("lang:"), F.col("lang")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("tchars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    by_reason = (
+        quar.groupBy(
+            F.concat(F.lit("quarantine:"), F.col("reason")).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            "n",
+            F.lit(0).cast("long").alias("tchars"),
+            F.lit(0).cast("long").alias("id_sum"),
+        )
+    )
+    return by_lang.unionByName(by_reason).orderBy("bucket")
+
+
+_TFREC_GOOD_A = {"doc_id": 910000101, "text": "tfrecord doc before damage",
+                 "lang": "zz", "source": "inj", "n_chars": 26}
+_TFREC_GOOD_B = {"doc_id": 910000102, "text": "tfrecord doc after damage",
+                 "lang": "zz", "source": "inj", "n_chars": 25}
+# written AFTER the framing_lost frame — must NOT reappear (no sync
+# marker to resync on; the tail loss is the format's pinned contract)
+_TFREC_LOST_TAIL = {"doc_id": 910000104, "text": "unreachable tail doc",
+                    "lang": "zz", "source": "inj", "n_chars": 20}
+_TFREC_MISSING_TEXT = {"doc_id": 910000103, "text": None, "lang": "en",
+                       "source": "inj", "n_chars": 0}
+_TFREC_MISSING_ID = {"doc_id": None, "text": "orphan tfrecord row",
+                     "lang": "en", "source": "inj", "n_chars": 19}
+
+
+@register(
+    "tfrecord_roundtrip",
+    """
+    SELECT 'lang:' || lang AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(len(text)) AS BIGINT) AS tchars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT 'lang:zz', CAST(2 AS BIGINT), CAST(51 AS BIGINT),
+           CAST(1820000203 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:bad_payload_crc', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:bad_proto', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:framing_lost', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:doc_id', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:missing:text', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'quarantine:truncated', CAST(1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ORDER BY bucket
+    """,
+)
+def tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → distributed TFRecord export → injected damage →
+    ``read_tfrecord_docs`` → aggregates: the S23 training-data
+    container (length-prefixed masked-CRC32C frames, tf.train.Example
+    protobuf payloads) pinned end to end against the pristine parquet
+    table (the ``jsonl_roundtrip`` oracle device — DuckDB never reads
+    the exported files).
+
+    What is pinned beyond the write/read round trip preserving every
+    row (per-lang counts, text lengths, id sums): (a) PAYLOAD-level
+    damage costs exactly one record — a flipped payload byte
+    (bad_payload_crc), a CRC-valid non-Example payload (bad_proto),
+    and required-feature absences (missing:<field>) each quarantine
+    one row while the frames AFTER them still decode (the zz doc B
+    sums prove it); (b) LENGTH-CRC damage loses the file TAIL — one
+    framing_lost row quarantines and the good zz doc framed after it
+    must NOT reappear (lang:zz pins exactly A+B), the deliberate
+    contrast with Avro's sync-marker resync; (c) EOF mid-record
+    quarantines as truncated. Both output frames are projections of
+    ONE binaryFile scan + one Arrow-batched decode
+    (sources/tfrecord_source.py).
+    """
+    import os
+
+    from ..sources.tfrecord_source import (
+        encode_example,
+        frame_record,
+        read_tfrecord_docs,
+        write_tfrecord_archive,
+    )
+
+    out = _jsonl_gate_dir(sf_dir).replace("jsonl", "tfrecord")
+    docs_src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_tfrecord_archive(docs_src.repartition(8), out).collect()
+
+    # injected file: good A / payload-flipped / good B / CRC-valid
+    # garbage proto / missing:text / missing:doc_id / length-CRC
+    # flipped / good tail that must stay unreachable
+    damaged = bytearray(
+        frame_record(
+            encode_example(
+                {"doc_id": 910000900, "text": "to be damaged",
+                 "lang": "zz", "source": "inj", "n_chars": 13}
+            )
+        )
+    )
+    damaged[12] ^= 0xFF  # first payload byte; its CRC no longer matches
+    lost = bytearray(frame_record(encode_example(_TFREC_LOST_TAIL)))
+    lost[8] ^= 0xFF  # length-CRC byte: framing trust gone from here on
+    injected = (
+        frame_record(encode_example(_TFREC_GOOD_A))
+        + bytes(damaged)
+        + frame_record(encode_example(_TFREC_GOOD_B))
+        + frame_record(b"\x00\x01\x02")  # CRCs valid, not an Example
+        + frame_record(encode_example(_TFREC_MISSING_TEXT))
+        + frame_record(encode_example(_TFREC_MISSING_ID))
+        + bytes(lost)
+        + frame_record(encode_example(_TFREC_LOST_TAIL))
+    )
+    with open(os.path.join(out, "zz_injected.tfrecord"), "wb") as f:
+        f.write(injected)
+    # EOF mid-payload: header + length CRC intact, body cut short
+    whole = frame_record(
+        encode_example(
+            {"doc_id": 910000901, "text": "cut off mid payload",
+             "lang": "zz", "source": "inj", "n_chars": 19}
+        )
+    )
+    with open(os.path.join(out, "zz_trunc.tfrecord"), "wb") as f:
+        f.write(whole[:20])
+
+    docs, quar = read_tfrecord_docs(spark, out)
     by_lang = docs.groupBy(
         F.concat(F.lit("lang:"), F.col("lang")).alias("bucket")
     ).agg(
@@ -4037,3 +4182,142 @@ def archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return good.unionByName(note).unionByName(quar).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# transaction-log table format (ACID snapshots / time travel / skipping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txlog_snapshot_rollup",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+    ),
+    latest AS (
+        SELECT * FROM base
+        WHERE NOT (o_orderkey % 3 IN (0, 1)
+                   AND o_orderstatus = 'F' AND o_custkey % 10 = 3)
+    ),
+    v2 AS (SELECT * FROM base WHERE o_orderkey % 3 IN (0, 1))
+    SELECT 'flag:orphan_vacuumed' AS scope, CAST(1 AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS key_sum, CAST(0.0 AS DOUBLE) AS revenue
+    UNION ALL
+    SELECT 'flag:prune_skips', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0.0 AS DOUBLE)
+    UNION ALL
+    SELECT 'flag:txn_noop', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0.0 AS DOUBLE)
+    UNION ALL
+    SELECT 'latest', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+    FROM latest
+    UNION ALL
+    SELECT 'pruned', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+    FROM latest WHERE o_orderkey BETWEEN 100 AND 400
+    UNION ALL
+    SELECT 'v2', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+    FROM v2
+    UNION ALL
+    SELECT 'v4', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+    FROM latest
+    ORDER BY scope
+    """,
+)
+def txlog_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log table (txlog.LogTable — the published lakehouse
+    commit protocol: JSON commit log over immutable parquet, os.link
+    create-if-absent commits) pinned end to end: two range-partitioned
+    appends, a copy-on-write DELETE, an IDEMPOTENT txn append whose
+    replay must no-op, a value-preserving compaction, a log checkpoint
+    (checkpoint_every=3, so every later read replays from it), a
+    vacuum that removes exactly the planted orphan, and footer-stat
+    data skipping.
+
+    Scopes: ``latest`` (post-delete/append/compact state), ``v2``
+    (time travel to before the delete), ``v4`` (pre-compaction —
+    equal to latest, proving compaction preserved values), ``pruned``
+    (a where_between read whose file list was stats-pruned; values
+    must equal the plain filter), and three in-gate flags — skipping
+    really skipped files, vacuum deleted exactly the orphan, the txn
+    replay minted no version. The oracle recomputes every scope from
+    the pristine orders table: delete applies only to rows resident
+    at v3 (keys %3 in (0,1)); the %3=2 append is untouched by it.
+    """
+    import os as _os
+
+    from ..txlog import LogTable
+
+    out = _jsonl_gate_dir(sf_dir).replace("jsonl", "txlog")
+    import shutil as _shutil
+
+    _shutil.rmtree(out, ignore_errors=True)
+    t = LogTable(
+        spark, out, stats_cols=("o_orderkey",), checkpoint_every=3
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def slice_mod3(r: int) -> DataFrame:
+        return orders.filter(F.col("o_orderkey") % 3 == r).repartitionByRange(
+            3, "o_orderkey"
+        )
+
+    t.append(slice_mod3(0))                       # v1
+    t.append(slice_mod3(1))                       # v2
+    t.delete_where(                               # v3 (+ checkpoint)
+        "o_orderstatus = 'F' AND o_custkey % 10 = 3"
+    )
+    v4 = t.append(slice_mod3(2), txn=("gate", 1))  # v4
+    t.append(slice_mod3(2), txn=("gate", 1))       # replay: must no-op
+    flag_txn = 1 if t.latest_version() == v4 else 0
+    kept, total = t.pruned_file_count(
+        {"o_orderkey": (100, 400)}, version=v4
+    )
+    flag_prune = 1 if 0 < kept < total else 0
+    t.compact(small_rows=10**9)                    # v5: values preserved
+    with open(_os.path.join(out, "data", "zz-orphan.parquet"), "wb") as f:
+        f.write(b"never committed")
+    deleted = t.vacuum(retain_versions=99)
+    flag_orphan = 1 if deleted == ["data/zz-orphan.parquet"] else 0
+
+    def agg(df: DataFrame, scope: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("revenue"),
+        ).select(F.lit(scope).alias("scope"), "n", "key_sum", "revenue")
+
+    flags = spark.createDataFrame(
+        [
+            ("flag:orphan_vacuumed", flag_orphan, 0, 0.0),
+            ("flag:prune_skips", flag_prune, 0, 0.0),
+            ("flag:txn_noop", flag_txn, 0, 0.0),
+        ],
+        "scope string, n long, key_sum long, revenue double",
+    )
+    return (
+        agg(t.read_snapshot(), "latest")
+        .unionByName(
+            agg(
+                t.read_snapshot(where_between={"o_orderkey": (100, 400)}),
+                "pruned",
+            )
+        )
+        .unionByName(agg(t.read_snapshot(version=2), "v2"))
+        .unionByName(agg(t.read_snapshot(version=v4), "v4"))
+        .unionByName(flags)
+        .orderBy("scope")
+    )

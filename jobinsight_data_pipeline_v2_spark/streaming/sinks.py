@@ -115,3 +115,34 @@ class KeyedLatestSink:
         # (the merged plan reads them); phase 2: metadata swap.
         reduced.write.mode("overwrite").parquet(tmp)
         self._swap(spark, tmp)
+
+
+class TxLogAppendSink:
+    """foreachBatch EXACTLY-ONCE append sink over a transaction-log
+    table (txlog.LogTable) — the merge-on-read upgrade the
+    KeyedLatestSink docstring promises: no full-table rewrite per
+    micro-batch, just an O(batch) append whose commit carries
+    ``txn=(app_id, batch_id)``. foreachBatch replays a micro-batch
+    after a failure with the SAME batch_id; the log's idempotent-txn
+    rule turns the replay into a no-op, so every batch lands exactly
+    once however many times it runs.
+
+    ``app_id`` identifies the (stream, checkpoint-location) pair —
+    the Delta txn contract: restarting the stream from a FRESH
+    checkpoint restarts batch ids at 0, so a fresh checkpoint needs a
+    fresh app_id (or the old batches replay as no-ops, silently).
+
+    Usage::
+
+        table = LogTable(spark, path, stats_cols=("k",))
+        stream.writeStream.foreachBatch(
+            TxLogAppendSink(table, app_id="events-v1")
+        ).option("checkpointLocation", ckpt).start()
+    """
+
+    def __init__(self, table, app_id: str):
+        self.table = table
+        self.app_id = app_id
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.table.append(batch_df, txn=(self.app_id, int(batch_id)))

@@ -197,11 +197,30 @@ def _mbox_case(spark, docs):
     return writer, reader
 
 
+def _tfrecord_case(spark, docs):
+    from jobinsight_data_pipeline_v2_spark.sources.tfrecord_source import (
+        read_tfrecord_docs,
+        write_tfrecord_archive,
+    )
+
+    writer = lambda out: write_tfrecord_archive(docs, out)
+    def reader(out):
+        good, quar = read_tfrecord_docs(spark, out)
+        bad = quar.count()
+        rows = {
+            (r.doc_id, r.text)
+            for r in good.select("doc_id", "text").collect()
+        }
+        return rows, bad
+    return writer, reader
+
+
 CASES = {
     "warc": _warc_case,
     "archive": _archive_case,
     "avro": _avro_case,
     "mbox": _mbox_case,
+    "tfrecord": _tfrecord_case,
 }
 
 

@@ -1786,3 +1786,48 @@ def test_jaro_winkler_spark_chain_matches_reference(spark):
             assert gm == 0 and gppm == 0, (a, b)
         else:
             assert (gm, gt2, gpl, gppm) == (rm, rt2, rpl, rppm), (a, b)
+
+
+def test_kcenter_greedy_matches_pure_python(spark):
+    """kcenter_greedy == an independent pure-Python greedy (max
+    min-squared-L2, ties -> min id, seed = min id) on a small corpus
+    with planted structure: one tight cluster + spread outliers, plus
+    an exact duplicate pair (the tie path)."""
+    from jobinsight_data_pipeline_v2_spark.operators.similarity import (
+        kcenter_greedy,
+    )
+
+    vecs = {
+        0: [0, 0, 0],
+        1: [1, 0, 0],
+        2: [0, 1, 0],
+        3: [100, 100, 100],
+        4: [100, 100, 100],  # duplicate of 3: tie broken by id
+        5: [-50, 0, 0],
+        6: [0, -80, 10],
+        7: [2, 1, 0],
+    }
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    picks = [(1, 0, 0)]
+    chosen = [0]
+    for rnd in range(2, 6):
+        best = max(
+            vecs,
+            key=lambda i: (min(d2(vecs[i], vecs[c]) for c in chosen), -i),
+        )
+        picks.append(
+            (rnd, best, min(d2(vecs[best], vecs[c]) for c in chosen))
+        )
+        chosen.append(best)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, v array<bigint>"
+    )
+    got = [
+        (r["round"], r.vec_id, r.min_dist_sq)
+        for r in kcenter_greedy(df, 5).orderBy("round").collect()
+    ]
+    assert got == picks

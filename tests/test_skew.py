@@ -447,3 +447,83 @@ def test_cms_inner_product_empty_sketch_is_zero(spark):
     assert cms_inner_product(full, empty).collect()[0][0] == 0
     est = cms_join_estimate(empty, full)
     assert est["n_fact"] == 0 and est["est_join_rows"] == 0
+
+
+def test_kmv_sketch_merge_and_exact_mode(spark):
+    """KMV/theta sketch: (a) exact mode — fewer distinct keys than k
+    retains every hash and the estimator returns the exact count;
+    (b) mergeability — the merged halves' sketch equals the whole
+    corpus's sketch element for element."""
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_merge_arrays,
+        kmv_sketch,
+    )
+
+    keys = spark.range(1000).selectExpr("concat('k', id % 120) AS key")
+    sk = kmv_sketch(keys, "key", k=256)
+    row = sk.select(
+        F.size("kmv").alias("n"),
+        kmv_distinct_estimate(F.col("kmv"), 256).alias("est"),
+    ).collect()[0]
+    assert row.n == 120 and row.est == 120.0
+
+    # sketch mode + merge: k=16 over 120 distinct
+    whole = kmv_sketch(keys, "key", k=16).collect()[0].kmv
+    half_a = kmv_sketch(
+        keys.filter("id % 2 = 0"), "key", k=16
+    ).selectExpr("kmv AS a")
+    half_b = kmv_sketch(
+        keys.filter("id % 2 = 1"), "key", k=16
+    ).selectExpr("kmv AS b")
+    merged = (
+        half_a.crossJoin(half_b)
+        .select(kmv_merge_arrays(F.col("a"), F.col("b"), 16).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert merged == whole
+    assert len(whole) == 16 and whole == sorted(whole)
+
+
+def test_kmv_set_ops_exact_when_small(spark):
+    """With both sketches in exact mode, the theta algebra returns
+    EXACT union/intersection/difference counts (theta_u = 2^63, scale
+    factor 1) — the correctness floor under the estimator."""
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        kmv_set_op_counts,
+        kmv_sketch,
+    )
+
+    a = spark.range(0, 60).selectExpr("concat('x', id) AS key")
+    b = spark.range(40, 90).selectExpr("concat('x', id) AS key")
+    sa = kmv_sketch(a, "key", k=256).selectExpr("kmv AS kmv_a")
+    sb = kmv_sketch(b, "key", k=256).selectExpr("kmv AS kmv_b")
+    row = kmv_set_op_counts(
+        sa.crossJoin(sb), "kmv_a", "kmv_b", k=256
+    ).collect()[0]
+    assert row.n_union_s == 90
+    assert row.n_inter_s == 20
+    assert row.est_union == 90.0
+    assert row.est_inter == 20.0
+    assert row.est_diff == 40.0
+
+
+def test_kmv_estimate_within_bound_sketch_mode(spark):
+    """k=64 over 5000 distinct keys: the estimate must land within
+    ~4 sigma (4/sqrt(63) ~ 50%... pinned tighter at 25%) of truth —
+    a loose deterministic regression bound, not a statistical test
+    (the hash is fixed, so the estimate is a constant)."""
+    from jobinsight_data_pipeline_v2_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    keys = spark.range(5000).selectExpr("concat('y', id) AS key")
+    est = (
+        kmv_sketch(keys, "key", k=64)
+        .select(kmv_distinct_estimate(F.col("kmv"), 64).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert abs(est - 5000) <= 1250

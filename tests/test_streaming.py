@@ -2835,6 +2835,113 @@ def test_streaming_avro_equals_batch(spark, tmp_path):
     assert reasons == {"missing:text", "missing:doc_id", "corrupt_block"}
 
 
+def test_streaming_tfrecord_equals_batch(spark, tmp_path):
+    """TFRecord landing stream (twin 53): typed docs AND quarantine
+    streamed out of newly landed files equal the batch reader's split
+    exactly, one file per micro-batch — including a payload-damaged
+    record (one-row quarantine, frames after it decode) and a
+    framing-lost record whose tail stays unreachable in BOTH modes
+    (the shared _partition_records decode, so batch == stream row for
+    row)."""
+    from jobinsight_data_pipeline_v2_spark.sources.tfrecord_source import (
+        encode_example,
+        frame_record,
+        read_tfrecord_docs,
+        read_tfrecord_stream,
+    )
+
+    land = os.path.join(str(tmp_path), "tfrec_landing")
+    os.makedirs(land)
+
+    def mk(i, text, lang="en"):
+        return {"doc_id": i, "text": text, "lang": lang, "source": "s",
+                "n_chars": len(text) if text else 0}
+
+    damaged = bytearray(frame_record(encode_example(mk(10, "damaged"))))
+    damaged[13] ^= 0xFF
+    lost = bytearray(frame_record(encode_example(mk(20, "lost frame"))))
+    lost[8] ^= 0xFF
+    drops = [
+        frame_record(encode_example(mk(1, "hello world")))
+        + frame_record(encode_example(mk(2, "xin chao", "vi"))),
+        frame_record(encode_example(mk(3, "before damage")))
+        + bytes(damaged)
+        + frame_record(encode_example(mk(4, "after damage"))),
+        bytes(lost) + frame_record(encode_example(mk(5, "unreachable"))),
+    ]
+    for i, data in enumerate(drops):
+        with open(os.path.join(land, f"drop_{i}.tfrecord"), "wb") as f:
+            f.write(data)
+
+    docs_s, quar_s = read_tfrecord_stream(spark, land,
+                                          max_files_per_trigger=1)
+    q1 = run_stream_to_memory(spark, docs_s, "tfrec_docs_stream")
+    q2 = run_stream_to_memory(spark, quar_s, "tfrec_quar_stream")
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    got_docs = spark.sql("SELECT * FROM tfrec_docs_stream")
+    got_quar = spark.sql("SELECT * FROM tfrec_quar_stream")
+    exp_docs, exp_quar = read_tfrecord_docs(spark, land)
+    for got, exp in ((got_docs, exp_docs), (got_quar, exp_quar)):
+        sym = got.exceptAll(exp).count() + exp.exceptAll(got).count()
+        assert sym == 0
+    assert {r.doc_id for r in got_docs.collect()} == {1, 2, 3, 4}
+    assert {r["reason"] for r in got_quar.collect()} == {
+        "bad_payload_crc", "framing_lost"
+    }
+
+
+def test_streaming_txlog_append_sink_exactly_once(spark, tmp_path):
+    """Transaction-log append sink (twin 54): a file stream drained
+    through TxLogAppendSink lands every micro-batch exactly once in
+    the LogTable — and a foreachBatch REPLAY of an already-committed
+    batch id (the failure-recovery path) is a no-op instead of a
+    duplicate, because the commit's txn is checked log-side."""
+    from jobinsight_data_pipeline_v2_spark.streaming.sinks import (
+        TxLogAppendSink,
+    )
+    from jobinsight_data_pipeline_v2_spark.txlog import LogTable
+
+    land = os.path.join(str(tmp_path), "tx_landing")
+    os.makedirs(land)
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        ).coalesce(1).write.mode("append").parquet(land)
+
+    table = LogTable(spark, str(tmp_path / "txtable"), stats_cols=("k",))
+    sink = TxLogAppendSink(table, app_id="test-stream-v1")
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(land)
+    got = table.read_snapshot()
+    assert got.exceptAll(batch).count() + batch.exceptAll(got).count() == 0
+    v_done = table.latest_version()
+    hist = table.history()
+    assert [h["txn"]["batch_id"] for h in hist] == list(range(len(hist)))
+
+    # failure-recovery replay: re-deliver the LAST batch id by hand —
+    # exactly what foreachBatch does after a crash mid-commit
+    last_bid = hist[-1]["txn"]["batch_id"]
+    sink(spark.range(100, 110).selectExpr("id as k", "id * 7 as v"),
+         last_bid)
+    assert table.latest_version() == v_done
+    assert table.read_snapshot().count() == 30
+
+
 def test_streaming_wordpiece_and_skipgram_projections(spark, tmp_path):
     """The wordpiece encode and skip-gram pair builders are claimed
     streaming-safe (narrow projections, vocab as a constant-folded map
