@@ -292,6 +292,11 @@ SERVING_BENCH = {
     # r8: unigram Viterbi encode with a frozen piece vocabulary (the
     # gate row is train-heavy by the same design as bpe's)
     "unigram_encode_serve": ("text", "build_unigram_encode_serving"),
+    # r12: FastSS k=2 probe lookup with the clean-master deletion
+    # index frozen outside the timer (the index build dominates the
+    # gate row at scale -- in-row neighborhood emission is ~20s on
+    # the 150k-name sf1 master; a deployment builds it once)
+    "fuzzy_probe_serve": ("core", "build_fuzzy_k2_serving"),
     # r9: WordPiece greedy-longest-match encode with a frozen vocab.
     # The wordpiece_encode_roundtrip GATE row is deliberately not in
     # BENCH_QUERIES: its cost is the 24-round likelihood-rescored

@@ -1307,18 +1307,39 @@ def fastss_key_rows(
     return df.select("*", F.explode(F.expr(keys)).alias(out_col))
 
 
+"""Adaptive probe modulus (r12 — found by the sf1 bench): with a
+FIXED probe fraction the gates' total candidate volume is
+probes × bucket-occupancy ∝ n · n = super-linear on the zero-padded
+synthetic names (k1 measured 12.5×, k2 21× wall at 10× rows). The
+realistic shape for a fuzzy LOOKUP is a bounded probe batch against
+a growing master, so the modulus derives in-plan from the master
+size (the adaptive-k device, identical positive-int division both
+engines): probes cap at ~_FZ1_CAP/_FZ2_CAP rows and total work goes
+linear in n (post-fix sf1 ≈ bucket-growth × a constant probe batch;
+measured 201.8s → <20s). Below the cap the modulus equals the
+historical constant."""
+
+_FZ1_MOD, _FZ1_CAP = 3, 5_000
+_FZ2_MOD, _FZ2_CAP = 15, 500
+
+
 @register(
     "fuzzy_name_match",
-    """
+    f"""
     WITH clean AS (
         SELECT DISTINCT c_name AS w FROM customer WHERE c_name IS NOT NULL
+    ),
+    mv AS (
+        SELECT greatest({_FZ1_MOD}, COUNT(*) // {_FZ1_CAP}) AS m
+        FROM customer WHERE c_name IS NOT NULL
     ),
     dirty AS (
         SELECT c_custkey AS did,
                substr(c_name, 1, c_custkey % length(c_name))
                || substr(c_name, c_custkey % length(c_name) + 2) AS w
         FROM customer
-        WHERE c_name IS NOT NULL AND c_custkey % 3 = 0
+        WHERE c_name IS NOT NULL
+          AND c_custkey % (SELECT m FROM mv) = 0
     ),
     ck AS (
         SELECT DISTINCT w,
@@ -1364,12 +1385,21 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").isNotNull()
     )
     clean = cust.select(F.col("c_name").alias("w")).distinct()
-    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
-        F.col("c_custkey").alias("did"),
-        F.expr(
-            "concat(substring(c_name, 1, c_custkey % length(c_name)), "
-            "substring(c_name, c_custkey % length(c_name) + 2))"
-        ).alias("w"),
+    mv = cust.agg(F.count(F.lit(1)).alias("n")).select(
+        F.greatest(
+            F.lit(_FZ1_MOD), F.expr(f"n div {_FZ1_CAP}")
+        ).alias("__m")
+    )
+    dirty = (
+        cust.crossJoin(F.broadcast(mv))
+        .filter(F.col("c_custkey") % F.col("__m") == 0)
+        .select(
+            F.col("c_custkey").alias("did"),
+            F.expr(
+                "concat(substring(c_name, 1, c_custkey % length(c_name)), "
+                "substring(c_name, c_custkey % length(c_name) + 2))"
+            ).alias("w"),
+        )
     )
     ck = fastss_key_rows(clean, "w").withColumnRenamed("w", "clean_name")
     dk = fastss_key_rows(dirty, "w").withColumnRenamed("w", "dirty_name")
@@ -1395,7 +1425,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # three classes populated (the r5 mixture lesson): two adjacent
 # deletions (ed 2) / one deletion (ed 1) / identity (ed 0).
 _FZ2_DIRTY_SQL = """
-    CASE (c_custkey {div} 15) % 3
+    CASE (c_custkey {div} {m}) % 3
       WHEN 0 THEN substr(c_name, 1, c_custkey % (length(c_name) - 2) + 1)
                   || substr(c_name, c_custkey % (length(c_name) - 2) + 4)
       WHEN 1 THEN substr(c_name, 1, c_custkey % length(c_name))
@@ -1411,11 +1441,16 @@ _FZ2_DIRTY_SQL = """
     WITH clean AS (
         SELECT DISTINCT c_name AS w FROM customer WHERE c_name IS NOT NULL
     ),
+    mv AS (
+        SELECT greatest({_FZ2_MOD}, COUNT(*) // {_FZ2_CAP}) AS m
+        FROM customer WHERE c_name IS NOT NULL
+    ),
     dirty AS (
         SELECT c_custkey AS did, c_name AS w0,
-               {_FZ2_DIRTY_SQL.format(div="//")} AS w
+               {_FZ2_DIRTY_SQL.format(div="//", m="(SELECT m FROM mv)")} AS w
         FROM customer
-        WHERE c_name IS NOT NULL AND c_custkey % 15 = 0
+        WHERE c_name IS NOT NULL
+          AND c_custkey % (SELECT m FROM mv) = 0
     ),
     ck AS (
         SELECT DISTINCT w, k FROM (
@@ -1483,10 +1518,19 @@ def fuzzy_name_match_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").isNotNull()
     )
     clean = cust.select(F.col("c_name").alias("w")).distinct()
-    dirty = cust.filter(F.col("c_custkey") % 15 == 0).select(
-        F.col("c_custkey").alias("did"),
-        F.col("c_name").alias("w0"),
-        F.expr(_FZ2_DIRTY_SQL.format(div="div")).alias("w"),
+    mv = cust.agg(F.count(F.lit(1)).alias("n")).select(
+        F.greatest(
+            F.lit(_FZ2_MOD), F.expr(f"n div {_FZ2_CAP}")
+        ).alias("__m")
+    )
+    dirty = (
+        cust.crossJoin(F.broadcast(mv))
+        .filter(F.col("c_custkey") % F.col("__m") == 0)
+        .select(
+            F.col("c_custkey").alias("did"),
+            F.col("c_name").alias("w0"),
+            F.expr(_FZ2_DIRTY_SQL.format(div="div", m="__m")).alias("w"),
+        )
     )
     ck = fastss_key_rows(clean, "w", k=2).withColumnRenamed(
         "w", "clean_name"
@@ -4916,3 +4960,66 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("union", "n_union", "est_union"))
         .orderBy("measure")
     )
+
+
+def build_fuzzy_k2_serving(spark: SparkSession, sf_dir: str):
+    """Builder for the ``fuzzy_probe_serve`` bench row: the FastSS
+    k=2 deletion-neighborhood index of the clean name master — the
+    part a production deployment builds ONCE and persists — is
+    materialized (eager checkpoint) outside the timer; the thunk
+    replays only the steady-state lookup a user pays per probe batch:
+    probe-side key emission (in-row, probe-sized), the key-equi
+    candidate join against the frozen index, levenshtein verify, and
+    the per-probe aggregate. The fuzzy_name_match_k2 GATE row keeps
+    timing index build + probe together because its oracle pins the
+    whole pipeline (the bpe/unigram/wordpiece serving convention)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_name").isNotNull()
+    )
+    clean = cust.select(F.col("c_name").alias("w")).distinct()
+    ck = (
+        fastss_key_rows(clean, "w", k=2)
+        .withColumnRenamed("w", "clean_name")
+        .localCheckpoint(eager=True)
+    )
+    mv = cust.agg(F.count(F.lit(1)).alias("n")).select(
+        F.greatest(
+            F.lit(_FZ2_MOD), F.expr(f"n div {_FZ2_CAP}")
+        ).alias("__m")
+    )
+
+    def thunk() -> DataFrame:
+        dirty = (
+            cust.crossJoin(F.broadcast(mv))
+            .filter(F.col("c_custkey") % F.col("__m") == 0)
+            .select(
+                F.col("c_custkey").alias("did"),
+                F.col("c_name").alias("w0"),
+                F.expr(
+                    _FZ2_DIRTY_SQL.format(div="div", m="__m")
+                ).alias("w"),
+            )
+        )
+        dk = fastss_key_rows(dirty, "w", k=2).withColumnRenamed(
+            "w", "dirty_name"
+        )
+        cand = (
+            dk.join(ck, "kh")
+            .select("did", "w0", "dirty_name", "clean_name")
+            .distinct()
+        )
+        v = cand.withColumn(
+            "dist", F.levenshtein("dirty_name", "clean_name").cast("long")
+        )
+        return v.groupBy("did", "dirty_name").agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.sum(F.when(F.col("dist") <= 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_d1"),
+            F.sum(F.when(F.col("dist") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_d2"),
+            F.max(F.col("clean_name") == F.col("w0")).alias("self_found"),
+        )
+
+    return thunk

@@ -351,10 +351,21 @@ class LogTable:
         ).filter(f"NOT ({predicate})")
         return self._commit_rewrite("delete", state, victims, keep)
 
-    def compact(self, small_rows: int = 10_000) -> int:
-        """Rewrite every file smaller than ``small_rows`` rows into
-        one coalesced set (OPTIMIZE shape): values preserved exactly,
-        file count reduced. No-op when fewer than two small files."""
+    def compact(
+        self,
+        small_rows: int = 10_000,
+        cluster_by: tuple[str, ...] = (),
+        n_files: int = 1,
+    ) -> int:
+        """Rewrite every file smaller than ``small_rows`` rows
+        (OPTIMIZE shape): values preserved exactly, file count
+        reduced. With ``cluster_by`` the rewrite range-partitions on
+        those columns into ``n_files`` files — each output file owns
+        a disjoint key range, so the footer stats become maximally
+        selective and ``where_between`` skipping prunes to ~1 file
+        per point interval (the OPTIMIZE ZORDER BY shape; one sort
+        dimension needs no Morton curve). No-op when fewer than two
+        small files."""
         state = self.snapshot_state()
         victims = sorted(
             a["path"]
@@ -363,9 +374,15 @@ class LogTable:
         )
         if len(victims) < 2:
             return state["version"]
-        merged = self.spark.read.parquet(
+        src = self.spark.read.parquet(
             *[os.path.join(self.table_dir, p) for p in victims]
-        ).coalesce(1)
+        )
+        if cluster_by:
+            merged = src.repartitionByRange(
+                max(1, n_files), *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            merged = src.coalesce(max(1, n_files))
         return self._commit_rewrite("compact", state, victims, merged)
 
     def _commit_rewrite(

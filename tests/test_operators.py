@@ -1831,3 +1831,4 @@ def test_kcenter_greedy_matches_pure_python(spark):
         for r in kcenter_greedy(df, 5).orderBy("round").collect()
     ]
     assert got == picks
+

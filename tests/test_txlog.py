@@ -180,6 +180,31 @@ def test_checkpoint_equals_full_replay(spark, table):
     assert table.read_snapshot().count() == 70
 
 
+def test_clustered_compaction_improves_skipping(spark, table):
+    """compact(cluster_by=) — the OPTIMIZE shape: interleaved appends
+    give every file a full-range footer (skipping prunes nothing);
+    the range-clustered rewrite makes each file own a disjoint key
+    range, after which a point interval prunes to one file. Values
+    byte-preserved."""
+    # 4 appends, each spanning the WHOLE key range (k % 4 == i slices)
+    for i in range(4):
+        table.append(
+            spark.range(0, 400).filter(F.col("id") % 4 == i).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("v"),
+                F.lit("O").alias("status"),
+            ).coalesce(1)
+        )
+    kept0, total0 = table.pruned_file_count({"k": (100, 120)})
+    assert (kept0, total0) == (4, 4)  # full-range footers: no pruning
+    before = _rows(table.read_snapshot())
+    v = table.compact(small_rows=10**6, cluster_by=("k",), n_files=4)
+    assert v == 5
+    kept1, total1 = table.pruned_file_count({"k": (100, 120)})
+    assert total1 == 4 and kept1 <= 2  # disjoint ranges: point prunes
+    assert _rows(table.read_snapshot()) == before
+
+
 def test_restore_rolls_back_as_new_commit(spark, table):
     table.append(_df(spark, 0, 10).coalesce(1))
     table.append(_df(spark, 10, 20).coalesce(1))
