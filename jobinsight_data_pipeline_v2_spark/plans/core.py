@@ -1435,6 +1435,52 @@ _FZ2_DIRTY_SQL = """
 """
 
 
+def _fuzzy_k2_report(cust: DataFrame, mv: DataFrame, ck: DataFrame) -> DataFrame:
+    """The fuzzy-k2 probe pipeline shared VERBATIM by the oracle gate
+    and the fuzzy_probe_serve bench thunk (review r12 — one builder,
+    the _span_oracle_sql discipline): dirty synthesis from the
+    adaptive modulus, probe-side k=2 keys, candidate join against
+    ``ck``, levenshtein verify, per-probe aggregate."""
+    dirty = (
+        cust.crossJoin(F.broadcast(mv))
+        .filter(F.col("c_custkey") % F.col("__m") == 0)
+        .select(
+            F.col("c_custkey").alias("did"),
+            F.col("c_name").alias("w0"),
+            F.expr(_FZ2_DIRTY_SQL.format(div="div", m="__m")).alias("w"),
+        )
+    )
+    dk = fastss_key_rows(dirty, "w", k=2).withColumnRenamed(
+        "w", "dirty_name"
+    )
+    cand = (
+        dk.join(ck, "kh")
+        .select("did", "w0", "dirty_name", "clean_name")
+        .distinct()
+    )
+    v = cand.withColumn(
+        "dist", F.levenshtein("dirty_name", "clean_name").cast("long")
+    )
+    return v.groupBy("did", "dirty_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+        F.sum(F.when(F.col("dist") <= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_d1"),
+        F.sum(F.when(F.col("dist") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_d2"),
+        F.max(F.col("clean_name") == F.col("w0")).alias("self_found"),
+    )
+
+
+def _fuzzy_k2_modulus(cust: DataFrame) -> DataFrame:
+    return cust.agg(F.count(F.lit(1)).alias("n")).select(
+        F.greatest(
+            F.lit(_FZ2_MOD), F.expr(f"n div {_FZ2_CAP}")
+        ).alias("__m")
+    )
+
+
 @register(
     "fuzzy_name_match_k2",
     f"""
@@ -1518,47 +1564,11 @@ def fuzzy_name_match_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").isNotNull()
     )
     clean = cust.select(F.col("c_name").alias("w")).distinct()
-    mv = cust.agg(F.count(F.lit(1)).alias("n")).select(
-        F.greatest(
-            F.lit(_FZ2_MOD), F.expr(f"n div {_FZ2_CAP}")
-        ).alias("__m")
-    )
-    dirty = (
-        cust.crossJoin(F.broadcast(mv))
-        .filter(F.col("c_custkey") % F.col("__m") == 0)
-        .select(
-            F.col("c_custkey").alias("did"),
-            F.col("c_name").alias("w0"),
-            F.expr(_FZ2_DIRTY_SQL.format(div="div", m="__m")).alias("w"),
-        )
-    )
     ck = fastss_key_rows(clean, "w", k=2).withColumnRenamed(
         "w", "clean_name"
     )
-    dk = fastss_key_rows(dirty, "w", k=2).withColumnRenamed(
-        "w", "dirty_name"
-    )
-    cand = (
-        dk.join(ck, "kh")
-        .select("did", "w0", "dirty_name", "clean_name")
-        .distinct()
-    )
-    v = cand.withColumn(
-        "dist", F.levenshtein("dirty_name", "clean_name").cast("long")
-    )
-    return (
-        v.groupBy("did", "dirty_name")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_cand"),
-            F.sum(F.when(F.col("dist") <= 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_d1"),
-            F.sum(F.when(F.col("dist") == 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_d2"),
-            F.max(F.col("clean_name") == F.col("w0")).alias("self_found"),
-        )
-        .orderBy("did")
+    return _fuzzy_k2_report(cust, _fuzzy_k2_modulus(cust), ck).orderBy(
+        "did"
     )
 
 
@@ -4982,44 +4992,9 @@ def build_fuzzy_k2_serving(spark: SparkSession, sf_dir: str):
         .withColumnRenamed("w", "clean_name")
         .localCheckpoint(eager=True)
     )
-    mv = cust.agg(F.count(F.lit(1)).alias("n")).select(
-        F.greatest(
-            F.lit(_FZ2_MOD), F.expr(f"n div {_FZ2_CAP}")
-        ).alias("__m")
-    )
+    mv = _fuzzy_k2_modulus(cust)
 
     def thunk() -> DataFrame:
-        dirty = (
-            cust.crossJoin(F.broadcast(mv))
-            .filter(F.col("c_custkey") % F.col("__m") == 0)
-            .select(
-                F.col("c_custkey").alias("did"),
-                F.col("c_name").alias("w0"),
-                F.expr(
-                    _FZ2_DIRTY_SQL.format(div="div", m="__m")
-                ).alias("w"),
-            )
-        )
-        dk = fastss_key_rows(dirty, "w", k=2).withColumnRenamed(
-            "w", "dirty_name"
-        )
-        cand = (
-            dk.join(ck, "kh")
-            .select("did", "w0", "dirty_name", "clean_name")
-            .distinct()
-        )
-        v = cand.withColumn(
-            "dist", F.levenshtein("dirty_name", "clean_name").cast("long")
-        )
-        return v.groupBy("did", "dirty_name").agg(
-            F.count(F.lit(1)).cast("long").alias("n_cand"),
-            F.sum(F.when(F.col("dist") <= 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_d1"),
-            F.sum(F.when(F.col("dist") == 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_d2"),
-            F.max(F.col("clean_name") == F.col("w0")).alias("self_found"),
-        )
+        return _fuzzy_k2_report(cust, mv, ck)
 
     return thunk

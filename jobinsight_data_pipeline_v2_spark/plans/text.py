@@ -1772,15 +1772,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Label table is bounded by 2·|edges| rows, but on a HEAVILY
     # duplicated corpus that is corpus-fraction-sized — a forced
     # broadcast there OOMs executors. Size-gate on the source bytes
-    # (the tfidf _join_df_side rule, VERDICT r7): broadcast only while
-    # the corpus is KNOWN small; otherwise take the un-hinted join and
-    # let Catalyst/AQE decide from its own stats (labels are already
-    # partitioned by the fixpoint's last exchange, so only docs moves).
-    from .sampling import _DF_BCAST_MAX_SRC_BYTES
-
-    src_bytes = getattr(docs_src, "_spread_src_bytes", None)
-    if src_bytes is not None and src_bytes <= _DF_BCAST_MAX_SRC_BYTES:
-        labels = F.broadcast(labels)
+    # via the shared helper (review r12: this was the third inline
+    # copy of the tfidf _join_df_side rule).
+    labels = _size_gated_broadcast(labels, docs_src)
     assigned = docs.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce("label", "doc_id").cast("long").alias("group_key"),

@@ -33,7 +33,8 @@ LENGTH fails its CRC quarantines as ``framing_lost`` and the REST OF
 THE FILE is unreachable (there is nothing to resync on; this is the
 format's real failure mode and the gate pins it: the tail rows must
 NOT reappear). EOF mid-record quarantines as ``truncated``. Reasons:
-``bad_payload_crc`` / ``bad_proto`` / ``missing:<field>`` /
+``bad_payload_crc`` / ``bad_proto`` / ``bad_type:<field>`` (a
+feature carried in the wrong proto kind) / ``missing:<field>`` /
 ``framing_lost`` / ``truncated``.
 
 Scale shape: the FILE is the unit of parallelism (built-in
@@ -400,6 +401,34 @@ def _partition_records(
                         )
                         continue
                     _, ridx, row = ev
+                    # a drifted producer can carry a feature in the
+                    # WRONG proto kind (doc_id as bytes_list decodes
+                    # to str) — without this guard the row passes the
+                    # required check and then kills the whole task at
+                    # Arrow conversion instead of quarantining
+                    # (review r12)
+                    bad_kind = next(
+                        (
+                            c
+                            for c in doc_cols
+                            if row.get(c) is not None
+                            and not isinstance(
+                                row[c],
+                                int if c in _INT64_FIELDS else str,
+                            )
+                        ),
+                        None,
+                    )
+                    if bad_kind is not None:
+                        rows.append(
+                            {c: None for c in doc_cols}
+                            | {
+                                "__q_file": path,
+                                "__q_rec": ridx,
+                                "__q_reason": f"bad_type:{bad_kind}",
+                            }
+                        )
+                        continue
                     missing = next(
                         (c for c in required_fields if row.get(c) is None),
                         None,
@@ -448,8 +477,8 @@ def read_tfrecord_docs(
     ``docs`` carries DOC_SCHEMA for every frame that passes both CRCs,
     parses as an Example, and has all ``required_fields``;
     ``quarantine`` is (source_file, record_index, reason ∈
-    {'bad_payload_crc', 'bad_proto', 'missing:<f>', 'framing_lost',
-    'truncated'}). Both frames are projections of ONE binaryFile scan
+    {'bad_payload_crc', 'bad_proto', 'bad_type:<f>', 'missing:<f>',
+    'framing_lost', 'truncated'}). Both frames are projections of ONE binaryFile scan
     + one Arrow-batched decode. A framing_lost row means the file's
     TAIL is gone too — the caller alerting on quarantine should treat
     it as a file-level incident, not a row-level one."""

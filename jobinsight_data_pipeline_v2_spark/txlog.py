@@ -31,9 +31,11 @@ between=...)`` prunes the file list against them before Spark ever
 plans the scan — partition-pruning semantics without a partition
 scheme, exact because the real predicate is still applied.
 
-Determinism: no wall clocks anywhere — retention and conflict rules
-are VERSION-based, so every behavior is replayable (the repo-wide
-no-rand discipline).
+Determinism: retention and conflict rules are VERSION-based, so
+snapshot/commit behavior is replayable (the repo-wide no-rand
+discipline). The one wall-clock surface is ``vacuum``'s OPT-IN
+``grace_seconds`` mtime guard for concurrent-writer deployments
+(documented there); at the default 0 vacuum is clock-free too.
 
 Scale shape: snapshot state is O(live files) metadata, replayed from
 the newest checkpoint + log tail (checkpoints every
@@ -333,7 +335,7 @@ class LogTable:
         if not state["files"]:
             return state["version"]
         paths = sorted(state["files"])
-        src = self.spark.read.parquet(
+        src = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.table_dir, p) for p in paths]
         )
         hit_names = {
@@ -346,7 +348,7 @@ class LogTable:
         victims = [p for p in paths if os.path.basename(p) in hit_names]
         if not victims:
             return state["version"]
-        keep = self.spark.read.parquet(
+        keep = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.table_dir, p) for p in victims]
         ).filter(f"NOT ({predicate})")
         return self._commit_rewrite("delete", state, victims, keep)
@@ -374,7 +376,7 @@ class LogTable:
         )
         if len(victims) < 2:
             return state["version"]
-        src = self.spark.read.parquet(
+        src = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.table_dir, p) for p in victims]
         )
         if cluster_by:
@@ -464,12 +466,31 @@ class LogTable:
             )
         return new_v
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, grace_seconds: float = 0.0
+    ) -> list[str]:
         """Delete data files unreferenced by every retained snapshot
         (the newest ``retain_versions`` versions) plus crashed stage
-        dirs. Version-based — deterministic, no clocks. Time travel
-        older than the retention horizon may lose files (the
-        documented lakehouse contract). Returns deleted paths."""
+        dirs. Time travel older than the retention horizon may lose
+        files (the documented lakehouse contract). Returns deleted
+        paths.
+
+        Concurrent-writer safety (review r12): a writer renames its
+        staged files into ``data/`` BEFORE committing, so a naive
+        unreferenced-file sweep would destroy an in-flight write and
+        the commit would still publish (the link validates nothing).
+        Two guards: (a) files whose embedded version hint is AHEAD of
+        the latest committed version are always kept — every
+        first-attempt stage targets latest+1, so the common race
+        window is deterministically protected; (b) ``grace_seconds``
+        skips files/stage dirs younger than the horizon by mtime —
+        the Delta retention device covering the lost-race retry
+        window, where a writer re-attempts with files staged under an
+        older hint. Production sets it above the longest write job;
+        the default 0 keeps single-writer vacuums (and the gate)
+        fully deterministic."""
+        import time as _time
+
         if retain_versions < 1:
             raise ValueError("retain_versions must be >= 1")
         latest = self.latest_version()
@@ -478,13 +499,31 @@ class LogTable:
             max(1, latest - retain_versions + 1), latest + 1
         ):
             referenced |= set(self.snapshot_state(v)["files"])
+        now = _time.time()
+
+        def _young(path: str) -> bool:
+            if grace_seconds <= 0:
+                return False
+            try:
+                return now - os.path.getmtime(path) < grace_seconds
+            except OSError:
+                return True  # raced away mid-sweep: leave it alone
         deleted = []
         for f in sorted(os.listdir(self.data_dir)):
             rel = f"data/{f}"
-            if rel not in referenced:
-                _rm_quiet(os.path.join(self.data_dir, f))
-                deleted.append(rel)
+            if rel in referenced:
+                continue
+            hint = f.split("-", 1)[0]
+            if hint.isdigit() and int(hint) > latest:
+                continue  # in-flight stage targeting the next version
+            full = os.path.join(self.data_dir, f)
+            if _young(full):
+                continue
+            _rm_quiet(full)
+            deleted.append(rel)
         for d in glob.glob(os.path.join(self.table_dir, ".tmp-stage-*")):
+            if _young(d):
+                continue
             shutil.rmtree(d, ignore_errors=True)
             deleted.append(os.path.basename(d))
         return deleted

@@ -214,3 +214,35 @@ def test_spark_roundtrip_and_required_fields(spark, tmp_path):
              "source": "s", "n_chars": 5})))
     _, quar2 = read_tfrecord_docs(spark, out)
     assert [r.reason for r in quar2.collect()] == ["missing:doc_id"]
+
+
+def test_wrong_proto_kind_quarantines_not_crashes(spark, tmp_path):
+    """A drifted producer carrying doc_id as a bytes_list must land
+    one bad_type:doc_id quarantine row — never kill the scan at Arrow
+    conversion (review r12)."""
+    out = str(tmp_path / "drift")
+    os.makedirs(out)
+    # doc_id entry with a BytesList feature ("9" as bytes)
+    feat = bytes([0x0A, 0x03, 0x0A, 0x01, 0x39])  # BytesList[b"9"]
+    entry = (
+        bytes([0x0A, 0x06]) + b"doc_id"
+        + bytes([0x12, len(feat)]) + feat
+    )
+    # plus a proper text feature so only doc_id is drifted
+    tfeat = bytes([0x0A, 0x03, 0x0A, 0x01, 0x61])
+    tentry = (
+        bytes([0x0A, 0x04]) + b"text"
+        + bytes([0x12, len(tfeat)]) + tfeat
+    )
+    # each entry wraps in the Features.feature field (tag 0x0A + len)
+    feats = (
+        bytes([0x0A, len(entry)]) + entry
+        + bytes([0x0A, len(tentry)]) + tentry
+    )
+    msg = bytes([0x0A, len(feats)]) + feats
+    with open(os.path.join(out, "drift.tfrecord"), "wb") as f:
+        f.write(frame_record(msg)
+                + frame_record(encode_example(_mk(7))))
+    docs, quar = read_tfrecord_docs(spark, out)
+    assert [r.doc_id for r in docs.collect()] == [7]
+    assert [r.reason for r in quar.collect()] == ["bad_type:doc_id"]

@@ -142,16 +142,31 @@ def test_vacuum_retention_and_crash_residue(spark, table):
     table.append(_df(spark, 0, 10).coalesce(1))
     table.append(_df(spark, 10, 20).coalesce(1))
     table.delete_where("k < 5")
-    # crashed stage: files staged but never committed
-    table._stage_files(_df(spark, 900, 950), 99)
+    # crashed stage from an OLD run: hint (1) <= latest -> collectable
+    table._stage_files(_df(spark, 900, 950), 1)
+    # in-flight stage targeting the NEXT version: must be kept (the
+    # review-r12 concurrent-writer guard)
+    inflight = table._stage_files(_df(spark, 960, 970), 99)
     os.makedirs(os.path.join(table.table_dir, ".tmp-stage-crashed"))
     n_files_live = len(table.snapshot_state()["files"])
     # readers never see uncommitted files
     assert table.read_snapshot().count() == 15
     deleted = table.vacuum(retain_versions=99)
-    # staged-orphans + crashed tmp dir removed; every referenced file kept
-    assert any(d.startswith("data/") for d in deleted)
+    # staged-orphans + crashed tmp dir removed; every referenced file
+    # kept; the ahead-of-latest stage survives
+    assert any(d.startswith("data/0000000000000000000 1".replace(" ", ""))
+               for d in deleted)
     assert ".tmp-stage-crashed" in deleted
+    for a in inflight:
+        assert os.path.exists(os.path.join(table.table_dir, a["path"]))
+        assert a["path"] not in deleted
+    # grace_seconds: a fresh old-hint stage survives a graced vacuum
+    table._stage_files(_df(spark, 980, 990), 1)
+    assert not any(
+        d.startswith("data/") for d in table.vacuum(
+            retain_versions=99, grace_seconds=3600
+        )
+    )
     assert len(table.snapshot_state()["files"]) == n_files_live
     assert _rows(table.read_snapshot(version=2)) == _rows(_df(spark, 0, 20))
     # retention=1: files referenced ONLY by old versions are reclaimed
@@ -178,6 +193,27 @@ def test_checkpoint_equals_full_replay(spark, table):
         raw.snapshot_state(6)["files"]
     )
     assert table.read_snapshot().count() == 70
+
+
+def test_rewrite_paths_preserve_evolved_schema(spark, table):
+    """delete_where / compact on a schema-evolved table must carry
+    the union schema through the rewrite (review r12: the rewrite
+    reads lacked mergeSchema, so Spark could infer the NARROW file's
+    schema and silently drop the evolved column from rewritten
+    files)."""
+    table.append(_df(spark, 0, 10).coalesce(1))
+    table.append(
+        _df(spark, 10, 20).withColumn("extra", F.col("k") + 1).coalesce(1)
+    )
+    table.delete_where("k = 0 OR k = 15")  # victims span BOTH schemas
+    got = table.read_snapshot()
+    assert "extra" in got.columns
+    assert got.filter("extra IS NOT NULL").count() == 9  # 10..19 minus 15
+    assert got.count() == 18
+    table.compact(small_rows=10**6)
+    got2 = table.read_snapshot()
+    assert got2.filter("extra IS NOT NULL").count() == 9
+    assert got2.count() == 18
 
 
 def test_clustered_compaction_improves_skipping(spark, table):

@@ -111,13 +111,15 @@ class StreamGenerator:
                     df.filter(cond).coalesce(1).write.mode(
                         "overwrite"
                     ).parquet(tmp)
-                    part = [
+                    parts = [
                         f
                         for f in os.listdir(tmp)
                         if f.endswith(".parquet")
-                    ][0]
+                    ]
+                    if not parts:
+                        continue  # empty slice writes no part (r5)
                     dst = os.path.join(od, f"slice_{s}.parquet")
-                    os.rename(os.path.join(tmp, part), dst)
+                    os.rename(os.path.join(tmp, parts[0]), dst)
                     os.utime(dst, (base + s, base + s))
                 self.land["events_ord"] = od
                 # LATE-injection landing: every 7th row of the first
@@ -149,18 +151,23 @@ class StreamGenerator:
                         sl = df.filter(held)
                     tmp = os.path.join(land_root, f"__late_tmp_{s}")
                     sl.coalesce(1).write.mode("overwrite").parquet(tmp)
-                    part = [
+                    parts = [
                         f
                         for f in os.listdir(tmp)
                         if f.endswith(".parquet")
-                    ][0]
+                    ]
+                    if not parts:
+                        continue  # empty slice writes no part (r5)
                     dst = os.path.join(ld, f"slice_{s}.parquet")
-                    os.rename(os.path.join(tmp, part), dst)
+                    os.rename(os.path.join(tmp, parts[0]), dst)
                     os.utime(dst, (base + s, base + s))
                 self.land["events_ord_late"] = ld
                 self.ontime_files = [
-                    os.path.join(ld, f"slice_{s}.parquet")
+                    p
                     for s in range(_N_FILES)
+                    if os.path.exists(
+                        p := os.path.join(ld, f"slice_{s}.parquet")
+                    )
                 ]
             back = spark.read.parquet(d)
             self.schemas[name] = back.schema.simpleString()[7:-1].replace(
