@@ -1435,12 +1435,39 @@ _FZ2_DIRTY_SQL = """
 """
 
 
-def _fuzzy_k2_report(cust: DataFrame, mv: DataFrame, ck: DataFrame) -> DataFrame:
+def _fuzzy_k2_index(clean: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The FastSS k=2 index in its narrow two-table layout (r12 opt —
+    guide §2.3/§8, shuffle keys not payloads): ``ck`` postings =
+    (kh blocking-key hash, __ch name hash) — 16 bytes/row instead of
+    a full name string per exploded key — plus the name dictionary
+    ``cmap`` = (__ch, clean_name), ONE row per master name (no
+    explode). The candidate join, the candidate DISTINCT, and the
+    index checkpoint all move ~L²/2× fewer string bytes; names are
+    re-attached to the candidate-sized set only. A __ch collision
+    (xxhash64 of distinct names) merges two candidates — the same
+    accepted 2⁻⁶⁴-class risk the kh join key already carries."""
+    ck = fastss_key_rows(clean, "w", k=2).select(
+        F.xxhash64("w").alias("__ch"), "kh"
+    )
+    cmap = clean.select(
+        F.xxhash64("w").alias("__ch"), F.col("w").alias("clean_name")
+    )
+    return ck, cmap
+
+
+def _fuzzy_k2_report(
+    cust: DataFrame, mv: DataFrame, ck: DataFrame, cmap: DataFrame
+) -> DataFrame:
     """The fuzzy-k2 probe pipeline shared VERBATIM by the oracle gate
     and the fuzzy_probe_serve bench thunk (review r12 — one builder,
     the _span_oracle_sql discipline): dirty synthesis from the
-    adaptive modulus, probe-side k=2 keys, candidate join against
-    ``ck``, levenshtein verify, per-probe aggregate."""
+    adaptive modulus, probe-side k=2 keys, candidate join against the
+    narrow ``ck`` postings with the PROBE side broadcast (probes are
+    capped at ~_FZ2_CAP by the adaptive modulus, so the build side is
+    bounded by design and the corpus-scale index never shuffles —
+    guide §3.1), hash-level candidate dedup, name re-attach from
+    ``cmap`` on the candidate-sized set only, levenshtein verify,
+    per-probe aggregate."""
     dirty = (
         cust.crossJoin(F.broadcast(mv))
         .filter(F.col("c_custkey") % F.col("__m") == 0)
@@ -1450,16 +1477,21 @@ def _fuzzy_k2_report(cust: DataFrame, mv: DataFrame, ck: DataFrame) -> DataFrame
             F.expr(_FZ2_DIRTY_SQL.format(div="div", m="__m")).alias("w"),
         )
     )
-    dk = fastss_key_rows(dirty, "w", k=2).withColumnRenamed(
-        "w", "dirty_name"
+    dk = fastss_key_rows(dirty, "w", k=2).select("did", "kh")
+    hits = (
+        F.broadcast(dk).join(ck, "kh").select("did", "__ch").distinct()
     )
-    cand = (
-        dk.join(ck, "kh")
-        .select("did", "w0", "dirty_name", "clean_name")
-        .distinct()
-    )
-    v = cand.withColumn(
-        "dist", F.levenshtein("dirty_name", "clean_name").cast("long")
+    v = (
+        hits.join(cmap, "__ch")
+        .join(
+            F.broadcast(
+                dirty.select("did", "w0", F.col("w").alias("dirty_name"))
+            ),
+            "did",
+        )
+        .withColumn(
+            "dist", F.levenshtein("dirty_name", "clean_name").cast("long")
+        )
     )
     return v.groupBy("did", "dirty_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_cand"),
@@ -1564,12 +1596,10 @@ def fuzzy_name_match_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").isNotNull()
     )
     clean = cust.select(F.col("c_name").alias("w")).distinct()
-    ck = fastss_key_rows(clean, "w", k=2).withColumnRenamed(
-        "w", "clean_name"
-    )
-    return _fuzzy_k2_report(cust, _fuzzy_k2_modulus(cust), ck).orderBy(
-        "did"
-    )
+    ck, cmap = _fuzzy_k2_index(clean)
+    return _fuzzy_k2_report(
+        cust, _fuzzy_k2_modulus(cust), ck, cmap
+    ).orderBy("did")
 
 
 # ---------------------------------------------------------------------------
@@ -4987,14 +5017,12 @@ def build_fuzzy_k2_serving(spark: SparkSession, sf_dir: str):
         F.col("c_name").isNotNull()
     )
     clean = cust.select(F.col("c_name").alias("w")).distinct()
-    ck = (
-        fastss_key_rows(clean, "w", k=2)
-        .withColumnRenamed("w", "clean_name")
-        .localCheckpoint(eager=True)
-    )
+    ck, cmap = _fuzzy_k2_index(clean)
+    ck = ck.localCheckpoint(eager=True)
+    cmap = cmap.localCheckpoint(eager=True)
     mv = _fuzzy_k2_modulus(cust)
 
     def thunk() -> DataFrame:
-        return _fuzzy_k2_report(cust, mv, ck)
+        return _fuzzy_k2_report(cust, mv, ck, cmap)
 
     return thunk
