@@ -186,10 +186,26 @@ def component_min_labels(
     Above the threshold the pointer-doubling path is unchanged — the
     100 TB shape where edges themselves are distributed.
     """
-    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    sym = sym.union(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Materialize the DIRECTED pair set FIRST (r12 opt, rule 12): the
+    # symmetrizing union references the pairs subtree twice (two
+    # differently-projected consumers — exchange reuse does not fire),
+    # so checkpointing only the union made the caller's candidate
+    # generation (LSH band join / within-cell cosine self-join) compute
+    # TWICE. One checkpoint of the directed half, then a cheap union of
+    # the materialized RDD. Measured on the SemDeDup gate at sf0.1:
+    # components phase 2.76 → 0.6 s.
+    und = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).localCheckpoint()
+    n_und = und.count()
+    if 2 * n_und <= broadcast_threshold:
+        # fast path needs each undirected edge once — skip the
+        # symmetrized table entirely (half the collect)
+        sym = und
+    else:
+        sym = und.union(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint()
     # Size the fixpoint's parallelism to the EDGE SET, not to whatever
     # partitioning the candidate-generation upstream happened to leave:
     # every round shuffles edge- and node-sized tables, and a tiny
@@ -197,7 +213,7 @@ def component_min_labels(
     # pays per-round scheduling for empty tasks (measured 2.9 → 2.1 s
     # on the SemDeDup gate at sf0.1, 2.1 → 1.8 on near-dup components;
     # the count is free — the checkpoint just materialized the blocks).
-    n_edges = sym.count()
+    n_edges = 2 * n_und
     if n_edges <= broadcast_threshold:
         rows = sym.collect()
         parent: dict = {}

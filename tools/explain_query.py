@@ -1,0 +1,46 @@
+"""Dump .explain("formatted") for registry queries to plans/r12/.
+
+Usage: python tools/explain_query.py <suffix> <query ...>
+
+Writes plans/r12/<query>_<suffix>.txt for each named query. Driver-only
+work (no job execution) — safe to run while other Spark work is active.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jobinsight_data_pipeline_v2_spark.plans import load_all
+from jobinsight_data_pipeline_v2_spark.session import get_spark
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r12",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    registry = load_all()
+    spark = get_spark("explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        df = registry[name][0](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({plan.count('Exchange')} Exchange mentions)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
