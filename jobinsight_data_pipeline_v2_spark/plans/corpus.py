@@ -4264,8 +4264,14 @@ def txlog_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = LogTable(
         spark, out, stats_cols=("o_orderkey",), checkpoint_every=3
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    # One materialization of the 4-column projection (r12 opt, rule
+    # 12 family): each append otherwise scans the orders parquet twice
+    # (repartitionByRange's range-sampling pass + the write) — three
+    # appends = six scans off one small frame.
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .localCheckpoint()
     )
 
     def slice_mod3(r: int) -> DataFrame:

@@ -122,7 +122,16 @@ class LogTable:
     def snapshot_state(self, version: int | None = None) -> dict:
         """Replay the log (from the newest usable checkpoint) up to
         ``version``: {"version", "files": {path: add-dict},
-        "schema": json-or-None, "txns": {app_id: batch_id}}."""
+        "schema": json-or-None, "schemas": sorted-list-or-None,
+        "txns": {app_id: batch_id}}.
+
+        ``schemas`` is the SET of distinct schema jsons ever recorded
+        by commits up to ``version`` — when it has exactly one entry,
+        every live file provably carries that schema (rewrites read
+        and re-write it unchanged) and readers can skip the
+        distributed mergeSchema footer pass (r12 optimization, guide
+        §1.2/§6). ``None`` means unknown (a pre-r12 checkpoint
+        without the field): readers fall back to mergeSchema."""
         latest = self.latest_version()
         if version is None:
             version = latest
@@ -141,8 +150,14 @@ class LogTable:
             files = {a["path"]: a for a in state["files"]}
             schema = state.get("schema")
             txns = dict(state.get("txns", {}))
+            schemas = (
+                set(state["schemas"])
+                if state.get("schemas") is not None
+                else None
+            )
         else:
             files, schema, txns = {}, None, {}
+            schemas: set | None = set()
         for v in range(start + 1, version + 1):
             for action in self._commit_actions(v):
                 if "add" in action:
@@ -153,12 +168,15 @@ class LogTable:
                     c = action["commit"]
                     if c.get("schema"):
                         schema = c["schema"]
+                        if schemas is not None:
+                            schemas.add(c["schema"])
                     if c.get("txn"):
                         txns[c["txn"]["app_id"]] = c["txn"]["batch_id"]
         return {
             "version": version,
             "files": files,
             "schema": schema,
+            "schemas": sorted(schemas) if schemas is not None else None,
             "txns": txns,
         }
 
@@ -197,6 +215,7 @@ class LogTable:
                 state["files"].values(), key=lambda a: a["path"]
             ),
             "schema": state["schema"],
+            "schemas": state["schemas"],
             "txns": state["txns"],
         }
         tmp = os.path.join(self.log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
@@ -320,6 +339,27 @@ class LogTable:
         last = state["txns"].get(txn[0])
         return last is not None and last >= txn[1]
 
+    def _read_files(self, relpaths: list[str], state: dict) -> DataFrame:
+        """Read live parquet files with the cheapest SAFE schema
+        strategy (r12 optimization, guide §1.2): when the log proves
+        every live file was written under ONE schema
+        (``state["schemas"]`` has exactly one entry), pass that schema
+        explicitly — no footer read, no distributed mergeSchema job.
+        Otherwise (evolved table, or a pre-r12 checkpoint without the
+        field) fall back to ``mergeSchema=true``, preserving the r12
+        review fix that rewrites must carry the union schema."""
+        full = [os.path.join(self.table_dir, p) for p in relpaths]
+        schemas = state.get("schemas")
+        if schemas is not None and len(schemas) == 1:
+            from pyspark.sql.types import StructType
+
+            return self.spark.read.schema(
+                StructType.fromJson(json.loads(schemas[0]))
+            ).parquet(*full)
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *full
+        )
+
     def delete_where(self, predicate: str) -> int:
         """Copy-on-write delete: ONE distributed pass finds the files
         that actually contain matching rows (``input_file_name``
@@ -335,9 +375,7 @@ class LogTable:
         if not state["files"]:
             return state["version"]
         paths = sorted(state["files"])
-        src = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.table_dir, p) for p in paths]
-        )
+        src = self._read_files(paths, state)
         hit_names = {
             os.path.basename(r[0])
             for r in src.filter(predicate)
@@ -348,9 +386,9 @@ class LogTable:
         victims = [p for p in paths if os.path.basename(p) in hit_names]
         if not victims:
             return state["version"]
-        keep = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.table_dir, p) for p in victims]
-        ).filter(f"NOT ({predicate})")
+        keep = self._read_files(victims, state).filter(
+            f"NOT ({predicate})"
+        )
         return self._commit_rewrite("delete", state, victims, keep)
 
     def compact(
@@ -376,9 +414,7 @@ class LogTable:
         )
         if len(victims) < 2:
             return state["version"]
-        src = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.table_dir, p) for p in victims]
-        )
+        src = self._read_files(victims, state)
         if cluster_by:
             merged = src.repartitionByRange(
                 max(1, n_files), *cluster_by
@@ -563,9 +599,7 @@ class LogTable:
 
             schema = StructType.fromJson(json.loads(state["schema"]))
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.table_dir, a["path"]) for a in files]
-        )
+        df = self._read_files([a["path"] for a in files], state)
         if where_between:
             for col, (lo, hi) in where_between.items():
                 df = df.filter(df[col].between(lo, hi))
