@@ -37,7 +37,16 @@ _SQL_QVEC = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_Q}
 
 
 def _dot(a: str, b: str) -> F.Column:
-    """Exact integer dot product via zip_with + aggregate (JVM-side)."""
+    """Exact integer dot product via zip_with + aggregate (JVM-side).
+
+    MEASURED KEEP (r12 opt round, guide §1): unrolling this into a
+    flat 64-term ``element_at`` codegen sum (the PQ-ADC device) LOST
+    a matched-session A/B on the semantic_dedup edge join — 3.7 s
+    fold vs 5.4 s unrolled at sf0.1 — the 64-term chain inside a join
+    condition lands past the JIT's huge-method limits, so the
+    "codegen" runs as interpreted bytecode (the SRP 2048-term lesson
+    already applies at 64 terms in this position). The fold's
+    per-element interpreted lambda is the cheaper evaluation here."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
     )
