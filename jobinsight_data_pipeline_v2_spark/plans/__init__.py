@@ -31,6 +31,26 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+def presentation_sort(df: DataFrame, *cols) -> DataFrame:
+    """Global orderBy with a materialization boundary BELOW it (r12
+    optimization, guide §2.4/§3.3): a range-partitioning Exchange
+    SAMPLES its child to choose split points, so the subtree under a
+    presentation sort executes TWICE per action (measured with an
+    accumulator: 2× the corpus rows crossed the Arrow edge in the
+    media gates; the shuffle map pass re-runs everything above the
+    last shuffle or materialized RDD). For gates whose final segment
+    is an expensive NARROW pipeline (codec mapInPandas, regex
+    extraction chains, in-row encode/span folds) the lazy
+    localCheckpoint makes the sampling pass read materialized blocks
+    instead of re-decoding — worth ~one full pipeline pass minus the
+    checkpoint I/O. Use ONLY where the segment under the sort is
+    expensive and its output rows are modest; a cheap scan+filter
+    re-executes faster than it checkpoints. Rule 14 applies: plan
+    tests for these gates must assert on the transform BEFORE this
+    boundary."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 # Driver-facing iteration order. The round-3 driver emitted correctness
 # rows for exactly the FIRST 50 registry entries (58 registered, the
 # last 8 in iteration order had no row), so the driver truncates its

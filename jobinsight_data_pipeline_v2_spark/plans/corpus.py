@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table, spread
-from . import register
+from . import presentation_sort, register
 from .curation import _BLOOM_FP_BOUND, bloom_build, bloom_probe
 from .text import (
     _dsir_class_case,
@@ -454,7 +454,10 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same way (operators/skew.py's DECIMAL discipline).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return classifier_score(docs).orderBy("doc_id")
+    # boundary below the presentation sort (r12 opt — see
+    # plans.presentation_sort; the range sampling pass otherwise runs
+    # the narrow scoring pipeline twice)
+    return presentation_sort(classifier_score(docs), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1603,6 +1606,9 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = doc_token_arrays(docs)
+    # NO pre-sort boundary (r12 opt A/B): the span-cut rows carry the
+    # full clean_text, so checkpointing them costs more than the range
+    # sampling re-run (2.19 vs 2.63 s measured on the dedup form)
     return cut_duplicate_spans(
         toks, redundant_gram_positions(toks)
     ).orderBy("doc_id")
@@ -1896,6 +1902,8 @@ def substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = doc_token_arrays(docs)
     bench_toks = toks.filter(F.col("doc_id") % _DECON_MOD == 0)
     corpus_toks = toks.filter(F.col("doc_id") % _DECON_MOD != 0)
+    # NO pre-sort boundary (r12 opt A/B — the substring_dedup note:
+    # clean_text rows out-weigh the sampling re-run)
     return cut_duplicate_spans(
         corpus_toks,
         benchmark_gram_positions(corpus_toks, bench_toks),
@@ -1996,6 +2004,7 @@ def substring_decontaminate_bloom(
             .alias("bloom_fp_within_bound")
         )
     )
+    # NO pre-sort boundary (r12 opt A/B — the substring_dedup note)
     return (
         cut_duplicate_spans(corpus_toks, dup_pos)
         .crossJoin(F.broadcast(flag))
@@ -3211,13 +3220,21 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x != "",
         )
     )
-    return out.select(
+    # boundary below the presentation sort (r12 opt — see
+    # plans.presentation_sort; the Arrow-edge extraction otherwise
+    # runs twice under the range sampling pass)
+    return presentation_sort(
+        out.select(
+            "doc_id",
+            F.col("n_blocks_kept").cast("long").alias("n_blocks_kept"),
+            F.col("n_blocks_dropped")
+            .cast("long")
+            .alias("n_blocks_dropped"),
+            n_words.cast("long").alias("n_words_kept"),
+            F.md5("text").alias("content_md5"),
+        ),
         "doc_id",
-        F.col("n_blocks_kept").cast("long").alias("n_blocks_kept"),
-        F.col("n_blocks_dropped").cast("long").alias("n_blocks_dropped"),
-        n_words.cast("long").alias("n_words_kept"),
-        F.md5("text").alias("content_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3352,12 +3369,20 @@ def markdown_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x != "",
         )
     )
-    return out.select(
+    # boundary below the presentation sort (r12 opt — see
+    # plans.presentation_sort; the regexp extraction chain otherwise
+    # runs twice under the range sampling pass)
+    return presentation_sort(
+        out.select(
+            "doc_id",
+            F.size(F.split("text", "\n"))
+            .cast("long")
+            .alias("n_lines_kept"),
+            n_words.cast("long").alias("n_words_kept"),
+            F.md5("text").alias("content_md5"),
+        ),
         "doc_id",
-        F.size(F.split("text", "\n")).cast("long").alias("n_lines_kept"),
-        n_words.cast("long").alias("n_words_kept"),
-        F.md5("text").alias("content_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table, spread
-from . import register
+from . import presentation_sort, register
 from .text import _SHINGLE_RE, _SQL_TOKENS
 from .text import JW_PPM_SQL as _JW_PPM_SQL
 from .text import jw_oracle_ctes as _jw_oracle_ctes
@@ -1223,6 +1223,9 @@ def jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_b"
         ),
     )
+    # NO pre-sort boundary (r12 opt A/B): the JW pair frame is small
+    # enough that re-running the scorer under the range sampling pass
+    # is cheaper than materializing it (0.90 vs 0.98 s measured)
     return (
         jaro_winkler_scored(pairs, "name_a", "name_b")
         .select(

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table, spread
-from . import register
+from . import presentation_sort, register
 
 # ---------------------------------------------------------------------------
 # deterministic hash split (train/val/test)
@@ -467,6 +467,9 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     except the presentation sort; linear in corpus size.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # NO pre-sort boundary (r12 opt A/B): chunk rows carry the chunk
+    # text — materialization costs more than the sampling re-run
+    # (0.83 vs 0.96 s measured)
     return chunk_transform(docs).orderBy("doc_id", "chunk_idx")
 
 
@@ -1390,6 +1393,9 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. Reference analogue: none (net-new training-data op).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # NO pre-sort boundary here (r12 opt A/B): the FIM rows carry the
+    # full rewritten text, so checkpointing them costs more than the
+    # range-sampling re-execution it saves (0.92 vs 1.10 s measured)
     return fim_rows(docs).orderBy("doc_id")
 
 
@@ -1492,15 +1498,17 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "named_struct('i', st.i, 'acc', concat(st.acc, array(tok)))), "
         "st -> concat_ws(' ', st.acc))"
     )
-    return (
+    # boundary below the presentation sort (r12 opt — see
+    # plans.presentation_sort)
+    return presentation_sort(
         built.select(
             "doc_id",
             F.col("n_tok").cast("long").alias("n_tok"),
             F.col("n_spans").cast("long").alias("n_spans"),
             F.col("n_corrupted").cast("long").alias("n_corrupted"),
             F.md5(F.expr(recon).cast("binary")).alias("recon_md5"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table, spread
-from . import register
+from . import presentation_sort, register
 
 # shared tokenization: single-space split, drop empties
 _TOKENS = "filter(split(text, ' '), t -> t != '')"
@@ -345,7 +345,11 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return gopher_flag_columns(docs).orderBy("doc_id")
+    # boundary below the presentation sort (r12 opt — see
+    # plans.presentation_sort; the narrow rule battery otherwise runs
+    # twice under the range sampling pass). Rule 14: the narrow-plan
+    # test asserts on gopher_flag_columns directly.
+    return presentation_sort(gopher_flag_columns(docs), "doc_id")
 
 
 def gopher_flag_columns(docs: DataFrame) -> DataFrame:
@@ -1902,13 +1906,20 @@ def _bpe_roundtrip_projection(enc: DataFrame) -> DataFrame:
     """(doc_id, n_tok, recon_md5) from an encoded symbol stream — the
     loss-free-reconstruction projection shared by the gate and the
     serving bench row."""
-    return enc.select(
-        F.col("id").alias("doc_id"),
-        F.size(F.expr("split(concat_ws(' ', s), ' ')"))
-        .cast("long")
-        .alias("n_tok"),
-        F.md5(F.concat_ws(" ", "s").cast("binary")).alias("recon_md5"),
-    ).orderBy("doc_id")
+    # boundary below the presentation sort (r12 opt — see
+    # plans.presentation_sort; the in-row merge-fold encode otherwise
+    # runs twice under the range sampling pass — shared by the gate
+    # AND the serving bench row)
+    return presentation_sort(
+        enc.select(
+            F.col("id").alias("doc_id"),
+            F.size(F.expr("split(concat_ws(' ', s), ' ')"))
+            .cast("long")
+            .alias("n_tok"),
+            F.md5(F.concat_ws(" ", "s").cast("binary")).alias("recon_md5"),
+        ),
+        "doc_id",
+    )
 
 
 def build_bpe_encode_serving(spark: SparkSession, sf_dir: str):
@@ -1987,14 +1998,16 @@ def unigram_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("s") > 0)
     enc = unigram_encode(symbols, vocab, _UNI_MAX_PIECE)
     recon = F.expr("trim(replace(concat_ws('', pieces), '▁', ' '))")
-    return (
-        enc.select("id", recon.alias("recon"))
-        .select(
+    # boundary below the presentation sort (r12 opt — see
+    # plans.presentation_sort; the in-row encode otherwise runs twice
+    # under the range sampling pass)
+    return presentation_sort(
+        enc.select("id", recon.alias("recon")).select(
             F.col("id").alias("doc_id"),
             F.size(F.split("recon", " ")).cast("long").alias("n_tok"),
             F.md5(F.col("recon").cast("binary")).alias("recon_md5"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -2023,11 +2036,15 @@ def build_unigram_encode_serving(spark: SparkSession, sf_dir: str):
     def thunk() -> DataFrame:
         enc = unigram_encode(symbols, vocab, _UNI_MAX_PIECE)
         recon = F.expr("trim(replace(concat_ws('', pieces), '▁', ' '))")
-        return enc.select(
-            F.col("id").alias("doc_id"),
-            F.size(F.split(recon, " ")).cast("long").alias("n_tok"),
-            F.md5(recon.cast("binary")).alias("recon_md5"),
-        ).orderBy("doc_id")
+        # same boundary as the gate row (r12 opt)
+        return presentation_sort(
+            enc.select(
+                F.col("id").alias("doc_id"),
+                F.size(F.split(recon, " ")).cast("long").alias("n_tok"),
+                F.md5(recon.cast("binary")).alias("recon_md5"),
+            ),
+            "doc_id",
+        )
 
     return thunk
 
@@ -2313,14 +2330,16 @@ def wordpiece_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trim(concat_ws('', transform(pieces, p -> "
         "if(startswith(p, '##'), substr(p, 3), concat(' ', p)))))"
     )
-    return (
-        enc.select("id", recon.alias("recon"))
-        .select(
+    # boundary below the presentation sort (r12 opt — see
+    # plans.presentation_sort; the in-row encode otherwise runs twice
+    # under the range sampling pass)
+    return presentation_sort(
+        enc.select("id", recon.alias("recon")).select(
             F.col("id").alias("doc_id"),
             F.size(F.split("recon", " ")).cast("long").alias("n_tok"),
             F.md5(F.col("recon").cast("binary")).alias("recon_md5"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -2346,11 +2365,15 @@ def build_wordpiece_encode_serving(spark: SparkSession, sf_dir: str):
             "trim(concat_ws('', transform(pieces, p -> "
             "if(startswith(p, '##'), substr(p, 3), concat(' ', p)))))"
         )
-        return enc.select(
-            F.col("id").alias("doc_id"),
-            F.size(F.split(recon, " ")).cast("long").alias("n_tok"),
-            F.md5(recon.cast("binary")).alias("recon_md5"),
-        ).orderBy("doc_id")
+        # same boundary as the gate row (r12 opt)
+        return presentation_sort(
+            enc.select(
+                F.col("id").alias("doc_id"),
+                F.size(F.split(recon, " ")).cast("long").alias("n_tok"),
+                F.md5(recon.cast("binary")).alias("recon_md5"),
+            ),
+            "doc_id",
+        )
 
     return thunk
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import collect_array_by_pos
 from ..tables import load_table, spread
-from . import register
+from . import presentation_sort, register
 
 _Q = 1_000_000  # quantization scale
 
@@ -494,7 +494,10 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          for n in ("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")]
     )
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
-    return docs.mapInPandas(_png_stats_batches, schema).orderBy("doc_id")
+    # boundary below the presentation sort: the range sampling pass
+    # otherwise decodes the whole corpus TWICE (r12 opt — see
+    # plans.presentation_sort)
+    return presentation_sort(docs.mapInPandas(_png_stats_batches, schema), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -588,7 +591,10 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [StructField("c1_sum", LongType(), True)]  # NULL when mono
     )
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
-    return docs.mapInPandas(_wav_stats_batches, schema).orderBy("doc_id")
+    # boundary below the presentation sort: the range sampling pass
+    # otherwise decodes the whole corpus TWICE (r12 opt — see
+    # plans.presentation_sort)
+    return presentation_sort(docs.mapInPandas(_wav_stats_batches, schema), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -672,7 +678,10 @@ def y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "luma_total")]
     )
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
-    return docs.mapInPandas(_y4m_stats_batches, schema).orderBy("doc_id")
+    # boundary below the presentation sort: the range sampling pass
+    # otherwise decodes the whole corpus TWICE (r12 opt — see
+    # plans.presentation_sort)
+    return presentation_sort(docs.mapInPandas(_y4m_stats_batches, schema), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2590,7 +2599,10 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
-    return docs.mapInPandas(_jpeg_stats_batches, schema).orderBy("doc_id")
+    # boundary below the presentation sort: the range sampling pass
+    # otherwise decodes the whole corpus TWICE (r12 opt — see
+    # plans.presentation_sort)
+    return presentation_sort(docs.mapInPandas(_jpeg_stats_batches, schema), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2710,7 +2722,10 @@ def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "r_sum", "g_sum", "b_sum", "rw_sum")]
     )
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
-    return docs.mapInPandas(_gif_stats_batches, schema).orderBy("doc_id")
+    # boundary below the presentation sort: the range sampling pass
+    # otherwise decodes the whole corpus TWICE (r12 opt — see
+    # plans.presentation_sort)
+    return presentation_sort(docs.mapInPandas(_gif_stats_batches, schema), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2847,8 +2862,10 @@ def gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "r_sum", "g_sum", "b_sum", "rw_sum")]
     )
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
-    return docs.mapInPandas(_gif_anim_batches, schema).orderBy(
-        "doc_id", "frame"
+    # boundary below the presentation sort (r12 opt — see
+    # plans.presentation_sort)
+    return presentation_sort(
+        docs.mapInPandas(_gif_anim_batches, schema), "doc_id", "frame"
     )
 
 

@@ -31,11 +31,21 @@ def test_cross_dedup_broadcasts_batch_side(spark):
 
 
 def test_quality_classifier_is_narrow(spark):
-    """Inference is a single narrow scan: no hash exchange anywhere
-    (the only exchange is the presentation sort's range partitioning).
-    """
-    p = _plan(spark, "quality_classifier")
-    assert "Exchange hashpartitioning" not in p
+    """Inference is a single narrow scan: no hash exchange, no Python
+    eval node. Asserted on the scoring transform BEFORE the gate's
+    presentation-sort boundary (rule 14 — the r12 pre-sort
+    localCheckpoint hides the subtree in the gate's own explain)."""
+    from jobinsight_data_pipeline_v2_spark.plans.corpus import (
+        classifier_score,
+    )
+    from jobinsight_data_pipeline_v2_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = classifier_score(docs)._jdf.queryExecution().explainString(fmt)
+    assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 

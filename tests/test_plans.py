@@ -357,13 +357,24 @@ def test_chunk_documents_narrow(spark):
 
 def test_gopher_flags_narrow(spark):
     """The Gopher rule battery is one narrow projection: no join, no
-    aggregate, no hash exchange — only the presentation sort's range
-    exchange may appear. Counters and flags are all string/array
-    built-ins inside whole-stage codegen."""
-    p = _plan(spark, "gopher_quality_flags")
+    aggregate, no hash exchange. Asserted on the transform BEFORE the
+    gate's presentation-sort boundary (rule 14 — the r12 pre-sort
+    localCheckpoint hides the subtree in the gate's own explain).
+    Counters and flags are all string/array built-ins inside
+    whole-stage codegen."""
+    from jobinsight_data_pipeline_v2_spark.plans.text import (
+        gopher_flag_columns,
+    )
+    from jobinsight_data_pipeline_v2_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = gopher_flag_columns(docs)._jdf.queryExecution().explainString(fmt)
     assert "Join" not in p
     assert "HashAggregate" not in p
-    assert "Exchange hashpartitioning" not in p, p
+    assert "Exchange" not in p, p
 
 
 def test_asof_join_is_merge_shaped(spark):
