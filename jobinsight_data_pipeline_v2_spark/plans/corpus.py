@@ -2949,28 +2949,46 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources (near-identical vocabularies → redundant source; tiny
     overlap → domain shift).
 
-    Shape: one (source, token) distinct (map-side combined), then a
-    token-keyed self-join whose fan-out per token is bounded by
-    |sources|² (a hot token exists in every source, never in more),
-    then sources²-sized joins against the broadcast size table. The
-    distinct frame is checkpointed once for its three consumers.
+    Shape (r12 opt, guide §2.4 — the _cooccur_pairs device): ONE
+    grouped pass on the 64-bit token hash (rule 13 — strings never
+    shuffle) collects each token's distinct source set (bounded by
+    |sources|, so the buffer can never blow up), in-row ordered pairs
+    replace the old distinct + token-keyed string self-join (two
+    exchanges + a join fewer; matched-session A/B 1.32 → 1.11 s at
+    sf0.1, identical rows). Sizes ride the same grouped frame. A
+    64-bit token-hash collision would merge two vocabulary entries —
+    the accepted _shingle_key risk class, and the oracle (which joins
+    raw strings) fails loudly on it.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "source", F.explode(F.expr(_TOKENS)).alias("token")
     )
-    st = toks.distinct().localCheckpoint(eager=False)  # sizes + a + b
-    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    grouped = (
+        toks.select(F.xxhash64("token").alias("tk"), "source")
+        .groupBy("tk")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .localCheckpoint(eager=False)  # sizes + pairs consumers
+    )
+    sizes = (
+        grouped.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
     inter = (
-        st.alias("a")
-        .join(
-            st.alias("b"),
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.source") < F.col("b.source")),
+        grouped.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ss) - 2), i -> "
+                    "transform(sequence(i + 1, size(ss) - 1), j -> "
+                    "struct(ss[i] AS source_a, ss[j] AS source_b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
