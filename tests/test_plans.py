@@ -800,12 +800,20 @@ def test_dsir_resample_plan(spark):
     assert p.count("Exchange hashpartitioning") <= 2
 
 
-def test_media_decode_gates_plan(spark):
+def test_media_decode_gates_plan(spark, monkeypatch):
     """The PNG/WAV decode gates (r7) are ONE narrow Arrow stage over
     doc_id + the presentation sort: no hash exchange, no join, and
     the scan prunes to the id column (payloads are synthesized
     in-stage; a real corpus would stream opaque binaries the same
-    way)."""
+    way). The r12 pre-sort localCheckpoint hides the pipeline in the
+    gate's own explain (rule 14), so the boundary is disabled for the
+    plan capture — the asserted subtree is exactly what executes
+    below it."""
+    from jobinsight_data_pipeline_v2_spark.plans import vectors
+
+    monkeypatch.setattr(
+        vectors, "presentation_sort", lambda df, *cols: df.orderBy(*cols)
+    )
     for name in ("png_decode_stats", "wav_decode_stats",
                  "y4m_frame_stats"):
         p = _plan(spark, name)
