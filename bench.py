@@ -172,7 +172,7 @@ BENCH_QUERIES = [
     # round 9 additions
     "avro_roundtrip",  # S19 ingest: stdlib OCF write + sync-resync read-back
     "skipgram_pairs",  # word2vec (center, context) data-prep pass
-    "table_profile",  # ANALYZE-style column stats, one scan + Expand
+    "table_profile",  # ANALYZE-style column stats, per-column pruned aggs (r12)
     "semantic_decontaminate",  # embedding-sim eval scrub, exact int cosine
     "ivm_minmax_rollup",  # IVM for MIN/MAX: clean/dirty rescan dispatch
     "negative_sampling_table",  # word2vec noise table, composed isqrt

@@ -198,14 +198,6 @@ def component_min_labels(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).localCheckpoint()
     n_und = und.count()
-    if 2 * n_und <= broadcast_threshold:
-        # fast path needs each undirected edge once — skip the
-        # symmetrized table entirely (half the collect)
-        sym = und
-    else:
-        sym = und.union(
-            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).localCheckpoint()
     # Size the fixpoint's parallelism to the EDGE SET, not to whatever
     # partitioning the candidate-generation upstream happened to leave:
     # every round shuffles edge- and node-sized tables, and a tiny
@@ -214,8 +206,14 @@ def component_min_labels(
     # on the SemDeDup gate at sf0.1, 2.1 → 1.8 on near-dup components;
     # the count is free — the checkpoint just materialized the blocks).
     n_edges = 2 * n_und
+    # ONE threshold decision (review r12: the fast-path condition and
+    # the directed-only collect below must stay in lockstep — a drifted
+    # pair of conditions could hand the slow path the UNSYMMETRIZED
+    # edge list, silently mislabeling every dst-only node).
     if n_edges <= broadcast_threshold:
-        rows = sym.collect()
+        # fast path needs each undirected edge once — collect the
+        # directed half only (half the bytes)
+        rows = und.collect()
         parent: dict = {}
 
         def find(x):
@@ -253,6 +251,11 @@ def component_min_labels(
         )
     if stats is not None:
         stats["fast_path"] = False
+    # slow path: symmetrize off the materialized directed RDD (cheap —
+    # no recompute of the candidate generation)
+    sym = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     target = max(2, min(sym.rdd.getNumPartitions(), n_edges // 100_000 + 1))
     if target < sym.rdd.getNumPartitions():
         sym = sym.repartition(target, "src").localCheckpoint()

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table, spread
-from . import presentation_sort, register
+from . import register
 from .text import _SHINGLE_RE, _SQL_TOKENS
 from .text import JW_PPM_SQL as _JW_PPM_SQL
 from .text import jw_oracle_ctes as _jw_oracle_ctes

@@ -17,3 +17,13 @@ def spark():
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
+
+
+def df_plan(spark, df) -> str:
+    """Formatted physical plan of an arbitrary DataFrame — the shared
+    explain helper for plan-assertion tests (review r12: three inline
+    copies of the ExplainMode dance)."""
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(fmt)

@@ -40,11 +40,10 @@ def test_quality_classifier_is_narrow(spark):
     )
     from jobinsight_data_pipeline_v2_spark.tables import load_table
 
+    from conftest import df_plan
+
     docs = load_table(spark, SF, "documents")
-    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    p = classifier_score(docs)._jdf.queryExecution().explainString(fmt)
+    p = df_plan(spark, classifier_score(docs))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 

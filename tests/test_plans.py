@@ -367,11 +367,10 @@ def test_gopher_flags_narrow(spark):
     )
     from jobinsight_data_pipeline_v2_spark.tables import load_table
 
+    from conftest import df_plan
+
     docs = load_table(spark, SF, "documents")
-    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    p = gopher_flag_columns(docs)._jdf.queryExecution().explainString(fmt)
+    p = df_plan(spark, gopher_flag_columns(docs))
     assert "Join" not in p
     assert "HashAggregate" not in p
     assert "Exchange" not in p, p

@@ -2,8 +2,11 @@
 
 Usage: python tools/explain_query.py <suffix> <query ...>
 
-Writes plans/r12/<query>_<suffix>.txt for each named query. Driver-only
-work (no job execution) — safe to run while other Spark work is active.
+Writes plans/r12/<query>_<suffix>.txt for each named query. NOTE:
+building a gate's DataFrame can itself execute jobs and side effects
+(eager localCheckpoints, tokenizer training loops, txlog/roundtrip
+gates write real files) — do NOT run this while a bench is being
+timed (the order-contamination rule).
 """
 
 from __future__ import annotations
