@@ -2418,28 +2418,52 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == _DSIR_TARGET_LANG).alias("is_train"),
         F.expr(_TOKENS).alias("t"),
     ).localCheckpoint(eager=False)  # bigram + train-unigram consumers
+    # r13 (rule 13 — shuffle/materialize 8-byte keys, never strings):
+    # the corpus-wide bigram checkpoint carries ONLY (doc_id, bgh)
+    # where bgh = xxhash64(w1, w2) — no per-bigram string is ever
+    # built or materialized on the scoring path (the old shape
+    # checkpointed a w1 + "w1 w2" string pair per bigram). The vocab
+    # cut still needs the bigram STRINGS for its (c12 DESC, bg)
+    # tie-break, so it re-derives them from the toks checkpoint over
+    # the TRAIN slice only and groups by bgh with min(bg)/min(w1)
+    # exemplars (exact under the accepted xxhash64 no-collision
+    # convention — the oracle joins raw strings and pins it).
     bi = (
         toks.select(
             "doc_id",
-            "is_train",
             F.explode(
                 F.expr(
                     """
                     if(size(t) >= 2,
                        transform(sequence(1, size(t) - 1),
-                                 i -> struct(
-                                     element_at(t, i) AS w1,
-                                     concat(element_at(t, i), ' ',
-                                            element_at(t, i + 1)) AS bg)),
-                       cast(array() as
-                            array<struct<w1: string, bg: string>>))
+                                 i -> xxhash64(element_at(t, i),
+                                               element_at(t, i + 1))),
+                       cast(array() as array<bigint>))
                     """
                 )
-            ).alias("p"),
+            ).alias("bgh"),
         )
-        .select("doc_id", "is_train", "p.w1", "p.bg")
-        # vocabulary counting + scoring consumers (rule 12)
-        .localCheckpoint(eager=False)
+        # ONE consumer (the scoring agg) — the old shape's rule-12
+        # checkpoint is gone WITH its second consumer (the vocab cut
+        # now re-derives from toks), so the hash stream pipelines
+        # straight into the broadcast join + per-doc agg
+    )
+    train_bi = toks.filter("is_train").select(
+        F.explode(
+            F.expr(
+                """
+                if(size(t) >= 2,
+                   transform(sequence(1, size(t) - 1),
+                             i -> struct(
+                                 element_at(t, i) AS w1,
+                                 element_at(t, i + 1) AS w2,
+                                 concat(element_at(t, i), ' ',
+                                        element_at(t, i + 1)) AS bg)),
+                   cast(array() as
+                        array<struct<w1: string, w2: string, bg: string>>))
+                """
+            )
+        ).alias("p")
     )
     uni = (
         toks.filter("is_train")
@@ -2451,9 +2475,15 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = uni.agg(F.count(F.lit(1)).cast("long").alias("v_uni"))
     vocab = (
-        bi.filter("is_train")
-        .groupBy("bg", "w1")
-        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        train_bi.select(
+            F.xxhash64("p.w1", "p.w2").alias("bgh"), "p.w1", "p.bg"
+        )
+        .groupBy("bgh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c12"),
+            F.min("bg").alias("bg"),
+            F.min("w1").alias("w1"),
+        )
         .orderBy(F.desc("c12"), "bg")
         .limit(_PPL_V)
     )
@@ -2462,14 +2492,14 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(vocab), "w1")
         .crossJoin(F.broadcast(v))
         .select(
-            "bg",
+            "bgh",
             F.expr(
                 _dsir_class_case("(c12 + 1)", "(c1 + v_uni)", clamp=_PPL_CLAMP)
             ).alias("cls"),
         )
     )
     scored = (
-        bi.join(F.broadcast(classes), "bg", "left")
+        bi.join(F.broadcast(classes), "bgh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bi"),

@@ -4712,7 +4712,15 @@ def rouge_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (3 exchanges + a join per order) collapses to 2 exchanges
     and no join; the clip is Σ least(c_cand, c_ref), identical to the
     left-join form because ref-only grams contribute least(0, rc) = 0.
-    Measured 2.5 → 1.6 s at sf0.1 (matched session, rows equal).
+    GROUP-SET NOTE (ADVICE r12): the fused shape would also emit a
+    clip=0 row for a doc with reference grams but NO candidate grams
+    (the old left join dropped such docs); that difference is
+    unobservable here because the upstream size(t) >= 4 filter
+    guarantees a non-empty candidate stream per kept doc AND the
+    downstream INNER join on the sizes frame absorbs any extra group
+    — if that join ever becomes an outer join, re-pin this edge with
+    a fixture. Measured 2.5 → 1.6 s at sf0.1 (matched session, rows
+    equal).
     Totals ride the array sizes (no extra pass). Everything
     downstream of the scan is doc-local — corpus-linear at any
     scale."""

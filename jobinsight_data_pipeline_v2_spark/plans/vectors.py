@@ -1502,50 +1502,128 @@ def _sem_sig_expr(qv: str, duck: bool) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _semdedup_edges_arrow(n: DataFrame, tau: float) -> DataFrame:
+    """Within-cell cosine >= ``tau`` edges via ONE numpy Gram matrix
+    per cell at a sanctioned Arrow edge (guide §4.2) — the r13
+    decision on the r12 open question (SCALE.md): the per-pair
+    interpreted zip_with fold was the slowest non-by-design benched
+    cost at sf0.1 and, because the cell key caps at _SEM_PLANES (8)
+    subdivision bits (the OUTPUT contract — it cannot deepen without
+    changing the gate), per-cell pair work grows quadratically again
+    past n ≈ 2^8 · _SEM_DIV · |labels| rows; a vectorized Gram turns
+    those pairs into BLAS flops instead of interpreted fold steps.
+
+    EXACTNESS (why this is safe under the integer-quantization
+    contract): components are integer-valued and bounded by 2^26
+    (asserted per batch), so every pairwise product < 2^52 and every
+    partial Gram sum < 2^53 stays an EXACTLY-representable float64
+    integer under ANY accumulation order — the BLAS matmul equals the
+    JVM long fold cast to double, bit for bit. norm = sqrt(diag)
+    (correctly-rounded IEEE, identical to the JVM
+    sqrt(cast(dot as double))), and the cosine decision divides and
+    compares with the same two IEEE-rounded steps as the JVM filter.
+    The unchanged DuckDB oracle pins the equivalence at every SF.
+    (One out-of-contract divergence: a ZERO vector's 0/0 cosine is a
+    quiet NaN here — no edge — where the ANSI JVM fold path raises
+    DIVIDE_BY_ZERO; quantized real embeddings never have norm 0.)
+    """
+    import pandas as pd
+
+    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+        if np.abs(q).max() >= float(1 << 26):
+            raise ValueError(
+                "semdedup arrow scorer: a vector component >= 2^26 "
+                "breaks the exact-float64-Gram bound — requantize, or "
+                "score with semdedup_groups(scorer='fold')"
+            )
+        g = q @ q.T
+        norm = np.sqrt(np.diag(g))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mask = (g / np.outer(norm, norm)) >= tau
+        iu, ju = np.nonzero(np.triu(mask, k=1))
+        if not len(iu):
+            return empty
+        a, b = ids[iu], ids[ju]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
+
+    return n.groupBy("cell").applyInPandas(pairs, "id_a long, id_b long")
+
+
 def semdedup_groups(
     vectors: DataFrame,
     tau: float = _SEM_TAU,
     id_col: str = "vec_id",
     cell_col: str = "cell",
     vec_col: str = "qv",
+    scorer: str = "arrow",
 ) -> DataFrame:
     """(id, cell, grp, is_keeper, n_group) — SemDeDup group labels over
     (id, cell, quantized-int vector): within-cell pairs with cosine >=
     ``tau`` form edges, connected components collapse chains, the
     minimum id is the kept representative, singletons keep themselves.
 
-    Scale shape: one checkpoint of the normed corpus (rule 12 — the
-    self-join consumes it twice), a cell-keyed equi self-join whose
-    residual is the cosine test (work = sum of cell sizes squared,
-    the quantizer's k controls it), then pointer-doubled min-label
-    propagation over the EDGE set only
-    (operators/dedup.component_min_labels). The corpus is never
-    all-pairs joined; partitioning rides the cell key end to end.
+    Scale shape: one checkpoint of the celled corpus (rule 12 — the
+    edge build and the final label join both consume it), within-cell
+    edge scoring (work = sum of cell sizes squared, the quantizer's k
+    controls it), then pointer-doubled min-label propagation over the
+    EDGE set only (operators/dedup.component_min_labels). The corpus
+    is never all-pairs joined; partitioning rides the cell key end to
+    end.
+
+    ``scorer`` picks the edge build: ``"arrow"`` (default, r13) runs
+    one numpy Gram matrix per cell at a sanctioned Arrow edge —
+    bit-identical decisions, see _semdedup_edges_arrow; ``"fold"``
+    keeps the all-JVM cell-keyed self-join with the interpreted
+    per-pair zip_with dot (the pre-r13 shape; cheaper only when a
+    Python worker pool is unavailable).
     """
     from ..operators.dedup import component_min_labels
 
-    n = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(cell_col).alias("cell"),
-        F.col(vec_col).alias("qv"),
-        F.sqrt(_dot(vec_col, vec_col).cast("double")).alias("norm"),
-    ).localCheckpoint(eager=False)
-    a, b = n.alias("a"), n.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    if scorer == "arrow":
+        n = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(cell_col).alias("cell"),
+            F.col(vec_col).alias("qv"),
+        ).localCheckpoint(eager=False)
+        edges = _semdedup_edges_arrow(n, tau)
+    else:
+        n = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(cell_col).alias("cell"),
+            F.col(vec_col).alias("qv"),
+            F.sqrt(_dot(vec_col, vec_col).cast("double")).alias("norm"),
+        ).localCheckpoint(eager=False)
+        a, b = n.alias("a"), n.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .filter(
+                _dot("a.qv", "b.qv").cast("double")
+                / (F.col("a.norm") * F.col("b.norm"))
+                >= tau
+            )
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+            )
         )
-        .filter(
-            _dot("a.qv", "b.qv").cast("double")
-            / (F.col("a.norm") * F.col("b.norm"))
-            >= tau
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-        )
-    )
     labels = component_min_labels(edges)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     return (
@@ -1665,13 +1743,24 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell0",
         F.expr(f"transform(qv, x -> x + {_SEM_PERT_2})").alias("qv"),
     )
-    # two consumers below (count + cell projection) — rule 12
-    corpus = (
-        base.unionByName(d1).unionByName(d2).localCheckpoint(eager=False)
-    )
-    nb = corpus.agg(F.count(F.lit(1)).alias("n")).select(
-        F.expr(_sem_nb_sql(duck=False)).alias("__nb")
-    )
+    # r13: the corpus COUNT (nb's only input) is derivable from ONE
+    # narrow aggregate over the base table — |corpus| = |base| +
+    # |%7 slice| + |%14 slice| — so the union no longer needs a
+    # rule-12 checkpoint for a second consumer: the cell projection
+    # is its single consumer and the 64-dim arrays materialize once,
+    # inside semdedup_groups' own boundary (one fewer sequential
+    # checkpoint job per action; the oracle still counts the corpus
+    # CTE directly — identical value by construction).
+    corpus = base.unionByName(d1).unionByName(d2)
+    nb = emb.agg(
+        (
+            F.count(F.lit(1))
+            + F.sum(F.when(F.col("vec_id") % 7 == 0, 1).otherwise(0))
+            + F.sum(F.when(F.col("vec_id") % 14 == 0, 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("n")
+    ).select(F.expr(_sem_nb_sql(duck=False)).alias("__nb"))
     celled = corpus.crossJoin(F.broadcast(nb)).select(
         "vec_id",
         (

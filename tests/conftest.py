@@ -20,10 +20,9 @@ def spark():
 
 
 def df_plan(spark, df) -> str:
-    """Formatted physical plan of an arbitrary DataFrame — the shared
-    explain helper for plan-assertion tests (review r12: three inline
-    copies of the ExplainMode dance)."""
-    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    return df._jdf.queryExecution().explainString(fmt)
+    """Back-compat alias — the shared helper lives in tests/_plan_utils
+    (ADVICE r12: a `from conftest import` breaks under
+    importmode=importlib)."""
+    from _plan_utils import df_plan as _df_plan
+
+    return _df_plan(spark, df)

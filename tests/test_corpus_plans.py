@@ -40,7 +40,7 @@ def test_quality_classifier_is_narrow(spark):
     )
     from jobinsight_data_pipeline_v2_spark.tables import load_table
 
-    from conftest import df_plan
+    from _plan_utils import df_plan
 
     docs = load_table(spark, SF, "documents")
     p = df_plan(spark, classifier_score(docs))

@@ -367,7 +367,7 @@ def test_gopher_flags_narrow(spark):
     )
     from jobinsight_data_pipeline_v2_spark.tables import load_table
 
-    from conftest import df_plan
+    from _plan_utils import df_plan
 
     docs = load_table(spark, SF, "documents")
     p = df_plan(spark, gopher_flag_columns(docs))
@@ -752,6 +752,43 @@ def test_write_training_shards_order_and_coverage(spark, tmp_path):
     assert got == expected
 
 
+def test_semdedup_scorers_agree(spark):
+    """r13: the Arrow Gram scorer and the JVM fold scorer make
+    BIT-IDENTICAL edge decisions (the _semdedup_edges_arrow exactness
+    contract) on a corpus with a transitive chain straddling the 0.99
+    threshold, a cross-cell non-pair, and singletons. (Zero vectors
+    are OUTSIDE the contract: under ANSI the JVM fold path raises
+    DIVIDE_BY_ZERO while numpy's 0/0 is a quiet NaN → no edge — a
+    quantized real embedding never has norm 0, so neither behavior is
+    reachable from the gates.)"""
+    from jobinsight_data_pipeline_v2_spark.plans.vectors import (
+        semdedup_groups,
+    )
+
+    # angles 0° / 8° / 16° at the 1e6 integer scale: cos(8°) ≈ 0.9903
+    # >= 0.99 (adjacent pairs edge), cos(16°) ≈ 0.961 < 0.99 (the
+    # chain's endpoints connect only transitively)
+    rows = [
+        (1, 0, [1_000_000, 0]),
+        (2, 0, [990_268, 139_173]),
+        (3, 0, [961_262, 275_637]),
+        (4, 0, [-7, 1_000_000]),   # near-orthogonal: never an edge
+        (5, 1, [1_000_000, 0]),    # same direction, DIFFERENT cell
+        (6, 1, [-1_000_000, 7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, cell long, qv array<long>")
+    fold = sorted(
+        tuple(r) for r in semdedup_groups(df, scorer="fold").collect()
+    )
+    arrow = sorted(
+        tuple(r) for r in semdedup_groups(df, scorer="arrow").collect()
+    )
+    assert fold == arrow
+    by_id = {r[0]: r for r in arrow}
+    assert by_id[1][2] == by_id[2][2] == by_id[3][2] == 1  # one chain group
+    assert by_id[4][2] == 4 and by_id[5][2] == 5 and by_id[6][2] == 6
+
+
 def test_semantic_dedup_group_topology(spark):
     """SemDeDup gate semantics beyond the oracle hash: every
     synthesized near-duplicate joins its SOURCE's group (never a
@@ -777,10 +814,26 @@ def test_semantic_dedup_group_topology(spark):
 
 
 def test_semantic_dedup_plan_shape(spark):
-    """The edge build is a cell-keyed equi join (never a cartesian
-    corpus product) and nothing falls back to Python; the components
-    fixpoint sits behind its checkpoint boundary (rule 14), so the
-    pre-boundary subtree carries the assertions."""
+    """The edge build is the r13 cell-grouped Arrow Gram scorer (the
+    VERDICT r12 decision — see _semdedup_edges_arrow's exactness
+    contract): ONE FlatMapGroupsInPandas keyed by cell, never a
+    cartesian corpus product and never a row-at-a-time Python eval.
+    Rule 14: the components fast path collects the edge set during
+    gate CONSTRUCTION, so the gate's own plan hides the scorer — the
+    edge subtree is asserted directly, and the gate-level plan keeps
+    the no-cartesian / no-row-Python pins."""
+    from jobinsight_data_pipeline_v2_spark.plans.vectors import (
+        _semdedup_edges_arrow,
+    )
+    from _plan_utils import df_plan
+
+    n = spark.createDataFrame(
+        [(1, 0, [1, 2])], "vec_id long, cell long, qv array<long>"
+    )
+    ep = df_plan(spark, _semdedup_edges_arrow(n, 0.99))
+    assert "FlatMapGroupsInPandas" in ep
+    assert "hashpartitioning(cell" in ep  # grouped by cell, 1 shuffle
+    assert "Join" not in ep  # the self-join is gone from the arrow path
     p = _plan(spark, "semantic_dedup")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
@@ -822,6 +875,23 @@ def test_media_decode_gates_plan(spark, monkeypatch):
         schema_line = [l for l in p.splitlines() if "ReadSchema" in l]
         if schema_line:  # spread() may hide the scan behind a boundary
             assert "text" not in schema_line[0], name
+
+
+def test_media_decode_gates_keep_presentation_boundary(spark):
+    """ADVICE r12 wiring assertion: the UNPATCHED media gates must
+    still route through presentation_sort — i.e. the gate's own plan
+    is a Sort over a materialized ExistingRDD with NO Arrow node
+    above the boundary. A regression dropping the boundary would
+    silently reintroduce the 2× corpus decode (rule 30) while the
+    monkeypatched narrow-plan test above stayed green."""
+    for name in ("png_decode_stats", "wav_decode_stats",
+                 "y4m_frame_stats"):
+        p = _plan(spark, name)
+        assert "rangepartitioning" in p, name
+        assert "Scan ExistingRDD" in p, name
+        # the decode pipeline sits BELOW the boundary: nothing Python
+        # may appear in the post-checkpoint plan
+        assert "MapInPandas" not in p and "ArrowEvalPython" not in p, name
 
 
 def test_leakage_safe_split_no_straddle(spark):

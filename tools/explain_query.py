@@ -1,8 +1,8 @@
-"""Dump .explain("formatted") for registry queries to plans/r12/.
+"""Dump .explain("formatted") for registry queries to plans/r13/.
 
 Usage: python tools/explain_query.py <suffix> <query ...>
 
-Writes plans/r12/<query>_<suffix>.txt for each named query. NOTE:
+Writes plans/r13/<query>_<suffix>.txt for each named query. NOTE:
 building a gate's DataFrame can itself execute jobs and side effects
 (eager localCheckpoints, tokenizer training loops, txlog/roundtrip
 gates write real files) — do NOT run this while a bench is being
@@ -27,7 +27,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        "r13",
     )
     os.makedirs(out_dir, exist_ok=True)
     registry = load_all()
