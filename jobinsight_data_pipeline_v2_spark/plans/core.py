@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..tables import load_table
-from . import register
+from . import presentation_sort, register
 
 # ---------------------------------------------------------------------------
 # deterministic numeric helpers (Spark side)
@@ -1655,35 +1655,37 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (s_ab·N·10⁶ // (s_a·s_b)) — both deterministic floor divisions,
     never float ratios.
 
-    Scale shape (VERDICT r7 hedge closed): baskets dedupe once and
-    checkpoint (three consumers: basket collect + item supports +
-    total); pair generation is IN-ROW from the collected per-order
-    item set (one groupBy on l_orderkey replaces the basket-keyed
-    self-join — same Σ|basket|² work, one fewer shuffle; measured
-    A/B at sf0.1 in one session: self-join best 1.14s vs in-row 1.46s
-    — collect_set buffering costs ~0.3s at toy scale, but the in-row
-    form moves strictly less shuffle volume, which is what matters at
-    100 TB), and the
-    basket size is ENFORCED in-plan at {_ASSOC_MAX_BASKET} items via
-    assert_true: a heavy-tailed basket distribution fails loudly
-    instead of silently emitting k² pairs per hot basket. Item
-    supports broadcast onto the pair-support table; total order under
-    the LIMIT is (conf_ppm DESC, pa, pb) — (pa, pb) unique.
+    Scale shape (VERDICT r7 hedge closed; reshaped r13): ONE
+    corpus-wide exchange — groupBy(l_orderkey).collect_set dedups
+    in-row, so the old leading (orderkey, partkey)-keyed DISTINCT
+    exchange and the separate countDistinct(orderkey) exchange are
+    gone (guide §2.4); the basket table checkpoints once with three
+    consumers (pair explode + item supports via a basket-local
+    explode + total = a plain count). Pair generation is IN-ROW from
+    the per-order item set (the r7 A/B: the in-row form moves
+    strictly less shuffle volume than the basket-keyed self-join,
+    which is what matters at 100 TB; the r13 phase profile measured
+    the leading distinct at ~0.5 s and countDistinct at ~0.35 s of
+    the gate's 2.0 s — removing both A/B'd 1.82→1.45 s at sf0.1 and
+    5.2→3.4 s at sf1, rows identical). Basket size is ENFORCED
+    in-plan at {_ASSOC_MAX_BASKET} items via assert_true: a
+    heavy-tailed basket distribution fails loudly instead of silently
+    emitting k² pairs per hot basket. Item supports broadcast onto
+    the pair-support table; total order under the LIMIT is
+    (conf_ppm DESC, pa, pb) — (pa, pb) unique.
     """
-    b = (
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
         .localCheckpoint(eager=False)
     )
-    tot = b.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("__n")
-    )
-    item = b.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("s")
-    )
-    baskets = b.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("items")
+    tot = baskets.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    item = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
     )
     # assert_true returns NULL when the predicate holds, so the
     # coalesce(…, true) branch always selects the real array on legal
@@ -3484,7 +3486,9 @@ def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_clipped_high"),
         )
-        .orderBy("status")
+        # r13 psort A/B: 0.88 -> 0.63 s at sf0.1 (the range sampling
+        # re-ran the two window evals + the clip aggregate; rule 30)
+        .transform(presentation_sort, "status")
     )
 
 
@@ -4769,7 +4773,8 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("long").alias("hi_cents"),
             F.sum("cents").cast("long").alias("sum_cents"),
         )
-        .orderBy("grp", "bin")
+        # r13 psort A/B: 0.75 -> 0.57 s at sf0.1 (rule 30)
+        .transform(presentation_sort, "grp", "bin")
     )
 
 

@@ -1457,7 +1457,8 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
-        .orderBy("doc_a", "doc_b")
+        # r13 psort A/B: 1.13 -> 1.02 s at sf0.1 (rule 30)
+        .transform(presentation_sort, "doc_a", "doc_b")
     )
 
 

@@ -47,9 +47,13 @@ def main() -> None:
     times: dict[str, list[float]] = {"fold": [], "arrow": []}
     for r in range(rounds):
         for scorer in ("fold", "arrow") if r % 2 == 0 else ("arrow", "fold"):
-            df = build(scorer)
             spark.sparkContext.setJobDescription(f"ab {scorer} r{r}")
+            # bench methodology: CONSTRUCTION inside the timer — in
+            # this Spark a "lazy" localCheckpoint finalizes its AQE
+            # subtree (all shuffle stages run as jobs) at CALL time,
+            # so building outside the timer hides most of the work
             t0 = time.time()
+            df = build(scorer)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             times[scorer].append(dt)
