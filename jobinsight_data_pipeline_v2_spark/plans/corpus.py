@@ -2988,7 +2988,10 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1, identical rows). Sizes ride the same grouped frame. A
     64-bit token-hash collision would merge two vocabulary entries —
     the accepted _shingle_key risk class, and the oracle (which joins
-    raw strings) fails loudly on it.
+    raw strings) fails loudly on it. (ADVICE r12 production
+    self-check recipe: one pass of countDistinct(token) vs
+    countDistinct(xxhash64(token)) on a new corpus quantifies the
+    collision exposure before trusting the matrix.)
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
